@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{Exprs, Tables}
+
+/** The reference's streaming measurement pipeline, re-expressed as pure
+  * column transforms over the driver's `events` table.
+  *
+  * Reference semantics (all citations into /root/reference/):
+  *  - parse + required-field check:      flink_process/flink_process.py:111-137
+  *  - numeric normalization (int CPM):   flink_process.py:124, 154-155
+  *  - level classification (3-bucket):   flink_process.py:139-145
+  *  - critical flag:                     flink_process.py:147-148
+  *  - valid / invalid record shapes:     flink_process.py:151-176
+  *
+  * The reference parses JSON **per operator** (schema-on-read everywhere);
+  * here the JSON `props` column is parsed exactly once with an explicit
+  * schema (`from_json`) and every downstream operator works on typed
+  * columns — the Catalyst-native equivalent (SURVEY.md §1.3).
+  *
+  * The `events` table stands in for the radiation feed (FIXTURES.md §B):
+  * `ts` ↔ captured_time, `value` ↔ CPM. Latitude/longitude and the unit
+  * column are not present in `events`, so they are derived
+  * **deterministically** from `event_id` / the JSON payload (integer
+  * arithmetic only, so Spark and the DuckDB oracle agree bit-for-bit).
+  * All thresholds are real parameters ([[Thresholds]]) — the reference's
+  * config keys for these are broken (SURVEY.md §2.4 "config-key mismatch").
+  */
+object Readings {
+
+  /** Parameterized thresholds.
+    *
+    * Reference defaults are low=50 / moderate=200 (flink_process/config.ini:18-20)
+    * and danger=1000 (flink_process.py:147). The `events.value` domain tops
+    * out near 500, so the registered queries pass danger=400 to keep the
+    * critical route populated; semantics are unchanged.
+    */
+  final case class Thresholds(low: Int = 50, moderate: Int = 200, danger: Double = 1000.0)
+
+  val propsSchema: StructType = StructType(Seq(StructField("k", IntegerType)))
+
+  /** events → canonical "reading" view. Parse-once, typed thereafter. */
+  def readings(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.select(
+      col("event_id"),
+      col("user_id"),
+      col("event_type"),
+      // ts arrives as epoch-nanos Long (Tables.eventsSchema); truncate to
+      // the second with integer division (double division would lose
+      // precision at 1.7e18) — matches DuckDB date_trunc('second', ts).
+      timestamp_seconds(expr("ts DIV 1000000000")).as("sec"),
+      col("value"),
+      from_json(col("props"), propsSchema).getField("k").as("k"),
+      // deterministic pseudo-coordinates (integer math: portable)
+      ((col("event_id") * 37 % 17000) / 100.0 - 85.0).as("lat"),
+      ((col("event_id") * 91 % 36000) / 100.0 - 180.0).as("lon"),
+      // deterministic unit column; ~2% invalid units exercise the unit check
+      when(col("event_id") % 97 === 0, "uSv").otherwise("CPM").as("unit")
+    )
+  }
+
+  /** SQL fragment for the same view, for DuckDB oracles. */
+  val readingsSql: String =
+    """SELECT event_id, user_id, event_type,
+      |       date_trunc('second', ts) AS sec,
+      |       value,
+      |       CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k,
+      |       (event_id * 37 % 17000) / 100.0 - 85.0 AS lat,
+      |       (event_id * 91 % 36000) / 100.0 - 180.0 AS lon,
+      |       CASE WHEN event_id % 97 = 0 THEN 'uSv' ELSE 'CPM' END AS unit
+      |FROM events""".stripMargin
+
+  /** Validation + enrichment — the Spark form of `RadiationDataProcessor`
+    * (flink_process.py:93-176), as one codegen-able projection.
+    *
+    * Validation rules, in the reference's check order:
+    *   1. required fields present (k, sec, value)     — py:113-118
+    *   2. numeric value / int rounding > 0            — py:121-129
+    *   3. latitude in [-90, 90]                       — py:126-131
+    *   4. longitude in [-180, 180]                    — py:126-131
+    *   5. unit, case-insensitive, == "cpm"            — py:133-135
+    *
+    * Output superset schema covers both the valid record (py:151-160) and
+    * the invalid record (py:169-176) so routing is a plain filter and the
+    * reference's stringly-typed union (py:320) becomes unnecessary.
+    */
+  def validated(df: DataFrame, t: Thresholds = Thresholds()): DataFrame = {
+    val cpm = round(col("value")).cast("int")
+    val err = when(col("k").isNull || col("sec").isNull || col("value").isNull, "Missing fields")
+      .when(cpm <= 0, "Non-positive value")
+      .when(!col("lat").between(-90.0, 90.0), "Latitude out of range")
+      .when(!col("lon").between(-180.0, 180.0), "Longitude out of range")
+      .when(lower(col("unit")) =!= "cpm", "Invalid unit")
+    val valid = err.isNull
+    df.select(
+      col("event_id"), col("user_id"), col("event_type"), col("sec"),
+      col("lat"), col("lon"), col("k"),
+      cpm.as("cpm"),
+      lower(col("unit")).as("unit_norm"),
+      when(valid, "valid").otherwise("invalid").as("status"),
+      err.as("error"),
+      when(!valid, lit(null: String))
+        .when(cpm < t.low, "low")
+        .when(cpm < t.moderate, "moderate")
+        .otherwise("high").as("level"),
+      when(!valid, lit(null).cast("boolean"))
+        .otherwise(cpm >= t.danger).as("critical")
+    )
+  }
+
+  /** SQL mirror of [[validated]] over [[readingsSql]]. */
+  def validatedSql(t: Thresholds = Thresholds()): String =
+    s"""SELECT event_id, user_id, event_type, sec, lat, lon, k,
+       |       cpm, unit_norm,
+       |       CASE WHEN err IS NULL THEN 'valid' ELSE 'invalid' END AS status,
+       |       err AS error,
+       |       CASE WHEN err IS NOT NULL THEN NULL
+       |            WHEN cpm < ${t.low} THEN 'low'
+       |            WHEN cpm < ${t.moderate} THEN 'moderate'
+       |            ELSE 'high' END AS level,
+       |       CASE WHEN err IS NOT NULL THEN NULL
+       |            ELSE cpm >= ${t.danger} END AS critical
+       |FROM (
+       |  SELECT *, lower(unit) AS unit_norm,
+       |         CASE WHEN k IS NULL OR sec IS NULL OR value IS NULL THEN 'Missing fields'
+       |              WHEN cpm <= 0 THEN 'Non-positive value'
+       |              WHEN NOT (lat BETWEEN -90.0 AND 90.0) THEN 'Latitude out of range'
+       |              WHEN NOT (lon BETWEEN -180.0 AND 180.0) THEN 'Longitude out of range'
+       |              WHEN lower(unit) <> 'cpm' THEN 'Invalid unit'
+       |         END AS err
+       |  FROM (SELECT *, CAST(round(value) AS INT) AS cpm FROM ($readingsSql))
+       |)""".stripMargin
+
+  /** Convenience: readings → validated, the head of every events query. */
+  def enriched(spark: SparkSession, dir: String, t: Thresholds): DataFrame =
+    validated(readings(spark, dir), t)
+
+  // ---- Routing (SURVEY §2.2 P11-P13; flink_process.py:327-351) ----
+
+  def routeNormal(v: DataFrame): DataFrame =
+    v.filter(col("status") === "valid" && !col("critical"))
+  def routeCritical(v: DataFrame): DataFrame =
+    v.filter(col("status") === "valid" && col("critical"))
+  def routeDirty(v: DataFrame): DataFrame =
+    v.filter(col("status") === "invalid")
+}

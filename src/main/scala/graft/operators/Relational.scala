@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** General relational capability over the star schema — the query surface a
+  * user of the engine gets "for free" from the DataFrame API + Catalyst,
+  * exercised as verifiable queries at every scale factor.
+  *
+  * The reference has no joins/sorts/set-ops at all (SURVEY.md §2.6); these
+  * queries define the engine's generic analytics surface and are designed
+  * scale-first:
+  *  - dimension joins are explicit `broadcast()` (no shuffle of the fact),
+  *  - aggregates are partial-aggregated map-side by Catalyst,
+  *  - top-k is TakeOrderedAndProject (no global sort),
+  *  - AQE re-plans skew at runtime.
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary: the canonical scan→filter→agg path.
+    * Filter + column pruning must push into the parquet scan.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3-shaped: fact⋈fact join + broadcast dim filter + top-k.
+    * customer is ~2.5% of lineitem → broadcast; orders⋈lineitem shuffles on
+    * the join key once. Top-10 via limit ⇒ TakeOrderedAndProject.
+    */
+  def topRevenueOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1998-07-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped: star join through two broadcast dims, grouped rollup
+    * byregion/nation. supplier+nation+region are tiny → broadcast chain;
+    * the single shuffle is the final group-by.
+    */
+  def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val sup = Tables.supplier(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir)
+    val dim = broadcast(
+      sup.join(nat, col("s_nationkey") === col("n_nationkey"))
+         .join(reg, col("n_regionkey") === col("r_regionkey"))
+         .select(col("s_suppkey"), col("n_name"), col("r_name")))
+    li.join(dim, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Semi join (EXISTS): customers that have at least one order, counted per
+    * market segment. Broadcast the distinct key set when small; at scale the
+    * left-semi hash join avoids materializing order payload columns.
+    */
+  def customersWithOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Anti join (NOT EXISTS): customers with no orders, per nation. */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_nationkey"))
+
+  /** Top-k per group via rank window: top-3 parts by retail price per brand
+    * (ties broken by partkey → deterministic).
+    */
+  def topPartsPerBrand(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(spark, dir)
+      .withColumn("rank_in_brand", row_number().over(w))
+      .filter(col("rank_in_brand") <= k)
+      .select("p_brand", "rank_in_brand", "p_partkey", "p_name", "p_retailprice")
+      .orderBy(col("p_brand"), col("rank_in_brand"))
+  }
+
+  /** Distinct aggregation: exact distinct parts + suppliers per return flag.
+    * (The HLL variant `approx_count_distinct` is registered as a rows-only
+    * query — sketches aren't oracle-comparable across engines.)
+    */
+  def distinctParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+           countDistinct(col("l_suppkey")).as("n_suppliers"),
+           count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** Approximate distinct (HLL sketch) — the scale path for 100 TB distinct
+    * counts. Rows-only check: sketch estimates differ across engines.
+    */
+  def approxDistinctParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
+  /** Hierarchical aggregate: ROLLUP region→nation revenue (grouping-set
+    * capability; NULL super-aggregate rows, NULLS FIRST ordering pinned on
+    * both engines).
+    */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val dim = broadcast(
+      Tables.supplier(spark, dir)
+        .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("n_name"), col("r_name")))
+    li.join(dim, col("l_suppkey") === col("s_suppkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("sum_base"), count(lit(1)).as("n_items"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** Set ops: order-priority values seen in both halves of the date range
+    * (INTERSECT) — exercises INTERSECT/EXCEPT capability.
+    */
+  def prioritiesIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val early = o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderpriority"))
+    val late = o.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderpriority"))
+    early.intersect(late).orderBy(col("o_orderpriority"))
+  }
+}
