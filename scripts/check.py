@@ -22,8 +22,10 @@ def canon(rows, cols):
         for i in order:
             v = r[i]
             if isinstance(v, float):
+                # exact: the driver hash-compares values, so last-bit float
+                # differences are real failures
                 if math.isnan(v): vals.append("nan")
-                else: vals.append(f"{v:.6g}")
+                else: vals.append(repr(v))
             else:
                 vals.append(repr(v))
         out.append("|".join(vals))

@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators._
+import graft.functions.{TextOps, VectorOps}
+import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -74,7 +76,28 @@ object SparkEntry {
     "e_lastn" -> ((s, dir) => DashboardAggs.lastN(valid(s, dir))),
     "e_running" -> ((s, dir) =>
       DashboardAggs.runningCounters(valid(s, dir))
-        .orderBy(col("user_id"), col("sec"), col("event_id")))
+        .orderBy(col("user_id"), col("sec"), col("event_id"))),
+
+    // ---- training-data text operators (builder brief; SURVEY §7.2 step 8) ----
+    "d_tokens" -> ((s, dir) => TextOps.tokenStats(s, dir).orderBy(col("doc_id"))),
+    "d_quality" -> ((s, dir) => TextOps.quality(s, dir).orderBy(col("doc_id"))),
+    "d_langid" -> ((s, dir) => TextOps.langid(s, dir).orderBy(col("doc_id"))),
+    "d_fingerprint" -> ((s, dir) => TextOps.fingerprint(s, dir).orderBy(col("doc_id"))),
+    "d_dedup_exact" -> ((s, dir) => TextOps.dedupExact(s, dir).orderBy(col("rep_doc_id"))),
+    "d_jaccard_pairs" -> ((s, dir) => TextOps.jaccardPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))),
+    "d_minhash_sig" -> ((s, dir) => TextOps.minhashSignatures(s, dir).orderBy(col("doc_id"))),
+    "d_minhash_pairs" -> ((s, dir) => TextOps.minhashPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))),
+    "d_simhash" -> ((s, dir) => TextOps.simhash(s, dir).orderBy(col("doc_id"))),
+
+    // ---- embedding similarity operators ----
+    "v_norms" -> ((s, dir) => VectorOps.norms(s, dir).orderBy(col("vec_id"))),
+    "v_knn" -> ((s, dir) => VectorOps.knn(s, dir)),
+    "v_neardup" -> ((s, dir) => VectorOps.nearDupExact(s, dir)),
+    "v_neardup_lsh" -> ((s, dir) => VectorOps.nearDupLsh(s, dir)),
+    "v_ann_lsh" -> ((s, dir) => VectorOps.annLsh(s, dir)),
+
+    // ---- multimodal plumbing ----
+    "mm_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir).orderBy(col("media_id")))
   )
 
   /** DuckDB SQL mirrors. Column names/aliases match the Spark side exactly
@@ -235,7 +258,23 @@ object SparkEntry {
            |FROM ($V) WHERE status = 'valid'
            |WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
            |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           |ORDER BY user_id, sec, event_id""".stripMargin
+           |ORDER BY user_id, sec, event_id""".stripMargin,
+
+      "d_tokens" -> TextOps.tokenStatsSql,
+      "d_quality" -> TextOps.qualitySql,
+      "d_langid" -> TextOps.langidSql,
+      "d_fingerprint" -> TextOps.fingerprintSql,
+      "d_dedup_exact" -> TextOps.dedupExactSql,
+      "d_jaccard_pairs" -> TextOps.jaccardPairsSql(),
+      "d_minhash_sig" -> s"SELECT * FROM (\n${TextOps.minhashSigSqlInner}) ORDER BY doc_id",
+      "d_minhash_pairs" -> TextOps.minhashPairsSql,
+      "d_simhash" -> TextOps.simhashSql,
+      "v_norms" -> VectorOps.normsSql,
+      "v_knn" -> VectorOps.knnSql(),
+      "v_neardup" -> VectorOps.nearDupExactSql(),
+      "v_neardup_lsh" -> VectorOps.nearDupLshSql(),
+      "v_ann_lsh" -> VectorOps.annLshSql(),
+      "mm_meta" -> Multimodal.mediaMetaSql
     )
   }
 }

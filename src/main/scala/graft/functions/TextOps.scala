@@ -1,0 +1,342 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Exprs, Tables}
+
+/** Text-analysis + document-dedup operators for a large-scale training-data
+  * pipeline (builder brief: dedup / quality / language-ID / token counting /
+  * fingerprinting over the `documents` table).
+  *
+  * Everything is pure column expressions (whole-stage codegen, no UDFs) and
+  * has an exact DuckDB mirror via the shared md5-prefix hash [[Exprs.hex60]],
+  * so even MinHash signatures are oracle-checkable.
+  *
+  * Scale design: all operators are explode → hash-shuffle on (block, word) or
+  * (doc) keys — no driver-side state, no cross-product without a blocking
+  * key. At 100 TB the blocking keys (language, length bucket, band signature)
+  * bound every join's fan-out.
+  */
+object TextOps {
+
+  /** MinHash parameters — fixed odd multipliers/offsets mod a prime.
+    * 8 hashes = 2 bands × 4 rows (LSH for jaccard ≈ 0.9 working point).
+    */
+  val P = 1000003L
+  val A: Seq[Long] = Seq(541L, 1223L, 2741L, 4409L, 6863L, 8317L, 9341L, 10627L)
+  val B: Seq[Long] = Seq(1087L, 2131L, 3259L, 5417L, 7451L, 8923L, 9973L, 11657L)
+
+  val STOPWORDS: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** documents + normalized text and word array. */
+  def prepared(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"), col("source"), col("n_chars"),
+      Exprs.normText(col("text")).as("norm"))
+      .withColumn("words", split(col("norm"), " "))
+
+  val preparedSql: String =
+    s"""SELECT doc_id, lang, source, n_chars,
+       |       ${Exprs.normTextSql("text")} AS norm,
+       |       string_split(${Exprs.normTextSql("text")}, ' ') AS words
+       |FROM documents""".stripMargin
+
+  // ---- token counting ----
+
+  /** Whitespace tokens + a BPE-ish regex token count + average word length.
+    * Integer inputs → double division: bit-identical across engines.
+    */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    prepared(spark, dir).select(
+      col("doc_id"),
+      length(col("norm")).as("n_chars_norm"),
+      size(col("words")).as("ws_tokens"),
+      size(regexp_extract_all(col("norm"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("re_tokens"),
+      // per-row deterministic arithmetic → identical bits on both engines;
+      // NOT rounded (round() half-way cases at representation boundaries
+      // differ between engines, see d_quality history)
+      (length(regexp_replace(col("norm"), " ", "")) / size(col("words"))).as("avg_word_len"))
+
+  val tokenStatsSql: String =
+    s"""SELECT doc_id,
+       |  CAST(length(norm) AS INT) AS n_chars_norm,
+       |  CAST(len(words) AS INT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS re_tokens,
+       |  CAST(length(replace(norm, ' ', '')) AS INT) / CAST(len(words) AS INT) AS avg_word_len
+       |FROM ($preparedSql) ORDER BY doc_id""".stripMargin
+
+  // ---- quality scoring ----
+
+  /** Heuristic quality score: length component + non-stopword density +
+    * word-length component, bucketed. All inputs integers so the double
+    * arithmetic matches the oracle bit-for-bit.
+    */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(STOPWORDS.map(lit): _*)
+    val nWords = size(col("words"))
+    val nStop = size(filter(col("words"), w => array_contains(stopArr, w)))
+    val avgLen = length(regexp_replace(col("norm"), " ", "")) / nWords
+    val score = lit(0.5) * least(lit(1.0), nWords / 200.0) +
+      lit(0.3) * (lit(1.0) - nStop / nWords.cast("double")) +
+      lit(0.2) * least(lit(1.0), avgLen / 8.0)
+    prepared(spark, dir).select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      nStop.as("n_stopwords"),
+      (nStop / nWords.cast("double")).as("stop_ratio"),
+      score.as("quality_score"),
+      when(score >= 0.75, "high").when(score >= 0.5, "medium").otherwise("low").as("quality_bucket"))
+  }
+
+  val qualitySql: String = {
+    val stopList = STOPWORDS.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id, n_words, n_stopwords,
+       |  n_stopwords / CAST(n_words AS DOUBLE) AS stop_ratio,
+       |  score AS quality_score,
+       |  CASE WHEN score >= 0.75 THEN 'high'
+       |       WHEN score >= 0.5 THEN 'medium' ELSE 'low' END AS quality_bucket
+       |FROM (
+       |  -- all literals cast to DOUBLE: DuckDB's DECIMAL literal arithmetic
+       |  -- would otherwise diverge from Spark's double math in the last bit
+       |  SELECT doc_id, n_words, n_stopwords,
+       |    CAST(0.5 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), n_words / CAST(200.0 AS DOUBLE)) +
+       |    CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - n_stopwords / CAST(n_words AS DOUBLE)) +
+       |    CAST(0.2 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), avg_len / CAST(8.0 AS DOUBLE)) AS score
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len(words) AS INT) AS n_words,
+       |      CAST(len(list_filter(words, w -> w IN ($stopList))) AS INT) AS n_stopwords,
+       |      CAST(length(replace(norm, ' ', '')) AS INT) / CAST(len(words) AS INT) AS avg_len
+       |    FROM ($preparedSql)))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- language ID (marker-word heuristic) ----
+
+  /** Marker-word language scores + argmax with a fixed tie-break order.
+    * (A real deployment would use char-n-gram profiles; the operator shape —
+    * per-language score columns + deterministic argmax — is the same.)
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "la", "los"),
+    "de" -> Seq("der", "die", "das"),
+    "fr" -> Seq("le", "les", "une"),
+    "zh" -> Seq("shi", "bu", "wo"))
+
+  def langid(spark: SparkSession, dir: String): DataFrame = {
+    val base = prepared(spark, dir)
+    val scored = LangMarkers.foldLeft(base) { case (df, (l, ms)) =>
+      val arr = array(ms.map(lit): _*)
+      df.withColumn(s"score_$l", size(filter(col("words"), w => array_contains(arr, w))))
+    }
+    val best = LangMarkers.map { case (l, _) => col(s"score_$l") }
+      .reduce((a, b) => greatest(a, b))
+    val pred = LangMarkers.foldRight(lit("unknown"): Column) { case ((l, _), acc) =>
+      when(col(s"score_$l") === best && best > 0, l).otherwise(acc)
+    }
+    scored.select(
+      (Seq(col("doc_id"), col("lang"), pred.as("pred_lang")) ++
+        LangMarkers.map { case (l, _) => col(s"score_$l") }): _*)
+  }
+
+  val langidSql: String = {
+    val scoreCols = LangMarkers.map { case (l, ms) =>
+      val list = ms.map(m => s"'$m'").mkString(", ")
+      s"CAST(len(list_filter(words, w -> w IN ($list))) AS INT) AS score_$l"
+    }.mkString(",\n      ")
+    val bestExpr = LangMarkers.map { case (l, _) => s"score_$l" }
+      .reduce((a, b) => s"greatest($a, $b)")
+    // right-fold: first language in declaration order wins ties
+    val predExpr = LangMarkers.reverse.foldLeft("'unknown'") { case (acc, (l, _)) =>
+      s"CASE WHEN score_$l = best AND best > 0 THEN '$l' ELSE $acc END"
+    }
+    s"""SELECT doc_id, lang, $predExpr AS pred_lang,
+       |  score_en, score_es, score_de, score_fr, score_zh
+       |FROM (
+       |  SELECT *, $bestExpr AS best FROM (
+       |    SELECT doc_id, lang,
+       |      $scoreCols
+       |    FROM ($preparedSql)))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- fingerprinting ----
+
+  /** Document fingerprints: md5 of the normalized text + the minimum 60-bit
+    * hash over 3-word shingles (winnowing-style representative shingle).
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val shingles = when(size(col("words")) >= 3,
+      expr("transform(sequence(0, size(words)-3), i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))"))
+      .otherwise(array(col("norm")))
+    prepared(spark, dir)
+      .withColumn("sh", explode(shingles))
+      .groupBy(col("doc_id"))
+      .agg(min(Exprs.hex60(col("sh"))).as("min_shingle_h"),
+           first(md5(col("norm").cast("binary"))).as("doc_md5"))
+      .select("doc_id", "doc_md5", "min_shingle_h")
+  }
+
+  val fingerprintSql: String =
+    s"""SELECT doc_id, md5(norm) AS doc_md5,
+       |  min(${Exprs.hex60Sql("sh")}) AS min_shingle_h
+       |FROM (
+       |  SELECT doc_id, norm,
+       |    CASE WHEN len(words) >= 3
+       |         THEN words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+       |         ELSE norm END AS sh
+       |  FROM ($preparedSql),
+       |       unnest(range(1, CASE WHEN len(words) >= 3 THEN len(words)-1 ELSE 2 END)) AS t(i))
+       |GROUP BY doc_id, norm ORDER BY doc_id""".stripMargin
+
+  // ---- exact dedup ----
+
+  /** Exact dedup by content hash: one representative (min doc_id) per
+    * normalized-text md5, with the duplicate count.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    prepared(spark, dir)
+      .groupBy(md5(col("norm").cast("binary")).as("text_md5"))
+      .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_copies"))
+      .select("rep_doc_id", "text_md5", "n_copies")
+
+  val dedupExactSql: String =
+    s"""SELECT min(doc_id) AS rep_doc_id, md5(norm) AS text_md5, count(*) AS n_copies
+       |FROM ($preparedSql)
+       |GROUP BY md5(norm) ORDER BY rep_doc_id""".stripMargin
+
+  // ---- n-gram (word-set) jaccard near-dup ----
+
+  /** Exact word-set Jaccard over blocked candidate pairs (same language +
+    * length bucket). The blocking key bounds the pair fan-out at scale; the
+    * intersection count comes from an explode + equi-join on (block, word) —
+    * a pure hash-shuffle plan, no cross product.
+    */
+  def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+    val d = prepared(spark, dir).select(
+      col("doc_id"), col("lang"), expr("n_chars DIV 100").as("bkt"),
+      array_distinct(col("words")).as("ws"))
+    val sizes = d.select(col("doc_id"), size(col("ws")).as("nw"))
+    val ex = d.select(col("doc_id"), col("lang"), col("bkt"), explode(col("ws")).as("w"))
+    val shared = ex.as("a").join(ex.as("b"),
+        col("a.lang") === col("b.lang") && col("a.bkt") === col("b.bkt") &&
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nw", "nw_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nw", "nw_b"), "doc_b")
+      .withColumn("n_union", col("nw_a") + col("nw_b") - col("n_shared"))
+      .withColumn("jaccard", round(col("n_shared") / col("n_union").cast("double"), 4))
+      .filter(col("n_shared") / col("n_union").cast("double") >= threshold)
+      .select("doc_a", "doc_b", "n_shared", "n_union", "jaccard")
+  }
+
+  def jaccardPairsSql(threshold: Double = 0.9): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, n_chars // 100 AS bkt, list_distinct(words) AS ws
+       |  FROM ($preparedSql)),
+       |sizes AS (SELECT doc_id, CAST(len(ws) AS INT) AS nw FROM d),
+       |ex AS (SELECT doc_id, lang, bkt, unnest(ws) AS w FROM d),
+       |shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |  FROM ex a JOIN ex b
+       |    ON a.lang = b.lang AND a.bkt = b.bkt AND a.w = b.w AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_shared,
+       |  sa.nw + sb.nw - n_shared AS n_union,
+       |  round(n_shared / CAST(sa.nw + sb.nw - n_shared AS DOUBLE), 4) AS jaccard
+       |FROM shared
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE n_shared / CAST(sa.nw + sb.nw - n_shared AS DOUBLE) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- MinHash signatures + LSH band candidate pairs ----
+
+  private def wordHash: Column = pmod(Exprs.hex60(col("w")), lit(P))
+
+  /** 8-hash MinHash signature per document over the distinct word set.
+    * Shared-hash construction keeps this oracle-checkable (Exprs.hex60).
+    */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val ex = prepared(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(col("words"))).as("w"))
+      .withColumn("h", wordHash)
+    val aggs = A.indices.map(i => min(pmod(col("h") * A(i) + B(i), lit(P))).as(s"m$i"))
+    ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  def minhashSigSqlInner: String = {
+    val h = Exprs.hex60Sql("w")
+    val mins = A.indices.map(i =>
+      s"min(((($h % $P) * ${A(i)} + ${B(i)}) % $P)) AS m$i").mkString(",\n    ")
+    s"""SELECT doc_id,
+       |    $mins
+       |  FROM (SELECT doc_id, unnest(list_distinct(words)) AS w FROM ($preparedSql))
+       |  GROUP BY doc_id""".stripMargin
+  }
+
+  /** LSH candidate pairs: 2 bands × 4 rows — docs agreeing on either band's
+    * 4 minhashes become candidates. Join key is the band value (bounded
+    * fan-out); at 100 TB this is the standard minhash-LSH bucket join.
+    */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(spark, dir)
+      .withColumn("band1", concat_ws(",", col("m0"), col("m1"), col("m2"), col("m3")))
+      .withColumn("band2", concat_ws(",", col("m4"), col("m5"), col("m6"), col("m7")))
+    def joinOn(band: String) =
+      sig.as("a").join(sig.as("b"),
+          col(s"a.$band") === col(s"b.$band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    joinOn("band1").union(joinOn("band2")).distinct()
+  }
+
+  val minhashPairsSql: String =
+    s"""WITH sig AS (
+       |  $minhashSigSqlInner),
+       |banded AS (
+       |  SELECT doc_id,
+       |    m0 || ',' || m1 || ',' || m2 || ',' || m3 AS band1,
+       |    m4 || ',' || m5 || ',' || m6 || ',' || m7 AS band2
+       |  FROM sig)
+       |SELECT DISTINCT doc_a, doc_b FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+       |  UNION ALL
+       |  SELECT a.doc_id, b.doc_id
+       |  FROM banded a JOIN banded b ON a.band2 = b.band2 AND a.doc_id < b.doc_id)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- SimHash ----
+
+  /** 16-bit SimHash over the distinct word set: bit j of the signature is
+    * the sign of Σ_words (bit j of hash(word) ? +1 : -1).
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val ex = prepared(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(col("words"))).as("w"))
+      .withColumn("h", Exprs.hex60(col("w")))
+    val bitSums = (0 until 16).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"s$j"))
+    val sig = (0 until 16).map(j =>
+      when(col(s"s$j") > 0, 1L << j).otherwise(0L)).reduce(_ + _)
+    ex.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash16"))
+  }
+
+  val simhashSql: String = {
+    val h = Exprs.hex60Sql("w")
+    val bitSums = (0 until 16).map(j =>
+      s"CAST(sum((($h >> $j) & 1) * 2 - 1) AS BIGINT) AS s$j").mkString(",\n    ")
+    val sig = (0 until 16).map(j =>
+      s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""SELECT doc_id, CAST($sig AS BIGINT) AS simhash16 FROM (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM (SELECT doc_id, unnest(list_distinct(words)) AS w FROM ($preparedSql))
+       |  GROUP BY doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+}

@@ -1,0 +1,169 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Embedding similarity-search operators over the `embeddings` table
+  * (builder brief: brute-force cosine top-k baseline + an LSH-bucketed
+  * variant as the 100 TB scale path).
+  *
+  * Dot products use sequential left-to-right accumulation (`aggregate` over
+  * `zip_with`) in double precision — the same order DuckDB's
+  * `list_dot_product` uses — so similarities are oracle-comparable; ranks are
+  * computed on 4-decimal-rounded similarity with an id tie-break so a
+  * last-bit float divergence can't flip an ordering.
+  *
+  * Scale notes: brute-force top-k is a broadcast of the (small) query set
+  * against a partitioned scan of the corpus — linear, no shuffle of the
+  * corpus. The LSH variant buckets by hyperplane signs so the self-join key
+  * bounds fan-out; with random vectors each extra bucket bit halves the
+  * candidate set.
+  */
+object VectorOps {
+
+  /** Elementwise dot product of two double arrays, sequential accumulation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** embeddings with the float vector cast to double + precomputed norm. */
+  def prepared(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
+  val preparedSql: String =
+    """SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |FROM embeddings""".stripMargin
+
+  /** Per-vector norms — the smallest verifiable unit of the vector path. */
+  def norms(spark: SparkSession, dir: String): DataFrame =
+    prepared(spark, dir).select(
+      col("vec_id"), col("label"),
+      size(col("v")).as("dim"),
+      round(col("nrm"), 4).as("l2_norm"))
+
+  val normsSql: String =
+    s"""SELECT vec_id, label, CAST(len(v) AS INT) AS dim, round(nrm, 4) AS l2_norm
+       |FROM ($preparedSql) ORDER BY vec_id""".stripMargin
+
+  /** Brute-force cosine top-k: the first `nQueries` vectors (by id) against
+    * the whole corpus. Query set is broadcast; corpus is scanned once.
+    */
+  def knn(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val all = prepared(spark, dir)
+    val q = broadcast(all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
+    val sims = all.join(q, col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def knnSql(nQueries: Int = 20, k: Int = 10): String =
+    s"""WITH e AS ($preparedSql),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $nQueries),
+       |sims AS (
+       |  SELECT q.q_id, e.vec_id,
+       |    round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 4) AS cos_sim
+       |  FROM e, q WHERE e.vec_id <> q.q_id)
+       |SELECT q_id, rank, vec_id AS neighbor_id, cos_sim FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+       |  FROM sims)
+       |WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** Exact near-duplicate pairs: all pairs with cosine ≥ threshold.
+    * Quadratic — the correctness baseline the LSH variant is measured
+    * against; run it only at verification scale.
+    */
+  def nearDupExact(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val e = prepared(spark, dir)
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def nearDupExactSql(threshold: Double = 0.4): String =
+    s"""WITH e AS ($preparedSql)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Sign-hyperplane LSH bucket: the signs of the first `bits` coordinates
+    * (coordinate axes as hyperplanes — deterministic and oracle-expressible,
+    * unlike random projections).
+    */
+  private def bucketExpr(v: Column, bits: Int): Column =
+    concat_ws("", (0 until bits).map(i =>
+      when(element_at(v, i + 1) >= 0, "1").otherwise("0")): _*)
+
+  private def bucketSql(bits: Int): String =
+    (0 until bits).map(i =>
+      s"CASE WHEN v[${i + 1}] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+
+  /** LSH-bucketed near-dup: candidates only within the same sign bucket.
+    * The scale path — trades recall for a bounded join fan-out.
+    */
+  def nearDupLsh(spark: SparkSession, dir: String, threshold: Double = 0.4, bits: Int = 4): DataFrame = {
+    val e = prepared(spark, dir).withColumn("bkt", bucketExpr(col("v"), bits))
+    val a = e.select(col("bkt"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("bkt"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("bkt")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("bkt"), col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def nearDupLshSql(threshold: Double = 0.4, bits: Int = 4): String =
+    s"""WITH e AS (SELECT *, ${bucketSql(bits)} AS bkt FROM ($preparedSql))
+       |SELECT a.bkt, a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+       |FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+       |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** ANN via the LSH buckets: top-k within the query's own bucket only
+    * (single-probe). Recall vs [[knn]] is the standard IVF/LSH tradeoff.
+    */
+  def annLsh(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 5, bits: Int = 4): DataFrame = {
+    val e = prepared(spark, dir).withColumn("bkt", bucketExpr(col("v"), bits))
+    val q = broadcast(e.filter(col("vec_id") < nQueries)
+      .select(col("bkt"), col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
+    val sims = e.join(q, Seq("bkt")).filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def annLshSql(nQueries: Int = 20, k: Int = 5, bits: Int = 4): String =
+    s"""WITH e AS (SELECT *, ${bucketSql(bits)} AS bkt FROM ($preparedSql)),
+       |q AS (SELECT bkt, vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $nQueries),
+       |sims AS (
+       |  SELECT q.q_id, e.vec_id,
+       |    round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 4) AS cos_sim
+       |  FROM e JOIN q ON e.bkt = q.bkt AND e.vec_id <> q.q_id)
+       |SELECT q_id, rank, vec_id AS neighbor_id, cos_sim FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+       |  FROM sims)
+       |WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+}

@@ -1,0 +1,103 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque `binary`
+  * columns with typed metadata, plus batch feature extraction.
+  *
+  * The container has no media codecs, so the decode step is a clearly-marked
+  * deterministic stub ([[StubDecoder]]) — what is real and tested is the
+  * Spark-side shape: the binary+metadata schema, the partition-wise batch
+  * UDF signature (`mapPartitions` over a typed Dataset — the Scala analog of
+  * `mapInPandas`), and the column-level metadata path that stays inside
+  * whole-stage codegen.
+  *
+  * There is no binary table in the testdata, so payloads are synthesized
+  * deterministically from `documents.text` (UTF-8 bytes) — the plumbing is
+  * identical for real image bytes.
+  */
+object Multimodal {
+
+  /** A media record: opaque payload + the typed metadata a real pipeline
+    * would carry (media kind, declared dims, source).
+    */
+  final case class MediaRecord(
+      media_id: Long, kind: String, payload: Array[Byte],
+      declared_w: Int, declared_h: Int)
+
+  final case class MediaFeatures(
+      media_id: Long, kind: String, byte_len: Int,
+      width: Int, height: Int, n_frames: Int, checksum: Long)
+
+  /** documents → synthetic media table (binary payload column). */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id").as("media_id"),
+      // deterministic kind assignment
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("kind"),
+      col("text").cast("binary").as("payload"),
+      (col("doc_id") % 640 + 1).cast("int").as("declared_w"),
+      (col("doc_id") % 480 + 1).cast("int").as("declared_h"))
+
+  /** The decode stub: in production this calls the codec (e.g. libjpeg /
+    * ffmpeg bindings) per batch; here it derives deterministic fake features
+    * from the bytes so tests can assert exact values. Marked loudly so no
+    * one mistakes it for a real decoder.
+    */
+  object StubDecoder {
+    /** STUB — stands in for real image/audio decode (no codecs in env). */
+    def decode(r: MediaRecord): MediaFeatures = {
+      val bytes = r.payload
+      var checksum = 0L
+      var i = 0
+      while (i < bytes.length) { checksum = checksum * 31 + (bytes(i) & 0xff); i += 1 }
+      MediaFeatures(
+        media_id = r.media_id, kind = r.kind, byte_len = bytes.length,
+        width = r.declared_w, height = r.declared_h,
+        n_frames = if (r.kind == "video") bytes.length / 1000 + 1 else 1,
+        checksum = checksum)
+    }
+  }
+
+  /** Partition-wise batch feature extraction — the Scala analog of a Pandas
+    * `mapInPandas` UDF: one decoder instance per partition, records streamed
+    * through it. This is the pattern a real decode (model inference, codec
+    * calls) plugs into without changing the plan shape.
+    */
+  def extractFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRecord]
+      .mapPartitions { it =>
+        // per-partition setup (a real decoder would init codecs here, once)
+        it.map(StubDecoder.decode)
+      }
+  }
+
+  /** Pure-column metadata extraction (no stub involved): byte length, md5
+    * content hash, frame-sampling plan. Oracle-checkable in DuckDB because
+    * the payload bytes are the UTF-8 text bytes on both sides.
+    */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir).select(
+      col("media_id"), col("kind"),
+      octet_length(col("payload")).as("byte_len"),
+      md5(col("payload")).as("content_md5"),
+      col("declared_w"), col("declared_h"),
+      when(col("kind") === "video", octet_length(col("payload")) / 1000 + 1)
+        .otherwise(1).cast("int").as("n_frames"))
+
+  val mediaMetaSql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+      |  md5(text) AS content_md5,
+      |  CAST(doc_id % 640 + 1 AS INT) AS declared_w,
+      |  CAST(doc_id % 480 + 1 AS INT) AS declared_h,
+      |  CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) // 1000 + 1
+      |       ELSE 1 END AS INT) AS n_frames
+      |FROM documents ORDER BY media_id""".stripMargin
+}
