@@ -1,0 +1,216 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import graft.operators.Readings.Thresholds
+
+/** The reference's Flink job (`flink_process/flink_process.py:184-397`) as a
+  * Structured Streaming pipeline over its actual record schema — JSON
+  * strings of radiation readings.
+  *
+  * Dataflow parity (reference → here):
+  *  - Kafka source, string values (py:230-236)     → any streaming DataFrame
+  *    with a `value: STRING` column (file/rate/memory source in tests; a
+  *    kafka `readStream` plugs in unchanged)
+  *  - per-operator json.loads (py:111 etc.)        → ONE `from_json` parse
+  *  - timestamp normalization (py:56-84)           → [[normalizeTimestamp]]
+  *  - composite dedup key (py:248-263)             → [[compositeKey]]
+  *  - keyed dedup, unbounded state (py:265-281)    → `dropDuplicates` or
+  *    bounded `dropDuplicatesWithinWatermark` (production-sane; SURVEY §7.5)
+  *  - validate/enrich (py:93-176)                  → [[validate]]
+  *  - 5 s watermark (py:241-243)                   → `withWatermark`
+  *  - 1 s cohort window + batch annotation
+  *    (py:23-54, 298-316)                          → [[cohortAnnotate]]
+  *  - invalid bypass + union (py:318-320)          → [[withCohort]]
+  *  - 3-way routing (py:327-351)                   → [[Routed]]
+  *  - 3 transactional sinks (py:354-390)           → one `foreachBatch`
+  *    writing three outputs per epoch (Spark's cross-sink atomicity delta is
+  *    documented in SURVEY §7.5)
+  *
+  * Spark's watermark has no per-partition idleness (reference's 30 s
+  * idleness, py:242) — moot under AvailableNow/file sources, noted for Kafka.
+  */
+object RadiationPipeline {
+
+  /** Reference ingested-record schema (data_provider/data_provider.py:125-132). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("captured_time", StringType),
+    StructField("latitude", DoubleType),
+    StructField("longitude", DoubleType),
+    StructField("value", DoubleType),
+    StructField("unit", StringType),
+    StructField("ingestion_timestamp", LongType)))
+
+  /** P10: strip timezone / fractional seconds, accept only
+    * `yyyy-MM-dd HH:mm:ss`, null on failure (reference py:56-84 returns
+    * None → record excluded from event-time windowing).
+    */
+  def normalizeTimestamp(c: Column): Column =
+    try_to_timestamp(substring(regexp_replace(c, "T", " "), 1, 19),
+      lit("yyyy-MM-dd HH:mm:ss"))
+
+  /** P3: producer/Flink composite natural key
+    * `"{lat:.5f}|{lon:.5f}|{val:.2f}|{ts}|{unit}"` with 0.0 fallbacks
+    * (data_provider.py:134-149 ≡ flink_process.py:248-263 — ONE shared
+    * expression here instead of two copies).
+    */
+  def compositeKey(lat: Column, lon: Column, value: Column, ts: Column, unit: Column): Column =
+    concat_ws("|",
+      format_string("%.5f", coalesce(lat, lit(0.0))),
+      format_string("%.5f", coalesce(lon, lit(0.0))),
+      format_string("%.2f", coalesce(value, lit(0.0))),
+      coalesce(ts, lit("")),
+      coalesce(unit, lit("")))
+
+  /** Parse once: JSON string column → typed columns. Unparseable JSON keeps
+    * `raw` and gets null fields → routed invalid (reference py:164-176
+    * try/except → dirty).
+    */
+  def parse(raw: DataFrame): DataFrame =
+    raw.select(
+      col("value").as("raw"),
+      from_json(col("value"), rawSchema).as("r"))
+      .select(col("raw"), col("r.*"))
+
+  /** Validate + enrich (P4-P9) on the reference's check order, plus the
+    * event-time column and dedup key. Output is the superset schema of the
+    * valid record (py:151-160) and invalid record (py:169-176).
+    */
+  def validate(parsed: DataFrame, t: Thresholds = Thresholds()): DataFrame = {
+    val cpm = round(col("value")).cast("int")
+    val err =
+      when(col("captured_time").isNull || col("latitude").isNull ||
+           col("longitude").isNull || col("value").isNull || col("unit").isNull,
+        "Missing or invalid fields")
+      .when(!col("latitude").between(-90.0, 90.0), "Latitude out of range")
+      .when(!col("longitude").between(-180.0, 180.0), "Longitude out of range")
+      .when(cpm <= 0, "Non-positive value")
+      .when(lower(col("unit")) =!= "cpm", "Invalid unit")
+    val valid = err.isNull
+    parsed.select(
+      col("raw"),
+      when(valid, "valid").otherwise("invalid").as("status"),
+      err.as("error"),
+      col("captured_time").as("timestamp"),
+      round(col("latitude"), 5).as("lat"),
+      round(col("longitude"), 5).as("lon"),
+      cpm.as("value"),
+      when(valid, "cpm").as("unit"),
+      when(!valid, lit(null: String))
+        .when(cpm < t.low, "low")
+        .when(cpm < t.moderate, "moderate")
+        .otherwise("high").as("level"),
+      when(!valid, lit(null).cast("boolean"))
+        .otherwise(cpm >= t.danger).as("critical"),
+      normalizeTimestamp(col("captured_time")).as("event_time"),
+      compositeKey(col("latitude"), col("longitude"), col("value"),
+        col("captured_time"), col("unit")).as("dedup_key"))
+  }
+
+  /** D1 streaming form. `bounded=true` uses watermark-bounded state (sane at
+    * scale); `bounded=false` reproduces the reference's never-expiring
+    * ValueState exactly (grows forever, like flink_process.py:265-277).
+    *
+    * Ordering note: the reference dedups BEFORE validation; validation here
+    * is a stateless row-preserving projection and the key is built from the
+    * same raw fields on both sides, so validate→dedup ≡ dedup→validate.
+    * Bounded mode deltas: rows without a parseable event time (headed to
+    * dirty anyway) bypass dedup — watermark state needs an event time.
+    */
+  def dedup(validated: DataFrame, watermark: String = "5 seconds",
+            bounded: Boolean = true): DataFrame =
+    if (bounded) {
+      val withEt = validated.filter(col("event_time").isNotNull)
+        .withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(Seq("dedup_key"))
+      withEt.unionByName(validated.filter(col("event_time").isNull))
+    } else
+      validated.dropDuplicates(Seq("dedup_key"))
+
+  /** The windowed path of [[run]]: valid rows with a parseable event time,
+    * one watermark definition feeding both the dedup state and the cohort
+    * window (Spark 4 disallows redefining a watermark mid-plan).
+    */
+  def windowedPath(validated: DataFrame, watermark: String = "5 seconds",
+                   bounded: Boolean = true): DataFrame = {
+    val base = validated
+      .filter(col("status") === "valid" && col("event_time").isNotNull)
+      .withWatermark("event_time", watermark)
+    val deduped =
+      if (bounded) base.dropDuplicatesWithinWatermark(Seq("dedup_key"))
+      else base.dropDuplicates(Seq("dedup_key"))
+    cohortAnnotate(deduped, setWatermark = false)
+  }
+
+  /** W3+W4 streaming form: 1 s tumbling event-time window over the valid
+    * stream, each pane re-emitted with `temporal_batch_size` (cohort count),
+    * `timestamp_key`, `temporal_ordering` — via windowed
+    * `collect_list` + `explode` (fires when the watermark passes, exactly
+    * the Flink trigger semantics; late rows are dropped = py's no
+    * allowed-lateness).
+    */
+  def cohortAnnotate(valid: DataFrame, watermark: String = "5 seconds",
+                     window_ : String = "1 second",
+                     setWatermark: Boolean = true): DataFrame = {
+    val cols = valid.columns.toSeq
+    val base = valid.filter(col("event_time").isNotNull) // W2: no et → excluded
+    val marked = if (setWatermark) base.withWatermark("event_time", watermark) else base
+    marked
+      .groupBy(window(col("event_time"), window_))
+      .agg(count(lit(1)).as("temporal_batch_size"),
+           collect_list(struct(cols.map(col): _*)).as("rows"))
+      .select(col("window.start").as("window_start"), col("temporal_batch_size"),
+        explode(col("rows")).as("r"))
+      .select(col("r.*") +: Seq(
+        col("temporal_batch_size"),
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("timestamp_key"),
+        lit("compliant").as("temporal_ordering")): _*)
+  }
+
+  /** Valid path through the cohort window; the bypass (invalid records —
+    * W5, flink_process.py:318-320 — and valid records without a parseable
+    * event time, which the reference excludes from windowing via the None
+    * timestamp, W2) unions back un-annotated on the superset schema (W6).
+    */
+  def withCohort(validated: DataFrame, watermark: String = "5 seconds",
+                 bounded: Boolean = true): DataFrame = {
+    val annotated = windowedPath(validated, watermark, bounded)
+    val bypass = validated
+      .filter(col("status") === "invalid" || col("event_time").isNull)
+      .withColumn("temporal_batch_size", lit(null).cast("long"))
+      .withColumn("timestamp_key", lit(null: String))
+      .withColumn("temporal_ordering", lit(null: String))
+    annotated.unionByName(bypass)
+  }
+
+  /** P11-P13 routing predicates over the final stream. */
+  final case class Routed(normal: DataFrame, critical: DataFrame, dirty: DataFrame)
+  def route(stream: DataFrame): Routed = Routed(
+    normal = stream.filter(col("status") === "valid" && !col("critical")),
+    critical = stream.filter(col("status") === "valid" && col("critical")),
+    dirty = stream.filter(coalesce(col("status") === "invalid", lit(true))))
+
+  /** End-to-end: source of JSON strings → parse → validate → dedup → cohort →
+    * route → one foreachBatch epoch writing the three outputs as parquet
+    * (the offline stand-in for the reference's three Kafka topics —
+    * SURVEY §2.1 S6).
+    */
+  def run(raw: DataFrame, outDir: String, checkpointDir: String,
+          t: Thresholds = Thresholds(), bounded: Boolean = true): StreamingQuery = {
+    val finalStream = withCohort(validate(parse(raw), t), bounded = bounded)
+    finalStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val r = route(batch.cache())
+        r.normal.write.mode("append").parquet(s"$outDir/normal-data")
+        r.critical.write.mode("append").parquet(s"$outDir/critical-data")
+        r.dirty.write.mode("append").parquet(s"$outDir/dirty-data")
+        batch.unpersist()
+        ()
+      }
+      .start()
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.functions.{TextOps, VectorOps}
+import graft.multimodal.Multimodal
+
+/** Batch operator unit tests on crafted inputs + testdata invariants. */
+class OperatorsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("Dedup.keepFirst keeps the first row per key by order") {
+    val df = Seq(
+      ("k1", 2, "second"), ("k1", 1, "first"), ("k2", 5, "only")
+    ).toDF("k", "ord", "tag")
+    val out = Dedup.keepFirst(df, Seq(col("k")), Seq(col("ord")))
+      .orderBy("k").select("tag").as[String].collect()
+    assert(out.toSeq == Seq("first", "only"))
+  }
+
+  test("entry flagship query returns cohorts with positive counts") {
+    val df = SparkEntry.entry(spark)
+    val n = df.count()
+    assert(n > 0)
+    assert(df.agg(min("n")).head().getLong(0) >= 1)
+  }
+
+  test("exact text dedup groups identical normalized docs") {
+    val docs = Seq(
+      (1L, "Hello  World", "en", "s", 11L),
+      (2L, "hello world", "en", "s", 11L),   // same after normalization
+      (3L, "different", "en", "s", 9L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("docs").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextOps.dedupExact(spark, tmp).orderBy("rep_doc_id")
+      .select("rep_doc_id", "n_copies").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash: identical word sets → identical signatures") {
+    val docs = Seq(
+      (1L, "spark fast join", "en", "s", 15L),
+      (2L, "join spark fast", "en", "s", 15L),  // same set, different order
+      (3L, "completely other words", "en", "s", 22L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("docs2").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val sig = TextOps.minhashSignatures(spark, tmp).orderBy("doc_id").collect()
+    assert(sig(0).toSeq.tail == sig(1).toSeq.tail, "same word set → same signature")
+    assert(sig(0).toSeq.tail != sig(2).toSeq.tail)
+    // and the band join therefore pairs docs 1-2 only
+    val pairs = TextOps.minhashPairs(spark, tmp).as[(Long, Long)].collect()
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
+  test("knn self-similarity sanity: top neighbor of a vector ≠ itself, cos ≤ 1") {
+    val knn = VectorOps.knn(spark, sf(), nQueries = 3, k = 2)
+    val rows = knn.collect()
+    assert(rows.length == 6)
+    assert(rows.forall(r => r.getAs[Double]("cos_sim") <= 1.0))
+    assert(rows.forall(r => r.getAs[Long]("neighbor_id") != r.getAs[Long]("q_id")))
+  }
+
+  test("multimodal stub decode: deterministic features via mapPartitions") {
+    val feats = Multimodal.extractFeatures(spark, sf()).collect()
+    assert(feats.nonEmpty)
+    val byId = feats.map(f => f.media_id -> f).toMap
+    // video kind gets frame sampling; others single-frame
+    assert(feats.filter(_.kind == "video").forall(f => f.n_frames == f.byte_len / 1000 + 1))
+    assert(feats.filter(_.kind != "video").forall(_.n_frames == 1))
+    // checksum is the polynomial byte hash — recompute one exactly
+    val doc0 = spark.read.parquet(s"${sf()}/documents.parquet")
+      .where(col("doc_id") === 0).head().getAs[String]("text")
+    val expect = doc0.getBytes("UTF-8").foldLeft(0L)((a, b) => a * 31 + (b & 0xff))
+    assert(byId(0L).checksum == expect)
+  }
+
+  test("geo grid cells cover derived coordinate domain") {
+    val g = DashboardAggs.geoGrid(
+      SparkEntry.queries("e_validate")(spark, sf()).filter(col("status") === "valid"))
+    val cells = g.agg(min("cell_lat"), max("cell_lat"), min("cell_lon"), max("cell_lon")).head()
+    assert(cells.getLong(0) >= -180 && cells.getLong(1) <= 180)
+    assert(cells.getLong(2) >= -360 && cells.getLong(3) <= 360)
+  }
+}

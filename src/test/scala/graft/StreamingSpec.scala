@@ -1,0 +1,113 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.{AlertCooldown, RadiationPipeline}
+import graft.operators.Readings.Thresholds
+
+/** Streaming-semantics tests (FIXTURES.md §A5 streaming rows): dedup within
+  * watermark, same-second cohort annotation, late-data drop, 3-way routed
+  * end-to-end run, and the alert-cooldown stateful operator. MemoryStream +
+  * processAllAvailable makes event-time progress deterministic.
+  */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def rec(ct: String, lat: Double = 35.6, lon: Double = 139.7,
+                  v: Double = 42, unit: String = "cpm"): String =
+    s"""{"captured_time": "$ct", "latitude": $lat, "longitude": $lon, "value": $v, "unit": "$unit", "ingestion_timestamp": 1}"""
+
+  test("streaming dedup drops exact duplicates, keeps 6th-decimal near-dups") {
+    val in = MemoryStream[String]
+    val out = RadiationPipeline.dedup(
+      RadiationPipeline.validate(RadiationPipeline.parse(in.toDF())))
+    val q = out.writeStream.format("memory").queryName("dedup_t").outputMode("append").start()
+    in.addData(
+      rec("2011-03-15 10:00:00"),
+      rec("2011-03-15 10:00:00"),                  // exact dup of the key
+      rec("2011-03-15 10:00:00", lat = 35.600001), // rounds to same 5dp → dup
+      rec("2011-03-15 10:00:00", lat = 35.60002))  // differs at 5th dp → kept
+    q.processAllAvailable()
+    val keys = spark.table("dedup_t").select("dedup_key").as[String].collect().sorted
+    q.stop()
+    assert(keys.length == 2)
+    assert(keys.toSet == Set(
+      "35.60000|139.70000|42.00|2011-03-15 10:00:00|cpm",
+      "35.60002|139.70000|42.00|2011-03-15 10:00:00|cpm"))
+  }
+
+  test("cohort window annotates same-second batch size; late rows dropped") {
+    val in = MemoryStream[String]
+    val out = RadiationPipeline.cohortAnnotate(
+      RadiationPipeline.validate(RadiationPipeline.parse(in.toDF()))
+        .filter(col("status") === "valid"))
+    val q = out.writeStream.format("memory").queryName("cohort_t").outputMode("append").start()
+    // batch 1: a 3-cohort at :00, a 1-cohort at :01
+    in.addData(
+      rec("2011-03-15 10:00:00", v = 10),
+      rec("2011-03-15 10:00:00", v = 20),
+      rec("2011-03-15 10:00:00", v = 30),
+      rec("2011-03-15 10:00:01", v = 40))
+    q.processAllAvailable()
+    // batch 2: advance watermark far past :01 so those windows close
+    in.addData(rec("2011-03-15 10:10:00", v = 50))
+    q.processAllAvailable()
+    // batch 3: a record 5+s behind the 10:10:00 watermark → late, dropped
+    in.addData(rec("2011-03-15 10:00:05", v = 60))
+    q.processAllAvailable()
+    in.addData(rec("2011-03-15 10:20:00", v = 70))
+    q.processAllAvailable()
+    val rows = spark.table("cohort_t")
+      .select("timestamp_key", "temporal_batch_size", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    q.stop()
+    val cohort0 = rows.filter(_._1 == "2011-03-15 10:00:00")
+    assert(cohort0.length == 3 && cohort0.forall(_._2 == 3L))
+    val cohort1 = rows.filter(_._1 == "2011-03-15 10:00:01")
+    assert(cohort1.length == 1 && cohort1.head._2 == 1L)
+    assert(!rows.exists(_._3 == 60), "late record must be dropped")
+  }
+
+  test("end-to-end run routes to normal/critical/dirty parquet sinks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_run").toString
+    val in = MemoryStream[String]
+    in.addData(
+      rec("2011-03-15 10:00:00", v = 42),    // normal
+      rec("2011-03-15 10:00:00", v = 1500),  // critical
+      rec("2011-03-15 10:00:00", lat = 99),  // dirty
+      "{not json",                           // dirty (parse failure)
+      // watermark pusher: advances event time so the 10:00:00 window closes;
+      // its own window stays open and is not emitted in this run
+      rec("2011-03-15 10:10:00", v = 7))
+    val q = RadiationPipeline.run(in.toDF(), s"$dir/out", s"$dir/ckpt", Thresholds())
+    q.awaitTermination(60000)
+    val normal = spark.read.parquet(s"$dir/out/normal-data")
+    val critical = spark.read.parquet(s"$dir/out/critical-data")
+    val dirty = spark.read.parquet(s"$dir/out/dirty-data")
+    assert(normal.count() == 1 && normal.head().getAs[Int]("value") == 42)
+    assert(critical.count() == 1 && critical.head().getAs[Boolean]("critical"))
+    assert(dirty.count() == 2)
+    // valid rows carry cohort annotation; dirty bypassed the window (W5/W6)
+    assert(normal.head().getAs[Long]("temporal_batch_size") == 2L)
+    assert(dirty.where(col("temporal_batch_size").isNotNull).count() == 0)
+  }
+
+  test("alert cooldown: repeats within 30s suppressed, emitted after") {
+    val in = MemoryStream[AlertCooldown.Alert]
+    def alert(s: String, offsetSec: Int) = AlertCooldown.Alert(
+      key = s"warning|35.600|139.700", severity = "warning", lat = 35.6, lon = 139.7,
+      value = 60, event_time = Timestamp.valueOf(s"2011-03-15 10:00:$s"))
+    val out = AlertCooldown(in.toDS(), cooldownSec = 30)
+    val q = out.writeStream.format("memory").queryName("cooldown_t").outputMode("append").start()
+    in.addData(alert("00", 0), alert("10", 10), alert("35", 35))
+    q.processAllAvailable()
+    val times = spark.table("cooldown_t").as[AlertCooldown.Alert]
+      .collect().map(_.event_time.toString).sorted
+    q.stop()
+    // first emits; +10s suppressed; +35s emits (>= 30s after the first)
+    assert(times.toSeq == Seq("2011-03-15 10:00:00.0", "2011-03-15 10:00:35.0"))
+  }
+}
