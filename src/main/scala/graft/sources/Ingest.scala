@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.streaming.RadiationPipeline
+
+/** Ingestion-side operators (SURVEY.md §2.1 S1-S4, §2.2 P1-P3, §2.5 A3):
+  * the reference's CSV → Kafka producer (`data_provider/data_provider.py`)
+  * re-expressed as Spark sources/sinks.
+  *
+  *  - S1 chunked CSV scan  → schema'd csv reader (splits = the chunking;
+  *    at 100 TB the file splits parallelize across executors for free)
+  *  - S2 per-chunk sort    → sortWithinPartitions (intra-partition ≈
+  *    intra-chunk, no global shuffle — data_provider.py:109-110 is only a
+  *    best-effort local ordering too)
+  *  - P1 null-row filter   → na.drop("all") (data_provider.py:119-121)
+  *  - P2 projection        → canonical lowercase fields + ingestion ts
+  *    (data_provider.py:125-132)
+  *  - P3 composite key     → ONE shared expression with the Flink-side key
+  *    ([[RadiationPipeline.compositeKey]]; the reference duplicates it)
+  *  - S3 keyed sink        → key+value columns, any format; offline: parquet
+  *  - S4 throttled replay  → rate source joined to the indexed dataset
+  *  - A3 running counters  → `Observation` metrics on the ingest pass
+  *    (data_provider.py:98-104's total/sent/skipped counters)
+  */
+object Ingest {
+
+  /** Safecast CSV schema (data_provider.py:109,127-130). */
+  val csvSchema: StructType = StructType(Seq(
+    StructField("Captured Time", StringType),
+    StructField("Latitude", DoubleType),
+    StructField("Longitude", DoubleType),
+    StructField("Value", DoubleType),
+    StructField("Unit", StringType)))
+
+  /** S1+S2+P1+P2+P3: CSV → canonical keyed records, with A3 counters
+    * attached to the returned Observation.
+    */
+  def readCsv(spark: SparkSession, path: String): (DataFrame, Observation) = {
+    val obs = Observation("ingest")
+    val df = spark.read.schema(csvSchema).option("header", "true").csv(path)
+      .sortWithinPartitions(col("Captured Time"))
+      .na.drop("all")
+      .select(
+        col("Captured Time").as("captured_time"),
+        col("Latitude").as("latitude"),
+        col("Longitude").as("longitude"),
+        col("Value").as("value"),
+        col("Unit").as("unit"),
+        unix_millis(current_timestamp()).as("ingestion_timestamp"))
+      .withColumn("key", RadiationPipeline.compositeKey(
+        col("latitude"), col("longitude"), col("value"),
+        col("captured_time"), col("unit")))
+      .observe(obs,
+        count(lit(1)).as("total_rows"),
+        count(col("value")).as("rows_with_value"),
+        sum(length(col("captured_time")) + 64).as("approx_bytes"))
+    (df, obs)
+  }
+
+  /** S3 offline form: keyed JSON-value records (the Kafka producer's
+    * key/value shape, data_provider.py:150) written as parquet.
+    */
+  def writeKeyed(df: DataFrame, path: String): Unit =
+    df.select(col("key"),
+        to_json(struct(df.columns.filter(_ != "key").map(col): _*)).as("value"))
+      .write.mode("overwrite").parquet(path)
+
+  /** S4: throttled replay — the `rate` source emits `rowsPerSecond` ticks;
+    * joining tick index to a row-numbered static dataset replays it at a
+    * controlled pace (the engine-side version of SEND_DELAY_MS,
+    * data_provider.py:154-155, with the speed a real parameter — the
+    * reference's dynamic-speed listener is dead code, SURVEY §2.1 S4).
+    */
+  def rateReplay(spark: SparkSession, data: DataFrame, rowsPerSecond: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val indexed = data.withColumn("__idx",
+      row_number().over(Window.orderBy(monotonically_increasing_id())).cast("long") - 1)
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString)
+      .load()
+      .join(indexed, col("value") === col("__idx"))
+      .drop("value", "timestamp", "__idx")
+  }
+}

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+import graft.plans.ArrayExprs
+
+/** The native DotProduct expression must agree bit-for-bit with the
+  * higher-order built-in formulation (same accumulation order), in both
+  * interpreted eval and whole-stage codegen paths.
+  */
+class DotProductSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("native dot == built-in aggregate/zip_with dot, bit for bit") {
+    val emb = VectorOps.prepared(spark, sf())
+    val both = emb.select(
+      col("vec_id"),
+      ArrayExprs.dotNative(col("v"), col("v")).as("native"),
+      VectorOps.dotBuiltin(col("v"), col("v")).as("builtin"))
+    assert(both.filter(col("native") =!= col("builtin")).count() == 0)
+  }
+
+  test("null and mismatched-length behavior") {
+    val df = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),
+      (None, Some(Seq(1.0))),
+      (Some(Seq(1.0, 2.0, 9.0)), Some(Seq(2.0, 3.0)))  // extra elems ignored
+    ).toDF("a", "b")
+    val out = df.select(ArrayExprs.dotNative(col("a"), col("b")).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out.toSeq == Seq(Some(11.0), None, Some(8.0)))
+  }
+}
