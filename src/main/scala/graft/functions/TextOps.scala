@@ -286,11 +286,17 @@ object TextOps {
     val sig = minhashSignatures(spark, dir)
       .withColumn("band1", concat_ws(",", col("m0"), col("m1"), col("m2"), col("m3")))
       .withColumn("band2", concat_ws(",", col("m4"), col("m5"), col("m6"), col("m7")))
-    def joinOn(band: String) =
-      sig.as("a").join(sig.as("b"),
-          col(s"a.$band") === col(s"b.$band") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    joinOn("band1").union(joinOn("band2")).distinct()
+    // A pair can only appear in both joins when BOTH bands match, so the
+    // band2 join emits only pairs whose band1 differs — exact dedup with a
+    // per-row filter instead of a global 5M-row DISTINCT shuffle.
+    val j1 = sig.as("a").join(sig.as("b"),
+        col("a.band1") === col("b.band1") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val j2 = sig.as("a").join(sig.as("b"),
+        col("a.band2") === col("b.band2") && col("a.band1") =!= col("b.band1") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    j1.union(j2)
   }
 
   val minhashPairsSql: String =
@@ -301,12 +307,13 @@ object TextOps {
        |    m0 || ',' || m1 || ',' || m2 || ',' || m3 AS band1,
        |    m4 || ',' || m5 || ',' || m6 || ',' || m7 AS band2
        |  FROM sig)
-       |SELECT DISTINCT doc_a, doc_b FROM (
+       |SELECT doc_a, doc_b FROM (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM banded a JOIN banded b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
        |  UNION ALL
        |  SELECT a.doc_id, b.doc_id
-       |  FROM banded a JOIN banded b ON a.band2 = b.band2 AND a.doc_id < b.doc_id)
+       |  FROM banded a JOIN banded b
+       |    ON a.band2 = b.band2 AND a.band1 <> b.band1 AND a.doc_id < b.doc_id)
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---- SimHash ----

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming forms of the dashboard's periodic client-side analytics
+  * (SURVEY.md §2.5): the stats reduce the browser runs every 5 s
+  * (`front_end/src/hooks/useDatastats.js:12-56`) and the Mapbox cluster
+  * aggregation (`MapView.jsx:173-208`), as continuous windowed
+  * aggregations over the validated stream.
+  *
+  * Both are classic streaming group-bys: bounded key cardinality (time
+  * window × level, or time window × grid cell), partial aggregation
+  * map-side, state bounded by the watermark. `outputMode("update")` gives
+  * the dashboard's continuously-refreshing behavior; append emits finalized
+  * windows only.
+  */
+object DashboardStreams {
+
+  /** A2 streaming: per 5-second window — total points, average CPM, level
+    * histogram, dangerous count (the browser's `useDatastats` reduce).
+    */
+  def statsStream(valid: DataFrame, window_ : String = "5 seconds",
+                  watermark: String = "5 seconds", setWatermark: Boolean = true): DataFrame = {
+    val marked =
+      if (setWatermark) valid.withWatermark("event_time", watermark) else valid
+    marked
+      .groupBy(window(col("event_time"), window_))
+      .agg(
+        count(lit(1)).as("total_points"),
+        avg(col("value")).as("average_radiation"),
+        sum((col("level") === "low").cast("int")).as("n_low"),
+        sum((col("level") === "moderate").cast("int")).as("n_moderate"),
+        sum((col("level") === "high").cast("int")).as("n_high"),
+        sum(col("critical").cast("int")).as("dangerous_points"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("total_points"), col("average_radiation"),
+        col("n_low"), col("n_moderate"), col("n_high"), col("dangerous_points"))
+  }
+
+  /** A4 streaming: per-window geo-grid max/count (the cluster `max_cpm`). */
+  def geoGridStream(valid: DataFrame, cellDeg: Double = 0.5,
+                    window_ : String = "5 seconds", watermark: String = "5 seconds",
+                    setWatermark: Boolean = true): DataFrame = {
+    val marked =
+      if (setWatermark) valid.withWatermark("event_time", watermark) else valid
+    marked
+      .groupBy(
+        window(col("event_time"), window_),
+        floor(col("lat") / cellDeg).cast("long").as("cell_lat"),
+        floor(col("lon") / cellDeg).cast("long").as("cell_lon"))
+      .agg(max(col("value")).as("max_cpm"), count(lit(1)).as("n_points"))
+      .select(col("window.start").as("window_start"), col("cell_lat"), col("cell_lon"),
+        col("max_cpm"), col("n_points"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{DashboardStreams, RadiationPipeline}
+
+/** Streaming dashboard aggregations + SQL extension registration. */
+class DashboardStreamsSpec extends SparkSuite {
+  import spark.implicits._
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def rec(ct: String, v: Double, lat: Double = 35.6): String =
+    s"""{"captured_time": "$ct", "latitude": $lat, "longitude": 139.7, "value": $v, "unit": "cpm", "ingestion_timestamp": 1}"""
+
+  test("streaming stats window aggregates level histogram and mean") {
+    val in = MemoryStream[String]
+    val valid = RadiationPipeline.validate(RadiationPipeline.parse(in.toDF()))
+      .filter(col("status") === "valid" && col("event_time").isNotNull)
+    val q = DashboardStreams.statsStream(valid)
+      .writeStream.format("memory").queryName("stats_t").outputMode("append").start()
+    in.addData(
+      rec("2011-03-15 10:00:00", 10),   // low
+      rec("2011-03-15 10:00:01", 120),  // moderate
+      rec("2011-03-15 10:00:02", 1500), // high + critical
+      rec("2011-03-15 10:10:00", 1))    // watermark pusher
+    q.processAllAvailable()
+    val r = spark.table("stats_t")
+      .where(col("window_start") === "2011-03-15 10:00:00").head()
+    q.stop()
+    assert(r.getAs[Long]("total_points") == 3)
+    assert(r.getAs[Long]("n_low") == 1 && r.getAs[Long]("n_moderate") == 1 &&
+           r.getAs[Long]("n_high") == 1)
+    assert(r.getAs[Long]("dangerous_points") == 1)
+    assert(math.abs(r.getAs[Double]("average_radiation") - (10 + 120 + 1500) / 3.0) < 1e-9)
+  }
+
+  test("streaming geo grid: max cpm per cell per window") {
+    val in = MemoryStream[String]
+    val valid = RadiationPipeline.validate(RadiationPipeline.parse(in.toDF()))
+      .filter(col("status") === "valid" && col("event_time").isNotNull)
+    val q = DashboardStreams.geoGridStream(valid)
+      .writeStream.format("memory").queryName("geo_t").outputMode("append").start()
+    in.addData(
+      rec("2011-03-15 10:00:00", 10, lat = 35.6),
+      rec("2011-03-15 10:00:01", 99, lat = 35.7),   // same 0.5° cell
+      rec("2011-03-15 10:00:02", 50, lat = 44.0),   // different cell
+      rec("2011-03-15 10:10:00", 1))
+    q.processAllAvailable()
+    val rows = spark.table("geo_t")
+      .where(col("window_start") === "2011-03-15 10:00:00")
+      .select("cell_lat", "max_cpm", "n_points")
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    q.stop()
+    assert(rows.toSeq == Seq((71L, 99, 2L), (88L, 50, 1L)))
+  }
+
+  test("GraftExtensions registers dot_product for SQL") {
+    // getOrCreate reuses the suite session, so exercise the live-session path
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
+    assert(r.getDouble(0) == 11.0)
+  }
+}
