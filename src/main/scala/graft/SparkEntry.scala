@@ -78,6 +78,17 @@ object SparkEntry {
       DashboardAggs.runningCounters(valid(s, dir))
         .orderBy(col("user_id"), col("sec"), col("event_id"))),
 
+    "e_level5" -> ((s, dir) =>
+      valid(s, dir)
+        .withColumn("level5", Readings.level5(col("cpm"), Readings.Scale5(veryHigh = 400)))
+        .select("event_id", "cpm", "level", "level5").orderBy(col("event_id"))),
+    "e_filter_high" -> ((s, dir) => {
+      val l5 = Readings.level5(col("cpm"), Readings.Scale5(veryHigh = 400))
+      valid(s, dir).withColumn("level5", l5)
+        .filter(Readings.levelFilter(col("level5"), "high"))
+        .select("event_id", "cpm", "level5").orderBy(col("event_id"))
+    }),
+
     // ---- training-data text operators (builder brief; SURVEY §7.2 step 8) ----
     "d_tokens" -> ((s, dir) => TextOps.tokenStats(s, dir).orderBy(col("doc_id"))),
     "d_quality" -> ((s, dir) => TextOps.quality(s, dir).orderBy(col("doc_id"))),
@@ -260,6 +271,17 @@ object SparkEntry {
            |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            |ORDER BY user_id, sec, event_id""".stripMargin,
 
+      "e_level5" -> {
+        val l5 = Readings.level5Sql("cpm", Readings.Scale5(veryHigh = 400))
+        s"""SELECT event_id, cpm, level, $l5 AS level5 FROM ($V)
+           |WHERE status = 'valid' ORDER BY event_id""".stripMargin
+      },
+      "e_filter_high" -> {
+        val l5 = Readings.level5Sql("cpm", Readings.Scale5(veryHigh = 400))
+        s"""SELECT event_id, cpm, level5 FROM (
+           |  SELECT event_id, cpm, $l5 AS level5 FROM ($V) WHERE status = 'valid')
+           |WHERE level5 IN ('very-high', 'high') ORDER BY event_id""".stripMargin
+      },
       "d_tokens" -> TextOps.tokenStatsSql,
       "d_quality" -> TextOps.qualitySql,
       "d_langid" -> TextOps.langidSql,

@@ -138,6 +138,39 @@ object Readings {
   def enriched(spark: SparkSession, dir: String, t: Thresholds): DataFrame =
     validated(readings(spark, dir), t)
 
+  /** P16: the dashboard's 5-bucket scale (front_end/src/utils/
+    * mapStyles.js:25-32 — ≥1000 very-high, ≥200 high, ≥50 moderate, ≥10
+    * low, else very-low). The reference's 3-vs-5-bucket mismatch (SURVEY
+    * §2.4) becomes one parameterized classifier family here.
+    */
+  final case class Scale5(veryHigh: Int = 1000, high: Int = 200,
+                          moderate: Int = 50, low: Int = 10)
+
+  def level5(cpm: Column, s: Scale5 = Scale5()): Column =
+    when(cpm >= s.veryHigh, "very-high")
+      .when(cpm >= s.high, "high")
+      .when(cpm >= s.moderate, "moderate")
+      .when(cpm >= s.low, "low")
+      .otherwise("very-low")
+
+  def level5Sql(expr: String, s: Scale5 = Scale5()): String =
+    s"""CASE WHEN $expr >= ${s.veryHigh} THEN 'very-high'
+       |     WHEN $expr >= ${s.high} THEN 'high'
+       |     WHEN $expr >= ${s.moderate} THEN 'moderate'
+       |     WHEN $expr >= ${s.low} THEN 'low'
+       |     ELSE 'very-low' END""".stripMargin
+
+  /** P15: the dashboard level filter — `high` selects {very-high, high},
+    * `medium` = {moderate}, `low` = {low, very-low}, `all` = everything
+    * (MapView.jsx:51-68).
+    */
+  def levelFilter(level5Col: Column, choice: String): Column = choice match {
+    case "high"   => level5Col.isin("very-high", "high")
+    case "medium" => level5Col === "moderate"
+    case "low"    => level5Col.isin("low", "very-low")
+    case _        => lit(true)
+  }
+
   // ---- Routing (SURVEY §2.2 P11-P13; flink_process.py:327-351) ----
 
   def routeNormal(v: DataFrame): DataFrame =

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.Readings
+import graft.plans.ArrayExprs
+import graft.streaming.RadiationPipeline
+
+/** Property-based invariants over the core scalar/array semantics
+  * (raw ScalaCheck generators with a fixed seed — the scalatest bridge
+  * artifact isn't on the offline classpath).
+  */
+class PropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("dot product matches a plain Scala reference on random vectors") {
+    val vecGen = Gen.listOfN(16, Gen.choose(-100.0, 100.0))
+    val pairs = samples(Gen.zip(vecGen, vecGen), 25)
+    val df = pairs.toDF("a", "b")
+      .select(ArrayExprs.dotNative(col("a"), col("b")).as("d"))
+    val got = df.as[Double].collect()
+    val expect = pairs.map { case (a, b) =>
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    }
+    assert(got.toSeq == expect)
+  }
+
+  test("level classification is total and monotone in value") {
+    val order = Seq("very-low", "low", "moderate", "high", "very-high")
+    val vs = samples(Gen.choose(1, 2000), 100).sorted
+    val out = vs.toDF("cpm")
+      .withColumn("__ord", monotonically_increasing_id())
+      .select(Readings.level5(col("cpm")).as("l"), col("cpm"))
+      .orderBy("cpm").as[(String, Int)].collect()
+    assert(out.forall(r => order.contains(r._1)))
+    out.sliding(2).foreach {
+      case Array((l1, _), (l2, _)) =>
+        assert(order.indexOf(l1) <= order.indexOf(l2))
+      case _ =>
+    }
+  }
+
+  test("composite key formats all finite inputs like the reference f-string") {
+    val d = Gen.choose(-1000.0, 1000.0)
+    val triples = samples(Gen.zip(d, d, Gen.choose(0.0, 5000.0)), 50)
+    val got = triples.toDF("lat", "lon", "v")
+      .select(RadiationPipeline.compositeKey(
+        col("lat"), col("lon"), col("v"), lit("t"), lit("cpm")).as("k"))
+      .as[String].collect()
+    val expect = triples.map { case (lat, lon, v) => f"$lat%.5f|$lon%.5f|$v%.2f|t|cpm" }
+    assert(got.toSeq == expect)
+  }
+
+  test("timestamp normalization accepts any zoned/fractional form of a valid instant") {
+    val base = "2011-03-15 10:00:00"
+    val forms = Seq(base, s"$base.123", s"$base+09:00", s"$base.5Z",
+      "2011-03-15T10:00:00", s"$base.999999-05:00")
+    val out = forms.toDF("ts")
+      .select(RadiationPipeline.normalizeTimestamp(col("ts")).cast("string")).as[String].collect()
+    assert(out.forall(_ == base))
+  }
+}
