@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout utilities for the 100 TB posture: bucketing the big
+  * fact tables on their join key makes fact⋈fact joins plan WITHOUT a
+  * shuffle on either side (bucket-to-bucket sort-merge join) — at cluster
+  * scale this removes the dominant network cost of `orders ⋈ lineitem`.
+  *
+  * The reference pre-keys its Kafka topic so the first keyed shuffle is
+  * already aligned (`data_provider.py:134-150`, README.md:110 rationale);
+  * bucketing is the batch-layout equivalent of that same idea.
+  */
+object Layout {
+
+  /** Write orders + lineitem bucketed (and bucket-sorted) on the order key
+    * into the session catalog/warehouse. One-time layout cost; every
+    * subsequent join on the key is shuffle-free.
+    */
+  def bucketizeOrders(spark: SparkSession, dir: String, nBuckets: Int = 8,
+                      suffix: String = "b"): Unit = {
+    // managed-table locations survive a crashed run; clear both name+location
+    Seq(s"lineitem_$suffix", s"orders_$suffix").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
+    Tablesish.lineitem(spark, dir)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
+      .format("parquet").saveAsTable(s"lineitem_$suffix")
+    Tablesish.orders(spark, dir)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
+      .format("parquet").saveAsTable(s"orders_$suffix")
+  }
+
+  /** Revenue per order over the bucketed layout — planned as a
+    * bucket-aligned sort-merge join with no Exchange on either input.
+    */
+  def bucketedOrderRevenue(spark: SparkSession, suffix: String = "b"): DataFrame =
+    spark.table(s"lineitem_$suffix")
+      .join(spark.table(s"orders_$suffix"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+
+  private object Tablesish {
+    def lineitem(spark: SparkSession, dir: String): DataFrame =
+      spark.read.parquet(s"$dir/lineitem.parquet")
+    def orders(spark: SparkSession, dir: String): DataFrame =
+      spark.read.parquet(s"$dir/orders.parquet")
+  }
+}

@@ -1,0 +1,30 @@
+package graft
+
+import graft.sources.Layout
+
+/** Bucketed layout must produce a shuffle-free co-located join plan. */
+class LayoutSpec extends SparkSuite {
+
+  test("bucketed orders⋈lineitem join plans without a shuffle exchange") {
+    Layout.bucketizeOrders(spark, sf(), nBuckets = 4, suffix = "spec")
+    // at sf0.001 Catalyst would (rightly) broadcast the tiny orders side —
+    // also shuffle-free, but to prove the at-scale bucket-aligned plan we
+    // disable auto-broadcast, simulating a fact⋈fact join
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Layout.bucketedOrderRevenue(spark, suffix = "spec")
+      assert(df.count() > 0)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a non-broadcast join in:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scans must be bucketed:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucket-aligned join must not shuffle either side:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS lineitem_spec")
+      spark.sql("DROP TABLE IF EXISTS orders_spec")
+    }
+  }
+}
