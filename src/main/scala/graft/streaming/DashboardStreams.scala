@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Streaming forms of the dashboard's periodic client-side analytics
   * (SURVEY.md §2.5): the stats reduce the browser runs every 5 s
@@ -53,4 +54,38 @@ object DashboardStreams {
       .select(col("window.start").as("window_start"), col("cell_lat"), col("cell_lon"),
         col("max_cpm"), col("n_points"))
   }
+
+  /** D4 streaming: the client's rolling "last N points" buffer
+    * (MapView.jsx:83-89) — streaming has no native keep-last-N
+    * (SURVEY §7.5 "hard parts"), so each epoch folds the new batch into a
+    * parquet-backed retention set in `foreachBatch`.
+    *
+    * State is bounded by construction: the retained set is ≤ n rows, so the
+    * per-epoch read-union-truncate is O(n + batch) regardless of stream
+    * length — the same contract as the browser's slice(-2000).
+    */
+  def lastNRetention(valid: DataFrame, n: Int, outPath: String,
+                     checkpointDir: String, orderCols: Seq[String]): StreamingQuery =
+    valid.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val dir = new java.io.File(outPath)
+        val existing =
+          if (dir.exists()) Some(spark.read.parquet(outPath)) else None
+        val unioned = existing match {
+          case Some(e) => e.unionByName(batch.select(e.columns.map(col): _*))
+          case None => batch
+        }
+        val retained = unioned
+          .orderBy(orderCols.map(c => col(c).desc): _*)
+          .limit(n)
+          .collect() // bounded by n — the retention cap IS the memory bound
+        val out = spark.createDataFrame(
+          spark.sparkContext.parallelize(retained.toSeq, 1), unioned.schema)
+        out.write.mode("overwrite").parquet(outPath)
+        ()
+      }
+      .start()
 }
