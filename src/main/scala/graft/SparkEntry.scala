@@ -99,6 +99,8 @@ object SparkEntry {
     "d_minhash_sig" -> ((s, dir) => TextOps.minhashSignatures(s, dir).orderBy(col("doc_id"))),
     "d_minhash_pairs" -> ((s, dir) => TextOps.minhashPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))),
     "d_simhash" -> ((s, dir) => TextOps.simhash(s, dir).orderBy(col("doc_id"))),
+    "d_vocab" -> ((s, dir) => TextOps.vocab(s, dir)),
+    "d_sample" -> ((s, dir) => TextOps.hashSample(s, dir).orderBy(col("doc_id"))),
 
     // ---- embedding similarity operators ----
     "v_norms" -> ((s, dir) => VectorOps.norms(s, dir).orderBy(col("vec_id"))),
@@ -291,6 +293,8 @@ object SparkEntry {
       "d_minhash_sig" -> s"SELECT * FROM (\n${TextOps.minhashSigSqlInner}) ORDER BY doc_id",
       "d_minhash_pairs" -> TextOps.minhashPairsSql,
       "d_simhash" -> TextOps.simhashSql,
+      "d_vocab" -> TextOps.vocabSql(),
+      "d_sample" -> TextOps.hashSampleSql(),
       "v_norms" -> VectorOps.normsSql,
       "v_knn" -> VectorOps.knnSql(),
       "v_neardup" -> VectorOps.nearDupExactSql(),

@@ -253,6 +253,41 @@ object TextOps {
        |WHERE n_shared / CAST(sa.nw + sb.nw - n_shared AS DOUBLE) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Corpus vocabulary statistics: top-k words by document frequency and
+    * total frequency — the classic map-side-combined word count.
+    */
+  def vocab(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
+    prepared(spark, dir)
+      .select(col("doc_id"), explode(col("words")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_total"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_total").desc, col("w"))
+      .limit(k)
+
+  def vocabSql(k: Int = 50): String =
+    s"""SELECT w, count(*) AS n_total,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |FROM (SELECT doc_id, unnest(words) AS w FROM ($preparedSql))
+       |GROUP BY w ORDER BY n_total DESC, w LIMIT $k""".stripMargin
+
+  /** Deterministic hash sampling — reproducible downsampling for training
+    * sets: keep documents whose content-independent id hash lands in the
+    * first `pct` of `mod` buckets. Unlike `df.sample`, re-runs and engines
+    * agree exactly.
+    */
+  def hashSample(spark: SparkSession, dir: String, mod: Int = 10, keep: Int = 1): DataFrame =
+    prepared(spark, dir)
+      .withColumn("bucket", pmod(graft.Exprs.hex60(col("doc_id").cast("string")), lit(mod)))
+      .filter(col("bucket") < keep)
+      .select("doc_id", "lang", "source", "bucket")
+
+  def hashSampleSql(mod: Int = 10, keep: Int = 1): String =
+    s"""SELECT doc_id, lang, source, bucket FROM (
+       |  SELECT doc_id, lang, source,
+       |    ${graft.Exprs.hex60Sql("doc_id::VARCHAR")} % $mod AS bucket
+       |  FROM documents)
+       |WHERE bucket < $keep ORDER BY doc_id""".stripMargin
+
   // ---- MinHash signatures + LSH band candidate pairs ----
 
   private def wordHash: Column = pmod(Exprs.hex60(col("w")), lit(P))
