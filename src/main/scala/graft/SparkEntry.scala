@@ -78,6 +78,9 @@ object SparkEntry {
       DashboardAggs.runningCounters(valid(s, dir))
         .orderBy(col("user_id"), col("sec"), col("event_id"))),
 
+    "e_sessions" -> ((s, dir) =>
+      Sessions.sessionize(valid(s, dir))
+        .orderBy(col("user_id"), col("session_id"))),
     "e_level5" -> ((s, dir) =>
       valid(s, dir)
         .withColumn("level5", Readings.level5(col("cpm"), Readings.Scale5(veryHigh = 400)))
@@ -273,6 +276,7 @@ object SparkEntry {
            |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            |ORDER BY user_id, sec, event_id""".stripMargin,
 
+      "e_sessions" -> Sessions.sessionizeSql(V),
       "e_level5" -> {
         val l5 = Readings.level5Sql("cpm", Readings.Scale5(veryHigh = 400))
         s"""SELECT event_id, cpm, level, $l5 AS level5 FROM ($V)

@@ -55,6 +55,25 @@ object DashboardStreams {
         col("max_cpm"), col("n_points"))
   }
 
+  /** Streaming sessionization: Spark's native merging session windows —
+    * the streaming tier of [[graft.operators.Sessions]]. Emits one row per
+    * closed session (append mode fires when the watermark passes the
+    * session gap).
+    */
+  def sessionStream(valid: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "5 seconds", setWatermark: Boolean = true): DataFrame = {
+    val marked =
+      if (setWatermark) valid.withWatermark("event_time", watermark) else valid
+    marked
+      .groupBy(session_window(col("event_time"), gap), col("user_key"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_cpm"))
+      .select(
+        col("user_key"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_cpm"))
+  }
+
   /** D4 streaming: the client's rolling "last N points" buffer
     * (MapView.jsx:83-89) — streaming has no native keep-last-N
     * (SURVEY §7.5 "hard parts"), so each epoch folds the new batch into a

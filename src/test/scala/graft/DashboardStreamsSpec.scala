@@ -55,6 +55,28 @@ class DashboardStreamsSpec extends SparkSuite {
     assert(rows.toSeq == Seq((71L, 99, 2L), (88L, 50, 1L)))
   }
 
+  test("streaming session window groups by gap and closes on watermark") {
+    val in = MemoryStream[String]
+    val valid = RadiationPipeline.validate(RadiationPipeline.parse(in.toDF()))
+      .filter(col("status") === "valid" && col("event_time").isNotNull)
+      .withColumn("user_key", round(col("lat"), 1)) // stand-in session key
+    val q = graft.streaming.DashboardStreams.sessionStream(valid, gap = "1 minute")
+      .writeStream.format("memory").queryName("sess_t").outputMode("append").start()
+    in.addData(
+      rec("2011-03-15 10:00:00", 10),
+      rec("2011-03-15 10:00:30", 20),   // same session (gap < 1 min)
+      rec("2011-03-15 10:05:00", 30),   // new session (4.5 min gap)
+      rec("2011-03-15 11:00:00", 1))    // watermark pusher closes both
+    q.processAllAvailable()
+    val rows = spark.table("sess_t")
+      .select("session_start", "n_events").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1))).sortBy(_._1)
+    q.stop()
+    assert(rows.toSeq == Seq(
+      ("2011-03-15 10:00:00.0", 2L),
+      ("2011-03-15 10:05:00.0", 1L)))
+  }
+
   test("GraftExtensions registers dot_product for SQL") {
     // getOrCreate reuses the suite session, so exercise the live-session path
     graft.plans.GraftExtensions.register(spark)
