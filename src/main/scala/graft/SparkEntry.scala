@@ -103,6 +103,7 @@ object SparkEntry {
     "d_minhash_pairs" -> ((s, dir) => TextOps.minhashPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))),
     "d_simhash" -> ((s, dir) => TextOps.simhash(s, dir).orderBy(col("doc_id"))),
     "d_vocab" -> ((s, dir) => TextOps.vocab(s, dir)),
+    "d_length_stats" -> ((s, dir) => TextOps.lengthStats(s, dir)),
     "d_sample" -> ((s, dir) => TextOps.hashSample(s, dir).orderBy(col("doc_id"))),
 
     // ---- embedding similarity operators ----
@@ -298,6 +299,7 @@ object SparkEntry {
       "d_minhash_pairs" -> TextOps.minhashPairsSql,
       "d_simhash" -> TextOps.simhashSql,
       "d_vocab" -> TextOps.vocabSql(),
+      "d_length_stats" -> TextOps.lengthStatsSql,
       "d_sample" -> TextOps.hashSampleSql(),
       "v_norms" -> VectorOps.normsSql,
       "v_knn" -> VectorOps.knnSql(),

@@ -253,6 +253,32 @@ object TextOps {
        |WHERE n_shared / CAST(sa.nw + sb.nw - n_shared AS DOUBLE) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Per-language document-length distribution: exact percentiles (both
+    * engines interpolate linearly over the sorted values, so results agree
+    * exactly) + count. The approximate tier at 100 TB is
+    * `approx_percentile` (t-digest), registered rows-only like the HLL
+    * query.
+    */
+  def lengthStats(spark: SparkSession, dir: String): DataFrame =
+    prepared(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("percentile(n_chars, 0.25)").as("p25"),
+        expr("percentile(n_chars, 0.5)").as("p50"),
+        expr("percentile(n_chars, 0.75)").as("p75"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"))
+
+  val lengthStatsSql: String =
+    s"""SELECT lang, count(*) AS n_docs,
+       |  quantile_cont(n_chars, 0.25) AS p25,
+       |  quantile_cont(n_chars, 0.5) AS p50,
+       |  quantile_cont(n_chars, 0.75) AS p75,
+       |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Corpus vocabulary statistics: top-k words by document frequency and
     * total frequency — the classic map-side-combined word count.
     */
