@@ -114,7 +114,9 @@ object SparkEntry {
     "v_ann_lsh" -> ((s, dir) => VectorOps.annLsh(s, dir)),
 
     // ---- multimodal plumbing ----
-    "mm_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir).orderBy(col("media_id")))
+    "mm_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir).orderBy(col("media_id"))),
+    "mm_frames" -> ((s, dir) =>
+      Multimodal.frameSample(s, dir).orderBy(col("media_id"), col("frame_idx")))
   )
 
   /** DuckDB SQL mirrors. Column names/aliases match the Spark side exactly
@@ -306,7 +308,8 @@ object SparkEntry {
       "v_neardup" -> VectorOps.nearDupExactSql(),
       "v_neardup_lsh" -> VectorOps.nearDupLshSql(),
       "v_ann_lsh" -> VectorOps.annLshSql(),
-      "mm_meta" -> Multimodal.mediaMetaSql
+      "mm_meta" -> Multimodal.mediaMetaSql,
+      "mm_frames" -> Multimodal.frameSampleSql()
     )
   }
 }

@@ -89,6 +89,33 @@ object Multimodal {
       when(col("kind") === "video", octet_length(col("payload")) / 1000 + 1)
         .otherwise(1).cast("int").as("n_frames"))
 
+  /** Frame-sampling plan for video payloads: one row per sampled frame with
+    * its byte offset — the deterministic "which frames would we decode"
+    * stage that precedes the (stubbed) decode itself. Pure columns
+    * (explode over a sequence), oracle-checkable.
+    */
+  def frameSample(spark: SparkSession, dir: String, frameBytes: Int = 1000): DataFrame =
+    mediaTable(spark, dir)
+      .filter(col("kind") === "video")
+      .withColumn("byte_len", octet_length(col("payload")))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), (col("byte_len") / frameBytes).cast("int"))))
+      .select(
+        col("media_id"),
+        // long to match DuckDB's BIGINT range() elements
+        col("frame_idx").cast("long").as("frame_idx"),
+        (col("frame_idx").cast("long") * frameBytes).as("byte_offset"),
+        col("byte_len"))
+
+  def frameSampleSql(frameBytes: Int = 1000): String =
+    s"""SELECT media_id, frame_idx, frame_idx * $frameBytes AS byte_offset, byte_len
+       |FROM (
+       |  SELECT doc_id AS media_id,
+       |    CAST(octet_length(encode(text)) AS INT) AS byte_len
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |  unnest(range(0, byte_len // $frameBytes + 1)) AS t(frame_idx)
+       |ORDER BY media_id, frame_idx""".stripMargin
+
   val mediaMetaSql: String =
     """SELECT doc_id AS media_id,
       |  CASE WHEN doc_id % 3 = 0 THEN 'image'
