@@ -53,6 +53,25 @@ object Layout {
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
 
+  /** Time-series layout: events written partitioned by day. Queries with a
+    * day predicate then scan only the matching directories (partition
+    * pruning) — at 100 TB this is the difference between scanning a day
+    * and scanning a month.
+    */
+  def partitionEventsByDay(spark: SparkSession, dir: String, outPath: String): Unit =
+    graft.Tables.events(spark, dir)
+      .withColumn("day", date_format(
+        timestamp_seconds(expr("ts DIV 1000000000")), "yyyy-MM-dd"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("day")
+      .parquet(outPath)
+
+  /** Read one day from the partitioned layout — plans with PartitionFilters
+    * so only that day's files are touched.
+    */
+  def readDay(spark: SparkSession, path: String, day: String): DataFrame =
+    spark.read.parquet(path).filter(col("day") === day)
+
   private object Tablesish {
     def lineitem(spark: SparkSession, dir: String): DataFrame =
       spark.read.parquet(s"$dir/lineitem.parquet")

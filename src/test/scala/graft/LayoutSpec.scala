@@ -5,6 +5,21 @@ import graft.sources.Layout
 /** Bucketed layout must produce a shuffle-free co-located join plan. */
 class LayoutSpec extends SparkSuite {
 
+  test("day-partitioned events scan prunes to the requested partition") {
+    val out = java.nio.file.Files.createTempDirectory("events_day").toString
+    Layout.partitionEventsByDay(spark, sf(), out)
+    val day = "2024-01-05"
+    val df = Layout.readDay(spark, out, day)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains(day),
+      s"expected partition pruning on $day in:\n$plan")
+    // pruned scan reads only that day's rows
+    val n = df.count()
+    assert(n > 0)
+    val total = spark.read.parquet(out).count()
+    assert(n < total)
+  }
+
   test("bucketed orders⋈lineitem join plans without a shuffle exchange") {
     Layout.bucketizeOrders(spark, sf(), nBuckets = 4, suffix = "spec")
     // at sf0.001 Catalyst would (rightly) broadcast the tiny orders side —

@@ -39,6 +39,21 @@ class StreamingSpec extends SparkSuite {
       "35.60002|139.70000|42.00|2011-03-15 10:00:00|cpm"))
   }
 
+  test("unbounded dedup (reference-faithful) drops dups across batches beyond the watermark") {
+    val in = MemoryStream[String]
+    val out = RadiationPipeline.dedup(
+      RadiationPipeline.validate(RadiationPipeline.parse(in.toDF())), bounded = false)
+    val q = out.writeStream.format("memory").queryName("dedup_ub_t").outputMode("append").start()
+    in.addData(rec("2011-03-15 10:00:00"))
+    q.processAllAvailable()
+    // much later event time — a bounded dedup would have expired the state
+    in.addData(rec("2011-03-15 12:00:00", v = 7), rec("2011-03-15 10:00:00"))
+    q.processAllAvailable()
+    val n = spark.table("dedup_ub_t").count()
+    q.stop()
+    assert(n == 2, "the 2h-late exact duplicate must still be dropped (never-expiring state)")
+  }
+
   test("cohort window annotates same-second batch size; late rows dropped") {
     val in = MemoryStream[String]
     val out = RadiationPipeline.cohortAnnotate(
