@@ -44,6 +44,7 @@ object SparkEntry {
     "q_approx_distinct" -> ((s, dir) => Relational.approxDistinctParts(s, dir)),
     "q_rollup_revenue" -> ((s, dir) => Relational.rollupRevenue(s, dir)),
     "q_intersect_priorities" -> ((s, dir) => Relational.prioritiesIntersect(s, dir)),
+    "q_moving_avg" -> ((s, dir) => Relational.movingAvgPrice(s, dir)),
 
     // ---- reference pipeline over events (SURVEY §2.2-2.5) ----
     "e_validate" -> ((s, dir) => Readings.enriched(s, dir, T).orderBy(col("event_id"))),
@@ -112,6 +113,8 @@ object SparkEntry {
     "v_neardup" -> ((s, dir) => VectorOps.nearDupExact(s, dir)),
     "v_neardup_lsh" -> ((s, dir) => VectorOps.nearDupLsh(s, dir)),
     "v_ann_lsh" -> ((s, dir) => VectorOps.annLsh(s, dir)),
+    "v_ivf_assign" -> ((s, dir) => VectorOps.ivfAssign(s, dir).orderBy(col("vec_id"))),
+    "v_ann_ivf" -> ((s, dir) => VectorOps.annIvf(s, dir)),
 
     // ---- multimodal plumbing ----
     "mm_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir).orderBy(col("media_id"))),
@@ -207,6 +210,15 @@ object SparkEntry {
           |SELECT o_orderpriority FROM orders
           |WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
           |ORDER BY o_orderpriority""".stripMargin,
+
+      "q_moving_avg" ->
+        """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+          |  AVG(l_extendedprice) OVER (
+          |    PARTITION BY l_suppkey
+          |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+          |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS moving_avg_price
+          |FROM lineitem
+          |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
 
       "e_validate" -> s"""SELECT * FROM ($V) ORDER BY event_id""",
       "e_route_normal" ->
@@ -308,6 +320,8 @@ object SparkEntry {
       "v_neardup" -> VectorOps.nearDupExactSql(),
       "v_neardup_lsh" -> VectorOps.nearDupLshSql(),
       "v_ann_lsh" -> VectorOps.annLshSql(),
+      "v_ivf_assign" -> VectorOps.ivfAssignSql(),
+      "v_ann_ivf" -> VectorOps.annIvfSql(),
       "mm_meta" -> Multimodal.mediaMetaSql,
       "mm_frames" -> Multimodal.frameSampleSql()
     )

@@ -147,6 +147,79 @@ object VectorOps {
        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** IVF coarse quantizer: the first `k` vectors (by id) act as the fixed
+    * centroid set — deterministic, so assignment is oracle-checkable (a
+    * trained k-means would converge data-dependently; the operator shape —
+    * broadcast centroids, argmax-similarity assignment — is identical).
+    */
+  def ivfAssign(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val all = prepared(spark, dir)
+    val cents = broadcast(all.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn")))
+    val sims = all.join(cents)
+      .withColumn("c_sim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("centroid_id"))
+    sims.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), round(col("c_sim"), 4).as("c_sim"))
+  }
+
+  def ivfAssignSql(k: Int = 16): String =
+    s"""WITH e AS ($preparedSql),
+       |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e WHERE vec_id < $k),
+       |sims AS (
+       |  SELECT e.vec_id, c.centroid_id,
+       |    list_dot_product(e.v, c.cv) / (e.nrm * c.cn) AS c_sim
+       |  FROM e, c)
+       |SELECT vec_id, centroid_id, round(c_sim, 4) AS c_sim FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rn
+       |  FROM sims)
+       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  /** IVF single-probe ANN: each query searches only its own centroid's
+    * inverted list. Cluster-scale shape: centroid broadcast, corpus
+    * shuffled once on centroid_id, per-list top-k.
+    */
+  def annIvf(spark: SparkSession, dir: String, nQueries: Int = 20, kNn: Int = 5,
+             kCentroids: Int = 16): DataFrame = {
+    val assigned = ivfAssign(spark, dir, kCentroids).select("vec_id", "centroid_id")
+    val e = prepared(spark, dir).join(assigned, "vec_id")
+    val q = broadcast(e.filter(col("vec_id") < nQueries)
+      .select(col("centroid_id").as("q_cent"), col("vec_id").as("q_id"),
+        col("v").as("qv"), col("nrm").as("qn")))
+    val sims = e.join(q, col("centroid_id") === col("q_cent") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNn)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def annIvfSql(nQueries: Int = 20, kNn: Int = 5, kCentroids: Int = 16): String =
+    s"""WITH e0 AS ($preparedSql),
+       |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e0 WHERE vec_id < $kCentroids),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT e0.vec_id, c.centroid_id, ROW_NUMBER() OVER (
+       |      PARTITION BY e0.vec_id
+       |      ORDER BY list_dot_product(e0.v, c.cv) / (e0.nrm * c.cn) DESC, c.centroid_id) AS rn
+       |    FROM e0, c)
+       |  WHERE rn = 1),
+       |e AS (SELECT e0.*, assign.centroid_id FROM e0 JOIN assign USING (vec_id)),
+       |q AS (SELECT centroid_id AS q_cent, vec_id AS q_id, v AS qv, nrm AS qn
+       |      FROM e WHERE vec_id < $nQueries),
+       |sims AS (
+       |  SELECT q.q_id, e.vec_id,
+       |    round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 4) AS cos_sim
+       |  FROM e JOIN q ON e.centroid_id = q.q_cent AND e.vec_id <> q.q_id)
+       |SELECT q_id, rank, vec_id AS neighbor_id, cos_sim FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+       |  FROM sims)
+       |WHERE rank <= $kNn
+       |ORDER BY q_id, rank""".stripMargin
+
   /** ANN via the LSH buckets: top-k within the query's own bucket only
     * (single-probe). Recall vs [[knn]] is the standard IVF/LSH tradeoff.
     */

@@ -147,6 +147,22 @@ object Relational {
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
+  /** Frame-window analytics: 4-row moving average of extended price per
+    * supplier in ship order. ROWS frame + unique-ending order key ⇒ the
+    * float accumulation order is pinned, so results are oracle-exact.
+    */
+  def movingAvgPrice(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(-3, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        avg(col("l_extendedprice")).over(w).as("moving_avg_price"))
+      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** Set ops: order-priority values seen in both halves of the date range
     * (INTERSECT) — exercises INTERSECT/EXCEPT capability.
     */

@@ -110,6 +110,23 @@ class StreamingSpec extends SparkSuite {
     assert(dirty.where(col("temporal_batch_size").isNotNull).count() == 0)
   }
 
+  test("stream-static join enriches the stream with a broadcast dimension") {
+    val in = MemoryStream[String]
+    val dim = Seq((42, "sensor-A"), (120, "sensor-B")).toDF("dim_value", "sensor_name")
+    val enriched = RadiationPipeline.validate(RadiationPipeline.parse(in.toDF()))
+      .filter(col("status") === "valid")
+      .join(org.apache.spark.sql.functions.broadcast(dim),
+        col("value") === col("dim_value"), "left")
+    val q = enriched.writeStream.format("memory").queryName("enrich_t")
+      .outputMode("append").start()
+    in.addData(rec("2011-03-15 10:00:00", v = 42), rec("2011-03-15 10:00:01", v = 7))
+    q.processAllAvailable()
+    val rows = spark.table("enrich_t").select("value", "sensor_name")
+      .as[(Int, Option[String])].collect().sortBy(_._1)
+    q.stop()
+    assert(rows.toSeq == Seq((7, None), (42, Some("sensor-A"))))
+  }
+
   test("alert cooldown: repeats within 30s suppressed, emitted after") {
     val in = MemoryStream[AlertCooldown.Alert]
     def alert(s: String, offsetSec: Int) = AlertCooldown.Alert(
