@@ -79,6 +79,13 @@ object SparkEntry {
       DashboardAggs.runningCounters(valid(s, dir))
         .orderBy(col("user_id"), col("sec"), col("event_id"))),
 
+    "e_priority" -> ((s, dir) =>
+      // P13: the relay backend's data_priority tag (backend/main.py:92-97),
+      // derived from the routing predicate instead of the topic name
+      valid(s, dir)
+        .withColumn("data_priority",
+          when(col("critical"), "critical").otherwise("normal"))
+        .select("event_id", "cpm", "data_priority").orderBy(col("event_id"))),
     "e_sessions" -> ((s, dir) =>
       Sessions.sessionize(valid(s, dir))
         .orderBy(col("user_id"), col("session_id"))),
@@ -291,6 +298,10 @@ object SparkEntry {
            |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            |ORDER BY user_id, sec, event_id""".stripMargin,
 
+      "e_priority" ->
+        s"""SELECT event_id, cpm,
+           |  CASE WHEN critical THEN 'critical' ELSE 'normal' END AS data_priority
+           |FROM ($V) WHERE status = 'valid' ORDER BY event_id""".stripMargin,
       "e_sessions" -> Sessions.sessionizeSql(V),
       "e_level5" -> {
         val l5 = Readings.level5Sql("cpm", Readings.Scale5(veryHigh = 400))
