@@ -57,7 +57,7 @@ object Multimodal {
       MediaFeatures(
         media_id = r.media_id, kind = r.kind, byte_len = bytes.length,
         width = r.declared_w, height = r.declared_h,
-        n_frames = if (r.kind == "video") bytes.length / 1000 + 1 else 1,
+        n_frames = if (r.kind == "video") (bytes.length - 1) / 1000 + 1 else 1,
         checksum = checksum)
     }
   }
@@ -86,7 +86,7 @@ object Multimodal {
       octet_length(col("payload")).as("byte_len"),
       md5(col("payload")).as("content_md5"),
       col("declared_w"), col("declared_h"),
-      when(col("kind") === "video", octet_length(col("payload")) / 1000 + 1)
+      when(col("kind") === "video", (octet_length(col("payload")) - 1) / 1000 + 1)
         .otherwise(1).cast("int").as("n_frames"))
 
   /** Frame-sampling plan for video payloads: one row per sampled frame with
@@ -98,8 +98,11 @@ object Multimodal {
     mediaTable(spark, dir)
       .filter(col("kind") === "video")
       .withColumn("byte_len", octet_length(col("payload")))
+      // last frame starts strictly inside the payload: ceil(len/size)-1
+      // ((len)/size would emit a zero-byte frame at offset==len when len is
+      // an exact multiple of the frame size)
       .withColumn("frame_idx",
-        explode(sequence(lit(0), (col("byte_len") / frameBytes).cast("int"))))
+        explode(sequence(lit(0), ((col("byte_len") - 1) / frameBytes).cast("int"))))
       .select(
         col("media_id"),
         // long to match DuckDB's BIGINT range() elements
@@ -113,7 +116,7 @@ object Multimodal {
        |  SELECT doc_id AS media_id,
        |    CAST(octet_length(encode(text)) AS INT) AS byte_len
        |  FROM documents WHERE doc_id % 3 = 2),
-       |  unnest(range(0, byte_len // $frameBytes + 1)) AS t(frame_idx)
+       |  unnest(range(0, (byte_len - 1) // $frameBytes + 1)) AS t(frame_idx)
        |ORDER BY media_id, frame_idx""".stripMargin
 
   val mediaMetaSql: String =
@@ -124,7 +127,7 @@ object Multimodal {
       |  md5(text) AS content_md5,
       |  CAST(doc_id % 640 + 1 AS INT) AS declared_w,
       |  CAST(doc_id % 480 + 1 AS INT) AS declared_h,
-      |  CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) // 1000 + 1
+      |  CAST(CASE WHEN doc_id % 3 = 2 THEN (octet_length(encode(text)) - 1) // 1000 + 1
       |       ELSE 1 END AS INT) AS n_frames
       |FROM documents ORDER BY media_id""".stripMargin
 }

@@ -67,7 +67,7 @@ object Readings {
     """SELECT event_id, user_id, event_type,
       |       date_trunc('second', ts) AS sec,
       |       value,
-      |       CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k,
+      |       TRY_CAST(regexp_extract(props, '"k":\s*(-?[0-9]+)', 1) AS INT) AS k,
       |       (event_id * 37 % 17000) / 100.0 - 85.0 AS lat,
       |       (event_id * 91 % 36000) / 100.0 - 180.0 AS lon,
       |       CASE WHEN event_id % 97 = 0 THEN 'uSv' ELSE 'CPM' END AS unit

@@ -26,6 +26,12 @@ object Skew {
                  leftKey: String, rightKey: String,
                  salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
+    // right/full outer would null-extend every unmatched REPLICATED right
+    // copy — `salts` duplicates per unmatched right row. Only join types
+    // that never emit unmatched build-side rows preserve the contract.
+    require(Set("inner", "cross", "leftouter", "leftsemi", "leftanti", "left")
+        .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin does not support '$joinType': unmatched replicated right rows would duplicate")
     // per-row deterministic-ish spread; any distribution works for
     // correctness, uniformity is what kills the hot spot
     val saltedLeft = left.withColumn("__salt",

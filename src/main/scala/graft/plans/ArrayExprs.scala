@@ -17,7 +17,9 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   *
   * Accumulation is sequential left-to-right — the same order as the
   * higher-order formulation and DuckDB's list_dot_product — so results are
-  * bit-identical with the differential oracle.
+  * bit-identical with the differential oracle. Length mismatch throws (like
+  * list_dot_product) rather than silently truncating: a corrupt vector
+  * should fail loudly, not get ranked on a partial sum.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -29,7 +31,10 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"dot_product: array length mismatch ($n vs ${y.numElements()})")
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -42,7 +47,11 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot_product: array length mismatch (" + $n + " vs " + $y.numElements() + ")");
+         |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += $x.getDouble($i) * $y.getDouble($i);

@@ -55,7 +55,7 @@ object Ingest {
       .observe(obs,
         count(lit(1)).as("total_rows"),
         count(col("value")).as("rows_with_value"),
-        sum(length(col("captured_time")) + 64).as("approx_bytes"))
+        sum(coalesce(length(col("captured_time")), lit(0)) + 64).as("approx_bytes"))
     (df, obs)
   }
 
@@ -77,10 +77,14 @@ object Ingest {
     import org.apache.spark.sql.expressions.Window
     val indexed = data.withColumn("__idx",
       row_number().over(Window.orderBy(monotonically_increasing_id())).cast("long") - 1)
-    spark.readStream.format("rate")
+    // rename the rate source's own (timestamp, value) columns immediately:
+    // joining on a bare col("value") is ambiguous the moment the replayed
+    // dataset carries a value column of its own (CSV ingest records do)
+    val ticks = spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond.toString)
       .load()
-      .join(indexed, col("value") === col("__idx"))
-      .drop("value", "timestamp", "__idx")
+      .select(col("value").as("__tick"))
+    ticks.join(indexed, col("__tick") === col("__idx"))
+      .drop("__tick", "__idx")
   }
 }

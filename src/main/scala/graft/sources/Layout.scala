@@ -33,11 +33,11 @@ object Layout {
         rm(loc)
       }
     }
-    Tablesish.lineitem(spark, dir)
+    graft.Tables.lineitem(spark, dir)
       .write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
       .format("parquet").saveAsTable(s"lineitem_$suffix")
-    Tablesish.orders(spark, dir)
+    graft.Tables.orders(spark, dir)
       .write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
       .format("parquet").saveAsTable(s"orders_$suffix")
@@ -72,10 +72,4 @@ object Layout {
   def readDay(spark: SparkSession, path: String, day: String): DataFrame =
     spark.read.parquet(path).filter(col("day") === day)
 
-  private object Tablesish {
-    def lineitem(spark: SparkSession, dir: String): DataFrame =
-      spark.read.parquet(s"$dir/lineitem.parquet")
-    def orders(spark: SparkSession, dir: String): DataFrame =
-      spark.read.parquet(s"$dir/orders.parquet")
-  }
 }

@@ -83,6 +83,12 @@ object DashboardStreams {
     * per-epoch read-union-truncate is O(n + batch) regardless of stream
     * length — the same contract as the browser's slice(-2000).
     */
+  /** `orderCols` must identify a row (end in a unique id): they are both the
+    * recency ordering AND the dedup key that makes epoch replays idempotent
+    * (foreachBatch is at-least-once — a retried epoch re-folds the same
+    * rows). The write goes to a temp dir and is swapped in with a rename so
+    * a crash mid-write can't destroy the retained set.
+    */
   def lastNRetention(valid: DataFrame, n: Int, outPath: String,
                      checkpointDir: String, orderCols: Seq[String]): StreamingQuery =
     valid.writeStream
@@ -98,12 +104,21 @@ object DashboardStreams {
           case None => batch
         }
         val retained = unioned
+          .dropDuplicates(orderCols) // idempotent under epoch retry
           .orderBy(orderCols.map(c => col(c).desc): _*)
           .limit(n)
           .collect() // bounded by n — the retention cap IS the memory bound
         val out = spark.createDataFrame(
           spark.sparkContext.parallelize(retained.toSeq, 1), unioned.schema)
-        out.write.mode("overwrite").parquet(outPath)
+        val tmp = outPath + ".tmp"
+        out.write.mode("overwrite").parquet(tmp)
+        def rmrf(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rmrf)
+          f.delete(); ()
+        }
+        if (dir.exists()) rmrf(dir)
+        if (!new java.io.File(tmp).renameTo(dir))
+          throw new java.io.IOException(s"retention swap failed: $tmp -> $outPath")
         ()
       }
       .start()

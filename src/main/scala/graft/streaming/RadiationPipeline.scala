@@ -80,13 +80,16 @@ object RadiationPipeline {
     */
   def validate(parsed: DataFrame, t: Thresholds = Thresholds()): DataFrame = {
     val cpm = round(col("value")).cast("int")
+    // same check ORDER as the batch twin (Readings.validated) and the
+    // reference (py:121-129 value rules before py:126-131 ranges), so both
+    // tiers emit identical error labels on multi-violation records
     val err =
       when(col("captured_time").isNull || col("latitude").isNull ||
            col("longitude").isNull || col("value").isNull || col("unit").isNull,
         "Missing or invalid fields")
+      .when(cpm <= 0, "Non-positive value")
       .when(!col("latitude").between(-90.0, 90.0), "Latitude out of range")
       .when(!col("longitude").between(-180.0, 180.0), "Longitude out of range")
-      .when(cpm <= 0, "Non-positive value")
       .when(lower(col("unit")) =!= "cpm", "Invalid unit")
     val valid = err.isNull
     parsed.select(

@@ -20,14 +20,19 @@ class DotProductSpec extends SparkSuite {
     assert(both.filter(col("native") =!= col("builtin")).count() == 0)
   }
 
-  test("null and mismatched-length behavior") {
-    val df = Seq(
+  test("null propagates; mismatched lengths fail loudly") {
+    val ok = Seq(
       (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),
-      (None, Some(Seq(1.0))),
-      (Some(Seq(1.0, 2.0, 9.0)), Some(Seq(2.0, 3.0)))  // extra elems ignored
+      (None, Some(Seq(1.0)))
     ).toDF("a", "b")
-    val out = df.select(ArrayExprs.dotNative(col("a"), col("b")).as("d"))
+    val out = ok.select(ArrayExprs.dotNative(col("a"), col("b")).as("d"))
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
-    assert(out.toSeq == Seq(Some(11.0), None, Some(8.0)))
+    assert(out.toSeq == Seq(Some(11.0), None))
+    // corrupt (short) vector must not be ranked on a partial sum
+    val bad = Seq((Seq(1.0, 2.0, 9.0), Seq(2.0, 3.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      bad.select(ArrayExprs.dotNative(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage != null)
   }
 }

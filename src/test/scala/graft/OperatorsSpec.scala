@@ -67,7 +67,7 @@ class OperatorsSpec extends SparkSuite {
     assert(feats.nonEmpty)
     val byId = feats.map(f => f.media_id -> f).toMap
     // video kind gets frame sampling; others single-frame
-    assert(feats.filter(_.kind == "video").forall(f => f.n_frames == f.byte_len / 1000 + 1))
+    assert(feats.filter(_.kind == "video").forall(f => f.n_frames == (f.byte_len - 1) / 1000 + 1))
     assert(feats.filter(_.kind != "video").forall(_.n_frames == 1))
     // checksum is the polynomial byte hash — recompute one exactly
     val doc0 = spark.read.parquet(s"${sf()}/documents.parquet")
