@@ -110,6 +110,56 @@ class StreamingSpec extends SparkSuite {
     assert(dirty.where(col("temporal_batch_size").isNotNull).count() == 0)
   }
 
+  test("alert cooldown state expires via event-time timeout after the horizon") {
+    val in = MemoryStream[AlertCooldown.Alert]
+    def alert(ts: String) = AlertCooldown.Alert(
+      key = "warning|1.000|2.000", severity = "warning", lat = 1, lon = 2,
+      value = 60, event_time = java.sql.Timestamp.valueOf(ts))
+    val out = AlertCooldown(in.toDS(), cooldownSec = 30)
+    val q = out.writeStream.format("memory").queryName("cooldown_to_t")
+      .outputMode("append").start()
+    in.addData(alert("2011-03-15 10:00:00"))
+    q.processAllAvailable()
+    // advance the watermark far past the 2× cooldown horizon → state removed
+    in.addData(AlertCooldown.Alert("other", "warning", 9, 9, 60,
+      java.sql.Timestamp.valueOf("2011-03-15 11:00:00")))
+    q.processAllAvailable()
+    // same key again: with state expired this emits even though a live
+    // cooldown window from 10:00:00 would not have mattered anyway —
+    // documents the bounded-state tradeoff of the timeout
+    in.addData(alert("2011-03-15 11:00:05"))
+    q.processAllAvailable()
+    val n = spark.table("cooldown_to_t").where(col("key") === "warning|1.000|2.000").count()
+    q.stop()
+    assert(n == 2, "both alerts emit; expired state cannot suppress")
+  }
+
+  test("stream-stream interval join correlates two event streams on key and time") {
+    val left = MemoryStream[String]
+    val right = MemoryStream[String]
+    def v(in: MemoryStream[String]) =
+      RadiationPipeline.validate(RadiationPipeline.parse(in.toDF()))
+        .filter(col("status") === "valid")
+    val l = v(left).select(col("dedup_key").as("lk"), col("value").as("l_value"),
+      col("event_time").as("l_time")).withWatermark("l_time", "10 seconds")
+    val r = v(right).select(col("lat").as("r_lat"), col("value").as("r_value"),
+      col("event_time").as("r_time")).withWatermark("r_time", "10 seconds")
+    // correlate readings at the same location within ±5s
+    val joined = l.join(r,
+      expr("l_value = r_value AND r_time BETWEEN l_time - interval 5 seconds AND l_time + interval 5 seconds"))
+    val q = joined.writeStream.format("memory").queryName("ss_join_t")
+      .outputMode("append").start()
+    left.addData(rec("2011-03-15 10:00:00", v = 42))
+    right.addData(rec("2011-03-15 10:00:03", v = 42),  // within 5s → joins
+                  rec("2011-03-15 10:00:30", v = 42))  // outside → no join
+    left.addData(rec("2011-03-15 10:30:00", v = 1))    // watermark pusher
+    right.addData(rec("2011-03-15 10:30:00", v = 2))
+    q.processAllAvailable()
+    val n = spark.table("ss_join_t").count()
+    q.stop()
+    assert(n == 1, "exactly the within-window pair joins")
+  }
+
   test("stream-static join enriches the stream with a broadcast dimension") {
     val in = MemoryStream[String]
     val dim = Seq((42, "sensor-A"), (120, "sensor-B")).toDF("dim_value", "sensor_name")
