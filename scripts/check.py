@@ -40,10 +40,15 @@ def main(sf_dir, out_dir):
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_pass = n_fail = 0
-    for name in sorted(os.listdir(out_dir)):
+    dumped = {n for n in os.listdir(out_dir)
+              if os.path.isdir(os.path.join(out_dir, n))}
+    # an oracle whose Spark dump is missing means the Spark side failed —
+    # count it as a failure instead of silently skipping it
+    for name in sorted(set(oracles) - dumped):
+        print(f"  ✗ {name}: NO SPARK DUMP (query failed?)")
+        n_fail += 1
+    for name in sorted(dumped):
         d = os.path.join(out_dir, name)
-        if not os.path.isdir(d):
-            continue
         got_rel = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')")
         got = canon(got_rel.fetchall(), got_rel.columns)
         if name not in oracles:
