@@ -97,6 +97,11 @@ object DashboardStreams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val dir = new java.io.File(outPath)
+        val old = new java.io.File(outPath + ".old")
+        // a crash between the two swap renames below leaves only `.old`:
+        // restore it before reading so the retained set is never lost
+        if (!dir.exists() && old.exists() && !old.renameTo(dir))
+          throw new java.io.IOException(s"retention recover failed: $old -> $outPath")
         val existing =
           if (dir.exists()) Some(spark.read.parquet(outPath)) else None
         val unioned = existing match {
@@ -116,9 +121,16 @@ object DashboardStreams {
           if (f.isDirectory) f.listFiles().foreach(rmrf)
           f.delete(); ()
         }
-        if (dir.exists()) rmrf(dir)
+        // swap via rename-aside so no instant has zero copies on disk:
+        // dir -> dir.old, tmp -> dir, then drop dir.old. All three paths are
+        // siblings (same filesystem), so renameTo is atomic; we still throw
+        // on a false return rather than proceeding with a silent no-op.
+        if (old.exists()) rmrf(old)
+        if (dir.exists() && !dir.renameTo(old))
+          throw new java.io.IOException(s"retention swap failed: $outPath -> $old")
         if (!new java.io.File(tmp).renameTo(dir))
           throw new java.io.IOException(s"retention swap failed: $tmp -> $outPath")
+        if (old.exists()) rmrf(old)
         ()
       }
       .start()

@@ -51,10 +51,17 @@ object RadiationPipeline {
     try_to_timestamp(substring(regexp_replace(c, "T", " "), 1, 19),
       lit("yyyy-MM-dd HH:mm:ss"))
 
-  /** P3: producer/Flink composite natural key
-    * `"{lat:.5f}|{lon:.5f}|{val:.2f}|{ts}|{unit}"` with 0.0 fallbacks
+  /** P3: producer/Flink composite natural key with 0.0 fallbacks
     * (data_provider.py:134-149 ≡ flink_process.py:248-263 — ONE shared
     * expression here instead of two copies).
+    *
+    * Deliberate format delta: the reference f-strings the output of Python
+    * `round(lat, 5)` (shortest-repr, banker's rounding — e.g. `35.6`),
+    * while this uses fixed-width `%.5f` (HALF_UP — `35.60000`). The key's
+    * equivalence classes match (both collapse to 5 decimal places), but the
+    * key STRINGS are not byte-identical with reference-produced Kafka keys —
+    * reproduce Python repr formatting if interop with a reference-written
+    * topic is ever needed.
     */
   def compositeKey(lat: Column, lon: Column, value: Column, ts: Column, unit: Column): Column =
     concat_ws("|",
@@ -207,10 +214,15 @@ object RadiationPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        // foreachBatch is at-least-once: a retried epoch re-runs this body.
+        // Writing each epoch to its own partition dir with overwrite makes
+        // the retry idempotent (the replay clobbers its own partial output
+        // instead of appending duplicates). Readers `spark.read.parquet`
+        // the topic dir; partition discovery just adds an `epoch` column.
         val r = route(batch.cache())
-        r.normal.write.mode("append").parquet(s"$outDir/normal-data")
-        r.critical.write.mode("append").parquet(s"$outDir/critical-data")
-        r.dirty.write.mode("append").parquet(s"$outDir/dirty-data")
+        r.normal.write.mode("overwrite").parquet(s"$outDir/normal-data/epoch=$epochId")
+        r.critical.write.mode("overwrite").parquet(s"$outDir/critical-data/epoch=$epochId")
+        r.dirty.write.mode("overwrite").parquet(s"$outDir/dirty-data/epoch=$epochId")
         batch.unpersist()
         ()
       }
