@@ -44,7 +44,12 @@ object SparkEntry {
     "q_approx_distinct" -> ((s, dir) => Relational.approxDistinctParts(s, dir)),
     "q_rollup_revenue" -> ((s, dir) => Relational.rollupRevenue(s, dir)),
     "q_intersect_priorities" -> ((s, dir) => Relational.prioritiesIntersect(s, dir)),
+    "q_except_customers" -> ((s, dir) => Relational.lapsedCustomers(s, dir)),
     "q_moving_avg" -> ((s, dir) => Relational.movingAvgPrice(s, dir)),
+    "q_order_gaps" -> ((s, dir) => Relational.orderGaps(s, dir)),
+    "q_cube_orders" -> ((s, dir) => Relational.cubeOrderStats(s, dir)),
+    "q_percentiles" -> ((s, dir) => Relational.quantityPercentiles(s, dir)),
+    "q_approx_percentiles" -> ((s, dir) => Relational.approxQuantityPercentiles(s, dir)),
 
     // ---- reference pipeline over events (SURVEY §2.2-2.5) ----
     "e_validate" -> ((s, dir) => Readings.enriched(s, dir, T).orderBy(col("event_id"))),
@@ -89,6 +94,19 @@ object SparkEntry {
     "e_sessions" -> ((s, dir) =>
       Sessions.sessionize(valid(s, dir))
         .orderBy(col("user_id"), col("session_id"))),
+    "e_asof_cal" -> ((s, dir) => {
+      // as-of enrichment: each reading gets the user's most recent signup
+      // reading ("calibration") at or before its second
+      val v = valid(s, dir)
+      val cal = v.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("sec"))
+        .agg(max(col("cpm")).as("cal_cpm"))
+        .withColumn("cal_sec", col("sec"))
+      AsofJoin.asofLast(
+        v.select("event_id", "user_id", "sec", "cpm"), cal,
+        keys = Seq("user_id"), time = "sec", valueCols = Seq("cal_cpm", "cal_sec"))
+        .orderBy(col("event_id"))
+    }),
     "e_level5" -> ((s, dir) =>
       valid(s, dir)
         .withColumn("level5", Readings.level5(col("cpm"), Readings.Scale5(veryHigh = 400)))
@@ -217,6 +235,36 @@ object SparkEntry {
           |SELECT o_orderpriority FROM orders
           |WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
           |ORDER BY o_orderpriority""".stripMargin,
+      "q_except_customers" ->
+        """SELECT o_custkey FROM orders
+          |WHERE o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+          |EXCEPT
+          |SELECT o_custkey FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1998-07-01 00:00:00'
+          |ORDER BY o_custkey""".stripMargin,
+      "q_order_gaps" ->
+        """SELECT o_custkey, o_orderkey, o_orderdate,
+          |  lag(o_orderdate) OVER w AS prev_orderdate,
+          |  CAST(date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE),
+          |                 CAST(o_orderdate AS DATE)) AS INT) AS gap_days,
+          |  lead(o_orderkey) OVER w AS next_orderkey
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+          |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+      "q_cube_orders" ->
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+          |  round(sum(o_totalprice), 2) AS sum_price
+          |FROM orders
+          |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+      "q_percentiles" ->
+        """SELECT l_returnflag,
+          |  quantile_cont(l_quantity, 0.25) AS p25,
+          |  quantile_cont(l_quantity, 0.5) AS p50,
+          |  quantile_cont(l_quantity, 0.75) AS p75,
+          |  round(avg(l_quantity), 4) AS mean_qty,
+          |  count(*) AS n_rows
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
       "q_moving_avg" ->
         """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
@@ -303,6 +351,17 @@ object SparkEntry {
            |  CASE WHEN critical THEN 'critical' ELSE 'normal' END AS data_priority
            |FROM ($V) WHERE status = 'valid' ORDER BY event_id""".stripMargin,
       "e_sessions" -> Sessions.sessionizeSql(V),
+      // independent algorithm on the oracle side: DuckDB's native ASOF JOIN
+      // vs the engine's union+keyed-window plan — a true differential check
+      "e_asof_cal" ->
+        s"""WITH v AS (SELECT * FROM ($V) WHERE status = 'valid'),
+           |cal AS (
+           |  SELECT user_id, sec, max(cpm) AS cal_cpm, sec AS cal_sec
+           |  FROM v WHERE event_type = 'signup' GROUP BY user_id, sec)
+           |SELECT l.event_id, l.user_id, l.sec, l.cpm, cal.cal_cpm, cal.cal_sec
+           |FROM (SELECT event_id, user_id, sec, cpm FROM v) l
+           |ASOF LEFT JOIN cal ON l.user_id = cal.user_id AND l.sec >= cal.sec
+           |ORDER BY l.event_id""".stripMargin,
       "e_level5" -> {
         val l5 = Readings.level5Sql("cpm", Readings.Scale5(veryHigh = 400))
         s"""SELECT event_id, cpm, level, $l5 AS level5 FROM ($V)

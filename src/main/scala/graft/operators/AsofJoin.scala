@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every left row, attach the newest right row with the same
+  * key and `right.time <= left.time` (inclusive). The classic time-series
+  * enrichment operator — "reading at time t joined to the latest calibration
+  * at or before t".
+  *
+  * The reference engine has no join operators at all (SURVEY.md §2.6); this
+  * is part of the engine's generic time-series surface, alongside the
+  * oracle's independent algorithm (DuckDB `ASOF JOIN`) as the differential
+  * check.
+  *
+  * Scale design — union + keyed window, NOT a range join:
+  * a naive `l JOIN r ON l.k = r.k AND r.t <= l.t` explodes to the full
+  * per-key cross product before the "latest" filter. Instead both sides are
+  * unioned and sorted once per key — ONE hash shuffle on the key, a
+  * per-partition sort, and a running `last(value, ignoreNulls)` window frame.
+  * Cost is O(shuffle(|L|+|R|)) regardless of how many right rows precede
+  * each left row. Skewed keys behave like any keyed window (salting applies
+  * if one key dominates).
+  *
+  * Contract: `right` must be unique per (key, time) — pre-aggregate it if
+  * not (the caller decides which duplicate wins; this operator cannot).
+  * Right rows sort BEFORE left rows at the same instant, making the join
+  * inclusive: a same-timestamp calibration is visible to the reading.
+  */
+object AsofJoin {
+
+  /** @param valueCols right-side payload columns to attach (left gets them
+    *                  null when no right row is at-or-before its time)
+    */
+  def asofLast(left: DataFrame, right: DataFrame, keys: Seq[String],
+               time: String, valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(valueCols.forall(right.columns.contains), s"right side missing $valueCols")
+    require(!valueCols.exists(leftCols.contains),
+      s"value columns $valueCols collide with left columns — rename first")
+
+    // superset schema: left payload ∪ right payload, each side null-padded
+    val lTagged = valueCols.foldLeft(left) { (df, c) =>
+      df.withColumn(c, lit(null).cast(right.schema(c).dataType))
+    }.withColumn("__side", lit(1))
+    val rTagged = leftCols.filterNot(c => keys.contains(c) || c == time)
+      .foldLeft(right.select((keys :+ time) ++ valueCols map col: _*)) { (df, c) =>
+        df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }.withColumn("__side", lit(0))
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(time).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__side")
+      .select(leftCols.map(col) ++ valueCols.map(col): _*)
+  }
+}

@@ -174,4 +174,74 @@ object Relational {
       .select(col("o_orderpriority"))
     early.intersect(late).orderBy(col("o_orderpriority"))
   }
+
+  /** Set difference (EXCEPT): customers who ordered in the first half of
+    * 1998 but not in the second — churn-style cohort extraction. Both
+    * branches prune to the key column before the distinct set op, so the
+    * shuffle carries only o_custkey.
+    */
+  def lapsedCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val split = lit("1998-07-01").cast("timestamp")
+    o.filter(col("o_orderdate") < split).select(col("o_custkey"))
+      .except(o.filter(col("o_orderdate") >= split).select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** lag/lead window family: per-customer order cadence — previous order
+    * date, day gap, and the following order's key. Unique-ending order key
+    * (o_orderkey) pins tie order so the offsets are deterministic.
+    */
+  def orderGaps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val prev = lag(col("o_orderdate"), 1).over(w)
+    Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+      prev.as("prev_orderdate"),
+      datediff(col("o_orderdate"), prev).as("gap_days"),
+      lead(col("o_orderkey"), 1).over(w).as("next_orderkey"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  /** CUBE grouping-set aggregate over orders: all 4 grouping combinations of
+    * (status, priority) in one pass — Catalyst expands to a single shuffle
+    * with a grouping-id column, not 4 scans.
+    */
+  def cubeOrderStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+               col("o_orderpriority").asc_nulls_first)
+
+  /** Exact percentiles (sort-based) of order quantity per return flag —
+    * linear-interpolated like DuckDB's quantile_cont, so oracle-exact on
+    * this integral-valued domain. The 100 TB tier is
+    * [[approxQuantityPercentiles]] (t-digest sketch, one pass, no sort).
+    */
+  def quantityPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        round(avg(col("l_quantity")), 4).as("mean_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** Approximate percentiles via the positional-error sketch
+    * (`approx_percentile`, accuracy 1e4) — mergeable partial sketches, one
+    * pass, bounded memory: the distinct-percentile path that survives
+    * 100 TB. Registered rows-only (sketch internals differ across engines).
+    */
+  def approxQuantityPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
+        .as("approx_price_pcts"))
+      .orderBy(col("l_returnflag"))
 }
