@@ -237,11 +237,18 @@ object Relational {
     * (`approx_percentile`, accuracy 1e4) — mergeable partial sketches, one
     * pass, bounded memory: the distinct-percentile path that survives
     * 100 TB. Registered rows-only (sketch internals differ across engines).
+    * The array result is unpacked into scalar columns so the dump stays a
+    * flat row-sortable table (the driver's comparator can't order arrays).
     */
   def approxQuantityPercentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
-        .as("approx_price_pcts"))
+        .as("pcts"))
+      .select(
+        col("l_returnflag"),
+        element_at(col("pcts"), 1).as("approx_p25"),
+        element_at(col("pcts"), 2).as("approx_p50"),
+        element_at(col("pcts"), 3).as("approx_p75"))
       .orderBy(col("l_returnflag"))
 }
