@@ -50,6 +50,10 @@ object SparkEntry {
     "q_cube_orders" -> ((s, dir) => Relational.cubeOrderStats(s, dir)),
     "q_percentiles" -> ((s, dir) => Relational.quantityPercentiles(s, dir)),
     "q_approx_percentiles" -> ((s, dir) => Relational.approxQuantityPercentiles(s, dir)),
+    "q_pivot" -> ((s, dir) => Relational.pivotOrderPriorities(s, dir)),
+    "q_grouping_sets" -> ((s, dir) => Relational.groupingSetsOrders(s, dir)),
+    "q_ntile" -> ((s, dir) => Relational.ntileOrders(s, dir)),
+    "q_range_band" -> ((s, dir) => Relational.priceBandJoin(s, dir)),
 
     // ---- reference pipeline over events (SURVEY §2.2-2.5) ----
     "e_validate" -> ((s, dir) => Readings.enriched(s, dir, T).orderBy(col("event_id"))),
@@ -111,6 +115,21 @@ object SparkEntry {
       valid(s, dir)
         .withColumn("level5", Readings.level5(col("cpm"), Readings.Scale5(veryHigh = 400)))
         .select("event_id", "cpm", "level", "level5").orderBy(col("event_id"))),
+    "e_interval" -> ((s, dir) => {
+      // interval join (batch form of a stream-stream interval join): each
+      // signup joined to the same user's readings in the following minute.
+      // Equi-key on user_id + range predicate ⇒ one hash shuffle, the range
+      // evaluated as a post-join filter
+      val v = valid(s, dir)
+      val su = v.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id"), col("sec").as("s0"))
+      su.join(v.select(col("user_id"), col("sec"), col("cpm")), Seq("user_id"))
+        .filter(col("sec") >= col("s0") &&
+                col("sec") < col("s0") + expr("INTERVAL 60 SECONDS"))
+        .groupBy(col("signup_id"), col("user_id"), col("s0"))
+        .agg(count(lit(1)).as("n_next_min"), max(col("cpm")).as("max_cpm_next_min"))
+        .orderBy(col("signup_id"))
+    }),
     "e_filter_high" -> ((s, dir) => {
       val l5 = Readings.level5(col("cpm"), Readings.Scale5(veryHigh = 400))
       valid(s, dir).withColumn("level5", l5)
@@ -131,6 +150,8 @@ object SparkEntry {
     "d_vocab" -> ((s, dir) => TextOps.vocab(s, dir)),
     "d_length_stats" -> ((s, dir) => TextOps.lengthStats(s, dir)),
     "d_sample" -> ((s, dir) => TextOps.hashSample(s, dir).orderBy(col("doc_id"))),
+    "d_ngrams" -> ((s, dir) => TextOps.ngramTop(s, dir)),
+    "d_dup_clusters" -> ((s, dir) => TextOps.dupClusters(s, dir)),
 
     // ---- embedding similarity operators ----
     "v_norms" -> ((s, dir) => VectorOps.norms(s, dir).orderBy(col("vec_id"))),
@@ -140,6 +161,7 @@ object SparkEntry {
     "v_ann_lsh" -> ((s, dir) => VectorOps.annLsh(s, dir)),
     "v_ivf_assign" -> ((s, dir) => VectorOps.ivfAssign(s, dir).orderBy(col("vec_id"))),
     "v_ann_ivf" -> ((s, dir) => VectorOps.annIvf(s, dir)),
+    "v_kmeans_step" -> ((s, dir) => VectorOps.kmeansStep(s, dir)),
 
     // ---- multimodal plumbing ----
     "mm_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir).orderBy(col("media_id"))),
@@ -266,6 +288,39 @@ object SparkEntry {
           |  count(*) AS n_rows
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+      "q_pivot" ->
+        """SELECT o_orderstatus,
+          |  count(*) FILTER (o_orderpriority = '1-URGENT') AS p1_urgent,
+          |  count(*) FILTER (o_orderpriority = '2-HIGH') AS p2_high,
+          |  count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3_medium,
+          |  count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4_not_specified,
+          |  count(*) FILTER (o_orderpriority = '5-LOW') AS p5_low
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      "q_grouping_sets" ->
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+          |  round(sum(o_totalprice), 2) AS sum_price
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+      "q_ntile" ->
+        """SELECT o_orderpriority, o_orderkey, o_totalprice,
+          |  CAST(ntile(4) OVER w AS INT) AS price_quartile,
+          |  percent_rank() OVER w AS pct_rank,
+          |  cume_dist() OVER w AS cume
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+          |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin,
+      "q_range_band" ->
+        """SELECT band, count(*) AS n_parts,
+          |  round(avg(p_retailprice), 2) AS avg_price,
+          |  round(min(p_retailprice), 2) AS min_price,
+          |  round(max(p_retailprice), 2) AS max_price
+          |FROM part
+          |JOIN (VALUES (0.0, 925.0, 'a_budget'), (925.0, 950.0, 'b_mid'),
+          |             (950.0, 975.0, 'c_premium'), (975.0, 1e12, 'd_luxury'))
+          |  b(lo, hi, band)
+          |  ON p_retailprice >= lo AND p_retailprice < hi
+          |GROUP BY band ORDER BY band""".stripMargin,
       "q_moving_avg" ->
         """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
           |  AVG(l_extendedprice) OVER (
@@ -362,6 +417,15 @@ object SparkEntry {
            |FROM (SELECT event_id, user_id, sec, cpm FROM v) l
            |ASOF LEFT JOIN cal ON l.user_id = cal.user_id AND l.sec >= cal.sec
            |ORDER BY l.event_id""".stripMargin,
+      "e_interval" ->
+        s"""WITH v AS (SELECT * FROM ($V) WHERE status = 'valid'),
+           |su AS (SELECT event_id AS signup_id, user_id, sec AS s0
+           |       FROM v WHERE event_type = 'signup')
+           |SELECT signup_id, su.user_id, s0,
+           |  count(*) AS n_next_min, max(cpm) AS max_cpm_next_min
+           |FROM su JOIN v ON su.user_id = v.user_id
+           |  AND v.sec >= s0 AND v.sec < s0 + INTERVAL 60 SECOND
+           |GROUP BY 1, 2, 3 ORDER BY signup_id""".stripMargin,
       "e_level5" -> {
         val l5 = Readings.level5Sql("cpm", Readings.Scale5(veryHigh = 400))
         s"""SELECT event_id, cpm, level, $l5 AS level5 FROM ($V)
@@ -385,6 +449,8 @@ object SparkEntry {
       "d_vocab" -> TextOps.vocabSql(),
       "d_length_stats" -> TextOps.lengthStatsSql,
       "d_sample" -> TextOps.hashSampleSql(),
+      "d_ngrams" -> TextOps.ngramTopSql(),
+      "d_dup_clusters" -> TextOps.dupClustersSql,
       "v_norms" -> VectorOps.normsSql,
       "v_knn" -> VectorOps.knnSql(),
       "v_neardup" -> VectorOps.nearDupExactSql(),
@@ -392,6 +458,7 @@ object SparkEntry {
       "v_ann_lsh" -> VectorOps.annLshSql(),
       "v_ivf_assign" -> VectorOps.ivfAssignSql(),
       "v_ann_ivf" -> VectorOps.annIvfSql(),
+      "v_kmeans_step" -> VectorOps.kmeansStepSql(),
       "mm_meta" -> Multimodal.mediaMetaSql,
       "mm_frames" -> Multimodal.frameSampleSql()
     )

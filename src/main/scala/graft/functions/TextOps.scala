@@ -377,6 +377,121 @@ object TextOps {
        |    ON a.band2 = b.band2 AND a.band1 <> b.band1 AND a.doc_id < b.doc_id)
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- n-gram frequency ----
+
+  /** Top-k word bigrams per language by total frequency — n-gram extraction
+    * as a pure array transform + the standard explode → map-side-combined
+    * count. Tie-break on the bigram string pins the ranking.
+    */
+  def ngramTop(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bigrams = when(size(col("words")) >= 2,
+      expr("transform(sequence(0, size(words)-2), i -> concat(words[i], ' ', words[i+1]))"))
+      .otherwise(array())
+    val counts = prepared(spark, dir)
+      .select(col("lang"), explode(bigrams).as("bigram"))
+      .groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))
+    counts.withColumn("rank_in_lang", row_number().over(w))
+      .filter(col("rank_in_lang") <= k)
+      .select("lang", "rank_in_lang", "bigram", "n")
+      .orderBy(col("lang"), col("rank_in_lang"))
+  }
+
+  def ngramTopSql(k: Int = 5): String =
+    s"""WITH bg AS (
+       |  SELECT lang, words[i] || ' ' || words[i+1] AS bigram
+       |  FROM ($preparedSql), unnest(range(1, len(words))) AS t(i)),
+       |counts AS (SELECT lang, bigram, count(*) AS n FROM bg GROUP BY 1, 2)
+       |SELECT lang, rank_in_lang, bigram, n FROM (
+       |  SELECT lang, bigram, n, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY lang ORDER BY n DESC, bigram) AS INT) AS rank_in_lang
+       |  FROM counts)
+       |WHERE rank_in_lang <= $k
+       |ORDER BY lang, rank_in_lang""".stripMargin
+
+  // ---- duplicate clustering (connected components over LSH candidates) ----
+
+  /** Connected components over the MinHash-LSH candidate graph — the
+    * clustering step of a production dedup pipeline (each cluster keeps one
+    * representative). Min-label propagation to a fixpoint: every node takes
+    * the minimum label among itself and its neighbors each round.
+    *
+    * Scale notes: the LSH graph is a union of band-cliques, so the diameter
+    * (= round count) stays small; each round is one hash-shuffle join of the
+    * edge list against the current labels. The driver-side loop only reads a
+    * single convergence count per round (no data is collected). At a 100 TB
+    * corpus the same loop runs with the edges persisted on the cluster —
+    * the alternating large-star/small-star formulation (Kiveris et al.,
+    * "Connected Components in MapReduce") halves the round count if the
+    * graph ever gets chain-shaped; band-clique graphs don't need it.
+    */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    val docs = prepared(spark, dir).select(col("doc_id"))
+    var labels = docs.withColumn("label", col("doc_id")).persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val nbrMin = edges.join(labels, col("dst") === col("doc_id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(nbrMin, col("doc_id") === col("src"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .persist()
+      changed = next.join(labels.select(col("doc_id"), col("label").as("prev")), "doc_id")
+        .filter(col("label") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    // sever the iterative lineage (localCheckpoint materializes the final
+    // labels) so the caches can be dropped without risking a cascade
+    // recomputation through every propagation round
+    val finalLabels = labels.localCheckpoint(true)
+    labels.unpersist()
+    edges.unpersist()
+    finalLabels
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("label"))))
+      .select(col("doc_id"), col("label").as("cluster_rep"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: transitive min via recursive CTE (a genuinely different
+    * algorithm — fixpoint closure vs label propagation).
+    */
+  val dupClustersSql: String =
+    s"""WITH RECURSIVE sig AS (
+       |  $minhashSigSqlInner),
+       |banded AS (
+       |  SELECT doc_id,
+       |    m0 || ',' || m1 || ',' || m2 || ',' || m3 AS band1,
+       |    m4 || ',' || m5 || ',' || m6 || ',' || m7 AS band2
+       |  FROM sig),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+       |  UNION ALL
+       |  SELECT a.doc_id, b.doc_id
+       |  FROM banded a JOIN banded b
+       |    ON a.band2 = b.band2 AND a.band1 <> b.band1 AND a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(doc, r) AS (
+       |  SELECT doc_id, doc_id FROM banded
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc),
+       |rep AS (SELECT doc, min(r) AS cluster_rep FROM reach GROUP BY doc)
+       |SELECT doc AS doc_id, cluster_rep,
+       |  count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+       |FROM rep ORDER BY doc_id""".stripMargin
+
   // ---- SimHash ----
 
   /** 16-bit SimHash over the distinct word set: bit j of the signature is

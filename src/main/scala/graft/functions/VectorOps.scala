@@ -220,6 +220,43 @@ object VectorOps {
        |WHERE rank <= $kNn
        |ORDER BY q_id, rank""".stripMargin
 
+  /** One Lloyd (k-means) iteration over the corpus: assign every vector to
+    * its nearest fixed centroid (cosine, via [[ivfAssign]]) and recompute
+    * each centroid as the per-dimension mean of its members — emitted in
+    * exploded (centroid, dim, mean) form so the result stays a flat
+    * oracle-comparable table.
+    *
+    * Scale shape: centroids broadcast; one shuffle of (vector × dim) keyed
+    * by (centroid, dim) with map-side partial sums — the standard
+    * distributed k-means step. A full training loop is this query iterated
+    * with the recomputed centroids fed back in.
+    */
+  def kmeansStep(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val assigned = ivfAssign(spark, dir, k).select("vec_id", "centroid_id")
+    prepared(spark, dir).join(assigned, "vec_id")
+      .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("centroid_id"), (col("pos") + 1).as("dim"))
+      .agg(round(avg(col("x")), 4).as("mean_x"), count(lit(1)).as("n_members"))
+      .orderBy(col("centroid_id"), col("dim"))
+  }
+
+  def kmeansStepSql(k: Int = 16): String =
+    s"""WITH e0 AS ($preparedSql),
+       |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e0 WHERE vec_id < $k),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT e0.vec_id, c.centroid_id, ROW_NUMBER() OVER (
+       |      PARTITION BY e0.vec_id
+       |      ORDER BY list_dot_product(e0.v, c.cv) / (e0.nrm * c.cn) DESC, c.centroid_id) AS rn
+       |    FROM e0, c)
+       |  WHERE rn = 1)
+       |SELECT centroid_id, CAST(i AS INT) AS dim,
+       |  round(avg(v[i]), 4) AS mean_x, count(*) AS n_members
+       |FROM e0 JOIN assign USING (vec_id),
+       |     unnest(range(1, len(v) + 1)) AS t(i)
+       |GROUP BY centroid_id, i
+       |ORDER BY centroid_id, dim""".stripMargin
+
   /** ANN via the LSH buckets: top-k within the query's own bucket only
     * (single-probe). Recall vs [[knn]] is the standard IVF/LSH tradeoff.
     */

@@ -233,6 +233,82 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** Pivot: order counts per status with one column per priority class.
+    * Explicit value list ⇒ single-pass plan (no extra distinct-values job)
+    * and a schema known at compile time — the form that scales: the pivot
+    * is just a conditional aggregation, one shuffle on the groupBy key.
+    */
+  def pivotOrderPriorities(spark: SparkSession, dir: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val clean = Map(
+      "1-URGENT" -> "p1_urgent", "2-HIGH" -> "p2_high", "3-MEDIUM" -> "p3_medium",
+      "4-NOT SPECIFIED" -> "p4_not_specified", "5-LOW" -> "p5_low")
+    val pv = Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", prios)
+      .agg(count(lit(1)))
+    // empty cells aggregate to null in a pivot; the conditional-agg oracle
+    // produces 0 — coalesce pins the two representations together
+    pv.select(col("o_orderstatus") +:
+        prios.map(p => coalesce(col(s"`$p`"), lit(0L)).as(clean(p))): _*)
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** GROUPING SETS (Spark 4 DSL): order stats at (status, priority),
+    * (status) and grand-total granularities — the general grouping-set form
+    * beyond rollup/cube, still one shuffle with an internal grouping-id.
+    */
+  def groupingSetsOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+               col("o_orderpriority").asc_nulls_first)
+
+  /** Distribution-rank window family: quartile (ntile), percent_rank and
+    * cume_dist of each order's price within its priority class. The unique
+    * (o_totalprice, o_orderkey) ordering pins every rank deterministically.
+    */
+  def ntileOrders(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir).select(
+      col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+      ntile(4).over(w).as("price_quartile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"))
+      .orderBy(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+  }
+
+  /** Range (band) join: parts classified into retail-price bands from a tiny
+    * in-memory bounds table. The non-equi predicate lowers to a
+    * BroadcastNestedLoopJoin — correct here because the build side is a
+    * handful of rows; at 100 TB with many bands the scale path is deriving
+    * the band as an equi-key (`floor(price/width)`) or Spark's range-join
+    * hints, both of which turn this into a hash join.
+    */
+  def priceBandJoin(spark: SparkSession, dir: String): DataFrame = {
+    // bounds chosen to split the synthetic price domain [900, 1000)
+    val bands = spark.createDataFrame(Seq(
+      (0.0, 925.0, "a_budget"), (925.0, 950.0, "b_mid"),
+      (950.0, 975.0, "c_premium"), (975.0, 1e12, "d_luxury")))
+      .toDF("lo", "hi", "band")
+    Tables.part(spark, dir)
+      .join(broadcast(bands),
+        col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_parts"),
+           round(avg(col("p_retailprice")), 2).as("avg_price"),
+           round(min(col("p_retailprice")), 2).as("min_price"),
+           round(max(col("p_retailprice")), 2).as("max_price"))
+      .orderBy(col("band"))
+  }
+
   /** Approximate percentiles via the positional-error sketch
     * (`approx_percentile`, accuracy 1e4) — mergeable partial sketches, one
     * pass, bounded memory: the distinct-percentile path that survives

@@ -76,6 +76,80 @@ class OperatorsSpec extends SparkSuite {
     assert(byId(0L).checksum == expect)
   }
 
+  test("dupClusters unions overlapping minhash cliques to one representative") {
+    // docs 1-2 share a full word set, 2-3 share one band's worth of hashes
+    // only if the sets are identical — so craft: 1≡2 exact, 3≡4 exact,
+    // 5 unrelated ⇒ clusters {1,2}, {3,4}, {5}
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en", "s", 16L),
+      (2L, "gamma alpha beta", "en", "s", 16L),
+      (3L, "delta epsilon zeta", "en", "s", 18L),
+      (4L, "zeta delta epsilon", "en", "s", 18L),
+      (5L, "totally different words", "en", "s", 23L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("docs3").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextOps.dupClusters(spark, tmp)
+      .select("doc_id", "cluster_rep", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 2L), (4L, 3L, 2L), (5L, 5L, 1L)))
+  }
+
+  test("ngramTop ranks bigrams by frequency with string tie-break") {
+    val docs = Seq(
+      (1L, "a b a b", "en", "s", 7L),     // "a b"×2, "b a"×1
+      (2L, "a b c", "en", "s", 5L)        // "a b", "b c"
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("docs4").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextOps.ngramTop(spark, tmp, k = 2)
+      .select("rank_in_lang", "bigram", "n").as[(Int, String, Long)].collect().toSeq
+    assert(out == Seq((1, "a b", 3L), (2, "b a", 1L)))
+  }
+
+  test("kmeansStep means stay inside member coordinate bounds") {
+    val step = VectorOps.kmeansStep(spark, sf(), k = 4)
+    val rows = step.collect()
+    assert(rows.nonEmpty)
+    // every (centroid, dim) mean must lie within the global coordinate range
+    val vals = VectorOps.prepared(spark, sf())
+      .select(explode(col("v")).as("x")).agg(min("x"), max("x")).head()
+    val (lo, hi) = (vals.getDouble(0), vals.getDouble(1))
+    assert(rows.forall { r =>
+      val m = r.getAs[Double]("mean_x"); m >= lo - 1e-4 && m <= hi + 1e-4
+    })
+    // membership totals over any fixed dim = corpus size
+    val n = Tables.embeddings(spark, sf()).count()
+    val dim1Total = rows.filter(_.getAs[Int]("dim") == 1).map(_.getAs[Long]("n_members")).sum
+    assert(dim1Total == n)
+  }
+
+  test("pivot row-set equals conditional aggregation") {
+    val pv = Relational.pivotOrderPriorities(spark, sf())
+    val orders = Tables.orders(spark, sf())
+    val expect = orders.groupBy(col("o_orderstatus"))
+      .agg(sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("p1_urgent"))
+      .orderBy("o_orderstatus")
+      .select("o_orderstatus", "p1_urgent").as[(String, Long)].collect().toSeq
+    val got = pv.select("o_orderstatus", "p1_urgent").as[(String, Long)].collect().toSeq
+    assert(got == expect)
+  }
+
+  test("grouping sets includes per-status subtotals and the grand total") {
+    val gs = Relational.groupingSetsOrders(spark, sf()).collect()
+    val statuses = Tables.orders(spark, sf()).select("o_orderstatus").distinct().count()
+    val grand = gs.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n_orders") == Tables.orders(spark, sf()).count())
+    assert(gs.count(r => !r.isNullAt(0) && r.isNullAt(1)) == statuses)
+  }
+
+  test("range band join covers every part exactly once") {
+    val bands = Relational.priceBandJoin(spark, sf())
+    val total = bands.agg(sum("n_parts")).head().getLong(0)
+    assert(total == Tables.part(spark, sf()).count())
+  }
+
   test("geo grid cells cover derived coordinate domain") {
     val g = DashboardAggs.geoGrid(
       SparkEntry.queries("e_validate")(spark, sf()).filter(col("status") === "valid"))
