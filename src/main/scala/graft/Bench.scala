@@ -38,7 +38,11 @@ object Bench {
     // warmup: JIT + codegen + parquet footer caches (not reported)
     execute("q1_pricing")
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> execute(n))
+    // optional args = subset of query names (dev loop); driver passes none
+    val names =
+      if (args.nonEmpty) args.toSeq.sorted
+      else SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map(n => n -> execute(n))
     val failed = results.collect { case (k, v) if v < 0 => k }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

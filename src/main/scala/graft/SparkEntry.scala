@@ -147,6 +147,7 @@ object SparkEntry {
     "d_minhash_sig" -> ((s, dir) => TextOps.minhashSignatures(s, dir).orderBy(col("doc_id"))),
     "d_minhash_pairs" -> ((s, dir) => TextOps.minhashPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))),
     "d_simhash" -> ((s, dir) => TextOps.simhash(s, dir).orderBy(col("doc_id"))),
+    "d_simhash_pairs" -> ((s, dir) => TextOps.simhashPairs(s, dir)),
     "d_vocab" -> ((s, dir) => TextOps.vocab(s, dir)),
     "d_length_stats" -> ((s, dir) => TextOps.lengthStats(s, dir)),
     "d_sample" -> ((s, dir) => TextOps.hashSample(s, dir).orderBy(col("doc_id"))),
@@ -446,6 +447,7 @@ object SparkEntry {
       "d_minhash_sig" -> s"SELECT * FROM (\n${TextOps.minhashSigSqlInner}) ORDER BY doc_id",
       "d_minhash_pairs" -> TextOps.minhashPairsSql,
       "d_simhash" -> TextOps.simhashSql,
+      "d_simhash_pairs" -> TextOps.simhashPairsSql(),
       "d_vocab" -> TextOps.vocabSql(),
       "d_length_stats" -> TextOps.lengthStatsSql,
       "d_sample" -> TextOps.hashSampleSql(),

@@ -214,9 +214,13 @@ object TextOps {
     * a pure hash-shuffle plan, no cross product.
     */
   def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+    // materialized once: normText + split + array_distinct feed three
+    // consumers (both self-join sides + the size lookup) and dominate the
+    // per-doc cost
     val d = prepared(spark, dir).select(
       col("doc_id"), col("lang"), expr("n_chars DIV 100").as("bkt"),
       array_distinct(col("words")).as("ws"))
+      .localCheckpoint(true)
     val sizes = d.select(col("doc_id"), size(col("ws")).as("nw"))
     val ex = d.select(col("doc_id"), col("lang"), col("bkt"), explode(col("ws")).as("w"))
     val shared = ex.as("a").join(ex.as("b"),
@@ -343,10 +347,20 @@ object TextOps {
     * 4 minhashes become candidates. Join key is the band value (bounded
     * fan-out); at 100 TB this is the standard minhash-LSH bucket join.
     */
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(spark, dir)
+  /** Banded signatures, materialized once: the explode + md5 + two-level
+    * hash agg is the dominant cost of every LSH consumer and would otherwise
+    * recompute per use (canonical-plan reuse doesn't cover a broadcast and
+    * a probe side of the same subplan). The cluster-scale analog is writing
+    * signatures to a table and joining that.
+    */
+  def bandedSignatures(spark: SparkSession, dir: String): DataFrame =
+    minhashSignatures(spark, dir)
       .withColumn("band1", concat_ws(",", col("m0"), col("m1"), col("m2"), col("m3")))
       .withColumn("band2", concat_ws(",", col("m4"), col("m5"), col("m6"), col("m7")))
+      .localCheckpoint(true)
+
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = bandedSignatures(spark, dir)
     // A pair can only appear in both joins when BOTH bands match, so the
     // band2 join emits only pairs whose band1 differs — exact dedup with a
     // per-row filter instead of a global 5M-row DISTINCT shuffle.
@@ -428,34 +442,42 @@ object TextOps {
     * graph ever gets chain-shaped; band-clique graphs don't need it.
     */
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(spark, dir)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
-    val docs = prepared(spark, dir).select(col("doc_id"))
-    var labels = docs.withColumn("label", col("doc_id")).persist()
+    // Propagate over the bipartite doc ↔ band-bucket incidence graph (2 rows
+    // per doc), NOT the pairwise candidate graph: a bucket holding b docs
+    // contributes b incidence rows instead of b·(b-1)/2 edges, so a
+    // degenerate hot bucket costs O(b) per round rather than O(b²) — the
+    // difference between 65 s and ~2 s on the synthetic corpus, and between
+    // feasible and quadratic blow-up at 100 TB. Components are identical:
+    // two docs share a band value iff they are connected through its bucket
+    // node.
+    val banded = bandedSignatures(spark, dir)
+    val inc = banded.select(col("doc_id"), concat(lit("1:"), col("band1")).as("bkt"))
+      .union(banded.select(col("doc_id"), concat(lit("2:"), col("band2")).as("bkt")))
+      .localCheckpoint(true)
+    var labels = banded.select(col("doc_id")).withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 25) {
-      val nbrMin = edges.join(labels, col("dst") === col("doc_id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-      val next = labels.join(nbrMin, col("doc_id") === col("src"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .persist()
-      changed = next.join(labels.select(col("doc_id"), col("label").as("prev")), "doc_id")
-        .filter(col("label") =!= col("prev")).count()
-      labels.unpersist()
-      labels = next
+      // bucket label = min over members; doc label = min over its buckets.
+      // The convergence count rides along as an Observation on the job that
+      // materializes the round — one Spark job per round, no second pass.
+      val bmin = inc.join(labels, "doc_id")
+        .groupBy(col("bkt")).agg(min(col("label")).as("bmin"))
+      val stepped = inc.join(bmin, "bkt")
+        .groupBy(col("doc_id")).agg(min(col("bmin")).as("nbr_min"))
+        .join(labels, "doc_id")
+        .select(col("doc_id"), least(col("label"), col("nbr_min")).as("label"),
+          (col("nbr_min") < col("label")).cast("long").as("chg"))
+      val obs = org.apache.spark.sql.Observation()
+      val next = stepped.observe(obs, sum(col("chg")).as("changed"))
+        .localCheckpoint(true) // sever lineage: each round is one shuffle, not a growing chain
+      changed = obs.get("changed").asInstanceOf[Long]
+      labels = next.drop("chg")
       rounds += 1
     }
-    // sever the iterative lineage (localCheckpoint materializes the final
-    // labels) so the caches can be dropped without risking a cascade
-    // recomputation through every propagation round
-    val finalLabels = labels.localCheckpoint(true)
-    labels.unpersist()
-    edges.unpersist()
-    finalLabels
+    System.err.println(s"[dupClusters] converged in $rounds rounds (last delta $changed)")
+    labels
       .withColumn("cluster_size", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("label"))))
       .select(col("doc_id"), col("label").as("cluster_rep"), col("cluster_size"))
@@ -508,6 +530,49 @@ object TextOps {
     ex.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), sig.as("simhash16"))
   }
+
+  /** SimHash near-dup candidate pairs: the 16-bit signature is split into
+    * two 8-bit halves; by pigeonhole, any pair within hamming distance 1
+    * must agree on at least one half, so two equi-joins on the halves find
+    * all such pairs (and, like any LSH scheme, a useful-but-incomplete
+    * candidate set at larger distances). Join keys are the halves — bounded
+    * fan-out, no cross product; the half-disjointness predicate on the
+    * second join replaces a global DISTINCT (same trick as the minhash band
+    * join).
+    */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val s = simhash(spark, dir)
+      .withColumn("h1", shiftright(col("simhash16"), 8).bitwiseAND(255))
+      .withColumn("h2", col("simhash16").bitwiseAND(255))
+      .localCheckpoint(true) // signature agg feeds 4 join sides; materialize once
+    def half(j: DataFrame): DataFrame = j
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("CAST(bit_count(a.simhash16 ^ b.simhash16) AS INT)").as("hamming"))
+    val j1 = half(s.as("a").join(s.as("b"),
+      col("a.h1") === col("b.h1") && col("a.doc_id") < col("b.doc_id")))
+    val j2 = half(s.as("a").join(s.as("b"),
+      col("a.h2") === col("b.h2") && col("a.h1") =!= col("b.h1") &&
+      col("a.doc_id") < col("b.doc_id")))
+    j1.union(j2).filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def simhashPairsSql(maxHamming: Int = 3): String =
+    s"""WITH s AS (SELECT doc_id, simhash16,
+       |    (simhash16 >> 8) & 255 AS h1, simhash16 & 255 AS h2
+       |  FROM ($simhashSql)),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.simhash16, b.simhash16)) AS INT) AS hamming
+       |  FROM s a JOIN s b ON a.h1 = b.h1 AND a.doc_id < b.doc_id
+       |  UNION ALL
+       |  SELECT a.doc_id, b.doc_id,
+       |    CAST(bit_count(xor(a.simhash16, b.simhash16)) AS INT)
+       |  FROM s a JOIN s b
+       |    ON a.h2 = b.h2 AND a.h1 <> b.h1 AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM cand
+       |WHERE hamming <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   val simhashSql: String = {
     val h = Exprs.hex60Sql("w")

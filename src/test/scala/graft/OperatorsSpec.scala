@@ -95,6 +95,20 @@ class OperatorsSpec extends SparkSuite {
     assert(out == Set((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 2L), (4L, 3L, 2L), (5L, 5L, 1L)))
   }
 
+  test("simhashPairs finds identical docs at hamming 0 and none across disjoint vocab") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en", "s", 16L),
+      (2L, "gamma alpha beta", "en", "s", 16L),   // same word set → hamming 0
+      (3L, "qqq www eee rrr ttt yyy uuu iii ooo ppp", "en", "s", 39L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("docs5").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextOps.simhashPairs(spark, tmp)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSeq
+    assert(out.contains((1L, 2L, 0)))
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L && p._3 == 0))
+  }
+
   test("ngramTop ranks bigrams by frequency with string tie-break") {
     val docs = Seq(
       (1L, "a b a b", "en", "s", 7L),     // "a b"×2, "b a"×1
