@@ -167,7 +167,8 @@ object SparkEntry {
     // ---- multimodal plumbing ----
     "mm_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir).orderBy(col("media_id"))),
     "mm_frames" -> ((s, dir) =>
-      Multimodal.frameSample(s, dir).orderBy(col("media_id"), col("frame_idx")))
+      Multimodal.frameSample(s, dir).orderBy(col("media_id"), col("frame_idx"))),
+    "mm_resize" -> ((s, dir) => Multimodal.resizePlan(s, dir).orderBy(col("media_id")))
   )
 
   /** DuckDB SQL mirrors. Column names/aliases match the Spark side exactly
@@ -462,7 +463,8 @@ object SparkEntry {
       "v_ann_ivf" -> VectorOps.annIvfSql(),
       "v_kmeans_step" -> VectorOps.kmeansStepSql(),
       "mm_meta" -> Multimodal.mediaMetaSql,
-      "mm_frames" -> Multimodal.frameSampleSql()
+      "mm_frames" -> Multimodal.frameSampleSql(),
+      "mm_resize" -> Multimodal.resizePlanSql()
     )
   }
 }

@@ -110,6 +110,38 @@ object Multimodal {
         (col("frame_idx").cast("long") * frameBytes).as("byte_offset"),
         col("byte_len"))
 
+  /** Resize plan for image payloads: fit into a target box preserving
+    * aspect ratio — the deterministic geometry stage of a resize pipeline
+    * (the pixel resample itself lives behind the decode stub). Integer
+    * inputs → double scale → floor'd output dims: bit-identical across
+    * engines.
+    */
+  def resizePlan(spark: SparkSession, dir: String, box: Int = 224): DataFrame = {
+    val scale = least(lit(box.toDouble) / col("declared_w"),
+                      lit(box.toDouble) / col("declared_h"))
+    mediaTable(spark, dir)
+      .filter(col("kind") === "image")
+      .select(
+        col("media_id"), col("declared_w"), col("declared_h"),
+        round(scale, 6).as("scale"),
+        greatest(floor(col("declared_w") * scale), lit(1)).cast("int").as("out_w"),
+        greatest(floor(col("declared_h") * scale), lit(1)).cast("int").as("out_h"))
+  }
+
+  def resizePlanSql(box: Int = 224): String =
+    s"""SELECT media_id, declared_w, declared_h,
+       |  round(scale, 6) AS scale,
+       |  CAST(greatest(floor(declared_w * scale), 1) AS INT) AS out_w,
+       |  CAST(greatest(floor(declared_h * scale), 1) AS INT) AS out_h
+       |FROM (
+       |  SELECT doc_id AS media_id,
+       |    CAST(doc_id % 640 + 1 AS INT) AS declared_w,
+       |    CAST(doc_id % 480 + 1 AS INT) AS declared_h,
+       |    least(CAST($box AS DOUBLE) / (doc_id % 640 + 1),
+       |          CAST($box AS DOUBLE) / (doc_id % 480 + 1)) AS scale
+       |  FROM documents WHERE doc_id % 3 = 0)
+       |ORDER BY media_id""".stripMargin
+
   def frameSampleSql(frameBytes: Int = 1000): String =
     s"""SELECT media_id, frame_idx, frame_idx * $frameBytes AS byte_offset, byte_len
        |FROM (

@@ -39,6 +39,37 @@ class StreamingSpec extends SparkSuite {
       "35.60002|139.70000|42.00|2011-03-15 10:00:00|cpm"))
   }
 
+  test("stateful dedup runs on the RocksDB state store provider (cluster state path)") {
+    // the 100 TB posture keeps streaming state in RocksDB (spillable,
+    // incremental checkpoints) rather than the in-memory HDFS-backed map;
+    // prove the operators run unchanged on that provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[String]
+      val out = RadiationPipeline.dedup(
+        RadiationPipeline.validate(RadiationPipeline.parse(in.toDF())))
+      val q = out.writeStream.format("memory").queryName("rocks_t")
+        .outputMode("append").start()
+      in.addData(rec("2011-03-15 10:00:00"), rec("2011-03-15 10:00:00"))
+      q.processAllAvailable()
+      val n = spark.table("rocks_t").count()
+      // provider actually engaged: RocksDB custom metrics present
+      val metrics = q.lastProgress.stateOperators.head.customMetrics.keySet()
+      q.stop()
+      assert(n == 1)
+      assert(metrics.stream().anyMatch(_.toLowerCase.contains("rocksdb")),
+        s"expected rocksdb state metrics, got $metrics")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("unbounded dedup (reference-faithful) drops dups across batches beyond the watermark") {
     val in = MemoryStream[String]
     val out = RadiationPipeline.dedup(
