@@ -285,6 +285,36 @@ object Relational {
       .orderBy(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
   }
 
+  /** Unpivot (melt): wide per-status order metrics folded to long
+    * (status, metric, value) form — the inverse of [[pivotOrderPriorities]].
+    * A zero-shuffle Generate over the aggregated input.
+    */
+  def unpivotOrderMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).cast("double").as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"),
+        round(avg(col("o_totalprice")), 2).as("avg_price"))
+      .unpivot(
+        ids = Array(col("o_orderstatus")),
+        values = Array(col("n_orders"), col("sum_price"), col("avg_price")),
+        variableColumnName = "metric",
+        valueColumnName = "value")
+      .orderBy(col("o_orderstatus"), col("metric"))
+
+  val unpivotOrderMetricsSql: String =
+    """SELECT o_orderstatus, metric, value FROM (
+      |  UNPIVOT (
+      |    SELECT o_orderstatus,
+      |      CAST(count(*) AS DOUBLE) AS n_orders,
+      |      round(sum(o_totalprice), 2) AS sum_price,
+      |      round(avg(o_totalprice), 2) AS avg_price
+      |    FROM orders GROUP BY o_orderstatus)
+      |  ON n_orders, sum_price, avg_price
+      |  INTO NAME metric VALUE value)
+      |ORDER BY o_orderstatus, metric""".stripMargin
+
   /** Range (band) join: parts classified into retail-price bands from a tiny
     * in-memory bounds table. The non-equi predicate lowers to a
     * BroadcastNestedLoopJoin — correct here because the build side is a
