@@ -55,6 +55,30 @@ class PropertySpec extends SparkSuite {
     assert(got.toSeq == expect)
   }
 
+  test("simhash and minhash signatures are word-order invariant") {
+    val wordGen = Gen.listOfN(8, Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff"))
+    val docsWords = samples(wordGen, 10)
+    // each doc and a shuffled copy must hash identically (set semantics)
+    val rows = docsWords.zipWithIndex.flatMap { case (ws, i) =>
+      Seq((i.toLong * 2, ws.mkString(" ")),
+          (i.toLong * 2 + 1, scala.util.Random.javaRandomToRandom(
+            new java.util.Random(i)).shuffle(ws).mkString(" ")))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("propdocs").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val sim = functions.TextOps.simhash(spark, tmp)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    val mh = functions.TextOps.minhashSignatures(spark, tmp)
+      .orderBy("doc_id").collect()
+    docsWords.indices.foreach { i =>
+      assert(sim(2 * i)._2 == sim(2 * i + 1)._2, s"simhash differs for doc pair $i")
+      assert(mh(2 * i).toSeq.tail == mh(2 * i + 1).toSeq.tail, s"minhash differs for doc pair $i")
+    }
+  }
+
   test("timestamp normalization accepts any zoned/fractional form of a valid instant") {
     val base = "2011-03-15 10:00:00"
     val forms = Seq(base, s"$base.123", s"$base+09:00", s"$base.5Z",
