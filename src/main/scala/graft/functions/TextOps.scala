@@ -477,6 +477,10 @@ object TextOps {
       rounds += 1
     }
     System.err.println(s"[dupClusters] converged in $rounds rounds (last delta $changed)")
+    // fail loudly rather than return partially-propagated labels: a
+    // diameter > cap graph would otherwise ship silently wrong clusters
+    require(changed == 0,
+      s"dupClusters did not converge within $rounds rounds ($changed labels still moving)")
     labels
       .withColumn("cluster_size", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("label"))))
@@ -516,71 +520,83 @@ object TextOps {
 
   // ---- SimHash ----
 
-  /** 16-bit SimHash over the distinct word set: bit j of the signature is
+  /** SimHash width (the full [[Exprs.hex60]] hash width) and the block
+    * split used for candidate pairing. 4 blocks × 15 bits: four blocks make
+    * the hamming ≤ 3 candidate set EXACT by pigeonhole (a pair differing in
+    * ≤ 3 bits cannot differ in all 4 blocks), and a 15-bit block key
+    * (32,768 values) keeps the self-join selective — an 8-bit key (256
+    * values) would degenerate to ~n²/256 candidate pairs at corpus scale.
+    */
+  val SimhashBits = 60
+  val SimhashBlocks = 4
+  private val BlockBits = SimhashBits / SimhashBlocks // 15
+  private val BlockMask = (1L << BlockBits) - 1
+
+  /** 60-bit SimHash over the distinct word set: bit j of the signature is
     * the sign of Σ_words (bit j of hash(word) ? +1 : -1).
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val ex = prepared(spark, dir)
       .select(col("doc_id"), explode(array_distinct(col("words"))).as("w"))
       .withColumn("h", Exprs.hex60(col("w")))
-    val bitSums = (0 until 16).map(j =>
+    val bitSums = (0 until SimhashBits).map(j =>
       sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"s$j"))
-    val sig = (0 until 16).map(j =>
+    val sig = (0 until SimhashBits).map(j =>
       when(col(s"s$j") > 0, 1L << j).otherwise(0L)).reduce(_ + _)
     ex.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), sig.as("simhash16"))
+      .select(col("doc_id"), sig.as("simhash60"))
   }
 
-  /** SimHash near-dup candidate pairs: the 16-bit signature is split into
-    * two 8-bit halves; by pigeonhole, any pair within hamming distance 1
-    * must agree on at least one half, so two equi-joins on the halves find
-    * all such pairs (and, like any LSH scheme, a useful-but-incomplete
-    * candidate set at larger distances). Join keys are the halves — bounded
-    * fan-out, no cross product; the half-disjointness predicate on the
-    * second join replaces a global DISTINCT (same trick as the minhash band
-    * join).
+  /** SimHash near-dup candidate pairs, blocked on the 4×15-bit split: one
+    * equi-join per block, earlier-block-inequality predicates replacing a
+    * global DISTINCT (same trick as the minhash band join). For
+    * `maxHamming` ≤ [[SimhashBlocks]] − 1 the result is exact, not a
+    * candidate approximation.
     */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val s = simhash(spark, dir)
-      .withColumn("h1", shiftright(col("simhash16"), 8).bitwiseAND(255))
-      .withColumn("h2", col("simhash16").bitwiseAND(255))
-      .localCheckpoint(true) // signature agg feeds 4 join sides; materialize once
-    def half(j: DataFrame): DataFrame = j
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("CAST(bit_count(a.simhash16 ^ b.simhash16) AS INT)").as("hamming"))
-    val j1 = half(s.as("a").join(s.as("b"),
-      col("a.h1") === col("b.h1") && col("a.doc_id") < col("b.doc_id")))
-    val j2 = half(s.as("a").join(s.as("b"),
-      col("a.h2") === col("b.h2") && col("a.h1") =!= col("b.h1") &&
-      col("a.doc_id") < col("b.doc_id")))
-    j1.union(j2).filter(col("hamming") <= maxHamming)
+    val blocks = (0 until SimhashBlocks).map(k => s"b$k")
+    val s = blocks.zipWithIndex.foldLeft(simhash(spark, dir)) { case (df, (b, k)) =>
+      df.withColumn(b, shiftright(col("simhash60"), k * BlockBits).bitwiseAND(BlockMask))
+    }.localCheckpoint(true) // signature agg feeds all join sides; materialize once
+    def joinOn(k: Int): DataFrame = {
+      val cond = (col(s"a.b$k") === col(s"b.b$k")) +:
+        (0 until k).map(i => col(s"a.b$i") =!= col(s"b.b$i"))
+      s.as("a").join(s.as("b"),
+          cond.reduce(_ && _) && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("CAST(bit_count(a.simhash60 ^ b.simhash60) AS INT)").as("hamming"))
+    }
+    (0 until SimhashBlocks).map(joinOn).reduce(_ union _)
+      .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  def simhashPairsSql(maxHamming: Int = 3): String =
-    s"""WITH s AS (SELECT doc_id, simhash16,
-       |    (simhash16 >> 8) & 255 AS h1, simhash16 & 255 AS h2
+  def simhashPairsSql(maxHamming: Int = 3): String = {
+    val blockCols = (0 until SimhashBlocks).map(k =>
+      s"(simhash60 >> ${k * BlockBits}) & $BlockMask AS b$k").mkString(",\n    ")
+    val arms = (0 until SimhashBlocks).map { k =>
+      val disj = (0 until k).map(i => s" AND a.b$i <> b.b$i").mkString
+      s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.simhash60, b.simhash60)) AS INT) AS hamming
+         |  FROM s a JOIN s b ON a.b$k = b.b$k$disj AND a.doc_id < b.doc_id""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH s AS (SELECT doc_id, simhash60,
+       |    $blockCols
        |  FROM ($simhashSql)),
        |cand AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    CAST(bit_count(xor(a.simhash16, b.simhash16)) AS INT) AS hamming
-       |  FROM s a JOIN s b ON a.h1 = b.h1 AND a.doc_id < b.doc_id
-       |  UNION ALL
-       |  SELECT a.doc_id, b.doc_id,
-       |    CAST(bit_count(xor(a.simhash16, b.simhash16)) AS INT)
-       |  FROM s a JOIN s b
-       |    ON a.h2 = b.h2 AND a.h1 <> b.h1 AND a.doc_id < b.doc_id)
+       |  $arms)
        |SELECT doc_a, doc_b, hamming FROM cand
        |WHERE hamming <= $maxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   val simhashSql: String = {
     val h = Exprs.hex60Sql("w")
-    val bitSums = (0 until 16).map(j =>
+    val bitSums = (0 until SimhashBits).map(j =>
       s"CAST(sum((($h >> $j) & 1) * 2 - 1) AS BIGINT) AS s$j").mkString(",\n    ")
-    val sig = (0 until 16).map(j =>
+    val sig = (0 until SimhashBits).map(j =>
       s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
-    s"""SELECT doc_id, CAST($sig AS BIGINT) AS simhash16 FROM (
+    s"""SELECT doc_id, CAST($sig AS BIGINT) AS simhash60 FROM (
        |  SELECT doc_id,
        |    $bitSums
        |  FROM (SELECT doc_id, unnest(list_distinct(words)) AS w FROM ($preparedSql))

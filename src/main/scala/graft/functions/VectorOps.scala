@@ -236,7 +236,10 @@ object VectorOps {
     prepared(spark, dir).join(assigned, "vec_id")
       .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("centroid_id"), (col("pos") + 1).as("dim"))
-      .agg(round(avg(col("x")), 4).as("mean_x"), count(lit(1)).as("n_members"))
+      // + 0.0 normalizes IEEE negative zero: Spark's round() turns a tiny
+      // negative mean into 0.0 while DuckDB's keeps -0.0, and the driver's
+      // repr-based compare distinguishes them
+      .agg((round(avg(col("x")), 4) + lit(0.0)).as("mean_x"), count(lit(1)).as("n_members"))
       .orderBy(col("centroid_id"), col("dim"))
   }
 
@@ -251,7 +254,7 @@ object VectorOps {
        |    FROM e0, c)
        |  WHERE rn = 1)
        |SELECT centroid_id, CAST(i AS INT) AS dim,
-       |  round(avg(v[i]), 4) AS mean_x, count(*) AS n_members
+       |  round(avg(v[i]), 4) + CAST(0.0 AS DOUBLE) AS mean_x, count(*) AS n_members
        |FROM e0 JOIN assign USING (vec_id),
        |     unnest(range(1, len(v) + 1)) AS t(i)
        |GROUP BY centroid_id, i

@@ -117,28 +117,32 @@ object Multimodal {
     * engines.
     */
   def resizePlan(spark: SparkSession, dir: String, box: Int = 224): DataFrame = {
-    val scale = least(lit(box.toDouble) / col("declared_w"),
-                      lit(box.toDouble) / col("declared_h"))
+    // Output dims via exact integer round-half-up ((2·d·box + m) DIV 2m):
+    // no float in the geometry, so the binding dimension lands exactly on
+    // the box (floor(d * (box/m)) is off by one whenever box/m is inexact
+    // and d = m). The scale column is the raw double ratio — per-row
+    // IEEE division is bit-identical across engines, rounding it is not
+    // (see the oracle-parity notes on per-row round()).
+    val m = s"greatest(declared_w, declared_h)"
     mediaTable(spark, dir)
       .filter(col("kind") === "image")
       .select(
         col("media_id"), col("declared_w"), col("declared_h"),
-        round(scale, 6).as("scale"),
-        greatest(floor(col("declared_w") * scale), lit(1)).cast("int").as("out_w"),
-        greatest(floor(col("declared_h") * scale), lit(1)).cast("int").as("out_h"))
+        expr(s"CAST($box AS DOUBLE) / $m").as("scale"),
+        expr(s"CAST(greatest((2 * declared_w * $box + $m) DIV (2 * $m), 1) AS INT)").as("out_w"),
+        expr(s"CAST(greatest((2 * declared_h * $box + $m) DIV (2 * $m), 1) AS INT)").as("out_h"))
   }
 
   def resizePlanSql(box: Int = 224): String =
     s"""SELECT media_id, declared_w, declared_h,
-       |  round(scale, 6) AS scale,
-       |  CAST(greatest(floor(declared_w * scale), 1) AS INT) AS out_w,
-       |  CAST(greatest(floor(declared_h * scale), 1) AS INT) AS out_h
+       |  CAST($box AS DOUBLE) / m AS scale,
+       |  CAST(greatest((2 * declared_w * $box + m) // (2 * m), 1) AS INT) AS out_w,
+       |  CAST(greatest((2 * declared_h * $box + m) // (2 * m), 1) AS INT) AS out_h
        |FROM (
        |  SELECT doc_id AS media_id,
        |    CAST(doc_id % 640 + 1 AS INT) AS declared_w,
        |    CAST(doc_id % 480 + 1 AS INT) AS declared_h,
-       |    least(CAST($box AS DOUBLE) / (doc_id % 640 + 1),
-       |          CAST($box AS DOUBLE) / (doc_id % 480 + 1)) AS scale
+       |    greatest(doc_id % 640 + 1, doc_id % 480 + 1) AS m
        |  FROM documents WHERE doc_id % 3 = 0)
        |ORDER BY media_id""".stripMargin
 
