@@ -55,6 +55,7 @@ object SparkEntry {
     "q_ntile" -> ((s, dir) => Relational.ntileOrders(s, dir)),
     "q_range_band" -> ((s, dir) => Relational.priceBandJoin(s, dir)),
     "q_unpivot" -> ((s, dir) => Relational.unpivotOrderMetrics(s, dir)),
+    "q_corr_subquery" -> ((s, dir) => Relational.correlatedBigOrders(s, dir)),
 
     // ---- reference pipeline over events (SURVEY §2.2-2.5) ----
     "e_validate" -> ((s, dir) => Readings.enriched(s, dir, T).orderBy(col("event_id"))),
@@ -325,6 +326,7 @@ object SparkEntry {
           |  ON p_retailprice >= lo AND p_retailprice < hi
           |GROUP BY band ORDER BY band""".stripMargin,
       "q_unpivot" -> Relational.unpivotOrderMetricsSql,
+      "q_corr_subquery" -> Relational.correlatedBigOrdersSql,
       "q_moving_avg" ->
         """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
           |  AVG(l_extendedprice) OVER (

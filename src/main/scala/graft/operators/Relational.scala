@@ -285,6 +285,30 @@ object Relational {
       .orderBy(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
   }
 
+  /** Correlated scalar subquery: orders priced far above their customer's
+    * own average — via the SQL surface so Catalyst's subquery decorrelation
+    * (RewriteCorrelatedScalarSubquery) turns the per-row subquery into one
+    * aggregate + join, a single pass over orders instead of N executions.
+    */
+  def correlatedBigOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM orders_v o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT avg(o2.o_totalprice) FROM orders_v o2
+        |  WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
+  val correlatedBigOrdersSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice > 1.5 * (
+      |  SELECT avg(o2.o_totalprice) FROM orders o2
+      |  WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** Unpivot (melt): wide per-status order metrics folded to long
     * (status, metric, value) form — the inverse of [[pivotOrderPriorities]].
     * A zero-shuffle Generate over the aggregated input.
