@@ -35,6 +35,26 @@ class DashboardStreamsSpec extends SparkSuite {
     assert(math.abs(r.getAs[Double]("average_radiation") - (10 + 120 + 1500) / 3.0) < 1e-9)
   }
 
+  test("streaming stats in update mode emit revisions while the window is open") {
+    // the dashboard's live behavior: the open window's aggregate is
+    // re-emitted per micro-batch instead of held until the watermark
+    val in = MemoryStream[String]
+    val valid = RadiationPipeline.validate(RadiationPipeline.parse(in.toDF()))
+      .filter(col("status") === "valid" && col("event_time").isNotNull)
+    val q = DashboardStreams.statsStream(valid)
+      .writeStream.format("memory").queryName("stats_u").outputMode("update").start()
+    in.addData(rec("2011-03-15 10:00:00", 10))
+    q.processAllAvailable()
+    in.addData(rec("2011-03-15 10:00:01", 120))
+    q.processAllAvailable()
+    val revisions = spark.table("stats_u")
+      .where(col("window_start") === "2011-03-15 10:00:00")
+      .select("total_points").as[Long].collect().sorted
+    q.stop()
+    // two micro-batches → two revisions of the same open window: 1 then 2
+    assert(revisions.toSeq == Seq(1L, 2L))
+  }
+
   test("streaming geo grid: max cpm per cell per window") {
     val in = MemoryStream[String]
     val valid = RadiationPipeline.validate(RadiationPipeline.parse(in.toDF()))
