@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * second itself. Batch annotation = an analytic `count(*)` over the cohort —
   * no per-pane buffering, no collect_list materialization needed for the
   * batch form. The streaming form (watermark + window) lives in
-  * [[graft.streaming.StreamingPipeline]].
+  * [[graft.streaming.RadiationPipeline]].
   */
 object CohortWindow {
 

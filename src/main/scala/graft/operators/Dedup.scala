@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   *  - `df.dropDuplicates`    — batch, arbitrary survivor (what the reference
   *                             actually guarantees under races).
   *  - streaming              — `dropDuplicatesWithinWatermark` in
-  *                             [[graft.streaming.StreamingPipeline]]; bounds
+  *                             [[graft.streaming.RadiationPipeline]]; bounds
   *                             the reference's unbounded state (SURVEY §7.5).
   *
   * Scale note: keepFirst is one hash-shuffle on the key (window partition);

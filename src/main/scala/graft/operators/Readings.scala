@@ -88,8 +88,12 @@ object Readings {
     * reference's stringly-typed union (py:320) becomes unnecessary.
     */
   def validated(df: DataFrame, t: Thresholds = Thresholds()): DataFrame = {
-    val cpm = round(col("value")).cast("int")
+    // try_cast: ANSI-safe against a value outside int range (which would
+    // otherwise throw CAST_OVERFLOW instead of routing invalid) — same
+    // guard as the streaming twin RadiationPipeline.validate
+    val cpm = expr("try_cast(round(value) AS INT)")
     val err = when(col("k").isNull || col("sec").isNull || col("value").isNull, "Missing fields")
+      .when(cpm.isNull, "Value out of range")
       .when(cpm <= 0, "Non-positive value")
       .when(!col("lat").between(-90.0, 90.0), "Latitude out of range")
       .when(!col("lon").between(-180.0, 180.0), "Longitude out of range")
@@ -126,12 +130,13 @@ object Readings {
        |FROM (
        |  SELECT *, lower(unit) AS unit_norm,
        |         CASE WHEN k IS NULL OR sec IS NULL OR value IS NULL THEN 'Missing fields'
+       |              WHEN cpm IS NULL THEN 'Value out of range'
        |              WHEN cpm <= 0 THEN 'Non-positive value'
        |              WHEN NOT (lat BETWEEN -90.0 AND 90.0) THEN 'Latitude out of range'
        |              WHEN NOT (lon BETWEEN -180.0 AND 180.0) THEN 'Longitude out of range'
        |              WHEN lower(unit) <> 'cpm' THEN 'Invalid unit'
        |         END AS err
-       |  FROM (SELECT *, CAST(round(value) AS INT) AS cpm FROM ($readingsSql))
+       |  FROM (SELECT *, TRY_CAST(round(value) AS INT) AS cpm FROM ($readingsSql))
        |)""".stripMargin
 
   /** Convenience: readings → validated, the head of every events query. */

@@ -32,10 +32,15 @@ object Skew {
     require(Set("inner", "cross", "leftouter", "leftsemi", "leftanti", "left")
         .contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin does not support '$joinType': unmatched replicated right rows would duplicate")
-    // per-row deterministic-ish spread; any distribution works for
-    // correctness, uniformity is what kills the hot spot
+    // The salt must be DETERMINISTIC per row content: a nondeterministic
+    // source (monotonically_increasing_id, rand) used as a join key breaks
+    // under task retry — recomputed map tasks re-salt rows differently than
+    // the copies already fetched by surviving reducers, duplicating or
+    // dropping matches (the SPARK-23207 failure class). Hashing the full
+    // row spreads a hot key as long as its rows differ anywhere; fully
+    // identical rows co-locating is the acceptable residue.
     val saltedLeft = left.withColumn("__salt",
-      pmod(hash(col(leftKey), monotonically_increasing_id()), lit(salts)))
+      pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(salts)))
     val saltedRight = right.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     saltedLeft.join(saltedRight,

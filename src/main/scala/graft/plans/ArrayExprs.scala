@@ -19,13 +19,20 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * higher-order formulation and DuckDB's list_dot_product — so results are
   * bit-identical with the differential oracle. Length mismatch throws (like
   * list_dot_product) rather than silently truncating: a corrupt vector
-  * should fail loudly, not get ranked on a partial sum.
+  * should fail loudly, not get ranked on a partial sum. A null ELEMENT on
+  * either side yields a null result — the same propagation as
+  * `aggregate(zip_with(a,b,*),0d,+)` — instead of silently reading 0.0 out
+  * of the unset slot.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // always nullable: even non-nullable array columns can carry null
+  // ELEMENTS, and codegen would otherwise fold ev.isNull to the literal
+  // `false` and reject the null-element assignment
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -37,7 +44,11 @@ case class DotProduct(left: Expression, right: Expression)
         s"dot_product: array length mismatch ($n vs ${y.numElements()})")
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -54,6 +65,7 @@ case class DotProduct(left: Expression, right: Expression)
          |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += $x.getDouble($i) * $y.getDouble($i);
          |}
          |${ev.value} = $s;

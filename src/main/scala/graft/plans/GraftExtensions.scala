@@ -18,18 +18,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(exprs(0), exprs(1))))
+      GraftExtensions.buildDotProduct))
   }
 }
 
 object GraftExtensions {
+  private[plans] def buildDotProduct(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): DotProduct = {
+    // a clear analysis-time arity error instead of IndexOutOfBounds from
+    // deep inside the analyzer
+    if (exprs.length != 2)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "`dot_product`", "expectedNum" -> "2",
+          "actualNum" -> exprs.length.toString, "docroot" -> ""))
+    DotProduct(exprs(0), exprs(1))
+  }
+
   /** Register on an already-running session (extensions only apply at
     * session construction; `getOrCreate` on a live session ignores them).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product",
-      exprs => DotProduct(exprs(0), exprs(1)),
-      "scala_udf")
+      "dot_product", buildDotProduct, "scala_udf")
 }

@@ -74,9 +74,15 @@ object Ingest {
     * reference's dynamic-speed listener is dead code, SURVEY §2.1 S4).
     */
   def rateReplay(spark: SparkSession, data: DataFrame, rowsPerSecond: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val indexed = data.withColumn("__idx",
-      row_number().over(Window.orderBy(monotonically_increasing_id())).cast("long") - 1)
+    // Index once and cache: the static side of a stream-static join is
+    // re-evaluated every micro-batch, and a global row_number window would
+    // funnel the whole dataset through one task per trigger. zipWithIndex
+    // is one pass, partition-parallel, and deterministic in partition order.
+    val indexed = spark.createDataFrame(
+      data.rdd.zipWithIndex.map { case (row, idx) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)
+      },
+      data.schema.add("__idx", LongType)).cache()
     // rename the rate source's own (timestamp, value) columns immediately:
     // joining on a bare col("value") is ambiguous the moment the replayed
     // dataset carries a value column of its own (CSV ingest records do)

@@ -25,13 +25,7 @@ object Layout {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val loc = new java.io.File(
         spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(); ()
-        }
-        rm(loc)
-      }
+      if (loc.exists()) graft.LocalFs.rmrf(loc)
     }
     graft.Tables.lineitem(spark, dir)
       .write.mode(SaveMode.Overwrite)

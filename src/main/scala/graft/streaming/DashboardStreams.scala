@@ -117,10 +117,7 @@ object DashboardStreams {
           spark.sparkContext.parallelize(retained.toSeq, 1), unioned.schema)
         val tmp = outPath + ".tmp"
         out.write.mode("overwrite").parquet(tmp)
-        def rmrf(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rmrf)
-          f.delete(); ()
-        }
+        import graft.LocalFs.rmrf
         // swap via rename-aside so no instant has zero copies on disk:
         // dir -> dir.old, tmp -> dir, then drop dir.old. All three paths are
         // siblings (same filesystem), so renameTo is atomic; we still throw

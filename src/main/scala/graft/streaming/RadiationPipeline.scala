@@ -86,7 +86,13 @@ object RadiationPipeline {
     * valid record (py:151-160) and invalid record (py:169-176).
     */
   def validate(parsed: DataFrame, t: Thresholds = Thresholds()): DataFrame = {
-    val cpm = round(col("value")).cast("int")
+    // try_cast: ANSI mode would otherwise throw CAST_OVERFLOW on a value
+    // like 3e9 and kill the whole streaming query — exactly the malformed
+    // input this validator exists to route to dirty. Engine delta vs the
+    // reference (documented): Python's int(round(v)) is arbitrary-precision,
+    // so a > 2^31 CPM is "valid" there; here it is invalid "Value out of
+    // range" (no physical reading approaches either bound).
+    val cpm = expr("try_cast(round(value) AS INT)")
     // same check ORDER as the batch twin (Readings.validated) and the
     // reference (py:121-129 value rules before py:126-131 ranges), so both
     // tiers emit identical error labels on multi-violation records
@@ -94,6 +100,7 @@ object RadiationPipeline {
       when(col("captured_time").isNull || col("latitude").isNull ||
            col("longitude").isNull || col("value").isNull || col("unit").isNull,
         "Missing or invalid fields")
+      .when(cpm.isNull, "Value out of range")
       .when(cpm <= 0, "Non-positive value")
       .when(!col("latitude").between(-90.0, 90.0), "Latitude out of range")
       .when(!col("longitude").between(-180.0, 180.0), "Longitude out of range")
@@ -126,8 +133,11 @@ object RadiationPipeline {
     * Ordering note: the reference dedups BEFORE validation; validation here
     * is a stateless row-preserving projection and the key is built from the
     * same raw fields on both sides, so validate→dedup ≡ dedup→validate.
-    * Bounded mode deltas: rows without a parseable event time (headed to
-    * dirty anyway) bypass dedup — watermark state needs an event time.
+    * Bounded mode delta: rows without a parseable event time (invalid
+    * records AND valid records whose timestamp fails [[normalizeTimestamp]])
+    * cannot use watermark-bounded state, so they dedup through unbounded
+    * `dropDuplicates` — reference-faithful (its ValueState never expires),
+    * with state limited to the malformed-timestamp slice of the stream.
     */
   def dedup(validated: DataFrame, watermark: String = "5 seconds",
             bounded: Boolean = true): DataFrame =
@@ -135,7 +145,9 @@ object RadiationPipeline {
       val withEt = validated.filter(col("event_time").isNotNull)
         .withWatermark("event_time", watermark)
         .dropDuplicatesWithinWatermark(Seq("dedup_key"))
-      withEt.unionByName(validated.filter(col("event_time").isNull))
+      withEt.unionByName(
+        validated.filter(col("event_time").isNull)
+          .dropDuplicates(Seq("dedup_key")))
     } else
       validated.dropDuplicates(Seq("dedup_key"))
 
@@ -183,12 +195,18 @@ object RadiationPipeline {
     * W5, flink_process.py:318-320 — and valid records without a parseable
     * event time, which the reference excludes from windowing via the None
     * timestamp, W2) unions back un-annotated on the superset schema (W6).
+    *
+    * The bypass is deduplicated too: the reference's keyed dedup runs on
+    * EVERY record before validation, so duplicate malformed records reach
+    * dirty-data once, not twice. No event time on this branch ⇒ unbounded
+    * `dropDuplicates` (see the [[dedup]] bounded-mode note).
     */
   def withCohort(validated: DataFrame, watermark: String = "5 seconds",
                  bounded: Boolean = true): DataFrame = {
     val annotated = windowedPath(validated, watermark, bounded)
     val bypass = validated
       .filter(col("status") === "invalid" || col("event_time").isNull)
+      .dropDuplicates(Seq("dedup_key"))
       .withColumn("temporal_batch_size", lit(null).cast("long"))
       .withColumn("timestamp_key", lit(null: String))
       .withColumn("temporal_ordering", lit(null: String))
@@ -206,6 +224,15 @@ object RadiationPipeline {
     * route → one foreachBatch epoch writing the three outputs as parquet
     * (the offline stand-in for the reference's three Kafka topics —
     * SURVEY §2.1 S6).
+    *
+    * Bounded-termination delta vs Flink: at end of bounded input Flink
+    * advances the watermark to +∞ and flushes every open window; Spark's
+    * AvailableNow leaves the watermark at max(event_time) − 5 s, so cohort
+    * panes inside the final ~6 s of event time stay in state and are NOT
+    * emitted to normal/critical (they appear on the next run over a
+    * continuing stream). For a one-shot replay, append a sentinel record
+    * later than `last event + watermark + window` if full flush is needed —
+    * the tests do exactly this.
     */
   def run(raw: DataFrame, outDir: String, checkpointDir: String,
           t: Thresholds = Thresholds(), bounded: Boolean = true): StreamingQuery = {

@@ -35,4 +35,20 @@ class DotProductSpec extends SparkSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("null ELEMENT yields null, matching the zip_with/aggregate form") {
+    val df = Seq(
+      (Seq[Option[Double]](Some(1.0), None), Seq[Option[Double]](Some(2.0), Some(3.0))),
+      (Seq[Option[Double]](Some(1.0), Some(2.0)), Seq[Option[Double]](Some(2.0), Some(3.0)))
+    ).toDF("a", "b")
+    val out = df.select(
+        ArrayExprs.dotNative(col("a"), col("b")).as("native"),
+        VectorOps.dotBuiltin(col("a"), col("b")).as("builtin"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getDouble(0)),
+                 if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    // row 1: null element → both null (NOT 2.0 from reading the unset slot);
+    // row 2: clean → both 8.0
+    assert(out.toSeq == Seq((None, None), (Some(8.0), Some(8.0))))
+  }
 }

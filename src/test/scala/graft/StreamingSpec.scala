@@ -85,6 +85,28 @@ class StreamingSpec extends SparkSuite {
     assert(n == 2, "the 2h-late exact duplicate must still be dropped (never-expiring state)")
   }
 
+  test("duplicate malformed records reach dirty once (bypass path dedups)") {
+    // the reference's keyed dedup runs before validation, so dup invalid
+    // records collapse too
+    val in = MemoryStream[String]
+    val out = RadiationPipeline.withCohort(
+      RadiationPipeline.validate(RadiationPipeline.parse(in.toDF())))
+    val q = out.writeStream.format("memory").queryName("dirty_dedup_t")
+      .outputMode("append").start()
+    in.addData(
+      rec("2011-03-15 10:00:00", v = -5),  // invalid: non-positive
+      rec("2011-03-15 10:00:00", v = -5),  // exact duplicate
+      rec("garbage-ts"))                   // valid fields, unparseable ts
+    in.addData(rec("garbage-ts"))          // cross-batch duplicate
+    q.processAllAvailable()
+    val rows = spark.table("dirty_dedup_t")
+      .select("status", "dedup_key").collect()
+    q.stop()
+    assert(rows.count(_.getString(0) == "invalid") == 1)
+    // unparseable-ts duplicates collapse too (valid, bypassed the window)
+    assert(rows.count(_.getString(0) == "valid") == 1)
+  }
+
   test("cohort window annotates same-second batch size; late rows dropped") {
     val in = MemoryStream[String]
     val out = RadiationPipeline.cohortAnnotate(

@@ -60,6 +60,14 @@ class ValidationSpec extends SparkSuite {
     assert(field(rec(v = 0.5), "status") == "valid") // rounds to 1
   }
 
+  test("value beyond int range → invalid 'Value out of range', not a crash") {
+    // ANSI mode would throw CAST_OVERFLOW on a plain cast and kill the
+    // stream; the validator must route this to dirty instead
+    assert(field(rec(v = 3e9), "status") == "invalid")
+    assert(field(rec(v = 3e9), "error") == "Value out of range")
+    assert(field(rec(v = 1e300), "status") == "invalid")
+  }
+
   test("wrong unit / case-insensitive unit") {
     assert(field(rec(unit = "usv"), "error") == "Invalid unit")
     assert(field(rec(unit = "CPM"), "status") == "valid")
