@@ -34,4 +34,19 @@ object Tables {
     spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Register every table as a temp view (plus the engine's SQL functions)
+    * so the full surface is reachable through `spark.sql(...)` — the
+    * engine's SQL front door: `registerAll(spark, dir);
+    * spark.sql("SELECT dot_product(a.embedding, b.embedding) ...")`.
+    * `events` registers through the nanos-safe schema above — never
+    * register it via a raw parquet read.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+        "region", "documents", "embeddings")
+      .foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    events(spark, dir).createOrReplaceTempView("events")
+    graft.plans.GraftExtensions.register(spark)
+  }
 }

@@ -164,6 +164,18 @@ class OperatorsSpec extends SparkSuite {
     assert(total == Tables.part(spark, sf()).count())
   }
 
+  test("registerAll exposes every table and dot_product through spark.sql") {
+    Tables.registerAll(spark, sf())
+    val n = spark.sql("SELECT count(*) AS n FROM lineitem").head().getLong(0)
+    assert(n > 0)
+    val d = spark.sql(
+      """SELECT dot_product(a.embedding::ARRAY<DOUBLE>, b.embedding::ARRAY<DOUBLE>) AS d
+        |FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id = 1""".stripMargin)
+      .head().getDouble(0)
+    assert(!d.isNaN)
+    assert(spark.sql("SELECT count(*) FROM events").head().getLong(0) > 0)
+  }
+
   test("geo grid cells cover derived coordinate domain") {
     val g = DashboardAggs.geoGrid(
       SparkEntry.queries("e_validate")(spark, sf()).filter(col("status") === "valid"))
