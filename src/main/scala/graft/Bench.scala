@@ -24,6 +24,10 @@ object Bench {
     // A failed query reports -1 (never a near-zero elapsed that would read
     // as a speedup) and the process exits nonzero after the JSON line.
     def execute(name: String): Double = {
+      // drain garbage from the previous query before timing: back-to-back
+      // queries otherwise hand each other a nearly-full heap and a random
+      // victim pays a multi-second full-GC inside its measured window
+      System.gc()
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
