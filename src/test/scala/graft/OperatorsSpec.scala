@@ -164,6 +164,20 @@ class OperatorsSpec extends SparkSuite {
     assert(total == Tables.part(spark, sf()).count())
   }
 
+  test("resize plan: binding dimension lands exactly on the box, aspect preserved") {
+    val plan = Multimodal.resizePlan(spark, sf(), box = 224).collect()
+    assert(plan.nonEmpty)
+    plan.foreach { r =>
+      val (w, h) = (r.getAs[Int]("declared_w"), r.getAs[Int]("declared_h"))
+      val (ow, oh) = (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
+      // fit-to-box: the larger input dimension maps exactly to the box
+      assert(math.max(ow, oh) == 224, s"($w,$h) -> ($ow,$oh)")
+      // aspect preserved within rounding: out ratios within 1 pixel
+      val expectMinor = math.round(math.min(w, h) * 224.0 / math.max(w, h))
+      assert(math.abs(math.min(ow, oh) - expectMinor) <= 1, s"($w,$h) -> ($ow,$oh)")
+    }
+  }
+
   test("registerAll exposes every table and dot_product through spark.sql") {
     Tables.registerAll(spark, sf())
     val n = spark.sql("SELECT count(*) AS n FROM lineitem").head().getLong(0)
