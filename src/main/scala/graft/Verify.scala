@@ -17,6 +17,10 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // drop any dump from a previous run FIRST: a query that now fails
+      // must leave no directory, so the oracle check's missing-dump path
+      // fires instead of green-lighting stale results
+      LocalFs.rmrf(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -151,8 +151,9 @@ object TextOps {
     val predExpr = LangMarkers.reverse.foldLeft("'unknown'") { case (acc, (l, _)) =>
       s"CASE WHEN score_$l = best AND best > 0 THEN '$l' ELSE $acc END"
     }
+    val outCols = LangMarkers.map { case (l, _) => s"score_$l" }.mkString(", ")
     s"""SELECT doc_id, lang, $predExpr AS pred_lang,
-       |  score_en, score_es, score_de, score_fr, score_zh
+       |  $outCols
        |FROM (
        |  SELECT *, $bestExpr AS best FROM (
        |    SELECT doc_id, lang,

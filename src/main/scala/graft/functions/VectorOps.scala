@@ -37,17 +37,25 @@ object VectorOps {
   def dotBuiltin(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** embeddings with the float vector cast to double + precomputed norm. */
+  /** embeddings with the float vector cast to double + precomputed norm.
+    * Zero-norm vectors are excluded at the source: cosine direction is
+    * undefined for them, and the engines disagree on double /0 (Spark IEEE
+    * Infinity/NaN vs DuckDB NULL), so a zero vector downstream would both
+    * emit garbage ranks and break the differential oracle.
+    */
   def prepared(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).select(
       col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
 
   val preparedSql: String =
-    """SELECT vec_id, label, embedding::DOUBLE[] AS v,
-      |       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-      |FROM embeddings""".stripMargin
+    """SELECT * FROM (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings)
+      |WHERE nrm > 0""".stripMargin
 
   /** Per-vector norms — the smallest verifiable unit of the vector path. */
   def norms(spark: SparkSession, dir: String): DataFrame =
@@ -182,7 +190,11 @@ object VectorOps {
     */
   def annIvf(spark: SparkSession, dir: String, nQueries: Int = 20, kNn: Int = 5,
              kCentroids: Int = 16): DataFrame = {
+    // materialize the assignment once: it feeds both the broadcast query
+    // side and the probe side, and canonical-plan reuse doesn't cover that
+    // split (same rationale as TextOps.bandedSignatures)
     val assigned = ivfAssign(spark, dir, kCentroids).select("vec_id", "centroid_id")
+      .localCheckpoint(true)
     val e = prepared(spark, dir).join(assigned, "vec_id")
     val q = broadcast(e.filter(col("vec_id") < nQueries)
       .select(col("centroid_id").as("q_cent"), col("vec_id").as("q_id"),
@@ -233,6 +245,7 @@ object VectorOps {
     */
   def kmeansStep(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
     val assigned = ivfAssign(spark, dir, k).select("vec_id", "centroid_id")
+      .localCheckpoint(true)
     prepared(spark, dir).join(assigned, "vec_id")
       .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("centroid_id"), (col("pos") + 1).as("dim"))

@@ -57,7 +57,9 @@ object Multimodal {
       MediaFeatures(
         media_id = r.media_id, kind = r.kind, byte_len = bytes.length,
         width = r.declared_w, height = r.declared_h,
-        n_frames = if (r.kind == "video") (bytes.length - 1) / 1000 + 1 else 1,
+        // ceil(len/1000) via positive-operand integer math: 0 frames for an
+        // empty payload ((len-1)/1000+1 would claim 1 phantom frame)
+        n_frames = if (r.kind == "video") (bytes.length + 999) / 1000 else 1,
         checksum = checksum)
     }
   }
@@ -86,7 +88,12 @@ object Multimodal {
       octet_length(col("payload")).as("byte_len"),
       md5(col("payload")).as("content_md5"),
       col("declared_w"), col("declared_h"),
-      when(col("kind") === "video", (octet_length(col("payload")) - 1) / 1000 + 1)
+      // ceil(len/1000) with positive operands (truncation == floor, so the
+      // two engines agree); an empty video payload has 0 frames, where the
+      // (len-1)/1000+1 form diverges: Spark truncates -1/1000 to 0 (→ 1)
+      // while DuckDB floors to -1 (→ 0)
+      when(col("kind") === "video",
+        expr("(octet_length(payload) + 999) DIV 1000"))
         .otherwise(1).cast("int").as("n_frames"))
 
   /** Frame-sampling plan for video payloads: one row per sampled frame with
@@ -98,11 +105,15 @@ object Multimodal {
     mediaTable(spark, dir)
       .filter(col("kind") === "video")
       .withColumn("byte_len", octet_length(col("payload")))
+      // empty payloads sample no frames — they MUST be filtered before the
+      // sequence (sequence(0, -1) generates a DESCENDING range in Spark)
+      .filter(col("byte_len") > 0)
       // last frame starts strictly inside the payload: ceil(len/size)-1
       // ((len)/size would emit a zero-byte frame at offset==len when len is
       // an exact multiple of the frame size)
       .withColumn("frame_idx",
-        explode(sequence(lit(0), ((col("byte_len") - 1) / frameBytes).cast("int"))))
+        explode(sequence(lit(0),
+          ((col("byte_len") + (frameBytes - 1)) / frameBytes).cast("int") - 1)))
       .select(
         col("media_id"),
         // long to match DuckDB's BIGINT range() elements
@@ -151,8 +162,9 @@ object Multimodal {
        |FROM (
        |  SELECT doc_id AS media_id,
        |    CAST(octet_length(encode(text)) AS INT) AS byte_len
-       |  FROM documents WHERE doc_id % 3 = 2),
-       |  unnest(range(0, (byte_len - 1) // $frameBytes + 1)) AS t(frame_idx)
+       |  FROM documents
+       |  WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0),
+       |  unnest(range(0, (byte_len + ${frameBytes - 1}) // $frameBytes)) AS t(frame_idx)
        |ORDER BY media_id, frame_idx""".stripMargin
 
   val mediaMetaSql: String =
@@ -163,7 +175,7 @@ object Multimodal {
       |  md5(text) AS content_md5,
       |  CAST(doc_id % 640 + 1 AS INT) AS declared_w,
       |  CAST(doc_id % 480 + 1 AS INT) AS declared_h,
-      |  CAST(CASE WHEN doc_id % 3 = 2 THEN (octet_length(encode(text)) - 1) // 1000 + 1
+      |  CAST(CASE WHEN doc_id % 3 = 2 THEN (octet_length(encode(text)) + 999) // 1000
       |       ELSE 1 END AS INT) AS n_frames
       |FROM documents ORDER BY media_id""".stripMargin
 }

@@ -66,8 +66,8 @@ class OperatorsSpec extends SparkSuite {
     val feats = Multimodal.extractFeatures(spark, sf()).collect()
     assert(feats.nonEmpty)
     val byId = feats.map(f => f.media_id -> f).toMap
-    // video kind gets frame sampling; others single-frame
-    assert(feats.filter(_.kind == "video").forall(f => f.n_frames == (f.byte_len - 1) / 1000 + 1))
+    // video kind gets frame sampling (ceil(len/1000), 0 for empty); others single-frame
+    assert(feats.filter(_.kind == "video").forall(f => f.n_frames == (f.byte_len + 999) / 1000))
     assert(feats.filter(_.kind != "video").forall(_.n_frames == 1))
     // checksum is the polynomial byte hash — recompute one exactly
     val doc0 = spark.read.parquet(s"${sf()}/documents.parquet")
