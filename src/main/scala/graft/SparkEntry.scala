@@ -38,6 +38,7 @@ object SparkEntry {
     "q3_top_orders" -> ((s, dir) => Relational.topRevenueOrders(s, dir)),
     "q5_region_revenue" -> ((s, dir) => Relational.regionRevenue(s, dir)),
     "q_semi_customers" -> ((s, dir) => Relational.customersWithOrders(s, dir)),
+    "q4_late_priority" -> ((s, dir) => Relational.latePriorityCount(s, dir)),
     "q_anti_customers" -> ((s, dir) => Relational.customersWithoutOrders(s, dir)),
     "q_topk_brand" -> ((s, dir) => Relational.topPartsPerBrand(s, dir)),
     "q_distinct_parts" -> ((s, dir) => Relational.distinctParts(s, dir)),
@@ -222,6 +223,7 @@ object SparkEntry {
           |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
           |GROUP BY c_mktsegment
           |ORDER BY c_mktsegment""".stripMargin,
+      "q4_late_priority" -> Relational.latePriorityCountSql,
       "q_anti_customers" ->
         """SELECT c_nationkey, count(*) AS n_customers
           |FROM customer

@@ -86,6 +86,39 @@ object Relational {
       .agg(count(lit(1)).as("n_customers"))
       .orderBy(col("c_mktsegment"))
 
+  /** TPC-H Q4-shaped: orders with at least one lineitem shipped > 60 days
+    * after the order date ("late"), counted per priority — a fact⋈fact
+    * LEFT SEMI join with a correlated non-equi predicate (both sides large
+    * at scale, so this shuffles on the join key where
+    * [[customersWithOrders]]'s dim-side semi broadcasts; the semi form
+    * still prunes lineitem to two columns and stops probing a key after
+    * the first match).
+    */
+  def latePriorityCount(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+      .join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val latePriorityCountSql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Anti join (NOT EXISTS): customers with no orders, per nation. */
   def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
