@@ -239,6 +239,8 @@ object SparkEntry {
           |  FROM part)
           |WHERE rank_in_brand <= 3
           |ORDER BY p_brand, rank_in_brand""".stripMargin,
+      "q_approx_distinct" -> Relational.approxDistinctPartsSql,
+      "q_approx_percentiles" -> Relational.approxQuantityPercentilesSql,
       "q_distinct_parts" ->
         """SELECT l_returnflag,
           |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,

@@ -155,13 +155,36 @@ object Relational {
       .orderBy(col("l_returnflag"))
 
   /** Approximate distinct (HLL sketch) — the scale path for 100 TB distinct
-    * counts. Rows-only check: sketch estimates differ across engines.
+    * counts. Sketch estimates aren't bit-comparable across engines, so the
+    * check is self-asserting: emit the exact count plus a boolean that the
+    * HLL estimate (rsd 1%) lands within 5% relative error; the DuckDB
+    * oracle recomputes the exact count and asserts the literal TRUE. A
+    * broken sketch (or a silently-exact fallback masking one) flips the
+    * boolean and fails the hash compare.
     */
   def approxDistinctParts(spark: SparkSession, dir: String): DataFrame =
+    // manual two-phase distinct instead of agg(countDistinct, approx_…):
+    // mixing distinct and non-distinct aggregates plans through Expand
+    // (doubles the scan rows into both shuffles); pre-distincting on
+    // (flag, partkey) keeps one map-side-combined shuffle, and HLL inserts
+    // are duplicate-idempotent so the estimate is distributionally the same
     Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_partkey")).agg(Map.empty[String, String])
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .agg(
+        count(lit(1)).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .select(
+        col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) / col("exact_parts") <= 0.05)
+          .as("approx_ok"))
       .orderBy(col("l_returnflag"))
+
+  def approxDistinctPartsSql: String =
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |  true AS approx_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Hierarchical aggregate: ROLLUP region→nation revenue (grouping-set
     * capability; NULL super-aggregate rows, NULLS FIRST ordering pinned on
@@ -399,19 +422,32 @@ object Relational {
   /** Approximate percentiles via the positional-error sketch
     * (`approx_percentile`, accuracy 1e4) — mergeable partial sketches, one
     * pass, bounded memory: the distinct-percentile path that survives
-    * 100 TB. Registered rows-only (sketch internals differ across engines).
-    * The array result is unpacked into scalar columns so the dump stays a
-    * flat row-sortable table (the driver's comparator can't order arrays).
+    * 100 TB. Sketch internals differ across engines, so the check is
+    * self-asserting (same scheme as [[approxDistinctParts]]): each group
+    * emits its row count plus a boolean per quantile that the sketch value
+    * is within 5% relative error of Spark's exact `percentile`; the oracle
+    * re-derives the group/count grid and asserts the literal TRUEs.
+    * `l_extendedprice` > 0, so the relative-error division is safe.
     */
-  def approxQuantityPercentiles(spark: SparkSession, dir: String): DataFrame =
+  def approxQuantityPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    def ok(i: Int) =
+      (abs(element_at(col("apcts"), i) - element_at(col("epcts"), i)) /
+        element_at(col("epcts"), i) <= 0.05)
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
-        .as("pcts"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
+          .as("apcts"),
+        expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("epcts"),
+        count(lit(1)).as("n_rows"))
       .select(
-        col("l_returnflag"),
-        element_at(col("pcts"), 1).as("approx_p25"),
-        element_at(col("pcts"), 2).as("approx_p50"),
-        element_at(col("pcts"), 3).as("approx_p75"))
+        col("l_returnflag"), col("n_rows"),
+        ok(1).as("p25_ok"), ok(2).as("p50_ok"), ok(3).as("p75_ok"))
       .orderBy(col("l_returnflag"))
+  }
+
+  def approxQuantityPercentilesSql: String =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  true AS p25_ok, true AS p50_ok, true AS p75_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 }
