@@ -5,20 +5,27 @@ package graft.streaming
   * flink_process.py:230-236, three sinks py:354-390); the offline sandbox
   * runs files-to-parquet. Selecting a transport swaps ONLY the endpoints:
   * the parse → validate → dedup → cohort → route plan between them is
-  * identical, so correctness established on [[Dir]] carries to [[Kafka]].
+  * identical, so correctness established on [[Transport.Dir]] carries to
+  * [[Transport.Kafka]]. [[RadiationPipeline.source]] and
+  * [[RadiationPipeline.run]] consume these.
   */
 sealed trait Transport
 
 object Transport {
 
-  /** Kafka endpoints (reference parity). Delivery semantics: the kafka
-    * batch writer inside `foreachBatch` is at-least-once — a retried epoch
-    * re-sends its records and Spark opens no cross-sink transaction. That
-    * matches the reference, whose three `FlinkKafkaProducer` sinks run
-    * AT_LEAST_ONCE (flink_process.py:354-390 sets no transactional
-    * semantic), and is weaker than the [[Dir]] sink's epoch-overwrite
-    * idempotence; downstream consumers collapse replays on `key`
-    * (the dedup key).
+  /** Kafka endpoints (reference parity: same topic names, and
+    * `startingOffsets=latest` matching the reference source's
+    * `KafkaOffsetsInitializer.latest()`, flink_process.py:233).
+    *
+    * Delivery-semantics delta, stated precisely: the reference's three
+    * `KafkaSink` builders set `set_transactional_id_prefix` WITHOUT
+    * `set_delivery_guarantee` (flink_process.py:354-390), so they run on
+    * Flink's default `DeliveryGuarantee.NONE` — records can be lost on
+    * failover. The Spark writer here is the kafka batch sink inside
+    * `foreachBatch`: a retried epoch re-sends its records, i.e.
+    * at-least-once — STRONGER than the reference, weaker than the
+    * [[Dir]] sink's epoch-overwrite idempotence. Downstream consumers
+    * collapse replays on the record key (the dedup key).
     */
   final case class Kafka(
       bootstrapServers: String,
@@ -26,11 +33,30 @@ object Transport {
       normalTopic: String = "normal-data",
       criticalTopic: String = "critical-data",
       dirtyTopic: String = "dirty-data",
-      startingOffsets: String = "earliest") extends Transport
+      startingOffsets: String = "latest") extends Transport
 
   /** Offline stand-in (SURVEY §2.1 S3/S6 mapping): a directory of
     * JSON-lines files as the source topic; three epoch-partitioned parquet
     * dirs as the sink topics (idempotent under epoch retry).
     */
   final case class Dir(inPath: String, outPath: String) extends Transport
+
+  /** `readStream.format("kafka")` options for a [[Kafka]] source — pure so
+    * the wiring is unit-testable without a broker or the connector jar.
+    */
+  def kafkaSourceOptions(k: Kafka): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> k.bootstrapServers,
+    "subscribe" -> k.subscribe,
+    "startingOffsets" -> k.startingOffsets)
+
+  /** `write.format("kafka")` options for a [[Kafka]] sink topic. */
+  def kafkaSinkOptions(k: Kafka, topic: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> k.bootstrapServers,
+    "topic" -> topic)
+
+  /** (normal, critical, dirty) sink topic names for a transport. */
+  def topicNames(t: Transport): (String, String, String) = t match {
+    case k: Kafka => (k.normalTopic, k.criticalTopic, k.dirtyTopic)
+    case _: Dir => ("normal-data", "critical-data", "dirty-data")
+  }
 }
