@@ -220,6 +220,71 @@ object RadiationPipeline {
     critical = stream.filter(col("status") === "valid" && col("critical")),
     dirty = stream.filter(coalesce(col("status") === "invalid", lit(true))))
 
+  /** S5: streaming source of JSON strings for a [[Transport]].
+    *
+    *  - [[Transport.Kafka]] → `readStream.format("kafka")` with
+    *    [[Transport.kafkaSourceOptions]], the record value bytes cast to
+    *    string (the reference deserializes with `SimpleStringSchema`,
+    *    flink_process.py:235). Requires the kafka connector on the
+    *    classpath — plan construction needs no broker.
+    *  - [[Transport.Dir]] → a directory of JSON-lines text files, the
+    *    offline stand-in (SURVEY §2.1 S5).
+    *
+    * Both yield the single `value: STRING` column [[parse]] expects, so the
+    * plan between source and sinks is transport-independent.
+    */
+  def source(spark: SparkSession, t: Transport): DataFrame = t match {
+    case k: Transport.Kafka =>
+      spark.readStream.format("kafka")
+        .options(Transport.kafkaSourceOptions(k))
+        .load()
+        .select(col("value").cast("string").as("value"))
+    case d: Transport.Dir =>
+      spark.readStream.format("text").load(d.inPath).select(col("value"))
+  }
+
+  /** S6: write one routed epoch to the three sink "topics" of a transport.
+    *
+    *  - [[Transport.Kafka]]: each branch serialized as (key = dedup key,
+    *    value = JSON of the enriched record minus `raw`) and sent with the
+    *    kafka batch writer (reference sinks flink_process.py:354-390; the
+    *    at-least-once retry delta is documented on [[Transport.Kafka]]).
+    *  - [[Transport.Dir]]: epoch-partitioned parquet with overwrite, so a
+    *    retried epoch clobbers its own partial output — idempotent.
+    */
+  def writeEpoch(r: Routed, epochId: Long, t: Transport): Unit = {
+    val (normalT, criticalT, dirtyT) = Transport.topicNames(t)
+    t match {
+      case k: Transport.Kafka =>
+        def send(df: DataFrame, topic: String): Unit =
+          df.select(
+              col("dedup_key").cast("string").as("key"),
+              to_json(struct(df.columns.filterNot(_ == "raw").map(col): _*)).as("value"))
+            .write.format("kafka")
+            .options(Transport.kafkaSinkOptions(k, topic))
+            .save()
+        send(r.normal, normalT)
+        send(r.critical, criticalT)
+        send(r.dirty, dirtyT)
+      case d: Transport.Dir =>
+        r.normal.write.mode("overwrite").parquet(s"${d.outPath}/$normalT/epoch=$epochId")
+        r.critical.write.mode("overwrite").parquet(s"${d.outPath}/$criticalT/epoch=$epochId")
+        r.dirty.write.mode("overwrite").parquet(s"${d.outPath}/$dirtyT/epoch=$epochId")
+    }
+  }
+
+  /** End-to-end over a [[Transport]]: [[source]] → parse → validate → dedup →
+    * cohort → route → [[writeEpoch]] per micro-batch (kafka topics or
+    * epoch-partitioned parquet). The termination note on the DataFrame
+    * overload below applies here too.
+    */
+  def run(spark: SparkSession, t: Transport, checkpointDir: String,
+          thresholds: Thresholds, bounded: Boolean): StreamingQuery =
+    runRouted(source(spark, t), t, checkpointDir, thresholds, bounded)
+
+  def run(spark: SparkSession, t: Transport, checkpointDir: String): StreamingQuery =
+    run(spark, t, checkpointDir, Thresholds(), bounded = true)
+
   /** End-to-end: source of JSON strings → parse → validate → dedup → cohort →
     * route → one foreachBatch epoch writing the three outputs as parquet
     * (the offline stand-in for the reference's three Kafka topics —
@@ -235,21 +300,22 @@ object RadiationPipeline {
     * the tests do exactly this.
     */
   def run(raw: DataFrame, outDir: String, checkpointDir: String,
-          t: Thresholds = Thresholds(), bounded: Boolean = true): StreamingQuery = {
-    val finalStream = withCohort(validate(parse(raw), t), bounded = bounded)
+          t: Thresholds = Thresholds(), bounded: Boolean = true): StreamingQuery =
+    runRouted(raw, Transport.Dir(inPath = "", outPath = outDir), checkpointDir, t, bounded)
+
+  /** Shared tail of both `run` overloads: transforms + one foreachBatch
+    * epoch routed through [[writeEpoch]]. foreachBatch is at-least-once —
+    * a retried epoch re-runs the body; each transport's writer documents
+    * how it absorbs the retry.
+    */
+  private def runRouted(raw: DataFrame, t: Transport, checkpointDir: String,
+                        thresholds: Thresholds, bounded: Boolean): StreamingQuery = {
+    val finalStream = withCohort(validate(parse(raw), thresholds), bounded = bounded)
     finalStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        // foreachBatch is at-least-once: a retried epoch re-runs this body.
-        // Writing each epoch to its own partition dir with overwrite makes
-        // the retry idempotent (the replay clobbers its own partial output
-        // instead of appending duplicates). Readers `spark.read.parquet`
-        // the topic dir; partition discovery just adds an `epoch` column.
-        val r = route(batch.cache())
-        r.normal.write.mode("overwrite").parquet(s"$outDir/normal-data/epoch=$epochId")
-        r.critical.write.mode("overwrite").parquet(s"$outDir/critical-data/epoch=$epochId")
-        r.dirty.write.mode("overwrite").parquet(s"$outDir/dirty-data/epoch=$epochId")
+        writeEpoch(route(batch.cache()), epochId, t)
         batch.unpersist()
         ()
       }

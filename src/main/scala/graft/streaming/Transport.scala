@@ -15,7 +15,9 @@ object Transport {
 
   /** Kafka endpoints (reference parity: same topic names, and
     * `startingOffsets=latest` matching the reference source's
-    * `KafkaOffsetsInitializer.latest()`, flink_process.py:233).
+    * `KafkaOffsetsInitializer.latest()`, flink_process.py:233). A replay or
+    * backfill run must pass `startingOffsets = "earliest"` explicitly —
+    * the live-tail default silently skips pre-existing records.
     *
     * Delivery-semantics delta, stated precisely: the reference's three
     * `KafkaSink` builders set `set_transactional_id_prefix` WITHOUT

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.{RadiationPipeline, Transport}
+import graft.testkit.FakeKafka
+
+/** S5/S6 Kafka wiring (reference flink_process.py:230-236 source,
+  * py:354-390 sinks), broker-free: `graft.testkit.FakeKafka` registers the
+  * `"kafka"` short name in test scope, so the production
+  * `format("kafka")` calls in [[graft.streaming.RadiationPipeline]] resolve
+  * and both the analyzed plan and the full pipeline can be checked.
+  */
+class TransportSpec extends SparkSuite {
+
+  private val kafka = Transport.Kafka(bootstrapServers = "broker:9092")
+
+  private def rec(ct: String, v: Double = 42, lat: Double = 35.6,
+                  unit: String = "cpm"): String =
+    s"""{"captured_time": "$ct", "latitude": $lat, "longitude": 139.7, "value": $v, "unit": "$unit", "ingestion_timestamp": 1}"""
+
+  test("source(Kafka) plan: kafka streaming source with the transport's options") {
+    val df = RadiationPipeline.source(spark, kafka)
+    assert(df.isStreaming)
+    assert(df.schema.map(f => (f.name, f.dataType.typeName)) == Seq(("value", "string")))
+    val plan = df.queryExecution.analyzed.toString
+    assert(plan.contains("kafka"), s"kafka source missing from plan:\n$plan")
+    assert(plan.contains("broker:9092") && plan.contains("radiation-data") &&
+      plan.contains("startingOffsets"),
+      s"source options missing from plan:\n$plan")
+  }
+
+  test("source(Dir) plan: file source, same single value:string column") {
+    val dir = Files.createTempDirectory("graft-transport-src").toString
+    Files.writeString(java.nio.file.Path.of(dir, "a.jsonl"), rec("2011-03-15 10:00:00"))
+    val df = RadiationPipeline.source(spark, Transport.Dir(dir, outPath = ""))
+    assert(df.isStreaming)
+    assert(df.schema.fieldNames.toSeq == Seq("value"))
+  }
+
+  test("run(Kafka transport) end-to-end: reads the topic, routes to 3 sink topics") {
+    FakeKafka.reset()
+    FakeKafka.seed("radiation-data",
+      rec("2011-03-15 10:00:00", v = 42),            // valid, normal
+      rec("2011-03-15 10:00:00", v = 42),            // duplicate → dropped
+      rec("2011-03-15 10:00:01", v = 5000),          // valid, critical
+      rec("2011-03-15 10:00:02", v = 10, unit = "bq"), // invalid unit → dirty
+      // sentinel beyond watermark+window so the cohort panes flush
+      rec("2011-03-15 10:00:30", v = 7, lat = 10.0))
+    val ckpt = Files.createTempDirectory("graft-transport-ckpt").toString
+    val q = RadiationPipeline.run(spark, kafka, ckpt)
+    q.awaitTermination()
+
+    val byTopic = FakeKafka.sentByTopic
+    val normal = byTopic.getOrElse("normal-data", Nil)
+    val critical = byTopic.getOrElse("critical-data", Nil)
+    val dirty = byTopic.getOrElse("dirty-data", Nil)
+    assert(normal.size == 1, s"normal: $normal")
+    assert(critical.size == 1 && critical.head._2.contains("\"value\":5000"))
+    assert(dirty.size == 1 && dirty.head._2.contains("Invalid unit"))
+    // key = the composite dedup key; value = enriched JSON without `raw`
+    assert(normal.head._1 == "35.60000|139.70000|42.00|2011-03-15 10:00:00|cpm")
+    assert(normal.head._2.contains("\"temporal_batch_size\":1") &&
+      !normal.head._2.contains("\"raw\""))
+  }
+
+  test("run(Dir transport) end-to-end: file source to epoch-partitioned parquet") {
+    val in = Files.createTempDirectory("graft-dir-in").toString
+    val out = Files.createTempDirectory("graft-dir-out").toString
+    val ckpt = Files.createTempDirectory("graft-dir-ckpt").toString
+    Files.writeString(java.nio.file.Path.of(in, "a.jsonl"),
+      Seq(rec("2011-03-15 10:00:00"), rec("2011-03-15 10:00:30", lat = 10.0))
+        .mkString("\n"))
+    val q = RadiationPipeline.run(spark, Transport.Dir(in, out), ckpt)
+    q.awaitTermination()
+    val normal = spark.read.parquet(s"$out/normal-data")
+    assert(normal.count() == 1)
+    assert(normal.select("value").head.getInt(0) == 42)
+  }
+}
