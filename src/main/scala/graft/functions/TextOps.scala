@@ -210,52 +210,81 @@ object TextOps {
   // ---- n-gram (word-set) jaccard near-dup ----
 
   /** Exact word-set Jaccard over blocked candidate pairs (same language +
-    * length bucket). The blocking key bounds the pair fan-out at scale; the
-    * intersection count comes from an explode + equi-join on (block, word) —
-    * a pure hash-shuffle plan, no cross product.
+    * length bucket), with a document-frequency cap on candidate GENERATION
+    * (prefix-filtering style):
+    *
+    *  1. candidates come from an equi-join on (block, word) restricted to
+    *     words whose per-block df ≤ `dfCap` — a ubiquitous token can no
+    *     longer fan a block out to d² join rows, so the worst-case join
+    *     size is `dfCap² × distinct-capped-words` per block instead of
+    *     quadratic in block population;
+    *  2. each candidate pair is then verified EXACTLY over the full word
+    *     sets (`array_intersect`), so reported n_shared/n_union/jaccard are
+    *     the uncapped values.
+    *
+    * Contract delta vs the uncapped formulation: a true pair is missed only
+    * when EVERY shared word is hotter than `dfCap` in the block — at the
+    * ≥0.9 near-dup threshold such pairs share nearly all their vocabulary,
+    * so any rare word in either doc generates the candidate. The oracle SQL
+    * mirrors the cap, so both tiers compute the same relation.
     */
-  def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+  def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.9,
+                   dfCap: Int = 100): DataFrame = {
     // materialized once: normText + split + array_distinct feed three
-    // consumers (both self-join sides + the size lookup) and dominate the
-    // per-doc cost
+    // consumers (candidate explode + both exact-verify sides) and dominate
+    // the per-doc cost
     val d = prepared(spark, dir).select(
       col("doc_id"), col("lang"), expr("n_chars DIV 100").as("bkt"),
       array_distinct(col("words")).as("ws"))
       .localCheckpoint(true)
-    val sizes = d.select(col("doc_id"), size(col("ws")).as("nw"))
     val ex = d.select(col("doc_id"), col("lang"), col("bkt"), explode(col("ws")).as("w"))
-    val shared = ex.as("a").join(ex.as("b"),
+    // the hot-word list is tiny (only tokens in > dfCap docs of one block),
+    // so df filtering is a map-side-combined groupBy + broadcast anti-join —
+    // no window sort over the full exploded relation
+    val hot = ex.groupBy("lang", "bkt", "w").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).drop("df")
+    val rare = ex.join(broadcast(hot), Seq("lang", "bkt", "w"), "left_anti")
+    val cands = rare.as("a").join(rare.as("b"),
         col("a.lang") === col("b.lang") && col("a.bkt") === col("b.bkt") &&
         col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    shared
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nw", "nw_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nw", "nw_b"), "doc_b")
-      .withColumn("n_union", col("nw_a") + col("nw_b") - col("n_shared"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(d.select(col("doc_id").as("doc_a"), col("ws").as("ws_a")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("ws").as("ws_b")), "doc_b")
+      .withColumn("n_shared", size(array_intersect(col("ws_a"), col("ws_b"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("ws_a")) + size(col("ws_b"))).cast("long") - col("n_shared"))
       .withColumn("jaccard", round(col("n_shared") / col("n_union").cast("double"), 4))
       .filter(col("n_shared") / col("n_union").cast("double") >= threshold)
       .select("doc_a", "doc_b", "n_shared", "n_union", "jaccard")
   }
 
-  def jaccardPairsSql(threshold: Double = 0.9): String =
+  def jaccardPairsSql(threshold: Double = 0.9, dfCap: Int = 100): String =
     s"""WITH d AS (
        |  SELECT doc_id, lang, n_chars // 100 AS bkt, list_distinct(words) AS ws
        |  FROM ($preparedSql)),
-       |sizes AS (SELECT doc_id, CAST(len(ws) AS INT) AS nw FROM d),
        |ex AS (SELECT doc_id, lang, bkt, unnest(ws) AS w FROM d),
-       |shared AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-       |  FROM ex a JOIN ex b
-       |    ON a.lang = b.lang AND a.bkt = b.bkt AND a.w = b.w AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT doc_a, doc_b, n_shared,
-       |  sa.nw + sb.nw - n_shared AS n_union,
-       |  round(n_shared / CAST(sa.nw + sb.nw - n_shared AS DOUBLE), 4) AS jaccard
-       |FROM shared
-       |JOIN sizes sa ON sa.doc_id = doc_a
-       |JOIN sizes sb ON sb.doc_id = doc_b
-       |WHERE n_shared / CAST(sa.nw + sb.nw - n_shared AS DOUBLE) >= $threshold
+       |rare AS (
+       |  SELECT doc_id, lang, bkt, w FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY lang, bkt, w) AS df FROM ex)
+       |  WHERE df <= $dfCap),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rare a JOIN rare b
+       |    ON a.lang = b.lang AND a.bkt = b.bkt AND a.w = b.w AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(da.ws, db.ws)) AS BIGINT) AS n_shared,
+       |    CAST(len(da.ws) + len(db.ws) AS BIGINT)
+       |      - CAST(len(list_intersect(da.ws, db.ws)) AS BIGINT) AS n_union
+       |  FROM cands
+       |  JOIN d da ON da.doc_id = doc_a
+       |  JOIN d db ON db.doc_id = doc_b)
+       |SELECT doc_a, doc_b, n_shared, n_union,
+       |  round(n_shared / CAST(n_union AS DOUBLE), 4) AS jaccard
+       |FROM pairs
+       |WHERE n_shared / CAST(n_union AS DOUBLE) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Per-language document-length distribution: exact percentiles (both
