@@ -98,6 +98,10 @@ object SparkEntry {
         .withColumn("data_priority",
           when(col("critical"), "critical").otherwise("normal"))
         .select("event_id", "cpm", "data_priority").orderBy(col("event_id"))),
+    "e_priority_topic" -> ((s, dir) =>
+      // S8+P13 mechanism parity: tag derived from the TOPIC DIR each record
+      // is read back from (backend/main.py:92-97), not from the predicate
+      Readings.priorityFromTopics(s, dir, T).orderBy(col("event_id"))),
     "e_sessions" -> ((s, dir) =>
       Sessions.sessionize(valid(s, dir))
         .orderBy(col("user_id"), col("session_id"))),
@@ -412,6 +416,13 @@ object SparkEntry {
            |ORDER BY user_id, sec, event_id""".stripMargin,
 
       "e_priority" ->
+        s"""SELECT event_id, cpm,
+           |  CASE WHEN critical THEN 'critical' ELSE 'normal' END AS data_priority
+           |FROM ($V) WHERE status = 'valid' ORDER BY event_id""".stripMargin,
+      // differential by construction: the oracle derives the tag from the
+      // routing predicate; the engine derives it from the topic dir each
+      // record was relayed through — agreement proves the relay mechanism
+      "e_priority_topic" ->
         s"""SELECT event_id, cpm,
            |  CASE WHEN critical THEN 'critical' ELSE 'normal' END AS data_priority
            |FROM ($V) WHERE status = 'valid' ORDER BY event_id""".stripMargin,

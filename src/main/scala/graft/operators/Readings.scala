@@ -184,4 +184,26 @@ object Readings {
     v.filter(col("status") === "valid" && col("critical"))
   def routeDirty(v: DataFrame): DataFrame =
     v.filter(col("status") === "invalid")
+
+  /** S8+P13, the relay CONSUMER's mechanism (backend/main.py:92-97): the
+    * backend tags `data_priority` from the Kafka TOPIC a record arrives on,
+    * never by re-evaluating the routing predicate. Reproduced faithfully:
+    * write the two routed streams to their topic dirs, read both dirs back
+    * as one scan, and derive the tag from each record's source path
+    * (`input_file_name`) — the parquet-dir analog of "which topic was this
+    * consumed from". At scale the tag is metadata-only (partition-dir
+    * discovery), so the relay never recomputes routing on the hot path.
+    */
+  def priorityFromTopics(spark: SparkSession, dir: String, t: Thresholds): DataFrame = {
+    val out = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft-topics-${java.lang.Integer.toHexString(dir.hashCode)}").toString
+    val v = enriched(spark, dir, t).filter(col("status") === "valid")
+    routeNormal(v).write.mode("overwrite").parquet(s"$out/normal-data")
+    routeCritical(v).write.mode("overwrite").parquet(s"$out/critical-data")
+    spark.read.parquet(s"$out/normal-data", s"$out/critical-data")
+      .withColumn("data_priority",
+        regexp_extract(input_file_name(), "(normal|critical)-data", 1))
+      .select("event_id", "cpm", "data_priority")
+  }
 }
