@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.{Exprs, Tables}
+import graft.{Exprs, Materialize, Tables}
 
 /** Text-analysis + document-dedup operators for a large-scale training-data
   * pipeline (builder brief: dedup / quality / language-ID / token counting /
@@ -229,14 +229,14 @@ object TextOps {
     * mirrors the cap, so both tiers compute the same relation.
     */
   def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.9,
-                   dfCap: Int = 100): DataFrame = {
+                   dfCap: Int = 100,
+                   mat: Materialize = Materialize.Local): DataFrame = {
     // materialized once: normText + split + array_distinct feed three
     // consumers (candidate explode + both exact-verify sides) and dominate
     // the per-doc cost
-    val d = prepared(spark, dir).select(
+    val d = mat(prepared(spark, dir).select(
       col("doc_id"), col("lang"), expr("n_chars DIV 100").as("bkt"),
-      array_distinct(col("words")).as("ws"))
-      .localCheckpoint(true)
+      array_distinct(col("words")).as("ws")))
     val ex = d.select(col("doc_id"), col("lang"), col("bkt"), explode(col("ws")).as("w"))
     // the hot-word list is tiny (only tokens in > dfCap docs of one block),
     // so df filtering is a map-side-combined groupBy + broadcast anti-join —
@@ -383,14 +383,15 @@ object TextOps {
     * a probe side of the same subplan). The cluster-scale analog is writing
     * signatures to a table and joining that.
     */
-  def bandedSignatures(spark: SparkSession, dir: String): DataFrame =
-    minhashSignatures(spark, dir)
+  def bandedSignatures(spark: SparkSession, dir: String,
+                       mat: Materialize = Materialize.Local): DataFrame =
+    mat(minhashSignatures(spark, dir)
       .withColumn("band1", concat_ws(",", col("m0"), col("m1"), col("m2"), col("m3")))
-      .withColumn("band2", concat_ws(",", col("m4"), col("m5"), col("m6"), col("m7")))
-      .localCheckpoint(true)
+      .withColumn("band2", concat_ws(",", col("m4"), col("m5"), col("m6"), col("m7"))))
 
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = bandedSignatures(spark, dir)
+  def minhashPairs(spark: SparkSession, dir: String,
+                   mat: Materialize = Materialize.Local): DataFrame = {
+    val sig = bandedSignatures(spark, dir, mat)
     // A pair can only appear in both joins when BOTH bands match, so the
     // band2 join emits only pairs whose band1 differs — exact dedup with a
     // per-row filter instead of a global 5M-row DISTINCT shuffle.
@@ -471,7 +472,8 @@ object TextOps {
     * "Connected Components in MapReduce") halves the round count if the
     * graph ever gets chain-shaped; band-clique graphs don't need it.
     */
-  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def dupClusters(spark: SparkSession, dir: String,
+                  mat: Materialize = Materialize.Local): DataFrame = {
     // Propagate over the bipartite doc ↔ band-bucket incidence graph (2 rows
     // per doc), NOT the pairwise candidate graph: a bucket holding b docs
     // contributes b incidence rows instead of b·(b-1)/2 edges, so a
@@ -480,12 +482,11 @@ object TextOps {
     // feasible and quadratic blow-up at 100 TB. Components are identical:
     // two docs share a band value iff they are connected through its bucket
     // node.
-    val banded = bandedSignatures(spark, dir)
-    val inc = banded.select(col("doc_id"), concat(lit("1:"), col("band1")).as("bkt"))
-      .union(banded.select(col("doc_id"), concat(lit("2:"), col("band2")).as("bkt")))
-      .localCheckpoint(true)
-    var labels = banded.select(col("doc_id")).withColumn("label", col("doc_id"))
-      .localCheckpoint(true)
+    val banded = bandedSignatures(spark, dir, mat)
+    val inc = mat(
+      banded.select(col("doc_id"), concat(lit("1:"), col("band1")).as("bkt"))
+        .union(banded.select(col("doc_id"), concat(lit("2:"), col("band2")).as("bkt"))))
+    var labels = mat(banded.select(col("doc_id")).withColumn("label", col("doc_id")))
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 25) {
@@ -500,8 +501,8 @@ object TextOps {
         .select(col("doc_id"), least(col("label"), col("nbr_min")).as("label"),
           (col("nbr_min") < col("label")).cast("long").as("chg"))
       val obs = org.apache.spark.sql.Observation()
-      val next = stepped.observe(obs, sum(col("chg")).as("changed"))
-        .localCheckpoint(true) // sever lineage: each round is one shuffle, not a growing chain
+      // sever lineage: each round is one shuffle, not a growing chain
+      val next = mat(stepped.observe(obs, sum(col("chg")).as("changed")))
       changed = obs.get("changed").asInstanceOf[Long]
       labels = next.drop("chg")
       rounds += 1
@@ -583,11 +584,13 @@ object TextOps {
     * `maxHamming` ≤ [[SimhashBlocks]] − 1 the result is exact, not a
     * candidate approximation.
     */
-  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3,
+                   mat: Materialize = Materialize.Local): DataFrame = {
     val blocks = (0 until SimhashBlocks).map(k => s"b$k")
-    val s = blocks.zipWithIndex.foldLeft(simhash(spark, dir)) { case (df, (b, k)) =>
+    // signature agg feeds all join sides; materialize once
+    val s = mat(blocks.zipWithIndex.foldLeft(simhash(spark, dir)) { case (df, (b, k)) =>
       df.withColumn(b, shiftright(col("simhash60"), k * BlockBits).bitwiseAND(BlockMask))
-    }.localCheckpoint(true) // signature agg feeds all join sides; materialize once
+    })
     def joinOn(k: Int): DataFrame = {
       val cond = (col(s"a.b$k") === col(s"b.b$k")) +:
         (0 until k).map(i => col(s"a.b$i") =!= col(s"b.b$i"))

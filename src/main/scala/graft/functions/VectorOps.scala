@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Materialize, Tables}
 
 /** Embedding similarity-search operators over the `embeddings` table
   * (builder brief: brute-force cosine top-k baseline + an LSH-bucketed
@@ -100,10 +100,19 @@ object VectorOps {
 
   /** Exact near-duplicate pairs: all pairs with cosine ≥ threshold.
     * Quadratic — the correctness baseline the LSH variant is measured
-    * against; run it only at verification scale.
+    * against; run it only at verification scale. That contract is
+    * mechanical, not advisory: the operator refuses an input larger than
+    * `maxRows` (counted before the self-join) instead of silently starting
+    * an n² job — at corpus scale use [[nearDupLsh]].
     */
-  def nearDupExact(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+  def nearDupExact(spark: SparkSession, dir: String, threshold: Double = 0.4,
+                   maxRows: Long = 100000L): DataFrame = {
     val e = prepared(spark, dir)
+    val n = e.count()
+    require(n <= maxRows,
+      s"nearDupExact is an all-pairs verification baseline: input has $n rows > " +
+        s"maxRows=$maxRows (~${n * n / 2} candidate pairs). Use nearDupLsh at scale, " +
+        "or raise maxRows explicitly if this really is a verification run.")
     val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
@@ -189,12 +198,13 @@ object VectorOps {
     * shuffled once on centroid_id, per-list top-k.
     */
   def annIvf(spark: SparkSession, dir: String, nQueries: Int = 20, kNn: Int = 5,
-             kCentroids: Int = 16): DataFrame = {
+             kCentroids: Int = 16,
+             mat: Materialize = Materialize.Local): DataFrame = {
     // materialize the assignment once: it feeds both the broadcast query
     // side and the probe side, and canonical-plan reuse doesn't cover that
     // split (same rationale as TextOps.bandedSignatures)
-    val assigned = ivfAssign(spark, dir, kCentroids).select("vec_id", "centroid_id")
-      .localCheckpoint(true)
+    val assigned = mat(
+      ivfAssign(spark, dir, kCentroids).select("vec_id", "centroid_id"))
     val e = prepared(spark, dir).join(assigned, "vec_id")
     val q = broadcast(e.filter(col("vec_id") < nQueries)
       .select(col("centroid_id").as("q_cent"), col("vec_id").as("q_id"),
@@ -243,9 +253,10 @@ object VectorOps {
     * distributed k-means step. A full training loop is this query iterated
     * with the recomputed centroids fed back in.
     */
-  def kmeansStep(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
-    val assigned = ivfAssign(spark, dir, k).select("vec_id", "centroid_id")
-      .localCheckpoint(true)
+  def kmeansStep(spark: SparkSession, dir: String, k: Int = 16,
+                 mat: Materialize = Materialize.Local): DataFrame = {
+    val assigned = mat(
+      ivfAssign(spark, dir, k).select("vec_id", "centroid_id"))
     prepared(spark, dir).join(assigned, "vec_id")
       .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("centroid_id"), (col("pos") + 1).as("dim"))

@@ -54,6 +54,15 @@ class OperatorsSpec extends SparkSuite {
     assert(pairs.toSet == Set((1L, 2L)))
   }
 
+  test("nearDupExact refuses an input larger than its maxRows contract") {
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.nearDupExact(spark, sf(), maxRows = 10L).collect()
+    }
+    assert(e.getMessage.contains("all-pairs") && e.getMessage.contains("nearDupLsh"))
+    // at or under the cap it runs (sf0.001 embeddings are tiny)
+    assert(VectorOps.nearDupExact(spark, sf(), maxRows = 100000L).collect().nonEmpty)
+  }
+
   test("knn self-similarity sanity: top neighbor of a vector ≠ itself, cos ≤ 1") {
     val knn = VectorOps.knn(spark, sf(), nQueries = 3, k = 2)
     val rows = knn.collect()
