@@ -43,9 +43,16 @@ object RunPipeline {
       .schema("value STRING")
       .text(s"$workDir/in")
       .toDF("value")
+    // S7 debug sink behind the demo: GRAFT_CONSOLE=1 echoes the validated
+    // stream to stdout beside the real sinks (reference print(), py:393-394)
+    val console = sys.env.get("GRAFT_CONSOLE").filter(_ == "1").map { _ =>
+      RadiationPipeline.debugConsole(
+        RadiationPipeline.validate(RadiationPipeline.parse(raw)))
+    }
     val q = RadiationPipeline.run(raw, s"$workDir/out", s"$workDir/ckpt",
       Readings.Thresholds(danger = 400.0))
     q.awaitTermination(300000)
+    console.foreach { c => c.processAllAvailable(); c.stop() }
 
     val counts = Seq("normal-data", "critical-data", "dirty-data").map { t =>
       val n = try spark.read.parquet(s"$workDir/out/$t").count() catch { case _: Throwable => 0L }

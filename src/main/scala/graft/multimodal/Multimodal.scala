@@ -7,11 +7,14 @@ import graft.Tables
 /** Multimodal-column plumbing: image/audio/video payloads as opaque `binary`
   * columns with typed metadata, plus batch feature extraction.
   *
-  * The container has no media codecs, so the decode step is a clearly-marked
-  * deterministic stub ([[StubDecoder]]) — what is real and tested is the
-  * Spark-side shape: the binary+metadata schema, the partition-wise batch
-  * UDF signature (`mapPartitions` over a typed Dataset — the Scala analog of
-  * `mapInPandas`), and the column-level metadata path that stays inside
+  * Decode comes in two tiers. [[HeaderDecoder]] is REAL: pure-JVM parsing of
+  * BMP pixel dimensions and RIFF/WAVE sample rate / channels / bit depth
+  * from actual bytes. Compressed codecs (JPEG/MP3/H.264) need native
+  * bindings this container lacks, so that step is a clearly-marked
+  * deterministic stub ([[StubDecoder]]). Both run through the same
+  * Spark-side shape — binary+metadata schema, partition-wise batch UDF
+  * (`mapPartitions` over a typed Dataset — the Scala analog of
+  * `mapInPandas`), and a column-level metadata path that stays inside
   * whole-stage codegen.
   *
   * There is no binary table in the testdata, so payloads are synthesized
@@ -62,6 +65,63 @@ object Multimodal {
         n_frames = if (r.kind == "video") (bytes.length + 999) / 1000 else 1,
         checksum = checksum)
     }
+  }
+
+  /** What a REAL decode extracts from container headers: pixel dims for
+    * images, sample rate / channels / bit depth for audio. `format` is the
+    * detected container ("bmp", "wav", "unknown"), independent of the
+    * declared `kind` metadata.
+    */
+  final case class DecodedMedia(
+      media_id: Long, format: String, width: Int, height: Int,
+      sample_rate: Int, channels: Int, bits_per_sample: Int)
+
+  /** A real (non-stub) decoder for the two container formats that need no
+    * native codec: BMP (BITMAPINFOHEADER pixel dims) and canonical RIFF/WAVE
+    * (`fmt ` chunk walk → sample rate, channels, bit depth). Pure-JVM byte
+    * parsing, so the `mapPartitions` batch-decode path runs against REAL
+    * media bytes in any environment; compressed formats (JPEG/MP3/H.264)
+    * still require the codec bindings [[StubDecoder]] stands in for.
+    */
+  object HeaderDecoder {
+    private def u16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def i32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, "US-ASCII")
+
+    def decode(r: MediaRecord): DecodedMedia = {
+      val b = r.payload
+      if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
+        // BITMAPINFOHEADER at byte 14: width i32le@18, height i32le@22
+        // (height < 0 = top-down row order; magnitude is the pixel height)
+        DecodedMedia(r.media_id, "bmp", i32(b, 18), math.abs(i32(b, 22)), 0, 0, 0)
+      } else if (b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE") {
+        // chunk walk (chunks are 2-byte aligned); canonical files put
+        // "fmt " first but the spec doesn't require it
+        var i = 12
+        while (i + 8 <= b.length) {
+          val sz = i32(b, i + 4)
+          if (tag(b, i) == "fmt " && i + 24 <= b.length)
+            return DecodedMedia(r.media_id, "wav", 0, 0,
+              sample_rate = i32(b, i + 12), channels = u16(b, i + 10),
+              bits_per_sample = u16(b, i + 22))
+          i += 8 + sz + (sz & 1)
+        }
+        DecodedMedia(r.media_id, "wav", 0, 0, 0, 0, 0)
+      } else DecodedMedia(r.media_id, "unknown", 0, 0, 0, 0, 0)
+    }
+  }
+
+  /** Real header decode over a media Dataset — identical plan shape to
+    * [[extractFeatures]] (partition-wise batch, one decoder per partition),
+    * but [[HeaderDecoder]] parses actual bytes.
+    */
+  def decodeHeaders(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(HeaderDecoder.decode))
   }
 
   /** Partition-wise batch feature extraction — the Scala analog of a Pandas

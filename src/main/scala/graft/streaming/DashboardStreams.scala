@@ -91,7 +91,52 @@ object DashboardStreams {
     */
   def lastNRetention(valid: DataFrame, n: Int, outPath: String,
                      checkpointDir: String, orderCols: Seq[String]): StreamingQuery =
-    valid.writeStream
+    foldIntoView(valid, outPath, checkpointDir) { (existing, batch) =>
+      val unioned = existing match {
+        case Some(e) => e.unionByName(batch.select(e.columns.map(col): _*))
+        case None => batch
+      }
+      unioned
+        .dropDuplicates(orderCols) // idempotent under epoch retry
+        .orderBy(orderCols.map(c => col(c).desc): _*)
+        .limit(n)
+    }
+
+  /** D3 composite: the client's "active alerts" panel
+    * (useAlertManager.js) — at most `maxActive` alerts visible, each
+    * expiring `ttlSec` seconds after its event time. The expiry clock is
+    * EVENT time (max event_time seen so far), so a replay of the same
+    * stream reconstructs the identical view — wall-clock TTL would not.
+    * State is ≤ maxActive rows by construction, same contract as
+    * [[lastNRetention]].
+    *
+    * Input must carry a `key` column (the cooldown key — typically
+    * [[AlertCooldown.cooldownKey]]) and an `event_time` timestamp.
+    */
+  def activeAlertsView(alerts: DataFrame, outPath: String, checkpointDir: String,
+                       maxActive: Int = 5, ttlSec: Int = 30): StreamingQuery =
+    foldIntoView(alerts, outPath, checkpointDir) { (existing, batch) =>
+      val unioned = existing match {
+        case Some(e) => e.unionByName(batch.select(e.columns.map(col): _*))
+        case None => batch
+      }
+      val rows = unioned.dropDuplicates(Seq("key", "event_time"))
+      val horizon = rows.agg(max(col("event_time"))).head().getTimestamp(0)
+      val active =
+        if (horizon == null) rows
+        else rows.filter(col("event_time") >=
+          new java.sql.Timestamp(horizon.getTime - ttlSec * 1000L))
+      active.orderBy(col("event_time").desc, col("key")).limit(maxActive)
+    }
+
+  /** Shared epoch fold for the bounded client-side views: read the current
+    * view, let `fold` compute the next (small, ≤ cap rows) one, and swap it
+    * in crash-safely. foreachBatch is at-least-once — `fold` must be
+    * idempotent under replay (both callers dedup on their identity columns).
+    */
+  private def foldIntoView(stream: DataFrame, outPath: String, checkpointDir: String)
+                          (fold: (Option[DataFrame], DataFrame) => DataFrame): StreamingQuery =
+    stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -104,17 +149,11 @@ object DashboardStreams {
           throw new java.io.IOException(s"retention recover failed: $old -> $outPath")
         val existing =
           if (dir.exists()) Some(spark.read.parquet(outPath)) else None
-        val unioned = existing match {
-          case Some(e) => e.unionByName(batch.select(e.columns.map(col): _*))
-          case None => batch
-        }
-        val retained = unioned
-          .dropDuplicates(orderCols) // idempotent under epoch retry
-          .orderBy(orderCols.map(c => col(c).desc): _*)
-          .limit(n)
-          .collect() // bounded by n — the retention cap IS the memory bound
+        val next = fold(existing, batch)
+        // bounded by the caller's cap — the retention cap IS the memory bound
+        val retained = next.collect()
         val out = spark.createDataFrame(
-          spark.sparkContext.parallelize(retained.toSeq, 1), unioned.schema)
+          spark.sparkContext.parallelize(retained.toSeq, 1), next.schema)
         val tmp = outPath + ".tmp"
         out.write.mode("overwrite").parquet(tmp)
         import graft.LocalFs.rmrf

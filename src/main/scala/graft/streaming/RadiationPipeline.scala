@@ -273,6 +273,19 @@ object RadiationPipeline {
     }
   }
 
+  /** S7: the reference's debug print sink (flink_process.py:393-394 —
+    * `processed_stream.print()`), as Spark's `console` sink. Runs as a
+    * SECOND query beside the real sinks (the reference chains .print() onto
+    * the same stream; Spark streams fan out as independent queries). No
+    * trigger is set, so it tails the stream continuously like print() does.
+    */
+  def debugConsole(stream: DataFrame, numRows: Int = 20): StreamingQuery =
+    stream.writeStream
+      .format("console")
+      .option("numRows", numRows)
+      .option("truncate", value = false)
+      .start()
+
   /** End-to-end over a [[Transport]]: [[source]] → parse → validate → dedup →
     * cohort → route → [[writeEpoch]] per micro-batch (kafka topics or
     * epoch-partitioned parquet). The termination note on the DataFrame

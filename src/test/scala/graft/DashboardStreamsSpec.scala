@@ -97,6 +97,43 @@ class DashboardStreamsSpec extends SparkSuite {
       ("2011-03-15 10:05:00.0", 1L)))
   }
 
+  test("S7 console sink tails the validated stream without error") {
+    val in = MemoryStream[String]
+    val valid = RadiationPipeline.validate(RadiationPipeline.parse(in.toDF()))
+      .filter(col("status") === "valid")
+    val q = RadiationPipeline.debugConsole(valid, numRows = 5)
+    in.addData(rec("2011-03-15 10:00:00", 10), rec("2011-03-15 10:00:01", 20))
+    q.processAllAvailable()
+    val progress = q.lastProgress
+    q.stop()
+    assert(progress.sink.description.toLowerCase.contains("console"))
+    assert(progress.numInputRows == 2)
+  }
+
+  test("active alerts view: ≤5 alerts, expired ones dropped by event-time TTL") {
+    import java.sql.Timestamp
+    import graft.streaming.AlertCooldown.Alert
+    val dir = java.nio.file.Files.createTempDirectory("graft-alerts").toString
+    val in = MemoryStream[Alert]
+    def alert(k: String, sec: Int): Alert =
+      Alert(k, "high", 35.6, 139.7, 1500, Timestamp.valueOf(f"2011-03-15 10:00:$sec%02d"))
+    def runEpoch(): Unit = {
+      val q = DashboardStreams.activeAlertsView(in.toDF(),
+        s"$dir/out", s"$dir/ckpt", maxActive = 5, ttlSec = 30)
+      q.awaitTermination(60000)
+    }
+    // 7 distinct alerts inside one TTL window → cap wins, newest 5 kept
+    in.addData((0 to 6).map(i => alert(s"k$i", i)))
+    runEpoch()
+    val after1 = spark.read.parquet(s"$dir/out").select("key").as[String].collect().sorted
+    assert(after1.toSeq == Seq("k2", "k3", "k4", "k5", "k6"))
+    // one alert 50 s later → every earlier alert is past the 30 s TTL
+    in.addData(alert("k9", 56))
+    runEpoch()
+    val after2 = spark.read.parquet(s"$dir/out").select("key").as[String].collect()
+    assert(after2.toSeq == Seq("k9"))
+  }
+
   test("GraftExtensions registers dot_product for SQL") {
     // getOrCreate reuses the suite session, so exercise the live-session path
     graft.plans.GraftExtensions.register(spark)

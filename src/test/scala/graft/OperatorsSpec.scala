@@ -71,6 +71,30 @@ class OperatorsSpec extends SparkSuite {
     assert(rows.forall(r => r.getAs[Long]("neighbor_id") != r.getAs[Long]("q_id")))
   }
 
+  test("multimodal real decode: BMP dims and WAV sample rate from actual bytes") {
+    import spark.implicits._
+    import java.nio.{ByteBuffer, ByteOrder}
+    // 54-byte BMP: file header + BITMAPINFOHEADER, 2×3 px, top-down (h = -3)
+    val bmp = ByteBuffer.allocate(54).order(ByteOrder.LITTLE_ENDIAN)
+    bmp.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+    bmp.putInt(40).putInt(2).putInt(-3).putShort(1).putShort(24)
+    // canonical 44-byte WAV header: PCM, mono, 8000 Hz, 16-bit, empty data
+    val wav = ByteBuffer.allocate(44).order(ByteOrder.LITTLE_ENDIAN)
+    wav.put("RIFF".getBytes("US-ASCII")).putInt(36).put("WAVE".getBytes("US-ASCII"))
+    wav.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+    wav.putInt(8000).putInt(16000).putShort(2).putShort(16)
+    wav.put("data".getBytes("US-ASCII")).putInt(0)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", bmp.array(), 0, 0),
+      Multimodal.MediaRecord(2L, "audio", wav.array(), 0, 0),
+      Multimodal.MediaRecord(3L, "video", "not a container".getBytes, 0, 0)).toDS()
+    val out = Multimodal.decodeHeaders(media).collect().map(d => d.media_id -> d).toMap
+    assert(out(1L).format == "bmp" && out(1L).width == 2 && out(1L).height == 3)
+    assert(out(2L).format == "wav" && out(2L).sample_rate == 8000 &&
+      out(2L).channels == 1 && out(2L).bits_per_sample == 16)
+    assert(out(3L).format == "unknown")
+  }
+
   test("multimodal stub decode: deterministic features via mapPartitions") {
     val feats = Multimodal.extractFeatures(spark, sf()).collect()
     assert(feats.nonEmpty)
