@@ -70,19 +70,11 @@ object Ingest {
   /** S4: throttled replay — the `rate` source emits `rowsPerSecond` ticks;
     * joining tick index to a row-numbered static dataset replays it at a
     * controlled pace (the engine-side version of SEND_DELAY_MS,
-    * data_provider.py:154-155, with the speed a real parameter — the
-    * reference's dynamic-speed listener is dead code, SURVEY §2.1 S4).
+    * data_provider.py:154-155, with the speed a real parameter). For the
+    * reference's runtime-adjustable speed see [[dynamicRateReplay]] +
+    * [[speedListener]].
     */
   def rateReplay(spark: SparkSession, data: DataFrame, rowsPerSecond: Int): DataFrame = {
-    // Index once and cache: the static side of a stream-static join is
-    // re-evaluated every micro-batch, and a global row_number window would
-    // funnel the whole dataset through one task per trigger. zipWithIndex
-    // is one pass, partition-parallel, and deterministic in partition order.
-    val indexed = spark.createDataFrame(
-      data.rdd.zipWithIndex.map { case (row, idx) =>
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)
-      },
-      data.schema.add("__idx", LongType)).cache()
     // rename the rate source's own (timestamp, value) columns immediately:
     // joining on a bare col("value") is ambiguous the moment the replayed
     // dataset carries a value column of its own (CSV ingest records do)
@@ -90,7 +82,79 @@ object Ingest {
       .option("rowsPerSecond", rowsPerSecond.toString)
       .load()
       .select(col("value").as("__tick"))
-    ticks.join(indexed, col("__tick") === col("__idx"))
+    ticks.join(indexed(spark, data), col("__tick") === col("__idx"))
       .drop("__tick", "__idx")
+  }
+
+  /** Index once and cache: the static side of a stream-static join is
+    * re-evaluated every micro-batch, and a global row_number window would
+    * funnel the whole dataset through one task per trigger. zipWithIndex
+    * is one pass, partition-parallel, and deterministic in partition order.
+    */
+  private def indexed(spark: SparkSession, data: DataFrame): DataFrame =
+    spark.createDataFrame(
+      data.rdd.zipWithIndex.map { case (row, idx) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)
+      },
+      data.schema.add("__idx", LongType)).cache()
+
+  /** S4 dynamic form — the reference's playback-speed listener
+    * (`listen_for_speed`, data_provider.py:67-84: a config topic updates a
+    * global the send loop reads; dead code in the reference's deployment,
+    * live here). Tails a config stream of `{"playback_speed": x}` updates
+    * and keeps `speed` current; latest update wins, like the reference's
+    * consumer loop.
+    */
+  def speedListener(control: DataFrame,
+                    speed: java.util.concurrent.atomic.AtomicReference[java.lang.Double])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    control.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        // a config topic is a trickle — collect is bounded by its volume
+        val updates = b.select(col("playback_speed").cast("double")).collect()
+        if (updates.nonEmpty) speed.set(updates.last.getDouble(0))
+        ()
+      }
+      .start()
+
+  /** S4 dynamic replay: each tick micro-batch releases
+    * `ticks × rowsPerSecond × speed() ÷ ticksPerSecond` rows from a cursor
+    * over the indexed dataset and hands the slice to `send` (the producer
+    * callback — the reference sends to Kafka here). The rate source can't
+    * retune `rowsPerSecond` mid-stream, so the ticks are only a clock and
+    * the per-batch allocation applies the CURRENT speed — rate changes take
+    * effect at the next micro-batch, exactly the reference's granularity
+    * (its loop reads the global once per chunk).
+    */
+  def dynamicRateReplay(ticks: DataFrame, data: DataFrame, rowsPerSecond: Int,
+                        ticksPerSecond: Int, speed: () => Double,
+                        send: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val idx = indexed(ticks.sparkSession, data)
+    val cursor = new java.util.concurrent.atomic.AtomicLong(0L)
+    ticks.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val n = batch.count()
+        val toEmit = math.round(n.toDouble * rowsPerSecond * speed() / ticksPerSecond)
+        if (toEmit > 0) {
+          val start = cursor.getAndAdd(toEmit)
+          send(idx
+            .filter(col("__idx") >= start && col("__idx") < start + toEmit)
+            .drop("__idx"))
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Convenience: [[dynamicRateReplay]] clocked by the built-in rate source. */
+  def dynamicRateReplay(spark: SparkSession, data: DataFrame, rowsPerSecond: Int,
+                        speed: () => Double, send: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val ticksPerSecond = 10
+    val ticks = spark.readStream.format("rate")
+      .option("rowsPerSecond", ticksPerSecond.toString).load()
+      .select(col("value").as("__tick"))
+    dynamicRateReplay(ticks, data, rowsPerSecond, ticksPerSecond, speed, send)
   }
 }

@@ -103,18 +103,21 @@ object DashboardStreams {
     }
 
   /** D3 composite: the client's "active alerts" panel
-    * (useAlertManager.js) — at most `maxActive` alerts visible, each
-    * expiring `ttlSec` seconds after its event time. The expiry clock is
-    * EVENT time (max event_time seen so far), so a replay of the same
-    * stream reconstructs the identical view — wall-clock TTL would not.
-    * State is ≤ maxActive rows by construction, same contract as
-    * [[lastNRetention]].
+    * (useAlertManager.js:50-65) — at most `maxActive` alerts visible, each
+    * auto-dismissing on a severity-based TTL (reference: critical 15 s,
+    * warning 10 s, else 7 s). The expiry clock is EVENT time (max
+    * event_time seen so far), so a replay of the same stream reconstructs
+    * the identical view — wall-clock TTL would not. State is ≤ maxActive
+    * rows by construction, same contract as [[lastNRetention]].
     *
-    * Input must carry a `key` column (the cooldown key — typically
-    * [[AlertCooldown.cooldownKey]]) and an `event_time` timestamp.
+    * Input must carry `key` (the cooldown key — typically
+    * [[AlertCooldown.cooldownKey]]), `severity`, and an `event_time`
+    * timestamp.
     */
   def activeAlertsView(alerts: DataFrame, outPath: String, checkpointDir: String,
-                       maxActive: Int = 5, ttlSec: Int = 30): StreamingQuery =
+                       maxActive: Int = 5,
+                       ttlSec: Map[String, Int] = Map("critical" -> 15, "warning" -> 10),
+                       defaultTtlSec: Int = 7): StreamingQuery =
     foldIntoView(alerts, outPath, checkpointDir) { (existing, batch) =>
       val unioned = existing match {
         case Some(e) => e.unionByName(batch.select(e.columns.map(col): _*))
@@ -122,10 +125,12 @@ object DashboardStreams {
       }
       val rows = unioned.dropDuplicates(Seq("key", "event_time"))
       val horizon = rows.agg(max(col("event_time"))).head().getTimestamp(0)
+      val ttlMs = ttlSec.foldLeft(lit(defaultTtlSec * 1000L)) {
+        case (acc, (sev, s)) => when(col("severity") === sev, s * 1000L).otherwise(acc)
+      }
       val active =
         if (horizon == null) rows
-        else rows.filter(col("event_time") >=
-          new java.sql.Timestamp(horizon.getTime - ttlSec * 1000L))
+        else rows.filter(unix_millis(col("event_time")) >= lit(horizon.getTime) - ttlMs)
       active.orderBy(col("event_time").desc, col("key")).limit(maxActive)
     }
 

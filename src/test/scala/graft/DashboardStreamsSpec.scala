@@ -110,28 +110,29 @@ class DashboardStreamsSpec extends SparkSuite {
     assert(progress.numInputRows == 2)
   }
 
-  test("active alerts view: ≤5 alerts, expired ones dropped by event-time TTL") {
+  test("active alerts view: ≤5 alerts, severity TTL (15/10/7 s) on event time") {
     import java.sql.Timestamp
     import graft.streaming.AlertCooldown.Alert
     val dir = java.nio.file.Files.createTempDirectory("graft-alerts").toString
     val in = MemoryStream[Alert]
-    def alert(k: String, sec: Int): Alert =
-      Alert(k, "high", 35.6, 139.7, 1500, Timestamp.valueOf(f"2011-03-15 10:00:$sec%02d"))
+    def alert(k: String, sec: Int, sev: String = "critical"): Alert =
+      Alert(k, sev, 35.6, 139.7, 1500, Timestamp.valueOf(f"2011-03-15 10:00:$sec%02d"))
     def runEpoch(): Unit = {
       val q = DashboardStreams.activeAlertsView(in.toDF(),
-        s"$dir/out", s"$dir/ckpt", maxActive = 5, ttlSec = 30)
+        s"$dir/out", s"$dir/ckpt", maxActive = 5)
       q.awaitTermination(60000)
     }
-    // 7 distinct alerts inside one TTL window → cap wins, newest 5 kept
+    // 7 distinct critical alerts inside one TTL window → cap wins, newest 5
     in.addData((0 to 6).map(i => alert(s"k$i", i)))
     runEpoch()
     val after1 = spark.read.parquet(s"$dir/out").select("key").as[String].collect().sorted
     assert(after1.toSeq == Seq("k2", "k3", "k4", "k5", "k6"))
-    // one alert 50 s later → every earlier alert is past the 30 s TTL
-    in.addData(alert("k9", 56))
+    // horizon jumps to sec 30: a critical at 18 (12 s old, TTL 15) stays,
+    // a warning at 18 (TTL 10) expires, every sec≤6 alert is long gone
+    in.addData(alert("c18", 18), alert("w18", 18, sev = "warning"), alert("k30", 30))
     runEpoch()
-    val after2 = spark.read.parquet(s"$dir/out").select("key").as[String].collect()
-    assert(after2.toSeq == Seq("k9"))
+    val after2 = spark.read.parquet(s"$dir/out").select("key").as[String].collect().sorted
+    assert(after2.toSeq == Seq("c18", "k30"))
   }
 
   test("GraftExtensions registers dot_product for SQL") {
