@@ -169,6 +169,7 @@ object SparkEntry {
     "v_ann_lsh" -> ((s, dir) => VectorOps.annLsh(s, dir)),
     "v_ivf_assign" -> ((s, dir) => VectorOps.ivfAssign(s, dir).orderBy(col("vec_id"))),
     "v_ann_ivf" -> ((s, dir) => VectorOps.annIvf(s, dir)),
+    "v_ann_ivf2" -> ((s, dir) => VectorOps.annIvfMulti(s, dir)),
     "v_kmeans_step" -> ((s, dir) => VectorOps.kmeansStep(s, dir)),
 
     // ---- multimodal plumbing ----
@@ -480,6 +481,7 @@ object SparkEntry {
       "v_ann_lsh" -> VectorOps.annLshSql(),
       "v_ivf_assign" -> VectorOps.ivfAssignSql(),
       "v_ann_ivf" -> VectorOps.annIvfSql(),
+      "v_ann_ivf2" -> VectorOps.annIvfMultiSql(),
       "v_kmeans_step" -> VectorOps.kmeansStepSql(),
       "mm_meta" -> Multimodal.mediaMetaSql,
       "mm_frames" -> Multimodal.frameSampleSql(),

@@ -242,6 +242,71 @@ object VectorOps {
        |WHERE rank <= $kNn
        |ORDER BY q_id, rank""".stripMargin
 
+  /** IVF multi-probe ANN: each query searches the union of its `nProbe`
+    * nearest centroids' inverted lists — recovers most of the recall
+    * single-probe loses at centroid boundaries (the standard IVF accuracy
+    * knob) for ~nProbe× the probe cost. Corpus vectors still live in
+    * exactly ONE list (argmax assignment), so the probe join emits no
+    * duplicate candidates and stays bucketed — never all-pairs. Scale
+    * shape unchanged from [[annIvf]]: centroids broadcast, corpus shuffled
+    * once on centroid_id, per-query top-k.
+    */
+  def annIvfMulti(spark: SparkSession, dir: String, nQueries: Int = 20, kNn: Int = 5,
+                  kCentroids: Int = 16, nProbe: Int = 2,
+                  mat: Materialize = Materialize.Local): DataFrame = {
+    val assigned = mat(
+      ivfAssign(spark, dir, kCentroids).select("vec_id", "centroid_id"))
+    val e = prepared(spark, dir).join(assigned, "vec_id")
+    // query side: top-nProbe centroids per query vector (probe lists)
+    val q0 = prepared(spark, dir).filter(col("vec_id") < nQueries)
+    val cents = broadcast(prepared(spark, dir).filter(col("vec_id") < kCentroids)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn")))
+    val pw = Window.partitionBy(col("vec_id"))
+      .orderBy((dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).desc, col("centroid_id"))
+    val qProbes = q0.join(cents)
+      .withColumn("__rn", row_number().over(pw)).filter(col("__rn") <= nProbe)
+      .select(col("centroid_id").as("q_cent"), col("vec_id").as("q_id"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val sims = e.join(broadcast(qProbes),
+        col("centroid_id") === col("q_cent") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNn)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def annIvfMultiSql(nQueries: Int = 20, kNn: Int = 5, kCentroids: Int = 16,
+                     nProbe: Int = 2): String =
+    s"""WITH e0 AS ($preparedSql),
+       |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e0 WHERE vec_id < $kCentroids),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT e0.vec_id, c.centroid_id, ROW_NUMBER() OVER (
+       |      PARTITION BY e0.vec_id
+       |      ORDER BY list_dot_product(e0.v, c.cv) / (e0.nrm * c.cn) DESC, c.centroid_id) AS rn
+       |    FROM e0, c)
+       |  WHERE rn = 1),
+       |e AS (SELECT e0.*, assign.centroid_id FROM e0 JOIN assign USING (vec_id)),
+       |q AS (
+       |  SELECT centroid_id AS q_cent, vec_id AS q_id, v AS qv, nrm AS qn FROM (
+       |    SELECT e0.vec_id, e0.v, e0.nrm, c.centroid_id, ROW_NUMBER() OVER (
+       |      PARTITION BY e0.vec_id
+       |      ORDER BY list_dot_product(e0.v, c.cv) / (e0.nrm * c.cn) DESC, c.centroid_id) AS rn
+       |    FROM e0, c WHERE e0.vec_id < $nQueries)
+       |  WHERE rn <= $nProbe),
+       |sims AS (
+       |  SELECT q.q_id, e.vec_id,
+       |    round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 4) AS cos_sim
+       |  FROM e JOIN q ON e.centroid_id = q.q_cent AND e.vec_id <> q.q_id)
+       |SELECT q_id, rank, vec_id AS neighbor_id, cos_sim FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+       |  FROM sims)
+       |WHERE rank <= $kNn
+       |ORDER BY q_id, rank""".stripMargin
+
   /** One Lloyd (k-means) iteration over the corpus: assign every vector to
     * its nearest fixed centroid (cosine, via [[ivfAssign]]) and recompute
     * each centroid as the per-dimension mean of its members — emitted in

@@ -63,6 +63,17 @@ class OperatorsSpec extends SparkSuite {
     assert(VectorOps.nearDupExact(spark, sf(), maxRows = 100000L).collect().nonEmpty)
   }
 
+  test("multi-probe IVF dominates single-probe: per-rank cos_sim never worse") {
+    // probing 2 lists searches a superset of single-probe's candidates, so
+    // at every (query, rank) the multi-probe similarity must be ≥
+    val single = VectorOps.annIvf(spark, sf(), nQueries = 5, kNn = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val multi = VectorOps.annIvfMulti(spark, sf(), nQueries = 5, kNn = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(multi.nonEmpty)
+    for ((k, s) <- single; m <- multi.get(k)) assert(m >= s, s"$k: multi $m < single $s")
+  }
+
   test("knn self-similarity sanity: top neighbor of a vector ≠ itself, cos ≤ 1") {
     val knn = VectorOps.knn(spark, sf(), nQueries = 3, k = 2)
     val rows = knn.collect()
