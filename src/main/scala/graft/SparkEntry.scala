@@ -149,6 +149,8 @@ object SparkEntry {
     "d_quality" -> ((s, dir) => TextOps.quality(s, dir).orderBy(col("doc_id"))),
     "d_langid" -> ((s, dir) => TextOps.langid(s, dir).orderBy(col("doc_id"))),
     "d_fingerprint" -> ((s, dir) => TextOps.fingerprint(s, dir).orderBy(col("doc_id"))),
+    "d_repetition" -> ((s, dir) => TextOps.repetition(s, dir).orderBy(col("doc_id"))),
+    "d_top_terms" -> ((s, dir) => TextOps.topTerms(s, dir).orderBy(col("doc_id"), col("rank"))),
     "d_dedup_exact" -> ((s, dir) => TextOps.dedupExact(s, dir).orderBy(col("rep_doc_id"))),
     "d_jaccard_pairs" -> ((s, dir) => TextOps.jaccardPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))),
     "d_minhash_sig" -> ((s, dir) => TextOps.minhashSignatures(s, dir).orderBy(col("doc_id"))),
@@ -463,6 +465,8 @@ object SparkEntry {
       "d_quality" -> TextOps.qualitySql,
       "d_langid" -> TextOps.langidSql,
       "d_fingerprint" -> TextOps.fingerprintSql,
+      "d_repetition" -> TextOps.repetitionSql,
+      "d_top_terms" -> TextOps.topTermsSql(),
       "d_dedup_exact" -> TextOps.dedupExactSql,
       "d_jaccard_pairs" -> TextOps.jaccardPairsSql(),
       "d_minhash_sig" -> s"SELECT * FROM (\n${TextOps.minhashSigSqlInner}) ORDER BY doc_id",

@@ -191,6 +191,108 @@ object TextOps {
        |       unnest(range(1, CASE WHEN len(words) >= 3 THEN len(words)-1 ELSE 2 END)) AS t(i))
        |GROUP BY doc_id, norm ORDER BY doc_id""".stripMargin
 
+  // ---- repetition signals (Gopher-style quality filters) ----
+
+  /** Per-doc repetition signals — the Gopher/C4 family of quality filters a
+    * training-data pipeline cuts on: duplicate-word fraction, duplicate
+    * 2-gram fraction, and the share of all 2-grams taken by the most
+    * frequent one. Pure integer counts → double divisions, bit-identical
+    * across engines (no per-row round). Scale shape: one explode +
+    * map-side-combined hash agg per doc — the same plan family as
+    * [[tokenStats]].
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val grams = when(size(col("words")) >= 2,
+      expr("transform(sequence(0, size(words)-2), i -> concat(words[i], ' ', words[i+1]))"))
+      .otherwise(array(col("norm")))
+    prepared(spark, dir)
+      .select(col("doc_id"), size(col("words")).as("n_words"),
+        size(array_distinct(col("words"))).as("n_distinct_words"),
+        explode(grams).as("g"))
+      .groupBy(col("doc_id"), col("n_words"), col("n_distinct_words"), col("g"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"), col("n_words"), col("n_distinct_words"))
+      .agg(sum(col("n")).as("n_2grams"), count(lit(1)).as("n_distinct_2grams"),
+        max(col("n")).as("top_2gram_n"))
+      .select(col("doc_id"), col("n_words"),
+        (lit(1.0) - col("n_distinct_words") / col("n_words").cast("double"))
+          .as("dup_word_frac"),
+        (lit(1.0) - col("n_distinct_2grams") / col("n_2grams").cast("double"))
+          .as("dup_2gram_frac"),
+        (col("top_2gram_n") / col("n_2grams").cast("double")).as("top_2gram_frac"))
+  }
+
+  val repetitionSql: String =
+    s"""SELECT doc_id, n_words,
+       |  CAST(1.0 AS DOUBLE) - n_distinct_words / CAST(n_words AS DOUBLE) AS dup_word_frac,
+       |  CAST(1.0 AS DOUBLE) - n_distinct_2grams / CAST(n_2grams AS DOUBLE) AS dup_2gram_frac,
+       |  top_2gram_n / CAST(n_2grams AS DOUBLE) AS top_2gram_frac
+       |FROM (
+       |  SELECT doc_id, n_words, n_distinct_words,
+       |    count(*) AS n_distinct_2grams, sum(n) AS n_2grams, max(n) AS top_2gram_n
+       |  FROM (
+       |    SELECT doc_id, n_words, n_distinct_words, g, count(*) AS n
+       |    FROM (
+       |      SELECT doc_id,
+       |        CAST(len(words) AS INT) AS n_words,
+       |        CAST(len(list_distinct(words)) AS INT) AS n_distinct_words,
+       |        CASE WHEN len(words) >= 2 THEN words[i] || ' ' || words[i+1]
+       |             ELSE norm END AS g
+       |      FROM ($preparedSql),
+       |           unnest(range(1, CASE WHEN len(words) >= 2 THEN len(words) ELSE 2 END)) AS t(i))
+       |    GROUP BY 1, 2, 3, 4)
+       |  GROUP BY 1, 2, 3)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Per-doc top-k rarity-weighted terms — the tf-idf shape with a RATIONAL
+    * rarity weight `(N+1)/(df+1)` instead of its logarithm, so the score is
+    * a pure integer-ratio double and bit-identical across engines (ln() is
+    * not guaranteed to round identically). Ranking is order-isomorphic to
+    * tf-idf for fixed N. Scale shape: explode → per-(doc,word) counts with
+    * map-side combine, document frequencies from a second hash agg over the
+    * SAME relation, shuffle join on word, per-doc top-k window (no global
+    * sort).
+    */
+  def topTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = prepared(spark, dir).count()
+    val tf = prepared(spark, dir)
+      .select(col("doc_id"), size(col("words")).as("n_words"),
+        explode(col("words")).as("w"))
+      .groupBy(col("doc_id"), col("n_words"), col("w"))
+      .agg(count(lit(1)).as("n"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("w"))
+    tf.join(df, "w")
+      .withColumn("score",
+        col("n") / col("n_words").cast("double") *
+          (lit(nDocs + 1.0) / (col("df") + lit(1)).cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("w").as("term"), col("score"))
+  }
+
+  def topTermsSql(k: Int = 3): String =
+    s"""WITH p AS ($preparedSql),
+       |n AS (SELECT count(*) AS n_docs FROM p),
+       |tf AS (
+       |  SELECT doc_id, CAST(len(words) AS INT) AS n_words, w, count(*) AS n
+       |  FROM (SELECT doc_id, words, unnest(words) AS w FROM p)
+       |  GROUP BY 1, 2, 3),
+       |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.w,
+       |    tf.n / CAST(tf.n_words AS DOUBLE)
+       |      * ((n.n_docs + CAST(1.0 AS DOUBLE)) / CAST(df.df + 1 AS DOUBLE)) AS score
+       |  FROM tf JOIN df USING (w), n)
+       |SELECT doc_id, rank, w AS term, score FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, w) AS INT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k
+       |ORDER BY doc_id, rank""".stripMargin
+
   // ---- exact dedup ----
 
   /** Exact dedup by content hash: one representative (min doc_id) per
