@@ -205,6 +205,12 @@ object TextOps {
     val grams = when(size(col("words")) >= 2,
       expr("transform(sequence(0, size(words)-2), i -> concat(words[i], ' ', words[i+1]))"))
       .otherwise(array(col("norm")))
+    // NOTE: the per-doc expressions sit in the same select as explode(), so
+    // they are evaluated after the Generate (once per gram row). Hoisting
+    // them into a pre-Generate projection looks cheaper but measured 2×
+    // SLOWER at sf0.1 (11–12 s vs 5.5–6.4 s solo): materializing the grams
+    // array as a named column costs more than re-running the cheap
+    // size/array_distinct expressions inside the fused codegen stage.
     prepared(spark, dir)
       .select(col("doc_id"), size(col("words")).as("n_words"),
         size(array_distinct(col("words"))).as("n_distinct_words"),
