@@ -43,6 +43,7 @@ object SparkEntry {
     "q_topk_brand" -> ((s, dir) => Relational.topPartsPerBrand(s, dir)),
     "q_distinct_parts" -> ((s, dir) => Relational.distinctParts(s, dir)),
     "q_approx_distinct" -> ((s, dir) => Relational.approxDistinctParts(s, dir)),
+    "q_freq_items" -> ((s, dir) => Relational.freqReturnFlags(s, dir)),
     "q_rollup_revenue" -> ((s, dir) => Relational.rollupRevenue(s, dir)),
     "q_intersect_priorities" -> ((s, dir) => Relational.prioritiesIntersect(s, dir)),
     "q_except_customers" -> ((s, dir) => Relational.lapsedCustomers(s, dir)),
@@ -247,6 +248,7 @@ object SparkEntry {
           |WHERE rank_in_brand <= 3
           |ORDER BY p_brand, rank_in_brand""".stripMargin,
       "q_approx_distinct" -> Relational.approxDistinctPartsSql,
+      "q_freq_items" -> Relational.freqReturnFlagsSql,
       "q_approx_percentiles" -> Relational.approxQuantityPercentilesSql,
       "q_distinct_parts" ->
         """SELECT l_returnflag,

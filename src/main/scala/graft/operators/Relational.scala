@@ -186,6 +186,32 @@ object Relational {
       |  true AS approx_ok
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Frequent-items sketch (Spark's `stat.freqItems`, the Karp/Misra-Gries
+    * one-pass family — mergeable partial sketches, so the 100 TB form is a
+    * single scan with map-side sketch merge). Self-checking like the other
+    * sketch-tier queries: the algorithm GUARANTEES every value with
+    * frequency > support·n appears in the result (false positives allowed),
+    * so `freq_ok` must be true per flag and the oracle verifies the
+    * exact counts + the literal guarantee.
+    */
+  def freqReturnFlags(spark: SparkSession, dir: String, support: Double = 0.1): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_returnflag")
+    val n = li.count()
+    // the sketch result is one row with a ≤ 1/support-element array
+    val sketch = li.stat.freqItems(Seq("l_returnflag"), support)
+      .head().getSeq[String](0).toSet
+    val sketchLit = array(sketch.toSeq.sorted.map(lit): _*)
+    li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("n_rows"),
+        (!(col("n_rows") > n * support) ||
+          array_contains(sketchLit, col("l_returnflag"))).as("freq_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val freqReturnFlagsSql: String =
+    """SELECT l_returnflag, count(*) AS n_rows, true AS freq_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Hierarchical aggregate: ROLLUP region→nation revenue (grouping-set
     * capability; NULL super-aggregate rows, NULLS FIRST ordering pinned on
     * both engines).
