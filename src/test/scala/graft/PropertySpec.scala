@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
+import graft.multimodal.Multimodal
 import graft.operators.Readings
 import graft.plans.ArrayExprs
 import graft.streaming.RadiationPipeline
@@ -86,5 +87,40 @@ class PropertySpec extends SparkSuite {
     val out = forms.toDF("ts")
       .select(RadiationPipeline.normalizeTimestamp(col("ts")).cast("string")).as[String].collect()
     assert(out.forall(_ == base))
+  }
+
+  test("HeaderDecoder round-trips arbitrary BMP dims and WAV formats") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(54).order(ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      b.array()
+    }
+    def wav(rate: Int, ch: Int, bits: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(44).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36).put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(ch.toShort)
+      b.putInt(rate).putInt(rate * ch * bits / 8).putShort((ch * bits / 8).toShort)
+      b.putShort(bits.toShort)
+      b.put("data".getBytes("US-ASCII")).putInt(0)
+      b.array()
+    }
+    val dims = samples(Gen.zip(Gen.choose(1, 65535), Gen.choose(-65535, 65535)
+      .suchThat(_ != 0)), 40)
+    for ((w, h) <- dims) {
+      val d = Multimodal.HeaderDecoder.decode(
+        Multimodal.MediaRecord(1L, "image", bmp(w, h), 0, 0))
+      assert(d.format == "bmp" && d.width == w && d.height == math.abs(h),
+        s"bmp($w, $h) -> $d")
+    }
+    val fmts = samples(Gen.zip(Gen.choose(8000, 192000), Gen.choose(1, 8),
+      Gen.oneOf(8, 16, 24, 32)), 40)
+    for ((rate, ch, bits) <- fmts) {
+      val d = Multimodal.HeaderDecoder.decode(
+        Multimodal.MediaRecord(2L, "audio", wav(rate, ch, bits), 0, 0))
+      assert(d.format == "wav" && d.sample_rate == rate && d.channels == ch &&
+        d.bits_per_sample == bits, s"wav($rate, $ch, $bits) -> $d")
+    }
   }
 }
