@@ -64,6 +64,31 @@ class TransportSpec extends SparkSuite {
       !normal.head._2.contains("\"raw\""))
   }
 
+  test("epoch retry is idempotent for Dir, at-least-once for Kafka (documented delta)") {
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft-retry-out").toString
+    val batch = spark.read.json(
+      spark.createDataset(Seq(rec("2011-03-15 10:00:00")))(
+        org.apache.spark.sql.Encoders.STRING))
+    val routed = RadiationPipeline.route(
+      RadiationPipeline.validate(RadiationPipeline.parse(
+        batch.selectExpr("to_json(struct(*)) AS value")))
+        .withColumn("temporal_batch_size", org.apache.spark.sql.functions.lit(1L))
+        .withColumn("timestamp_key", org.apache.spark.sql.functions.lit("k"))
+        .withColumn("temporal_ordering", org.apache.spark.sql.functions.lit("compliant")))
+    // the same epoch written twice = a foreachBatch retry
+    RadiationPipeline.writeEpoch(routed, 7L, Transport.Dir("", out))
+    RadiationPipeline.writeEpoch(routed, 7L, Transport.Dir("", out))
+    assert(spark.read.parquet(s"$out/normal-data").count() == 1,
+      "epoch-partitioned overwrite absorbs the replay")
+    FakeKafka.reset()
+    RadiationPipeline.writeEpoch(routed, 7L, kafka)
+    RadiationPipeline.writeEpoch(routed, 7L, kafka)
+    val dups = FakeKafka.sentByTopic("normal-data")
+    assert(dups.size == 2 && dups.map(_._1).distinct.size == 1,
+      "kafka batch sink re-sends on retry (at-least-once), replays share the record key")
+  }
+
   test("run(Dir transport) end-to-end: file source to epoch-partitioned parquet") {
     val in = Files.createTempDirectory("graft-dir-in").toString
     val out = Files.createTempDirectory("graft-dir-out").toString
