@@ -151,6 +151,7 @@ object SparkEntry {
     "d_langid" -> ((s, dir) => TextOps.langid(s, dir).orderBy(col("doc_id"))),
     "d_fingerprint" -> ((s, dir) => TextOps.fingerprint(s, dir).orderBy(col("doc_id"))),
     "d_repetition" -> ((s, dir) => TextOps.repetition(s, dir).orderBy(col("doc_id"))),
+    "d_source_stats" -> ((s, dir) => TextOps.sourceStats(s, dir)),
     "d_top_terms" -> ((s, dir) => TextOps.topTerms(s, dir).orderBy(col("doc_id"), col("rank"))),
     "d_dedup_exact" -> ((s, dir) => TextOps.dedupExact(s, dir).orderBy(col("rep_doc_id"))),
     "d_jaccard_pairs" -> ((s, dir) => TextOps.jaccardPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))),
@@ -468,6 +469,7 @@ object SparkEntry {
       "d_langid" -> TextOps.langidSql,
       "d_fingerprint" -> TextOps.fingerprintSql,
       "d_repetition" -> TextOps.repetitionSql,
+      "d_source_stats" -> TextOps.sourceStatsSql,
       "d_top_terms" -> TextOps.topTermsSql(),
       "d_dedup_exact" -> TextOps.dedupExactSql,
       "d_jaccard_pairs" -> TextOps.jaccardPairsSql(),

@@ -191,6 +191,46 @@ object TextOps {
        |       unnest(range(1, CASE WHEN len(words) >= 3 THEN len(words)-1 ELSE 2 END)) AS t(i))
        |GROUP BY doc_id, norm ORDER BY doc_id""".stripMargin
 
+  // ---- per-source curation report ----
+
+  /** Per-source corpus report — the summary a curation pass reads before
+    * deciding source weights: doc count, quality-bucket histogram, and how
+    * many docs are exact duplicates of something in the corpus. All-integer
+    * outputs (a cross-engine avg of doubles is NOT deterministic — partial
+    * aggregation reorders IEEE addition). Scale shape: md5-groupBy dup
+    * counts (map-side combined) + shuffle joins on hash/doc_id + one final
+    * per-source agg over a handful of groups.
+    */
+  def sourceStats(spark: SparkSession, dir: String): DataFrame = {
+    val q = quality(spark, dir).select(col("doc_id"), col("quality_bucket"))
+    val p = prepared(spark, dir).select(col("doc_id"), col("source"),
+      md5(col("norm").cast("binary")).as("h"))
+    val dupCounts = p.groupBy(col("h")).agg(count(lit(1)).as("nh"))
+    p.join(dupCounts, "h").join(q, "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("nh") > 1).cast("long")).as("n_dup_docs"),
+        sum((col("quality_bucket") === "high").cast("long")).as("n_high"),
+        sum((col("quality_bucket") === "medium").cast("long")).as("n_medium"),
+        sum((col("quality_bucket") === "low").cast("long")).as("n_low"))
+      .orderBy(col("source"))
+  }
+
+  val sourceStatsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, md5(norm) AS h FROM ($preparedSql)),
+       |dc AS (SELECT h, count(*) AS nh FROM d GROUP BY h),
+       |q AS (SELECT doc_id, quality_bucket FROM ($qualitySql))
+       |SELECT source,
+       |  count(*) AS n_docs,
+       |  sum(CASE WHEN nh > 1 THEN 1 ELSE 0 END) AS n_dup_docs,
+       |  sum(CASE WHEN quality_bucket = 'high' THEN 1 ELSE 0 END) AS n_high,
+       |  sum(CASE WHEN quality_bucket = 'medium' THEN 1 ELSE 0 END) AS n_medium,
+       |  sum(CASE WHEN quality_bucket = 'low' THEN 1 ELSE 0 END) AS n_low
+       |FROM d JOIN dc USING (h) JOIN q USING (doc_id)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   // ---- repetition signals (Gopher-style quality filters) ----
 
   /** Per-doc repetition signals — the Gopher/C4 family of quality filters a
