@@ -45,5 +45,17 @@ class SkewRetentionSpec extends SparkSuite {
     runEpoch()
     val after2 = spark.read.parquet(s"$dir/out").select("value").as[Int].collect().sorted
     assert(after2.toSeq == Seq(3, 4, 5), "newest 3 across epochs; stale row evicted")
+
+    // crash recovery: a failure between the two swap renames leaves only
+    // `.old` on disk — the next epoch must restore it before folding, so
+    // the retained set survives the crash
+    val out = new java.io.File(s"$dir/out")
+    val old = new java.io.File(s"$dir/out.old")
+    assert(out.renameTo(old), "simulate crash mid-swap")
+    in.addData(rec("06", 6))
+    runEpoch()
+    val after3 = spark.read.parquet(s"$dir/out").select("value").as[Int].collect().sorted
+    assert(after3.toSeq == Seq(4, 5, 6), "recovered .old set + new row, newest 3")
+    assert(!old.exists(), "recovery swap leaves no .old behind")
   }
 }
