@@ -156,14 +156,14 @@ object RadiationPipeline {
     * window (Spark 4 disallows redefining a watermark mid-plan).
     */
   def windowedPath(validated: DataFrame, watermark: String = "5 seconds",
-                   bounded: Boolean = true): DataFrame = {
+                   bounded: Boolean = true, window_ : String = "1 second"): DataFrame = {
     val base = validated
       .filter(col("status") === "valid" && col("event_time").isNotNull)
       .withWatermark("event_time", watermark)
     val deduped =
       if (bounded) base.dropDuplicatesWithinWatermark(Seq("dedup_key"))
       else base.dropDuplicates(Seq("dedup_key"))
-    cohortAnnotate(deduped, setWatermark = false)
+    cohortAnnotate(deduped, window_ = window_, setWatermark = false)
   }
 
   /** W3+W4 streaming form: 1 s tumbling event-time window over the valid
@@ -202,8 +202,16 @@ object RadiationPipeline {
     * `dropDuplicates` (see the [[dedup]] bounded-mode note).
     */
   def withCohort(validated: DataFrame, watermark: String = "5 seconds",
-                 bounded: Boolean = true): DataFrame = {
-    val annotated = windowedPath(validated, watermark, bounded)
+                 bounded: Boolean = true, window_ : String = "1 second",
+                 annotate: Boolean = true): DataFrame = {
+    if (!annotate)
+      // W7 config gate (ENABLE_TEMPORAL_ORDERING=false): dedup + route with
+      // no cohort window at all — annotation columns stay null on every row
+      return dedup(validated, watermark, bounded)
+        .withColumn("temporal_batch_size", lit(null).cast("long"))
+        .withColumn("timestamp_key", lit(null: String))
+        .withColumn("temporal_ordering", lit(null: String))
+    val annotated = windowedPath(validated, watermark, bounded, window_)
     val bypass = validated
       .filter(col("status") === "invalid" || col("event_time").isNull)
       .dropDuplicates(Seq("dedup_key"))
@@ -298,6 +306,15 @@ object RadiationPipeline {
   def run(spark: SparkSession, t: Transport, checkpointDir: String): StreamingQuery =
     run(spark, t, checkpointDir, Thresholds(), bounded = true)
 
+  /** End-to-end driven entirely by a reference `config.ini`
+    * ([[GraftConfig]]): topics, thresholds, watermark, cohort window, and
+    * the ENABLE_TEMPORAL_ORDERING topology gate all come from the file.
+    */
+  def run(spark: SparkSession, cfg: GraftConfig, checkpointDir: String): StreamingQuery =
+    runRouted(source(spark, cfg.transport), cfg.transport, checkpointDir,
+      cfg.thresholds, bounded = true, watermark = cfg.watermark,
+      window_ = cfg.temporalWindow, annotate = cfg.temporalOrdering)
+
   /** End-to-end: source of JSON strings → parse → validate → dedup → cohort →
     * route → one foreachBatch epoch writing the three outputs as parquet
     * (the offline stand-in for the reference's three Kafka topics —
@@ -322,8 +339,13 @@ object RadiationPipeline {
     * how it absorbs the retry.
     */
   private def runRouted(raw: DataFrame, t: Transport, checkpointDir: String,
-                        thresholds: Thresholds, bounded: Boolean): StreamingQuery = {
-    val finalStream = withCohort(validate(parse(raw), thresholds), bounded = bounded)
+                        thresholds: Thresholds, bounded: Boolean,
+                        watermark: String = "5 seconds",
+                        window_ : String = "1 second",
+                        annotate: Boolean = true): StreamingQuery = {
+    val finalStream = withCohort(validate(parse(raw), thresholds),
+      watermark = watermark, bounded = bounded, window_ = window_,
+      annotate = annotate)
     finalStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
