@@ -74,3 +74,30 @@ object GraftConfig {
   def load(path: String): GraftConfig =
     fromIni(java.nio.file.Files.readString(java.nio.file.Path.of(path)))
 }
+
+/** The producer side's `config.ini` (data_provider/config.ini, read at
+  * data_provider.py:186-204): CSV path, chunk size, and per-record send
+  * delay, mapped to the engine's ingest parameters. `SEND_DELAY_MS` is a
+  * per-record sleep in the reference, so the replay-rate equivalent is
+  * `1000 / delay` rows per second ([[graft.sources.Ingest.rateReplay]]).
+  */
+final case class IngestConfig(
+    csvPath: String, batchSize: Int, sendDelayMs: Int,
+    topic: String, bootstrapServers: String) {
+  def rowsPerSecond: Int = math.max(1, 1000 / math.max(1, sendDelayMs))
+}
+
+object IngestConfig {
+  def fromIni(text: String): IngestConfig = {
+    val m = GraftConfig.parseIni(text)
+    IngestConfig(
+      csvPath = m.getOrElse("CSV_FILE_PATH", "measurements.csv"),
+      batchSize = m.get("BATCH_SIZE").map(_.toInt).getOrElse(10000),
+      sendDelayMs = m.get("SEND_DELAY_MS").map(_.toInt).getOrElse(10),
+      topic = m.getOrElse("KAFKA_TOPIC", "radiation-data"),
+      bootstrapServers = m.getOrElse("KAFKA_BOOTSTRAP_SERVERS", "localhost:9092"))
+  }
+
+  def load(path: String): IngestConfig =
+    fromIni(java.nio.file.Files.readString(java.nio.file.Path.of(path)))
+}

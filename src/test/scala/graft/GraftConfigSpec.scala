@@ -57,6 +57,20 @@ class GraftConfigSpec extends SparkSuite {
     assert(both.watermarkSeconds == 10)
   }
 
+  test("producer config.ini maps SEND_DELAY_MS to a replay rate") {
+    val cfg = graft.streaming.IngestConfig.fromIni(
+      """CSV_FILE_PATH = /data/measurements-out.csv
+        |BATCH_SIZE = 50000
+        |SEND_DELAY_MS = 1
+        |KAFKA_TOPIC = radiation-data
+        |KAFKA_BOOTSTRAP_SERVERS = kafka:9092
+        |""".stripMargin)
+    assert(cfg.csvPath == "/data/measurements-out.csv")
+    assert(cfg.batchSize == 50000)
+    assert(cfg.rowsPerSecond == 1000) // 1 ms per record = 1000 rec/s
+    assert(graft.streaming.IngestConfig.fromIni("").sendDelayMs == 10)
+  }
+
   test("config-driven pipeline run: topics and thresholds come from the file") {
     FakeKafka.reset()
     val ini =
