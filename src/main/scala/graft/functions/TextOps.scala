@@ -697,6 +697,28 @@ object TextOps {
        |  count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
        |FROM rep ORDER BY doc_id""".stripMargin
 
+  /** The dedup APPLY step — what a pipeline actually ships: every doc
+    * tagged keep/drop, keeping exactly one representative (the min-id
+    * label) per near-dup cluster. Pure composition of [[dupClusters]] with
+    * a column compare; the doc payload joins back by doc_id downstream, so
+    * the decision relation stays narrow (3 columns) however wide the docs
+    * are.
+    */
+  def dedupApply(spark: SparkSession, dir: String,
+                 mat: Materialize = Materialize.Local): DataFrame =
+    dupClusters(spark, dir, mat)
+      .select(col("doc_id"), col("cluster_rep"),
+        (col("doc_id") === col("cluster_rep")).as("keep"))
+
+  val dedupApplySql: String = {
+    // the cluster oracle minus its ORDER BY/cluster_size tail, re-projected
+    val inner = dupClustersSql
+      .replace("SELECT doc AS doc_id, cluster_rep,\n  count(*) OVER (PARTITION BY cluster_rep) AS cluster_size\nFROM rep ORDER BY doc_id",
+        "SELECT doc AS doc_id, cluster_rep, doc = cluster_rep AS keep\nFROM rep ORDER BY doc_id")
+    require(inner != dupClustersSql, "dedupApplySql: tail rewrite did not apply")
+    inner
+  }
+
   // ---- SimHash ----
 
   /** SimHash width (the full [[Exprs.hex60]] hash width) and the block
