@@ -152,6 +152,7 @@ object SparkEntry {
     "d_fingerprint" -> ((s, dir) => TextOps.fingerprint(s, dir).orderBy(col("doc_id"))),
     "d_repetition" -> ((s, dir) => TextOps.repetition(s, dir).orderBy(col("doc_id"))),
     "d_source_stats" -> ((s, dir) => TextOps.sourceStats(s, dir)),
+    "d_contamination" -> ((s, dir) => TextOps.contamination(s, dir).orderBy(col("doc_id"))),
     "d_top_terms" -> ((s, dir) => TextOps.topTerms(s, dir).orderBy(col("doc_id"), col("rank"))),
     "d_dedup_exact" -> ((s, dir) => TextOps.dedupExact(s, dir).orderBy(col("rep_doc_id"))),
     "d_jaccard_pairs" -> ((s, dir) => TextOps.jaccardPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))),
@@ -471,6 +472,7 @@ object SparkEntry {
       "d_fingerprint" -> TextOps.fingerprintSql,
       "d_repetition" -> TextOps.repetitionSql,
       "d_source_stats" -> TextOps.sourceStatsSql,
+      "d_contamination" -> TextOps.contaminationSql(),
       "d_top_terms" -> TextOps.topTermsSql(),
       "d_dedup_exact" -> TextOps.dedupExactSql,
       "d_jaccard_pairs" -> TextOps.jaccardPairsSql(),

@@ -231,6 +231,56 @@ object TextOps {
        |FROM d JOIN dc USING (h) JOIN q USING (doc_id)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- benchmark decontamination ----
+
+  /** Train/test contamination check: for every corpus doc, its strongest
+    * 3-gram-shingle overlap with a probe ("benchmark") set — here the docs
+    * with `doc_id < probeMax`, in production the benchmark table. The shape
+    * every decontamination pass uses: distinct shingles on both sides, an
+    * equi-join on the shingle (bucketed by construction — no pairwise doc
+    * scan), per-(doc, probe) counts with map-side combine, then a top-1
+    * window per doc. Emits only docs that share at least one shingle.
+    */
+  def contamination(spark: SparkSession, dir: String, probeMax: Long = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh3 = when(size(col("words")) >= 3,
+      expr("transform(sequence(0, size(words)-3), i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))"))
+      .otherwise(array(col("norm")))
+    val ex = prepared(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(sh3)).as("sh"))
+    val probe = ex.filter(col("doc_id") < probeMax)
+      .select(col("doc_id").as("probe_id"), col("sh"))
+    val shared = ex.filter(col("doc_id") >= probeMax)
+      .join(probe, "sh")
+      .groupBy(col("doc_id"), col("probe_id"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("n_shared_shingles").desc, col("probe_id"))
+    shared.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("probe_id").as("top_probe_id"),
+        col("n_shared_shingles"))
+  }
+
+  def contaminationSql(probeMax: Long = 10): String =
+    s"""WITH ex AS (
+       |  SELECT DISTINCT doc_id, sh FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN len(words) >= 3
+       |           THEN words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+       |           ELSE norm END AS sh
+       |    FROM ($preparedSql),
+       |         unnest(range(1, CASE WHEN len(words) >= 3 THEN len(words)-1 ELSE 2 END)) AS t(i))),
+       |shared AS (
+       |  SELECT c.doc_id, p.doc_id AS probe_id, count(*) AS n_shared_shingles
+       |  FROM ex c JOIN ex p ON c.sh = p.sh
+       |  WHERE c.doc_id >= $probeMax AND p.doc_id < $probeMax
+       |  GROUP BY 1, 2)
+       |SELECT doc_id, probe_id AS top_probe_id, n_shared_shingles FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY doc_id ORDER BY n_shared_shingles DESC, probe_id) AS rn
+       |  FROM shared)
+       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   // ---- repetition signals (Gopher-style quality filters) ----
 
   /** Per-doc repetition signals — the Gopher/C4 family of quality filters a
