@@ -176,6 +176,7 @@ object SparkEntry {
     "v_ivf_assign" -> ((s, dir) => VectorOps.ivfAssign(s, dir).orderBy(col("vec_id"))),
     "v_ann_ivf" -> ((s, dir) => VectorOps.annIvf(s, dir)),
     "v_ann_ivf2" -> ((s, dir) => VectorOps.annIvfMulti(s, dir)),
+    "v_quantize" -> ((s, dir) => VectorOps.quantize(s, dir).orderBy(col("vec_id"))),
     "v_kmeans_step" -> ((s, dir) => VectorOps.kmeansStep(s, dir)),
 
     // ---- multimodal plumbing ----
@@ -494,6 +495,7 @@ object SparkEntry {
       "v_ivf_assign" -> VectorOps.ivfAssignSql(),
       "v_ann_ivf" -> VectorOps.annIvfSql(),
       "v_ann_ivf2" -> VectorOps.annIvfMultiSql(),
+      "v_quantize" -> VectorOps.quantizeSql,
       "v_kmeans_step" -> VectorOps.kmeansStepSql(),
       "mm_meta" -> Multimodal.mediaMetaSql,
       "mm_frames" -> Multimodal.frameSampleSql(),

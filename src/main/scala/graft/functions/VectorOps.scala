@@ -307,6 +307,50 @@ object VectorOps {
        |WHERE rank <= $kNn
        |ORDER BY q_id, rank""".stripMargin
 
+  /** Scalar int8 quantization audit — the embedding STORAGE path at corpus
+    * scale (4 bytes/dim → 1, before product quantization): per-vector
+    * symmetric scale `max|x|/127`, round-half-up code (`floor(x/s + 0.5)`,
+    * portable — unlike `round()`, whose half-even vs half-up behavior
+    * differs between engines), and the reconstruction-error audit columns a
+    * pipeline gates on. Only order-INDEPENDENT per-vector stats are emitted
+    * (max error, exact-dim count) — a sum of IEEE errors would depend on
+    * fold order and break cross-engine parity. Pure `transform`/`aggregate`
+    * column expressions: one scan, no shuffle, fully codegen'd.
+    */
+  def quantize(spark: SparkSession, dir: String): DataFrame =
+    prepared(spark, dir)
+      .withColumn("max_abs",
+        expr("aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x)))"))
+      .withColumn("scale", col("max_abs") / 127.0)
+      .select(
+        col("vec_id"), col("scale"),
+        expr("""CASE WHEN scale = 0.0 THEN CAST(0.0 AS DOUBLE)
+               |ELSE aggregate(
+               |  transform(v, x -> abs(floor(x / scale + 0.5d) * scale - x)),
+               |  CAST(0.0 AS DOUBLE), (acc, e) -> greatest(acc, e)) END""".stripMargin)
+          .as("max_abs_err"),
+        expr("""CASE WHEN scale = 0.0 THEN size(v)
+               |ELSE aggregate(v, 0,
+               |  (acc, x) -> acc + CAST(floor(x / scale + 0.5d) * scale = x AS INT)) END""".stripMargin)
+          .as("n_exact"))
+
+  val quantizeSql: String =
+    s"""WITH e AS ($preparedSql),
+       |m AS (
+       |  SELECT vec_id, v,
+       |    list_aggregate(list_transform(v, x -> abs(x)), 'max') AS max_abs
+       |  FROM e)
+       |SELECT vec_id, max_abs / 127.0 AS scale,
+       |  CASE WHEN max_abs / 127.0 = 0.0 THEN 0.0
+       |       ELSE list_aggregate(list_transform(v,
+       |         x -> abs(floor(x / (max_abs / 127.0) + 0.5) * (max_abs / 127.0) - x)), 'max')
+       |  END AS max_abs_err,
+       |  CAST(CASE WHEN max_abs / 127.0 = 0.0 THEN len(v)
+       |       ELSE len(list_filter(v,
+       |         x -> floor(x / (max_abs / 127.0) + 0.5) * (max_abs / 127.0) = x))
+       |  END AS INT) AS n_exact
+       |FROM m ORDER BY vec_id""".stripMargin
+
   /** One Lloyd (k-means) iteration over the corpus: assign every vector to
     * its nearest fixed centroid (cosine, via [[ivfAssign]]) and recompute
     * each centroid as the per-dimension mean of its members — emitted in
