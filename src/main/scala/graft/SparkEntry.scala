@@ -177,6 +177,8 @@ object SparkEntry {
     "v_ann_ivf" -> ((s, dir) => VectorOps.annIvf(s, dir)),
     "v_ann_ivf2" -> ((s, dir) => VectorOps.annIvfMulti(s, dir)),
     "v_quantize" -> ((s, dir) => VectorOps.quantize(s, dir).orderBy(col("vec_id"))),
+    "v_pq_assign" -> ((s, dir) =>
+      VectorOps.pqAssign(s, dir).orderBy(col("vec_id"), col("block"))),
     "v_kmeans_step" -> ((s, dir) => VectorOps.kmeansStep(s, dir)),
 
     // ---- multimodal plumbing ----
@@ -496,6 +498,7 @@ object SparkEntry {
       "v_ann_ivf" -> VectorOps.annIvfSql(),
       "v_ann_ivf2" -> VectorOps.annIvfMultiSql(),
       "v_quantize" -> VectorOps.quantizeSql,
+      "v_pq_assign" -> VectorOps.pqAssignSql(),
       "v_kmeans_step" -> VectorOps.kmeansStepSql(),
       "mm_meta" -> Multimodal.mediaMetaSql,
       "mm_frames" -> Multimodal.frameSampleSql(),

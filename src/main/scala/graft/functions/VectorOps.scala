@@ -351,6 +351,59 @@ object VectorOps {
        |  END AS INT) AS n_exact
        |FROM m ORDER BY vec_id""".stripMargin
 
+  /** Product-quantization code assignment — the codebook half of the
+    * IVF+PQ stack ([[annIvf]]/[[annIvfMulti]] being the IVF half): the
+    * vector splits into `blocks` sub-vectors, each assigned to its nearest
+    * sub-codeword by L2 (computed as the dot-product form
+    * `argmax ⟨x,c⟩ − ½⟨c,c⟩`, reusing the codegen'd dot product). Like
+    * [[ivfAssign]], the codebook is the first `k` vectors' blocks —
+    * deterministic, so the assignment is oracle-checkable; a trained
+    * codebook swaps in without changing the plan: broadcast codebook, one
+    * scan of the corpus, argmax window per (vector, block), no shuffle of
+    * the embedding payload. Output codes are `blocks` small ints per
+    * vector — the 4-bytes/dim → blocks-bytes/vector storage path.
+    */
+  def pqAssign(spark: SparkSession, dir: String, blocks: Int = 4,
+               k: Int = 16): DataFrame = {
+    val e = prepared(spark, dir)
+    val dim = 64 // embeddings table width (TESTDATA.md)
+    require(dim % blocks == 0, s"dim $dim not divisible by $blocks blocks")
+    val sub = dim / blocks
+    def subVectors(df: DataFrame, idCol: String): DataFrame =
+      df.select(col("vec_id").as(idCol), col("v"),
+          explode(array((0 until blocks).map(lit): _*)).as("block"))
+        .select(col(idCol), col("block"),
+          slice(col("v"), col("block") * sub + 1, lit(sub)).as("sv"))
+    val corpus = subVectors(e, "vec_id")
+    val code = broadcast(subVectors(e.filter(col("vec_id") < k), "cid")
+      .select(col("cid"), col("block"), col("sv").as("cv")))
+    val scored = corpus.join(code, "block")
+      .withColumn("score", dot(col("sv"), col("cv")) - lit(0.5) * dot(col("cv"), col("cv")))
+    val w = Window.partitionBy(col("vec_id"), col("block"))
+      .orderBy(col("score").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("block"), col("cid").cast("int").as("code"))
+  }
+
+  def pqAssignSql(blocks: Int = 4, k: Int = 16): String = {
+    val sub = 64 / blocks
+    s"""WITH e AS ($preparedSql),
+       |b AS (SELECT unnest(range(0, $blocks)) AS block),
+       |sv AS (
+       |  SELECT vec_id, block, v[block * $sub + 1 : block * $sub + $sub] AS sv
+       |  FROM e, b),
+       |cw AS (SELECT vec_id AS cid, block, sv AS cv FROM sv WHERE vec_id < $k),
+       |scored AS (
+       |  SELECT sv.vec_id, sv.block, cw.cid,
+       |    list_dot_product(sv.sv, cw.cv) - 0.5 * list_dot_product(cw.cv, cw.cv) AS score
+       |  FROM sv JOIN cw USING (block))
+       |SELECT vec_id, CAST(block AS INT) AS block, CAST(cid AS INT) AS code FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY vec_id, block ORDER BY score DESC, cid) AS rn
+       |  FROM scored)
+       |WHERE rn = 1 ORDER BY vec_id, block""".stripMargin
+  }
+
   /** One Lloyd (k-means) iteration over the corpus: assign every vector to
     * its nearest fixed centroid (cosine, via [[ivfAssign]]) and recompute
     * each centroid as the per-dimension mean of its members — emitted in
