@@ -179,6 +179,7 @@ object SparkEntry {
     "v_quantize" -> ((s, dir) => VectorOps.quantize(s, dir).orderBy(col("vec_id"))),
     "v_pq_assign" -> ((s, dir) =>
       VectorOps.pqAssign(s, dir).orderBy(col("vec_id"), col("block"))),
+    "v_ann_pq" -> ((s, dir) => VectorOps.annPq(s, dir)),
     "v_kmeans_step" -> ((s, dir) => VectorOps.kmeansStep(s, dir)),
 
     // ---- multimodal plumbing ----
@@ -499,6 +500,7 @@ object SparkEntry {
       "v_ann_ivf2" -> VectorOps.annIvfMultiSql(),
       "v_quantize" -> VectorOps.quantizeSql,
       "v_pq_assign" -> VectorOps.pqAssignSql(),
+      "v_ann_pq" -> VectorOps.annPqSql(),
       "v_kmeans_step" -> VectorOps.kmeansStepSql(),
       "mm_meta" -> Multimodal.mediaMetaSql,
       "mm_frames" -> Multimodal.frameSampleSql(),

@@ -404,6 +404,91 @@ object VectorOps {
        |WHERE rn = 1 ORDER BY vec_id, block""".stripMargin
   }
 
+  /** PQ asymmetric-distance search (ADC) — the query half of IVF+PQ: each
+    * query scores every vector using ONLY its `blocks` codes and the
+    * codebook (`Σ_b ⟨q_b, codeword(code_b)⟩`, the classic ADC inner
+    * product), never touching the stored embeddings. The per-(query, block,
+    * codeword) lookup table is tiny (`nQueries × blocks × k` rows) and
+    * broadcast; the code table joins it and the per-vector score is the
+    * FIXED-ORDER sum of the block columns (a `sum()` over block rows would
+    * reorder IEEE addition and break cross-engine parity). One shuffle-free
+    * scan of the codes + a per-query top-k window.
+    */
+  def annPq(spark: SparkSession, dir: String, nQueries: Int = 20, kNn: Int = 5,
+            blocks: Int = 4, k: Int = 16): DataFrame = {
+    val sub = 64 / blocks
+    val e = prepared(spark, dir)
+    val codes = pqAssign(spark, dir, blocks, k)
+    // lookup table: every (query block) × (codeword) inner product
+    def subV(df: DataFrame, idCol: String): DataFrame =
+      df.select(col("vec_id").as(idCol), col("v"),
+          explode(array((0 until blocks).map(lit): _*)).as("block"))
+        .select(col(idCol), col("block"),
+          slice(col("v"), col("block") * sub + 1, lit(sub)).as("sv"))
+    val qs = subV(e.filter(col("vec_id") < nQueries), "q_id")
+    val cw = subV(e.filter(col("vec_id") < k), "cid").withColumnRenamed("sv", "cv")
+    val lut = broadcast(qs.join(cw, "block")
+      .select(col("q_id"), col("block"), col("cid").as("code"),
+        dot(col("sv"), col("cv")).as("s")))
+    val scored = codes.withColumn("code", col("code").cast("long"))
+      .join(lut, Seq("block", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(
+        first(when(col("block") === 0, col("s")), ignoreNulls = true).as("s0"),
+        (1 until blocks).map(b =>
+          first(when(col("block") === b, col("s")), ignoreNulls = true).as(s"s$b")): _*)
+      .withColumn("adc_score",
+        round((0 until blocks).map(b => col(s"s$b")).reduce(_ + _), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNn)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("adc_score"))
+  }
+
+  def annPqSql(nQueries: Int = 20, kNn: Int = 5, blocks: Int = 4, k: Int = 16): String = {
+    val sub = 64 / blocks
+    val sumExpr = (0 until blocks).map(b => s"s$b").mkString(" + ")
+    val pivotCols = (0 until blocks)
+      .map(b => s"max(CASE WHEN codes.block = $b THEN s END) AS s$b").mkString(",\n    ")
+    s"""WITH e AS ($preparedSql),
+       |b AS (SELECT unnest(range(0, $blocks)) AS block),
+       |sv AS (
+       |  SELECT vec_id, block, v[block * $sub + 1 : block * $sub + $sub] AS sv
+       |  FROM e, b),
+       |codes AS (
+       |  SELECT vec_id, block, cid AS code FROM (
+       |    SELECT sv.vec_id, sv.block, cw.cid, ROW_NUMBER() OVER (
+       |      PARTITION BY sv.vec_id, sv.block
+       |      ORDER BY list_dot_product(sv.sv, cw.cv) - 0.5 * list_dot_product(cw.cv, cw.cv) DESC,
+       |               cw.cid) AS rn
+       |    FROM sv
+       |    JOIN (SELECT vec_id AS cid, block, sv AS cv FROM sv WHERE vec_id < $k) cw
+       |      USING (block))
+       |  WHERE rn = 1),
+       |lut AS (
+       |  SELECT q.vec_id AS q_id, q.block, cw.cid AS code,
+       |    list_dot_product(q.sv, cw.cv) AS s
+       |  FROM sv q
+       |  JOIN (SELECT vec_id AS cid, block, sv AS cv FROM sv WHERE vec_id < $k) cw
+       |    USING (block)
+       |  WHERE q.vec_id < $nQueries),
+       |pivoted AS (
+       |  SELECT lut.q_id, codes.vec_id,
+       |    $pivotCols
+       |  FROM codes JOIN lut ON codes.block = lut.block AND codes.code = lut.code
+       |  WHERE codes.vec_id <> lut.q_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT q_id, vec_id, round($sumExpr, 4) AS adc_score FROM pivoted)
+       |SELECT q_id, rank, vec_id AS neighbor_id, adc_score FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY adc_score DESC, vec_id) AS INT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $kNn
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   /** One Lloyd (k-means) iteration over the corpus: assign every vector to
     * its nearest fixed centroid (cosine, via [[ivfAssign]]) and recompute
     * each centroid as the per-dimension mean of its members — emitted in
