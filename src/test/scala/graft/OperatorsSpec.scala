@@ -54,6 +54,16 @@ class OperatorsSpec extends SparkSuite {
     assert(pairs.toSet == Set((1L, 2L)))
   }
 
+  test("driver contract: every registered query has a DuckDB oracle") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
+    // every operator claimed done needs BOTH entries (builder brief); a new
+    // query without an oracle downgrades to a rows-only check silently —
+    // this test makes that a loud decision instead
+    assert((q -- o).isEmpty, s"queries without an oracle: ${(q -- o).toSeq.sorted}")
+  }
+
   test("nearDupExact refuses an input larger than its maxRows contract") {
     val e = intercept[IllegalArgumentException] {
       VectorOps.nearDupExact(spark, sf(), maxRows = 10L).collect()
