@@ -351,7 +351,10 @@ object TextOps {
     */
   def topTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nDocs = prepared(spark, dir).count()
+    // corpus size stays INSIDE the plan (broadcast 1-row cross join, like
+    // the oracle's scalar subquery) — an eager count() here would cost a
+    // full extra scan at every query construction
+    val nDocs = prepared(spark, dir).agg(count(lit(1)).as("n_docs"))
     val tf = prepared(spark, dir)
       .select(col("doc_id"), size(col("words")).as("n_words"),
         explode(col("words")).as("w"))
@@ -361,9 +364,10 @@ object TextOps {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("w"))
     tf.join(df, "w")
+      .crossJoin(broadcast(nDocs))
       .withColumn("score",
         col("n") / col("n_words").cast("double") *
-          (lit(nDocs + 1.0) / (col("df") + lit(1)).cast("double")))
+          ((col("n_docs") + lit(1.0)) / (col("df") + lit(1)).cast("double")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("w").as("term"), col("score"))

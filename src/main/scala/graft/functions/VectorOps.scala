@@ -363,19 +363,25 @@ object VectorOps {
     * the embedding payload. Output codes are `blocks` small ints per
     * vector — the 4-bytes/dim → blocks-bytes/vector storage path.
     */
-  def pqAssign(spark: SparkSession, dir: String, blocks: Int = 4,
-               k: Int = 16): DataFrame = {
-    val e = prepared(spark, dir)
+  /** Split vectors into `blocks` equal sub-vectors, one row per
+    * (id, block, sub-vector) — shared by the PQ assign and search halves so
+    * the block layout can never diverge between them.
+    */
+  private def pqSubVectors(df: DataFrame, idCol: String, blocks: Int): DataFrame = {
     val dim = 64 // embeddings table width (TESTDATA.md)
     require(dim % blocks == 0, s"dim $dim not divisible by $blocks blocks")
     val sub = dim / blocks
-    def subVectors(df: DataFrame, idCol: String): DataFrame =
-      df.select(col("vec_id").as(idCol), col("v"),
-          explode(array((0 until blocks).map(lit): _*)).as("block"))
-        .select(col(idCol), col("block"),
-          slice(col("v"), col("block") * sub + 1, lit(sub)).as("sv"))
-    val corpus = subVectors(e, "vec_id")
-    val code = broadcast(subVectors(e.filter(col("vec_id") < k), "cid")
+    df.select(col("vec_id").as(idCol), col("v"),
+        explode(array((0 until blocks).map(lit): _*)).as("block"))
+      .select(col(idCol), col("block"),
+        slice(col("v"), col("block") * sub + 1, lit(sub)).as("sv"))
+  }
+
+  def pqAssign(spark: SparkSession, dir: String, blocks: Int = 4,
+               k: Int = 16): DataFrame = {
+    val e = prepared(spark, dir)
+    val corpus = pqSubVectors(e, "vec_id", blocks)
+    val code = broadcast(pqSubVectors(e.filter(col("vec_id") < k), "cid", blocks)
       .select(col("cid"), col("block"), col("sv").as("cv")))
     val scored = corpus.join(code, "block")
       .withColumn("score", dot(col("sv"), col("cv")) - lit(0.5) * dot(col("cv"), col("cv")))
@@ -416,17 +422,12 @@ object VectorOps {
     */
   def annPq(spark: SparkSession, dir: String, nQueries: Int = 20, kNn: Int = 5,
             blocks: Int = 4, k: Int = 16): DataFrame = {
-    val sub = 64 / blocks
     val e = prepared(spark, dir)
     val codes = pqAssign(spark, dir, blocks, k)
     // lookup table: every (query block) × (codeword) inner product
-    def subV(df: DataFrame, idCol: String): DataFrame =
-      df.select(col("vec_id").as(idCol), col("v"),
-          explode(array((0 until blocks).map(lit): _*)).as("block"))
-        .select(col(idCol), col("block"),
-          slice(col("v"), col("block") * sub + 1, lit(sub)).as("sv"))
-    val qs = subV(e.filter(col("vec_id") < nQueries), "q_id")
-    val cw = subV(e.filter(col("vec_id") < k), "cid").withColumnRenamed("sv", "cv")
+    val qs = pqSubVectors(e.filter(col("vec_id") < nQueries), "q_id", blocks)
+    val cw = pqSubVectors(e.filter(col("vec_id") < k), "cid", blocks)
+      .withColumnRenamed("sv", "cv")
     val lut = broadcast(qs.join(cw, "block")
       .select(col("q_id"), col("block"), col("cid").as("code"),
         dot(col("sv"), col("cv")).as("s")))

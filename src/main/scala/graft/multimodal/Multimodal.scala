@@ -100,15 +100,20 @@ object Multimodal {
         DecodedMedia(r.media_id, "bmp", i32(b, 18), math.abs(i32(b, 22)), 0, 0, 0)
       } else if (b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE") {
         // chunk walk (chunks are 2-byte aligned); canonical files put
-        // "fmt " first but the spec doesn't require it
-        var i = 12
-        while (i + 8 <= b.length) {
-          val sz = i32(b, i + 4)
-          if (tag(b, i) == "fmt " && i + 24 <= b.length)
+        // "fmt " first but the spec doesn't require it. Long arithmetic +
+        // a negative-size bail-out: a corrupt size field must not stall
+        // the walk (i += 8 + sz stops advancing) or overflow into a
+        // negative index — either way the payload is malformed, stop.
+        var i = 12L
+        var done = false
+        while (!done && i + 8 <= b.length) {
+          val sz = i32(b, i.toInt + 4).toLong
+          if (sz < 0) done = true
+          else if (tag(b, i.toInt) == "fmt " && i + 24 <= b.length)
             return DecodedMedia(r.media_id, "wav", 0, 0,
-              sample_rate = i32(b, i + 12), channels = u16(b, i + 10),
-              bits_per_sample = u16(b, i + 22))
-          i += 8 + sz + (sz & 1)
+              sample_rate = i32(b, i.toInt + 12), channels = u16(b, i.toInt + 10),
+              bits_per_sample = u16(b, i.toInt + 22))
+          else i += 8 + sz + (sz & 1)
         }
         DecodedMedia(r.media_id, "wav", 0, 0, 0, 0, 0)
       } else DecodedMedia(r.media_id, "unknown", 0, 0, 0, 0, 0)

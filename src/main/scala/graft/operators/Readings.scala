@@ -176,6 +176,9 @@ object Readings {
     case _        => lit(true)
   }
 
+  private lazy val jvmRunId: String =
+    java.util.UUID.randomUUID.toString.take(8)
+
   // ---- Routing (SURVEY §2.2 P11-P13; flink_process.py:327-351) ----
 
   def routeNormal(v: DataFrame): DataFrame =
@@ -195,9 +198,12 @@ object Readings {
     * discovery), so the relay never recomputes routing on the hot path.
     */
   def priorityFromTopics(spark: SparkSession, dir: String, t: Thresholds): DataFrame = {
+    // per-JVM-unique root: stable across calls in one session (idempotent
+    // overwrite), but two concurrent JVMs over the same dataset can't
+    // clobber each other's files between plan construction and execution
     val out = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      s"graft-topics-${java.lang.Integer.toHexString(dir.hashCode)}").toString
+      s"graft-topics-$jvmRunId-${java.lang.Integer.toHexString(dir.hashCode)}").toString
     val v = enriched(spark, dir, t).filter(col("status") === "valid")
     routeNormal(v).write.mode("overwrite").parquet(s"$out/normal-data")
     routeCritical(v).write.mode("overwrite").parquet(s"$out/critical-data")

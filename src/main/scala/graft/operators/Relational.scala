@@ -200,7 +200,11 @@ object Relational {
     // the sketch result is one row with a ≤ 1/support-element array
     val sketch = li.stat.freqItems(Seq("l_returnflag"), support)
       .head().getSeq[String](0).toSet
-    val sketchLit = array(sketch.toSeq.sorted.map(lit): _*)
+    // array() of zero columns is NullType and fails analysis inside
+    // array_contains — an empty sketch needs an explicitly typed literal
+    val sketchLit =
+      if (sketch.isEmpty) array().cast("array<string>")
+      else array(sketch.toSeq.sorted.map(lit): _*)
     li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows"))
       .select(col("l_returnflag"), col("n_rows"),
         (!(col("n_rows") > n * support) ||

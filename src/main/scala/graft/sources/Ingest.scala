@@ -110,8 +110,14 @@ object Ingest {
       : org.apache.spark.sql.streaming.StreamingQuery =
     control.writeStream
       .foreachBatch { (b: DataFrame, _: Long) =>
-        // a config topic is a trickle — collect is bounded by its volume
+        // a config topic is a trickle — collect is bounded by its volume.
+        // Non-numeric / missing values cast to null and are ignored (the
+        // reference's listener try/excepts and keeps running,
+        // data_provider.py:82-84); "latest wins" within a batch assumes the
+        // single-partition config topic the reference uses — across
+        // partitions Kafka gives no cross-partition order either.
         val updates = b.select(col("playback_speed").cast("double")).collect()
+          .filterNot(_.isNullAt(0))
         if (updates.nonEmpty) speed.set(updates.last.getDouble(0))
         ()
       }
@@ -125,6 +131,13 @@ object Ingest {
     * the per-batch allocation applies the CURRENT speed — rate changes take
     * effect at the next micro-batch, exactly the reference's granularity
     * (its loop reads the global once per chunk).
+    *
+    * Delivery contract: the cursor only advances AFTER `send` returns, so a
+    * failed epoch retries the same slice — at-least-once, like the
+    * reference's producer. The cursor is process-local state (as is the
+    * reference's loop position): a query RESTART from a checkpoint replays
+    * from row 0 — for exactly-once bounded replay use [[rateReplay]], whose
+    * position is the checkpointed tick offset itself.
     */
   def dynamicRateReplay(ticks: DataFrame, data: DataFrame, rowsPerSecond: Int,
                         ticksPerSecond: Int, speed: () => Double,
@@ -137,10 +150,13 @@ object Ingest {
         val n = batch.count()
         val toEmit = math.round(n.toDouble * rowsPerSecond * speed() / ticksPerSecond)
         if (toEmit > 0) {
-          val start = cursor.getAndAdd(toEmit)
+          val start = cursor.get()
           send(idx
             .filter(col("__idx") >= start && col("__idx") < start + toEmit)
             .drop("__idx"))
+          // advance only after a successful send: a retried epoch re-sends
+          // its slice instead of silently skipping it
+          cursor.set(start + toEmit)
         }
         ()
       }

@@ -91,11 +91,7 @@ object DashboardStreams {
     */
   def lastNRetention(valid: DataFrame, n: Int, outPath: String,
                      checkpointDir: String, orderCols: Seq[String]): StreamingQuery =
-    foldIntoView(valid, outPath, checkpointDir) { (existing, batch) =>
-      val unioned = existing match {
-        case Some(e) => e.unionByName(batch.select(e.columns.map(col): _*))
-        case None => batch
-      }
+    foldIntoView(valid, outPath, checkpointDir) { unioned =>
       unioned
         .dropDuplicates(orderCols) // idempotent under epoch retry
         .orderBy(orderCols.map(c => col(c).desc): _*)
@@ -118,11 +114,7 @@ object DashboardStreams {
                        maxActive: Int = 5,
                        ttlSec: Map[String, Int] = Map("critical" -> 15, "warning" -> 10),
                        defaultTtlSec: Int = 7): StreamingQuery =
-    foldIntoView(alerts, outPath, checkpointDir) { (existing, batch) =>
-      val unioned = existing match {
-        case Some(e) => e.unionByName(batch.select(e.columns.map(col): _*))
-        case None => batch
-      }
+    foldIntoView(alerts, outPath, checkpointDir) { unioned =>
       val rows = unioned.dropDuplicates(Seq("key", "event_time"))
       val horizon = rows.agg(max(col("event_time"))).head().getTimestamp(0)
       val ttlMs = ttlSec.foldLeft(lit(defaultTtlSec * 1000L)) {
@@ -135,12 +127,13 @@ object DashboardStreams {
     }
 
   /** Shared epoch fold for the bounded client-side views: read the current
-    * view, let `fold` compute the next (small, ≤ cap rows) one, and swap it
-    * in crash-safely. foreachBatch is at-least-once — `fold` must be
+    * view, union the new batch onto it (column-aligned), let `fold` reduce
+    * the union to the next (small, ≤ cap rows) view, and swap it in
+    * crash-safely. foreachBatch is at-least-once — `fold` must be
     * idempotent under replay (both callers dedup on their identity columns).
     */
   private def foldIntoView(stream: DataFrame, outPath: String, checkpointDir: String)
-                          (fold: (Option[DataFrame], DataFrame) => DataFrame): StreamingQuery =
+                          (fold: DataFrame => DataFrame): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -152,9 +145,12 @@ object DashboardStreams {
         // restore it before reading so the retained set is never lost
         if (!dir.exists() && old.exists() && !old.renameTo(dir))
           throw new java.io.IOException(s"retention recover failed: $old -> $outPath")
-        val existing =
-          if (dir.exists()) Some(spark.read.parquet(outPath)) else None
-        val next = fold(existing, batch)
+        val unioned =
+          if (dir.exists()) {
+            val e = spark.read.parquet(outPath)
+            e.unionByName(batch.select(e.columns.map(col): _*))
+          } else batch
+        val next = fold(unioned)
         // bounded by the caller's cap — the retention cap IS the memory bound
         val retained = next.collect()
         val out = spark.createDataFrame(

@@ -294,14 +294,33 @@ object RadiationPipeline {
       .option("truncate", value = false)
       .start()
 
+  /** Default trigger per transport. A Kafka deployment is the reference's
+    * CONTINUOUS job — and `Trigger.AvailableNow` with the Kafka default
+    * `startingOffsets=latest` would be a silent no-op (start offsets ==
+    * end target, zero batches, immediate exit). A [[Transport.Dir]] run is
+    * a bounded replay, where AvailableNow is exactly right. Pass a trigger
+    * explicitly to override (e.g. AvailableNow + `startingOffsets =
+    * "earliest"` for a bounded Kafka backfill).
+    */
+  def defaultTrigger(t: Transport): Trigger = t match {
+    case _: Transport.Kafka => Trigger.ProcessingTime(0L)
+    case _: Transport.Dir => Trigger.AvailableNow()
+  }
+
   /** End-to-end over a [[Transport]]: [[source]] → parse → validate → dedup →
     * cohort → route → [[writeEpoch]] per micro-batch (kafka topics or
     * epoch-partitioned parquet). The termination note on the DataFrame
     * overload below applies here too.
     */
   def run(spark: SparkSession, t: Transport, checkpointDir: String,
+          thresholds: Thresholds, bounded: Boolean,
+          trigger: Trigger): StreamingQuery =
+    runRouted(source(spark, t), t, checkpointDir, thresholds, bounded,
+      trigger = trigger)
+
+  def run(spark: SparkSession, t: Transport, checkpointDir: String,
           thresholds: Thresholds, bounded: Boolean): StreamingQuery =
-    runRouted(source(spark, t), t, checkpointDir, thresholds, bounded)
+    run(spark, t, checkpointDir, thresholds, bounded, defaultTrigger(t))
 
   def run(spark: SparkSession, t: Transport, checkpointDir: String): StreamingQuery =
     run(spark, t, checkpointDir, Thresholds(), bounded = true)
@@ -310,10 +329,15 @@ object RadiationPipeline {
     * ([[GraftConfig]]): topics, thresholds, watermark, cohort window, and
     * the ENABLE_TEMPORAL_ORDERING topology gate all come from the file.
     */
-  def run(spark: SparkSession, cfg: GraftConfig, checkpointDir: String): StreamingQuery =
+  def run(spark: SparkSession, cfg: GraftConfig, checkpointDir: String,
+          trigger: Trigger): StreamingQuery =
     runRouted(source(spark, cfg.transport), cfg.transport, checkpointDir,
       cfg.thresholds, bounded = true, watermark = cfg.watermark,
-      window_ = cfg.temporalWindow, annotate = cfg.temporalOrdering)
+      window_ = cfg.temporalWindow, annotate = cfg.temporalOrdering,
+      trigger = trigger)
+
+  def run(spark: SparkSession, cfg: GraftConfig, checkpointDir: String): StreamingQuery =
+    run(spark, cfg, checkpointDir, defaultTrigger(cfg.transport))
 
   /** End-to-end: source of JSON strings → parse → validate → dedup → cohort →
     * route → one foreachBatch epoch writing the three outputs as parquet
@@ -342,13 +366,14 @@ object RadiationPipeline {
                         thresholds: Thresholds, bounded: Boolean,
                         watermark: String = "5 seconds",
                         window_ : String = "1 second",
-                        annotate: Boolean = true): StreamingQuery = {
+                        annotate: Boolean = true,
+                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val finalStream = withCohort(validate(parse(raw), thresholds),
       watermark = watermark, bounded = bounded, window_ = window_,
       annotate = annotate)
     finalStream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         writeEpoch(route(batch.cache()), epochId, t)
         batch.unpersist()

@@ -90,7 +90,8 @@ class GraftConfigSpec extends SparkSuite {
       rec("2011-03-15 10:00:00", 42),    // below the file's 100.0 danger → clean
       rec("2011-03-15 10:00:01", 500))   // above → hot
     val ckpt = Files.createTempDirectory("graft-cfg-ckpt").toString
-    val q = RadiationPipeline.run(spark, cfg, ckpt)
+    val q = RadiationPipeline.run(spark, cfg, ckpt,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
     q.awaitTermination()
     val byTopic = FakeKafka.sentByTopic
     // temporal ordering disabled → no window holds records back: both

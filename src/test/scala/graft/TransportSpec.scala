@@ -48,7 +48,11 @@ class TransportSpec extends SparkSuite {
       // sentinel beyond watermark+window so the cohort panes flush
       rec("2011-03-15 10:00:30", v = 7, lat = 10.0))
     val ckpt = Files.createTempDirectory("graft-transport-ckpt").toString
-    val q = RadiationPipeline.run(spark, kafka, ckpt)
+    // bounded test replay: AvailableNow explicitly (the Kafka default
+    // trigger is continuous, matching the reference's always-on job)
+    val q = RadiationPipeline.run(spark, kafka, ckpt,
+      graft.operators.Readings.Thresholds(), bounded = true,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
     q.awaitTermination()
 
     val byTopic = FakeKafka.sentByTopic
