@@ -224,10 +224,10 @@ object TextOps {
        |q AS (SELECT doc_id, quality_bucket FROM ($qualitySql))
        |SELECT source,
        |  count(*) AS n_docs,
-       |  sum(CASE WHEN nh > 1 THEN 1 ELSE 0 END) AS n_dup_docs,
-       |  sum(CASE WHEN quality_bucket = 'high' THEN 1 ELSE 0 END) AS n_high,
-       |  sum(CASE WHEN quality_bucket = 'medium' THEN 1 ELSE 0 END) AS n_medium,
-       |  sum(CASE WHEN quality_bucket = 'low' THEN 1 ELSE 0 END) AS n_low
+       |  CAST(sum(CASE WHEN nh > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       |  CAST(sum(CASE WHEN quality_bucket = 'high' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       |  CAST(sum(CASE WHEN quality_bucket = 'medium' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+       |  CAST(sum(CASE WHEN quality_bucket = 'low' THEN 1 ELSE 0 END) AS BIGINT) AS n_low
        |FROM d JOIN dc USING (h) JOIN q USING (doc_id)
        |GROUP BY source ORDER BY source""".stripMargin
 
