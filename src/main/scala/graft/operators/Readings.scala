@@ -205,11 +205,21 @@ object Readings {
       System.getProperty("java.io.tmpdir"),
       s"graft-topics-$jvmRunId-${java.lang.Integer.toHexString(dir.hashCode)}").toString
     val v = enriched(spark, dir, t).filter(col("status") === "valid")
-    routeNormal(v).write.mode("overwrite").parquet(s"$out/normal-data")
-    routeCritical(v).write.mode("overwrite").parquet(s"$out/critical-data")
-    spark.read.parquet(s"$out/normal-data", s"$out/critical-data")
+    // ONE pass over the enriched relation: partitionBy fans the rows into
+    // the two topic dirs (`topic=normal-data/`, `topic=critical-data/`) in
+    // a single scan+write — the two-write form re-parsed the source once
+    // per topic. Reading the partitioned root back, the tag is recovered
+    // from the PARTITION DIR each record lives in (partition-dir discovery,
+    // metadata-only — no per-row path regexp), which is exactly the relay
+    // consumer's "which topic did this arrive on" mechanism.
+    // the WRITER routes by the predicate (flink_process.py:327-351 side);
+    // only the reader derives the tag from the dir
+    v.withColumn("topic",
+        when(col("critical"), "critical-data").otherwise("normal-data"))
+      .write.mode("overwrite").partitionBy("topic").parquet(out)
+    spark.read.parquet(out)
       .withColumn("data_priority",
-        regexp_extract(input_file_name(), "(normal|critical)-data", 1))
+        regexp_extract(col("topic"), "(normal|critical)-data", 1))
       .select("event_id", "cpm", "data_priority")
   }
 }
