@@ -67,26 +67,49 @@ object TextOps {
 
   // ---- quality scoring ----
 
+  // shared per-row expressions over `prepared` columns (norm, words) — one
+  // definition each so quality() and curate() cannot drift apart
+  private def nWordsE: Column = size(col("words"))
+  private def nStopE: Column = {
+    val stopArr = array(STOPWORDS.map(lit): _*)
+    size(filter(col("words"), w => array_contains(stopArr, w)))
+  }
+  /** Heuristic quality score over `prepared` columns (pure row expr). */
+  def qualityScoreE: Column = {
+    val avgLen = length(regexp_replace(col("norm"), " ", "")) / nWordsE
+    lit(0.5) * least(lit(1.0), nWordsE / 200.0) +
+      lit(0.3) * (lit(1.0) - nStopE / nWordsE.cast("double")) +
+      lit(0.2) * least(lit(1.0), avgLen / 8.0)
+  }
+  def qualityBucketE: Column =
+    when(qualityScoreE >= 0.75, "high")
+      .when(qualityScoreE >= 0.5, "medium").otherwise("low")
+  /** Marker-word language argmax over `prepared` columns (pure row expr);
+    * same scores and tie-break as [[langid]].
+    */
+  def predLangE: Column = {
+    val scores = LangMarkers.map { case (l, ms) =>
+      val arr = array(ms.map(lit): _*)
+      l -> size(filter(col("words"), w => array_contains(arr, w)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("unknown"): Column) { case ((l, sc), acc) =>
+      when(sc === best && best > 0, l).otherwise(acc)
+    }
+  }
+
   /** Heuristic quality score: length component + non-stopword density +
     * word-length component, bucketed. All inputs integers so the double
     * arithmetic matches the oracle bit-for-bit.
     */
-  def quality(spark: SparkSession, dir: String): DataFrame = {
-    val stopArr = array(STOPWORDS.map(lit): _*)
-    val nWords = size(col("words"))
-    val nStop = size(filter(col("words"), w => array_contains(stopArr, w)))
-    val avgLen = length(regexp_replace(col("norm"), " ", "")) / nWords
-    val score = lit(0.5) * least(lit(1.0), nWords / 200.0) +
-      lit(0.3) * (lit(1.0) - nStop / nWords.cast("double")) +
-      lit(0.2) * least(lit(1.0), avgLen / 8.0)
+  def quality(spark: SparkSession, dir: String): DataFrame =
     prepared(spark, dir).select(
       col("doc_id"),
-      nWords.as("n_words"),
-      nStop.as("n_stopwords"),
-      (nStop / nWords.cast("double")).as("stop_ratio"),
-      score.as("quality_score"),
-      when(score >= 0.75, "high").when(score >= 0.5, "medium").otherwise("low").as("quality_bucket"))
-  }
+      nWordsE.as("n_words"),
+      nStopE.as("n_stopwords"),
+      (nStopE / nWordsE.cast("double")).as("stop_ratio"),
+      qualityScoreE.as("quality_score"),
+      qualityBucketE.as("quality_bucket"))
 
   val qualitySql: String = {
     val stopList = STOPWORDS.map(s => s"'$s'").mkString(", ")
@@ -772,6 +795,84 @@ object TextOps {
     require(inner != dupClustersSql, "dedupApplySql: tail rewrite did not apply")
     inner
   }
+
+  // ---- end-to-end curation pipeline ----
+
+  /** The composed curation pipeline — the decision relation a training-data
+    * run actually ships: EVERY document tagged keep/drop with its first
+    * failing gate, gates applied in the order a real pipeline applies them
+    * (cheap row-local cuts before shuffle-bearing ones):
+    *
+    *   1. `lang`         — predicted language ≠ `keepLang` ([[predLangE]])
+    *   2. `quality`      — quality bucket `low` ([[qualityBucketE]])
+    *   3. `duplicate`    — not the min-id representative of its exact
+    *                       content-hash group ([[dedupExact]] semantics)
+    *   4. `benchmark`    — the doc IS benchmark material (probe set)
+    *   5. `contaminated` — ≥ `contamMin` 3-gram shingles shared with a
+    *                       probe doc ([[contamination]])
+    *   6. `sampled_out`  — deterministic hash sample ([[hashSample]]
+    *                       mechanism), keeping `sampleKeep`/`sampleMod`
+    *   7. `kept`
+    *
+    * Scale shape: gates 1, 2, 4, 6 are fused per-row expressions (zero
+    * shuffle); gate 3 is ONE hash shuffle on the content md5; gate 5 is the
+    * bucketed shingle equi-join of [[contamination]] joined back by doc_id.
+    * The decision relation stays narrow however wide the docs are — payload
+    * re-joins by doc_id downstream, exactly like [[dedupApply]].
+    */
+  def curate(spark: SparkSession, dir: String, keepLang: String = "en",
+             probeMax: Long = 10, contamMin: Long = 5,
+             sampleMod: Int = 10, sampleKeep: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = prepared(spark, dir)
+      .withColumn("pred_lang", predLangE)
+      .withColumn("quality_bucket", qualityBucketE)
+      .withColumn("h", md5(col("norm").cast("binary")))
+      .withColumn("rep_doc_id",
+        min(col("doc_id")).over(Window.partitionBy(col("h"))))
+    val cont = contamination(spark, dir, probeMax)
+      .select(col("doc_id"), col("n_shared_shingles"))
+    val reason = when(col("pred_lang") =!= keepLang, "lang")
+      .when(col("quality_bucket") === "low", "quality")
+      .when(col("doc_id") =!= col("rep_doc_id"), "duplicate")
+      .when(col("doc_id") < probeMax, "benchmark")
+      .when(coalesce(col("n_shared_shingles"), lit(0L)) >= contamMin, "contaminated")
+      .when(pmod(Exprs.hex60(col("doc_id").cast("string")), lit(sampleMod)) >= sampleKeep,
+        "sampled_out")
+      .otherwise("kept")
+    base.join(cont, Seq("doc_id"), "left")
+      .withColumn("drop_reason", reason)
+      .select(col("doc_id"), col("source"), col("pred_lang"),
+        col("quality_bucket"), (col("drop_reason") === "kept").as("keep"),
+        col("drop_reason"))
+  }
+
+  def curateSql(keepLang: String = "en", probeMax: Long = 10,
+                contamMin: Long = 5, sampleMod: Int = 10,
+                sampleKeep: Int = 8): String =
+    s"""WITH lang AS (SELECT doc_id, pred_lang FROM ($langidSql)),
+       |q AS (SELECT doc_id, quality_bucket FROM ($qualitySql)),
+       |d AS (SELECT doc_id, source, md5(norm) AS h FROM ($preparedSql)),
+       |rep AS (SELECT h, min(doc_id) AS rep_doc_id FROM d GROUP BY h),
+       |cont AS (SELECT doc_id, n_shared_shingles FROM (${contaminationSql(probeMax)}))
+       |SELECT doc_id, source, pred_lang, quality_bucket,
+       |  drop_reason = 'kept' AS keep, drop_reason
+       |FROM (
+       |  SELECT d.doc_id, d.source, lang.pred_lang, q.quality_bucket,
+       |    CASE WHEN lang.pred_lang <> '$keepLang' THEN 'lang'
+       |         WHEN q.quality_bucket = 'low' THEN 'quality'
+       |         WHEN d.doc_id <> rep.rep_doc_id THEN 'duplicate'
+       |         WHEN d.doc_id < $probeMax THEN 'benchmark'
+       |         WHEN coalesce(cont.n_shared_shingles, 0) >= $contamMin THEN 'contaminated'
+       |         WHEN ${Exprs.hex60Sql("d.doc_id::VARCHAR")} % $sampleMod >= $sampleKeep
+       |           THEN 'sampled_out'
+       |         ELSE 'kept' END AS drop_reason
+       |  FROM d
+       |  JOIN lang ON d.doc_id = lang.doc_id
+       |  JOIN q ON d.doc_id = q.doc_id
+       |  JOIN rep ON d.h = rep.h
+       |  LEFT JOIN cont ON d.doc_id = cont.doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   // ---- SimHash ----
 

@@ -251,4 +251,28 @@ class OperatorsSpec extends SparkSuite {
     assert(cells.getLong(0) >= -180 && cells.getLong(1) <= 180)
     assert(cells.getLong(2) >= -360 && cells.getLong(3) <= 360)
   }
+
+  test("curate tags each doc with its first failing gate, in gate order") {
+    // quality gate math: score ≥ 0.5 needs ~50 long words; one marker word
+    // ('the'/'a') decides the language without sinking avg word length
+    // distinct words so the probe yields many DISTINCT shingles (repeated
+    // words collapse to 2 distinct 3-grams, under the contamMin threshold)
+    val textA = ("the" +: Seq.tabulate(49)(i => s"magnificent$i")).mkString(" ")
+    val textB = ("a" +: Seq.fill(49)("wonderful")).mkString(" ")
+    val docs = Seq(
+      (0L, textA, "en", "s", 1L),                       // probe → benchmark
+      (2L, textB, "en", "s", 1L),                       // rep of the B pair → kept
+      (3L, textB, "en", "s", 1L),                       // exact copy → duplicate
+      (4L, textA + " extraordinary", "en", "s", 1L),    // shares A's shingles → contaminated
+      (5L, "el la los gatos", "es", "s", 1L),           // → lang
+      (6L, "the cat sat", "en", "s", 1L)                // en but short → quality
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("curate").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextOps.curate(spark, tmp, keepLang = "en", probeMax = 1,
+        contamMin = 3, sampleMod = 10, sampleKeep = 10)
+      .select("doc_id", "drop_reason").as[(Long, String)].collect().toMap
+    assert(out == Map(0L -> "benchmark", 2L -> "kept", 3L -> "duplicate",
+      4L -> "contaminated", 5L -> "lang", 6L -> "quality"))
+  }
 }
