@@ -480,4 +480,31 @@ object Relational {
     """SELECT l_returnflag, count(*) AS n_rows,
       |  true AS p25_ok, true AS p50_ok, true AS p75_ok
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Bloom-prefiltered fact⋈dim join ([[graft.plans.BloomJoin]]): lineitem
+    * rows belonging to urgent orders. The urgent key set (~20% of orders)
+    * is the mid-size dimension case — too big to broadcast as a hash
+    * relation at 100 TB, cheap as a bloom sketch — so the fact side is
+    * pruned BEFORE its shuffle. Exact by construction: the equi-join after
+    * the sketch discharges false positives, and the oracle is the plain
+    * join, so the differential check proves exactness.
+    */
+  def urgentLineitems(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    graft.plans.BloomJoin.bloomPrefilteredJoin(
+        Tables.lineitem(spark, dir)
+          .select("l_orderkey", "l_linenumber", "l_quantity"),
+        "l_orderkey", urgent, "o_orderkey")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("o_orderpriority"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  def urgentLineitemsSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
 }

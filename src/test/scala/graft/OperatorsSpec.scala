@@ -252,6 +252,20 @@ class OperatorsSpec extends SparkSuite {
     assert(cells.getLong(2) >= -360 && cells.getLong(3) <= 360)
   }
 
+  test("bloom prefilter prunes non-matching facts and loses no matches") {
+    import graft.plans.BloomJoin
+    val facts = (1L to 1000L).map(i => (i, s"f$i")).toDF("k", "payload")
+    val dim = Seq((10L, "a"), (20L, "b"), (30L, "c")).toDF("dk", "tag")
+    val pre = BloomJoin.bloomSemiPrefilter(facts, "k", dim, "dk", expectedItems = 100)
+    val n = pre.count()
+    assert(n >= 3, "bloom must have no false negatives")
+    assert(n < 1000, "sketch should prune most non-matching facts")
+    assert(BloomJoin.bloomPrefilteredJoin(facts, "k", dim, "dk", 100).count() == 3)
+    // empty build side: no sketch → empty result, not a crash
+    assert(BloomJoin.bloomPrefilteredJoin(
+      facts, "k", dim.filter(lit(false)), "dk", 100).count() == 0)
+  }
+
   test("curate tags each doc with its first failing gate, in gate order") {
     // quality gate math: score ≥ 0.5 needs ~50 long words; one marker word
     // ('the'/'a') decides the language without sinking avg word length
