@@ -165,6 +165,7 @@ object SparkEntry {
     "d_vocab" -> ((s, dir) => TextOps.vocab(s, dir)),
     "d_length_stats" -> ((s, dir) => TextOps.lengthStats(s, dir)),
     "d_sample" -> ((s, dir) => TextOps.hashSample(s, dir).orderBy(col("doc_id"))),
+    "d_sample_weighted" -> ((s, dir) => TextOps.weightedSample(s, dir).orderBy(col("doc_id"))),
     "d_ngrams" -> ((s, dir) => TextOps.ngramTop(s, dir)),
     "d_dup_clusters" -> ((s, dir) => TextOps.dupClusters(s, dir)),
     "d_dedup_apply" -> ((s, dir) => TextOps.dedupApply(s, dir).orderBy(col("doc_id"))),
@@ -491,6 +492,7 @@ object SparkEntry {
       "d_vocab" -> TextOps.vocabSql(),
       "d_length_stats" -> TextOps.lengthStatsSql,
       "d_sample" -> TextOps.hashSampleSql(),
+      "d_sample_weighted" -> TextOps.weightedSampleSql(),
       "d_ngrams" -> TextOps.ngramTopSql(),
       "d_dup_clusters" -> TextOps.dupClustersSql,
       "d_dedup_apply" -> TextOps.dedupApplySql,

@@ -573,6 +573,39 @@ object TextOps {
        |  FROM documents)
        |WHERE bucket < $keep ORDER BY doc_id""".stripMargin
 
+  /** Quality-weighted deterministic sampling — the "mix by quality" step of
+    * a training-data pipeline: each doc is kept with probability
+    * proportional to its quality-bucket weight, decided by an integer hash
+    * threshold (weighted Bernoulli). Deliberately NOT the u^(1/w) weighted
+    * reservoir: pow/ln are not bit-identical across engines, while integer
+    * hash-vs-threshold comparisons are — so re-runs AND the DuckDB oracle
+    * reproduce the exact selection. The hash is salted ('ws:' prefix) so
+    * this sample is independent of [[hashSample]] / [[curate]]'s gate.
+    * Scale shape: pure row-local predicate, zero shuffle.
+    */
+  def weightedSample(spark: SparkSession, dir: String, mod: Int = 1000,
+                     tHigh: Int = 800, tMed: Int = 400, tLow: Int = 100): DataFrame = {
+    val thresh = when(col("quality_bucket") === "high", tHigh)
+      .when(col("quality_bucket") === "medium", tMed).otherwise(tLow)
+    prepared(spark, dir)
+      .withColumn("quality_bucket", qualityBucketE)
+      .withColumn("bucket",
+        pmod(Exprs.hex60(concat(lit("ws:"), col("doc_id").cast("string"))), lit(mod)))
+      .filter(col("bucket") < thresh)
+      .select("doc_id", "source", "quality_bucket", "bucket")
+  }
+
+  def weightedSampleSql(mod: Int = 1000, tHigh: Int = 800, tMed: Int = 400,
+                        tLow: Int = 100): String =
+    s"""SELECT doc_id, source, quality_bucket, bucket FROM (
+       |  SELECT doc_id, source, quality_bucket,
+       |    ${Exprs.hex60Sql("'ws:' || doc_id::VARCHAR")} % $mod AS bucket
+       |  FROM ($qualitySql) JOIN (SELECT doc_id AS qid, source FROM documents)
+       |    ON doc_id = qid)
+       |WHERE bucket < CASE quality_bucket WHEN 'high' THEN $tHigh
+       |                                   WHEN 'medium' THEN $tMed ELSE $tLow END
+       |ORDER BY doc_id""".stripMargin
+
   // ---- MinHash signatures + LSH band candidate pairs ----
 
   private def wordHash: Column = pmod(Exprs.hex60(col("w")), lit(P))

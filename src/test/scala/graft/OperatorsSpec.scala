@@ -252,6 +252,17 @@ class OperatorsSpec extends SparkSuite {
     assert(cells.getLong(2) >= -360 && cells.getLong(3) <= 360)
   }
 
+  test("weighted sample is deterministic and respects bucket thresholds") {
+    val w = TextOps.weightedSample(spark, sf())
+    val bad = w.filter(
+      (col("quality_bucket") === "high" && col("bucket") >= 800) ||
+      (col("quality_bucket") === "medium" && col("bucket") >= 400) ||
+      (col("quality_bucket") === "low" && col("bucket") >= 100)).count()
+    assert(bad == 0)
+    // pure hash selection: a re-run reproduces the exact same sample
+    assert(w.collect().toSet == TextOps.weightedSample(spark, sf()).collect().toSet)
+  }
+
   test("bloom prefilter prunes non-matching facts and loses no matches") {
     import graft.plans.BloomJoin
     val facts = (1L to 1000L).map(i => (i, s"f$i")).toDF("k", "payload")
