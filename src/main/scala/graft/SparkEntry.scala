@@ -183,6 +183,8 @@ object SparkEntry {
     "v_pq_assign" -> ((s, dir) =>
       VectorOps.pqAssign(s, dir).orderBy(col("vec_id"), col("block"))),
     "v_ann_pq" -> ((s, dir) => VectorOps.annPq(s, dir)),
+    "v_ann_ivfpq" -> ((s, dir) => VectorOps.annIvfPq(s, dir)),
+    "v_recall" -> ((s, dir) => VectorOps.annRecall(s, dir)),
     "v_kmeans_step" -> ((s, dir) => VectorOps.kmeansStep(s, dir)),
 
     // ---- multimodal plumbing ----
@@ -507,6 +509,8 @@ object SparkEntry {
       "v_quantize" -> VectorOps.quantizeSql,
       "v_pq_assign" -> VectorOps.pqAssignSql(),
       "v_ann_pq" -> VectorOps.annPqSql(),
+      "v_ann_ivfpq" -> VectorOps.annIvfPqSql(),
+      "v_recall" -> VectorOps.annRecallSql(),
       "v_kmeans_step" -> VectorOps.kmeansStepSql(),
       "mm_meta" -> Multimodal.mediaMetaSql,
       "mm_frames" -> Multimodal.frameSampleSql(),

@@ -561,4 +561,152 @@ object VectorOps {
        |  FROM sims)
        |WHERE rank <= $k
        |ORDER BY q_id, rank""".stripMargin
+
+  /** Recall@k harness — the metric every ANN deployment gates on: for each
+    * query, how many of the exact top-k ([[knn]]) the approximate search
+    * ([[annIvfMulti]]) recovered. Both sides have exact DuckDB mirrors, so
+    * recall itself is FULLY differential — the oracle recomputes the exact
+    * search, the approximate search, and their intersection, and must land
+    * on identical per-query hit counts. Scale shape: both searches as
+    * documented on their operators; the comparison is a narrow
+    * (q_id, neighbor_id) join — negligible at any scale.
+    */
+  def annRecall(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 5,
+                kCentroids: Int = 16, nProbe: Int = 2,
+                mat: Materialize = Materialize.Local): DataFrame = {
+    val exact = knn(spark, dir, nQueries, k).select(col("q_id"), col("neighbor_id"))
+    val approx = annIvfMulti(spark, dir, nQueries, k, kCentroids, nProbe, mat)
+      .select(col("q_id"), col("neighbor_id")).withColumn("hit", lit(1))
+    exact.join(approx, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        (col("n_hits") / lit(k.toDouble)).as("recall_at_k"))
+      .orderBy(col("q_id"))
+  }
+
+  def annRecallSql(nQueries: Int = 20, k: Int = 5, kCentroids: Int = 16,
+                   nProbe: Int = 2): String =
+    s"""WITH exact AS (SELECT q_id, neighbor_id FROM (${knnSql(nQueries, k)})),
+       |approx AS (SELECT q_id, neighbor_id FROM (
+       |  ${annIvfMultiSql(nQueries, k, kCentroids, nProbe)}))
+       |SELECT q_id, n_hits, n_hits / CAST($k AS DOUBLE) AS recall_at_k FROM (
+       |  SELECT e.q_id,
+       |    CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |  FROM exact e LEFT JOIN approx a
+       |    ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id
+       |  GROUP BY e.q_id)
+       |ORDER BY q_id""".stripMargin
+
+  /** IVF+PQ combined — the full architecture production ANN systems run:
+    * the IVF half restricts candidates to the query's `nProbe` nearest
+    * centroids' inverted lists ([[annIvfMulti]]'s probe mechanism), and the
+    * PQ half ranks those candidates by asymmetric distance over their
+    * `blocks` codes ([[annPq]]'s ADC mechanism) — embeddings are never
+    * touched at search time, only codes. Scale shape: centroids + LUT +
+    * probe map broadcast; candidates bounded by list sizes (never
+    * all-pairs); ONE scan of the (narrow) code table; per-query top-k
+    * window.
+    */
+  def annIvfPq(spark: SparkSession, dir: String, nQueries: Int = 20, kNn: Int = 5,
+               kCentroids: Int = 16, nProbe: Int = 2, blocks: Int = 4,
+               k: Int = 16, mat: Materialize = Materialize.Local): DataFrame = {
+    val e = prepared(spark, dir)
+    val assigned = mat(ivfAssign(spark, dir, kCentroids).select("vec_id", "centroid_id"))
+    // query probe lists (the IVF half)
+    val q0 = e.filter(col("vec_id") < nQueries)
+    val cents = broadcast(e.filter(col("vec_id") < kCentroids)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn")))
+    val pw = Window.partitionBy(col("vec_id"))
+      .orderBy((dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).desc, col("centroid_id"))
+    val qProbes = q0.join(cents)
+      .withColumn("__rn", row_number().over(pw)).filter(col("__rn") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("centroid_id").as("q_cent"))
+    // ADC lookup table (the PQ half)
+    val qs = pqSubVectors(q0, "q_id", blocks)
+    val cw = pqSubVectors(e.filter(col("vec_id") < k), "cid", blocks)
+      .withColumnRenamed("sv", "cv")
+    val lut = broadcast(qs.join(cw, "block")
+      .select(col("q_id"), col("block"), col("cid").as("code"),
+        dot(col("sv"), col("cv")).as("s")))
+    // candidates: code rows of vectors living in a probed inverted list
+    val cand = pqAssign(spark, dir, blocks, k)
+      .withColumn("code", col("code").cast("long"))
+      .join(assigned, "vec_id")
+      .join(broadcast(qProbes), col("centroid_id") === col("q_cent"))
+      .filter(col("vec_id") =!= col("q_id"))
+    val scored = cand.join(lut, Seq("q_id", "block", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(
+        first(when(col("block") === 0, col("s")), ignoreNulls = true).as("s0"),
+        (1 until blocks).map(b =>
+          first(when(col("block") === b, col("s")), ignoreNulls = true).as(s"s$b")): _*)
+      .withColumn("adc_score",
+        round((0 until blocks).map(b => col(s"s$b")).reduce(_ + _), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNn)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("adc_score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def annIvfPqSql(nQueries: Int = 20, kNn: Int = 5, kCentroids: Int = 16,
+                  nProbe: Int = 2, blocks: Int = 4, k: Int = 16): String = {
+    val sub = 64 / blocks
+    val sumExpr = (0 until blocks).map(b => s"s$b").mkString(" + ")
+    val pivotCols = (0 until blocks)
+      .map(b => s"max(CASE WHEN codes.block = $b THEN s END) AS s$b").mkString(",\n    ")
+    s"""WITH e0 AS ($preparedSql),
+       |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e0 WHERE vec_id < $kCentroids),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT e0.vec_id, c.centroid_id, ROW_NUMBER() OVER (
+       |      PARTITION BY e0.vec_id
+       |      ORDER BY list_dot_product(e0.v, c.cv) / (e0.nrm * c.cn) DESC, c.centroid_id) AS rn
+       |    FROM e0, c)
+       |  WHERE rn = 1),
+       |qprobes AS (
+       |  SELECT vec_id AS q_id, centroid_id AS q_cent FROM (
+       |    SELECT e0.vec_id, c.centroid_id, ROW_NUMBER() OVER (
+       |      PARTITION BY e0.vec_id
+       |      ORDER BY list_dot_product(e0.v, c.cv) / (e0.nrm * c.cn) DESC, c.centroid_id) AS rn
+       |    FROM e0, c WHERE e0.vec_id < $nQueries)
+       |  WHERE rn <= $nProbe),
+       |b AS (SELECT unnest(range(0, $blocks)) AS block),
+       |sv AS (
+       |  SELECT vec_id, block, v[block * $sub + 1 : block * $sub + $sub] AS sv
+       |  FROM e0, b),
+       |cw AS (SELECT vec_id AS cid, block, sv AS cv FROM sv WHERE vec_id < $k),
+       |codes AS (
+       |  SELECT vec_id, block, cid AS code FROM (
+       |    SELECT sv.vec_id, sv.block, cw.cid, ROW_NUMBER() OVER (
+       |      PARTITION BY sv.vec_id, sv.block
+       |      ORDER BY list_dot_product(sv.sv, cw.cv) - 0.5 * list_dot_product(cw.cv, cw.cv) DESC,
+       |               cw.cid) AS rn
+       |    FROM sv JOIN cw USING (block))
+       |  WHERE rn = 1),
+       |lut AS (
+       |  SELECT q.vec_id AS q_id, q.block, cw.cid AS code,
+       |    list_dot_product(q.sv, cw.cv) AS s
+       |  FROM sv q JOIN cw USING (block)
+       |  WHERE q.vec_id < $nQueries),
+       |pivoted AS (
+       |  SELECT lut.q_id, codes.vec_id,
+       |    $pivotCols
+       |  FROM codes
+       |  JOIN assign ON codes.vec_id = assign.vec_id
+       |  JOIN qprobes ON assign.centroid_id = qprobes.q_cent
+       |  JOIN lut ON codes.block = lut.block AND codes.code = lut.code
+       |    AND lut.q_id = qprobes.q_id
+       |  WHERE codes.vec_id <> qprobes.q_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT q_id, vec_id, round($sumExpr, 4) AS adc_score FROM pivoted)
+       |SELECT q_id, rank, vec_id AS neighbor_id, adc_score FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY adc_score DESC, vec_id) AS INT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $kNn
+       |ORDER BY q_id, rank""".stripMargin
+  }
 }
