@@ -245,4 +245,26 @@ class StreamingSpec extends SparkSuite {
     // first emits; +10s suppressed; +35s emits (>= 30s after the first)
     assert(times.toSeq == Seq("2011-03-15 10:00:00.0", "2011-03-15 10:00:35.0"))
   }
+
+  test("doc stream curation: gates drop before state, dedup within watermark") {
+    val in = MemoryStream[(Long, String, String, Timestamp)]
+    val ts = (s: Int) => Timestamp.valueOf(f"2026-01-01 10:00:$s%02d")
+    // quality gate needs ~50 long words; 'the'/'a' pick the language
+    val good = ("the" +: Seq.tabulate(49)(i => s"magnificent$i")).mkString(" ")
+    val good2 = ("a" +: Seq.tabulate(49)(i => s"wonderful$i")).mkString(" ")
+    val out = graft.streaming.DocStream.curateStream(
+      in.toDF().toDF("doc_id", "text", "source", "ingest_ts"))
+    val q = out.writeStream.format("memory").queryName("docstream_t")
+      .outputMode("append").start()
+    in.addData(
+      (1L, good, "s", ts(0)),
+      (2L, good.toUpperCase, "s", ts(1)),   // same after normalization → dup
+      (3L, "el la los gatos", "s", ts(2)),  // language gate, never enters state
+      (4L, "the cat sat", "s", ts(3)),      // quality gate, never enters state
+      (5L, good2, "s", ts(4)))              // distinct content → kept
+    q.processAllAvailable()
+    val kept = spark.table("docstream_t").select("doc_id").as[Long].collect().sorted
+    q.stop()
+    assert(kept.toSeq == Seq(1L, 5L))
+  }
 }
