@@ -107,6 +107,8 @@ object SparkEntry {
     "e_sessions" -> ((s, dir) =>
       Sessions.sessionize(valid(s, dir))
         .orderBy(col("user_id"), col("session_id"))),
+    "e_funnel" -> ((s, dir) =>
+      Sessions.funnel(valid(s, dir)).orderBy(col("user_id"))),
     "e_asof_cal" -> ((s, dir) => {
       // as-of enrichment: each reading gets the user's most recent signup
       // reading ("calibration") at or before its second
@@ -445,6 +447,7 @@ object SparkEntry {
            |  CASE WHEN critical THEN 'critical' ELSE 'normal' END AS data_priority
            |FROM ($V) WHERE status = 'valid' ORDER BY event_id""".stripMargin,
       "e_sessions" -> Sessions.sessionizeSql(V),
+      "e_funnel" -> Sessions.funnelSql(V),
       // independent algorithm on the oracle side: DuckDB's native ASOF JOIN
       // vs the engine's union+keyed-window plan — a true differential check
       "e_asof_cal" ->

@@ -63,4 +63,55 @@ object Sessions {
        |      FROM ($validatedSql) WHERE status = 'valid')))
        |GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
+
+  /** Ordered funnel over the user-activity stream: per user, the earliest
+    * completion time of each stage, where stage i must occur at or after
+    * stage i−1's completion (greedy min-time matching — the standard
+    * funnel definition), plus the furthest stage reached.
+    *
+    * Scale shape: the per-stage times are min-over-partition window
+    * columns sharing ONE hash shuffle on user_id (unordered frames — no
+    * sort), and the per-user collapse groups on the same key, so the whole
+    * funnel costs a single exchange. No self-joins: an n-stage funnel as
+    * n−1 self-joins would shuffle the events table n−1 times.
+    */
+  def funnel(valid: DataFrame,
+             stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val staged = stages.zipWithIndex.foldLeft(valid) { case (df, (s, i)) =>
+      val cond =
+        if (i == 0) col("event_type") === s
+        else col("event_type") === s && col("sec") >= col(s"t_${stages(i - 1)}")
+      df.withColumn(s"t_$s", min(when(cond, col("sec"))).over(w))
+    }
+    // fold wraps the LAST stage outermost, so deeper stages win
+    val stageNum = stages.zipWithIndex.foldLeft(lit(0)) { case (acc, (s, i)) =>
+      when(col(s"t_$s").isNotNull, i + 1).otherwise(acc)
+    }
+    val tCols = stages.map(s => first(col(s"t_$s")).as(s"t_$s"))
+    staged.groupBy(col("user_id"))
+      .agg(tCols.head, tCols.tail: _*)
+      .withColumn("funnel_stage", stageNum)
+  }
+
+  /** Oracle mirror of [[funnel]]. */
+  def funnelSql(validatedSql: String,
+                stages: Seq[String] = Seq("view", "click", "purchase")): String = {
+    val base = s"SELECT user_id, event_type, sec FROM ($validatedSql) WHERE status = 'valid'"
+    val withStages = stages.zipWithIndex.foldLeft(base) { case (inner, (s, i)) =>
+      val cond =
+        if (i == 0) s"event_type = '$s'"
+        else s"event_type = '$s' AND sec >= t_${stages(i - 1)}"
+      s"""SELECT *, min(CASE WHEN $cond THEN sec END)
+         |  OVER (PARTITION BY user_id) AS t_$s FROM ($inner)""".stripMargin
+    }
+    val stageCase = stages.zipWithIndex.reverse
+      .map { case (s, i) => s"WHEN t_$s IS NOT NULL THEN ${i + 1}" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    val tCols = stages.map(s => s"t_$s").mkString(", ")
+    s"""SELECT user_id, $tCols, $stageCase AS funnel_stage
+       |FROM ($withStages)
+       |GROUP BY user_id, $tCols
+       |ORDER BY user_id""".stripMargin
+  }
 }

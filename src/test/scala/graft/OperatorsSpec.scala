@@ -252,6 +252,19 @@ class OperatorsSpec extends SparkSuite {
     assert(cells.getLong(2) >= -360 && cells.getLong(3) <= 360)
   }
 
+  test("funnel: stage i counts only at-or-after stage i-1 (greedy matching)") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s"2026-01-01 10:00:$s")
+    val df = Seq(
+      (1L, "view", "00"), (1L, "click", "10"), (1L, "purchase", "20"), // full funnel
+      (2L, "click", "00"), (2L, "view", "10"), // click BEFORE view must not count
+      (3L, "view", "05"), // view only
+      (4L, "purchase", "00") // purchase without view: stage 0
+    ).map { case (u, e, s) => (u, e, ts(s)) }.toDF("user_id", "event_type", "sec")
+    val out = Sessions.funnel(df).orderBy("user_id")
+      .select("user_id", "funnel_stage").as[(Long, Int)].collect()
+    assert(out.toSeq == Seq((1L, 3), (2L, 1), (3L, 1), (4L, 0)))
+  }
+
   test("weighted sample is deterministic and respects bucket thresholds") {
     val w = TextOps.weightedSample(spark, sf())
     val bad = w.filter(
