@@ -109,6 +109,9 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_id"))),
     "e_funnel" -> ((s, dir) =>
       Sessions.funnel(valid(s, dir)).orderBy(col("user_id"))),
+    "e_retention" -> ((s, dir) =>
+      Sessions.retention(valid(s, dir))
+        .orderBy(col("cohort_day"), col("day_offset"))),
     "e_asof_cal" -> ((s, dir) => {
       // as-of enrichment: each reading gets the user's most recent signup
       // reading ("calibration") at or before its second
@@ -448,6 +451,7 @@ object SparkEntry {
            |FROM ($V) WHERE status = 'valid' ORDER BY event_id""".stripMargin,
       "e_sessions" -> Sessions.sessionizeSql(V),
       "e_funnel" -> Sessions.funnelSql(V),
+      "e_retention" -> Sessions.retentionSql(V),
       // independent algorithm on the oracle side: DuckDB's native ASOF JOIN
       // vs the engine's union+keyed-window plan — a true differential check
       "e_asof_cal" ->

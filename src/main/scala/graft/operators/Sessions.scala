@@ -114,4 +114,36 @@ object Sessions {
        |GROUP BY user_id, $tCols
        |ORDER BY user_id""".stripMargin
   }
+
+  /** Cohort retention matrix — the other standard activity-stream report:
+    * users grouped by the day of their first event (cohort), counted
+    * distinct on each later active day (offset). Scale shape: cohort day
+    * is a min-over-partition window (one user_id shuffle, unordered frame
+    * — no sort), then a two-phase distinct-count keyed on the tiny
+    * (cohort, offset) grid.
+    */
+  def retention(valid: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    valid
+      .withColumn("day", to_date(col("sec")))
+      .withColumn("cohort_day", min(to_date(col("sec"))).over(w))
+      .withColumn("day_offset",
+        datediff(col("day"), col("cohort_day")).cast("int"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
+  /** Oracle mirror of [[retention]]. */
+  def retentionSql(validatedSql: String): String =
+    s"""SELECT cohort_day, day_offset,
+       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+       |FROM (
+       |  SELECT user_id, CAST(sec AS DATE) AS day,
+       |    min(CAST(sec AS DATE)) OVER (PARTITION BY user_id) AS cohort_day,
+       |    CAST(datediff('day',
+       |      min(CAST(sec AS DATE)) OVER (PARTITION BY user_id),
+       |      CAST(sec AS DATE)) AS INT) AS day_offset
+       |  FROM ($validatedSql) WHERE status = 'valid')
+       |GROUP BY cohort_day, day_offset
+       |ORDER BY cohort_day, day_offset""".stripMargin
 }
