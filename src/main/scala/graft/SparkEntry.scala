@@ -112,6 +112,18 @@ object SparkEntry {
     "e_retention" -> ((s, dir) =>
       Sessions.retention(valid(s, dir))
         .orderBy(col("cohort_day"), col("day_offset"))),
+    "e_props" -> ((s, dir) =>
+      // typed extraction from the semi-structured JSON props column — the
+      // reference's records are JSON end to end (flink_process.py parses
+      // every Kafka message); here the path expression is oracle-checked
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
     "e_asof_cal" -> ((s, dir) => {
       // as-of enrichment: each reading gets the user's most recent signup
       // reading ("calibration") at or before its second
@@ -452,6 +464,13 @@ object SparkEntry {
       "e_sessions" -> Sessions.sessionizeSql(V),
       "e_funnel" -> Sessions.funnelSql(V),
       "e_retention" -> Sessions.retentionSql(V),
+      "e_props" ->
+        """SELECT event_type, count(*) AS n,
+          |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+          |FROM (SELECT event_type,
+          |        CAST(json_extract_string(props, '$.k') AS INT) AS k
+          |      FROM events)
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
       // independent algorithm on the oracle side: DuckDB's native ASOF JOIN
       // vs the engine's union+keyed-window plan — a true differential check
       "e_asof_cal" ->
