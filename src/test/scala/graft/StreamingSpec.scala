@@ -246,6 +246,33 @@ class StreamingSpec extends SparkSuite {
     assert(times.toSeq == Seq("2011-03-15 10:00:00.0", "2011-03-15 10:00:35.0"))
   }
 
+  test("streaming funnel: stage machine advances across batches, stays ordered") {
+    import graft.streaming.FunnelStream
+    import graft.streaming.FunnelStream.Activity
+    val in = MemoryStream[Activity]
+    val ts = (s: Int) => Timestamp.valueOf(f"2026-01-01 10:00:$s%02d")
+    val out = FunnelStream(in.toDS())
+    val q = out.writeStream.format("memory").queryName("funnel_t")
+      .outputMode("append").start()
+    // batch 1: user 1 reaches click; user 2's click arrives before any view
+    in.addData(
+      Activity(1L, "view", ts(0)), Activity(1L, "click", ts(10)),
+      Activity(2L, "click", ts(1)))
+    q.processAllAvailable()
+    // batch 2: user 1 completes via state kept across batches; user 2's
+    // in-batch rows process in event-time order (click@3 < view@5 → no click)
+    in.addData(
+      Activity(1L, "purchase", ts(20)),
+      Activity(2L, "view", ts(5)), Activity(2L, "click", ts(3)))
+    q.processAllAvailable()
+    val hits = spark.table("funnel_t")
+      .select("user_id", "stage", "stage_name").as[(Long, Int, String)]
+      .collect().sorted
+    q.stop()
+    assert(hits.toSeq == Seq(
+      (1L, 1, "view"), (1L, 2, "click"), (1L, 3, "purchase"), (2L, 1, "view")))
+  }
+
   test("doc stream curation: gates drop before state, dedup within watermark") {
     val in = MemoryStream[(Long, String, String, Timestamp)]
     val ts = (s: Int) => Timestamp.valueOf(f"2026-01-01 10:00:$s%02d")
