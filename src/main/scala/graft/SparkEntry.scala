@@ -186,6 +186,7 @@ object SparkEntry {
     "d_ngrams" -> ((s, dir) => TextOps.ngramTop(s, dir)),
     "d_dup_clusters" -> ((s, dir) => TextOps.dupClusters(s, dir)),
     "d_dedup_apply" -> ((s, dir) => TextOps.dedupApply(s, dir).orderBy(col("doc_id"))),
+    "d_dedup_incr" -> ((s, dir) => TextOps.dedupIncrement(s, dir).orderBy(col("doc_id"))),
 
     // ---- embedding similarity operators ----
     "v_norms" -> ((s, dir) => VectorOps.norms(s, dir).orderBy(col("vec_id"))),
@@ -524,6 +525,7 @@ object SparkEntry {
       "d_ngrams" -> TextOps.ngramTopSql(),
       "d_dup_clusters" -> TextOps.dupClustersSql,
       "d_dedup_apply" -> TextOps.dedupApplySql,
+      "d_dedup_incr" -> TextOps.dedupIncrementSql(),
       "v_norms" -> VectorOps.normsSql,
       "v_knn" -> VectorOps.knnSql(),
       "v_neardup" -> VectorOps.nearDupExactSql(),

@@ -829,6 +829,50 @@ object TextOps {
     inner
   }
 
+  /** Incremental dedup — the shape a DAILY ingest runs: dedup the new
+    * increment (docs with `doc_id >= splitId`, standing in for "today's
+    * crawl") against the existing corpus WITHOUT touching the corpus
+    * itself. The base side collapses to its distinct content hashes (at
+    * production scale: a bucketed hash-index table maintained across
+    * increments, so the join co-locates without a shuffle of the base);
+    * the increment additionally keeps one representative per new hash.
+    * Decision relation for increment docs only: `dup_of_base` /
+    * `dup_in_increment` / `kept`.
+    */
+  def dedupIncrement(spark: SparkSession, dir: String, splitId: Long = 250): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = prepared(spark, dir).select(col("doc_id"), col("source"),
+      md5(col("norm").cast("binary")).as("text_md5"))
+    val base = p.filter(col("doc_id") < splitId)
+      .select(col("text_md5")).distinct().withColumn("in_base", lit(1))
+    val incr = p.filter(col("doc_id") >= splitId)
+      .withColumn("rep_doc_id",
+        min(col("doc_id")).over(Window.partitionBy(col("text_md5"))))
+    incr.join(base, Seq("text_md5"), "left")
+      .withColumn("drop_reason",
+        when(col("in_base").isNotNull, "dup_of_base")
+          .when(col("doc_id") =!= col("rep_doc_id"), "dup_in_increment")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("source"), col("text_md5"),
+        (col("drop_reason") === "kept").as("keep"), col("drop_reason"))
+  }
+
+  def dedupIncrementSql(splitId: Long = 250): String =
+    s"""WITH p AS (SELECT doc_id, source, md5(norm) AS text_md5 FROM ($preparedSql)),
+       |base AS (SELECT DISTINCT text_md5 FROM p WHERE doc_id < $splitId),
+       |incr AS (
+       |  SELECT doc_id, source, text_md5,
+       |    min(doc_id) OVER (PARTITION BY text_md5) AS rep_doc_id
+       |  FROM p WHERE doc_id >= $splitId)
+       |SELECT doc_id, source, text_md5, drop_reason = 'kept' AS keep, drop_reason
+       |FROM (
+       |  SELECT incr.doc_id, incr.source, incr.text_md5,
+       |    CASE WHEN base.text_md5 IS NOT NULL THEN 'dup_of_base'
+       |         WHEN incr.doc_id <> incr.rep_doc_id THEN 'dup_in_increment'
+       |         ELSE 'kept' END AS drop_reason
+       |  FROM incr LEFT JOIN base ON incr.text_md5 = base.text_md5)
+       |ORDER BY doc_id""".stripMargin
+
   // ---- end-to-end curation pipeline ----
 
   /** The composed curation pipeline — the decision relation a training-data

@@ -252,6 +252,23 @@ class OperatorsSpec extends SparkSuite {
     assert(cells.getLong(2) >= -360 && cells.getLong(3) <= 360)
   }
 
+  test("incremental dedup: drops base dups, keeps one rep per new hash") {
+    val docs = Seq(
+      (1L, "existing corpus doc", "s", 1L),
+      (10L, "existing corpus doc", "s", 1L),  // incr dup of base → dup_of_base
+      (11L, "brand new doc", "s", 1L),        // rep of the new pair → kept
+      (12L, "brand  new DOC", "s", 1L),       // same normalized → dup_in_increment
+      (13L, "another new doc", "s", 1L)       // unique → kept
+    ).toDF("doc_id", "text", "source", "n_chars")
+      .withColumn("lang", lit("en"))
+    val tmp = java.nio.file.Files.createTempDirectory("incr").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextOps.dedupIncrement(spark, tmp, splitId = 10)
+      .select("doc_id", "drop_reason").as[(Long, String)].collect().toMap
+    assert(out == Map(10L -> "dup_of_base", 11L -> "kept",
+      12L -> "dup_in_increment", 13L -> "kept"))
+  }
+
   test("funnel: stage i counts only at-or-after stage i-1 (greedy matching)") {
     val ts = (s: String) => java.sql.Timestamp.valueOf(s"2026-01-01 10:00:$s")
     val df = Seq(
