@@ -242,6 +242,11 @@ class OperatorsSpec extends SparkSuite {
       .head().getDouble(0)
     assert(!d.isNaN)
     assert(spark.sql("SELECT count(*) FROM events").head().getLong(0) > 0)
+    // SQL-registered engine primitives match their Column definitions
+    val fns = spark.sql("SELECT hex60('abc'), norm_text('  A  b ')").head()
+    assert(fns.getLong(0) == spark.range(1)
+      .select(Exprs.hex60(lit("abc"))).head().getLong(0))
+    assert(fns.getString(1) == "a b")
   }
 
   test("geo grid cells cover derived coordinate domain") {
