@@ -59,6 +59,7 @@ object SparkEntry {
     "q_unpivot" -> ((s, dir) => Relational.unpivotOrderMetrics(s, dir)),
     "q_corr_subquery" -> ((s, dir) => Relational.correlatedBigOrders(s, dir)),
     "q_bloom_join" -> ((s, dir) => Relational.urgentLineitems(s, dir)),
+    "q_expectations" -> ((s, dir) => Relational.expectations(s, dir)),
 
     // ---- reference pipeline over events (SURVEY §2.2-2.5) ----
     "e_validate" -> ((s, dir) => Readings.enriched(s, dir, T).orderBy(col("event_id"))),
@@ -371,6 +372,7 @@ object SparkEntry {
       "q_unpivot" -> Relational.unpivotOrderMetricsSql,
       "q_corr_subquery" -> Relational.correlatedBigOrdersSql,
       "q_bloom_join" -> Relational.urgentLineitemsSql,
+      "q_expectations" -> Relational.expectationsSql,
       "q_moving_avg" ->
         """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
           |  AVG(l_extendedprice) OVER (

@@ -481,6 +481,51 @@ object Relational {
       |  true AS p25_ok, true AS p50_ok, true AS p75_ok
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Data-quality expectations — the validation gate a pipeline runs on a
+    * tabular input before using it: per-rule violation counts over orders
+    * (null key, duplicate key, non-positive amount, unknown enum value).
+    * ONE scan: every rule is a conditional aggregate of the same pass
+    * (uniqueness via count − distinct-count), then `stack` unpivots the
+    * single row to (rule, n_violations) — at 100 TB this is exactly one
+    * map-side-combined aggregation however many rules are checked.
+    */
+  def expectations(spark: SparkSession, dir: String): DataFrame = {
+    val known = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    Tables.orders(spark, dir)
+      .agg(
+        sum(col("o_orderkey").isNull.cast("long")).as("null_key"),
+        // count(key) not count(*): a NULL key is its own rule's violation,
+        // and countDistinct ignores NULLs — count(*) would double-charge it
+        (count(col("o_orderkey")) - countDistinct(col("o_orderkey"))).as("dup_key"),
+        sum((col("o_totalprice") <= 0).cast("long")).as("nonpos_price"),
+        sum((!col("o_orderpriority").isin(known.map(lit): _*)).cast("long"))
+          .as("bad_priority"))
+      .select(expr(
+        """stack(4,
+          |  'null_key', null_key,
+          |  'dup_key', dup_key,
+          |  'nonpos_price', nonpos_price,
+          |  'bad_priority', bad_priority) AS (rule, n_violations)""".stripMargin))
+      .orderBy(col("rule"))
+  }
+
+  def expectationsSql: String =
+    """WITH a AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_key,
+      |    CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_key,
+      |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_price,
+      |    CAST(sum(CASE WHEN o_orderpriority NOT IN
+      |      ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS bad_priority
+      |  FROM orders)
+      |SELECT rule, n_violations FROM (
+      |  SELECT 'null_key' AS rule, null_key AS n_violations FROM a
+      |  UNION ALL SELECT 'dup_key', dup_key FROM a
+      |  UNION ALL SELECT 'nonpos_price', nonpos_price FROM a
+      |  UNION ALL SELECT 'bad_priority', bad_priority FROM a)
+      |ORDER BY rule""".stripMargin
+
   /** Bloom-prefiltered fact⋈dim join ([[graft.plans.BloomJoin]]): lineitem
     * rows belonging to urgent orders. The urgent key set (~20% of orders)
     * is the mid-size dimension case — too big to broadcast as a hash

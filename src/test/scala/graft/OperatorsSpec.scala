@@ -257,6 +257,22 @@ class OperatorsSpec extends SparkSuite {
     assert(cells.getLong(2) >= -360 && cells.getLong(3) <= 360)
   }
 
+  test("expectations: each rule counts its violations") {
+    val rows = Seq(
+      (Some(1L), 10.0, "1-URGENT"),
+      (Some(1L), 20.0, "5-LOW"),      // duplicate key
+      (None, 30.0, "2-HIGH"),         // null key
+      (Some(3L), -5.0, "3-MEDIUM"),   // non-positive price
+      (Some(4L), 40.0, "9-WAT")       // unknown priority
+    ).toDF("o_orderkey", "o_totalprice", "o_orderpriority")
+    val tmp = java.nio.file.Files.createTempDirectory("exp").toString
+    rows.write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val out = Relational.expectations(spark, tmp)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("null_key" -> 1L, "dup_key" -> 1L,
+      "nonpos_price" -> 1L, "bad_priority" -> 1L))
+  }
+
   test("incremental dedup: drops base dups, keeps one rep per new hash") {
     val docs = Seq(
       (1L, "existing corpus doc", "s", 1L),
