@@ -1,0 +1,62 @@
+package graft
+
+/** Plan-audit regression tests: the physical-plan properties PLANS.md
+  * claims (pushdown, broadcasts, single-exchange analytics, codegen'd
+  * runtime filters) asserted against the ACTUAL executed/spark plans, so a
+  * refactor that silently loses one of them fails the suite instead of
+  * surfacing as a 100 TB regression.
+  *
+  * Assertions target structural operators (join strategy, exchange count,
+  * scan metadata), not fragile full-plan strings.
+  */
+class PlanAuditSpec extends SparkSuite {
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+    df.queryExecution.executedPlan.toString
+  }
+
+  /** Count exchanges, excluding the final presentation orderBy's — the
+    * driver-contract ORDER BY adds one rangepartitioning exchange that a
+    * production consumer (writing partitioned output) would not run.
+    */
+  private def dataExchanges(plan: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(plan).length
+
+  test("q1_pricing: filter and projection push into the parquet scan") {
+    val plan = executedPlan("q1_pricing")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate")
+      || plan.contains("PushedFilters: [IsNotNull"), s"pushdown missing:\n$plan")
+    assert(!plan.contains("l_comment"), "scan must prune unused columns")
+  }
+
+  test("q5_region_revenue: dims broadcast, fact never hash-shuffled pre-agg") {
+    val plan = executedPlan("q5_region_revenue")
+    assert(plan.contains("BroadcastHashJoin"), s"dim join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fact must not sort-merge:\n$plan")
+  }
+
+  test("q_bloom_join: sketch probe runs as a codegen'd scan filter") {
+    val plan = executedPlan("q_bloom_join")
+    assert(plan.contains("might_contain"), s"bloom probe missing:\n$plan")
+  }
+
+  test("e_funnel: all stage windows + collapse share one data exchange") {
+    val plan = executedPlan("e_funnel")
+    assert(dataExchanges(plan) == 1,
+      s"funnel must cost exactly one hash exchange:\n$plan")
+  }
+
+  test("e_retention: cohort window and distinct-count cost two exchanges") {
+    val plan = executedPlan("e_retention")
+    // window on user_id + two-phase distinct-count on (cohort, offset)
+    assert(dataExchanges(plan) <= 2,
+      s"retention exchange count regressed:\n$plan")
+  }
+
+  test("v_knn: query side broadcast, corpus scanned not shuffled pre-rank") {
+    val plan = executedPlan("v_knn")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query set must broadcast:\n$plan")
+  }
+}
