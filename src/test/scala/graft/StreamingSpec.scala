@@ -273,6 +273,33 @@ class StreamingSpec extends SparkSuite {
       (1L, 1, "view"), (1L, 2, "click"), (1L, 3, "purchase"), (2L, 1, "view")))
   }
 
+  test("streaming funnel state survives a checkpointed restart") {
+    import graft.streaming.FunnelStream
+    import graft.streaming.FunnelStream.Activity
+    val in = MemoryStream[Activity]
+    val ts = (s: Int) => Timestamp.valueOf(f"2026-01-01 10:00:$s%02d")
+    val ckpt = java.nio.file.Files.createTempDirectory("funnel_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("funnel_out").toString
+    val out = FunnelStream(in.toDS())
+    // file sink: the memory sink refuses checkpoint recovery
+    def start() = out.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    in.addData(Activity(9L, "view", ts(0)), Activity(9L, "click", ts(10)))
+    q1.processAllAvailable()
+    q1.stop()
+    // restart from the SAME checkpoint: the recovered state (stage 2) is
+    // the only way the purchase can emit stage 3 — fresh state awaits view
+    val q2 = start()
+    in.addData(Activity(9L, "purchase", ts(20)))
+    q2.processAllAvailable()
+    q2.stop()
+    val hits = spark.read.parquet(outDir)
+      .select("stage", "stage_name").as[(Int, String)].collect().sorted
+    assert(hits.toSeq == Seq((1, "view"), (2, "click"), (3, "purchase")))
+  }
+
   test("doc stream curation: gates drop before state, dedup within watermark") {
     val in = MemoryStream[(Long, String, String, Timestamp)]
     val ts = (s: Int) => Timestamp.valueOf(f"2026-01-01 10:00:$s%02d")
