@@ -117,8 +117,12 @@ object SparkEntry {
       // typed extraction from the semi-structured JSON props column — the
       // reference's records are JSON end to end (flink_process.py parses
       // every Kafka message); here the path expression is oracle-checked
+      // try_cast + json_valid guard on the oracle side: a malformed props
+      // row must yield NULL on BOTH engines (get_json_object returns null;
+      // DuckDB's json_extract_string would hard-error the whole oracle)
       Tables.events(s, dir)
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .withColumn("k",
+          expr("try_cast(get_json_object(props, '$.k') AS INT)"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("k")).as("sum_k"),
@@ -471,7 +475,9 @@ object SparkEntry {
         """SELECT event_type, count(*) AS n,
           |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
           |FROM (SELECT event_type,
-          |        CAST(json_extract_string(props, '$.k') AS INT) AS k
+          |        CASE WHEN json_valid(props)
+          |          THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+          |        END AS k
           |      FROM events)
           |GROUP BY event_type ORDER BY event_type""".stripMargin,
       // independent algorithm on the oracle side: DuckDB's native ASOF JOIN

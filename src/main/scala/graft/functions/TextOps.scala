@@ -84,14 +84,20 @@ object TextOps {
   def qualityBucketE: Column =
     when(qualityScoreE >= 0.75, "high")
       .when(qualityScoreE >= 0.5, "medium").otherwise("low")
+  /** Per-language marker scores over `prepared` columns — the ONE
+    * definition [[langid]], [[predLangE]] and therefore [[curate]] /
+    * [[graft.streaming.DocStream]] all build from.
+    */
+  def langScoresE: Seq[(String, Column)] = LangMarkers.map { case (l, ms) =>
+    val arr = array(ms.map(lit): _*)
+    l -> size(filter(col("words"), w => array_contains(arr, w)))
+  }
+
   /** Marker-word language argmax over `prepared` columns (pure row expr);
     * same scores and tie-break as [[langid]].
     */
   def predLangE: Column = {
-    val scores = LangMarkers.map { case (l, ms) =>
-      val arr = array(ms.map(lit): _*)
-      l -> size(filter(col("words"), w => array_contains(arr, w)))
-    }
+    val scores = langScoresE
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("unknown"): Column) { case ((l, sc), acc) =>
       when(sc === best && best > 0, l).otherwise(acc)
@@ -147,21 +153,10 @@ object TextOps {
     "fr" -> Seq("le", "les", "une"),
     "zh" -> Seq("shi", "bu", "wo"))
 
-  def langid(spark: SparkSession, dir: String): DataFrame = {
-    val base = prepared(spark, dir)
-    val scored = LangMarkers.foldLeft(base) { case (df, (l, ms)) =>
-      val arr = array(ms.map(lit): _*)
-      df.withColumn(s"score_$l", size(filter(col("words"), w => array_contains(arr, w))))
-    }
-    val best = LangMarkers.map { case (l, _) => col(s"score_$l") }
-      .reduce((a, b) => greatest(a, b))
-    val pred = LangMarkers.foldRight(lit("unknown"): Column) { case ((l, _), acc) =>
-      when(col(s"score_$l") === best && best > 0, l).otherwise(acc)
-    }
-    scored.select(
-      (Seq(col("doc_id"), col("lang"), pred.as("pred_lang")) ++
-        LangMarkers.map { case (l, _) => col(s"score_$l") }): _*)
-  }
+  def langid(spark: SparkSession, dir: String): DataFrame =
+    prepared(spark, dir).select(
+      (Seq(col("doc_id"), col("lang"), predLangE.as("pred_lang")) ++
+        langScoresE.map { case (l, e) => e.as(s"score_$l") }): _*)
 
   val langidSql: String = {
     val scoreCols = LangMarkers.map { case (l, ms) =>

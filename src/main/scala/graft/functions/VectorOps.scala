@@ -251,22 +251,30 @@ object VectorOps {
     * shape unchanged from [[annIvf]]: centroids broadcast, corpus shuffled
     * once on centroid_id, per-query top-k.
     */
+  /** Top-`nProbe` centroid ids per query vector — the probe-list builder
+    * shared by [[annIvfMulti]] and [[annIvfPq]] so their IVF halves cannot
+    * drift (same ranking, same centroid_id tie-break).
+    */
+  private def queryProbes(e: DataFrame, nQueries: Int, kCentroids: Int,
+                          nProbe: Int): DataFrame = {
+    val q0 = e.filter(col("vec_id") < nQueries)
+    val cents = broadcast(e.filter(col("vec_id") < kCentroids)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn")))
+    val pw = Window.partitionBy(col("vec_id"))
+      .orderBy((dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).desc, col("centroid_id"))
+    q0.join(cents)
+      .withColumn("__rn", row_number().over(pw)).filter(col("__rn") <= nProbe)
+      .select(col("centroid_id").as("q_cent"), col("vec_id").as("q_id"),
+        col("v").as("qv"), col("nrm").as("qn"))
+  }
+
   def annIvfMulti(spark: SparkSession, dir: String, nQueries: Int = 20, kNn: Int = 5,
                   kCentroids: Int = 16, nProbe: Int = 2,
                   mat: Materialize = Materialize.Local): DataFrame = {
     val assigned = mat(
       ivfAssign(spark, dir, kCentroids).select("vec_id", "centroid_id"))
     val e = prepared(spark, dir).join(assigned, "vec_id")
-    // query side: top-nProbe centroids per query vector (probe lists)
-    val q0 = prepared(spark, dir).filter(col("vec_id") < nQueries)
-    val cents = broadcast(prepared(spark, dir).filter(col("vec_id") < kCentroids)
-      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn")))
-    val pw = Window.partitionBy(col("vec_id"))
-      .orderBy((dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).desc, col("centroid_id"))
-    val qProbes = q0.join(cents)
-      .withColumn("__rn", row_number().over(pw)).filter(col("__rn") <= nProbe)
-      .select(col("centroid_id").as("q_cent"), col("vec_id").as("q_id"),
-        col("v").as("qv"), col("nrm").as("qn"))
+    val qProbes = queryProbes(prepared(spark, dir), nQueries, kCentroids, nProbe)
     val sims = e.join(broadcast(qProbes),
         col("centroid_id") === col("q_cent") && col("vec_id") =!= col("q_id"))
       .withColumn("cos_sim", round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
@@ -420,17 +428,24 @@ object VectorOps {
     * reorder IEEE addition and break cross-engine parity). One shuffle-free
     * scan of the codes + a per-query top-k window.
     */
+  /** ADC lookup table — every (query block) × (codeword) inner product;
+    * shared by [[annPq]] and [[annIvfPq]] so the PQ scoring halves cannot
+    * drift.
+    */
+  private def adcLut(e: DataFrame, nQueries: Int, blocks: Int, k: Int): DataFrame = {
+    val qs = pqSubVectors(e.filter(col("vec_id") < nQueries), "q_id", blocks)
+    val cw = pqSubVectors(e.filter(col("vec_id") < k), "cid", blocks)
+      .withColumnRenamed("sv", "cv")
+    qs.join(cw, "block")
+      .select(col("q_id"), col("block"), col("cid").as("code"),
+        dot(col("sv"), col("cv")).as("s"))
+  }
+
   def annPq(spark: SparkSession, dir: String, nQueries: Int = 20, kNn: Int = 5,
             blocks: Int = 4, k: Int = 16): DataFrame = {
     val e = prepared(spark, dir)
     val codes = pqAssign(spark, dir, blocks, k)
-    // lookup table: every (query block) × (codeword) inner product
-    val qs = pqSubVectors(e.filter(col("vec_id") < nQueries), "q_id", blocks)
-    val cw = pqSubVectors(e.filter(col("vec_id") < k), "cid", blocks)
-      .withColumnRenamed("sv", "cv")
-    val lut = broadcast(qs.join(cw, "block")
-      .select(col("q_id"), col("block"), col("cid").as("code"),
-        dot(col("sv"), col("cv")).as("s")))
+    val lut = broadcast(adcLut(e, nQueries, blocks, k))
     val scored = codes.withColumn("code", col("code").cast("long"))
       .join(lut, Seq("block", "code"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -613,22 +628,10 @@ object VectorOps {
                k: Int = 16, mat: Materialize = Materialize.Local): DataFrame = {
     val e = prepared(spark, dir)
     val assigned = mat(ivfAssign(spark, dir, kCentroids).select("vec_id", "centroid_id"))
-    // query probe lists (the IVF half)
-    val q0 = e.filter(col("vec_id") < nQueries)
-    val cents = broadcast(e.filter(col("vec_id") < kCentroids)
-      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn")))
-    val pw = Window.partitionBy(col("vec_id"))
-      .orderBy((dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).desc, col("centroid_id"))
-    val qProbes = q0.join(cents)
-      .withColumn("__rn", row_number().over(pw)).filter(col("__rn") <= nProbe)
-      .select(col("vec_id").as("q_id"), col("centroid_id").as("q_cent"))
-    // ADC lookup table (the PQ half)
-    val qs = pqSubVectors(q0, "q_id", blocks)
-    val cw = pqSubVectors(e.filter(col("vec_id") < k), "cid", blocks)
-      .withColumnRenamed("sv", "cv")
-    val lut = broadcast(qs.join(cw, "block")
-      .select(col("q_id"), col("block"), col("cid").as("code"),
-        dot(col("sv"), col("cv")).as("s")))
+    // IVF half: shared probe-list builder; PQ half: shared ADC LUT
+    val qProbes = queryProbes(e, nQueries, kCentroids, nProbe)
+      .select(col("q_id"), col("q_cent"))
+    val lut = broadcast(adcLut(e, nQueries, blocks, k))
     // candidates: code rows of vectors living in a probed inverted list
     val cand = pqAssign(spark, dir, blocks, k)
       .withColumn("code", col("code").cast("long"))

@@ -219,7 +219,7 @@ object Readings {
       .write.mode("overwrite").partitionBy("topic").parquet(out)
     spark.read.parquet(out)
       .withColumn("data_priority",
-        regexp_extract(col("topic"), "(normal|critical)-data", 1))
+        when(col("topic") === "critical-data", "critical").otherwise("normal"))
       .select("event_id", "cpm", "data_priority")
   }
 }

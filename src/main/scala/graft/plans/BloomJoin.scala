@@ -51,11 +51,16 @@ object BloomJoin {
 
   /** Exact inner equi-join, bloom-prefiltered: semantics of
     * `facts JOIN dim ON factKey = dimKey`, with the fact side pruned by the
-    * sketch before it reaches the join's shuffle.
+    * sketch before it reaches the join's shuffle. When both sides use the
+    * SAME key name the join is expressed as a USING join (one merged key
+    * column) — `col(factKey) === col(dimKey)` would be an ambiguous
+    * self-comparison.
     */
   def bloomPrefilteredJoin(facts: DataFrame, factKey: String,
                            dim: DataFrame, dimKey: String,
-                           expectedItems: Long = 1000000L): DataFrame =
-    bloomSemiPrefilter(facts, factKey, dim, dimKey, expectedItems)
-      .join(dim, col(factKey) === col(dimKey))
+                           expectedItems: Long = 1000000L): DataFrame = {
+    val pruned = bloomSemiPrefilter(facts, factKey, dim, dimKey, expectedItems)
+    if (factKey == dimKey) pruned.join(dim, Seq(factKey))
+    else pruned.join(dim, col(factKey) === col(dimKey))
+  }
 }

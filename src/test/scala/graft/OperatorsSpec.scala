@@ -326,6 +326,9 @@ class OperatorsSpec extends SparkSuite {
     // empty build side: no sketch → empty result, not a crash
     assert(BloomJoin.bloomPrefilteredJoin(
       facts, "k", dim.filter(lit(false)), "dk", 100).count() == 0)
+    // same key name on both sides must not be ambiguous
+    assert(BloomJoin.bloomPrefilteredJoin(
+      facts, "k", dim.withColumnRenamed("dk", "k"), "k", 100).count() == 3)
   }
 
   test("curate tags each doc with its first failing gate, in gate order") {

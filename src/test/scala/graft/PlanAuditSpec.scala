@@ -19,9 +19,12 @@ class PlanAuditSpec extends SparkSuite {
   /** Count exchanges, excluding the final presentation orderBy's — the
     * driver-contract ORDER BY adds one rangepartitioning exchange that a
     * production consumer (writing partitioned output) would not run.
+    * Anchored to the operator position (`+-`/`:-`) so a ReusedExchange
+    * node — which embeds the exchange description in its own line — is
+    * not double-counted as a shuffle.
     */
   private def dataExchanges(plan: String): Int =
-    "Exchange hashpartitioning".r.findAllIn(plan).length
+    "[+:]- Exchange hashpartitioning".r.findAllIn(plan).length
 
   test("q1_pricing: filter and projection push into the parquet scan") {
     val plan = executedPlan("q1_pricing")
