@@ -142,6 +142,8 @@ object SparkEntry {
         keys = Seq("user_id"), time = "sec", valueCols = Seq("cal_cpm", "cal_sec"))
         .orderBy(col("event_id"))
     }),
+    "e_resample" -> ((s, dir) =>
+      AsofJoin.resample(valid(s, dir)).orderBy(col("user_id"), col("tick"))),
     "e_level5" -> ((s, dir) =>
       valid(s, dir)
         .withColumn("level5", Readings.level5(col("cpm"), Readings.Scale5(veryHigh = 400)))
@@ -482,6 +484,7 @@ object SparkEntry {
           |GROUP BY event_type ORDER BY event_type""".stripMargin,
       // independent algorithm on the oracle side: DuckDB's native ASOF JOIN
       // vs the engine's union+keyed-window plan — a true differential check
+      "e_resample" -> AsofJoin.resampleSql(V),
       "e_asof_cal" ->
         s"""WITH v AS (SELECT * FROM ($V) WHERE status = 'valid'),
            |cal AS (

@@ -58,4 +58,38 @@ object AsofJoin {
     filled.filter(col("__side") === 1).drop("__side")
       .select(leftCols.map(col) ++ valueCols.map(col): _*)
   }
+
+  /** Time-series resampling with LOCF gap fill: per user, a regular `step`
+    * grid from their first to last reading, each tick carrying the last
+    * observation at or before it — the downsampling step a dashboard or
+    * feature pipeline runs before charting/windowing irregular streams.
+    * Pure composition: tick generation is a per-user `sequence` explode,
+    * the fill is [[asofLast]] (so the plan is the same ONE shuffle of
+    * ticks+readings, never a per-key cross product). The first tick sits
+    * exactly on the first reading, so the fill is never null.
+    */
+  def resample(valid: DataFrame, step: String = "1 hour"): DataFrame = {
+    val ticks = valid.groupBy(col("user_id"))
+      .agg(min(col("sec")).as("mn"), max(col("sec")).as("mx"))
+      .select(col("user_id"),
+        explode(expr(s"sequence(mn, mx, interval $step)")).as("sec"))
+    // right side unique per (key, time) — asofLast's contract
+    val readings = valid.groupBy(col("user_id"), col("sec"))
+      .agg(max(col("cpm")).as("locf_cpm"))
+    asofLast(ticks, readings, keys = Seq("user_id"), time = "sec",
+        valueCols = Seq("locf_cpm"))
+      .withColumnRenamed("sec", "tick")
+  }
+
+  /** Oracle mirror of [[resample]] — independent algorithm on the oracle
+    * side: DuckDB's native ASOF JOIN vs the engine's union+window plan.
+    */
+  def resampleSql(validatedSql: String, stepSql: String = "INTERVAL 1 HOUR"): String =
+    s"""WITH v AS (SELECT * FROM ($validatedSql) WHERE status = 'valid'),
+       |r AS (SELECT user_id, sec, max(cpm) AS locf_cpm FROM v GROUP BY 1, 2),
+       |b AS (SELECT user_id, min(sec) AS mn, max(sec) AS mx FROM v GROUP BY 1),
+       |t AS (SELECT user_id, unnest(generate_series(mn, mx, $stepSql)) AS sec FROM b)
+       |SELECT t.user_id AS user_id, t.sec AS tick, r.locf_cpm
+       |FROM t ASOF LEFT JOIN r ON t.user_id = r.user_id AND t.sec >= r.sec
+       |ORDER BY t.user_id, tick""".stripMargin
 }

@@ -257,6 +257,19 @@ class OperatorsSpec extends SparkSuite {
     assert(cells.getLong(2) >= -360 && cells.getLong(3) <= 360)
   }
 
+  test("resample: hourly ticks carry the last observation at or before them") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s"2026-01-01 $s")
+    val df = Seq(
+      (1L, ts("10:00:00"), 5), (1L, ts("12:30:00"), 9),
+      (2L, ts("10:15:00"), 7)
+    ).toDF("user_id", "sec", "cpm")
+    val out = AsofJoin.resample(df).orderBy("user_id", "tick")
+      .as[(Long, java.sql.Timestamp, Int)].collect()
+    assert(out.toSeq == Seq(
+      (1L, ts("10:00:00"), 5), (1L, ts("11:00:00"), 5), (1L, ts("12:00:00"), 5),
+      (2L, ts("10:15:00"), 7)))
+  }
+
   test("expectations: each rule counts its violations") {
     val rows = Seq(
       (Some(1L), 10.0, "1-URGENT"),
