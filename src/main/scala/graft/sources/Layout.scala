@@ -66,4 +66,33 @@ object Layout {
   def readDay(spark: SparkSession, path: String, day: String): DataFrame =
     spark.read.parquet(path).filter(col("day") === day)
 
+  /** Small-file compaction — the maintenance pass every streaming-ingested
+    * layout needs: micro-batch sinks land one file per trigger per
+    * partition, and a 100 TB table read through millions of KB-sized files
+    * is metadata-bound before a single byte of data is scanned. Rewrites a
+    * parquet directory into ~`targetBytes` files (count derived from the
+    * actual on-disk size), then atomically swaps via rename — the same
+    * crash-safe swap pattern as the streaming retention sink.
+    */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): Long = {
+    def parquetBytes(d: java.io.File): Long = {
+      val fs = Option(d.listFiles()).getOrElse(Array.empty)
+      fs.filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum +
+        fs.filter(_.isDirectory).map(parquetBytes).sum
+    }
+    val bytes = parquetBytes(new java.io.File(path))
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    val tmp = s"$path.__compact_tmp"
+    graft.LocalFs.rmrf(new java.io.File(tmp))
+    spark.read.parquet(path)
+      .repartition(nFiles.toInt)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val old = s"$path.__compact_old"
+    graft.LocalFs.rmrf(new java.io.File(old))
+    new java.io.File(path).renameTo(new java.io.File(old))
+    new java.io.File(tmp).renameTo(new java.io.File(path))
+    graft.LocalFs.rmrf(new java.io.File(old))
+    nFiles
+  }
 }

@@ -20,6 +20,18 @@ class LayoutSpec extends SparkSuite {
     assert(n < total)
   }
 
+  test("compact rewrites a fragmented dir into few files, same rows") {
+    val out = java.nio.file.Files.createTempDirectory("frag").toString + "/t"
+    val df = spark.range(10000).toDF("id")
+    df.repartition(64).write.parquet(out) // 64 tiny files
+    def files = Option(new java.io.File(out).listFiles()).getOrElse(Array.empty)
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files > 10)
+    Layout.compact(spark, out)
+    assert(files <= 2, s"expected compacted file count, got $files")
+    assert(spark.read.parquet(out).count() == 10000)
+  }
+
   test("bucketed orders⋈lineitem join plans without a shuffle exchange") {
     Layout.bucketizeOrders(spark, sf(), nBuckets = 4, suffix = "spec")
     // at sf0.001 Catalyst would (rightly) broadcast the tiny orders side —
