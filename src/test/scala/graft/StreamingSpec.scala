@@ -62,6 +62,20 @@ class StreamingSpec extends SparkSuite {
       assert(n == 1)
       assert(metrics.stream().anyMatch(_.toLowerCase.contains("rocksdb")),
         s"expected rocksdb state metrics, got $metrics")
+      // the flatMapGroupsWithState tier (funnel stage machine) must run on
+      // the same provider — its state layout is a case class, not a row set
+      import graft.streaming.FunnelStream
+      import graft.streaming.FunnelStream.Activity
+      val fin = MemoryStream[Activity]
+      val fq = FunnelStream(fin.toDS()).writeStream.format("memory")
+        .queryName("rocks_funnel_t").outputMode("append").start()
+      fin.addData(
+        Activity(1L, "view", Timestamp.valueOf("2026-01-01 10:00:00")),
+        Activity(1L, "click", Timestamp.valueOf("2026-01-01 10:00:05")))
+      fq.processAllAvailable()
+      val stages = spark.table("rocks_funnel_t").count()
+      fq.stop()
+      assert(stages == 2)
     } finally {
       prev match {
         case Some(p) => spark.conf.set(key, p)
