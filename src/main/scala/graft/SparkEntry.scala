@@ -179,6 +179,7 @@ object SparkEntry {
     "d_source_stats" -> ((s, dir) => TextOps.sourceStats(s, dir)),
     "d_contamination" -> ((s, dir) => TextOps.contamination(s, dir).orderBy(col("doc_id"))),
     "d_curate" -> ((s, dir) => TextOps.curate(s, dir).orderBy(col("doc_id"))),
+    "d_redact" -> ((s, dir) => TextOps.redact(s, dir).orderBy(col("doc_id"))),
     "d_top_terms" -> ((s, dir) => TextOps.topTerms(s, dir).orderBy(col("doc_id"), col("rank"))),
     "d_dedup_exact" -> ((s, dir) => TextOps.dedupExact(s, dir).orderBy(col("rep_doc_id"))),
     "d_jaccard_pairs" -> ((s, dir) => TextOps.jaccardPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))),
@@ -522,6 +523,7 @@ object SparkEntry {
       "d_source_stats" -> TextOps.sourceStatsSql,
       "d_contamination" -> TextOps.contaminationSql(),
       "d_curate" -> TextOps.curateSql(),
+      "d_redact" -> TextOps.redactSql,
       "d_top_terms" -> TextOps.topTermsSql(),
       "d_dedup_exact" -> TextOps.dedupExactSql,
       "d_jaccard_pairs" -> TextOps.jaccardPairsSql(),

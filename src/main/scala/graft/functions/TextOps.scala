@@ -868,6 +868,37 @@ object TextOps {
        |  FROM incr LEFT JOIN base ON incr.text_md5 = base.text_md5)
        |ORDER BY doc_id""".stripMargin
 
+  // ---- PII redaction audit ----
+
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** PII scrubbing audit — the redaction pass a training corpus runs before
+    * release: per doc, how many email/phone patterns matched and the hash
+    * of the text AFTER replacing them with typed placeholders. Pure
+    * row-local regex expressions (both engines run RE2-compatible
+    * patterns), zero shuffle; the decision of what to redact ships as a
+    * narrow audit relation, the redacted text itself is recomputed on
+    * write-out.
+    */
+  def redact(spark: SparkSession, dir: String): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(col("norm"), EmailRe, "<email>"), PhoneRe, "<phone>")
+    prepared(spark, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("norm"), lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("norm"), lit(PhoneRe), lit(0))).as("n_phones"),
+      md5(redacted.cast("binary")).as("redacted_md5"))
+  }
+
+  val redactSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(norm, '$EmailRe')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(norm, '$PhoneRe')) AS INT) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(norm, '$EmailRe', '<email>', 'g'),
+       |      '$PhoneRe', '<phone>', 'g')) AS redacted_md5
+       |FROM ($preparedSql) ORDER BY doc_id""".stripMargin
+
   // ---- end-to-end curation pipeline ----
 
   /** The composed curation pipeline — the decision relation a training-data

@@ -257,6 +257,24 @@ class OperatorsSpec extends SparkSuite {
     assert(cells.getLong(2) >= -360 && cells.getLong(3) <= 360)
   }
 
+  test("redact: counts and replaces email/phone patterns") {
+    val docs = Seq(
+      (1L, "contact Bob at bob.smith@example.com or 555-123-4567 now", "en", "s", 1L),
+      (2L, "no pii here at all", "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("redact").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextOps.redact(spark, tmp).orderBy("doc_id")
+      .select("doc_id", "n_emails", "n_phones").as[(Long, Int, Int)].collect()
+    assert(out.toSeq == Seq((1L, 1, 1), (2L, 0, 0)))
+    // redacted hash differs from the raw hash only where something matched
+    val h = TextOps.redact(spark, tmp).join(
+        TextOps.fingerprint(spark, tmp), "doc_id")
+      .select("doc_id", "redacted_md5", "doc_md5")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(h(0)._2 != h(0)._3 && h(1)._2 == h(1)._3)
+  }
+
   test("resample: hourly ticks carry the last observation at or before them") {
     val ts = (s: String) => java.sql.Timestamp.valueOf(s"2026-01-01 $s")
     val df = Seq(
