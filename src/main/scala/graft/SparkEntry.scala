@@ -211,6 +211,7 @@ object SparkEntry {
     "v_ann_pq" -> ((s, dir) => VectorOps.annPq(s, dir)),
     "v_ann_ivfpq" -> ((s, dir) => VectorOps.annIvfPq(s, dir)),
     "v_recall" -> ((s, dir) => VectorOps.annRecall(s, dir)),
+    "v_recall_lsh" -> ((s, dir) => VectorOps.annRecallLsh(s, dir)),
     "v_kmeans_step" -> ((s, dir) => VectorOps.kmeansStep(s, dir)),
 
     // ---- multimodal plumbing ----
@@ -552,6 +553,7 @@ object SparkEntry {
       "v_ann_pq" -> VectorOps.annPqSql(),
       "v_ann_ivfpq" -> VectorOps.annIvfPqSql(),
       "v_recall" -> VectorOps.annRecallSql(),
+      "v_recall_lsh" -> VectorOps.annRecallLshSql(),
       "v_kmeans_step" -> VectorOps.kmeansStepSql(),
       "mm_meta" -> Multimodal.mediaMetaSql,
       "mm_frames" -> Multimodal.frameSampleSql(),

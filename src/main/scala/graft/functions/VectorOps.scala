@@ -586,13 +586,14 @@ object VectorOps {
     * documented on their operators; the comparison is a narrow
     * (q_id, neighbor_id) join — negligible at any scale.
     */
-  def annRecall(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 5,
-                kCentroids: Int = 16, nProbe: Int = 2,
-                mat: Materialize = Materialize.Local): DataFrame = {
+  /** Shared comparison: per-query overlap of an approximate top-k with the
+    * exact top-k ([[knn]]).
+    */
+  private def recallAgainstExact(spark: SparkSession, dir: String,
+                                 approx: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val exact = knn(spark, dir, nQueries, k).select(col("q_id"), col("neighbor_id"))
-    val approx = annIvfMulti(spark, dir, nQueries, k, kCentroids, nProbe, mat)
-      .select(col("q_id"), col("neighbor_id")).withColumn("hit", lit(1))
-    exact.join(approx, Seq("q_id", "neighbor_id"), "left")
+    exact.join(approx.select(col("q_id"), col("neighbor_id"))
+        .withColumn("hit", lit(1)), Seq("q_id", "neighbor_id"), "left")
       .groupBy(col("q_id"))
       .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
       .select(col("q_id"), col("n_hits"),
@@ -600,11 +601,10 @@ object VectorOps {
       .orderBy(col("q_id"))
   }
 
-  def annRecallSql(nQueries: Int = 20, k: Int = 5, kCentroids: Int = 16,
-                   nProbe: Int = 2): String =
+  private def recallSqlOf(approxSql: String, nQueries: Int, k: Int): String =
     s"""WITH exact AS (SELECT q_id, neighbor_id FROM (${knnSql(nQueries, k)})),
        |approx AS (SELECT q_id, neighbor_id FROM (
-       |  ${annIvfMultiSql(nQueries, k, kCentroids, nProbe)}))
+       |  $approxSql))
        |SELECT q_id, n_hits, n_hits / CAST($k AS DOUBLE) AS recall_at_k FROM (
        |  SELECT e.q_id,
        |    CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
@@ -612,6 +612,26 @@ object VectorOps {
        |    ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id
        |  GROUP BY e.q_id)
        |ORDER BY q_id""".stripMargin
+
+  def annRecall(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 5,
+                kCentroids: Int = 16, nProbe: Int = 2,
+                mat: Materialize = Materialize.Local): DataFrame =
+    recallAgainstExact(spark, dir,
+      annIvfMulti(spark, dir, nQueries, k, kCentroids, nProbe, mat), nQueries, k)
+
+  def annRecallSql(nQueries: Int = 20, k: Int = 5, kCentroids: Int = 16,
+                   nProbe: Int = 2): String =
+    recallSqlOf(annIvfMultiSql(nQueries, k, kCentroids, nProbe), nQueries, k)
+
+  /** Same harness over the sign-LSH single-probe search — the recall
+    * contrast between the two bucketing strategies at equal k.
+    */
+  def annRecallLsh(spark: SparkSession, dir: String, nQueries: Int = 20,
+                   k: Int = 5, bits: Int = 4): DataFrame =
+    recallAgainstExact(spark, dir, annLsh(spark, dir, nQueries, k, bits), nQueries, k)
+
+  def annRecallLshSql(nQueries: Int = 20, k: Int = 5, bits: Int = 4): String =
+    recallSqlOf(annLshSql(nQueries, k, bits), nQueries, k)
 
   /** IVF+PQ combined — the full architecture production ANN systems run:
     * the IVF half restricts candidates to the query's `nProbe` nearest
