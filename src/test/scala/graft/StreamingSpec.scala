@@ -287,6 +287,47 @@ class StreamingSpec extends SparkSuite {
       (1L, 1, "view"), (1L, 2, "click"), (1L, 3, "purchase"), (2L, 1, "view")))
   }
 
+  test("transformWithState funnel matches the flatMapGroupsWithState tier") {
+    import graft.streaming.{FunnelStream, FunnelStreamTws}
+    import graft.streaming.FunnelStream.Activity
+    // TWS executes only on the RocksDB provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ts = (s: Int) => Timestamp.valueOf(f"2026-01-01 10:00:$s%02d")
+      val data = Seq(
+        Activity(1L, "view", ts(0)), Activity(1L, "click", ts(10)),
+        Activity(1L, "purchase", ts(20)),
+        Activity(2L, "click", ts(1)), Activity(2L, "view", ts(5)))
+      def run(name: String, f: org.apache.spark.sql.Dataset[Activity] =>
+          org.apache.spark.sql.Dataset[graft.streaming.FunnelStream.StageHit]) = {
+        val in = MemoryStream[Activity]
+        val q = f(in.toDS()).writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        in.addData(data: _*)
+        q.processAllAvailable()
+        val rows = spark.table(name)
+          .select("user_id", "stage", "stage_name").as[(Long, Int, String)]
+          .collect().sorted.toSeq
+        q.stop(); rows
+      }
+      // idleTtlMs = 0: TTL needs ProcessingTime mode, whose self-triggering
+      // clock never lets processAllAvailable settle in a deterministic test
+      val tws = run("funnel_tws_t", ds => FunnelStreamTws(ds, idleTtlMs = 0))
+      val fmgs = run("funnel_fmgs_t", ds => FunnelStream(ds))
+      assert(tws == fmgs)
+      assert(tws == Seq((1L, 1, "view"), (1L, 2, "click"), (1L, 3, "purchase"),
+        (2L, 1, "view")))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming funnel state survives a checkpointed restart") {
     import graft.streaming.FunnelStream
     import graft.streaming.FunnelStream.Activity
