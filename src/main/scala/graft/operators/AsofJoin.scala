@@ -68,9 +68,23 @@ object AsofJoin {
     * ticks+readings, never a per-key cross product). The first tick sits
     * exactly on the first reading, so the fill is never null.
     */
-  def resample(valid: DataFrame, step: String = "1 hour"): DataFrame = {
-    val ticks = valid.groupBy(col("user_id"))
+  def resample(valid: DataFrame, step: String = "1 hour",
+               maxTicksPerUser: Long = 1000000L): DataFrame = {
+    val bounds = valid.groupBy(col("user_id"))
       .agg(min(col("sec")).as("mn"), max(col("sec")).as("mx"))
+    // loud guardrail (the nearDupExact contract): a step mis-sized against
+    // the data's span would materialize the whole grid inside ONE row's
+    // sequence() array — refuse instead of OOMing an executor
+    val spark = valid.sparkSession
+    val stepSec = spark.range(1).select(
+      unix_timestamp(lit("1970-01-01 00:00:00").cast("timestamp") +
+        expr(s"interval $step"))).head().getLong(0)
+    val worstTicks = bounds.agg(max(
+      unix_timestamp(col("mx")) - unix_timestamp(col("mn")))).head().getLong(0) / stepSec
+    require(worstTicks <= maxTicksPerUser,
+      s"resample: up to $worstTicks ticks for one user at step '$step' " +
+        s"(max $maxTicksPerUser) — choose a coarser step")
+    val ticks = bounds
       .select(col("user_id"),
         explode(expr(s"sequence(mn, mx, interval $step)")).as("sec"))
     // right side unique per (key, time) — asofLast's contract

@@ -286,6 +286,10 @@ class OperatorsSpec extends SparkSuite {
     assert(out.toSeq == Seq(
       (1L, ts("10:00:00"), 5), (1L, ts("11:00:00"), 5), (1L, ts("12:00:00"), 5),
       (2L, ts("10:15:00"), 7)))
+    // mis-sized step must refuse loudly, not materialize the grid
+    intercept[IllegalArgumentException] {
+      AsofJoin.resample(df, step = "1 second", maxTicksPerUser = 100)
+    }
   }
 
   test("expectations: each rule counts its violations") {
