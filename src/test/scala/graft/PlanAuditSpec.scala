@@ -57,6 +57,12 @@ class PlanAuditSpec extends SparkSuite {
       s"retention exchange count regressed:\n$plan")
   }
 
+  test("d_curate: the contamination probe side broadcasts") {
+    val plan = executedPlan("d_curate")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark probe set must broadcast into the shingle join:\n$plan")
+  }
+
   test("v_knn: query side broadcast, corpus scanned not shuffled pre-rank") {
     val plan = executedPlan("v_knn")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
