@@ -60,6 +60,19 @@ object SparkEntry {
     "q_corr_subquery" -> ((s, dir) => Relational.correlatedBigOrders(s, dir)),
     "q_bloom_join" -> ((s, dir) => Relational.urgentLineitems(s, dir)),
     "q_expectations" -> ((s, dir) => Relational.expectations(s, dir)),
+    "q_lateral" -> ((s, dir) => {
+      // correlated LATERAL subquery — a distinct Catalyst decorrelation
+      // path from q_corr_subquery's scalar form; planned as a per-key
+      // top-1, not a cross product
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+          |FROM customer c JOIN LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders
+          |  WHERE o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+          |ORDER BY c.c_custkey""".stripMargin)
+    }),
 
     // ---- reference pipeline over events (SURVEY §2.2-2.5) ----
     "e_validate" -> ((s, dir) => Readings.enriched(s, dir, T).orderBy(col("event_id"))),
@@ -381,6 +394,13 @@ object SparkEntry {
       "q_corr_subquery" -> Relational.correlatedBigOrdersSql,
       "q_bloom_join" -> Relational.urgentLineitemsSql,
       "q_expectations" -> Relational.expectationsSql,
+      "q_lateral" ->
+        """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+          |FROM customer c, LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders
+          |  WHERE o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+          |ORDER BY c.c_custkey""".stripMargin,
       "q_moving_avg" ->
         """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
           |  AVG(l_extendedprice) OVER (
