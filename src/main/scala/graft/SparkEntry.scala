@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators._
-import graft.functions.{TextOps, VectorOps}
+import graft.functions.{MixOps, TextOps, VectorOps}
 import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -208,6 +208,10 @@ object SparkEntry {
     "d_dup_clusters" -> ((s, dir) => TextOps.dupClusters(s, dir)),
     "d_dedup_apply" -> ((s, dir) => TextOps.dedupApply(s, dir).orderBy(col("doc_id"))),
     "d_dedup_incr" -> ((s, dir) => TextOps.dedupIncrement(s, dir).orderBy(col("doc_id"))),
+    "d_shard_pack" -> ((s, dir) => MixOps.shardPack(s, dir)),
+    "d_mix_rebalance" -> ((s, dir) => MixOps.mixRebalance(s, dir)),
+    "d_quality_tiers" -> ((s, dir) => MixOps.qualityTiers(s, dir)),
+    "d_semantic_dedup" -> ((s, dir) => MixOps.semanticDedup(s, dir)),
 
     // ---- embedding similarity operators ----
     "v_norms" -> ((s, dir) => VectorOps.norms(s, dir).orderBy(col("vec_id"))),
@@ -560,6 +564,10 @@ object SparkEntry {
       "d_dup_clusters" -> TextOps.dupClustersSql,
       "d_dedup_apply" -> TextOps.dedupApplySql,
       "d_dedup_incr" -> TextOps.dedupIncrementSql(),
+      "d_shard_pack" -> MixOps.shardPackSql(),
+      "d_mix_rebalance" -> MixOps.mixRebalanceSql(),
+      "d_quality_tiers" -> MixOps.qualityTiersSql(),
+      "d_semantic_dedup" -> MixOps.semanticDedupSql(),
       "v_norms" -> VectorOps.normsSql,
       "v_knn" -> VectorOps.knnSql(),
       "v_neardup" -> VectorOps.nearDupExactSql(),

@@ -1,0 +1,214 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Exprs, Tables}
+
+/** Corpus-composition operators for a training-data pipeline: shard packing
+  * by token budget, source-mixture rebalancing, per-language quality tiers,
+  * and embedding-cosine semantic dedup of documents.
+  *
+  * Like the rest of the text/vector suite these are built only from
+  * codegen'd Spark built-ins plus the shared [[Exprs.hex60]] hash, and every
+  * operator has an exact ANSI-SQL mirror so the driver's DuckDB differential
+  * oracle can hash-compare results. Selection decisions use INTEGER
+  * comparisons (hash-vs-threshold, rational cross-multiplication), never
+  * pow/ln/round — the established cross-engine parity rule.
+  */
+object MixOps {
+
+  // ---- shard packing by token budget (distributed prefix sum) ----
+
+  /** Assign each document to a training shard of ~`budget` whitespace
+    * tokens, walking a deterministic global order (salted hash, then
+    * doc_id). The naive formulation — one cumulative-sum window over the
+    * whole corpus — degenerates to a SINGLE partition at scale, so this is
+    * the two-pass distributed prefix sum instead:
+    *
+    *   1. bucket each doc by hash prefix (`bucket = h % buckets`); the
+    *      global order is (bucket, h, doc_id), so a bucket is a contiguous
+    *      range of the walk;
+    *   2. per-bucket token totals (tiny: `buckets` rows) → running offsets
+    *      via a window over that TINY relation (the only unpartitioned
+    *      window, bounded by `buckets`, never by data size);
+    *   3. cumulative sum WITHIN each bucket (parallel window, `buckets`-way)
+    *      plus the broadcast bucket offset = the global prefix sum;
+    *   4. `shard_id = tokens_before DIV budget`.
+    *
+    * At 100 TB: `buckets` sized so one bucket's docs fit an executor
+    * (e.g. 10k buckets), the offsets relation stays driver-trivial, and no
+    * stage ever sees the corpus in one partition.
+    */
+  def shardPack(spark: SparkSession, dir: String, buckets: Int = 8,
+                budget: Long = 2000L): DataFrame = {
+    val d = TextOps.prepared(spark, dir).select(
+      col("doc_id"),
+      size(col("words")).cast("long").as("tok"),
+      Exprs.hex60(concat(lit("sp:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("bucket", pmod(col("h"), lit(buckets)))
+    val totals = d.groupBy("bucket").agg(sum("tok").as("btok"))
+    // window over `buckets` rows — bounded by the parameter, not the data
+    val wOff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("boff", coalesce(sum("btok").over(wOff), lit(0L)))
+      .select("bucket", "boff")
+    val wIn = Window.partitionBy("bucket").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("cum_in", coalesce(sum("tok").over(wIn), lit(0L)))
+      .join(broadcast(offsets), Seq("bucket"))
+      // `div` = exact integer division on BIGINT, mirroring DuckDB `//`
+      .withColumn("shard_id", expr(s"(boff + cum_in) div ${budget}L"))
+      .select(col("doc_id"), col("tok").cast("int").as("tok"), col("shard_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the same walk as ONE global window — semantically identical,
+    * quadratically simpler to state, and fine at oracle scale.
+    */
+  def shardPackSql(buckets: Int = 8, budget: Long = 2000L): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len(words) AS BIGINT) AS tok,
+       |         ${Exprs.hex60Sql("'sp:' || doc_id::VARCHAR")} AS h
+       |  FROM (${TextOps.preparedSql})),
+       |k AS (SELECT *, h % $buckets AS bucket FROM d)
+       |SELECT doc_id, CAST(tok AS INT) AS tok,
+       |  CAST(COALESCE(SUM(tok) OVER (ORDER BY bucket, h, doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |       // $budget AS BIGINT) AS shard_id
+       |FROM k ORDER BY doc_id""".stripMargin
+
+  // ---- source-mixture rebalancing ----
+
+  /** Per-source target weight: sources carry a numeric suffix in the
+    * testdata (`src0`..`srcN`); weight cycles 1..4 so the target mixture is
+    * deliberately skewed. A production pipeline would read (source, weight)
+    * from a config relation — the shape (broadcast per-source stats, pure
+    * row-local keep decision) is the same.
+    */
+  private def weightE(src: Column): Column =
+    pmod(regexp_extract(src, "([0-9]+)", 1).cast("long"), lit(4)) + lit(1L)
+
+  /** Rebalance the corpus toward a weighted target mixture: source `s` with
+    * weight `w_s` should contribute `total * w_s / sum(w)` documents, so
+    * each of its docs is kept with probability
+    * `f_s = min(1, (total * w_s / sum(w)) / count_s)`, decided by the
+    * salted integer hash. The keep predicate is the cross-multiplied
+    * rational form
+    *
+    *   (h % mod) * sum(w) * count_s  <  mod * total * w_s
+    *
+    * — pure BIGINT comparison, no division, no floats, so re-runs and the
+    * DuckDB oracle reproduce the exact selection (and `f_s >= 1` needs no
+    * special case: the left side is always < mod * sum(w) * count_s).
+    *
+    * Scale shape: one tiny groupBy over sources (broadcast back), then a
+    * row-local predicate on the corpus scan — zero shuffle of the big side.
+    */
+  def mixRebalance(spark: SparkSession, dir: String, mod: Int = 1000): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val stats = d.groupBy("source").agg(count(lit(1)).as("cnt"))
+      .withColumn("w", weightE(col("source")))
+    val tot = stats.agg(sum("cnt").as("total"), sum("w").as("sumw"))
+    d.join(broadcast(stats), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .filter(pmod(Exprs.hex60(concat(lit("mx:"), col("doc_id").cast("string"))), lit(mod))
+        * col("sumw") * col("cnt") < lit(mod) * col("total") * col("w"))
+      .select(col("doc_id"), col("source"), col("w").cast("int").as("w"))
+      .orderBy("doc_id")
+  }
+
+  def mixRebalanceSql(mod: Int = 1000): String =
+    s"""WITH d AS (SELECT doc_id, source FROM documents),
+       |stats AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS cnt,
+       |         (regexp_extract(source, '([0-9]+)', 1)::BIGINT % 4) + 1 AS w
+       |  FROM d GROUP BY source),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+       |               CAST(sum(w) AS BIGINT) AS sumw FROM stats)
+       |SELECT doc_id, source, CAST(w AS INT) AS w
+       |FROM d JOIN stats USING (source) CROSS JOIN tot
+       |WHERE (${Exprs.hex60Sql("'mx:' || doc_id::VARCHAR")} % $mod) * sumw * cnt
+       |      < $mod * total * w
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- per-language quality tiers (CCNet-style head/middle/tail) ----
+
+  /** Rank documents within each language by the shared quality score and
+    * cut into thirds — the CCNet head/middle/tail partitioning. Tier
+    * boundaries use integer cross-multiplication (`rnk * 3 <= n`), not a
+    * percent float. One shuffle (by lang); the per-language window holds at
+    * scale because languages are few and skew lands on AQE.
+    */
+  def qualityTiers(spark: SparkSession, dir: String): DataFrame = {
+    val base = TextOps.prepared(spark, dir).select(
+      col("doc_id"), col("lang"), TextOps.qualityScoreE.as("quality_score"))
+    val part = Window.partitionBy("lang")
+    val w = part.orderBy(col("quality_score").desc, col("doc_id"))
+    base
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n_lang", count(lit(1)).over(part).cast("int"))
+      .withColumn("tier",
+        when(col("rnk") * 3 <= col("n_lang"), "head")
+          .when(col("rnk") * 3 <= col("n_lang") * 2, "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("n_lang"), col("rnk"),
+        col("quality_score"), col("tier"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle reuses [[TextOps.qualitySql]] (the ONE score definition) and
+    * joins documents back for `lang`. `quality_score` is emitted unrounded
+    * on both sides — the double bits match because the arithmetic is
+    * identical; `round()` at a representation boundary would not (the
+    * d_quality parity rule).
+    */
+  def qualityTiersSql(): String =
+    s"""WITH s AS (
+       |  SELECT q.doc_id, d.lang, q.quality_score
+       |  FROM (${TextOps.qualitySql}) q
+       |  JOIN (SELECT doc_id, lang FROM documents) d ON q.doc_id = d.doc_id),
+       |r AS (
+       |  SELECT doc_id, lang, quality_score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+       |           ORDER BY quality_score DESC, doc_id) AS INT) AS rnk,
+       |    CAST(COUNT(*) OVER (PARTITION BY lang) AS INT) AS n_lang
+       |  FROM s)
+       |SELECT doc_id, lang, n_lang, rnk, quality_score,
+       |  CASE WHEN rnk * 3 <= n_lang THEN 'head'
+       |       WHEN rnk * 3 <= n_lang * 2 THEN 'middle' ELSE 'tail' END AS tier
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  // ---- embedding-cosine semantic dedup of documents ----
+
+  /** Semantic dedup: a document is dropped when a SMALLER-id document in
+    * the same sign-LSH bucket has cosine similarity ≥ `threshold` with it
+    * (documents join their embeddings 1:1 on `doc_id = vec_id`). Output is
+    * the drop list with the smallest such representative — the per-doc
+    * decision a `filter`-style curation step would consume.
+    *
+    * Scale shape: same as [[VectorOps.nearDupLsh]] — bucket equi-join, no
+    * all-pairs; the keep-smallest rule needs only a `min` per dropped doc
+    * (one hash agg), not connected components, because "near-dup of
+    * ANY smaller id" is already a deterministic decision.
+    */
+  def semanticDedup(spark: SparkSession, dir: String, threshold: Double = 0.4,
+                    bits: Int = 4): DataFrame = {
+    val pairs = VectorOps.nearDupLsh(spark, dir, threshold, bits)
+    val dropped = pairs.groupBy(col("id_b").as("doc_id"))
+      .agg(min(col("id_a")).as("dup_of"))
+    dropped.join(Tables.documents(spark, dir).select("doc_id", "source"), Seq("doc_id"))
+      .select(col("doc_id"), col("dup_of"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  def semanticDedupSql(threshold: Double = 0.4, bits: Int = 4): String =
+    s"""WITH pairs AS (${VectorOps.nearDupLshSql(threshold, bits)}),
+       |dropped AS (
+       |  SELECT id_b AS doc_id, CAST(min(id_a) AS BIGINT) AS dup_of
+       |  FROM pairs GROUP BY id_b)
+       |SELECT doc_id, dup_of, source
+       |FROM dropped JOIN documents USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{MixOps, TextOps, VectorOps}
+
+/** Semantic properties of the corpus-composition operators — the invariants
+  * the DuckDB hash-compare cannot state (it only proves Spark == oracle).
+  */
+class MixOpsSpec extends SparkSuite {
+
+  test("shardPack: shards are contiguous prefixes of the walk and respect the budget") {
+    val budget = 2000L
+    val df = MixOps.shardPack(spark, sf("sf0.01"), budget = budget).cache()
+    val n = Tables.documents(spark, sf("sf0.01")).count()
+    assert(df.count() == n, "every document is assigned to exactly one shard")
+
+    val shards = df.groupBy("shard_id").agg(sum("tok").as("stok")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val maxTok = df.agg(max("tok")).head().getInt(0).toLong
+    val lastShard = shards.keys.max
+    // shard ids form a dense range 0..last (holds while no single doc
+    // exceeds the budget — true of the testdata)
+    assert(maxTok < budget && shards.keySet == (0L to lastShard).toSet)
+    // a shard spans cumulative range [k*budget, (k+1)*budget): its total is
+    // the budget ± the boundary documents' overshoot, i.e. within one
+    // max-size document of the budget on either side
+    shards.filter(_._1 != lastShard).foreach { case (id, t) =>
+      assert(t > budget - maxTok && t < budget + maxTok, s"shard $id total $t")
+    }
+    df.unpersist()
+  }
+
+  test("mixRebalance: kept share per source tracks the target weight") {
+    val kept = MixOps.mixRebalance(spark, sf("sf0.01")).cache()
+    val before = Tables.documents(spark, sf("sf0.01"))
+      .groupBy("source").agg(count(lit(1)).as("n_before"))
+    val after = kept.groupBy("source", "w").agg(count(lit(1)).as("n_kept"))
+    val joined = after.join(before, Seq("source")).collect()
+    joined.foreach { r =>
+      val (w, nKept, nBefore) = (r.getInt(1), r.getLong(2), r.getLong(3))
+      assert(nKept <= nBefore)
+      // weight-4 sources are over target (fraction 1 ⇒ kept everything)
+      if (w == 4) assert(nKept == nBefore, s"w=4 source ${r.getString(0)}")
+    }
+    // the rebalanced mixture is skewed toward high weights: average kept
+    // fraction strictly increases with w
+    val fracByW = joined.groupBy(_.getInt(1)).map { case (w, rs) =>
+      w -> rs.map(r => r.getLong(2).toDouble / r.getLong(3)).sum / rs.size
+    }
+    assert(fracByW(1) < fracByW(2) && fracByW(2) < fracByW(3) && fracByW(3) <= fracByW(4))
+    kept.unpersist()
+  }
+
+  test("qualityTiers: thirds per language, ordered by score") {
+    val df = MixOps.qualityTiers(spark, sf("sf0.01")).cache()
+    // tier sizes within a language differ by at most 1
+    df.groupBy("lang").pivot("tier", Seq("head", "middle", "tail"))
+      .agg(count(lit(1))).collect().foreach { r =>
+        val sizes = Seq(1, 2, 3).map(i => if (r.isNullAt(i)) 0L else r.getLong(i))
+        assert(sizes.max - sizes.min <= 1, s"lang ${r.getString(0)} sizes $sizes")
+      }
+    // within a language, every head score >= every tail score
+    val byLang = df.groupBy("lang").agg(
+      min(when(col("tier") === "head", col("quality_score"))).as("min_head"),
+      max(when(col("tier") === "tail", col("quality_score"))).as("max_tail"))
+    byLang.collect().foreach { r =>
+      if (!r.isNullAt(1) && !r.isNullAt(2))
+        assert(r.getDouble(1) >= r.getDouble(2), s"lang ${r.getString(0)}")
+    }
+    df.unpersist()
+  }
+
+  test("semanticDedup: drop decisions are justified and representatives are kept") {
+    val t = 0.4
+    val dropped = MixOps.semanticDedup(spark, sf("sf0.01"), threshold = t).cache()
+    val pairs = VectorOps.nearDupLsh(spark, sf("sf0.01"), threshold = t)
+      .select(col("id_a"), col("id_b"), col("cos_sim")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val rows = dropped.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val droppedIds = rows.map(_._1).toSet
+    rows.foreach { case (docId, dupOf) =>
+      assert(dupOf < docId, "representative has the smaller id")
+      assert(pairs.exists(p => p._1 == dupOf && p._2 == docId && p._3 >= t),
+        s"drop of $docId justified by a >=$t pair with $dupOf")
+      // dup_of is the SMALLEST qualifying partner
+      val minPartner = pairs.filter(_._2 == docId).map(_._1).min
+      assert(dupOf == minPartner)
+    }
+    // no doc is dropped without appearing as an id_b in the pair list
+    assert(droppedIds == pairs.map(_._2).toSet)
+    dropped.unpersist()
+  }
+}
