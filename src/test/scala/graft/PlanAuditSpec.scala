@@ -68,4 +68,30 @@ class PlanAuditSpec extends SparkSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"query set must broadcast:\n$plan")
   }
+
+  test("d_shard_pack: corpus never windows in a single partition") {
+    val plan = executedPlan("d_shard_pack")
+    // the bucket-offsets join comes back as a broadcast, never a shuffle of
+    // the corpus side
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast:\n$plan")
+    // exactly one single-partition exchange exists — the `buckets`-row
+    // offsets window — so the corpus-bearing windows are all hash-partitioned
+    assert("[+:]- Exchange SinglePartition".r.findAllIn(plan).length == 1,
+      s"only the tiny offsets relation may hit SinglePartition:\n$plan")
+  }
+
+  test("d_mix_rebalance: zero shuffle of the corpus side") {
+    val plan = executedPlan("d_mix_rebalance")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-source stats must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must not shuffle for the stats join:\n$plan")
+  }
+
+  test("d_semantic_dedup: documents join the drop list without sort-merge") {
+    val plan = executedPlan("d_semantic_dedup")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"drop list (or documents) side must broadcast:\n$plan")
+  }
 }
