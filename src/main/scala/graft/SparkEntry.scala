@@ -48,6 +48,7 @@ object SparkEntry {
     "q_intersect_priorities" -> ((s, dir) => Relational.prioritiesIntersect(s, dir)),
     "q_except_customers" -> ((s, dir) => Relational.lapsedCustomers(s, dir)),
     "q_moving_avg" -> ((s, dir) => Relational.movingAvgPrice(s, dir)),
+    "q_trailing_30d" -> ((s, dir) => Relational.trailingWindow(s, dir)),
     "q_order_gaps" -> ((s, dir) => Relational.orderGaps(s, dir)),
     "q_cube_orders" -> ((s, dir) => Relational.cubeOrderStats(s, dir)),
     "q_percentiles" -> ((s, dir) => Relational.quantityPercentiles(s, dir)),
@@ -229,6 +230,7 @@ object SparkEntry {
     "v_ann_ivfpq" -> ((s, dir) => VectorOps.annIvfPq(s, dir)),
     "v_recall" -> ((s, dir) => VectorOps.annRecall(s, dir)),
     "v_recall_lsh" -> ((s, dir) => VectorOps.annRecallLsh(s, dir)),
+    "v_recall_ivfpq" -> ((s, dir) => VectorOps.annRecallIvfPq(s, dir)),
     "v_kmeans_step" -> ((s, dir) => VectorOps.kmeansStep(s, dir)),
 
     // ---- multimodal plumbing ----
@@ -413,6 +415,7 @@ object SparkEntry {
           |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS moving_avg_price
           |FROM lineitem
           |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+      "q_trailing_30d" -> Relational.trailingWindowSql,
 
       "e_validate" -> s"""SELECT * FROM ($V) ORDER BY event_id""",
       "e_route_normal" ->
@@ -582,6 +585,7 @@ object SparkEntry {
       "v_ann_ivfpq" -> VectorOps.annIvfPqSql(),
       "v_recall" -> VectorOps.annRecallSql(),
       "v_recall_lsh" -> VectorOps.annRecallLshSql(),
+      "v_recall_ivfpq" -> VectorOps.annRecallIvfPqSql(),
       "v_kmeans_step" -> VectorOps.kmeansStepSql(),
       "mm_meta" -> Multimodal.mediaMetaSql,
       "mm_frames" -> Multimodal.frameSampleSql(),

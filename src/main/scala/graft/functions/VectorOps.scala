@@ -633,6 +633,22 @@ object VectorOps {
   def annRecallLshSql(nQueries: Int = 20, k: Int = 5, bits: Int = 4): String =
     recallSqlOf(annLshSql(nQueries, k, bits), nQueries, k)
 
+  /** Same harness over the full IVF+PQ stack — quantifies what the code
+    * compression costs ON TOP of the probe restriction (compare against
+    * [[annRecall]], which ranks the same probed candidates exactly).
+    */
+  def annRecallIvfPq(spark: SparkSession, dir: String, nQueries: Int = 20,
+                     k: Int = 5, kCentroids: Int = 16, nProbe: Int = 2,
+                     blocks: Int = 4, codebook: Int = 16): DataFrame =
+    recallAgainstExact(spark, dir,
+      annIvfPq(spark, dir, nQueries, k, kCentroids, nProbe, blocks, codebook),
+      nQueries, k)
+
+  def annRecallIvfPqSql(nQueries: Int = 20, k: Int = 5, kCentroids: Int = 16,
+                        nProbe: Int = 2, blocks: Int = 4, codebook: Int = 16): String =
+    recallSqlOf(annIvfPqSql(nQueries, k, kCentroids, nProbe, blocks, codebook),
+      nQueries, k)
+
   /** IVF+PQ combined — the full architecture production ANN systems run:
     * the IVF half restricts candidates to the query's `nProbe` nearest
     * centroids' inverted lists ([[annIvfMulti]]'s probe mechanism), and the

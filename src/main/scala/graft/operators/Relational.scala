@@ -249,6 +249,39 @@ object Relational {
       .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Value-RANGE frame (vs [[movingAvgPrice]]'s ROWS frame): per customer,
+    * each order sees its trailing 30-DAY window — however many orders that
+    * spans, including same-day peers. Aggregates are chosen order-free
+    * (count, max), so RANGE-frame tie handling cannot perturb parity.
+    * Scale shape: one hash exchange on o_custkey, sort within partition.
+    */
+  def trailingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("days"))
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), days.as("days"), col("o_totalprice"))
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("days"),
+        count(lit(1)).over(w).cast("int").as("n_orders_30d"),
+        max(col("o_totalprice")).over(w).as("max_price_30d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val trailingWindowSql: String =
+    """SELECT o_custkey, o_orderkey, days,
+      |  CAST(COUNT(*) OVER w AS INT) AS n_orders_30d,
+      |  MAX(o_totalprice) OVER w AS max_price_30d
+      |FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INT) AS days,
+      |    o_totalprice
+      |  FROM orders)
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY days
+      |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** Set ops: order-priority values seen in both halves of the date range
     * (INTERSECT) — exercises INTERSECT/EXCEPT capability.
     */
