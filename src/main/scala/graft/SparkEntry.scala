@@ -189,6 +189,7 @@ object SparkEntry {
     "d_quality" -> ((s, dir) => TextOps.quality(s, dir).orderBy(col("doc_id"))),
     "d_langid" -> ((s, dir) => TextOps.langid(s, dir).orderBy(col("doc_id"))),
     "d_fingerprint" -> ((s, dir) => TextOps.fingerprint(s, dir).orderBy(col("doc_id"))),
+    "d_winnow" -> ((s, dir) => TextOps.winnow(s, dir)),
     "d_repetition" -> ((s, dir) => TextOps.repetition(s, dir).orderBy(col("doc_id"))),
     "d_source_stats" -> ((s, dir) => TextOps.sourceStats(s, dir)),
     "d_contamination" -> ((s, dir) => TextOps.contamination(s, dir).orderBy(col("doc_id"))),
@@ -547,6 +548,7 @@ object SparkEntry {
       "d_quality" -> TextOps.qualitySql,
       "d_langid" -> TextOps.langidSql,
       "d_fingerprint" -> TextOps.fingerprintSql,
+      "d_winnow" -> TextOps.winnowSql(),
       "d_repetition" -> TextOps.repetitionSql,
       "d_source_stats" -> TextOps.sourceStatsSql,
       "d_contamination" -> TextOps.contaminationSql(),

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Exprs, Materialize, Tables}
 
@@ -208,6 +209,61 @@ object TextOps {
        |  FROM ($preparedSql),
        |       unnest(range(1, CASE WHEN len(words) >= 3 THEN len(words)-1 ELSE 2 END)) AS t(i))
        |GROUP BY doc_id, norm ORDER BY doc_id""".stripMargin
+
+  /** Winnowing fingerprint selection (the MOSS algorithm): over the 3-word
+    * shingle hash sequence, every sliding window of `w` consecutive hashes
+    * contributes its MINIMUM (rightmost on ties), and the distinct selected
+    * (hash, position) pairs are the document's fingerprints. Guarantees any
+    * shared run of ≥ w+2 words between two documents shares a fingerprint,
+    * at expected density 2/(w+1) — the principled sparse sketch where
+    * [[fingerprint]] keeps only the single global min.
+    *
+    * The rightmost-min tie-break is encoded arithmetically so both engines
+    * compute it as a plain integer `min`: key = (h % 2^40)·2^20 +
+    * (2^20−1−pos). Positions are bounded by 2^20 shingles per doc (a >1M-word
+    * document should be split upstream); hashes are truncated to 40 bits,
+    * which only makes hash ties — resolved deterministically — marginally
+    * more likely. Scale shape: per-doc windows (parallel across docs, no
+    * global sort), explode → window → distinct, all map-side-combinable.
+    */
+  def winnow(spark: SparkSession, dir: String, w: Int = 4): DataFrame = {
+    val HB = 1099511627776L // 2^40
+    val PB = 1048576L // 2^20
+    val keyed = prepared(spark, dir).filter(size(col("words")) >= 3)
+      .select(col("doc_id"), posexplode(
+        expr("transform(sequence(0, size(words)-3), i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))")))
+      .withColumn("key",
+        pmod(Exprs.hex60(col("col")), lit(HB)) * PB + (lit(PB - 1) - col("pos")))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), Window.currentRow)
+    keyed.withColumn("sel_key", min(col("key")).over(win))
+      .filter(col("pos") >= w - 1) // complete windows only
+      .select(col("doc_id"),
+        expr(s"sel_key div ${PB}L").as("sel_hash"),
+        (lit(PB - 1) - pmod(col("sel_key"), lit(PB))).cast("int").as("sel_pos"))
+      .distinct()
+      .orderBy(col("doc_id"), col("sel_pos"))
+  }
+
+  def winnowSql(w: Int = 4): String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+       |         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh
+       |  FROM (${preparedSql}), unnest(range(1, len(words)-1)) AS t(i)
+       |  WHERE len(words) >= 3),
+       |keyed AS (
+       |  SELECT doc_id, pos,
+       |    (${Exprs.hex60Sql("sh")} % 1099511627776) * 1048576 + (1048575 - pos) AS key
+       |  FROM sh),
+       |win AS (
+       |  SELECT doc_id, pos, MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS sel_key
+       |  FROM keyed)
+       |SELECT DISTINCT doc_id,
+       |  CAST(sel_key // 1048576 AS BIGINT) AS sel_hash,
+       |  CAST(1048575 - (sel_key % 1048576) AS INT) AS sel_pos
+       |FROM win WHERE pos >= ${w - 1}
+       |ORDER BY doc_id, sel_pos""".stripMargin
 
   // ---- per-source curation report ----
 

@@ -70,6 +70,31 @@ class MixOpsSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("winnow: every w-window is covered and selections are real shingle minima") {
+    val w = 4
+    val fps = TextOps.winnow(spark, sf("sf0.01"), w).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(2)).sorted).toMap
+    val nShingles = Tables.documents(spark, sf("sf0.01"))
+      .select(col("doc_id"),
+        (size(split(Exprs.normText(col("text")), " ")) - 2).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    fps.foreach { case (docId, positions) =>
+      val n = nShingles(docId)
+      assert(positions.head <= w - 1 && positions.last >= n - w,
+        s"doc $docId: selection must reach both ends")
+      positions.sliding(2).filter(_.length == 2).foreach { pair =>
+        assert(pair(1) - pair(0) <= w,
+          s"doc $docId: gap ${pair(0)}->${pair(1)} violates the winnowing coverage guarantee")
+      }
+      assert(positions.forall(p => p >= 0 && p < n))
+    }
+    // density lands near the theoretical 2/(w+1)
+    val total = fps.values.map(_.length).sum.toDouble
+    val shingleTotal = fps.keys.toSeq.map(nShingles).sum.toDouble
+    val density = total / shingleTotal
+    assert(density > 1.2 / (w + 1) && density < 3.0 / (w + 1), s"density $density")
+  }
+
   test("semanticDedup: drop decisions are justified and representatives are kept") {
     val t = 0.4
     val dropped = MixOps.semanticDedup(spark, sf("sf0.01"), threshold = t).cache()
