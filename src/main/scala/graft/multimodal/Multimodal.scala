@@ -91,10 +91,18 @@ object Multimodal {
         ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
     private def tag(b: Array[Byte], i: Int): String =
       new String(b, i, 4, "US-ASCII")
+    private def i32be(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    private val PngSig: Array[Byte] =
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
     def decode(r: MediaRecord): DecodedMedia = {
       val b = r.payload
-      if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
+      if (b.length >= 24 && b.take(8).sameElements(PngSig) && tag(b, 12) == "IHDR") {
+        // IHDR is mandated first: width/height are big-endian u32 at 16/20
+        DecodedMedia(r.media_id, "png", i32be(b, 16), i32be(b, 20), 0, 0, 0)
+      } else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
         // BITMAPINFOHEADER at byte 14: width i32le@18, height i32le@22
         // (height < 0 = top-down row order; magnitude is the pixel height)
         DecodedMedia(r.media_id, "bmp", i32(b, 18), math.abs(i32(b, 22)), 0, 0, 0)

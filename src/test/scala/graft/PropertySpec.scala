@@ -122,5 +122,21 @@ class PropertySpec extends SparkSuite {
       assert(d.format == "wav" && d.sample_rate == rate && d.channels == ch &&
         d.bits_per_sample == bits, s"wav($rate, $ch, $bits) -> $d")
     }
+    def png(w: Int, h: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(33).order(ByteOrder.BIG_ENDIAN)
+      b.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      b.putInt(13).put("IHDR".getBytes("US-ASCII")).putInt(w).putInt(h)
+      b.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      b.array()
+    }
+    for ((w, h) <- samples(Gen.zip(Gen.choose(1, 1 << 24), Gen.choose(1, 1 << 24)), 40)) {
+      val d = Multimodal.HeaderDecoder.decode(
+        Multimodal.MediaRecord(3L, "image", png(w, h), 0, 0))
+      assert(d.format == "png" && d.width == w && d.height == h, s"png($w, $h) -> $d")
+    }
+    // a truncated PNG signature must not be claimed as png
+    val bad = Multimodal.HeaderDecoder.decode(
+      Multimodal.MediaRecord(4L, "image", "PNG".getBytes("ISO-8859-1"), 0, 0))
+    assert(bad.format == "unknown")
   }
 }
