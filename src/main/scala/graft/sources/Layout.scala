@@ -66,6 +66,46 @@ object Layout {
   def readDay(spark: SparkSession, path: String, day: String): DataFrame =
     spark.read.parquet(path).filter(col("day") === day)
 
+  /** Morton (z-order) interleave of two non-negative int columns, `bits`
+    * bits each — pure codegen'd arithmetic, no UDF.
+    */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+             bits: Int = 16): org.apache.spark.sql.Column =
+    (0 until bits).map { i =>
+      shiftright(a, i).bitwiseAND(lit(1)).cast("long") * lit(1L << (2 * i)) +
+        shiftright(b, i).bitwiseAND(lit(1)).cast("long") * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  /** Z-order clustering: range-partition + sort the table by the Morton
+    * code of two filter columns, so EVERY file holds a small rectangle of
+    * the (a, b) space and min/max stats prune scans on EITHER column — the
+    * multi-dimensional analog of a linear sort, which clusters only its
+    * leading column. At 100 TB this is what makes `WHERE a = … AND b = …`
+    * touch a handful of files instead of the whole table. One range
+    * exchange (same cost as any sorted write); the z-column itself is
+    * dropped from the output.
+    */
+  def zorderWrite(df: DataFrame, colA: String, colB: String, outPath: String,
+                  nFiles: Int = 8, bits: Int = 16): Unit = {
+    // Scale both columns onto the same bits-wide grid first: interleaving
+    // RAW values lets the wider-ranged column own all the high bits and the
+    // "z-order" silently degenerates to a linear sort on it. The bounds agg
+    // is 4 values on the driver — negligible at any scale (and at 100 TB it
+    // comes from table stats instead of a scan).
+    val b = df.agg(min(colA), max(colA), min(colB), max(colB)).head()
+    def scaled(c: String, lo: Long, hi: Long) = {
+      val span = math.max(1L, hi - lo)
+      ((col(c).cast("long") - lit(lo)) * lit((1L << bits) - 1) / lit(span)).cast("long")
+    }
+    df.withColumn("__z", zValue(
+        scaled(colA, b.getLong(0), b.getLong(1)),
+        scaled(colB, b.getLong(2), b.getLong(3)), bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+  }
+
   /** Small-file compaction — the maintenance pass every streaming-ingested
     * layout needs: micro-batch sinks land one file per trigger per
     * partition, and a 100 TB table read through millions of KB-sized files

@@ -32,6 +32,39 @@ class LayoutSpec extends SparkSuite {
     assert(spark.read.parquet(out).count() == 10000)
   }
 
+  test("z-order clusters BOTH filter columns where a linear sort clusters one") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf("sf0.01")).select("l_partkey", "l_suppkey")
+    val zDir = java.nio.file.Files.createTempDirectory("zord").toString + "/t"
+    val linDir = java.nio.file.Files.createTempDirectory("lin").toString + "/t"
+    Layout.zorderWrite(li, "l_partkey", "l_suppkey", zDir, nFiles = 8)
+    li.repartitionByRange(8, col("l_partkey")).sortWithinPartitions("l_partkey")
+      .write.parquet(linDir)
+
+    // per-file min/max span of each column, normalized by the global span —
+    // the proxy for parquet stats pruning: a predicate on the column skips
+    // a file iff the value falls outside the file's [min, max]
+    def spans(dir: String): (Double, Double) = {
+      val fs = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".parquet"))
+      val perFile = fs.map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min("l_partkey"), max("l_partkey"), min("l_suppkey"), max("l_suppkey"))
+          .head()
+        (r.getLong(1) - r.getLong(0), r.getLong(3) - r.getLong(2))
+      }
+      val g = li.agg(max("l_partkey") - min("l_partkey"),
+        max("l_suppkey") - min("l_suppkey")).head()
+      (perFile.map(_._1).sum.toDouble / perFile.length / g.getLong(0),
+        perFile.map(_._2).sum.toDouble / perFile.length / g.getLong(1))
+    }
+    val (zA, zB) = spans(zDir)
+    val (lA, lB) = spans(linDir)
+    assert(lA < 0.35, s"linear sort clusters its leading column ($lA)")
+    assert(lB > 0.9, s"…but leaves the second column unclustered ($lB)")
+    assert(zA < 0.75 && zB < 0.75,
+      s"z-order must cluster both dimensions: partkey $zA, suppkey $zB")
+  }
+
   test("bucketed orders⋈lineitem join plans without a shuffle exchange") {
     Layout.bucketizeOrders(spark, sf(), nBuckets = 4, suffix = "spec")
     // at sf0.001 Catalyst would (rightly) broadcast the tiny orders side —
