@@ -89,6 +89,21 @@ class PlanAuditSpec extends SparkSuite {
       s"the corpus must not shuffle for the stats join:\n$plan")
   }
 
+  test("q_trailing_30d: RANGE frame costs one hash exchange") {
+    val plan = executedPlan("q_trailing_30d")
+    assert(dataExchanges(plan) == 1,
+      s"trailing window must shuffle once on o_custkey:\n$plan")
+  }
+
+  test("d_winnow: per-doc windows plus distinct, nothing global") {
+    val plan = executedPlan("d_winnow")
+    // window partitioned by doc_id (1) + distinct hash agg (1); a global
+    // (unpartitioned) sort/window would show as a SinglePartition exchange
+    assert(dataExchanges(plan) <= 2, s"winnow exchange count regressed:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"winnow must never serialize the corpus through one partition:\n$plan")
+  }
+
   test("d_semantic_dedup: documents join the drop list without sort-merge") {
     val plan = executedPlan("d_semantic_dedup")
     assert(plan.contains("BroadcastHashJoin"),
