@@ -213,6 +213,7 @@ object SparkEntry {
     "d_shard_pack" -> ((s, dir) => MixOps.shardPack(s, dir)),
     "d_mix_rebalance" -> ((s, dir) => MixOps.mixRebalance(s, dir)),
     "d_quality_tiers" -> ((s, dir) => MixOps.qualityTiers(s, dir)),
+    "d_epoch_upsample" -> ((s, dir) => MixOps.epochUpsample(s, dir)),
     "d_semantic_dedup" -> ((s, dir) => MixOps.semanticDedup(s, dir)),
 
     // ---- embedding similarity operators ----
@@ -572,6 +573,7 @@ object SparkEntry {
       "d_shard_pack" -> MixOps.shardPackSql(),
       "d_mix_rebalance" -> MixOps.mixRebalanceSql(),
       "d_quality_tiers" -> MixOps.qualityTiersSql(),
+      "d_epoch_upsample" -> MixOps.epochUpsampleSql(),
       "d_semantic_dedup" -> MixOps.semanticDedupSql(),
       "v_norms" -> VectorOps.normsSql,
       "v_knn" -> VectorOps.knnSql(),

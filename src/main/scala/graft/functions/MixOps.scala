@@ -180,6 +180,39 @@ object MixOps {
        |       WHEN rnk * 3 <= n_lang * 2 THEN 'middle' ELSE 'tail' END AS tier
        |FROM r ORDER BY doc_id""".stripMargin
 
+  // ---- epoch upsampling by quality tier ----
+
+  /** The complement of [[mixRebalance]]'s downsampling: repeat documents by
+    * quality tier (head×3, middle×2, tail×1 by default) — the "high-quality
+    * data for multiple epochs" training recipe. Emitted as explicit
+    * (doc_id, copy_idx) rows so downstream shuffles spread the copies;
+    * at 100 TB the explode multiplies rows AFTER the tier shuffle, adding
+    * no exchange of its own.
+    */
+  def epochUpsample(spark: SparkSession, dir: String, head: Int = 3,
+                    middle: Int = 2, tail: Int = 1): DataFrame = {
+    val epochs = when(col("tier") === "head", head)
+      .when(col("tier") === "middle", middle).otherwise(tail)
+    qualityTiers(spark, dir)
+      .withColumn("n_epochs", epochs)
+      .withColumn("copy_idx", explode(sequence(lit(1), col("n_epochs"))))
+      .select(col("doc_id"), col("lang"), col("tier"), col("n_epochs"),
+        col("copy_idx"))
+      .orderBy("doc_id", "copy_idx")
+  }
+
+  def epochUpsampleSql(head: Int = 3, middle: Int = 2, tail: Int = 1): String =
+    s"""WITH t AS (${qualityTiersSql()}),
+       |e AS (
+       |  SELECT doc_id, lang, tier,
+       |    CASE tier WHEN 'head' THEN $head
+       |              WHEN 'middle' THEN $middle ELSE $tail END AS n_epochs
+       |  FROM t)
+       |SELECT doc_id, lang, tier, CAST(n_epochs AS INT) AS n_epochs,
+       |  CAST(c AS INT) AS copy_idx
+       |FROM e CROSS JOIN unnest(range(1, n_epochs + 1)) AS u(c)
+       |ORDER BY doc_id, copy_idx""".stripMargin
+
   // ---- embedding-cosine semantic dedup of documents ----
 
   /** Semantic dedup: a document is dropped when a SMALLER-id document in

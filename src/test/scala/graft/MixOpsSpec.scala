@@ -70,6 +70,22 @@ class MixOpsSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("epochUpsample: copy count equals the tier's epoch factor") {
+    val ups = MixOps.epochUpsample(spark, sf("sf0.01")).cache()
+    val perDoc = ups.groupBy("doc_id", "tier", "n_epochs")
+      .agg(count(lit(1)).as("n"), max("copy_idx").as("mx"), min("copy_idx").as("mn"))
+    perDoc.collect().foreach { r =>
+      val want = r.getString(1) match {
+        case "head" => 3; case "middle" => 2; case _ => 1
+      }
+      assert(r.getInt(2) == want && r.getLong(3) == want &&
+        r.getInt(4) == want && r.getInt(5) == 1, s"row $r")
+    }
+    // every quality-tiered doc appears; none invented
+    assert(perDoc.count() == MixOps.qualityTiers(spark, sf("sf0.01")).count())
+    ups.unpersist()
+  }
+
   test("winnow: every w-window is covered and selections are real shingle minima") {
     val w = 4
     val fps = TextOps.winnow(spark, sf("sf0.01"), w).collect()
