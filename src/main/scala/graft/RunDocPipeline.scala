@@ -50,10 +50,36 @@ object RunDocPipeline {
       .start()
     q.awaitTermination(300000)
 
+    // second hop (the reference chains jobs through topics the same way):
+    // curated stream → per-source token-quota admission → decision log.
+    // A separate query also sidesteps the stateful-chaining restriction
+    // (dedup state and quota state live in different checkpoints).
+    import graft.streaming.QuotaStream
+    import graft.streaming.QuotaStream.QDoc
+    import spark.implicits._
+    val curated = spark.readStream
+      .schema("doc_id BIGINT, ingest_ts TIMESTAMP, source STRING, " +
+        "pred_lang STRING, quality_bucket STRING, text_md5 STRING, n_tokens BIGINT")
+      .parquet(s"$workDir/out")
+      .select(col("doc_id"), col("source"), col("n_tokens").as("tok"), col("ingest_ts"))
+      .as[QDoc]
+    val q2 = QuotaStream(curated, quota = sys.env.getOrElse("GRAFT_QUOTA", "600").toLong)(spark)
+      .writeStream.format("parquet")
+      .option("path", s"$workDir/decisions")
+      .option("checkpointLocation", s"$workDir/ckpt2")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(300000)
+
     val kept = try spark.read.parquet(s"$workDir/out").count()
                catch { case _: Throwable => 0L }
+    val (admitted, rejected) = try {
+      val d = spark.read.parquet(s"$workDir/decisions")
+      (d.filter(col("admitted")).count(), d.filter(!col("admitted")).count())
+    } catch { case _: Throwable => (0L, 0L) }
     val total = Tables.documents(spark, sfDir).count()
-    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept}""")
+    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected}""")
     spark.stop()
   }
 }

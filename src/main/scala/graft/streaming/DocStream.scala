@@ -26,7 +26,8 @@ import graft.functions.TextOps
 object DocStream {
 
   /** `docs` must carry (doc_id, text, source, ingest_ts). Emits the kept
-    * stream: deduped, gated, with the gate columns attached.
+    * stream: deduped, gated, with the gate columns and the whitespace token
+    * count attached (the downstream [[QuotaStream]] admission input).
     */
   def curateStream(docs: DataFrame, keepLang: String = "en",
                    watermark: String = "10 seconds"): DataFrame =
@@ -39,6 +40,7 @@ object DocStream {
       .withColumn("text_md5", md5(col("norm").cast("binary")))
       .withWatermark("ingest_ts", watermark)
       .dropDuplicatesWithinWatermark("text_md5")
-      .select("doc_id", "ingest_ts", "source", "pred_lang",
-        "quality_bucket", "text_md5")
+      .select(col("doc_id"), col("ingest_ts"), col("source"), col("pred_lang"),
+        col("quality_bucket"), col("text_md5"),
+        size(col("words")).cast("long").as("n_tokens"))
 }
