@@ -233,6 +233,7 @@ object SparkEntry {
     "v_recall" -> ((s, dir) => VectorOps.annRecall(s, dir)),
     "v_recall_lsh" -> ((s, dir) => VectorOps.annRecallLsh(s, dir)),
     "v_recall_ivfpq" -> ((s, dir) => VectorOps.annRecallIvfPq(s, dir)),
+    "v_recall_pq" -> ((s, dir) => VectorOps.annRecallPq(s, dir)),
     "v_kmeans_step" -> ((s, dir) => VectorOps.kmeansStep(s, dir)),
 
     // ---- multimodal plumbing ----
@@ -590,6 +591,7 @@ object SparkEntry {
       "v_recall" -> VectorOps.annRecallSql(),
       "v_recall_lsh" -> VectorOps.annRecallLshSql(),
       "v_recall_ivfpq" -> VectorOps.annRecallIvfPqSql(),
+      "v_recall_pq" -> VectorOps.annRecallPqSql(),
       "v_kmeans_step" -> VectorOps.kmeansStepSql(),
       "mm_meta" -> Multimodal.mediaMetaSql,
       "mm_frames" -> Multimodal.frameSampleSql(),

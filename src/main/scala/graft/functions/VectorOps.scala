@@ -633,6 +633,19 @@ object VectorOps {
   def annRecallLshSql(nQueries: Int = 20, k: Int = 5, bits: Int = 4): String =
     recallSqlOf(annLshSql(nQueries, k, bits), nQueries, k)
 
+  /** Same harness over PQ-only ADC ranking (all candidates, no probe
+    * restriction) — isolates pure quantization loss: any gap between this
+    * and [[annRecallIvfPq]] is the probe restriction's contribution.
+    */
+  def annRecallPq(spark: SparkSession, dir: String, nQueries: Int = 20,
+                  k: Int = 5, blocks: Int = 4, codebook: Int = 16): DataFrame =
+    recallAgainstExact(spark, dir,
+      annPq(spark, dir, nQueries, k, blocks, codebook), nQueries, k)
+
+  def annRecallPqSql(nQueries: Int = 20, k: Int = 5, blocks: Int = 4,
+                     codebook: Int = 16): String =
+    recallSqlOf(annPqSql(nQueries, k, blocks, codebook), nQueries, k)
+
   /** Same harness over the full IVF+PQ stack — quantifies what the code
     * compression costs ON TOP of the probe restriction (compare against
     * [[annRecall]], which ranks the same probed candidates exactly).
