@@ -104,6 +104,30 @@ class PlanAuditSpec extends SparkSuite {
       s"winnow must never serialize the corpus through one partition:\n$plan")
   }
 
+  test("parquet aggregate pushdown: stats-only scans answer from footers") {
+    import org.apache.spark.sql.functions._
+    // COUNT/MIN/MAX over a bare scan can be answered from parquet footer
+    // statistics without materializing a single row — at 100 TB the
+    // difference between a metadata read and a full-table scan. Needs the
+    // DSv2 parquet reader (v1 has no SupportsPushDownAggregates).
+    val confs = Seq("spark.sql.parquet.aggregatePushdown" -> "true",
+      "spark.sql.sources.useV1SourceList" -> "")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = spark.read.parquet(s"${sf("sf0.01")}/orders.parquet")
+        .agg(count(lit(1)).as("n"), min("o_orderkey"), max("o_orderkey"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation"),
+        s"stats agg must push into the scan:\n$plan")
+      val r = df.head()
+      assert(r.getLong(0) == 15000L && r.getLong(1) >= 0 && r.getLong(2) > r.getLong(1))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("d_semantic_dedup: documents join the drop list without sort-merge") {
     val plan = executedPlan("d_semantic_dedup")
     assert(plan.contains("BroadcastHashJoin"),
