@@ -214,6 +214,7 @@ object SparkEntry {
     "d_mix_rebalance" -> ((s, dir) => MixOps.mixRebalance(s, dir)),
     "d_quality_tiers" -> ((s, dir) => MixOps.qualityTiers(s, dir)),
     "d_epoch_upsample" -> ((s, dir) => MixOps.epochUpsample(s, dir)),
+    "d_cap_per_source" -> ((s, dir) => MixOps.capPerSource(s, dir)),
     "d_semantic_dedup" -> ((s, dir) => MixOps.semanticDedup(s, dir)),
 
     // ---- embedding similarity operators ----
@@ -575,6 +576,7 @@ object SparkEntry {
       "d_mix_rebalance" -> MixOps.mixRebalanceSql(),
       "d_quality_tiers" -> MixOps.qualityTiersSql(),
       "d_epoch_upsample" -> MixOps.epochUpsampleSql(),
+      "d_cap_per_source" -> MixOps.capPerSourceSql(),
       "d_semantic_dedup" -> MixOps.semanticDedupSql(),
       "v_norms" -> VectorOps.normsSql,
       "v_knn" -> VectorOps.knnSql(),

@@ -180,6 +180,35 @@ object MixOps {
        |       WHEN rnk * 3 <= n_lang * 2 THEN 'middle' ELSE 'tail' END AS tier
        |FROM r ORDER BY doc_id""".stripMargin
 
+  // ---- exact per-source cap ----
+
+  /** Exact-K cap per source ("at most K documents per domain"): rank each
+    * source's docs by a salted hash (uniform order, independent of every
+    * other sampler's salt) and keep rank ≤ K — the deterministic
+    * reservoir-sample counterpart to [[mixRebalance]]'s probabilistic
+    * thresholds, for when the contract is a hard cap, not an expected
+    * fraction. One shuffle (by source); per-source windows, and a hot
+    * source is exactly the AQE skew-split case.
+    */
+  def capPerSource(spark: SparkSession, dir: String, k: Int = 15): DataFrame = {
+    val h = Exprs.hex60(concat(lit("cap:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .withColumn("h", h)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("source"), col("rnk"))
+      .orderBy("doc_id")
+  }
+
+  def capPerSourceSql(k: Int = 15): String =
+    s"""SELECT doc_id, source, rnk FROM (
+       |  SELECT doc_id, source,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY ${Exprs.hex60Sql("'cap:' || doc_id::VARCHAR")}, doc_id) AS INT) AS rnk
+       |  FROM documents)
+       |WHERE rnk <= $k ORDER BY doc_id""".stripMargin
+
   // ---- epoch upsampling by quality tier ----
 
   /** The complement of [[mixRebalance]]'s downsampling: repeat documents by

@@ -70,6 +70,22 @@ class MixOpsSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("capPerSource: hard cap of K per source, dense hash-order ranks") {
+    val k = 15
+    val df = MixOps.capPerSource(spark, sf("sf0.01"), k).cache()
+    val per = df.groupBy("source").agg(count(lit(1)).as("n"), max("rnk").as("mx"))
+    per.collect().foreach { r =>
+      assert(r.getLong(1) <= k && r.getLong(1) == r.getInt(2).toLong, s"row $r")
+    }
+    // sources smaller than K keep everything; larger ones keep exactly K
+    val before = Tables.documents(spark, sf("sf0.01"))
+      .groupBy("source").agg(count(lit(1)).as("nb"))
+    per.join(before, Seq("source")).collect().foreach { r =>
+      assert(r.getLong(1) == math.min(k.toLong, r.getLong(3)))
+    }
+    df.unpersist()
+  }
+
   test("epochUpsample: copy count equals the tier's epoch factor") {
     val ups = MixOps.epochUpsample(spark, sf("sf0.01")).cache()
     val perDoc = ups.groupBy("doc_id", "tier", "n_epochs")
