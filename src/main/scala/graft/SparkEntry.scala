@@ -100,6 +100,7 @@ object SparkEntry {
         .select("event_id", "sec", "cpm", "temporal_batch_size", "timestamp_key", "temporal_ordering")
         .orderBy(col("event_id"))),
     "e_stats" -> ((s, dir) => DashboardAggs.stats(valid(s, dir))),
+    "e_value_hist" -> ((s, dir) => DashboardAggs.valueHistogram(valid(s, dir))),
     "e_geo_grid" -> ((s, dir) =>
       DashboardAggs.geoGrid(valid(s, dir)).orderBy(col("cell_lat"), col("cell_lon"))),
     "e_alerts" -> ((s, dir) => DashboardAggs.alerts(valid(s, dir)).orderBy(col("event_id"))),
@@ -462,6 +463,11 @@ object SparkEntry {
            |  CAST(sum(CASE WHEN critical THEN 1 ELSE 0 END) AS BIGINT) AS dangerous_points,
            |  max(sec) AS last_update
            |FROM ($V) WHERE status = 'valid'""".stripMargin,
+      "e_value_hist" ->
+        s"""SELECT CAST(cpm // 50 AS INT) AS bucket,
+           |  count(*) AS n, min(cpm) AS min_cpm, max(cpm) AS max_cpm
+           |FROM ($V) WHERE status = 'valid'
+           |GROUP BY 1 ORDER BY bucket""".stripMargin,
       "e_geo_grid" ->
         s"""SELECT CAST(floor(lat/0.5) AS BIGINT) AS cell_lat,
            |  CAST(floor(lon/0.5) AS BIGINT) AS cell_lon,

@@ -33,6 +33,18 @@ object DashboardAggs {
       max(col("sec")).as("last_update")
     )
 
+  /** Numeric histogram of the radiation value: integer-width buckets via
+    * `cpm DIV width` — pure integer arithmetic, so bucket edges are exact
+    * on every engine (no float floor at a representation boundary). One
+    * map-side-combined hash agg; bucket cardinality bounded by the value
+    * range, scale-safe like [[geoGrid]].
+    */
+  def valueHistogram(valid: DataFrame, width: Int = 50): DataFrame =
+    valid.groupBy(expr(s"cpm div $width").cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("cpm")).as("min_cpm"), max(col("cpm")).as("max_cpm"))
+      .orderBy(col("bucket"))
+
   /** A4: geo-grid aggregation — the distributed analog of Mapbox's
     * supercluster `max_cpm` clusterProperty (MapView.jsx:180-183). Grid
     * cell = floor(coord / cellDeg). One hash-shuffle on the cell key;
