@@ -211,6 +211,9 @@ object SparkEntry {
     "d_dup_clusters" -> ((s, dir) => TextOps.dupClusters(s, dir)),
     "d_dedup_apply" -> ((s, dir) => TextOps.dedupApply(s, dir).orderBy(col("doc_id"))),
     "d_dedup_incr" -> ((s, dir) => TextOps.dedupIncrement(s, dir).orderBy(col("doc_id"))),
+    "d_segment_dedup" -> ((s, dir) => TextOps.segmentDedup(s, dir)),
+    "d_lm_bits" -> ((s, dir) => TextOps.lmBits(s, dir)),
+    "d_containment" -> ((s, dir) => TextOps.containmentPairs(s, dir)),
     "d_shard_pack" -> ((s, dir) => MixOps.shardPack(s, dir)),
     "d_mix_rebalance" -> ((s, dir) => MixOps.mixRebalance(s, dir)),
     "d_quality_tiers" -> ((s, dir) => MixOps.qualityTiers(s, dir)),
@@ -578,6 +581,9 @@ object SparkEntry {
       "d_dup_clusters" -> TextOps.dupClustersSql,
       "d_dedup_apply" -> TextOps.dedupApplySql,
       "d_dedup_incr" -> TextOps.dedupIncrementSql(),
+      "d_segment_dedup" -> TextOps.segmentDedupSql(),
+      "d_lm_bits" -> TextOps.lmBitsSql,
+      "d_containment" -> TextOps.containmentPairsSql(),
       "d_shard_pack" -> MixOps.shardPackSql(),
       "d_mix_rebalance" -> MixOps.mixRebalanceSql(),
       "d_quality_tiers" -> MixOps.qualityTiersSql(),

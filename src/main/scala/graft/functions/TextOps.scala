@@ -1120,4 +1120,170 @@ object TextOps {
        |  GROUP BY doc_id)
        |ORDER BY doc_id""".stripMargin
   }
+
+  // ---- segment-level dedup (the line-dedup pass of RefinedWeb / C4) ----
+
+  /** Sub-document dedup: drop every occurrence of a fixed-width word
+    * segment that appears more than once in the corpus, and re-assemble
+    * each document from its surviving segments in original order. This is
+    * the "remove duplicated lines" pass of the C4 / RefinedWeb recipes
+    * (boilerplate navigation text, cookie banners, repeated headers), with
+    * `width`-word segments standing in for lines because the synthetic
+    * corpus has no newline structure.
+    *
+    * Scale shape: posexplode → one map-side-combined hash agg for segment
+    * frequencies → equi-join back on the segment key → per-doc re-assembly
+    * via sort-free `array_sort(collect_list(struct(pos, seg)))` (the
+    * collect is bounded by a document's own segment count, never by the
+    * corpus). Two shuffles total (segment key, doc_id) at any scale; no
+    * window over the full corpus, no driver state.
+    */
+  def segmentDedup(spark: SparkSession, dir: String, width: Int = 5): DataFrame = {
+    // ceil(n/width) segments; slice() tolerates a short tail segment
+    val segments = expr(
+      s"""transform(sequence(0, (size(words) + ${width - 1}) div $width - 1),
+         |  i -> concat_ws(' ', slice(words, i * $width + 1, $width)))""".stripMargin)
+    val segs = prepared(spark, dir)
+      .select(col("doc_id"), posexplode(segments).as(Seq("pos", "seg")))
+    val freq = segs.groupBy(col("seg")).agg(count(lit(1)).as("n"))
+    segs.join(freq, "seg")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        count(when(col("n") === 1, lit(1))).as("n_kept"),
+        // when() without otherwise → null for dropped segs; collect_list
+        // skips nulls, array_sort orders by pos (first struct field)
+        array_join(
+          expr("transform(array_sort(collect_list(CASE WHEN n = 1 THEN struct(pos, seg) END)), x -> x.seg)"),
+          " ").as("text_dedup"))
+      .orderBy(col("doc_id"))
+  }
+
+  def segmentDedupSql(width: Int = 5): String =
+    s"""WITH segs AS (
+       |  SELECT doc_id, i AS pos,
+       |    array_to_string(words[(i * $width + 1):((i + 1) * $width)], ' ') AS seg
+       |  FROM ($preparedSql),
+       |       unnest(range(0, (len(words) + ${width - 1}) // $width)) AS t(i)),
+       |freq AS (SELECT seg, count(*) AS n FROM segs GROUP BY seg)
+       |SELECT doc_id,
+       |  count(*) AS n_segs,
+       |  count(*) FILTER (n = 1) AS n_kept,
+       |  coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (n = 1), '') AS text_dedup
+       |FROM segs JOIN freq USING (seg)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- unigram information content (perplexity-style quality filter) ----
+
+  /** Per-document unigram information content — the frequency-based stand-in
+    * for the perplexity filter every LLM-data recipe runs (CCNet / Gopher
+    * score docs with a small LM; the dominant signal is token rarity).
+    * Each token costs `log2(N) − log2(count)` bits, computed EXACTLY as
+    * `length(bin(N)) − length(bin(count))` (integer floor-log2 via the
+    * binary-string length — bit-identical on any engine, unlike libm
+    * `log()` whose last bit is build-dependent). High bits/token = rare
+    * vocabulary (possibly noise), low = boilerplate.
+    *
+    * Scale shape: token explode → map-side-combined count agg → equi-join
+    * tokens⋈counts on the word key → per-doc sum. The count table is
+    * Zipf-distributed: at 100 TB broadcast the head (top ~100k words cover
+    * >99% of token mass) and shuffle-join only the tail; the corpus total N
+    * is a 1-row agg, a free broadcast.
+    */
+  def lmBits(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = prepared(spark, dir)
+      .select(col("doc_id"), explode(col("words")).as("w"))
+    val counts = tokens.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    tokens.join(counts, "w")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (length(bin(col("n_total"))) - length(bin(col("cnt")))).cast("long").as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))
+      // ONE integer/integer double division — deterministic across engines
+      .withColumn("bits_per_token",
+        col("sum_bits") / col("n_tokens").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmBitsSql: String =
+    s"""WITH tokens AS (
+       |  SELECT doc_id, unnest(words) AS w FROM ($preparedSql)),
+       |counts AS (SELECT w, count(*) AS cnt FROM tokens GROUP BY w),
+       |total AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM counts)
+       |SELECT doc_id,
+       |  count(*) AS n_tokens,
+       |  CAST(sum(length(bin(n_total)) - length(bin(cnt))) AS BIGINT) AS sum_bits,
+       |  CAST(sum(length(bin(n_total)) - length(bin(cnt))) AS BIGINT)
+       |    / CAST(count(*) AS DOUBLE) AS bits_per_token
+       |FROM tokens JOIN counts USING (w) CROSS JOIN total
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- shingle containment (quote / subset-document detection) ----
+
+  /** Asymmetric near-dup detection: document pairs where the smaller
+    * shingle set is largely CONTAINED in the other — catches quotes,
+    * excerpt pages, and superset re-crawls that symmetric Jaccard misses
+    * (a 100-word quote inside a 10k-word page has Jaccard ≈ 0.01 but
+    * containment ≈ 1.0). Candidate generation is the same df-capped
+    * shingle equi-join as [[jaccardPairs]]: shingles in more than `dfCap`
+    * docs are dropped before the self-join, so one boilerplate shingle
+    * cannot degenerate a block to quadratic (containment scores are
+    * computed over the CAPPED sets — denominator and intersection use the
+    * same universe, documented contract).
+    */
+  def containmentPairs(spark: SparkSession, dir: String, threshold: Double = 0.3,
+                       dfCap: Int = 50): DataFrame = {
+    val sh3 = when(size(col("words")) >= 3,
+      expr("transform(sequence(0, size(words)-3), i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))"))
+      .otherwise(array(col("norm")))
+    val ex = prepared(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(sh3)).as("sh"))
+    val dfc = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val capped = ex.join(dfc.filter(col("df") <= dfCap), "sh")
+      .select(col("doc_id"), col("sh"))
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+      .withColumn("n_small", least(col("n_a"), col("n_b")))
+      // ONE integer/integer double division — deterministic across engines
+      .withColumn("containment", col("n_shared") / col("n_small").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("a_id"), col("b_id"), col("n_shared"), col("n_small"),
+        col("containment"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  def containmentPairsSql(threshold: Double = 0.3, dfCap: Int = 50): String =
+    s"""WITH ex AS (
+       |  SELECT DISTINCT doc_id, sh FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN len(words) >= 3
+       |           THEN words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+       |           ELSE norm END AS sh
+       |    FROM ($preparedSql),
+       |         unnest(range(1, CASE WHEN len(words) >= 3 THEN len(words)-1 ELSE 2 END)) AS t(i))),
+       |capped AS (
+       |  SELECT doc_id, sh FROM ex
+       |  WHERE sh IN (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= $dfCap)),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM capped GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+       |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id, n_shared,
+       |  least(sa.n_sh, sb.n_sh) AS n_small,
+       |  n_shared / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) AS containment
+       |FROM pairs
+       |  JOIN sizes sa ON sa.doc_id = pairs.a_id
+       |  JOIN sizes sb ON sb.doc_id = pairs.b_id
+       |WHERE n_shared / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= $threshold
+       |ORDER BY a_id, b_id""".stripMargin
 }

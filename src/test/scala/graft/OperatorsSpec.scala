@@ -389,4 +389,54 @@ class OperatorsSpec extends SparkSuite {
     assert(out == Map(0L -> "benchmark", 2L -> "kept", 3L -> "duplicate",
       4L -> "contaminated", 5L -> "lang", 6L -> "quality"))
   }
+
+  test("segmentDedup drops corpus-duplicated segments, keeps order") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j", "en", "s", 19L), // segs: [a b c d e][f g h i j]
+      (2L, "a b c d e x y z w v", "en", "s", 19L), // shares seg 1 with doc 1
+      (3L, "m n o p q", "en", "s", 9L)             // unique single segment
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("segdedup").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextOps.segmentDedup(spark, tmp)
+      .select("doc_id", "n_segs", "n_kept", "text_dedup")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // "a b c d e" appears in docs 1 AND 2 → dropped from BOTH
+    assert(out == Seq(
+      (1L, 2L, 1L, "f g h i j"),
+      (2L, 2L, 1L, "x y z w v"),
+      (3L, 1L, 1L, "m n o p q")))
+  }
+
+  test("lmBits: rare vocabulary scores more bits/token than repeated") {
+    val docs = Seq(
+      (1L, "x x x x", "en", "s", 7L),  // 4 tokens of corpus count 4
+      (2L, "y z w q", "en", "s", 7L)   // 4 singleton tokens
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("lmbits").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextOps.lmBits(spark, tmp)
+      .select("doc_id", "n_tokens", "sum_bits").as[(Long, Long, Long)]
+      .collect().toSeq
+    // N = 8 tokens → len(bin(8)) = 4. count 4 → 4−3 = 1 bit; count 1 → 3 bits
+    assert(out == Seq((1L, 4L, 4L), (2L, 4L, 12L)))
+  }
+
+  test("containmentPairs finds a quote symmetric jaccard misses") {
+    val quoted = "p q r s t"
+    val page = quoted + " u v w x y z aa bb cc dd ee ff gg hh"
+    val docs = Seq(
+      (1L, quoted, "en", "s", 9L),                    // fully contained in 2
+      (2L, page, "en", "s", 60L),
+      (3L, "completely unrelated words here now", "en", "s", 35L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("contain").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextOps.containmentPairs(spark, tmp)
+      .select("a_id", "b_id", "containment").as[(Long, Long, Double)]
+      .collect().toSeq
+    assert(out == Seq((1L, 2L, 1.0)), s"got $out")
+    // the same corpus yields NO symmetric jaccard pair at 0.9
+    assert(TextOps.jaccardPairs(spark, tmp).isEmpty)
+  }
 }
