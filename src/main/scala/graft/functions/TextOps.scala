@@ -1186,16 +1186,23 @@ object TextOps {
     *
     * Scale shape: token explode → map-side-combined count agg → equi-join
     * tokens⋈counts on the word key → per-doc sum. The count table is
-    * Zipf-distributed: at 100 TB broadcast the head (top ~100k words cover
-    * >99% of token mass) and shuffle-join only the tail; the corpus total N
-    * is a 1-row agg, a free broadcast.
+    * Zipf-distributed: at 100 TB it cannot broadcast whole, but its head
+    * answers >99% of probe rows — pass `headWords` to route the join
+    * through [[graft.operators.Skew.headTailJoin]] (broadcast the
+    * `headWords` most frequent words, shuffle only rare-token rows).
+    * Output is row-identical either way (asserted in OperatorsSpec); the
+    * corpus total N is a 1-row agg, a free broadcast.
     */
-  def lmBits(spark: SparkSession, dir: String): DataFrame = {
+  def lmBits(spark: SparkSession, dir: String, headWords: Int = 0): DataFrame = {
     val tokens = prepared(spark, dir)
       .select(col("doc_id"), explode(col("words")).as("w"))
     val counts = tokens.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("n_total"))
-    tokens.join(counts, "w")
+    val joined =
+      if (headWords > 0)
+        graft.operators.Skew.headTailJoin(tokens, counts, "w", headWords, col("cnt"))
+      else tokens.join(counts, "w")
+    joined
       .crossJoin(broadcast(total))
       .select(col("doc_id"),
         (length(bin(col("n_total"))) - length(bin(col("cnt")))).cast("long").as("bits"))
@@ -1234,15 +1241,21 @@ object TextOps {
     * same universe, documented contract).
     */
   def containmentPairs(spark: SparkSession, dir: String, threshold: Double = 0.3,
-                       dfCap: Int = 50): DataFrame = {
+                       dfCap: Int = 50,
+                       mat: Materialize = Materialize.Local): DataFrame = {
     val sh3 = when(size(col("words")) >= 3,
       expr("transform(sequence(0, size(words)-3), i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))"))
       .otherwise(array(col("norm")))
-    val ex = prepared(spark, dir)
-      .select(col("doc_id"), explode(array_distinct(sh3)).as("sh"))
-    val dfc = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val capped = ex.join(dfc.filter(col("df") <= dfCap), "sh")
-      .select(col("doc_id"), col("sh"))
+    // materialized once: the shingle explode feeds FOUR consumers (df
+    // counts, both self-join sides, per-doc sizes) and dominates per-doc
+    // cost — same shape as [[jaccardPairs]]'s materialization point
+    val ex = mat(prepared(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(sh3)).as("sh")))
+    // the hot list is tiny (shingles in > dfCap docs) → broadcast anti-join,
+    // never a shuffle join against the full per-shingle df relation
+    val hot = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).drop("df")
+    val capped = ex.join(broadcast(hot), Seq("sh"), "left_anti")
     val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = capped.as("a")
       .join(capped.as("b"),

@@ -49,4 +49,32 @@ object Skew {
         joinType)
       .drop("__salt")
   }
+
+  /** Zipf head/tail equi-join: `left ⋈ right` on `key`, split so the
+    * `headRows` heaviest `right` keys (by `weight`, e.g. a frequency
+    * column) are joined by BROADCAST and only probe rows with RARE keys
+    * reach a shuffle.
+    *
+    * The scale case: `left` = an exploded token/segment relation whose key
+    * distribution is Zipf, `right` = the per-key aggregate. The head —
+    * bounded by the parameter, never the data — answers the overwhelming
+    * majority of probe rows with zero movement of those rows; the tail
+    * shuffle carries only the rare remainder, and the tail build side is
+    * pre-shrunk by the same broadcast head (an anti-join, not a scan-wide
+    * filter). Output is row-identical to the plain inner join: every left
+    * row matches in exactly one path because the two paths partition
+    * `right`'s key space.
+    */
+  def headTailJoin(left: DataFrame, right: DataFrame, key: String,
+                   headRows: Int, weight: Column): DataFrame = {
+    require(headRows > 0, s"headRows must be positive, got $headRows")
+    // deterministic head under weight ties: break by the key itself
+    val head = right.orderBy(weight.desc, col(key)).limit(headRows)
+    val headKeys = broadcast(head.select(col(key)))
+    val headHits = left.join(broadcast(head), Seq(key))
+    val tailRight = right.join(headKeys, Seq(key), "left_anti")
+    val tailHits = left.join(headKeys, Seq(key), "left_anti")
+      .join(tailRight, Seq(key))
+    headHits.unionByName(tailHits)
+  }
 }

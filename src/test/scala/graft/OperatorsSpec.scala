@@ -422,6 +422,25 @@ class OperatorsSpec extends SparkSuite {
     assert(out == Seq((1L, 4L, 4L), (2L, 4L, 12L)))
   }
 
+  test("headTailJoin is row-identical to the plain join and broadcasts the head") {
+    // Zipf-ish: key "hot" carries most probe rows, the rest are rare
+    val left = (Seq.fill(50)("hot") ++ Seq("warm", "warm", "cold"))
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "row_id")
+    val right = Seq(("hot", 50L), ("warm", 2L), ("cold", 1L)).toDF("k", "cnt")
+    val split = operators.Skew.headTailJoin(left, right, "k", headRows = 1, col("cnt"))
+    val plain = left.join(right, "k")
+    assert(split.orderBy("row_id").collect().toSeq ==
+      plain.orderBy("row_id").collect().toSeq)
+    val plan = split.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"head path must broadcast:\n$plan")
+  }
+
+  test("lmBits head/tail path equals the plain-join path") {
+    val a = TextOps.lmBits(spark, sf()).collect().toSeq
+    val b = TextOps.lmBits(spark, sf(), headWords = 10).collect().toSeq
+    assert(a == b)
+  }
+
   test("containmentPairs finds a quote symmetric jaccard misses") {
     val quoted = "p q r s t"
     val page = quoted + " u v w x y z aa bb cc dd ee ff gg hh"
