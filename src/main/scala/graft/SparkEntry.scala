@@ -215,6 +215,7 @@ object SparkEntry {
     "d_lm_bits" -> ((s, dir) => TextOps.lmBits(s, dir)),
     "d_containment" -> ((s, dir) => TextOps.containmentPairs(s, dir)),
     "d_shard_pack" -> ((s, dir) => MixOps.shardPack(s, dir)),
+    "d_pack_chunks" -> ((s, dir) => MixOps.packChunks(s, dir)),
     "d_mix_rebalance" -> ((s, dir) => MixOps.mixRebalance(s, dir)),
     "d_quality_tiers" -> ((s, dir) => MixOps.qualityTiers(s, dir)),
     "d_epoch_upsample" -> ((s, dir) => MixOps.epochUpsample(s, dir)),
@@ -585,6 +586,7 @@ object SparkEntry {
       "d_lm_bits" -> TextOps.lmBitsSql,
       "d_containment" -> TextOps.containmentPairsSql(),
       "d_shard_pack" -> MixOps.shardPackSql(),
+      "d_pack_chunks" -> MixOps.packChunksSql(),
       "d_mix_rebalance" -> MixOps.mixRebalanceSql(),
       "d_quality_tiers" -> MixOps.qualityTiersSql(),
       "d_epoch_upsample" -> MixOps.epochUpsampleSql(),

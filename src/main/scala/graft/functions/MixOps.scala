@@ -79,6 +79,66 @@ object MixOps {
        |       // $budget AS BIGINT) AS shard_id
        |FROM k ORDER BY doc_id""".stripMargin
 
+  /** Doc → fixed-length training-sequence index map: concatenate the corpus
+    * in a deterministic pseudo-random order (the [[shardPack]] bucket walk)
+    * and cut it into `seqLen`-token chunks; emit each document's global
+    * token offset and the chunk span it lands in. This is the
+    * concat-and-chunk step that turns a curated corpus into pretraining
+    * sequences — the map a dataloader uses to find which documents feed
+    * sequence k, and the packing analytics (how many docs straddle a chunk
+    * boundary) come straight off it.
+    *
+    * Scale shape: identical to [[shardPack]] — per-bucket cumulative
+    * windows run `buckets`-way parallel, the only unpartitioned window is
+    * over the `buckets`-row totals relation, offsets come back as a
+    * broadcast join, and the chunk arithmetic is row-local integer
+    * division. No global sort of the corpus at any width.
+    */
+  def packChunks(spark: SparkSession, dir: String, buckets: Int = 8,
+                 seqLen: Long = 512L): DataFrame = {
+    val d = TextOps.prepared(spark, dir).select(
+      col("doc_id"),
+      size(col("words")).cast("long").as("tok"),
+      Exprs.hex60(concat(lit("sp:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("bucket", pmod(col("h"), lit(buckets)))
+    val totals = d.groupBy("bucket").agg(sum("tok").as("btok"))
+    val wOff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("boff", coalesce(sum("btok").over(wOff), lit(0L)))
+      .select("bucket", "boff")
+    val wIn = Window.partitionBy("bucket").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("cum_in", coalesce(sum("tok").over(wIn), lit(0L)))
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("off", col("boff") + col("cum_in"))
+      // tok ≥ 1 always (split of a non-empty norm), so off+tok-1 is the
+      // doc's LAST token position and the span is inclusive on both ends
+      .withColumn("first_chunk", expr(s"off div ${seqLen}L"))
+      .withColumn("last_chunk", expr(s"(off + tok - 1) div ${seqLen}L"))
+      .select(col("doc_id"), col("tok").cast("int").as("tok"), col("off"),
+        col("first_chunk"), col("last_chunk"),
+        (col("last_chunk") - col("first_chunk") + 1).cast("int").as("n_chunks"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the identical walk as ONE global window (see [[shardPackSql]]). */
+  def packChunksSql(buckets: Int = 8, seqLen: Long = 512L): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len(words) AS BIGINT) AS tok,
+       |         ${Exprs.hex60Sql("'sp:' || doc_id::VARCHAR")} AS h
+       |  FROM (${TextOps.preparedSql})),
+       |k AS (SELECT *, h % $buckets AS bucket FROM d),
+       |o AS (
+       |  SELECT doc_id, tok,
+       |    COALESCE(SUM(tok) OVER (ORDER BY bucket, h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM k)
+       |SELECT doc_id, CAST(tok AS INT) AS tok, CAST(off AS BIGINT) AS off,
+       |  CAST(off // $seqLen AS BIGINT) AS first_chunk,
+       |  CAST((off + tok - 1) // $seqLen AS BIGINT) AS last_chunk,
+       |  CAST((off + tok - 1) // $seqLen - off // $seqLen + 1 AS INT) AS n_chunks
+       |FROM o ORDER BY doc_id""".stripMargin
+
   // ---- source-mixture rebalancing ----
 
   /** Per-source target weight: sources carry a numeric suffix in the

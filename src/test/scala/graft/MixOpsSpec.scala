@@ -147,4 +147,29 @@ class MixOpsSpec extends SparkSuite {
     assert(droppedIds == pairs.map(_._2).toSet)
     dropped.unpersist()
   }
+
+  test("packChunks: offsets tile the token line exactly; chunk spans match") {
+    val seqLen = 64L
+    val df = MixOps.packChunks(spark, sf("sf0.001"), seqLen = seqLen).cache()
+    val rows = df.select("tok", "off", "first_chunk", "last_chunk", "n_chunks")
+      .collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .sortBy(_._2)
+    // concatenation is gapless and non-overlapping: each doc starts where
+    // the previous one ended, and the walk covers every token exactly once
+    rows.foldLeft(0L) { case (expectedOff, (tok, off, _, _, _)) =>
+      assert(off == expectedOff, s"offset gap at $off (expected $expectedOff)")
+      off + tok
+    }
+    // chunk span is pure integer arithmetic off the offsets
+    rows.foreach { case (tok, off, first, last, n) =>
+      assert(first == off / seqLen)
+      assert(last == (off + tok - 1) / seqLen)
+      assert(n == last - first + 1)
+    }
+    // a doc longer than seqLen must straddle; total chunks = ceil(total/len)
+    val total = rows.map(_._1).sum
+    assert(rows.last._4 == (total - 1) / seqLen, "last chunk covers the final token")
+    df.unpersist()
+  }
 }
