@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators._
-import graft.functions.{MixOps, TextOps, VectorOps}
+import graft.functions.{Bpe, MixOps, TextOps, VectorOps}
 import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -216,6 +216,7 @@ object SparkEntry {
     "d_containment" -> ((s, dir) => TextOps.containmentPairs(s, dir)),
     "d_shard_pack" -> ((s, dir) => MixOps.shardPack(s, dir)),
     "d_pack_chunks" -> ((s, dir) => MixOps.packChunks(s, dir)),
+    "d_bpe_pairs" -> ((s, dir) => Bpe.bpePairs(s, dir)),
     "d_mix_rebalance" -> ((s, dir) => MixOps.mixRebalance(s, dir)),
     "d_quality_tiers" -> ((s, dir) => MixOps.qualityTiers(s, dir)),
     "d_epoch_upsample" -> ((s, dir) => MixOps.epochUpsample(s, dir)),
@@ -587,6 +588,7 @@ object SparkEntry {
       "d_containment" -> TextOps.containmentPairsSql(),
       "d_shard_pack" -> MixOps.shardPackSql(),
       "d_pack_chunks" -> MixOps.packChunksSql(),
+      "d_bpe_pairs" -> Bpe.bpePairsSql(),
       "d_mix_rebalance" -> MixOps.mixRebalanceSql(),
       "d_quality_tiers" -> MixOps.qualityTiersSql(),
       "d_epoch_upsample" -> MixOps.epochUpsampleSql(),

@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer training over the corpus vocabulary — the "train the
+  * tokenizer" step of an LLM data pipeline (the reference pipelines ship
+  * text to a pretrained tokenizer; a data ENGINE also has to build one).
+  *
+  * BPE trains on the word-frequency table, not the raw corpus: the corpus
+  * collapses to (word, freq) with one map-side-combined agg, and every
+  * merge round runs over |vocab| rows — at 100 TB the vocabulary is
+  * millions of rows where the corpus is billions, so the iteration cost is
+  * decoupled from corpus size (the same collapse every production BPE
+  * trainer does).
+  *
+  * [[pairCounts]] is one countable step (DuckDB-oracle-checked as
+  * `d_bpe_pairs`); [[train]] iterates it with the merge applied as a pure
+  * array fold — no UDFs, no driver-side data beyond the 1-row argmax per
+  * round (the k-means-step pattern).
+  */
+object Bpe {
+
+  /** (word, freq) vocabulary with each word exploded to its symbol array —
+    * initially single characters (indexed substrings, NOT an empty-pattern
+    * regex split: engines disagree on trailing empties for `split(w, '')`).
+    */
+  private def vocab(spark: SparkSession, dir: String): DataFrame =
+    TextOps.prepared(spark, dir)
+      .select(explode(col("words")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"))
+
+  /** Adjacent-symbol pair counts weighted by word frequency — the argmax is
+    * the next BPE merge. Pairs are taken INSIDE each word's symbol array (a
+    * row-local transform, zero shuffle before the final pair agg); output
+    * is a stable top-k (weight desc, pair asc — total order, reproducible
+    * anywhere).
+    */
+  def bpePairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    bpePairsFrom(vocab(spark, dir)).orderBy(col("weight").desc, col("pair")).limit(k)
+
+  private def bpePairsFrom(v: DataFrame): DataFrame =
+    // guard: Spark's sequence(0, -1) DESCENDS for a 1-symbol word — emit no
+    // pairs instead (DuckDB's range(1, 1) is already empty)
+    v.select(col("freq"),
+        explode(expr(
+          """CASE WHEN size(syms) >= 2
+            |  THEN transform(sequence(0, size(syms) - 2),
+            |                 i -> concat(syms[i], ' ', syms[i+1]))
+            |  ELSE cast(array() as array<string>) END""".stripMargin))
+          .as("pair"))
+      .groupBy("pair")
+      .agg(sum(col("freq")).as("weight"), count(lit(1)).as("n_words"))
+
+  def bpePairsSql(k: Int = 20): String =
+    s"""WITH v AS (
+       |  SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(words) AS w FROM (${TextOps.preparedSql}))
+       |  GROUP BY w),
+       |pairs AS (
+       |  SELECT freq, w[i] || ' ' || w[i+1] AS pair
+       |  FROM v, unnest(range(1, length(w))) AS u(i))
+       |SELECT pair, CAST(sum(freq) AS BIGINT) AS weight, count(*) AS n_words
+       |FROM pairs GROUP BY pair
+       |ORDER BY weight DESC, pair LIMIT $k""".stripMargin
+
+  /** One merge application: every adjacent (a, b) occurrence in each symbol
+    * array becomes the fused symbol — a left fold over the array (pure
+    * higher-order expression, row-local, codegen-friendly). Overlapping
+    * occurrences fuse left-to-right, exactly like the reference BPE
+    * algorithm's linear scan.
+    */
+  private def applyMerge(v: DataFrame, a: String, b: String): DataFrame = {
+    def q(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    v.withColumn("syms", expr(
+      s"""aggregate(syms, cast(array() as array<string>), (acc, x) ->
+         |  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '${q(a)}' AND x = '${q(b)}'
+         |       THEN concat(slice(acc, 1, size(acc) - 1), array('${q(a)}${q(b)}'))
+         |       ELSE concat(acc, array(x)) END)""".stripMargin))
+  }
+
+  /** Train `nMerges` BPE merges. Returns the ordered merge table
+    * (rank, sym_a, sym_b, weight). Each round: pair-count agg over the
+    * vocabulary (|vocab| rows, NOT the corpus), 1-row argmax to the driver,
+    * row-local merge application. The vocabulary dataframe is cached and
+    * re-derived functionally — rounds are bounded by `nMerges`, the same
+    * driver-loop contract as the k-means step and CC propagation.
+    */
+  def train(spark: SparkSession, dir: String, nMerges: Int = 10): Seq[(Int, String, String, Long)] = {
+    var v = vocab(spark, dir).cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to nMerges) {
+      val top = bpePairsFrom(v)
+        .orderBy(col("weight").desc, col("pair")).limit(1).collect()
+      if (top.nonEmpty) {
+        val row = top(0)
+        val Array(a, b) = row.getString(0).split(" ", 2)
+        merges += ((r, a, b, row.getLong(1)))
+        val next = applyMerge(v, a, b).cache()
+        next.count() // materialize before unpersisting the parent
+        v.unpersist()
+        v = next
+      }
+    }
+    v.unpersist()
+    merges.toSeq
+  }
+}

@@ -441,6 +441,24 @@ class OperatorsSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("bpe: classic low/lower/newest corpus trains the expected first merges") {
+    // the textbook BPE example: "lo" then "low" dominate
+    val docs = Seq(
+      (1L, "low low low low low lower lower newest newest", "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("bpe").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = functions.Bpe.bpePairs(spark, tmp, k = 3)
+      .select("pair", "weight").as[(String, Long)].collect().toSeq
+    // l+o and o+w each occur in low(5) and lower(2) → weight 7
+    assert(pairs.take(2).toSet == Set(("l o", 7L), ("o w", 7L)))
+    val merges = functions.Bpe.train(spark, tmp, nMerges = 3)
+    // tie "l o" vs "o w" breaks lexicographically → "l o" first, then the
+    // fused "lo"+"w" (still weight 7) beats everything from newest(2)
+    assert(merges.map(m => (m._2, m._3)).take(2) == Seq(("l", "o"), ("lo", "w")))
+    assert(merges.head._4 == 7L)
+  }
+
   test("containmentPairs finds a quote symmetric jaccard misses") {
     val quoted = "p q r s t"
     val page = quoted + " u v w x y z aa bb cc dd ee ff gg hh"
