@@ -133,4 +133,40 @@ class PlanAuditSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"drop list (or documents) side must broadcast:\n$plan")
   }
+
+  test("d_segment_dedup: re-assembly never globally sorts the corpus") {
+    val plan = executedPlan("d_segment_dedup")
+    // one rangepartitioning is the driver-contract ORDER BY doc_id; a
+    // SECOND one would mean the per-doc re-assembly sorts corpus-wide
+    // instead of inside the doc_id aggregate
+    assert("Exchange rangepartitioning".r.findAllIn(plan).length <= 1,
+      s"segment re-assembly must not add a global sort:\n$plan")
+    assert(!plan.contains("Window"),
+      s"re-assembly must use the bounded collect_list agg, not a window:\n$plan")
+  }
+
+  test("d_lm_bits: the corpus total joins as a broadcast, never a shuffle") {
+    val plan = executedPlan("d_lm_bits")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"1-row total must broadcast:\n$plan")
+  }
+
+  test("d_pack_chunks: bucket offsets broadcast; no corpus-wide window") {
+    val plan = executedPlan("d_pack_chunks")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket-offset join must broadcast:\n$plan")
+    // the only unpartitioned window runs over the `buckets`-row totals
+    // relation; the per-bucket window partitions by bucket
+    assert(plan.contains("Window [") || plan.contains("RunningWindowFunction")
+      || plan.contains("Window"), "expected window operators present")
+  }
+
+  test("d_bpe_pairs: pair extraction is shuffle-minimal (vocab agg + pair agg)") {
+    val plan = executedPlan("d_bpe_pairs")
+    // two hash exchanges: word-frequency agg and pair agg; top-k must be
+    // TakeOrdered, never a global Sort
+    assert(dataExchanges(plan) <= 2, s"pair counting shuffled too much:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must avoid a global sort:\n$plan")
+  }
 }
