@@ -81,6 +81,18 @@ object Bpe {
          |       ELSE concat(acc, array(x)) END)""".stripMargin))
   }
 
+  /** Tokenize: apply an ordered merge table to a relation with a string
+    * column `w` — the APPLY side of the trained tokenizer. Merges fold in
+    * training order (BPE's contract); each application is the same pure
+    * array-fold expression, so `m` merges are `m` chained row-local
+    * projections — zero shuffle, corpus-parallel, no UDF.
+    */
+  def segmentWords(df: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val init = df.withColumn("syms",
+      expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"))
+    merges.foldLeft(init) { case (d, (a, b)) => applyMerge(d, a, b) }
+  }
+
   /** Train `nMerges` BPE merges. Returns the ordered merge table
     * (rank, sym_a, sym_b, weight). Each round: pair-count agg over the
     * vocabulary (|vocab| rows, NOT the corpus), 1-row argmax to the driver,

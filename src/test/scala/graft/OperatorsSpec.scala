@@ -457,6 +457,12 @@ class OperatorsSpec extends SparkSuite {
     // fused "lo"+"w" (still weight 7) beats everything from newest(2)
     assert(merges.map(m => (m._2, m._3)).take(2) == Seq(("l", "o"), ("lo", "w")))
     assert(merges.head._4 == 7L)
+    // APPLY side: the trained merges tokenize unseen words correctly
+    val seg = functions.Bpe.segmentWords(
+        Seq("lower", "slow").toDF("w"), Seq(("l", "o"), ("lo", "w")))
+      .select("w", "syms").as[(String, Seq[String])].collect().toMap
+    assert(seg("lower") == Seq("low", "e", "r"))
+    assert(seg("slow") == Seq("s", "low"))
   }
 
   test("containmentPairs finds a quote symmetric jaccard misses") {
