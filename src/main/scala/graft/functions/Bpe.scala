@@ -14,23 +14,33 @@ import org.apache.spark.sql.functions._
   * decoupled from corpus size (the same collapse every production BPE
   * trainer does).
   *
-  * [[pairCounts]] is one countable step (DuckDB-oracle-checked as
+  * [[bpePairs]] is one countable step (DuckDB-oracle-checked as
   * `d_bpe_pairs`); [[train]] iterates it with the merge applied as a pure
   * array fold — no UDFs, no driver-side data beyond the 1-row argmax per
   * round (the k-means-step pattern).
   */
 object Bpe {
 
+  /** Character-array expression over a string column `w` — indexed
+    * substrings, NOT an empty-pattern regex split (engines disagree on
+    * trailing empties for `split(w, '')`). Guarded for the empty word:
+    * Spark's `sequence(1, 0)` DESCENDS and would fabricate a 2-element
+    * array of empty strings (and from it a phantom pair the DuckDB oracle —
+    * whose `range(1, 0)` is empty — would never see).
+    */
+  private val charsExpr: String =
+    """CASE WHEN length(w) >= 1
+      |  THEN transform(sequence(1, length(w)), i -> substr(w, i, 1))
+      |  ELSE cast(array() as array<string>) END""".stripMargin
+
   /** (word, freq) vocabulary with each word exploded to its symbol array —
-    * initially single characters (indexed substrings, NOT an empty-pattern
-    * regex split: engines disagree on trailing empties for `split(w, '')`).
+    * initially single characters.
     */
   private def vocab(spark: SparkSession, dir: String): DataFrame =
     TextOps.prepared(spark, dir)
       .select(explode(col("words")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .withColumn("syms",
-        expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"))
+      .withColumn("syms", expr(charsExpr))
 
   /** Adjacent-symbol pair counts weighted by word frequency — the argmax is
     * the next BPE merge. Pairs are taken INSIDE each word's symbol array (a
@@ -52,7 +62,10 @@ object Bpe {
             |  ELSE cast(array() as array<string>) END""".stripMargin))
           .as("pair"))
       .groupBy("pair")
-      .agg(sum(col("freq")).as("weight"), count(lit(1)).as("n_words"))
+      // n_occurrences counts pair POSITIONS over the vocabulary ("aaa"
+      // contributes two "a a" rows), matching classic BPE get_stats — it is
+      // NOT the number of distinct words containing the pair
+      .agg(sum(col("freq")).as("weight"), count(lit(1)).as("n_occurrences"))
 
   def bpePairsSql(k: Int = 20): String =
     s"""WITH v AS (
@@ -62,7 +75,7 @@ object Bpe {
        |pairs AS (
        |  SELECT freq, w[i] || ' ' || w[i+1] AS pair
        |  FROM v, unnest(range(1, length(w))) AS u(i))
-       |SELECT pair, CAST(sum(freq) AS BIGINT) AS weight, count(*) AS n_words
+       |SELECT pair, CAST(sum(freq) AS BIGINT) AS weight, count(*) AS n_occurrences
        |FROM pairs GROUP BY pair
        |ORDER BY weight DESC, pair LIMIT $k""".stripMargin
 
@@ -84,12 +97,24 @@ object Bpe {
   /** Tokenize: apply an ordered merge table to a relation with a string
     * column `w` — the APPLY side of the trained tokenizer. Merges fold in
     * training order (BPE's contract); each application is the same pure
-    * array-fold expression, so `m` merges are `m` chained row-local
-    * projections — zero shuffle, corpus-parallel, no UDF.
+    * array-fold expression — zero shuffle, corpus-parallel, no UDF.
+    *
+    * Depth contract: each merge adds one nested `aggregate()` level to the
+    * projection, so the expression tree grows linearly with the merge
+    * table. That is fine for the bounded tables this trainer produces
+    * (`maxMerges` guards it); a production-vocab apply (tens of thousands
+    * of merges) needs a different mechanism — iterate in checkpointed
+    * batches, or ship the merge table as a broadcast relation consumed by
+    * a single custom expression — and refuses loudly here instead of
+    * overflowing codegen.
     */
-  def segmentWords(df: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    val init = df.withColumn("syms",
-      expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"))
+  def segmentWords(df: DataFrame, merges: Seq[(String, String)],
+                   maxMerges: Int = 200): DataFrame = {
+    require(merges.size <= maxMerges,
+      s"${merges.size} merges would nest ${merges.size} aggregate() levels " +
+      s"in one projection (codegen/stack limit); apply in batches of ≤ $maxMerges " +
+      "with a localCheckpoint between, or raise maxMerges deliberately")
+    val init = df.withColumn("syms", expr(charsExpr))
     merges.foldLeft(init) { case (d, (a, b)) => applyMerge(d, a, b) }
   }
 
@@ -103,10 +128,15 @@ object Bpe {
   def train(spark: SparkSession, dir: String, nMerges: Int = 10): Seq[(Int, String, String, Long)] = {
     var v = vocab(spark, dir).cache()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    for (r <- 1 to nMerges) {
+    var r = 1
+    var exhausted = false
+    // stop at the FIRST empty argmax — no mergeable pair can reappear in a
+    // later round, so running the remaining aggregations would be pure waste
+    while (r <= nMerges && !exhausted) {
       val top = bpePairsFrom(v)
         .orderBy(col("weight").desc, col("pair")).limit(1).collect()
-      if (top.nonEmpty) {
+      if (top.isEmpty) exhausted = true
+      else {
         val row = top(0)
         val Array(a, b) = row.getString(0).split(" ", 2)
         merges += ((r, a, b, row.getLong(1)))
@@ -114,6 +144,7 @@ object Bpe {
         next.count() // materialize before unpersisting the parent
         v.unpersist()
         v = next
+        r += 1
       }
     }
     v.unpersist()

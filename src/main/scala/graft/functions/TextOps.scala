@@ -315,13 +315,31 @@ object TextOps {
     * scan), per-(doc, probe) counts with map-side combine, then a top-1
     * window per doc. Emits only docs that share at least one shingle.
     */
-  def contamination(spark: SparkSession, dir: String, probeMax: Long = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Distinct 3-gram shingles per document (short docs fall back to their
+    * whole normalized text) — the ONE shingle relation [[contamination]]
+    * and [[containmentPairs]] both build on.
+    */
+  private def shingles3(spark: SparkSession, dir: String): DataFrame = {
     val sh3 = when(size(col("words")) >= 3,
       expr("transform(sequence(0, size(words)-3), i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))"))
       .otherwise(array(col("norm")))
-    val ex = prepared(spark, dir)
+    prepared(spark, dir)
       .select(col("doc_id"), explode(array_distinct(sh3)).as("sh"))
+  }
+
+  /** SQL mirror of [[shingles3]] (a `SELECT doc_id, sh` relation). */
+  private val shingles3Sql: String =
+    s"""SELECT DISTINCT doc_id, sh FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN len(words) >= 3
+       |           THEN words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+       |           ELSE norm END AS sh
+       |    FROM ($preparedSql),
+       |         unnest(range(1, CASE WHEN len(words) >= 3 THEN len(words)-1 ELSE 2 END)) AS t(i))""".stripMargin
+
+  def contamination(spark: SparkSession, dir: String, probeMax: Long = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = shingles3(spark, dir)
     val probe = ex.filter(col("doc_id") < probeMax)
       .select(col("doc_id").as("probe_id"), col("sh"))
     val shared = ex.filter(col("doc_id") >= probeMax)
@@ -337,13 +355,7 @@ object TextOps {
 
   def contaminationSql(probeMax: Long = 10): String =
     s"""WITH ex AS (
-       |  SELECT DISTINCT doc_id, sh FROM (
-       |    SELECT doc_id,
-       |      CASE WHEN len(words) >= 3
-       |           THEN words[i] || ' ' || words[i+1] || ' ' || words[i+2]
-       |           ELSE norm END AS sh
-       |    FROM ($preparedSql),
-       |         unnest(range(1, CASE WHEN len(words) >= 3 THEN len(words)-1 ELSE 2 END)) AS t(i))),
+       |  $shingles3Sql),
        |shared AS (
        |  SELECT c.doc_id, p.doc_id AS probe_id, count(*) AS n_shared_shingles
        |  FROM ex c JOIN ex p ON c.sh = p.sh
@@ -1233,24 +1245,21 @@ object TextOps {
     * shingle set is largely CONTAINED in the other — catches quotes,
     * excerpt pages, and superset re-crawls that symmetric Jaccard misses
     * (a 100-word quote inside a 10k-word page has Jaccard ≈ 0.01 but
-    * containment ≈ 1.0). Candidate generation is the same df-capped
-    * shingle equi-join as [[jaccardPairs]]: shingles in more than `dfCap`
-    * docs are dropped before the self-join, so one boilerplate shingle
-    * cannot degenerate a block to quadratic (containment scores are
-    * computed over the CAPPED sets — denominator and intersection use the
-    * same universe, documented contract).
+    * containment ≈ 1.0). Candidates come from a self-join of
+    * [[shingles3]] — [[contamination]]'s shingle relation — with
+    * [[jaccardPairs]]'s df-CAP mechanism applied to it: shingles in more
+    * than `dfCap` docs are dropped before the self-join, so one
+    * boilerplate shingle cannot degenerate the join to quadratic
+    * (containment scores are computed over the CAPPED sets — denominator
+    * and intersection use the same universe, documented contract).
     */
   def containmentPairs(spark: SparkSession, dir: String, threshold: Double = 0.3,
                        dfCap: Int = 50,
                        mat: Materialize = Materialize.Local): DataFrame = {
-    val sh3 = when(size(col("words")) >= 3,
-      expr("transform(sequence(0, size(words)-3), i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))"))
-      .otherwise(array(col("norm")))
     // materialized once: the shingle explode feeds FOUR consumers (df
     // counts, both self-join sides, per-doc sizes) and dominates per-doc
     // cost — same shape as [[jaccardPairs]]'s materialization point
-    val ex = mat(prepared(spark, dir)
-      .select(col("doc_id"), explode(array_distinct(sh3)).as("sh")))
+    val ex = mat(shingles3(spark, dir))
     // the hot list is tiny (shingles in > dfCap docs) → broadcast anti-join,
     // never a shuffle join against the full per-shingle df relation
     val hot = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -1276,13 +1285,7 @@ object TextOps {
 
   def containmentPairsSql(threshold: Double = 0.3, dfCap: Int = 50): String =
     s"""WITH ex AS (
-       |  SELECT DISTINCT doc_id, sh FROM (
-       |    SELECT doc_id,
-       |      CASE WHEN len(words) >= 3
-       |           THEN words[i] || ' ' || words[i+1] || ' ' || words[i+2]
-       |           ELSE norm END AS sh
-       |    FROM ($preparedSql),
-       |         unnest(range(1, CASE WHEN len(words) >= 3 THEN len(words)-1 ELSE 2 END)) AS t(i))),
+       |  $shingles3Sql),
        |capped AS (
        |  SELECT doc_id, sh FROM ex
        |  WHERE sh IN (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= $dfCap)),

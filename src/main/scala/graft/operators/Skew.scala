@@ -61,15 +61,27 @@ object Skew {
     * majority of probe rows with zero movement of those rows; the tail
     * shuffle carries only the rare remainder, and the tail build side is
     * pre-shrunk by the same broadcast head (an anti-join, not a scan-wide
-    * filter). Output is row-identical to the plain inner join: every left
-    * row matches in exactly one path because the two paths partition
-    * `right`'s key space.
+    * filter).
+    *
+    * PRECONDITION: `right` must be key-unique on `key` (a per-key
+    * aggregate, e.g. a groupBy result — every caller here). Under that
+    * contract output is row-identical to the plain inner join, because the
+    * two paths partition `right`'s key space. With DUPLICATE right keys the
+    * contract breaks: `limit` can cut inside a key group, and the head
+    * path would then carry only the surviving copies while the anti-join
+    * removes the key from the tail — silently dropping matches.
+    *
+    * The head is materialized once (`localCheckpoint`): it is at most
+    * `headRows` rows, and without pinning it the orderBy+limit over the
+    * full aggregate would execute once per consumer (the head join AND
+    * both anti-joins).
     */
   def headTailJoin(left: DataFrame, right: DataFrame, key: String,
                    headRows: Int, weight: Column): DataFrame = {
     require(headRows > 0, s"headRows must be positive, got $headRows")
     // deterministic head under weight ties: break by the key itself
     val head = right.orderBy(weight.desc, col(key)).limit(headRows)
+      .localCheckpoint(eager = true)
     val headKeys = broadcast(head.select(col(key)))
     val headHits = left.join(broadcast(head), Seq(key))
     val tailRight = right.join(headKeys, Seq(key), "left_anti")

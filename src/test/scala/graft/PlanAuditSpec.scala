@@ -155,10 +155,11 @@ class PlanAuditSpec extends SparkSuite {
     val plan = executedPlan("d_pack_chunks")
     assert(plan.contains("BroadcastHashJoin"),
       s"bucket-offset join must broadcast:\n$plan")
-    // the only unpartitioned window runs over the `buckets`-row totals
-    // relation; the per-bucket window partitions by bucket
-    assert(plan.contains("Window [") || plan.contains("RunningWindowFunction")
-      || plan.contains("Window"), "expected window operators present")
+    // exactly one single-partition exchange — the `buckets`-row offsets
+    // window; a corpus-wide unpartitioned cumulative window (the
+    // degeneration this decomposition exists to avoid) would add another
+    assert("[+:]- Exchange SinglePartition".r.findAllIn(plan).length == 1,
+      s"only the tiny offsets relation may hit SinglePartition:\n$plan")
   }
 
   test("d_bpe_pairs: pair extraction is shuffle-minimal (vocab agg + pair agg)") {
