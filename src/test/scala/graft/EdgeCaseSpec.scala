@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Bpe, TextOps}
+
+/** Degenerate-document hardening: real web corpora carry null, empty and
+  * whitespace-only texts. Every expected value here was derived by running
+  * the operator's DuckDB oracle semantics on the same fixture, so the
+  * assertions pin the CROSS-ENGINE contract for the degenerate rows (both
+  * engines: split of "" yields [""], null text propagates null words, a
+  * null words array drops the row from any explode/unnest).
+  */
+class EdgeCaseSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val tmp: String = {
+    val docs = Seq[(Long, String, String, String, Long)](
+      (1L, null, "en", "s", 0L),   // null text
+      (2L, "", "en", "s", 0L),     // empty
+      (3L, "   ", "en", "s", 3L),  // whitespace-only (norm → "")
+      (4L, "x", "en", "s", 1L)     // single 1-char word
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("edge").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("quality: degenerate docs bucket low, never crash") {
+    val q = TextOps.quality(spark, tmp).orderBy("doc_id")
+      .select("doc_id", "quality_bucket").as[(Long, String)].collect().toSeq
+    // null score (doc 1) falls through every threshold → "low", same as the
+    // oracle's CASE; empty docs score 0.3025 → "low"
+    assert(q == Seq((1L, "low"), (2L, "low"), (3L, "low"), (4L, "low")))
+  }
+
+  test("segmentDedup: empty docs share the '' segment; null text drops out") {
+    val out = TextOps.segmentDedup(spark, tmp)
+      .select("doc_id", "n_segs", "n_kept", "text_dedup")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // docs 2 and 3 both contribute segment "" (freq 2 → dropped from both);
+    // doc 1's null words explode to no rows on BOTH engines
+    assert(out == Seq((2L, 1L, 0L, ""), (3L, 1L, 0L, ""), (4L, 1L, 1L, "x")))
+  }
+
+  test("lmBits: null text drops; empty-string token counts like any token") {
+    val out = TextOps.lmBits(spark, tmp)
+      .select("doc_id", "n_tokens", "sum_bits").as[(Long, Long, Long)]
+      .collect().toSeq
+    // corpus tokens: "" (docs 2,3) and "x" (doc 4) → N=3, len(bin(3))=2;
+    // "" count 2 → 2−2=0 bits; "x" count 1 → 2−1=1 bit
+    assert(out == Seq((2L, 1L, 0L), (3L, 1L, 0L), (4L, 1L, 1L)))
+  }
+
+  test("bpePairs: no phantom pair from empty or 1-char words") {
+    // vocabulary is {"" (from docs 2,3), "x"} — zero adjacent pairs; the
+    // unguarded sequence(1, length(w)) would DESCEND for "" and fabricate
+    // a [" "," "] pair (the r7 review finding this test locks out)
+    assert(TextOps.prepared(spark, tmp).count() == 4)
+    assert(Bpe.bpePairs(spark, tmp).isEmpty)
+    assert(Bpe.train(spark, tmp, nMerges = 3).isEmpty)
+  }
+
+  test("containment and jaccard candidate paths survive degenerate docs") {
+    // short docs fall back to whole-norm shingles; "" == "" pairs docs 2-3
+    val c = TextOps.containmentPairs(spark, tmp)
+      .select("a_id", "b_id", "containment").as[(Long, Long, Double)]
+      .collect().toSeq
+    assert(c == Seq((2L, 3L, 1.0)))
+    assert(TextOps.jaccardPairs(spark, tmp).collect().nonEmpty ||
+      TextOps.jaccardPairs(spark, tmp).isEmpty) // no crash is the contract
+  }
+}
