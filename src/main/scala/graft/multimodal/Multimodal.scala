@@ -76,12 +76,15 @@ object Multimodal {
       media_id: Long, format: String, width: Int, height: Int,
       sample_rate: Int, channels: Int, bits_per_sample: Int)
 
-  /** A real (non-stub) decoder for the two container formats that need no
-    * native codec: BMP (BITMAPINFOHEADER pixel dims) and canonical RIFF/WAVE
-    * (`fmt ` chunk walk → sample rate, channels, bit depth). Pure-JVM byte
-    * parsing, so the `mapPartitions` batch-decode path runs against REAL
-    * media bytes in any environment; compressed formats (JPEG/MP3/H.264)
-    * still require the codec bindings [[StubDecoder]] stands in for.
+  /** A real (non-stub) decoder for the container formats that need no
+    * native codec: BMP (BITMAPINFOHEADER pixel dims), PNG (IHDR), canonical
+    * RIFF/WAVE (`fmt ` chunk walk → sample rate, channels, bit depth), and
+    * JPEG pixel DIMENSIONS (marker walk to the first SOF segment — frame
+    * size lives in the entropy-free header, so no codec is needed to read
+    * it). Pure-JVM byte parsing, so the `mapPartitions` batch-decode path
+    * runs against REAL media bytes in any environment; pixel/sample DECODE
+    * of compressed formats (JPEG/MP3/H.264) still requires the codec
+    * bindings [[StubDecoder]] stands in for.
     */
   object HeaderDecoder {
     private def u16(b: Array[Byte], i: Int): Int =
@@ -106,6 +109,29 @@ object Multimodal {
         // BITMAPINFOHEADER at byte 14: width i32le@18, height i32le@22
         // (height < 0 = top-down row order; magnitude is the pixel height)
         DecodedMedia(r.media_id, "bmp", i32(b, 18), math.abs(i32(b, 22)), 0, 0, 0)
+      } else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+        // JPEG: walk marker segments from SOI to the first start-of-frame
+        // (SOF0..SOF15 minus DHT/JPG/DAC); its payload is
+        // [len u16be][precision u8][height u16be][width u16be]. Stop at
+        // SOS/EOI (entropy data follows) or any malformed length.
+        def u16be(i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+        var i = 2
+        var out: DecodedMedia = null
+        while (out == null && i + 4 <= b.length && (b(i) & 0xff) == 0xff) {
+          val m = b(i + 1) & 0xff
+          if (m == 0xff) i += 1 // fill byte
+          else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2 // standalone
+          else if (m == 0xda || m == 0xd9) out = DecodedMedia(r.media_id, "jpeg", 0, 0, 0, 0, 0)
+          else {
+            val len = u16be(i + 2)
+            val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+            if (isSof && i + 9 <= b.length && len >= 7)
+              out = DecodedMedia(r.media_id, "jpeg", u16be(i + 7), u16be(i + 5), 0, 0, 0)
+            else if (len < 2) out = DecodedMedia(r.media_id, "jpeg", 0, 0, 0, 0, 0)
+            else i += 2 + len
+          }
+        }
+        if (out != null) out else DecodedMedia(r.media_id, "jpeg", 0, 0, 0, 0, 0)
       } else if (b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE") {
         // chunk walk (chunks are 2-byte aligned); canonical files put
         // "fmt " first but the spec doesn't require it. Long arithmetic +

@@ -138,5 +138,30 @@ class PropertySpec extends SparkSuite {
     val bad = Multimodal.HeaderDecoder.decode(
       Multimodal.MediaRecord(4L, "image", "PNG".getBytes("ISO-8859-1"), 0, 0))
     assert(bad.format == "unknown")
+
+    // JPEG: SOI + APP0(JFIF) + a fill byte + SOF0 carrying the dims
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(2 + 18 + 1 + 19).order(ByteOrder.BIG_ENDIAN)
+      b.put(0xff.toByte).put(0xd8.toByte)                      // SOI
+      b.put(0xff.toByte).put(0xe0.toByte).putShort(16)         // APP0 len 16
+      b.put("JFIF".getBytes("US-ASCII")).put(new Array[Byte](10))
+      b.put(0xff.toByte)                                       // fill byte
+      b.put(0xff.toByte).put(0xc0.toByte).putShort(17)         // SOF0 len 17
+      b.put(8.toByte).putShort(h.toShort).putShort(w.toShort)  // precision,h,w
+      b.put(3.toByte).put(new Array[Byte](9))                  // 3 components
+      b.array()
+    }
+    for ((w, h) <- samples(Gen.zip(Gen.choose(1, 65535), Gen.choose(1, 65535)), 40)) {
+      val d = Multimodal.HeaderDecoder.decode(
+        Multimodal.MediaRecord(5L, "image", jpeg(w, h), 0, 0))
+      assert(d.format == "jpeg" && d.width == w && d.height == h,
+        s"jpeg($w, $h) -> $d")
+    }
+    // dimensions unreadable (SOS before any SOF) → jpeg with zero dims,
+    // and the walk must terminate
+    val sos = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x02).map(_.toByte)
+    val dSos = Multimodal.HeaderDecoder.decode(
+      Multimodal.MediaRecord(6L, "image", sos, 0, 0))
+    assert(dSos.format == "jpeg" && dSos.width == 0)
   }
 }
