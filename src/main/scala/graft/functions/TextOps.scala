@@ -367,6 +367,95 @@ object TextOps {
        |  FROM shared)
        |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** Span-level decontamination: instead of dropping a whole document that
+    * overlaps the benchmark/probe set ([[contamination]] / [[curate]]'s
+    * gate), surgically remove the contaminated token WINDOWS and keep the
+    * rest — the modern decontamination recipe (a 10k-word page quoting one
+    * benchmark question loses 40 tokens, not the page). A corpus doc's
+    * 3-gram shingle at position i that matches any probe shingle
+    * contaminates tokens [i, i+2]; overlapping windows merge into spans.
+    *
+    * Contract: applies to docs with ≥ 3 words (shorter docs have no 3-gram
+    * positions — they stay on the doc-level gate). Output per corpus doc:
+    * token/span counts and the cleaned text (surviving words, original
+    * order; "" when fully contaminated).
+    *
+    * Scale shape: positioned shingle explode → equi-join the broadcast-size
+    * probe shingle set → per-doc window/agg, every per-doc step bounded by
+    * that doc's own length (the lag window and re-assembly collect shuffle
+    * on doc_id, never corpus-wide).
+    */
+  def decontamSpans(spark: SparkSession, dir: String, probeMax: Long = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probe = shingles3(spark, dir).filter(col("doc_id") < probeMax)
+      .select("sh").distinct()
+    val pw = prepared(spark, dir)
+      .filter(col("doc_id") >= probeMax && size(col("words")) >= 3)
+    val sh = pw.select(col("doc_id"), posexplode(expr(
+      "transform(sequence(0, size(words)-3), i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))"))
+      .as(Seq("i", "sh")))
+    val hits = sh.join(broadcast(probe), "sh")
+      .select(col("doc_id"), explode(expr("sequence(i, i + 2)")).as("p"))
+      .distinct()
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val spans = hits.withColumn("prev", lag("p", 1).over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contam"),
+        sum(when(col("prev").isNull || col("p") - col("prev") =!= 1, 1L)
+          .otherwise(0L)).as("n_spans"))
+    val wp = pw.select(col("doc_id"), posexplode(col("words")).as(Seq("p", "word")))
+    val clean = wp.join(hits, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(p, word))), x -> x.word)"),
+        " ").as("text_clean"))
+    pw.select(col("doc_id"), size(col("words")).cast("long").as("n_words"))
+      .join(spans, Seq("doc_id"), "left")
+      .join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_contam"), lit(0L)).as("n_contam"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  def decontamSpansSql(probeMax: Long = 10): String =
+    s"""WITH probe AS (
+       |  SELECT DISTINCT sh FROM ($shingles3Sql) WHERE doc_id < $probeMax),
+       |pw AS (
+       |  SELECT doc_id, words FROM ($preparedSql)
+       |  WHERE doc_id >= $probeMax AND len(words) >= 3),
+       |sh AS (
+       |  SELECT doc_id, i - 1 AS i,
+       |         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh
+       |  FROM pw, unnest(range(1, len(words) - 1)) AS t(i)),
+       |hits AS (
+       |  SELECT DISTINCT doc_id, i + d AS p
+       |  FROM sh JOIN probe USING (sh), unnest(range(0, 3)) AS u(d)),
+       |spans AS (
+       |  SELECT doc_id, count(*) AS n_contam,
+       |    CAST(sum(CASE WHEN prev IS NULL OR p - prev <> 1 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_spans
+       |  FROM (SELECT doc_id, p,
+       |          lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM hits)
+       |  GROUP BY doc_id),
+       |wp AS (
+       |  SELECT doc_id, i - 1 AS p, words[i] AS word
+       |  FROM pw, unnest(range(1, len(words) + 1)) AS t(i)),
+       |clean AS (
+       |  SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS text_clean
+       |  FROM wp
+       |  WHERE NOT EXISTS (SELECT 1 FROM hits h
+       |                    WHERE h.doc_id = wp.doc_id AND h.p = wp.p)
+       |  GROUP BY doc_id)
+       |SELECT pw.doc_id, CAST(len(words) AS BIGINT) AS n_words,
+       |  COALESCE(n_contam, 0) AS n_contam,
+       |  COALESCE(n_spans, 0) AS n_spans,
+       |  COALESCE(text_clean, '') AS text_clean
+       |FROM pw LEFT JOIN spans ON pw.doc_id = spans.doc_id
+       |        LEFT JOIN clean ON pw.doc_id = clean.doc_id
+       |ORDER BY pw.doc_id""".stripMargin
+
   // ---- repetition signals (Gopher-style quality filters) ----
 
   /** Per-doc repetition signals — the Gopher/C4 family of quality filters a

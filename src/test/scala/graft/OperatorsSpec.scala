@@ -441,6 +441,28 @@ class OperatorsSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("decontamSpans removes contaminated windows, keeps the rest in order") {
+    val docs = Seq(
+      (0L, "alpha beta gamma", "en", "s", 1L),                         // probe
+      // one probe 3-gram at positions 2-4 → tokens 2..4 removed
+      (10L, "keep1 keep2 alpha beta gamma keep3 keep4", "en", "s", 1L),
+      // two DISJOINT hits → 2 spans; middle word survives
+      (11L, "alpha beta gamma mid alpha beta gamma", "en", "s", 1L),
+      (12L, "totally clean document here", "en", "s", 1L),
+      (13L, "alpha beta gamma", "en", "s", 1L)                         // fully contaminated
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("spans").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextOps.decontamSpans(spark, tmp, probeMax = 10)
+      .select("doc_id", "n_contam", "n_spans", "text_clean")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (10L, 3L, 1L, "keep1 keep2 keep3 keep4"),
+      (11L, 6L, 2L, "mid"),
+      (12L, 0L, 0L, "totally clean document here"),
+      (13L, 3L, 1L, "")))
+  }
+
   test("bpe: classic low/lower/newest corpus trains the expected first merges") {
     // the textbook BPE example: "lo" then "low" dominate
     val docs = Seq(
