@@ -385,18 +385,26 @@ object TextOps {
     * that doc's own length (the lag window and re-assembly collect shuffle
     * on doc_id, never corpus-wide).
     */
-  def decontamSpans(spark: SparkSession, dir: String, probeMax: Long = 10): DataFrame = {
+  def decontamSpans(spark: SparkSession, dir: String, probeMax: Long = 10,
+                    mat: Materialize = Materialize.Local): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val probe = shingles3(spark, dir).filter(col("doc_id") < probeMax)
       .select("sh").distinct()
-    val pw = prepared(spark, dir)
+    // materialized once: the normalization+split feeds THREE consumers
+    // (positioned shingles, word re-assembly, final counts); norm itself is
+    // not needed past this point (≥3-word docs never take the whole-norm
+    // shingle fallback), so the checkpoint carries only (doc_id, words)
+    val pw = mat(prepared(spark, dir)
       .filter(col("doc_id") >= probeMax && size(col("words")) >= 3)
+      .select(col("doc_id"), col("words")))
     val sh = pw.select(col("doc_id"), posexplode(expr(
       "transform(sequence(0, size(words)-3), i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))"))
       .as(Seq("i", "sh")))
-    val hits = sh.join(broadcast(probe), "sh")
+    // materialized too: the (small) contaminated-position set feeds both
+    // the span merge and the re-assembly anti-join
+    val hits = mat(sh.join(broadcast(probe), "sh")
       .select(col("doc_id"), explode(expr("sequence(i, i + 2)")).as("p"))
-      .distinct()
+      .distinct())
     val w = Window.partitionBy("doc_id").orderBy("p")
     val spans = hits.withColumn("prev", lag("p", 1).over(w))
       .groupBy("doc_id")

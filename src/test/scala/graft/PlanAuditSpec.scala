@@ -162,6 +162,12 @@ class PlanAuditSpec extends SparkSuite {
       s"only the tiny offsets relation may hit SinglePartition:\n$plan")
   }
 
+  test("d_decontam_spans: probe shingle set broadcasts into the positioned join") {
+    val plan = executedPlan("d_decontam_spans")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe set must broadcast:\n$plan")
+  }
+
   test("d_bpe_pairs: pair extraction is shuffle-minimal (vocab agg + pair agg)") {
     val plan = executedPlan("d_bpe_pairs")
     // two hash exchanges: word-frequency agg and pair agg; top-k must be
