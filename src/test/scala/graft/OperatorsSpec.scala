@@ -487,6 +487,42 @@ class OperatorsSpec extends SparkSuite {
     assert(seg("slow") == Seq("s", "low"))
   }
 
+  test("residual IVF+PQ beats plain IVF+PQ on clustered embeddings") {
+    // the sf embeddings are cluster-free (residual norm > raw norm, see
+    // annIvfPqRes scaladoc); HERE we build real clusters — centers first
+    // (they become the IVF centroids), members = center + small noise —
+    // and the residual encoding must recover recall the raw codebook loses
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val centers = Seq.fill(4)(unit())
+    val members = (0 until 196).map { i =>
+      val c = centers(i % 4)
+      val noise = unit()
+      c.zip(noise).map { case (a, b) => a + 0.15f * b }
+    }
+    val rows = (centers ++ members).zipWithIndex.map { case (v, i) =>
+      (i.toLong, s"c${i % 4}", v)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("clustered").toString
+    rows.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    def mean(df: org.apache.spark.sql.DataFrame): Double = {
+      val r = df.agg(avg("recall_at_k")).head().getDouble(0)
+      r
+    }
+    val res = mean(VectorOps.annRecallIvfPqRes(spark, tmp, nQueries = 20, k = 5,
+      kCentroids = 4, nProbe = 2, blocks = 4, codebook = 16))
+    val plain = mean(VectorOps.annRecallIvfPq(spark, tmp, nQueries = 20, k = 5,
+      kCentroids = 4, nProbe = 2, blocks = 4, codebook = 16))
+    assert(res > plain,
+      s"residual recall $res must beat plain $plain on clustered data")
+  }
+
   test("containmentPairs finds a quote symmetric jaccard misses") {
     val quoted = "p q r s t"
     val page = quoted + " u v w x y z aa bb cc dd ee ff gg hh"
