@@ -285,6 +285,96 @@ object VectorOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** [[annIvfMulti]] generalized to an EXPLICIT centroid relation
+    * (centroid_id, cv, cn) — the form a TRAINED quantizer plugs into. The
+    * default path's "first k vectors" centroids are just one instance; the
+    * plan is identical (centroids broadcast, one corpus assignment, probe
+    * lists per query, per-query top-k).
+    */
+  def annIvfMultiWith(e: DataFrame, centroids: DataFrame, nQueries: Int,
+                      kNn: Int, nProbe: Int): DataFrame = {
+    val cents = broadcast(centroids)
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy((dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).desc, col("centroid_id"))
+    val assigned = e.join(cents)
+      .withColumn("__rn", row_number().over(aw)).filter(col("__rn") === 1)
+      .select(col("vec_id"), col("centroid_id"))
+    val qProbes = e.filter(col("vec_id") < nQueries).join(cents)
+      .withColumn("__rn", row_number().over(aw)).filter(col("__rn") <= nProbe)
+      .select(col("centroid_id").as("q_cent"), col("vec_id").as("q_id"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val sims = e.join(assigned, "vec_id")
+      .join(broadcast(qProbes),
+        col("centroid_id") === col("q_cent") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNn)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Full spherical k-means (Lloyd) training loop over the corpus — the
+    * TRAIN side whose single step [[kmeansStep]] oracle-checks. Centroid
+    * state is k×dim doubles held on the driver (the [[graft.functions.Bpe.train]]
+    * contract: iterations bounded by the parameter, per-round driver
+    * traffic bounded by k×dim, never the corpus). Each round: broadcast
+    * centroids → one corpus assignment (argmax cosine) → per-dim member
+    * means (map-side-combined agg, k×dim rows back) → renormalize
+    * (spherical update). Empty clusters keep their previous centroid.
+    * Returns (trained centroid relation, per-round objective Σ max-cos —
+    * non-decreasing by Lloyd's guarantee, asserted in OperatorsSpec).
+    */
+  def kmeansTrain(spark: SparkSession, dir: String, k: Int = 16,
+                  iters: Int = 5): (DataFrame, Seq[Double]) = {
+    import spark.implicits._
+    val e = prepared(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
+      .localCheckpoint(eager = true)
+    var cents: Map[Int, Array[Double]] = e.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+      .collect().map { case (id, v) => id.toInt -> v.toArray }.toMap
+    val objective = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def centDf(c: Map[Int, Array[Double]]): DataFrame =
+      c.toSeq.sortBy(_._1).map { case (id, v) =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (id, v.toSeq, n)
+      }.toDF("centroid_id", "cv", "cn")
+    for (_ <- 1 to iters) {
+      val cDf = broadcast(centDf(cents))
+      val aw = Window.partitionBy(col("vec_id"))
+        .orderBy((dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).desc, col("centroid_id"))
+      val best = e.join(cDf)
+        .withColumn("c_sim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .withColumn("__rn", row_number().over(aw)).filter(col("__rn") === 1)
+        .select(col("vec_id"), col("centroid_id"), col("c_sim"), col("v"))
+        .localCheckpoint(eager = true)
+      objective += best.agg(sum(col("c_sim"))).head().getDouble(0)
+      val means = best
+        .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("centroid_id"), col("dim")).agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          val arr = new Array[Double](rows.length)
+          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          cid -> arr
+        }
+      // spherical update: means renormalize via cn in centDf; empty
+      // clusters (absent from `means`) keep their previous centroid
+      cents = cents.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
+    }
+    (centDf(cents), objective.toSeq)
+  }
+
+  /** Recall harness over [[annIvfMultiWith]] — measures what TRAINED
+    * centroids buy over the fixed first-k quantizer at equal probe budget.
+    */
+  def annRecallWith(spark: SparkSession, dir: String, centroids: DataFrame,
+                    nQueries: Int = 20, k: Int = 5, nProbe: Int = 2): DataFrame =
+    recallAgainstExact(spark, dir,
+      annIvfMultiWith(prepared(spark, dir), centroids, nQueries, k, nProbe),
+      nQueries, k)
+
   def annIvfMultiSql(nQueries: Int = 20, kNn: Int = 5, kCentroids: Int = 16,
                      nProbe: Int = 2): String =
     s"""WITH e0 AS ($preparedSql),

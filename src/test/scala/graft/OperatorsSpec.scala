@@ -487,6 +487,23 @@ class OperatorsSpec extends SparkSuite {
     assert(seg("slow") == Seq("s", "low"))
   }
 
+  test("kmeansTrain: Lloyd objective is non-decreasing; trained centroids don't lose recall") {
+    val (trained, obj) = VectorOps.kmeansTrain(spark, sf(), k = 8, iters = 4)
+    assert(obj.size == 4)
+    // Lloyd's guarantee on the spherical objective (Σ max cosine)
+    obj.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-9, s"objective decreased: $obj")
+    }
+    assert(obj.last > obj.head, s"training never improved: $obj")
+    // trained centroids, same probe budget: recall must not regress vs the
+    // fixed first-k quantizer
+    def meanRecall(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(avg("recall_at_k")).head().getDouble(0)
+    val init = meanRecall(VectorOps.annRecall(spark, sf(), kCentroids = 8))
+    val post = meanRecall(VectorOps.annRecallWith(spark, sf(), trained))
+    assert(post >= init - 0.05, s"trained recall $post regressed vs init $init")
+  }
+
   test("residual IVF+PQ beats plain IVF+PQ on clustered embeddings") {
     // the sf embeddings are cluster-free (residual norm > raw norm, see
     // annIvfPqRes scaladoc); HERE we build real clusters — centers first
