@@ -375,6 +375,102 @@ object VectorOps {
       annIvfMultiWith(prepared(spark, dir), centroids, nQueries, k, nProbe),
       nQueries, k)
 
+  /** Train the PQ sub-quantizers with per-block L2 Lloyd iterations — the
+    * missing TRAIN half of [[pqAssign]]'s fixed first-k codebook (which is
+    * exactly this trainer's round-0 state, so recall deltas isolate what
+    * training buys). Per block: assign every sub-vector by the L2-argmin
+    * dot form `argmax ⟨x,c⟩ − ½⟨c,c⟩`, recompute codewords as member
+    * means (plain means — PQ is Euclidean, no renormalization), empty
+    * codewords keep their previous value. Codebook state is
+    * blocks × k × (dim/blocks) doubles on the driver — the bounded
+    * train-loop contract of [[kmeansTrain]]. Returns the
+    * (cid, block, cv) relation [[annPqWith]] consumes plus the per-block
+    * objective traces (Σ score, non-decreasing under Lloyd).
+    */
+  def pqTrainCodebook(spark: SparkSession, dir: String, blocks: Int = 4,
+                      k: Int = 16, iters: Int = 4): (DataFrame, Seq[Seq[Double]]) = {
+    import spark.implicits._
+    val sv = pqSubVectors(prepared(spark, dir), "vec_id", blocks)
+      .localCheckpoint(eager = true)
+    var books: Map[(Int, Int), Array[Double]] = sv.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("block"), col("sv"))
+      .as[(Long, Int, Seq[Double])].collect()
+      .map { case (id, b, v) => (b, id.toInt) -> v.toArray }.toMap
+    val traces = Array.fill(blocks)(scala.collection.mutable.ArrayBuffer.empty[Double])
+    def bookDf(m: Map[(Int, Int), Array[Double]]): DataFrame =
+      m.toSeq.sortBy(_._1).map { case ((b, cid), v) => (cid, b, v.toSeq) }
+        .toDF("cid", "block", "cv")
+    for (_ <- 1 to iters) {
+      val cb = broadcast(bookDf(books))
+      val aw = Window.partitionBy(col("vec_id"), col("block"))
+        .orderBy(col("score").desc, col("cid"))
+      val best = sv.join(cb, "block")
+        .withColumn("score",
+          dot(col("sv"), col("cv")) - lit(0.5) * dot(col("cv"), col("cv")))
+        .withColumn("__rn", row_number().over(aw)).filter(col("__rn") === 1)
+        .select(col("block"), col("cid"), col("score"), col("sv"))
+        .localCheckpoint(eager = true)
+      best.groupBy(col("block")).agg(sum(col("score")).as("s"))
+        .collect().foreach(r => traces(r.getInt(0)) += r.getDouble(1))
+      val means = best
+        .select(col("block"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("block"), col("cid"), col("dim")).agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (key, rows) =>
+          val arr = new Array[Double](rows.length)
+          rows.foreach(r => arr(r.getInt(2)) = r.getDouble(3))
+          key -> arr
+        }
+      books = books.map { case (key, old) => key -> means.getOrElse(key, old) }
+    }
+    (bookDf(books), traces.map(_.toSeq).toSeq)
+  }
+
+  /** [[annPq]] generalized to an EXPLICIT (cid, block, cv) codebook — the
+    * form [[pqTrainCodebook]]'s output plugs into. Identical ADC plan:
+    * broadcast codebook and LUT, one scan of the code relation, fixed-order
+    * block sum, per-query top-k.
+    */
+  def annPqWith(e: DataFrame, codebook: DataFrame, nQueries: Int, kNn: Int,
+                blocks: Int): DataFrame = {
+    val cb = broadcast(codebook)
+    val corpusSub = pqSubVectors(e, "vec_id", blocks)
+    val aw = Window.partitionBy(col("vec_id"), col("block"))
+      .orderBy(col("score").desc, col("cid"))
+    val codes = corpusSub.join(cb, "block")
+      .withColumn("score",
+        dot(col("sv"), col("cv")) - lit(0.5) * dot(col("cv"), col("cv")))
+      .withColumn("__rn", row_number().over(aw)).filter(col("__rn") === 1)
+      .select(col("vec_id"), col("block"), col("cid").cast("long").as("code"))
+    val qs = pqSubVectors(e.filter(col("vec_id") < nQueries), "q_id", blocks)
+    val lut = broadcast(qs.join(cb, "block")
+      .select(col("q_id"), col("block"), col("cid").cast("long").as("code"),
+        dot(col("sv"), col("cv")).as("s")))
+    val scored = codes.join(lut, Seq("block", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(
+        first(when(col("block") === 0, col("s")), ignoreNulls = true).as("s0"),
+        (1 until blocks).map(b =>
+          first(when(col("block") === b, col("s")), ignoreNulls = true).as(s"s$b")): _*)
+      .withColumn("adc_score",
+        round((0 until blocks).map(b => col(s"s$b")).reduce(_ + _), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNn)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("adc_score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Recall harness over [[annPqWith]] — what codebook TRAINING buys over
+    * [[annRecallPq]]'s fixed first-k codebook at identical code budget.
+    */
+  def annRecallPqWith(spark: SparkSession, dir: String, codebook: DataFrame,
+                      nQueries: Int = 20, k: Int = 5, blocks: Int = 4): DataFrame =
+    recallAgainstExact(spark, dir,
+      annPqWith(prepared(spark, dir), codebook, nQueries, k, blocks), nQueries, k)
+
   def annIvfMultiSql(nQueries: Int = 20, kNn: Int = 5, kCentroids: Int = 16,
                      nProbe: Int = 2): String =
     s"""WITH e0 AS ($preparedSql),

@@ -504,11 +504,12 @@ class OperatorsSpec extends SparkSuite {
     assert(post >= init - 0.05, s"trained recall $post regressed vs init $init")
   }
 
-  test("residual IVF+PQ beats plain IVF+PQ on clustered embeddings") {
-    // the sf embeddings are cluster-free (residual norm > raw norm, see
-    // annIvfPqRes scaladoc); HERE we build real clusters — centers first
-    // (they become the IVF centroids), members = center + small noise —
-    // and the residual encoding must recover recall the raw codebook loses
+  /** 4-cluster embedding fixture: centers first (they become the IVF
+    * centroids), members = center + small noise. The sf embeddings are
+    * cluster-free (residual norm > raw norm, see annIvfPqRes scaladoc), so
+    * structure-dependent refinements are graded HERE.
+    */
+  private lazy val clusteredDir: String = {
     val rnd = new scala.util.Random(7)
     val dim = 64
     def unit(): Array[Float] = {
@@ -528,14 +529,38 @@ class OperatorsSpec extends SparkSuite {
     val tmp = java.nio.file.Files.createTempDirectory("clustered").toString
     rows.toDF("vec_id", "label", "embedding")
       .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
-    def mean(df: org.apache.spark.sql.DataFrame): Double = {
-      val r = df.agg(avg("recall_at_k")).head().getDouble(0)
-      r
+    tmp
+  }
+
+  private def meanRecall(df: org.apache.spark.sql.DataFrame): Double =
+    df.agg(avg("recall_at_k")).head().getDouble(0)
+
+  test("pqTrainCodebook: per-block Lloyd improves; trained PQ wins on clustered data") {
+    // Lloyd's objective guarantee holds on ANY data — assert it on the
+    // cluster-free sf embeddings
+    val (_, traces) = VectorOps.pqTrainCodebook(spark, sf(), blocks = 4, k = 16, iters = 4)
+    traces.foreach { t =>
+      t.sliding(2).foreach { case Seq(a, b) =>
+        assert(b >= a - 1e-9, s"block objective decreased: $t")
+      }
+      assert(t.last > t.head, s"block training never improved: $t")
     }
-    val res = mean(VectorOps.annRecallIvfPqRes(spark, tmp, nQueries = 20, k = 5,
-      kCentroids = 4, nProbe = 2, blocks = 4, codebook = 16))
-    val plain = mean(VectorOps.annRecallIvfPq(spark, tmp, nQueries = 20, k = 5,
-      kCentroids = 4, nProbe = 2, blocks = 4, codebook = 16))
+    // recall gain is structure-dependent (on random data trained means
+    // shrink toward 0 and LOSE ADC discrimination — measured 0.18 vs 0.23);
+    // on clustered data training must pay
+    val (cb, _) = VectorOps.pqTrainCodebook(spark, clusteredDir, blocks = 4,
+      k = 16, iters = 4)
+    val fixed = meanRecall(VectorOps.annRecallPq(spark, clusteredDir))
+    val trained = meanRecall(VectorOps.annRecallPqWith(spark, clusteredDir, cb))
+    assert(trained >= fixed,
+      s"trained-codebook recall $trained must not lose to fixed $fixed on clustered data")
+  }
+
+  test("residual IVF+PQ beats plain IVF+PQ on clustered embeddings") {
+    val res = meanRecall(VectorOps.annRecallIvfPqRes(spark, clusteredDir,
+      nQueries = 20, k = 5, kCentroids = 4, nProbe = 2, blocks = 4, codebook = 16))
+    val plain = meanRecall(VectorOps.annRecallIvfPq(spark, clusteredDir,
+      nQueries = 20, k = 5, kCentroids = 4, nProbe = 2, blocks = 4, codebook = 16))
     assert(res > plain,
       s"residual recall $res must beat plain $plain on clustered data")
   }
