@@ -58,6 +58,8 @@ class EdgeCaseSpec extends SparkSuite {
     assert(TextOps.prepared(spark, tmp).count() == 4)
     assert(Bpe.bpePairs(spark, tmp).isEmpty)
     assert(Bpe.train(spark, tmp, nMerges = 3).isEmpty)
+    val batched = Bpe.trainBatched(spark, tmp, nMerges = 3)
+    assert(batched.merges.isEmpty && batched.rounds == 1)
   }
 
   test("containment and jaccard candidate paths survive degenerate docs") {
@@ -66,7 +68,6 @@ class EdgeCaseSpec extends SparkSuite {
       .select("a_id", "b_id", "containment").as[(Long, Long, Double)]
       .collect().toSeq
     assert(c == Seq((2L, 3L, 1.0)))
-    assert(TextOps.jaccardPairs(spark, tmp).collect().nonEmpty ||
-      TextOps.jaccardPairs(spark, tmp).isEmpty) // no crash is the contract
+    TextOps.jaccardPairs(spark, tmp).collect() // no crash is the contract
   }
 }

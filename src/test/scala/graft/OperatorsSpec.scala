@@ -487,6 +487,42 @@ class OperatorsSpec extends SparkSuite {
     assert(seg("slow") == Seq("s", "low"))
   }
 
+  test("bpe: batched trainer emits the identical merge table to the sequential one") {
+    // heavy symbol overlap (the classic corpus) — batches degrade toward 1,
+    // output must STILL be byte-identical to the sequential trainer
+    val docs = Seq(
+      (1L, "low low low low low lower lower newest newest", "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("bpeb").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val seqMerges = functions.Bpe.train(spark, tmp, nMerges = 6)
+    val batched = functions.Bpe.trainBatched(spark, tmp, nMerges = 6)
+    assert(batched.merges == seqMerges)
+
+    // realistic mixed corpus: still identical, strictly fewer rounds than merges
+    val seqSf = functions.Bpe.train(spark, sf(), nMerges = 8)
+    val batSf = functions.Bpe.trainBatched(spark, sf(), nMerges = 8)
+    assert(batSf.merges == seqSf)
+    assert(batSf.rounds <= seqSf.size, s"rounds ${batSf.rounds} > merges ${seqSf.size}")
+  }
+
+  test("bpe: disjoint pair distribution collapses to a single pair-count round") {
+    // 8 two-letter words over 16 distinct letters, strictly decreasing freqs:
+    // every top pair is symbol-disjoint from every other, so ONE round must
+    // emit all 8 merges — the sub-linear-jobs contract the sequential
+    // trainer (one job per merge) cannot meet
+    val words = Seq("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op")
+    val text = words.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(100 - i * 5)(w) }.mkString(" ")
+    val docs = Seq((1L, text, "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("bped").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val batched = functions.Bpe.trainBatched(spark, tmp, nMerges = 8)
+    assert(batched.merges == functions.Bpe.train(spark, tmp, nMerges = 8))
+    assert(batched.rounds == 1, s"expected 1 round, got ${batched.rounds}")
+    assert(batched.merges.map(m => m._2 + m._3) == words)
+  }
+
   test("kmeansTrain: Lloyd objective is non-decreasing; trained centroids don't lose recall") {
     val (trained, obj) = VectorOps.kmeansTrain(spark, sf(), k = 8, iters = 4)
     assert(obj.size == 4)
