@@ -293,6 +293,9 @@ object VectorOps {
     */
   def annIvfMultiWith(e: DataFrame, centroids: DataFrame, nQueries: Int,
                       kNn: Int, nProbe: Int): DataFrame = {
+    require(Set("centroid_id", "cv", "cn").subsetOf(centroids.columns.toSet),
+      s"centroid relation must have columns (centroid_id, cv, cn); " +
+      s"got (${centroids.columns.mkString(", ")})")
     val cents = broadcast(centroids)
     val aw = Window.partitionBy(col("vec_id"))
       .orderBy((dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).desc, col("centroid_id"))
@@ -319,17 +322,25 @@ object VectorOps {
     * state is k×dim doubles held on the driver (the [[graft.functions.Bpe.train]]
     * contract: iterations bounded by the parameter, per-round driver
     * traffic bounded by k×dim, never the corpus). Each round: broadcast
-    * centroids → one corpus assignment (argmax cosine) → per-dim member
-    * means (map-side-combined agg, k×dim rows back) → renormalize
-    * (spherical update). Empty clusters keep their previous centroid.
-    * Returns (trained centroid relation, per-round objective Σ max-cos —
-    * non-decreasing by Lloyd's guarantee, asserted in OperatorsSpec).
+    * centroids → one corpus assignment (argmax cosine) → per-dim means of
+    * the NORMALIZED members v/‖v‖ (map-side-combined agg, k×dim rows
+    * back) → renormalize. Averaging unit vectors — not raw members — is
+    * the true spherical-k-means update: the mean direction maximizes
+    * Σ cos(x, c) over its members, which is what makes the objective
+    * non-decreasing under Lloyd regardless of how heterogeneous the member
+    * norms are. Empty clusters keep their previous centroid. Returns
+    * (trained centroid relation, per-round objective Σ max-cos —
+    * non-decreasing, asserted in OperatorsSpec).
+    *
+    * `mat` controls how the per-round assignment is pinned: `Local` for
+    * single-node runs, `Table` for cluster runs where executor loss must
+    * recompute from storage instead of killing the training job.
     */
   def kmeansTrain(spark: SparkSession, dir: String, k: Int = 16,
-                  iters: Int = 5): (DataFrame, Seq[Double]) = {
+                  iters: Int = 5,
+                  mat: Materialize = Materialize.Local): (DataFrame, Seq[Double]) = {
     import spark.implicits._
-    val e = prepared(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
-      .localCheckpoint(eager = true)
+    val e = mat(prepared(spark, dir).select(col("vec_id"), col("v"), col("nrm")))
     var cents: Map[Int, Array[Double]] = e.filter(col("vec_id") < k)
       .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
       .collect().map { case (id, v) => id.toInt -> v.toArray }.toMap
@@ -346,12 +357,13 @@ object VectorOps {
       val best = e.join(cDf)
         .withColumn("c_sim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
         .withColumn("__rn", row_number().over(aw)).filter(col("__rn") === 1)
-        .select(col("vec_id"), col("centroid_id"), col("c_sim"), col("v"))
-        .localCheckpoint(eager = true)
-      objective += best.agg(sum(col("c_sim"))).head().getDouble(0)
-      val means = best
-        .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("centroid_id"), col("dim")).agg(avg(col("x")).as("m"))
+        .select(col("vec_id"), col("centroid_id"), col("c_sim"), col("v"), col("nrm"))
+      val pinned = mat(best)
+      objective += pinned.agg(sum(col("c_sim"))).head().getDouble(0)
+      val means = pinned
+        .select(col("centroid_id"), col("nrm"), posexplode(col("v")).as(Seq("dim", "x")))
+        // spherical update: mean of UNIT vectors x/‖x‖, not raw members
+        .groupBy(col("centroid_id"), col("dim")).agg(avg(col("x") / col("nrm")).as("m"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (cid, rows) =>
@@ -385,13 +397,14 @@ object VectorOps {
     * blocks × k × (dim/blocks) doubles on the driver — the bounded
     * train-loop contract of [[kmeansTrain]]. Returns the
     * (cid, block, cv) relation [[annPqWith]] consumes plus the per-block
-    * objective traces (Σ score, non-decreasing under Lloyd).
+    * objective traces (Σ score, non-decreasing under Lloyd). `mat` as in
+    * [[kmeansTrain]]: `Table` is the cluster-survivable posture.
     */
   def pqTrainCodebook(spark: SparkSession, dir: String, blocks: Int = 4,
-                      k: Int = 16, iters: Int = 4): (DataFrame, Seq[Seq[Double]]) = {
+                      k: Int = 16, iters: Int = 4,
+                      mat: Materialize = Materialize.Local): (DataFrame, Seq[Seq[Double]]) = {
     import spark.implicits._
-    val sv = pqSubVectors(prepared(spark, dir), "vec_id", blocks)
-      .localCheckpoint(eager = true)
+    val sv = mat(pqSubVectors(prepared(spark, dir), "vec_id", blocks))
     var books: Map[(Int, Int), Array[Double]] = sv.filter(col("vec_id") < k)
       .select(col("vec_id"), col("block"), col("sv"))
       .as[(Long, Int, Seq[Double])].collect()
@@ -409,10 +422,10 @@ object VectorOps {
           dot(col("sv"), col("cv")) - lit(0.5) * dot(col("cv"), col("cv")))
         .withColumn("__rn", row_number().over(aw)).filter(col("__rn") === 1)
         .select(col("block"), col("cid"), col("score"), col("sv"))
-        .localCheckpoint(eager = true)
-      best.groupBy(col("block")).agg(sum(col("score")).as("s"))
+      val pinned = mat(best)
+      pinned.groupBy(col("block")).agg(sum(col("score")).as("s"))
         .collect().foreach(r => traces(r.getInt(0)) += r.getDouble(1))
-      val means = best
+      val means = pinned
         .select(col("block"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
         .groupBy(col("block"), col("cid"), col("dim")).agg(avg(col("x")).as("m"))
         .collect()
@@ -434,6 +447,7 @@ object VectorOps {
     */
   def annPqWith(e: DataFrame, codebook: DataFrame, nQueries: Int, kNn: Int,
                 blocks: Int): DataFrame = {
+    requireCodebookBlocks(codebook, blocks)
     val cb = broadcast(codebook)
     val corpusSub = pqSubVectors(e, "vec_id", blocks)
     val aw = Window.partitionBy(col("vec_id"), col("block"))
@@ -561,6 +575,22 @@ object VectorOps {
     * (id, block, sub-vector) — shared by the PQ assign and search halves so
     * the block layout can never diverge between them.
     */
+  /** Guard for operators taking an EXTERNAL trained codebook: one trained
+    * with a different `blocks` would otherwise join to nothing and silently
+    * produce null block scores and a null adc_score. The distinct is one
+    * tiny job over a k×blocks relation (always broadcast-bound).
+    */
+  private def requireCodebookBlocks(codebook: DataFrame, blocks: Int): Unit = {
+    require(Set("cid", "block", "cv").subsetOf(codebook.columns.toSet),
+      s"codebook must have columns (cid, block, cv); " +
+      s"got (${codebook.columns.mkString(", ")})")
+    val got = codebook.select(col("block")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    require(got == (0 until blocks),
+      s"codebook covers blocks ${got.mkString("[", ", ", "]")} but the query " +
+      s"expects 0..${blocks - 1} — was it trained with a different `blocks`?")
+  }
+
   private def pqSubVectors(df: DataFrame, idCol: String, blocks: Int): DataFrame = {
     val dim = 64 // embeddings table width (TESTDATA.md)
     require(dim % blocks == 0, s"dim $dim not divisible by $blocks blocks")
@@ -1014,7 +1044,9 @@ object VectorOps {
         dot(col("sv"), col("cv")).as("s")))
     val base = broadcast(e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      .crossJoin(cents)
+      // nQueries × k rows; broadcast the CENTROID side explicitly so the
+      // cross product is plan-stable (BroadcastNestedLoop) without AQE
+      .crossJoin(broadcast(cents))
       .select(col("q_id"), col("centroid_id"), dot(col("qv"), col("cv")).as("sbase")))
     val qProbes = queryProbes(e, nQueries, kCentroids, nProbe)
       .select(col("q_id"), col("q_cent"))

@@ -39,4 +39,40 @@ class MaterializeSpec extends SparkSuite {
     val table = VectorOps.kmeansStep(spark, sf(), mat = Materialize.Table(dir))
     assert(rows(table) == rows(local))
   }
+
+  test("training loops run through the Table path: identical output, objective intact") {
+    // the r7 carry-over: kmeansTrain / pqTrainCodebook hard-coded
+    // localCheckpoint — on a cluster one lost executor killed a training
+    // run. Both must take the strategy and produce identical state.
+    val dir = Files.createTempDirectory("graft-mat-train").toString
+    val (cLocal, objLocal) = VectorOps.kmeansTrain(spark, sf(), k = 4, iters = 2)
+    val (cTable, objTable) = VectorOps.kmeansTrain(spark, sf(), k = 4, iters = 2,
+      mat = Materialize.Table(s"$dir/km"))
+    assert(rows(cTable) == rows(cLocal))
+    assert(objTable == objLocal)
+    objTable.sliding(2).foreach { case Seq(a, b) => assert(b >= a - 1e-9) case _ => }
+
+    val (bLocal, trLocal) = VectorOps.pqTrainCodebook(spark, sf(), blocks = 2, k = 4, iters = 2)
+    val (bTable, trTable) = VectorOps.pqTrainCodebook(spark, sf(), blocks = 2, k = 4, iters = 2,
+      mat = Materialize.Table(s"$dir/pq"))
+    assert(rows(bTable) == rows(bLocal))
+    assert(trTable == trLocal)
+    assert(new java.io.File(s"$dir/km").listFiles().exists(_.getName.startsWith("mat-")))
+  }
+
+  test("external-relation ANN operators refuse a mismatched codebook loudly") {
+    import spark.implicits._
+    // codebook trained with blocks=2 fed to a blocks=4 query must throw,
+    // not silently null every adc_score (ADVICE r7)
+    val (book2, _) = VectorOps.pqTrainCodebook(spark, sf(), blocks = 2, k = 4, iters = 1)
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    intercept[IllegalArgumentException] {
+      VectorOps.annRecallPqWith(spark, sf(), book2, blocks = 4)
+    }
+    // centroid relation missing cn: same contract
+    val badCents = Seq((0, Seq(1.0, 0.0))).toDF("centroid_id", "cv")
+    intercept[IllegalArgumentException] {
+      VectorOps.annIvfMultiWith(e, badCents, nQueries = 2, kNn = 2, nProbe = 1)
+    }
+  }
 }
