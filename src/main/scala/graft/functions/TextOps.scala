@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Exprs, Materialize, Tables}
+import graft.plans.BloomJoin
 
 /** Text-analysis + document-dedup operators for a large-scale training-data
   * pipeline (builder brief: dedup / quality / language-ID / token counting /
@@ -1240,30 +1241,46 @@ object TextOps {
     * `width`-word segments standing in for lines because the synthetic
     * corpus has no newline structure.
     *
-    * Scale shape: posexplode → one map-side-combined hash agg for segment
-    * frequencies → equi-join back on the segment key → per-doc re-assembly
-    * via sort-free `array_sort(collect_list(struct(pos, seg)))` (the
-    * collect is bounded by a document's own segment count, never by the
-    * corpus). Two shuffles total (segment key, doc_id) at any scale; no
-    * window over the full corpus, no driver state.
+    * Scale shape: posexplode → one map-side-combined hash agg, REDUCED to
+    * the duplicate set (`n >= 2`) — the n==1/n>1 bit is the whole signal,
+    * so the join target is the duplicated segments, a tiny fraction of the
+    * frequency table on any real corpus. A bloom sketch of that set
+    * ([[graft.plans.BloomJoin.bloomFlag]]) routes segments it PROVES
+    * unique (no false negatives) straight to the output; only sketch hits
+    * pay the exact equi-join that discharges false positives. Per-doc
+    * re-assembly via sort-free `array_sort(collect_list(struct(pos, seg)))`
+    * (the collect is bounded by a document's own segment count, never by
+    * the corpus). At 100 TB the second full-corpus shuffle of the naive
+    * segs⋈freq join collapses to a shuffle of the duplicate hits only.
     */
-  def segmentDedup(spark: SparkSession, dir: String, width: Int = 5): DataFrame = {
+  def segmentDedup(spark: SparkSession, dir: String, width: Int = 5,
+                   mat: Materialize = Materialize.Local): DataFrame = {
     // ceil(n/width) segments; slice() tolerates a short tail segment
     val segments = expr(
       s"""transform(sequence(0, (size(words) + ${width - 1}) div $width - 1),
          |  i -> concat_ws(' ', slice(words, i * $width + 1, $width)))""".stripMargin)
     val segs = prepared(spark, dir)
       .select(col("doc_id"), posexplode(segments).as(Seq("pos", "seg")))
-    val freq = segs.groupBy(col("seg")).agg(count(lit(1)).as("n"))
-    segs.join(freq, "seg")
+    // pinned: consumed by the sketch build (eager) and the exact join
+    val dups = mat(segs.groupBy(col("seg")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("seg")))
+    val flagged = BloomJoin.bloomFlag(segs, "seg", dups, "seg", "might",
+      expectedItems = math.max(dups.count(), 1L))
+    val clear = flagged.filter(!col("might"))
+      .select(col("doc_id"), col("pos"), col("seg"), lit(false).as("dup"))
+    val resolved = flagged.filter(col("might"))
+      .join(dups.withColumn("__d", lit(true)), Seq("seg"), "left")
+      .select(col("doc_id"), col("pos"), col("seg"),
+        coalesce(col("__d"), lit(false)).as("dup"))
+    clear.unionByName(resolved)
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_segs"),
-        count(when(col("n") === 1, lit(1))).as("n_kept"),
+        count(when(!col("dup"), lit(1))).as("n_kept"),
         // when() without otherwise → null for dropped segs; collect_list
         // skips nulls, array_sort orders by pos (first struct field)
         array_join(
-          expr("transform(array_sort(collect_list(CASE WHEN n = 1 THEN struct(pos, seg) END)), x -> x.seg)"),
+          expr("transform(array_sort(collect_list(CASE WHEN NOT dup THEN struct(pos, seg) END)), x -> x.seg)"),
           " ").as("text_dedup"))
       .orderBy(col("doc_id"))
   }

@@ -49,6 +49,27 @@ object BloomJoin {
       new XxHash64(Seq(ColumnBridge.expression(col(factKey)))))))
   }
 
+  /** `facts` with an extra boolean `flagName`: whether `factKey` MIGHT be
+    * in `dim`'s `dimKey` set. A bloom sketch has no false negatives, so
+    * `false` PROVES absence — callers can route proven-absent rows around
+    * the exact join entirely (the segment-dedup fast path), paying the
+    * shuffle only for the sketch's hits. An empty build side flags every
+    * row false.
+    */
+  def bloomFlag(facts: DataFrame, factKey: String,
+                dim: DataFrame, dimKey: String, flagName: String,
+                expectedItems: Long = 1000000L): DataFrame = {
+    val buildAgg = new BloomFilterAggregate(
+      new XxHash64(Seq(ColumnBridge.expression(col(dimKey)))),
+      expectedItems).toAggregateExpression()
+    val sketch = dim.select(ColumnBridge.column(buildAgg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    if (sketch == null) facts.withColumn(flagName, lit(false))
+    else facts.withColumn(flagName, ColumnBridge.column(BloomFilterMightContain(
+      Literal.create(sketch, BinaryType),
+      new XxHash64(Seq(ColumnBridge.expression(col(factKey)))))))
+  }
+
   /** Exact inner equi-join, bloom-prefiltered: semantics of
     * `facts JOIN dim ON factKey = dimKey`, with the fact side pruned by the
     * sketch before it reaches the join's shuffle. When both sides use the

@@ -143,6 +143,11 @@ class PlanAuditSpec extends SparkSuite {
       s"segment re-assembly must not add a global sort:\n$plan")
     assert(!plan.contains("Window"),
       s"re-assembly must use the bounded collect_list agg, not a window:\n$plan")
+    // the bloom fast path: segments the sketch proves unique skip the
+    // duplicate join entirely; the probe runs as a codegen'd filter in
+    // both the clear branch (negated) and the suspect branch
+    assert(plan.contains("might_contain"),
+      s"bloom probe missing from segment dedup:\n$plan")
   }
 
   test("d_lm_bits: the corpus total joins as a broadcast, never a shuffle") {
