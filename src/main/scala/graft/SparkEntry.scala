@@ -250,7 +250,8 @@ object SparkEntry {
     "mm_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir).orderBy(col("media_id"))),
     "mm_frames" -> ((s, dir) =>
       Multimodal.frameSample(s, dir).orderBy(col("media_id"), col("frame_idx"))),
-    "mm_resize" -> ((s, dir) => Multimodal.resizePlan(s, dir).orderBy(col("media_id")))
+    "mm_resize" -> ((s, dir) => Multimodal.resizePlan(s, dir).orderBy(col("media_id"))),
+    "mm_pixels" -> ((s, dir) => Multimodal.pixelStats(s, dir))
   )
 
   /** DuckDB SQL mirrors. Column names/aliases match the Spark side exactly
@@ -619,7 +620,8 @@ object SparkEntry {
       "v_kmeans_step" -> VectorOps.kmeansStepSql(),
       "mm_meta" -> Multimodal.mediaMetaSql,
       "mm_frames" -> Multimodal.frameSampleSql(),
-      "mm_resize" -> Multimodal.resizePlanSql()
+      "mm_resize" -> Multimodal.resizePlanSql(),
+      "mm_pixels" -> Multimodal.pixelStatsSql()
     )
   }
 }

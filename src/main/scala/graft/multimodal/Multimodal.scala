@@ -256,6 +256,93 @@ object Multimodal {
        |  FROM documents WHERE doc_id % 3 = 0)
        |ORDER BY media_id""".stripMargin
 
+  /** The REAL pixel path, end to end: per image, synthesize formula pixels
+    * → [[Bmp.encode]] to actual 24bpp BMP bytes → [[Bmp.decode]] those
+    * bytes back (a genuine container parse: offsets, bottom-up rows, BGR,
+    * padding) → [[Bmp.resizeNearest]] into the target box with the same
+    * round-half-up geometry as [[resizePlan]] → a position-weighted
+    * channel checksum over the RESIZED pixels.
+    *
+    * Differentially strong by construction: the DuckDB oracle never sees a
+    * byte — it recomputes the same checksum from the pixel formula plus
+    * the integer-exact nearest-neighbor index mapping
+    * `sx = (2x+1)·srcW / (2·outW)`. Any defect in the codec round-trip
+    * (row order, BGR swap, stride padding) or the resampler shifts the
+    * checksum and fails the hash compare.
+    *
+    * Scale shape: one `mapPartitions` pass, all pixel work row-local, no
+    * shuffle before the presentation orderBy; images are bounded at
+    * 16×12×3 bytes so executor memory is flat.
+    */
+  def pixelStats(spark: SparkSession, dir: String, box: Int = 8): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(col("doc_id") % 3 === 0)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 16).toInt + 1
+          val h = (id % 12).toInt + 1
+          val rgb = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = (y * w + x) * 3
+              rgb(p) = ((id + 7L * x + 13L * y) % 256).toByte
+              rgb(p + 1) = ((x.toLong * y + id) % 256).toByte
+              rgb(p + 2) = ((x + y) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          val bytes = Bmp.encode(w, h, rgb)
+          val (dw, dh, drgb) = Bmp.decode(bytes)
+            .getOrElse(sys.error(s"undecodable BMP for media $id"))
+          val m = math.max(dw, dh)
+          val outW = math.max((2 * dw * box + m) / (2 * m), 1)
+          val outH = math.max((2 * dh * box + m) / (2 * m), 1)
+          val rs = Bmp.resizeNearest(dw, dh, drgb, outW, outH)
+          var check = 0L
+          var yy = 0
+          while (yy < outH) {
+            var xx = 0
+            while (xx < outW) {
+              val p = (yy * outW + xx) * 3
+              check += ((rs(p) & 0xff) + 2 * (rs(p + 1) & 0xff) +
+                3 * (rs(p + 2) & 0xff)).toLong * (xx + 1) * (yy + 1)
+              xx += 1
+            }
+            yy += 1
+          }
+          (id, outW, outH, check)
+        }
+      }.toDF("media_id", "out_w", "out_h", "px_check")
+      .orderBy("media_id")
+  }
+
+  def pixelStatsSql(box: Int = 8): String =
+    s"""WITH imgs AS (
+       |  SELECT doc_id AS media_id,
+       |    doc_id % 16 + 1 AS w, doc_id % 12 + 1 AS h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |dims AS (
+       |  SELECT media_id, w, h,
+       |    greatest((2 * w * $box + greatest(w, h)) // (2 * greatest(w, h)), 1) AS out_w,
+       |    greatest((2 * h * $box + greatest(w, h)) // (2 * greatest(w, h)), 1) AS out_h
+       |  FROM imgs),
+       |px AS (
+       |  SELECT media_id, out_w, out_h, x, y,
+       |    (2 * x + 1) * w // (2 * out_w) AS sx,
+       |    (2 * y + 1) * h // (2 * out_h) AS sy
+       |  FROM dims, unnest(range(0, out_w)) AS tx(x), unnest(range(0, out_h)) AS ty(y))
+       |SELECT media_id,
+       |  CAST(out_w AS INT) AS out_w, CAST(out_h AS INT) AS out_h,
+       |  CAST(sum(((media_id + 7 * sx + 13 * sy) % 256
+       |        + 2 * ((sx * sy + media_id) % 256)
+       |        + 3 * ((sx + sy) % 256)) * (x + 1) * (y + 1)) AS BIGINT) AS px_check
+       |FROM px GROUP BY media_id, out_w, out_h ORDER BY media_id""".stripMargin
+
   def frameSampleSql(frameBytes: Int = 1000): String =
     s"""SELECT media_id, frame_idx, frame_idx * $frameBytes AS byte_offset, byte_len
        |FROM (

@@ -116,6 +116,67 @@ class OperatorsSpec extends SparkSuite {
     assert(out(3L).format == "unknown")
   }
 
+  test("bmp codec: encode/decode round-trips exact pixels; padding and row orders honored") {
+    import graft.multimodal.Bmp
+    // 3×2 RGB fixture — width 3 ⇒ 9 pixel bytes per row, padded to 12
+    val rgb = Array.tabulate(3 * 2 * 3)(i => (i * 7 + 3).toByte)
+    val bytes = Bmp.encode(3, 2, rgb)
+    assert(bytes(0) == 'B' && bytes(1) == 'M')
+    assert(bytes.length == 14 + 40 + 12 * 2, "stride must pad rows to 4 bytes")
+    val (w, h, back) = Bmp.decode(bytes).get
+    assert((w, h) == (3, 2))
+    assert(back.toSeq == rgb.toSeq, "bottom-up BGR file bytes → exact top-down RGB")
+    // the header tier agrees with the pixel tier on dimensions
+    val hd = Multimodal.HeaderDecoder.decode(Multimodal.MediaRecord(9L, "image", bytes, 0, 0))
+    assert(hd.format == "bmp" && hd.width == 3 && hd.height == 2)
+    // TOP-DOWN variant (negative height): same image, file rows not flipped
+    val td = bytes.clone()
+    java.nio.ByteBuffer.wrap(td).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(22, -2)
+    val row0 = bytes.slice(54, 66); val row1 = bytes.slice(66, 78)
+    System.arraycopy(row1, 0, td, 54, 12); System.arraycopy(row0, 0, td, 66, 12)
+    assert(Bmp.decode(td).get._3.toSeq == rgb.toSeq)
+    // loud refusals: truncated pixel data, non-24bpp
+    assert(Bmp.decode(bytes.take(60)).isEmpty)
+    val bad = bytes.clone(); bad(28) = 8; assert(Bmp.decode(bad).isEmpty)
+  }
+
+  test("bmp resize: nearest-neighbor pixel-center mapping produces exact pixels") {
+    import graft.multimodal.Bmp
+    // 2×2 distinct-color image: R G / B W
+    val rgb = Array(
+      255, 0, 0,   0, 255, 0,
+      0, 0, 255,   255, 255, 255).map(_.toByte)
+    // identity is a no-op
+    assert(Bmp.resizeNearest(2, 2, rgb, 2, 2).toSeq == rgb.toSeq)
+    // 2×2 → 4×4: sx = (2x+1)·2/8 = 0,0,1,1 — each quadrant replicates its source
+    val up = Bmp.resizeNearest(2, 2, rgb, 4, 4)
+    def px(a: Array[Byte], w: Int, x: Int, y: Int): Seq[Int] =
+      a.slice((y * w + x) * 3, (y * w + x) * 3 + 3).map(_ & 0xff).toSeq
+    assert(px(up, 4, 0, 0) == Seq(255, 0, 0) && px(up, 4, 1, 1) == Seq(255, 0, 0))
+    assert(px(up, 4, 2, 0) == Seq(0, 255, 0) && px(up, 4, 3, 1) == Seq(0, 255, 0))
+    assert(px(up, 4, 0, 2) == Seq(0, 0, 255) && px(up, 4, 1, 3) == Seq(0, 0, 255))
+    assert(px(up, 4, 2, 2) == Seq(255, 255, 255) && px(up, 4, 3, 3) == Seq(255, 255, 255))
+    // 4×4 → 2×2 picks pixel centers: sx = (2x+1)·4/4 = 1,3 (odd coordinates)
+    val grid = Array.tabulate(4 * 4 * 3) { i =>
+      val p = i / 3; ((p % 4) * 16 + (p / 4)).toByte // value encodes (x, y)
+    }
+    val down = Bmp.resizeNearest(4, 4, grid, 2, 2)
+    assert(px(down, 2, 0, 0) == Seq(1 * 16 + 1, 1 * 16 + 1, 1 * 16 + 1))
+    assert(px(down, 2, 1, 1) == Seq(3 * 16 + 3, 3 * 16 + 3, 3 * 16 + 3))
+  }
+
+  test("mm_pixels: full byte path on testdata — decoded dims bind to the box") {
+    val rows = Multimodal.pixelStats(spark, sf(), box = 8).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h) = (r.getInt(1), r.getInt(2))
+      assert(w <= 8 && h <= 8 && (w == 8 || h == 8),
+        s"resize must bind the larger dimension to the box: ${w}x$h")
+      assert(r.getLong(3) >= 0) // media_id 0 is a legitimate all-zero 1×1 pixel
+    }
+    assert(rows.exists(_.getLong(3) > 0))
+  }
+
   test("multimodal stub decode: deterministic features via mapPartitions") {
     val feats = Multimodal.extractFeatures(spark, sf()).collect()
     assert(feats.nonEmpty)
