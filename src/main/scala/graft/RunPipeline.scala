@@ -49,16 +49,41 @@ object RunPipeline {
       RadiationPipeline.debugConsole(
         RadiationPipeline.validate(RadiationPipeline.parse(raw)))
     }
+    // S9 serving fold: snapshot fed from inside the pipeline epoch, served
+    // over HTTP beside the sinks (the reference's WebSocket backend analog)
+    val snap = new streaming.Serve.Snapshot(cap = 50)
+    val speed = new java.util.concurrent.atomic.AtomicReference[java.lang.Double](1.0)
+    val server = streaming.Serve.http(snap, speed)
     val q = RadiationPipeline.run(raw, s"$workDir/out", s"$workDir/ckpt",
-      Readings.Thresholds(danger = 400.0))
+      Readings.Thresholds(danger = 400.0),
+      onEpoch = streaming.Serve.foldEpoch(_, snap))
     q.awaitTermination(300000)
     console.foreach { c => c.processAllAvailable(); c.stop() }
+
+    // poll our own endpoint — the demo proves the serve path end to end
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    def get(url: String): String = {
+      val c = java.net.URI.create(url).toURL.openConnection()
+      new String(c.getInputStream.readAllBytes(), "UTF-8")
+    }
+    val served = get(s"$base/api/snapshot")
+    val (nServed, cServed) = snap.counts
+    // the reference's speed-control POST round-trips through the same server
+    val post = java.net.URI.create(s"$base/api/playback_speed").toURL
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    post.setRequestMethod("POST"); post.setDoOutput(true)
+    post.getOutputStream.write("""{"playback_speed": 2.5}""".getBytes("UTF-8"))
+    val speedResp = new String(post.getInputStream.readAllBytes(), "UTF-8")
+    server.stop(0)
 
     val counts = Seq("normal-data", "critical-data", "dirty-data").map { t =>
       val n = try spark.read.parquet(s"$workDir/out/$t").count() catch { case _: Throwable => 0L }
       s""""$t":$n"""
     }
-    println(s"""{"pipeline":"radiation","sf":"$sfDir",${counts.mkString(",")}}""")
+    println(s"""{"pipeline":"radiation","sf":"$sfDir",${counts.mkString(",")},""" +
+      s""""served-normal":$nServed,"served-critical":$cServed,""" +
+      s""""served-bytes":${served.length},"speed":${speed.get}}""")
+    assert(speedResp.contains("2.5"))
     spark.stop()
   }
 }

@@ -354,8 +354,10 @@ object RadiationPipeline {
     * the tests do exactly this.
     */
   def run(raw: DataFrame, outDir: String, checkpointDir: String,
-          t: Thresholds = Thresholds(), bounded: Boolean = true): StreamingQuery =
-    runRouted(raw, Transport.Dir(inPath = "", outPath = outDir), checkpointDir, t, bounded)
+          t: Thresholds = Thresholds(), bounded: Boolean = true,
+          onEpoch: Routed => Unit = _ => ()): StreamingQuery =
+    runRouted(raw, Transport.Dir(inPath = "", outPath = outDir), checkpointDir, t, bounded,
+      onEpoch = onEpoch)
 
   /** Shared tail of both `run` overloads: transforms + one foreachBatch
     * epoch routed through [[writeEpoch]]. foreachBatch is at-least-once —
@@ -367,7 +369,8 @@ object RadiationPipeline {
                         watermark: String = "5 seconds",
                         window_ : String = "1 second",
                         annotate: Boolean = true,
-                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+                        trigger: Trigger = Trigger.AvailableNow(),
+                        onEpoch: Routed => Unit = _ => ()): StreamingQuery = {
     val finalStream = withCohort(validate(parse(raw), thresholds),
       watermark = watermark, bounded = bounded, window_ = window_,
       annotate = annotate)
@@ -375,7 +378,11 @@ object RadiationPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        writeEpoch(route(batch.cache()), epochId, t)
+        val routed = route(batch.cache())
+        writeEpoch(routed, epochId, t)
+        // serving fold (S9): runs in the SAME epoch as the sinks, so a
+        // served snapshot reflects exactly the delivered records
+        onEpoch(routed)
         batch.unpersist()
         ()
       }

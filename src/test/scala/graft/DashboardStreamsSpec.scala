@@ -135,6 +135,51 @@ class DashboardStreamsSpec extends SparkSuite {
     assert(after2.toSeq == Seq("c18", "k30"))
   }
 
+  test("S9 serving fold: epoch hook fills the snapshot; HTTP serves it and accepts speed POST") {
+    import graft.streaming.Serve
+    val dir = java.nio.file.Files.createTempDirectory("graft_serve").toString
+    def full(ct: String, v: Double, lat: Double = 35.6): String =
+      s"""{"captured_time": "$ct", "latitude": $lat, "longitude": 139.7, "value": $v, "unit": "cpm", "ingestion_timestamp": 1}"""
+    val in = MemoryStream[String]
+    in.addData(
+      full("2011-03-15 10:00:00", v = 42),   // normal
+      full("2011-03-15 10:00:00", v = 1500), // critical
+      full("2011-03-15 10:10:00", v = 7))    // watermark pusher
+    val snap = new Serve.Snapshot(cap = 10)
+    val q = RadiationPipeline.run(in.toDF(), s"$dir/out", s"$dir/ckpt",
+      graft.operators.Readings.Thresholds(),
+      onEpoch = Serve.foldEpoch(_, snap))
+    q.awaitTermination(60000)
+    val (n, c) = snap.counts
+    assert(n == 1 && c == 1, s"snapshot counts ($n, $c)")
+    // served JSON carries the reference's data_priority tagging
+    assert(snap.toJson.contains(""""data_priority":"critical""""))
+    assert(snap.toJson.contains(""""data_priority":"normal""""))
+
+    val speed = new java.util.concurrent.atomic.AtomicReference[java.lang.Double](1.0)
+    var forwarded = Seq.empty[Double]
+    val srv = Serve.http(snap, speed, onSpeed = v => forwarded :+= v)
+    try {
+      val base = s"http://127.0.0.1:${srv.getAddress.getPort}"
+      def get(u: String) = new String(
+        java.net.URI.create(u).toURL.openConnection().getInputStream.readAllBytes(), "UTF-8")
+      val body = get(s"$base/api/snapshot")
+      assert(body.startsWith("""{"normal":[""") && body.contains("critical"))
+      val post = java.net.URI.create(s"$base/api/playback_speed").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      post.setRequestMethod("POST"); post.setDoOutput(true)
+      post.getOutputStream.write("""{"playback_speed": 0.5}""".getBytes("UTF-8"))
+      assert(new String(post.getInputStream.readAllBytes(), "UTF-8").contains("0.5"))
+      assert(speed.get == 0.5 && forwarded == Seq(0.5))
+      // malformed POST refuses with 400, exactly one update forwarded
+      val bad = java.net.URI.create(s"$base/api/playback_speed").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      bad.setRequestMethod("POST"); bad.setDoOutput(true)
+      bad.getOutputStream.write("""{"nope": 1}""".getBytes("UTF-8"))
+      assert(bad.getResponseCode == 400 && forwarded.size == 1)
+    } finally srv.stop(0)
+  }
+
   test("GraftExtensions registers dot_product for SQL") {
     // getOrCreate reuses the suite session, so exercise the live-session path
     graft.plans.GraftExtensions.register(spark)
