@@ -96,26 +96,54 @@ object Bpe {
 
   /** Tokenize: apply an ordered merge table to a relation with a string
     * column `w` — the APPLY side of the trained tokenizer. Merges fold in
-    * training order (BPE's contract); each application is the same pure
-    * array-fold expression — zero shuffle, corpus-parallel, no UDF.
+    * training order (BPE's contract) — zero shuffle, corpus-parallel, no
+    * UDF, and production-vocab-sized: the merge table ships as ONE
+    * array-of-structs literal and folds with a doubly-nested `aggregate()`
+    * (outer loop over merges, inner fuse-scan over symbols), so the
+    * expression tree is CONSTANT-depth regardless of merge count — a 30k
+    * merge tokenizer is the same two-level plan as a 3-merge one, applied
+    * in a single pass with no mid-apply materialization.
     *
-    * Depth contract: each merge adds one nested `aggregate()` level to the
-    * projection, so the expression tree grows linearly with the merge
-    * table. That is fine for the bounded tables this trainer produces
-    * (`maxMerges` guards it); a production-vocab apply (tens of thousands
-    * of merges) needs a different mechanism — iterate in checkpointed
-    * batches, or ship the merge table as a broadcast relation consumed by
-    * a single custom expression — and refuses loudly here instead of
-    * overflowing codegen.
+    * Per-merge guard: the inner fuse-scan (which allocates arrays) only
+    * runs when BOTH symbols are present in the current array
+    * (`array_contains` — O(len), allocation-free); for a real vocabulary
+    * almost all of the 30k merges are absent from any given word, so the
+    * common case per merge is two flat scans. At corpus scale, apply this
+    * over `select(distinct w)` and join back — BPE is a pure word
+    * function, so the work is |vocab|, not |corpus|.
     */
-  def segmentWords(df: DataFrame, merges: Seq[(String, String)],
-                   maxMerges: Int = 200): DataFrame = {
-    require(merges.size <= maxMerges,
-      s"${merges.size} merges would nest ${merges.size} aggregate() levels " +
-      s"in one projection (codegen/stack limit); apply in batches of ≤ $maxMerges " +
-      "with a localCheckpoint between, or raise maxMerges deliberately")
+  def segmentWords(df: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val mt = typedLit(merges.map { case (a, b) => (a, b, a + b) })
+    df.withColumn("graft_mt", mt)
+      .withColumn("syms", expr(
+        s"""aggregate(graft_mt, $charsExpr, (acc, mg) ->
+           |  CASE WHEN array_contains(acc, mg._1) AND array_contains(acc, mg._2)
+           |    THEN aggregate(acc, cast(array() as array<string>), (a2, x) ->
+           |      CASE WHEN size(a2) > 0 AND element_at(a2, -1) = mg._1 AND x = mg._2
+           |           THEN concat(slice(a2, 1, size(a2) - 1), array(mg._3))
+           |           ELSE concat(a2, array(x)) END)
+           |    ELSE acc END)""".stripMargin))
+      .drop("graft_mt")
+  }
+
+  /** Reference apply path: one nested `aggregate()` level PER merge, folded
+    * in checkpointed batches of `batchSize` (each batch is one projection;
+    * `mat` truncates plan/codegen between batches). Semantically identical
+    * to [[segmentWords]] by construction — the spec asserts it at 1000+
+    * merges — but costs one materialization per batch, so the flat
+    * single-pass [[segmentWords]] is the production path; this stays as
+    * the independent implementation the identity test checks against.
+    */
+  private[graft] def segmentWordsNested(df: DataFrame, merges: Seq[(String, String)],
+                                        batchSize: Int = 200,
+                                        mat: graft.Materialize = graft.Materialize.Local): DataFrame = {
+    require(batchSize >= 1 && batchSize <= 200,
+      s"batchSize $batchSize outside [1, 200]: each merge nests one aggregate() " +
+      "level in the projection, and >200 levels risks codegen/stack limits")
     val init = df.withColumn("syms", expr(charsExpr))
-    merges.foldLeft(init) { case (d, (a, b)) => applyMerge(d, a, b) }
+    merges.grouped(batchSize).foldLeft(init) { (d, batch) =>
+      mat(batch.foldLeft(d) { case (acc, (a, b)) => applyMerge(acc, a, b) })
+    }
   }
 
   /** Train `nMerges` BPE merges. Returns the ordered merge table

@@ -584,6 +584,37 @@ class OperatorsSpec extends SparkSuite {
     assert(batched.merges.map(m => m._2 + m._3) == words)
   }
 
+  test("bpe apply: 1000+ merge table in one constant-depth pass, identical to the batched nested fold") {
+    // a fully-chaining spine — (a,b), (ab,c), (abc,d) … collapses the whole
+    // alphabet word to ONE symbol, so every spine merge depends on the one
+    // before it: ordering bugs in the flat fold cannot hide
+    val alpha = ('a' to 'z').map(_.toString)
+    val spine = alpha.drop(2).scanLeft((alpha.head, alpha(1))) {
+      case ((a, b), c) => (a + b, c)
+    } // ("a","b"), ("ab","c") … ("abcdefghijklmnopqrstuvwxy","z")
+    // pad to >1000 with vocabulary-absent merges INTERLEAVED between the
+    // real ones — the table stays ordered, the guard path gets exercised,
+    // and the depth contract (constant, not linear) is what's under test
+    val padded = spine.zipWithIndex.flatMap { case (m, i) =>
+      m +: (0 until 41).map(j => (s"zz${i}_$j", s"qq${i}_$j"))
+    }
+    assert(padded.size > 1000, s"table only ${padded.size} merges")
+    val words = Seq(alpha.mkString(""), "abcxyz", "zebra", "a").toDF("w")
+    val flat = functions.Bpe.segmentWords(words, padded)
+      .select("w", "syms").as[(String, Seq[String])].collect().toMap
+    // whole alphabet collapses to a single fused symbol through all 25
+    // chained spine merges — proves the late merges actually ran, in order
+    assert(flat(alpha.mkString("")) == Seq(alpha.mkString("")))
+    assert(flat("abcxyz") == Seq("abc", "x", "y", "z"))
+    assert(flat("a") == Seq("a"))
+    // identity against the independent nested-fold path, folded in batches
+    // of 97 (11 batches, materialize between) — the inductive extension of
+    // the ≤200-nesting reference implementation
+    val nested = functions.Bpe.segmentWordsNested(words, padded, batchSize = 97)
+      .select("w", "syms").as[(String, Seq[String])].collect().toMap
+    assert(nested == flat, s"flat/nested divergence: $flat vs $nested")
+  }
+
   test("kmeansTrain: Lloyd objective is non-decreasing; trained centroids don't lose recall") {
     val (trained, obj) = VectorOps.kmeansTrain(spark, sf(), k = 8, iters = 4)
     assert(obj.size == 4)
