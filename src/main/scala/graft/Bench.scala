@@ -60,7 +60,17 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfJson"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfJson"}"""
+    println(line)
+    // The driver's log tail truncates the head of the line, hiding most
+    // per-query timings from round-over-round comparison — so a FULL run
+    // (no subset args) also lands the complete JSON in a committed file.
+    // Dev-loop subset runs skip the write to keep the file = full runs only.
+    if (args.isEmpty) {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

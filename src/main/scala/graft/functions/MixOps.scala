@@ -198,10 +198,70 @@ object MixOps {
   /** Rank documents within each language by the shared quality score and
     * cut into thirds — the CCNet head/middle/tail partitioning. Tier
     * boundaries use integer cross-multiplication (`rnk * 3 <= n`), not a
-    * percent float. One shuffle (by lang); the per-language window holds at
-    * scale because languages are few and skew lands on AQE.
+    * percent float.
+    *
+    * SKEW: a per-language `row_number` window puts an entire language on
+    * ONE reducer, and AQE cannot split a window partition (skew handling
+    * applies to joins only) — with one dominant language that single task
+    * IS the job at 100 TB. So the global per-language rank is computed by
+    * RANGE partitioning instead:
+    *
+    *   1. `repartitionByRange` on (lang, quality_score desc, doc_id) — the
+    *      rank's own total order, so each range partition holds a
+    *      contiguous slice of it and a hot language spans MANY partitions;
+    *   2. per-(partition, lang) counts — tiny (`rangeParts × |langs|`
+    *      rows, the only driver collect, bounded by parameters not data) —
+    *      prefix-summed into the offset each slice starts at;
+    *   3. a local `row_number` window keyed by (partition-id, lang) — every
+    *      window partition is bounded by a range slice, never a language —
+    *      plus the broadcast offset = the exact global rank.
+    *
+    * Output is row-identical to the single-window formulation (the spec
+    * asserts it on a 90%-one-language fixture): ranks derive from the same
+    * total order, only the partitioning differs. `mat` pins the ranged
+    * relation (consumed by both the counts pass and the rank pass).
     */
-  def qualityTiers(spark: SparkSession, dir: String): DataFrame = {
+  def qualityTiers(spark: SparkSession, dir: String, rangeParts: Int = 32,
+                   mat: graft.Materialize = graft.Materialize.Local): DataFrame = {
+    import spark.implicits._
+    val base = TextOps.prepared(spark, dir).select(
+      col("doc_id"), col("lang"), TextOps.qualityScoreE.as("quality_score"))
+    val ranged = mat(base
+      .repartitionByRange(rangeParts, col("lang"), col("quality_score").desc, col("doc_id"))
+      .withColumn("pid", spark_partition_id()))
+    // bounded collect: rangeParts × |langs| rows — partition-slice counts,
+    // never data. Range order == rank order, so offsets are prefix sums
+    // over ascending pid within each lang.
+    val slices = ranged.groupBy("pid", "lang").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val offsets = slices.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+      val byPid = rows.sortBy(_._1)
+      val nLang = byPid.map(_._3).sum
+      var off = 0L
+      byPid.map { case (pid, _, cnt) => val o = off; off += cnt; (pid, lang, o, nLang) }
+    }
+    val offDf = broadcast(offsets.toDF("pid", "lang", "off", "n_lang_l"))
+    val wLocal = Window.partitionBy("pid", "lang")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    ranged
+      .withColumn("r_local", row_number().over(wLocal))
+      .join(offDf, Seq("pid", "lang"))
+      .withColumn("rnk", (col("r_local") + col("off")).cast("int"))
+      .withColumn("n_lang", col("n_lang_l").cast("int"))
+      .withColumn("tier",
+        when(col("rnk") * 3 <= col("n_lang"), "head")
+          .when(col("rnk") * 3 <= col("n_lang") * 2, "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("n_lang"), col("rnk"),
+        col("quality_score"), col("tier"))
+      .orderBy("doc_id")
+  }
+
+  /** The single-window formulation — the reference implementation the
+    * skewed-fixture identity spec checks [[qualityTiers]] against. NOT the
+    * production path: one hot language = one reducer.
+    */
+  private[graft] def qualityTiersWindowed(spark: SparkSession, dir: String): DataFrame = {
     val base = TextOps.prepared(spark, dir).select(
       col("doc_id"), col("lang"), TextOps.qualityScoreE.as("quality_score"))
     val part = Window.partitionBy("lang")
@@ -247,14 +307,40 @@ object MixOps {
     * other sampler's salt) and keep rank ≤ K — the deterministic
     * reservoir-sample counterpart to [[mixRebalance]]'s probabilistic
     * thresholds, for when the contract is a hard cap, not an expected
-    * fraction. One shuffle (by source); per-source windows, and a hot
-    * source is exactly the AQE skew-split case.
+    * fraction.
+    *
+    * SKEW: a per-source window lands a hot source on ONE reducer, and AQE
+    * cannot split a window partition. Because only the top-K of a TOTAL
+    * order (h, doc_id) survives, the window is two-staged instead:
+    * stage 1 spreads each source over `salts` deterministic sub-partitions
+    * (hash of row identity — never a nondeterministic salt, the
+    * SPARK-23207 rule) and keeps top-K per (source, salt); stage 2 ranks
+    * the ≤ `salts × K` survivors per source. Row-identical to the single
+    * window: each true global top-K row ranks ≤ K inside its own salt
+    * bucket (a sub-order of the total order), so stage 1 never drops it,
+    * and every row preceding it also survives, so its stage-2 rank IS its
+    * global rank. Hot-source parallelism ×`salts`; stage-2 partitions are
+    * bounded by `salts × K` rows, never by the data.
     */
-  def capPerSource(spark: SparkSession, dir: String, k: Int = 15): DataFrame = {
+  def capPerSource(spark: SparkSession, dir: String, k: Int = 15,
+                   salts: Int = 8): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     val h = Exprs.hex60(concat(lit("cap:"), col("doc_id").cast("string")))
-    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
-    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
       .withColumn("h", h)
+    val pre =
+      if (salts == 1) base
+      else {
+        val w1 = Window.partitionBy("source", "graft_salt")
+          .orderBy(col("h"), col("doc_id"))
+        base
+          .withColumn("graft_salt", pmod(hash(col("doc_id")), lit(salts)))
+          .withColumn("r1", row_number().over(w1))
+          .filter(col("r1") <= k)
+          .drop("graft_salt", "r1")
+      }
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    pre
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col("source"), col("rnk"))

@@ -615,6 +615,33 @@ class OperatorsSpec extends SparkSuite {
     assert(nested == flat, s"flat/nested divergence: $flat vs $nested")
   }
 
+  test("skewed fixture: ranged qualityTiers and salted capPerSource are row-identical to single-window") {
+    // one language / one source owns 90% of the corpus — the shape where a
+    // plain per-key window serializes onto one reducer at 100 TB. The skew
+    // paths must produce byte-identical rows to the windowed reference.
+    val docs = (1 to 3000).map { i =>
+      val hot = i % 10 != 0
+      val lang = if (hot) "en" else s"l${i % 4}"
+      val src = if (hot) "s0" else s"s${i % 7 + 1}"
+      val text = (s"alpha beta w$i " * (i % 13 + 1)).trim
+      (i.toLong, text, lang, src, text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("skewfix").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    // ranged rank (3 slices — en MUST straddle slice boundaries) vs window
+    val ranged = rows(functions.MixOps.qualityTiers(spark, tmp, rangeParts = 3))
+    val windowed = rows(functions.MixOps.qualityTiersWindowed(spark, tmp))
+    assert(ranged == windowed, "ranged-rank tiers diverge from the windowed reference")
+    // salted two-stage cap (k=5 so stage 1 actually truncates) vs unsalted
+    val salted = rows(functions.MixOps.capPerSource(spark, tmp, k = 5, salts = 8))
+    val plain = rows(functions.MixOps.capPerSource(spark, tmp, k = 5, salts = 1))
+    assert(salted == plain, "salted cap diverges from the single-window reference")
+    assert(salted.size == 5 + 7 * 5, s"cap sizes wrong: ${salted.size}")
+  }
+
   test("kmeansTrain: Lloyd objective is non-decreasing; trained centroids don't lose recall") {
     val (trained, obj) = VectorOps.kmeansTrain(spark, sf(), k = 8, iters = 4)
     assert(obj.size == 4)

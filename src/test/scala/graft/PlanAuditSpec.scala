@@ -89,6 +89,31 @@ class PlanAuditSpec extends SparkSuite {
       s"the corpus must not shuffle for the stats join:\n$plan")
   }
 
+  test("d_quality_tiers: no window keyed by language alone (ranged rank)") {
+    val plan = executedPlan("d_quality_tiers")
+    // the global per-lang rank must come from the range-sliced local window
+    // (keyed by partition-id + lang) — a window keyed by lang alone puts a
+    // hot language on one reducer and AQE cannot split a window partition
+    assert(plan.contains("windowspecdefinition(pid"),
+      s"rank window must be keyed by the range slice:\n$plan")
+    assert(!"windowspecdefinition\\(lang#".r.findFirstIn(plan).isDefined,
+      s"a lang-only window partition reappeared:\n$plan")
+    // slice offsets join back as a broadcast, never a shuffle of the corpus
+    assert(plan.contains("BroadcastHashJoin"),
+      s"slice offsets must broadcast:\n$plan")
+  }
+
+  test("d_cap_per_source: hot sources two-staged through the salted window") {
+    val plan = executedPlan("d_cap_per_source")
+    // stage 1 must window on (source, salt) — the mechanism that spreads a
+    // hot source across `salts` reducers; stage 2's per-source window then
+    // sees at most salts×K rows per source
+    assert(plan.contains("graft_salt"),
+      s"salted pre-window stage missing:\n$plan")
+    assert("windowspecdefinition\\(source#\\d+, graft_salt".r.findFirstIn(plan).isDefined,
+      s"stage-1 window must be keyed by (source, salt):\n$plan")
+  }
+
   test("q_trailing_30d: RANGE frame costs one hash exchange") {
     val plan = executedPlan("q_trailing_30d")
     assert(dataExchanges(plan) == 1,
