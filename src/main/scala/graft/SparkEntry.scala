@@ -251,7 +251,8 @@ object SparkEntry {
     "mm_frames" -> ((s, dir) =>
       Multimodal.frameSample(s, dir).orderBy(col("media_id"), col("frame_idx"))),
     "mm_resize" -> ((s, dir) => Multimodal.resizePlan(s, dir).orderBy(col("media_id"))),
-    "mm_pixels" -> ((s, dir) => Multimodal.pixelStats(s, dir))
+    "mm_pixels" -> ((s, dir) => Multimodal.pixelStats(s, dir)),
+    "mm_pixels_png" -> ((s, dir) => Multimodal.pixelStatsPng(s, dir))
   )
 
   /** DuckDB SQL mirrors. Column names/aliases match the Spark side exactly
@@ -621,7 +622,8 @@ object SparkEntry {
       "mm_meta" -> Multimodal.mediaMetaSql,
       "mm_frames" -> Multimodal.frameSampleSql(),
       "mm_resize" -> Multimodal.resizePlanSql(),
-      "mm_pixels" -> Multimodal.pixelStatsSql()
+      "mm_pixels" -> Multimodal.pixelStatsSql(),
+      "mm_pixels_png" -> Multimodal.pixelStatsPngSql()
     )
   }
 }

@@ -96,9 +96,15 @@ object Bmp {
     val topDown = rawH < 0
     if (width <= 0 || height == 0 || u16(b, 28) != 24 || i32(b, 30) != 0)
       return None
-    val rowLen = stride(width)
-    if (offset < 0 || offset.toLong + rowLen.toLong * height > b.length)
+    // stride in LONG: 3*width wraps negative for a corrupt width near 2^30,
+    // which would defeat the bounds check below and turn the "loud refusal"
+    // contract into a NegativeArraySizeException at the allocation
+    val rowLenL = (3L * width + 3) / 4 * 4
+    if (offset < 0 || offset.toLong + rowLenL * height > b.length)
       return None
+    // implied by the bound above (pixel bytes ≤ rowLen·height ≤ b.length),
+    // so the Int allocations below cannot overflow
+    val rowLen = rowLenL.toInt
     val rgb = new Array[Byte](width * height * 3)
     var y = 0
     while (y < height) {

@@ -321,6 +321,85 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** [[pixelStats]]'s PNG twin: formula pixels → [[Png.encode]] (scanline
+    * filter cycling with a per-image phase, so every image h ≥ 5 runs all
+    * five PNG filter types through the encoder AND the decoder's unfilter
+    * path) → [[Png.decode]] (real zlib inflate + unfilter) →
+    * [[Bmp.resizeNearest]] → position-weighted checksum. The DuckDB oracle
+    * recomputes the checksum from the formulas alone — any defect in
+    * deflate/inflate framing, filter reconstruction (Sub/Up/Average/Paeth),
+    * or RGB projection shifts the hash. Constants differ from the BMP twin
+    * so the two queries cannot mask each other.
+    */
+  def pixelStatsPng(spark: SparkSession, dir: String, box: Int = 7): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(col("doc_id") % 3 === 0)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 14).toInt + 1
+          val h = (id % 10).toInt + 1
+          val rgb = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = (y * w + x) * 3
+              rgb(p) = ((id + 11L * x + 3L * y) % 256).toByte
+              rgb(p + 1) = ((x.toLong * y + 2L * id) % 256).toByte
+              rgb(p + 2) = ((2L * x + 5L * y) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          val bytes = Png.encode(w, h, rgb, filterPhase = (id % 5).toInt)
+          val (dw, dh, drgb) = Png.decode(bytes)
+            .getOrElse(sys.error(s"undecodable PNG for media $id"))
+          val m = math.max(dw, dh)
+          val outW = math.max((2 * dw * box + m) / (2 * m), 1)
+          val outH = math.max((2 * dh * box + m) / (2 * m), 1)
+          val rs = Bmp.resizeNearest(dw, dh, drgb, outW, outH)
+          var check = 0L
+          var yy = 0
+          while (yy < outH) {
+            var xx = 0
+            while (xx < outW) {
+              val p = (yy * outW + xx) * 3
+              check += (3 * (rs(p) & 0xff) + 2 * (rs(p + 1) & 0xff) +
+                (rs(p + 2) & 0xff)).toLong * (xx + 1) * (yy + 1)
+              xx += 1
+            }
+            yy += 1
+          }
+          (id, outW, outH, check)
+        }
+      }.toDF("media_id", "out_w", "out_h", "px_check")
+      .orderBy("media_id")
+  }
+
+  def pixelStatsPngSql(box: Int = 7): String =
+    s"""WITH imgs AS (
+       |  SELECT doc_id AS media_id,
+       |    doc_id % 14 + 1 AS w, doc_id % 10 + 1 AS h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |dims AS (
+       |  SELECT media_id, w, h,
+       |    greatest((2 * w * $box + greatest(w, h)) // (2 * greatest(w, h)), 1) AS out_w,
+       |    greatest((2 * h * $box + greatest(w, h)) // (2 * greatest(w, h)), 1) AS out_h
+       |  FROM imgs),
+       |px AS (
+       |  SELECT media_id, out_w, out_h, x, y,
+       |    (2 * x + 1) * w // (2 * out_w) AS sx,
+       |    (2 * y + 1) * h // (2 * out_h) AS sy
+       |  FROM dims, unnest(range(0, out_w)) AS tx(x), unnest(range(0, out_h)) AS ty(y))
+       |SELECT media_id,
+       |  CAST(out_w AS INT) AS out_w, CAST(out_h AS INT) AS out_h,
+       |  CAST(sum((3 * ((media_id + 11 * sx + 3 * sy) % 256)
+       |        + 2 * ((sx * sy + 2 * media_id) % 256)
+       |        + ((2 * sx + 5 * sy) % 256)) * (x + 1) * (y + 1)) AS BIGINT) AS px_check
+       |FROM px GROUP BY media_id, out_w, out_h ORDER BY media_id""".stripMargin
+
   def pixelStatsSql(box: Int = 8): String =
     s"""WITH imgs AS (
        |  SELECT doc_id AS media_id,

@@ -165,6 +165,78 @@ class OperatorsSpec extends SparkSuite {
     assert(px(down, 2, 1, 1) == Seq(3 * 16 + 3, 3 * 16 + 3, 3 * 16 + 3))
   }
 
+  test("png codec: round-trip exact pixels through every scanline filter; loud refusals") {
+    import graft.multimodal.{Multimodal, Png}
+    // h = 7 ≥ 5 ⇒ every phase runs ALL five filter types; w = 3 keeps
+    // left/up/upper-left neighbors partially absent (the edge cases of
+    // Sub/Average/Paeth)
+    val rgb = Array.tabulate(3 * 7 * 3)(i => (i * 11 + 5).toByte)
+    (0 until 5).foreach { phase =>
+      val bytes = Png.encode(3, 7, rgb, filterPhase = phase)
+      val (w, h, back) = Png.decode(bytes).getOrElse(fail(s"phase $phase refused"))
+      assert((w, h) == (3, 7) && back.toSeq == rgb.toSeq,
+        s"phase $phase corrupted pixels")
+    }
+    // 1×1 (no neighbors at all) and a wider image
+    val one = Array[Byte](1, 2, 3)
+    assert(Png.decode(Png.encode(1, 1, one)).get._3.toSeq == one.toSeq)
+    val wide = Array.tabulate(14 * 10 * 3)(i => (i * 3 + 1).toByte)
+    assert(Png.decode(Png.encode(14, 10, wide, 3)).get._3.toSeq == wide.toSeq)
+    // the header tier agrees with the pixel tier on dimensions
+    val bytes = Png.encode(3, 7, rgb)
+    val hd = Multimodal.HeaderDecoder.decode(Multimodal.MediaRecord(9L, "image", bytes, 0, 0))
+    assert(hd.format == "png" && hd.width == 3 && hd.height == 7)
+    // RGBA (color type 6): alpha dropped, RGB exact — built by hand since
+    // the encoder only emits type 2
+    val rgba = Array.tabulate(2 * 2 * 4)(i => if (i % 4 == 3) 0x80.toByte else (i * 5).toByte)
+    val raw = (0 until 2).flatMap(y => 0.toByte +: rgba.slice(y * 8, y * 8 + 8)).toArray
+    val defl = new java.util.zip.Deflater(); defl.setInput(raw); defl.finish()
+    val zbuf = new Array[Byte](256); val zn = defl.deflate(zbuf); defl.end()
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    def be(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(tag: String, payload: Array[Byte]) = {
+      val crc = new java.util.zip.CRC32
+      val t = tag.getBytes("US-ASCII"); crc.update(t); crc.update(payload)
+      be(payload.length) ++ t ++ payload ++ be(crc.getValue.toInt)
+    }
+    val ihdr = be(2) ++ be(2) ++ Array[Byte](8, 6, 0, 0, 0)
+    val rgbaPng = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zbuf.take(zn)) ++
+      chunk("IEND", Array.emptyByteArray)
+    val (aw, ah, argb) = Png.decode(rgbaPng).getOrElse(fail("rgba refused"))
+    assert((aw, ah) == (2, 2))
+    val expectRgb = (0 until 4).flatMap(p => (0 until 3).map(c => ((p * 4 + c) * 5).toByte))
+    assert(argb.toSeq == expectRgb)
+    // loud refusals: truncated IDAT, palette color type, absurd header width
+    assert(Png.decode(bytes.take(bytes.length - 20)).isEmpty, "truncated must refuse")
+    val pal = bytes.clone(); pal(25) = 3 // IHDR color type byte
+    assert(Png.decode(pal).isEmpty, "palette must refuse")
+    val huge = bytes.clone()
+    java.nio.ByteBuffer.wrap(huge).putInt(16, 1 << 30) // IHDR width, big-endian
+    assert(Png.decode(huge).isEmpty, "2^30 width must refuse, not overflow")
+  }
+
+  test("mm_pixels_png: byte path matches the formula recomputation") {
+    val rows = Multimodal.pixelStatsPng(spark, sf(), box = 7).collect()
+    assert(rows.nonEmpty)
+    // independent Scala recomputation of one row's checksum from the
+    // formulas alone (the same derivation the DuckDB oracle runs)
+    val r = rows.maxBy(_.getLong(0))
+    val id = r.getLong(0)
+    val w = (id % 14).toInt + 1; val h = (id % 10).toInt + 1
+    val m = math.max(w, h)
+    val outW = math.max((2 * w * 7 + m) / (2 * m), 1)
+    val outH = math.max((2 * h * 7 + m) / (2 * m), 1)
+    var check = 0L
+    for (y <- 0 until outH; x <- 0 until outW) {
+      val sx = (2 * x + 1) * w / (2 * outW)
+      val sy = (2 * y + 1) * h / (2 * outH)
+      check += (3 * ((id + 11 * sx + 3 * sy) % 256) +
+        2 * ((sx.toLong * sy + 2 * id) % 256) +
+        ((2 * sx + 5 * sy) % 256)) * (x + 1) * (y + 1)
+    }
+    assert((r.getInt(1), r.getInt(2), r.getLong(3)) == ((outW, outH, check)))
+  }
+
   test("mm_pixels: full byte path on testdata — decoded dims bind to the box") {
     val rows = Multimodal.pixelStats(spark, sf(), box = 8).collect()
     assert(rows.nonEmpty)
