@@ -56,7 +56,7 @@ object RunPipeline {
     val server = streaming.Serve.http(snap, speed)
     val q = RadiationPipeline.run(raw, s"$workDir/out", s"$workDir/ckpt",
       Readings.Thresholds(danger = 400.0),
-      onEpoch = streaming.Serve.foldEpoch(_, snap))
+      onEpoch = streaming.Serve.foldEpoch(_, snap, _))
     q.awaitTermination(300000)
     console.foreach { c => c.processAllAvailable(); c.stop() }
 
@@ -83,7 +83,13 @@ object RunPipeline {
     println(s"""{"pipeline":"radiation","sf":"$sfDir",${counts.mkString(",")},""" +
       s""""served-normal":$nServed,"served-critical":$cServed,""" +
       s""""served-bytes":${served.length},"speed":${speed.get}}""")
-    assert(speedResp.contains("2.5"))
+    // the demo EXISTS to prove this round trip, so the check must not be
+    // elidable (assert() vanishes under -Xdisable-assertions) and must
+    // compare the parsed value, not a substring
+    val echoed = """"playback_speed"\s*:\s*([-+0-9.eE]+)""".r
+      .findFirstMatchIn(speedResp).map(_.group(1).toDouble)
+    if (!echoed.contains(2.5) || speed.get.doubleValue != 2.5)
+      sys.error(s"speed POST round trip failed: response=$speedResp shared=${speed.get}")
     spark.stop()
   }
 }

@@ -355,7 +355,7 @@ object RadiationPipeline {
     */
   def run(raw: DataFrame, outDir: String, checkpointDir: String,
           t: Thresholds = Thresholds(), bounded: Boolean = true,
-          onEpoch: Routed => Unit = _ => ()): StreamingQuery =
+          onEpoch: (Routed, Long) => Unit = (_, _) => ()): StreamingQuery =
     runRouted(raw, Transport.Dir(inPath = "", outPath = outDir), checkpointDir, t, bounded,
       onEpoch = onEpoch)
 
@@ -370,7 +370,7 @@ object RadiationPipeline {
                         window_ : String = "1 second",
                         annotate: Boolean = true,
                         trigger: Trigger = Trigger.AvailableNow(),
-                        onEpoch: Routed => Unit = _ => ()): StreamingQuery = {
+                        onEpoch: (Routed, Long) => Unit = (_, _) => ()): StreamingQuery = {
     val finalStream = withCohort(validate(parse(raw), thresholds),
       watermark = watermark, bounded = bounded, window_ = window_,
       annotate = annotate)
@@ -381,8 +381,15 @@ object RadiationPipeline {
         val routed = route(batch.cache())
         writeEpoch(routed, epochId, t)
         // serving fold (S9): runs in the SAME epoch as the sinks, so a
-        // served snapshot reflects exactly the delivered records
-        onEpoch(routed)
+        // served snapshot reflects exactly the delivered records — but a
+        // dashboard-only hook must never fail sink delivery, so failures
+        // log and the stream continues (the hook is idempotent per epoch,
+        // see Serve.Snapshot.beginEpoch, so a skipped/failed fold is a
+        // stale snapshot, not corruption)
+        try onEpoch(routed, epochId)
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[serve] epoch $epochId fold failed (snapshot stale): $e")
+        }
         batch.unpersist()
         ()
       }

@@ -37,6 +37,19 @@ object Serve {
   final class Snapshot(val cap: Int = 100) {
     private val normal = new java.util.ArrayDeque[String]()
     private val critical = new java.util.ArrayDeque[String]()
+    private var lastEpoch = Long.MinValue
+
+    /** Claim an epoch for folding. foreachBatch is at-least-once, and while
+      * the parquet sinks absorb a retried epoch idempotently (epoch-
+      * partitioned overwrite), a snapshot push does not — a retry would
+      * serve every record twice. Epoch ids are monotone, so "already at or
+      * below the high-water mark" = already folded (or abandoned mid-fold:
+      * for a lossy latest-N dashboard view, dropping a half-pushed retry
+      * beats double-serving it).
+      */
+    def beginEpoch(id: Long): Boolean = synchronized {
+      if (id <= lastEpoch) false else { lastEpoch = id; true }
+    }
 
     private def push(q: java.util.ArrayDeque[String], rows: Iterable[String]): Unit =
       synchronized {
@@ -68,12 +81,14 @@ object Serve {
   /** The epoch hook: fold one routed micro-batch into the snapshot. Wire
     * it into the pipeline via `RadiationPipeline.run(..., onEpoch = ...)`
     * — it then runs inside the SAME foreachBatch epoch as the sinks, so
-    * served records are exactly the delivered ones.
+    * served records are exactly the delivered ones. Idempotent per epoch
+    * ([[Snapshot.beginEpoch]]): a foreachBatch retry must not double-push.
     */
-  def foldEpoch(r: RadiationPipeline.Routed, snap: Snapshot): Unit = {
-    snap.pushNormal(batchJson(r.normal, "normal", snap.cap))
-    snap.pushCritical(batchJson(r.critical, "critical", snap.cap))
-  }
+  def foldEpoch(r: RadiationPipeline.Routed, snap: Snapshot, epochId: Long): Unit =
+    if (snap.beginEpoch(epochId)) {
+      snap.pushNormal(batchJson(r.normal, "normal", snap.cap))
+      snap.pushCritical(batchJson(r.critical, "critical", snap.cap))
+    }
 
   private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
     val b = body.getBytes(UTF_8)

@@ -148,7 +148,7 @@ class DashboardStreamsSpec extends SparkSuite {
     val snap = new Serve.Snapshot(cap = 10)
     val q = RadiationPipeline.run(in.toDF(), s"$dir/out", s"$dir/ckpt",
       graft.operators.Readings.Thresholds(),
-      onEpoch = Serve.foldEpoch(_, snap))
+      onEpoch = Serve.foldEpoch(_, snap, _))
     q.awaitTermination(60000)
     val (n, c) = snap.counts
     assert(n == 1 && c == 1, s"snapshot counts ($n, $c)")

@@ -49,14 +49,23 @@ class MaterializeSpec extends SparkSuite {
     val (cTable, objTable) = VectorOps.kmeansTrain(spark, sf(), k = 4, iters = 2,
       mat = Materialize.Table(s"$dir/km"))
     assert(rows(cTable) == rows(cLocal))
-    assert(objTable == objLocal)
+    // objectives are floating-point SUMS: partition/order differences
+    // between the two materialization strategies can shift the last bits,
+    // so compare with tolerance (the centroid rows above stay exact)
+    assert(objTable.size == objLocal.size &&
+      objTable.zip(objLocal).forall { case (a, b) => math.abs(a - b) <= 1e-9 },
+      s"objectives diverged: $objTable vs $objLocal")
     objTable.sliding(2).foreach { case Seq(a, b) => assert(b >= a - 1e-9) case _ => }
 
     val (bLocal, trLocal) = VectorOps.pqTrainCodebook(spark, sf(), blocks = 2, k = 4, iters = 2)
     val (bTable, trTable) = VectorOps.pqTrainCodebook(spark, sf(), blocks = 2, k = 4, iters = 2,
       mat = Materialize.Table(s"$dir/pq"))
     assert(rows(bTable) == rows(bLocal))
-    assert(trTable == trLocal)
+    assert(trTable.size == trLocal.size &&
+      trTable.zip(trLocal).forall { case (ta, tb) =>
+        ta.size == tb.size &&
+          ta.zip(tb).forall { case (a, b) => math.abs(a - b) <= 1e-9 }
+      }, s"trace diverged: $trTable vs $trLocal")
     assert(new java.io.File(s"$dir/km").listFiles().exists(_.getName.startsWith("mat-")))
   }
 
