@@ -238,6 +238,8 @@ object SparkEntry {
       VectorOps.pqAssign(s, dir).orderBy(col("vec_id"), col("block"))),
     "v_ann_pq" -> ((s, dir) => VectorOps.annPq(s, dir)),
     "v_ann_ivfpq" -> ((s, dir) => VectorOps.annIvfPq(s, dir)),
+    "v_ann_ivfpq_rr" -> ((s, dir) => VectorOps.annIvfPqRr(s, dir)),
+    "v_recall_ivfpq_rr" -> ((s, dir) => VectorOps.annRecallIvfPqRr(s, dir)),
     "v_ann_ivfpq_res" -> ((s, dir) => VectorOps.annIvfPqRes(s, dir)),
     "v_recall_ivfpq_res" -> ((s, dir) => VectorOps.annRecallIvfPqRes(s, dir)),
     "v_recall" -> ((s, dir) => VectorOps.annRecall(s, dir)),
@@ -612,6 +614,8 @@ object SparkEntry {
       "v_pq_assign" -> VectorOps.pqAssignSql(),
       "v_ann_pq" -> VectorOps.annPqSql(),
       "v_ann_ivfpq" -> VectorOps.annIvfPqSql(),
+      "v_ann_ivfpq_rr" -> VectorOps.annIvfPqRrSql(),
+      "v_recall_ivfpq_rr" -> VectorOps.annRecallIvfPqRrSql(),
       "v_ann_ivfpq_res" -> VectorOps.annIvfPqResSql(),
       "v_recall_ivfpq_res" -> VectorOps.annRecallIvfPqResSql(),
       "v_recall" -> VectorOps.annRecallSql(),

@@ -978,6 +978,80 @@ object VectorOps {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Two-stage IVF+PQ with exact re-ranking — the standard retrieval
+    * refinement (FAISS refine / `IndexRefineFlat`): ADC is cheap but
+    * lossy, so stage 1 over-fetches a shortlist of `kNn × mult` candidates
+    * by ADC score ([[annIvfPq]] verbatim, same probe count), and stage 2
+    * re-ranks ONLY the shortlist by exact cosine over the real embeddings,
+    * keeping `kNn`. Quantization error then only costs recall when the
+    * true neighbor misses the whole shortlist, not when ADC merely
+    * misorders it — the [[annRecallIvfPqRr]] row grades the uplift at
+    * equal `nProbe`.
+    *
+    * Scale shape: stage 1 as [[annIvfPq]] (codes only); the shortlist is
+    * `nQueries × kNn × mult` rows, BROADCAST into one join against the
+    * embedding table — so full vectors are fetched for shortlist members
+    * only, never scanned into a shuffle. Query vectors broadcast as in
+    * [[knn]]. One per-query top-k window over ≤ `kNn × mult` rows.
+    */
+  def annIvfPqRr(spark: SparkSession, dir: String, nQueries: Int = 20, kNn: Int = 5,
+                 kCentroids: Int = 16, nProbe: Int = 2, blocks: Int = 4,
+                 k: Int = 16, mult: Int = 4,
+                 mat: Materialize = Materialize.Local): DataFrame = {
+    require(mult >= 1, s"shortlist multiplier must be >= 1, got $mult")
+    val short = annIvfPq(spark, dir, nQueries, kNn * mult, kCentroids, nProbe, blocks, k, mat)
+      .select(col("q_id"), col("neighbor_id"))
+    val e = prepared(spark, dir)
+    val qs = broadcast(e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
+    val scored = e
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
+      .join(broadcast(short), "neighbor_id")
+      .join(qs, "q_id")
+      .withColumn("cos_sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNn)
+      .select(col("q_id"), col("rank"), col("neighbor_id"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def annIvfPqRrSql(nQueries: Int = 20, kNn: Int = 5, kCentroids: Int = 16,
+                    nProbe: Int = 2, blocks: Int = 4, k: Int = 16,
+                    mult: Int = 4): String =
+    s"""WITH e AS ($preparedSql),
+       |short AS (SELECT q_id, neighbor_id FROM (
+       |  ${annIvfPqSql(nQueries, kNn * mult, kCentroids, nProbe, blocks, k)})),
+       |rescored AS (
+       |  SELECT s.q_id, s.neighbor_id,
+       |    list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cs
+       |  FROM short s
+       |  JOIN e q ON q.vec_id = s.q_id
+       |  JOIN e n ON n.vec_id = s.neighbor_id)
+       |SELECT q_id, rank, neighbor_id, round(cs, 4) AS cos_sim FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY cs DESC, neighbor_id) AS INT) AS rank
+       |  FROM rescored)
+       |WHERE rank <= $kNn
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** Recall row for the re-ranked stack — same harness, same probe count
+    * as [[annRecallIvfPq]], so the delta is pure re-ranking uplift.
+    */
+  def annRecallIvfPqRr(spark: SparkSession, dir: String, nQueries: Int = 20,
+                       k: Int = 5, kCentroids: Int = 16, nProbe: Int = 2,
+                       blocks: Int = 4, codebook: Int = 16, mult: Int = 4): DataFrame =
+    recallAgainstExact(spark, dir,
+      annIvfPqRr(spark, dir, nQueries, k, kCentroids, nProbe, blocks, codebook, mult),
+      nQueries, k)
+
+  def annRecallIvfPqRrSql(nQueries: Int = 20, k: Int = 5, kCentroids: Int = 16,
+                          nProbe: Int = 2, blocks: Int = 4, codebook: Int = 16,
+                          mult: Int = 4): String =
+    recallSqlOf(annIvfPqRrSql(nQueries, k, kCentroids, nProbe, blocks, codebook, mult),
+      nQueries, k)
+
   /** Residual IVF+PQ — the refinement every production IVF+PQ system ships
     * (FAISS `IndexIVFPQ` default): PQ codes quantize the RESIDUAL
     * `r = x − centroid(x)` instead of the raw vector. Residuals are

@@ -792,6 +792,24 @@ class OperatorsSpec extends SparkSuite {
       s"residual recall $res must beat plain $plain on clustered data")
   }
 
+  test("exact re-ranking lifts IVF+PQ recall at equal probe count") {
+    // identical IVF/PQ parameters and probe budget — the ONLY difference is
+    // the re-rank stage, so any recall delta is its uplift. On clustered
+    // data ADC misorders true neighbors it did shortlist; re-ranking must
+    // recover them (strictly, on this fixture).
+    val rr = meanRecall(VectorOps.annRecallIvfPqRr(spark, clusteredDir,
+      nQueries = 20, k = 5, kCentroids = 4, nProbe = 2, blocks = 4, codebook = 16))
+    val plain = meanRecall(VectorOps.annRecallIvfPq(spark, clusteredDir,
+      nQueries = 20, k = 5, kCentroids = 4, nProbe = 2, blocks = 4, codebook = 16))
+    assert(rr > plain, s"re-ranked recall $rr must beat plain ADC $plain")
+    // and on the cluster-free sf embeddings it must never LOSE recall:
+    // the shortlist contains the ADC top-k, so exact re-scoring can only
+    // promote true neighbors into the cut, not evict them for impostors
+    val rrSf = meanRecall(VectorOps.annRecallIvfPqRr(spark, sf()))
+    val plainSf = meanRecall(VectorOps.annRecallIvfPq(spark, sf()))
+    assert(rrSf >= plainSf, s"re-ranking lost recall on sf: $rrSf < $plainSf")
+  }
+
   test("containmentPairs finds a quote symmetric jaccard misses") {
     val quoted = "p q r s t"
     val page = quoted + " u v w x y z aa bb cc dd ee ff gg hh"
