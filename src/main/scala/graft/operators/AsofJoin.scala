@@ -69,27 +69,42 @@ object AsofJoin {
     * exactly on the first reading, so the fill is never null.
     */
   def resample(valid: DataFrame, step: String = "1 hour",
-               maxTicksPerUser: Long = 1000000L): DataFrame = {
-    val bounds = valid.groupBy(col("user_id"))
+               maxTicksPerUser: Long = 1000000L,
+               mat: graft.Materialize = graft.Materialize.Local): DataFrame = {
+    // right side unique per (key, time) — asofLast's contract. ALSO the
+    // source of the per-user bounds: readings carries exactly valid's
+    // (user, sec) set, so bounds re-aggregates the SMALL deduped relation.
+    // PINNED (`mat`): both the bounds branch and the asof union consume
+    // readings, and column pruning specializes the two subplans (bounds
+    // drops locf_cpm) so exchange reuse cannot deduplicate them — unpinned,
+    // the big side's parse+validate+agg ran twice per query (the r8→r9
+    // e_resample drift). One pass now feeds both.
+    val readings = mat(valid.groupBy(col("user_id"), col("sec"))
+      .agg(max(col("cpm")).as("locf_cpm")))
+    val bounds = readings.groupBy(col("user_id"))
       .agg(min(col("sec")).as("mn"), max(col("sec")).as("mx"))
     // loud guardrail (the nearDupExact contract): a step mis-sized against
     // the data's span would materialize the whole grid inside ONE row's
-    // sequence() array — refuse instead of OOMing an executor
-    val spark = valid.sparkSession
-    val stepSec = spark.range(1).select(
-      unix_timestamp(lit("1970-01-01 00:00:00").cast("timestamp") +
-        expr(s"interval $step"))).head().getLong(0)
-    val worstTicks = bounds.agg(max(
-      unix_timestamp(col("mx")) - unix_timestamp(col("mn")))).head().getLong(0) / stepSec
-    require(worstTicks <= maxTicksPerUser,
-      s"resample: up to $worstTicks ticks for one user at step '$step' " +
-        s"(max $maxTicksPerUser) — choose a coarser step")
+    // sequence() array — refuse instead of OOMing an executor. The check is
+    // IN-PLAN (assert_true over the |users|-row bounds relation, evaluated
+    // per row just before the explode): the previous form ran a full
+    // pre-aggregation of `valid` at plan-BUILD time just to read the worst
+    // span — an extra pass over the big side on every call. Step length is
+    // computed per row from mn (so variable-length steps like '1 month'
+    // are measured where they apply, not at the epoch).
+    val stepSecs =
+      unix_timestamp(col("mn") + expr(s"interval $step")) - unix_timestamp(col("mn"))
+    val span = unix_timestamp(col("mx")) - unix_timestamp(col("mn"))
     val ticks = bounds
+      .withColumn("graft_guard", assert_true(
+        stepSecs > 0 && span / stepSecs <= maxTicksPerUser,
+        format_string(
+          s"resample: user %s spans %d seconds at step '$step' " +
+            s"(max $maxTicksPerUser ticks) — choose a coarser step",
+          col("user_id"), span)))
+      .filter(col("graft_guard").isNull)
       .select(col("user_id"),
         explode(expr(s"sequence(mn, mx, interval $step)")).as("sec"))
-    // right side unique per (key, time) — asofLast's contract
-    val readings = valid.groupBy(col("user_id"), col("sec"))
-      .agg(max(col("cpm")).as("locf_cpm"))
     asofLast(ticks, readings, keys = Seq("user_id"), time = "sec",
         valueCols = Seq("locf_cpm"))
       .withColumnRenamed("sec", "tick")

@@ -419,10 +419,15 @@ class OperatorsSpec extends SparkSuite {
     assert(out.toSeq == Seq(
       (1L, ts("10:00:00"), 5), (1L, ts("11:00:00"), 5), (1L, ts("12:00:00"), 5),
       (2L, ts("10:15:00"), 7)))
-    // mis-sized step must refuse loudly, not materialize the grid
-    intercept[IllegalArgumentException] {
-      AsofJoin.resample(df, step = "1 second", maxTicksPerUser = 100)
+    // mis-sized step must refuse loudly, not materialize the grid. The
+    // guard is IN-PLAN (assert_true over the bounds rows — no plan-build
+    // pre-pass over the data), so it fires on execution
+    val ex = intercept[Exception] {
+      AsofJoin.resample(df, step = "1 second", maxTicksPerUser = 100).collect()
     }
+    val msgs = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("; ")
+    assert(msgs.contains("coarser step"), s"wrong refusal: $msgs")
   }
 
   test("expectations: each rule counts its violations") {
