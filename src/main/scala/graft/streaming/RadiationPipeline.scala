@@ -315,8 +315,14 @@ object RadiationPipeline {
   def run(spark: SparkSession, t: Transport, checkpointDir: String,
           thresholds: Thresholds, bounded: Boolean,
           trigger: Trigger): StreamingQuery =
+    run(spark, t, checkpointDir, thresholds, bounded, trigger, (_, _) => ())
+
+  def run(spark: SparkSession, t: Transport, checkpointDir: String,
+          thresholds: Thresholds, bounded: Boolean,
+          trigger: Trigger,
+          onEpoch: (Routed, Long) => Unit): StreamingQuery =
     runRouted(source(spark, t), t, checkpointDir, thresholds, bounded,
-      trigger = trigger)
+      trigger = trigger, onEpoch = onEpoch)
 
   def run(spark: SparkSession, t: Transport, checkpointDir: String,
           thresholds: Thresholds, bounded: Boolean): StreamingQuery =

@@ -68,6 +68,36 @@ class TransportSpec extends SparkSuite {
       !normal.head._2.contains("\"raw\""))
   }
 
+  test("serving fold rides the kafka-format path: snapshot fed by the production transport") {
+    // S9 over S5/S6: the SAME foldEpoch tested on the Dir transport runs
+    // inside the foreachBatch epoch of a format("kafka") pipeline — the
+    // production path, exercised verbatim through the fake connector
+    FakeKafka.reset()
+    FakeKafka.seed("radiation-data",
+      rec("2011-03-15 10:00:00", v = 42),            // normal
+      rec("2011-03-15 10:00:01", v = 5000),          // critical
+      // sentinel beyond watermark+window so the cohort panes flush
+      rec("2011-03-15 10:00:30", v = 7, lat = 10.0))
+    val ckpt = Files.createTempDirectory("graft-serve-kafka").toString
+    val snap = new graft.streaming.Serve.Snapshot(cap = 10)
+    val q = RadiationPipeline.run(spark, kafka, ckpt,
+      graft.operators.Readings.Thresholds(), bounded = true,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      onEpoch = graft.streaming.Serve.foldEpoch(_, snap, _))
+    q.awaitTermination()
+    val (n, c) = snap.counts
+    assert(n >= 1 && c >= 1, s"snapshot counts ($n, $c)")
+    val served = snap.toJson
+    assert(served.contains(""""data_priority":"normal"""") &&
+      served.contains(""""data_priority":"critical""""), served)
+    assert(served.contains(""""value":5000"""), s"critical record not served: $served")
+    // served records mirror exactly what the kafka sink topics delivered
+    val byTopic = FakeKafka.sentByTopic
+    assert(n == byTopic.getOrElse("normal-data", Nil).size &&
+      c == byTopic.getOrElse("critical-data", Nil).size,
+      s"snapshot ($n, $c) diverges from sink delivery")
+  }
+
   test("epoch retry is idempotent for Dir, at-least-once for Kafka (documented delta)") {
     import org.apache.spark.sql.functions.col
     val out = Files.createTempDirectory("graft-retry-out").toString
