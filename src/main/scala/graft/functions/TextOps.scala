@@ -1254,7 +1254,8 @@ object TextOps {
     * segs⋈freq join collapses to a shuffle of the duplicate hits only.
     */
   def segmentDedup(spark: SparkSession, dir: String, width: Int = 5,
-                   mat: Materialize = Materialize.Local): DataFrame = {
+                   mat: Materialize = Materialize.Local,
+                   bloomBits: Long = 1L << 23): DataFrame = {
     // ceil(n/width) segments; slice() tolerates a short tail segment
     val segments = expr(
       s"""transform(sequence(0, (size(words) + ${width - 1}) div $width - 1),
@@ -1264,8 +1265,13 @@ object TextOps {
     // pinned: consumed by the sketch build (eager) and the exact join
     val dups = mat(segs.groupBy(col("seg")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select(col("seg")))
+    // sketch sized by BIT BUDGET (1 MB default ≈ 840k duplicate segments at
+    // ~1% fpp), not by counting dups — the count was one extra job per call
+    // whose only purpose was sizing, and an over-budget duplicate set only
+    // costs routing efficiency, never correctness (the exact join below
+    // discharges every false positive)
     val flagged = BloomJoin.bloomFlag(segs, "seg", dups, "seg", "might",
-      expectedItems = math.max(dups.count(), 1L))
+      numBits = bloomBits)
     val clear = flagged.filter(!col("might"))
       .select(col("doc_id"), col("pos"), col("seg"), lit(false).as("dup"))
     val resolved = flagged.filter(col("might"))

@@ -58,10 +58,20 @@ object BloomJoin {
     */
   def bloomFlag(facts: DataFrame, factKey: String,
                 dim: DataFrame, dimKey: String, flagName: String,
-                expectedItems: Long = 1000000L): DataFrame = {
-    val buildAgg = new BloomFilterAggregate(
-      new XxHash64(Seq(ColumnBridge.expression(col(dimKey)))),
-      expectedItems).toAggregateExpression()
+                expectedItems: Long = 1000000L,
+                numBits: Long = 0L): DataFrame = {
+    // numBits > 0 sizes the sketch by BYTE BUDGET instead of an item
+    // estimate — for callers that would otherwise run an extra counting
+    // job just to size the sketch. An undersized budget only raises the
+    // false-positive rate (routing efficiency); the exact join downstream
+    // discharges FPs either way, so correctness never depends on sizing.
+    // Hash-function count is tuned for ~10 bits/item (≈1% fpp at budget).
+    val buildChild = new XxHash64(Seq(ColumnBridge.expression(col(dimKey))))
+    val buildAgg = (if (numBits > 0)
+      new BloomFilterAggregate(buildChild,
+        Literal(math.max(numBits / 10, 1L)), Literal(numBits))
+    else new BloomFilterAggregate(buildChild, expectedItems))
+      .toAggregateExpression()
     val sketch = dim.select(ColumnBridge.column(buildAgg).as("bf"))
       .head().getAs[Array[Byte]](0)
     if (sketch == null) facts.withColumn(flagName, lit(false))
