@@ -94,7 +94,10 @@ object Bmp {
     val rawH = i32(b, 22)
     val height = math.abs(rawH)
     val topDown = rawH < 0
-    if (width <= 0 || height == 0 || u16(b, 28) != 24 || i32(b, 30) != 0)
+    // height <= 0 (not == 0): rawH == Int.MinValue survives math.abs as a
+    // NEGATIVE height, which would pass == 0, make rowLenL * height negative
+    // so the bounds check passes, then blow up at the allocation
+    if (width <= 0 || height <= 0 || u16(b, 28) != 24 || i32(b, 30) != 0)
       return None
     // stride in LONG: 3*width wraps negative for a corrupt width near 2^30,
     // which would defeat the bounds check below and turn the "loud refusal"

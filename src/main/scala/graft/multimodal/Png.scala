@@ -168,7 +168,10 @@ object Png {
       var got = 0
       while (got < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, got, raw.length - got)
-        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        // n == 0 with space left and !finished means needsInput (truncated)
+        // OR needsDictionary (FDICT — forbidden by PNG, so malformed); both
+        // refuse. Gating on needsInput alone would spin forever on FDICT.
+        if (n == 0) return None
         got += n
       }
       if (got < raw.length) return None

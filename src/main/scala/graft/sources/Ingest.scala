@@ -82,21 +82,41 @@ object Ingest {
       .option("rowsPerSecond", rowsPerSecond.toString)
       .load()
       .select(col("value").as("__tick"))
-    ticks.join(indexed(spark, data), col("__tick") === col("__idx"))
+    ticks.join(indexed(data), col("__tick") === col("__idx"))
       .drop("__tick", "__idx")
   }
 
-  /** Index once and cache: the static side of a stream-static join is
-    * re-evaluated every micro-batch, and a global row_number window would
-    * funnel the whole dataset through one task per trigger. zipWithIndex
-    * is one pass, partition-parallel, and deterministic in partition order.
+  /** Index once and cache, staying in Catalyst end to end: a global
+    * row_number window would funnel the whole dataset through one task, and
+    * the old rdd.zipWithIndex dropped out of the DataFrame API (and codegen)
+    * and ran its own per-partition counting job. Instead the global index is
+    * assembled range-partition-style: `monotonically_increasing_id` encodes
+    * (partition id « 33 | position-in-partition) with contiguous positions,
+    * so per-partition row counts (one tiny aggregate, one row per partition)
+    * become broadcast cumulative offsets and `__idx = offset + position`.
+    * One partition-parallel pass over the data, deterministic in partition
+    * order — the same contract zipWithIndex gave, whole-stage-codegen'd.
     */
-  private def indexed(spark: SparkSession, data: DataFrame): DataFrame =
-    spark.createDataFrame(
-      data.rdd.zipWithIndex.map { case (row, idx) =>
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)
-      },
-      data.schema.add("__idx", LongType)).cache()
+  private def indexed(data: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val PosBits = 33 // Spark contract: partition id in the upper 31 bits
+    val mid = data.withColumn("__mid", monotonically_increasing_id())
+    val offsets = mid
+      .groupBy(shiftright(col("__mid"), PosBits).as("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      // cumulative offsets over #partitions rows — a bounded frame, so the
+      // single-task window is over partition COUNTS, never the data
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__pid", "__off")
+    mid.join(broadcast(offsets), shiftright(col("__mid"), PosBits) === col("__pid"))
+      .withColumn("__idx",
+        col("__off") + col("__mid").bitwiseAND(lit((1L << PosBits) - 1)))
+      .drop("__mid", "__pid", "__off")
+      .cache()
+  }
 
   /** S4 dynamic form — the reference's playback-speed listener
     * (`listen_for_speed`, data_provider.py:67-84: a config topic updates a
@@ -143,7 +163,7 @@ object Ingest {
                         ticksPerSecond: Int, speed: () => Double,
                         send: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val idx = indexed(ticks.sparkSession, data)
+    val idx = indexed(data)
     val cursor = new java.util.concurrent.atomic.AtomicLong(0L)
     ticks.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>

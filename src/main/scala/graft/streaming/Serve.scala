@@ -84,11 +84,19 @@ object Serve {
     * served records are exactly the delivered ones. Idempotent per epoch
     * ([[Snapshot.beginEpoch]]): a foreachBatch retry must not double-push.
     */
-  def foldEpoch(r: RadiationPipeline.Routed, snap: Snapshot, epochId: Long): Unit =
+  def foldEpoch(r: RadiationPipeline.Routed, snap: Snapshot, epochId: Long): Unit = {
+    // Materialize BOTH collects before claiming the epoch: the collects are
+    // the dominant failure source, and claiming first would let a failure
+    // between the two pushes permanently drop this epoch's critical records
+    // (the high-water mark skips the foreachBatch retry). With the claim
+    // taken after, it covers only the cheap in-memory pushes.
+    val n = batchJson(r.normal, "normal", snap.cap)
+    val c = batchJson(r.critical, "critical", snap.cap)
     if (snap.beginEpoch(epochId)) {
-      snap.pushNormal(batchJson(r.normal, "normal", snap.cap))
-      snap.pushCritical(batchJson(r.critical, "critical", snap.cap))
+      snap.pushNormal(n)
+      snap.pushCritical(c)
     }
+  }
 
   private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
     val b = body.getBytes(UTF_8)
