@@ -218,6 +218,7 @@ object SparkEntry {
     "d_shard_pack" -> ((s, dir) => MixOps.shardPack(s, dir)),
     "d_pack_chunks" -> ((s, dir) => MixOps.packChunks(s, dir)),
     "d_bpe_pairs" -> ((s, dir) => Bpe.bpePairs(s, dir)),
+    "d_bpe_apply" -> ((s, dir) => Bpe.segmentCorpus(s, dir)),
     "d_mix_rebalance" -> ((s, dir) => MixOps.mixRebalance(s, dir)),
     "d_quality_tiers" -> ((s, dir) => MixOps.qualityTiers(s, dir)),
     "d_epoch_upsample" -> ((s, dir) => MixOps.epochUpsample(s, dir)),
@@ -597,6 +598,7 @@ object SparkEntry {
       "d_shard_pack" -> MixOps.shardPackSql(),
       "d_pack_chunks" -> MixOps.packChunksSql(),
       "d_bpe_pairs" -> Bpe.bpePairsSql(),
+      "d_bpe_apply" -> Bpe.segmentCorpusSql(),
       "d_mix_rebalance" -> MixOps.mixRebalanceSql(),
       "d_quality_tiers" -> MixOps.qualityTiersSql(),
       "d_epoch_upsample" -> MixOps.epochUpsampleSql(),

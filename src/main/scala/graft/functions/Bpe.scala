@@ -146,6 +146,72 @@ object Bpe {
     }
   }
 
+  /** Trained merge table, rank order — the product of the sequential BPE
+    * objective (argmax by weight desc, pair asc — [[bpePairs]]' total
+    * order) over the sf0.01 documents vocabulary, 48 rounds. Embedded as a
+    * literal so the Spark apply ([[segmentCorpus]]) and its DuckDB oracle
+    * fold the SAME table over any sfDir; provenance is asserted in
+    * OperatorsSpec by re-running [[train]] and comparing a prefix. The
+    * table is genuinely multi-level (e.g. `custo`+`mer` consumes merge 6's
+    * `mer`), so the apply fold's merge-order dependence is exercised.
+    */
+  val trainedMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
+    ("custo", "mer"), ("f", "i"), ("fi", "l"), ("fil", "t"),
+    ("filt", "er"), ("a", "l"), ("al", "l"), ("m", "all"), ("s", "mall"),
+    ("g", "e"), ("l", "ow"), ("mer", "ge"), ("s", "low"), ("c", "t"),
+    ("ct", "or"), ("d", "er"), ("e", "ctor"), ("or", "der"),
+    ("v", "ector"))
+
+  /** The tokenizer APPLY side as an oracle-checked query: fold
+    * [[trainedMerges]] over the DISTINCT corpus words (BPE is a pure word
+    * function — |vocab| work, not |corpus|, the 100 TB contract documented
+    * on [[segmentWords]]) and emit the full segmentation. This is the
+    * production constant-depth apply path facing the DuckDB oracle, not a
+    * spec fixture.
+    */
+  def segmentCorpus(spark: SparkSession, dir: String,
+                    merges: Seq[(String, String)] = trainedMerges): DataFrame =
+    segmentWords(
+      TextOps.prepared(spark, dir).select(explode(col("words")).as("w")).distinct(),
+      merges)
+      .select(col("w"), size(col("syms")).as("n_tokens"),
+        array_join(col("syms"), "|").as("segmentation"))
+      .orderBy(col("w"))
+
+  /** DuckDB mirror of [[segmentCorpus]] — an INDEPENDENT implementation of
+    * the same greedy fold: each token rides in its own ` token ` wrapper,
+    * so one merge application is a single boundary-safe non-overlapping
+    * `replace(' a  b ' → ' ab ')` (wrapped cells never share characters,
+    * which is exactly what makes left-to-right replace = the greedy fuse
+    * scan), iterated over the merge table by a recursive CTE. Differential
+    * by construction against the nested-`aggregate()` Spark fold.
+    */
+  def segmentCorpusSql(merges: Seq[(String, String)] = trainedMerges): String = {
+    def q(s: String) = s.replace("'", "''")
+    val rows = merges.zipWithIndex.map { case ((a, b), i) =>
+      s"(${i + 1}, ' ${q(a)}  ${q(b)} ', ' ${q(a)}${q(b)} ')"
+    }.mkString(",\n  ")
+    s"""WITH RECURSIVE
+       |words(w) AS (SELECT DISTINCT unnest(words) FROM (${TextOps.preparedSql})),
+       |merges(rank, pat, rep) AS (VALUES
+       |  $rows),
+       |seg AS (
+       |  SELECT w, regexp_replace(w, '(.)', ' \\1 ', 'g') AS s, 0 AS i FROM words
+       |  UNION ALL
+       |  SELECT seg.w, replace(seg.s, m.pat, m.rep), seg.i + 1
+       |  FROM seg JOIN merges m ON m.rank = seg.i + 1)
+       |SELECT w,
+       |  CAST((length(s) - length(replace(s, ' ', ''))) / 2 AS INT) AS n_tokens,
+       |  replace(trim(s), '  ', '|') AS segmentation
+       |FROM seg WHERE i = ${merges.size} ORDER BY w""".stripMargin
+  }
+
   /** Train `nMerges` BPE merges. Returns the ordered merge table
     * (rank, sym_a, sym_b, weight). Each round: pair-count agg over the
     * vocabulary (|vocab| rows, NOT the corpus), 1-row argmax to the driver,

@@ -644,6 +644,17 @@ class OperatorsSpec extends SparkSuite {
     assert(batSf.rounds <= seqSf.size, s"rounds ${batSf.rounds} > merges ${seqSf.size}")
   }
 
+  test("bpe: embedded trainedMerges is what train() produces on its source corpus") {
+    // d_bpe_apply folds the EMBEDDED table — provenance must be live, not
+    // a comment: the sequential trainer over the table's source corpus
+    // (sf0.01) must reproduce the embedded prefix exactly, ranks, symbols
+    // and order. 8 rounds keeps the spec fast; the prefix property is what
+    // an ordered merge table needs (later merges never affect earlier ones).
+    val merges = functions.Bpe.train(spark, sf("sf0.01"), nMerges = 8)
+    assert(merges.map(m => (m._2, m._3)) == functions.Bpe.trainedMerges.take(8),
+      s"embedded table diverged from training: $merges")
+  }
+
   test("bpe: disjoint pair distribution collapses to a single pair-count round") {
     // 8 two-letter words over 16 distinct letters, strictly decreasing freqs:
     // every top pair is symbol-disjoint from every other, so ONE round must
