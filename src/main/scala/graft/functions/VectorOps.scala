@@ -57,6 +57,39 @@ object VectorOps {
       |  FROM embeddings)
       |WHERE nrm > 0""".stripMargin
 
+  /** Session-scoped share of the ANN family's trained relations. Every
+    * IVF/PQ query needs the same two relations — the corpus→centroid
+    * assignment ([[ivfAssign]]) and the corpus PQ codes ([[pqAssign]]) —
+    * and recomputing + re-materializing them inside EACH query of the
+    * family is pure waste (assignment is deterministic, so reuse changes
+    * no values, only work: a bench run previously rebuilt the identical
+    * assignment ~6×). The memo caches the MATERIALIZED relation per
+    * (session, dir, params); entries are narrow id→code relations, one per
+    * distinct parameterization. Only `Materialize.Local` memoizes — a
+    * `Table(...)` materialization is an explicit caller-owned location
+    * (training runs), not a query cache. Assumes `dir` contents are
+    * immutable within a session (the testdata contract).
+    */
+  private val annShared =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def sharedMat(spark: SparkSession, key: String, mat: Materialize)
+                       (build: => DataFrame): DataFrame = mat match {
+    case Materialize.Local =>
+      annShared.computeIfAbsent(
+        s"${System.identityHashCode(spark)}|$key", _ => Materialize.Local(build))
+    case m => m(build)
+  }
+
+  private def sharedIvfAssign(spark: SparkSession, dir: String, k: Int,
+                              mat: Materialize): DataFrame =
+    sharedMat(spark, s"ivf|$dir|$k", mat)(
+      ivfAssign(spark, dir, k).select("vec_id", "centroid_id"))
+
+  private def sharedPqCodes(spark: SparkSession, dir: String, blocks: Int,
+                            k: Int, mat: Materialize): DataFrame =
+    sharedMat(spark, s"pq|$dir|$blocks|$k", mat)(pqAssign(spark, dir, blocks, k))
+
   /** Per-vector norms — the smallest verifiable unit of the vector path. */
   def norms(spark: SparkSession, dir: String): DataFrame =
     prepared(spark, dir).select(
@@ -202,9 +235,9 @@ object VectorOps {
              mat: Materialize = Materialize.Local): DataFrame = {
     // materialize the assignment once: it feeds both the broadcast query
     // side and the probe side, and canonical-plan reuse doesn't cover that
-    // split (same rationale as TextOps.bandedSignatures)
-    val assigned = mat(
-      ivfAssign(spark, dir, kCentroids).select("vec_id", "centroid_id"))
+    // split (same rationale as TextOps.bandedSignatures); shared across the
+    // ANN family per session (deterministic, so reuse is value-neutral)
+    val assigned = sharedIvfAssign(spark, dir, kCentroids, mat)
     val e = prepared(spark, dir).join(assigned, "vec_id")
     val q = broadcast(e.filter(col("vec_id") < nQueries)
       .select(col("centroid_id").as("q_cent"), col("vec_id").as("q_id"),
@@ -271,8 +304,7 @@ object VectorOps {
   def annIvfMulti(spark: SparkSession, dir: String, nQueries: Int = 20, kNn: Int = 5,
                   kCentroids: Int = 16, nProbe: Int = 2,
                   mat: Materialize = Materialize.Local): DataFrame = {
-    val assigned = mat(
-      ivfAssign(spark, dir, kCentroids).select("vec_id", "centroid_id"))
+    val assigned = sharedIvfAssign(spark, dir, kCentroids, mat)
     val e = prepared(spark, dir).join(assigned, "vec_id")
     val qProbes = queryProbes(prepared(spark, dir), nQueries, kCentroids, nProbe)
     val sims = e.join(broadcast(qProbes),
@@ -658,9 +690,10 @@ object VectorOps {
   }
 
   def annPq(spark: SparkSession, dir: String, nQueries: Int = 20, kNn: Int = 5,
-            blocks: Int = 4, k: Int = 16): DataFrame = {
+            blocks: Int = 4, k: Int = 16,
+            mat: Materialize = Materialize.Local): DataFrame = {
     val e = prepared(spark, dir)
-    val codes = pqAssign(spark, dir, blocks, k)
+    val codes = sharedPqCodes(spark, dir, blocks, k, mat)
     val lut = broadcast(adcLut(e, nQueries, blocks, k))
     val scored = codes.withColumn("code", col("code").cast("long"))
       .join(lut, Seq("block", "code"))
@@ -734,8 +767,7 @@ object VectorOps {
     */
   def kmeansStep(spark: SparkSession, dir: String, k: Int = 16,
                  mat: Materialize = Materialize.Local): DataFrame = {
-    val assigned = mat(
-      ivfAssign(spark, dir, k).select("vec_id", "centroid_id"))
+    val assigned = sharedIvfAssign(spark, dir, k, mat)
     prepared(spark, dir).join(assigned, "vec_id")
       .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("centroid_id"), (col("pos") + 1).as("dim"))
@@ -892,13 +924,13 @@ object VectorOps {
                kCentroids: Int = 16, nProbe: Int = 2, blocks: Int = 4,
                k: Int = 16, mat: Materialize = Materialize.Local): DataFrame = {
     val e = prepared(spark, dir)
-    val assigned = mat(ivfAssign(spark, dir, kCentroids).select("vec_id", "centroid_id"))
+    val assigned = sharedIvfAssign(spark, dir, kCentroids, mat)
     // IVF half: shared probe-list builder; PQ half: shared ADC LUT
     val qProbes = queryProbes(e, nQueries, kCentroids, nProbe)
       .select(col("q_id"), col("q_cent"))
     val lut = broadcast(adcLut(e, nQueries, blocks, k))
     // candidates: code rows of vectors living in a probed inverted list
-    val cand = pqAssign(spark, dir, blocks, k)
+    val cand = sharedPqCodes(spark, dir, blocks, k, mat)
       .withColumn("code", col("code").cast("long"))
       .join(assigned, "vec_id")
       .join(broadcast(qProbes), col("centroid_id") === col("q_cent"))
@@ -1083,7 +1115,7 @@ object VectorOps {
     val e = prepared(spark, dir)
     val cents = e.filter(col("vec_id") < kCentroids)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
-    val assigned = mat(ivfAssign(spark, dir, kCentroids).select("vec_id", "centroid_id"))
+    val assigned = sharedIvfAssign(spark, dir, kCentroids, mat)
     // residuals: row-local subtraction after a broadcast centroid join
     val resid = mat(e.select(col("vec_id"), col("v"))
       .join(assigned, "vec_id")
