@@ -248,6 +248,8 @@ object SparkEntry {
     "v_recall_ivfpq" -> ((s, dir) => VectorOps.annRecallIvfPq(s, dir)),
     "v_recall_pq" -> ((s, dir) => VectorOps.annRecallPq(s, dir)),
     "v_kmeans_step" -> ((s, dir) => VectorOps.kmeansStep(s, dir)),
+    "v_ivf_incr" -> ((s, dir) => VectorOps.ivfIncr(s, dir)),
+    "v_recall_ivf_incr" -> ((s, dir) => VectorOps.annRecallIvfIncr(s, dir)),
 
     // ---- multimodal plumbing ----
     "mm_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir).orderBy(col("media_id"))),
@@ -625,6 +627,8 @@ object SparkEntry {
       "v_recall_ivfpq" -> VectorOps.annRecallIvfPqSql(),
       "v_recall_pq" -> VectorOps.annRecallPqSql(),
       "v_kmeans_step" -> VectorOps.kmeansStepSql(),
+      "v_ivf_incr" -> VectorOps.ivfIncrSql(),
+      "v_recall_ivf_incr" -> VectorOps.annRecallIvfIncrSql(),
       "mm_meta" -> Multimodal.mediaMetaSql,
       "mm_frames" -> Multimodal.frameSampleSql(),
       "mm_resize" -> Multimodal.resizePlanSql(),

@@ -1265,4 +1265,200 @@ object VectorOps {
                            nProbe: Int = 2, blocks: Int = 4, codebook: Int = 16): String =
     recallSqlOf(annIvfPqResSql(nQueries, k, kCentroids, nProbe, blocks, codebook),
       nQueries, k)
+
+  // ---- incremental index maintenance (new vectors vs a frozen index) ----
+
+  /** Base/delta split by id residue — the stand-in for "the corpus as of
+    * the last index build" vs "embeddings that arrived since". mod = 5
+    * makes the delta 20% of the corpus.
+    */
+  private def splitBase(e: DataFrame, mod: Int): DataFrame =
+    e.filter(col("vec_id") % mod =!= (mod - 1))
+  private def splitDelta(e: DataFrame, mod: Int): DataFrame =
+    e.filter(col("vec_id") % mod === (mod - 1))
+
+  /** The frozen index structure: the `kCentroids` smallest-id BASE vectors
+    * as (id, vector, norm) driver state — k×dim doubles, the same bounded
+    * driver-traffic contract as [[kmeansTrain]] (whose trained centroids
+    * swap in without a plan change, exactly like the other `*With`
+    * operators).
+    */
+  private def frozenCentroids(e: DataFrame, kCentroids: Int,
+                              mod: Int): Seq[(Long, Seq[Double], Double)] = {
+    val rows = splitBase(e, mod).orderBy(col("vec_id")).limit(kCentroids)
+      .select(col("vec_id"), col("v"), col("nrm")).collect()
+    require(rows.length == kCentroids,
+      s"base split has only ${rows.length} vectors < kCentroids=$kCentroids")
+    rows.toSeq.map(r => (r.getLong(0), r.getSeq[Double](1).toSeq, r.getDouble(2)))
+  }
+
+  /** Row-local argmax over a literal candidate array: fold keeps the FIRST
+    * strict maximum, which in ascending-id literal order is exactly the
+    * (score desc, id asc) tie-break every assignment window in this file
+    * uses — but as a pure projection: no join, no window, NO SHUFFLE.
+    */
+  private def argmaxFold(cands: Column, score: Column => Column): Column =
+    aggregate(cands,
+      struct(lit(-1L).as("id"), lit(Double.NegativeInfinity).as("sc")),
+      (acc, c) => {
+        val s = score(c)
+        when(s > acc.getField("sc"),
+          struct(c.getField("_1").as("id"), s.as("sc"))).otherwise(acc)
+      }).getField("id")
+
+  /** Incremental IVF+PQ maintenance — the operation a 100 TB deployment
+    * runs DAILY while full retraining stays monthly: NEW embeddings (the
+    * delta split) are assigned to the EXISTING trained structure — nearest
+    * frozen centroid + per-block PQ codes against the frozen codebook —
+    * and appended to the index. The text tier's `d_dedup_incr` analog for
+    * vectors.
+    *
+    * Scale shape: centroids and codewords ship as literals (k×dim driver
+    * state), so the whole operator is ONE projection over the delta scan —
+    * zero shuffle, zero join, no window; the base corpus is never read.
+    * Asserted in PlanAuditSpec: the executed plan's only exchange is the
+    * output ordering's.
+    */
+  def ivfIncr(spark: SparkSession, dir: String, kCentroids: Int = 16,
+              blocks: Int = 4, mod: Int = 5): DataFrame = {
+    val dim = 64 // embeddings table width (TESTDATA.md)
+    require(dim % blocks == 0, s"dim $dim not divisible by $blocks blocks")
+    val sub = dim / blocks
+    val e = prepared(spark, dir)
+    val cents = frozenCentroids(e, kCentroids, mod)
+    val centLit = typedLit(cents)
+    // per-block codeword literals: (cid, sub-vector, 0.5·‖cw‖²) with the
+    // half-norm precomputed LEFT-TO-RIGHT at the driver — the same
+    // accumulation order list_dot_product uses, so scores stay bit-equal
+    def cwLit(b: Int) = typedLit(cents.map { case (cid, v, _) =>
+      val cw = v.slice(b * sub, (b + 1) * sub)
+      (cid, cw, 0.5 * cw.foldLeft(0.0)((acc, x) => acc + x * x))
+    })
+    val centroidId = argmaxFold(centLit, c =>
+      dot(col("v"), c.getField("_2")) / (col("nrm") * c.getField("_3")))
+    val codeCols = (0 until blocks).map { b =>
+      argmaxFold(cwLit(b), c =>
+        dot(slice(col("v"), b * sub + 1, sub), c.getField("_2")) - c.getField("_3"))
+    }
+    splitDelta(e, mod)
+      .withColumn("centroid_id", centroidId)
+      .select(col("vec_id"), col("centroid_id"),
+        posexplode(array(codeCols: _*)).as(Seq("block", "code")))
+      .orderBy(col("vec_id"), col("block"))
+  }
+
+  def ivfIncrSql(kCentroids: Int = 16, blocks: Int = 4, mod: Int = 5): String = {
+    val sub = 64 / blocks
+    s"""WITH e0 AS ($preparedSql),
+       |delta AS (SELECT * FROM e0 WHERE vec_id % $mod = ${mod - 1}),
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e0
+       |      WHERE vec_id % $mod <> ${mod - 1} ORDER BY vec_id LIMIT $kCentroids),
+       |assign AS (
+       |  SELECT vec_id, cid AS centroid_id FROM (
+       |    SELECT d.vec_id, c.cid, ROW_NUMBER() OVER (
+       |      PARTITION BY d.vec_id
+       |      ORDER BY list_dot_product(d.v, c.cv) / (d.nrm * c.cn) DESC, c.cid) AS rn
+       |    FROM delta d, c) WHERE rn = 1),
+       |b AS (SELECT unnest(range(0, $blocks)) AS block),
+       |dsv AS (SELECT vec_id, block, v[block * $sub + 1 : block * $sub + $sub] AS sv
+       |        FROM delta, b),
+       |cw AS (SELECT cid, block, cv[block * $sub + 1 : block * $sub + $sub] AS cwv
+       |       FROM c, b),
+       |codes AS (
+       |  SELECT vec_id, block, cid AS code FROM (
+       |    SELECT dsv.vec_id, dsv.block, cw.cid, ROW_NUMBER() OVER (
+       |      PARTITION BY dsv.vec_id, dsv.block
+       |      ORDER BY list_dot_product(dsv.sv, cw.cwv)
+       |               - 0.5 * list_dot_product(cw.cwv, cw.cwv) DESC, cw.cid) AS rn
+       |    FROM dsv JOIN cw USING (block)) WHERE rn = 1)
+       |SELECT a.vec_id, a.centroid_id, CAST(codes.block AS INT) AS block, codes.code
+       |FROM assign a JOIN codes ON a.vec_id = codes.vec_id
+       |ORDER BY a.vec_id, block""".stripMargin
+  }
+
+  /** IVF search over the incrementally-maintained index: base vectors keep
+    * their frozen-centroid assignment, delta vectors carry the
+    * [[ivfIncr]]-style fold assignment — both halves are the same
+    * shuffle-free projection, unioned into one assignment relation, then
+    * searched exactly like [[annIvfMulti]] (probes from the frozen
+    * centroids, candidates bounded by probed lists, per-query top-k).
+    */
+  private[graft] def annIvfIncrSearch(spark: SparkSession, dir: String, nQueries: Int,
+                                      kNn: Int, kCentroids: Int, nProbe: Int,
+                                      mod: Int): DataFrame = {
+    val e = prepared(spark, dir)
+    val cents = frozenCentroids(e, kCentroids, mod)
+    val centLit = typedLit(cents)
+    val centroidId = argmaxFold(centLit, c =>
+      dot(col("v"), c.getField("_2")) / (col("nrm") * c.getField("_3")))
+    def foldAssign(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), centroidId.as("centroid_id"))
+    val assigned = foldAssign(splitBase(e, mod)).union(foldAssign(splitDelta(e, mod)))
+    import spark.implicits._
+    val centDf = broadcast(cents.toDF("centroid_id", "cv", "cn"))
+    val pw = Window.partitionBy(col("vec_id"))
+      .orderBy((dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).desc, col("centroid_id"))
+    val qProbes = e.filter(col("vec_id") < nQueries).join(centDf)
+      .withColumn("__rn", row_number().over(pw)).filter(col("__rn") <= nProbe)
+      .select(col("centroid_id").as("q_cent"), col("vec_id").as("q_id"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val sims = e.join(assigned, "vec_id")
+      .join(broadcast(qProbes),
+        col("centroid_id") === col("q_cent") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNn)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private def annIvfIncrSearchSql(nQueries: Int, kNn: Int, kCentroids: Int,
+                                  nProbe: Int, mod: Int): String =
+    s"""WITH e0 AS ($preparedSql),
+       |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e0
+       |      WHERE vec_id % $mod <> ${mod - 1} ORDER BY vec_id LIMIT $kCentroids),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT e0.vec_id, c.centroid_id, ROW_NUMBER() OVER (
+       |      PARTITION BY e0.vec_id
+       |      ORDER BY list_dot_product(e0.v, c.cv) / (e0.nrm * c.cn) DESC, c.centroid_id) AS rn
+       |    FROM e0, c)
+       |  WHERE rn = 1),
+       |e AS (SELECT e0.*, assign.centroid_id FROM e0 JOIN assign USING (vec_id)),
+       |q AS (
+       |  SELECT centroid_id AS q_cent, vec_id AS q_id, v AS qv, nrm AS qn FROM (
+       |    SELECT e0.vec_id, e0.v, e0.nrm, c.centroid_id, ROW_NUMBER() OVER (
+       |      PARTITION BY e0.vec_id
+       |      ORDER BY list_dot_product(e0.v, c.cv) / (e0.nrm * c.cn) DESC, c.centroid_id) AS rn
+       |    FROM e0, c WHERE e0.vec_id < $nQueries)
+       |  WHERE rn <= $nProbe),
+       |sims AS (
+       |  SELECT q.q_id, e.vec_id,
+       |    round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 4) AS cos_sim
+       |  FROM e JOIN q ON e.centroid_id = q.q_cent AND e.vec_id <> q.q_id)
+       |SELECT q_id, rank, vec_id AS neighbor_id, cos_sim FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+       |  FROM sims)
+       |WHERE rank <= $kNn
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** Recall-matrix row for the incrementally-maintained index: recall@k of
+    * [[annIvfIncrSearch]] against the exact [[knn]]. The search's candidate
+    * set spans base AND delta vectors, so a delta vector mis-assigned by
+    * the incremental path would surface here as a recall loss — parity
+    * with the batch-built index is asserted row-exactly in OperatorsSpec.
+    */
+  def annRecallIvfIncr(spark: SparkSession, dir: String, nQueries: Int = 20,
+                       k: Int = 5, kCentroids: Int = 16, nProbe: Int = 2,
+                       mod: Int = 5): DataFrame =
+    recallAgainstExact(spark, dir,
+      annIvfIncrSearch(spark, dir, nQueries, k, kCentroids, nProbe, mod),
+      nQueries, k)
+
+  def annRecallIvfIncrSql(nQueries: Int = 20, k: Int = 5, kCentroids: Int = 16,
+                          nProbe: Int = 2, mod: Int = 5): String =
+    recallSqlOf(annIvfIncrSearchSql(nQueries, k, kCentroids, nProbe, mod),
+      nQueries, k)
 }

@@ -103,6 +103,17 @@ class PlanAuditSpec extends SparkSuite {
       s"slice offsets must broadcast:\n$plan")
   }
 
+  test("v_ivf_incr: delta assignment is a shuffle-free projection") {
+    val plan = executedPlan("v_ivf_incr")
+    // frozen centroids/codewords ship as literals folded row-locally, so
+    // the ONLY exchange is the presentation orderBy's rangepartitioning —
+    // no hash exchange, no join of any kind touches the delta
+    assert(dataExchanges(plan) == 0,
+      s"incremental assignment must not shuffle the delta:\n$plan")
+    assert(!plan.contains("Join"),
+      s"centroids/codewords must ship as literals, not a join:\n$plan")
+  }
+
   test("d_cap_per_source: hot sources two-staged through the salted window") {
     val plan = executedPlan("d_cap_per_source")
     // stage 1 must window on (source, salt) — the mechanism that spreads a
