@@ -79,7 +79,27 @@ object RunDocPipeline {
       (d.filter(col("admitted")).count(), d.filter(!col("admitted")).count())
     } catch { case _: Throwable => (0L, 0L) }
     val total = Tables.documents(spark, sfDir).count()
-    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected}""")
+
+    // third stage — the BATCH corpus build artifact: the full composed
+    // chain (curate → exact+near dedup → decontam-span strip → quality
+    // tiers → mix rebalance → token-budgeted shard walk) WRITTEN as
+    // size-budgeted shard files plus the manifest relation a downstream
+    // trainer consumes. The manifest is the oracle-checked
+    // `d_shard_manifest` query — what lands on disk is what the
+    // differential harness graded.
+    import graft.functions.MixOps
+    val budget = sys.env.getOrElse("GRAFT_SHARD_BUDGET", "500").toLong
+    MixOps.corpusBuild(spark, sfDir, budget = budget)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard_id").parquet(s"$workDir/shards")
+    MixOps.shardManifest(spark, sfDir, budget = budget)
+      .write.mode(SaveMode.Overwrite).parquet(s"$workDir/manifest")
+    val m = spark.read.parquet(s"$workDir/manifest")
+    val nShards = m.count()
+    val shardDocs = m.agg(sum("n_docs")).collect()(0).getLong(0)
+    val shardTokens = m.agg(sum("n_tokens")).collect()(0).getLong(0)
+
+    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens}""")
     spark.stop()
   }
 }

@@ -224,6 +224,7 @@ object SparkEntry {
     "d_epoch_upsample" -> ((s, dir) => MixOps.epochUpsample(s, dir)),
     "d_cap_per_source" -> ((s, dir) => MixOps.capPerSource(s, dir)),
     "d_semantic_dedup" -> ((s, dir) => MixOps.semanticDedup(s, dir)),
+    "d_shard_manifest" -> ((s, dir) => MixOps.shardManifest(s, dir)),
 
     // ---- embedding similarity operators ----
     "v_norms" -> ((s, dir) => VectorOps.norms(s, dir).orderBy(col("vec_id"))),
@@ -606,6 +607,7 @@ object SparkEntry {
       "d_epoch_upsample" -> MixOps.epochUpsampleSql(),
       "d_cap_per_source" -> MixOps.capPerSourceSql(),
       "d_semantic_dedup" -> MixOps.semanticDedupSql(),
+      "d_shard_manifest" -> MixOps.shardManifestSql(),
       "v_norms" -> VectorOps.normsSql,
       "v_knn" -> VectorOps.knnSql(),
       "v_neardup" -> VectorOps.nearDupExactSql(),

@@ -41,12 +41,16 @@ object MixOps {
     * (e.g. 10k buckets), the offsets relation stays driver-trivial, and no
     * stage ever sees the corpus in one partition.
     */
-  def shardPack(spark: SparkSession, dir: String, buckets: Int = 8,
-                budget: Long = 2000L): DataFrame = {
-    val d = TextOps.prepared(spark, dir).select(
-      col("doc_id"),
-      size(col("words")).cast("long").as("tok"),
-      Exprs.hex60(concat(lit("sp:"), col("doc_id").cast("string"))).as("h"))
+  /** The shared distributed prefix sum: given (doc_id, tok, …), walk the
+    * deterministic global order (salted hash, then doc_id) and emit each
+    * row's running token offset `off` — per-bucket cumulative windows run
+    * `buckets`-way parallel, the only unpartitioned window is over the
+    * `buckets`-row totals relation, offsets come back as a broadcast join.
+    * The engine under [[shardPack]], [[packChunks]] and [[corpusBuild]].
+    */
+  private def walkOffsets(d0: DataFrame, buckets: Int): DataFrame = {
+    val d = d0
+      .withColumn("h", Exprs.hex60(concat(lit("sp:"), col("doc_id").cast("string"))))
       .withColumn("bucket", pmod(col("h"), lit(buckets)))
     val totals = d.groupBy("bucket").agg(sum("tok").as("btok"))
     // window over `buckets` rows — bounded by the parameter, not the data
@@ -58,8 +62,16 @@ object MixOps {
       .rowsBetween(Window.unboundedPreceding, -1)
     d.withColumn("cum_in", coalesce(sum("tok").over(wIn), lit(0L)))
       .join(broadcast(offsets), Seq("bucket"))
-      // `div` = exact integer division on BIGINT, mirroring DuckDB `//`
-      .withColumn("shard_id", expr(s"(boff + cum_in) div ${budget}L"))
+      .withColumn("off", col("boff") + col("cum_in"))
+  }
+
+  def shardPack(spark: SparkSession, dir: String, buckets: Int = 8,
+                budget: Long = 2000L): DataFrame = {
+    val d = TextOps.prepared(spark, dir).select(
+      col("doc_id"), size(col("words")).cast("long").as("tok"))
+    // `div` = exact integer division on BIGINT, mirroring DuckDB `//`
+    walkOffsets(d, buckets)
+      .withColumn("shard_id", expr(s"off div ${budget}L"))
       .select(col("doc_id"), col("tok").cast("int").as("tok"), col("shard_id"))
       .orderBy("doc_id")
   }
@@ -97,20 +109,8 @@ object MixOps {
   def packChunks(spark: SparkSession, dir: String, buckets: Int = 8,
                  seqLen: Long = 512L): DataFrame = {
     val d = TextOps.prepared(spark, dir).select(
-      col("doc_id"),
-      size(col("words")).cast("long").as("tok"),
-      Exprs.hex60(concat(lit("sp:"), col("doc_id").cast("string"))).as("h"))
-      .withColumn("bucket", pmod(col("h"), lit(buckets)))
-    val totals = d.groupBy("bucket").agg(sum("tok").as("btok"))
-    val wOff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = totals
-      .withColumn("boff", coalesce(sum("btok").over(wOff), lit(0L)))
-      .select("bucket", "boff")
-    val wIn = Window.partitionBy("bucket").orderBy(col("h"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    d.withColumn("cum_in", coalesce(sum("tok").over(wIn), lit(0L)))
-      .join(broadcast(offsets), Seq("bucket"))
-      .withColumn("off", col("boff") + col("cum_in"))
+      col("doc_id"), size(col("words")).cast("long").as("tok"))
+    walkOffsets(d, buckets)
       // tok ≥ 1 always (split of a non-empty norm), so off+tok-1 is the
       // doc's LAST token position and the span is inclusive on both ends
       .withColumn("first_chunk", expr(s"off div ${seqLen}L"))
@@ -419,4 +419,114 @@ object MixOps {
        |SELECT doc_id, dup_of, source
        |FROM dropped JOIN documents USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  // ---- end-to-end corpus build: the artifact a training-data team ships ----
+
+  /** The COMPOSED pipeline, one relation: curate (lang/quality/exact-dup/
+    * benchmark/contamination/sampling gates) minus embedding-cosine
+    * near-duplicates ∩ mixture-rebalance keeps, with per-doc quality tier
+    * attached,
+    * contaminated spans STRIPPED from the surviving text (token counts are
+    * post-decontam), and every survivor placed in a token-budgeted shard
+    * by the [[shardPack]] walk. Each stage is the already-oracle-checked
+    * operator — this operator is their composition plus the shard
+    * placement, the thing `RunDocPipeline` writes to disk.
+    *
+    * Scale shape: the stage outputs join on doc_id (co-partitioned hash
+    * joins; every stage output is narrow), the walk is the bucketed prefix
+    * sum, and nothing windows the corpus in one partition. Docs the
+    * decontam pass doesn't cover (< 3 words — too short for a shingle)
+    * pass through with their raw text/counts.
+    */
+  def corpusBuild(spark: SparkSession, dir: String, buckets: Int = 8,
+                  budget: Long = 500L): DataFrame = {
+    val cur = TextOps.curate(spark, dir).filter(col("keep")).select("doc_id")
+    // near-dedup = embedding-cosine semantic dedup (exact dedup is already
+    // one of curate's gates). NOT the MinHash-CC cluster collapse: on a
+    // shared-vocabulary corpus the LSH band graph is near-complete (53k
+    // candidate pairs over 500 sf0.01 docs) and one cluster swallows every
+    // curated doc — measured: the build degenerated to ONE survivor. The
+    // cosine threshold drops true semantic twins and keeps the corpus;
+    // both operators stay available standalone, the BUILD composes the one
+    // whose selectivity matches a production near-dedup stage.
+    val ded = cur.join(
+      semanticDedup(spark, dir).select("doc_id"), Seq("doc_id"), "left_anti")
+    val mix = mixRebalance(spark, dir).select("doc_id")
+    val tiers = qualityTiers(spark, dir).select(col("doc_id"), col("tier"))
+    val clean = TextOps.decontamSpans(spark, dir)
+      .select(col("doc_id"),
+        (col("n_words") - col("n_contam")).as("tok_clean"), col("text_clean"))
+    val base = TextOps.prepared(spark, dir).select(
+      col("doc_id"), col("source"), col("norm"),
+      size(col("words")).cast("long").as("tok_raw"))
+    val survivors = base
+      .join(ded, "doc_id").join(mix, "doc_id")
+      .join(tiers, "doc_id")
+      .join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("tier"),
+        coalesce(col("tok_clean"), col("tok_raw")).as("tok"),
+        coalesce(col("text_clean"), col("norm")).as("text_out"))
+    walkOffsets(survivors, buckets)
+      .withColumn("shard_id", expr(s"off div ${budget}L"))
+      .select(col("doc_id"), col("source"), col("tier"), col("tok"),
+        col("shard_id"), col("text_out"))
+  }
+
+  /** The manifest relation a consumer trusts the shards by: per shard, doc
+    * count, post-decontam token count, tier composition, and an
+    * order-independent content checksum (bit_xor of the per-doc text
+    * hash). Oracle-checked end to end as `d_shard_manifest` — the SQL
+    * recomputes the ENTIRE chain (every gate, the span strip, the walk)
+    * and must land on identical manifests, so a drift anywhere in the
+    * composition surfaces as a checksum mismatch.
+    */
+  def shardManifest(spark: SparkSession, dir: String, buckets: Int = 8,
+                    budget: Long = 500L): DataFrame =
+    corpusBuild(spark, dir, buckets, budget)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("tok").as("n_tokens"),
+        // order-independent content checksum: bit_xor of the per-doc
+        // 60-bit text hash (the aggregate form of Exprs.hex60)
+        expr("bit_xor(cast(conv(substring(md5(text_out), 1, 15), 16, 10) as bigint))")
+          .as("checksum"),
+        sum(when(col("tier") === "head", 1L).otherwise(0L)).as("n_head"),
+        sum(when(col("tier") === "middle", 1L).otherwise(0L)).as("n_middle"),
+        sum(when(col("tier") === "tail", 1L).otherwise(0L)).as("n_tail"))
+      .orderBy("shard_id")
+
+  def shardManifestSql(buckets: Int = 8, budget: Long = 500L): String =
+    s"""WITH cur AS (SELECT doc_id FROM (${TextOps.curateSql()}) WHERE keep),
+       |sdrop AS (SELECT doc_id FROM (${semanticDedupSql()})),
+       |ded AS (
+       |  SELECT doc_id FROM cur
+       |  WHERE NOT EXISTS (SELECT 1 FROM sdrop WHERE sdrop.doc_id = cur.doc_id)),
+       |mix AS (SELECT doc_id FROM (${mixRebalanceSql()})),
+       |tiers AS (SELECT doc_id, tier FROM (${qualityTiersSql()})),
+       |clean AS (SELECT doc_id, n_words - n_contam AS tok_clean, text_clean
+       |          FROM (${TextOps.decontamSpansSql()})),
+       |base AS (SELECT doc_id, source, norm,
+       |                CAST(len(words) AS BIGINT) AS tok_raw
+       |         FROM (${TextOps.preparedSql})),
+       |s AS (
+       |  SELECT base.doc_id, tier,
+       |    COALESCE(tok_clean, tok_raw) AS tok,
+       |    COALESCE(text_clean, norm) AS text_out,
+       |    ${Exprs.hex60Sql("'sp:' || base.doc_id::VARCHAR")} AS h
+       |  FROM base JOIN ded USING (doc_id)
+       |       JOIN mix USING (doc_id) JOIN tiers USING (doc_id)
+       |       LEFT JOIN clean USING (doc_id)),
+       |o AS (
+       |  SELECT tier, tok, text_out,
+       |    COALESCE(SUM(tok) OVER (ORDER BY h % $buckets, h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM s)
+       |SELECT CAST(off // $budget AS BIGINT) AS shard_id,
+       |  count(*) AS n_docs,
+       |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+       |  CAST(bit_xor(${Exprs.hex60Sql("text_out")}) AS BIGINT) AS checksum,
+       |  CAST(sum(CASE WHEN tier = 'head' THEN 1 ELSE 0 END) AS BIGINT) AS n_head,
+       |  CAST(sum(CASE WHEN tier = 'middle' THEN 1 ELSE 0 END) AS BIGINT) AS n_middle,
+       |  CAST(sum(CASE WHEN tier = 'tail' THEN 1 ELSE 0 END) AS BIGINT) AS n_tail
+       |FROM o GROUP BY 1 ORDER BY shard_id""".stripMargin
 }

@@ -30,6 +30,44 @@ class MixOpsSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("corpusBuild: written shards respect the budget and the manifest matches the files") {
+    val budget = 2000L
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    MixOps.corpusBuild(spark, sf("sf0.01"), budget = budget)
+      .write.mode("overwrite").partitionBy("shard_id").parquet(out)
+    val manifest = MixOps.shardManifest(spark, sf("sf0.01"), budget = budget)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(manifest.nonEmpty)
+
+    // the written files ARE the manifest: per-shard doc count, token count
+    // and content checksum recomputed from disk must match row-exactly
+    // partitionBy infers the partition column back as Int — cast to match
+    val back = spark.read.parquet(out)
+      .groupBy(col("shard_id").cast("long").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"),
+        expr("bit_xor(cast(conv(substring(md5(text_out), 1, 15), 16, 10) as bigint))")
+          .as("checksum"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(back == manifest, "manifest diverged from the written shard files")
+
+    // budget compliance: every shard except the last lands within one
+    // max-size document of the budget (the prefix-walk contract), and the
+    // id range is dense — no phantom or skipped shards
+    val toks = spark.read.parquet(out).agg(max("tok")).head().getLong(0)
+    val last = manifest.keys.max
+    assert(manifest.keySet == (0L to last).toSet)
+    manifest.filter(_._1 != last).foreach { case (id, (_, t, _)) =>
+      assert(t > budget - toks && t < budget + toks, s"shard $id total $t")
+    }
+    // survivors only: the build is a strict subset of the corpus that kept
+    // every gate's survivors (sanity against an accidental pass-through)
+    val nAll = Tables.documents(spark, sf("sf0.01")).count()
+    val nBuilt = manifest.values.map(_._1).sum
+    assert(nBuilt > 0 && nBuilt < nAll, s"built $nBuilt of $nAll")
+  }
+
   test("mixRebalance: kept share per source tracks the target weight") {
     val kept = MixOps.mixRebalance(spark, sf("sf0.01")).cache()
     val before = Tables.documents(spark, sf("sf0.01"))
