@@ -258,7 +258,8 @@ object SparkEntry {
       Multimodal.frameSample(s, dir).orderBy(col("media_id"), col("frame_idx"))),
     "mm_resize" -> ((s, dir) => Multimodal.resizePlan(s, dir).orderBy(col("media_id"))),
     "mm_pixels" -> ((s, dir) => Multimodal.pixelStats(s, dir)),
-    "mm_pixels_png" -> ((s, dir) => Multimodal.pixelStatsPng(s, dir))
+    "mm_pixels_png" -> ((s, dir) => Multimodal.pixelStatsPng(s, dir)),
+    "mm_pixels_jpeg" -> ((s, dir) => Multimodal.pixelStatsJpeg(s, dir))
   )
 
   /** DuckDB SQL mirrors. Column names/aliases match the Spark side exactly
@@ -635,7 +636,8 @@ object SparkEntry {
       "mm_frames" -> Multimodal.frameSampleSql(),
       "mm_resize" -> Multimodal.resizePlanSql(),
       "mm_pixels" -> Multimodal.pixelStatsSql(),
-      "mm_pixels_png" -> Multimodal.pixelStatsPngSql()
+      "mm_pixels_png" -> Multimodal.pixelStatsPngSql(),
+      "mm_pixels_jpeg" -> Multimodal.pixelStatsJpegSql()
     )
   }
 }

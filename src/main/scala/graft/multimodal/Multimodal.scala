@@ -7,15 +7,15 @@ import graft.Tables
 /** Multimodal-column plumbing: image/audio/video payloads as opaque `binary`
   * columns with typed metadata, plus batch feature extraction.
   *
-  * Decode comes in two tiers. [[HeaderDecoder]] is REAL: pure-JVM parsing of
-  * BMP pixel dimensions and RIFF/WAVE sample rate / channels / bit depth
-  * from actual bytes. Compressed codecs (JPEG/MP3/H.264) need native
-  * bindings this container lacks, so that step is a clearly-marked
-  * deterministic stub ([[StubDecoder]]). Both run through the same
-  * Spark-side shape — binary+metadata schema, partition-wise batch UDF
-  * (`mapPartitions` over a typed Dataset — the Scala analog of
-  * `mapInPandas`), and a column-level metadata path that stays inside
-  * whole-stage codegen.
+  * Decode comes in two tiers. [[HeaderDecoder]] and the pixel codecs
+  * ([[Bmp]], [[Png]], [[Jpeg]] — including full baseline JPEG entropy
+  * decode) are REAL: pure-JVM parsing of actual bytes, no native bindings.
+  * Audio/video codecs (MP3/H.264) would need bindings this container
+  * lacks, so that step is a clearly-marked deterministic stub
+  * ([[StubDecoder]]). Both run through the same Spark-side shape —
+  * binary+metadata schema, partition-wise batch UDF (`mapPartitions` over
+  * a typed Dataset — the Scala analog of `mapInPandas`), and a
+  * column-level metadata path that stays inside whole-stage codegen.
   *
   * There is no binary table in the testdata, so payloads are synthesized
   * deterministically from `documents.text` (UTF-8 bytes) — the plumbing is
@@ -45,10 +45,12 @@ object Multimodal {
       (col("doc_id") % 640 + 1).cast("int").as("declared_w"),
       (col("doc_id") % 480 + 1).cast("int").as("declared_h"))
 
-  /** The decode stub: in production this calls the codec (e.g. libjpeg /
-    * ffmpeg bindings) per batch; here it derives deterministic fake features
-    * from the bytes so tests can assert exact values. Marked loudly so no
-    * one mistakes it for a real decoder.
+  /** The decode stub for the formats still lacking a pure-JVM codec here
+    * (MP3 / H.264 — images are fully real via [[Bmp]]/[[Png]]/[[Jpeg]]):
+    * in production this calls ffmpeg-style bindings per batch; here it
+    * derives deterministic fake features from the bytes so tests can
+    * assert exact values. Marked loudly so no one mistakes it for a real
+    * decoder.
     */
   object StubDecoder {
     /** STUB — stands in for real image/audio decode (no codecs in env). */
@@ -377,6 +379,88 @@ object Multimodal {
       }.toDF("media_id", "out_w", "out_h", "px_check")
       .orderBy("media_id")
   }
+
+  /** The JPEG tier of the pixel path — a LOSSY codec made differentially
+    * oracle-checkable: Y is constant per 8×8 block and Cb/Cr constant per
+    * 16×16 MCU, so with [[Jpeg]]'s all-ones quant tables every block is
+    * DC-only and the REAL encode → huffman-decode → dequant → IDCT →
+    * 4:2:0-upsample path reproduces the plane values EXACTLY (the
+    * exactness argument lives on [[Jpeg]]). The DuckDB oracle recomputes
+    * the block constants from the formulas and applies the same
+    * fixed-point YCbCr→RGB — it never sees a byte, so a defect anywhere in
+    * the entropy coding, DC prediction, zigzag, IDCT or upsampling shifts
+    * the position-weighted checksum and fails the hash compare.
+    */
+  def pixelStatsJpeg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(col("doc_id") % 3 === 0)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 24).toInt + 1
+          val h = (id % 18).toInt + 1
+          val yP = new Array[Int](w * h)
+          val cbP = new Array[Int](w * h)
+          val crP = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = y * w + x
+              yP(p) = ((3 * id + 17 * (x / 8) + 29 * (y / 8)) % 256).toInt
+              cbP(p) = ((5 * id + 23 * (x / 16) + 31 * (y / 16)) % 256).toInt
+              crP(p) = ((7 * id + 19 * (x / 16) + 37 * (y / 16)) % 256).toInt
+              x += 1
+            }
+            y += 1
+          }
+          val bytes = Jpeg.encodeYCbCr(w, h, yP, cbP, crP)
+          val (dw, dh, rgb) = Jpeg.decode(bytes)
+            .getOrElse(sys.error(s"undecodable JPEG for media $id"))
+          var check = 0L
+          var yy = 0
+          while (yy < dh) {
+            var xx = 0
+            while (xx < dw) {
+              val p = (yy * dw + xx) * 3
+              check += (2 * (rgb(p) & 0xff) + 5 * (rgb(p + 1) & 0xff) +
+                3 * (rgb(p + 2) & 0xff)).toLong * (xx + 1) * (yy + 1)
+              xx += 1
+            }
+            yy += 1
+          }
+          (id, dw, dh, check)
+        }
+      }.toDF("media_id", "out_w", "out_h", "px_check")
+      .orderBy("media_id")
+  }
+
+  /** Byte-free recomputation: block-constant planes + the [[Jpeg.yccToRgb]]
+    * fixed-point conversion (positive shifted operands, so `//` truncation
+    * == floor on both engines).
+    */
+  def pixelStatsJpegSql(): String =
+    s"""WITH imgs AS (
+       |  SELECT doc_id AS media_id,
+       |    doc_id % 24 + 1 AS w, doc_id % 18 + 1 AS h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |px AS (
+       |  SELECT media_id, w, h, x, y,
+       |    (3 * media_id + 17 * (x // 8) + 29 * (y // 8)) % 256 AS yv,
+       |    (5 * media_id + 23 * (x // 16) + 31 * (y // 16)) % 256 AS cb,
+       |    (7 * media_id + 19 * (x // 16) + 37 * (y // 16)) % 256 AS cr
+       |  FROM imgs, unnest(range(0, w)) AS tx(x), unnest(range(0, h)) AS ty(y)),
+       |rgb AS (
+       |  SELECT media_id, w, h, x, y,
+       |    least(greatest(yv + (91881 * cr + 32768) // 65536 - 179, 0), 255) AS r,
+       |    least(greatest(yv - (22554 * cb + 46802 * cr + 32768) // 65536 + 135, 0), 255) AS g,
+       |    least(greatest(yv + (116130 * cb + 32768) // 65536 - 227, 0), 255) AS b
+       |  FROM px)
+       |SELECT media_id,
+       |  CAST(w AS INT) AS out_w, CAST(h AS INT) AS out_h,
+       |  CAST(sum((2 * r + 5 * g + 3 * b) * (x + 1) * (y + 1)) AS BIGINT) AS px_check
+       |FROM rgb GROUP BY media_id, w, h ORDER BY media_id""".stripMargin
 
   def pixelStatsPngSql(box: Int = 7): String =
     s"""WITH imgs AS (

@@ -237,6 +237,112 @@ class OperatorsSpec extends SparkSuite {
     assert((r.getInt(1), r.getInt(2), r.getLong(3)) == ((outW, outH, check)))
   }
 
+  test("jpeg codec: block-constant planes round-trip exactly through the real entropy path") {
+    import graft.multimodal.Jpeg
+    // 20×13: partial blocks right and bottom, a partial MCU column — the
+    // padding/cropping edge cases. Constants per 8×8 (Y) / 16×16 (chroma)
+    // follow the exactness contract on Jpeg.
+    val (w, h) = (20, 13)
+    def yv(x: Int, y: Int) = (40 + 50 * (x / 8) + 70 * (y / 8)) % 256
+    def cb(x: Int, y: Int) = (90 + 60 * (x / 16) + 30 * (y / 16)) % 256
+    def cr(x: Int, y: Int) = (160 + 45 * (x / 16) + 85 * (y / 16)) % 256
+    val yP = Array.tabulate(w * h)(p => yv(p % w, p / w))
+    val cbP = Array.tabulate(w * h)(p => cb(p % w, p / w))
+    val crP = Array.tabulate(w * h)(p => cr(p % w, p / w))
+    val bytes = Jpeg.encodeYCbCr(w, h, yP, cbP, crP)
+    // it is a real JPEG: the header tier reads its SOF dimensions
+    val hd = Multimodal.HeaderDecoder.decode(Multimodal.MediaRecord(9L, "image", bytes, 0, 0))
+    assert(hd.format == "jpeg" && hd.width == w && hd.height == h)
+    val (dw, dh, rgb) = Jpeg.decode(bytes).getOrElse(fail("refused own output"))
+    assert((dw, dh) == (w, h))
+    for (y <- 0 until h; x <- 0 until w) {
+      val (er, eg, eb) = Jpeg.yccToRgb(yv(x, y), cb(x, y), cr(x, y))
+      val p = (y * w + x) * 3
+      assert((rgb(p) & 0xff, rgb(p + 1) & 0xff, rgb(p + 2) & 0xff) == ((er, eg, eb)),
+        s"pixel ($x,$y) diverged")
+    }
+    // loud refusals: truncated entropy data, progressive frame, EOI-first
+    assert(Jpeg.decode(bytes.take(bytes.length / 2)).isEmpty, "truncated must refuse")
+    val prog = bytes.clone()
+    val sofAt = (0 until bytes.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(Jpeg.decode(prog).isEmpty, "progressive must refuse, not garble")
+    assert(Jpeg.decode(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)).isEmpty)
+  }
+
+  test("jpeg codec: decodes javax.imageio-written files at decoder-parity tolerance") {
+    import graft.multimodal.Jpeg
+    import java.awt.image.BufferedImage
+    // real-world bytes: standard huffman tables, real AC coefficients,
+    // libjpeg-style quant — everything the hand-rolled decoder must parse.
+    // Grayscale isolates the IDCT (no chroma): near-exact agreement with
+    // ImageIO's own decoder. Color adds 4:2:0 chroma where upsampling
+    // filters legitimately differ between decoders — a smooth gradient
+    // bounds that difference tightly.
+    def writeJpeg(img: BufferedImage): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", out), "no JPEG writer in JDK")
+      out.toByteArray
+    }
+    def readJpeg(bytes: Array[Byte]): BufferedImage =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    // ---- grayscale (single-component scan). Write and compare via the
+    // RASTER: TYPE_BYTE_GRAY's get/setRGB applies a colorspace (gamma)
+    // conversion — the JPEG carries raster samples, which is what both
+    // decoders reconstruct.
+    val g = new BufferedImage(37, 23, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 23; x <- 0 until 37)
+      g.getRaster.setSample(x, y, 0, (x * 5 + y * 7) % 256)
+    val gBytes = writeJpeg(g)
+    val (gw, gh, gRgb) = Jpeg.decode(gBytes).getOrElse(fail("grayscale refused"))
+    assert((gw, gh) == (37, 23))
+    val gRef = readJpeg(gBytes)
+    var gMax = 0; var gSum = 0L; var gN = 0
+    for (y <- 0 until gh; x <- 0 until gw) {
+      val ours = gRgb((y * gw + x) * 3) & 0xff
+      val ref = gRef.getRaster.getSample(x, y, 0)
+      val d = math.abs(ours - ref)
+      gMax = math.max(gMax, d); gSum += d; gN += 1
+    }
+    assert(gMax <= 2, s"grayscale max diff $gMax vs ImageIO (IDCT parity)")
+    assert(gSum.toDouble / gN <= 0.5, s"grayscale mean diff ${gSum.toDouble / gN}")
+    // ---- color (3 components, writer-default subsampling)
+    val c = new BufferedImage(41, 26, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 26; x <- 0 until 41)
+      c.setRGB(x, y, ((x * 3 + 40) << 16) | ((y * 4 + 60) << 8) | ((x + y) * 2 + 80))
+    val cBytes = writeJpeg(c)
+    val (cw, ch, cRgb) = Jpeg.decode(cBytes).getOrElse(fail("color refused"))
+    assert((cw, ch) == (41, 26))
+    val cRef = readJpeg(cBytes)
+    var cMax = 0; var cSum = 0L; var cN = 0
+    for (y <- 0 until ch; x <- 0 until cw; ch0 <- 0 until 3) {
+      val ours = cRgb((y * cw + x) * 3 + ch0) & 0xff
+      val ref = (cRef.getRGB(x, y) >> ((2 - ch0) * 8)) & 0xff
+      val d = math.abs(ours - ref)
+      cMax = math.max(cMax, d); cSum += d; cN += 1
+    }
+    assert(cMax <= 12, s"color max diff $cMax vs ImageIO")
+    assert(cSum.toDouble / cN <= 2.0, s"color mean diff ${cSum.toDouble / cN}")
+  }
+
+  test("mm_pixels_jpeg: byte path matches the formula recomputation") {
+    val rows = Multimodal.pixelStatsJpeg(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val r = rows.maxBy(_.getLong(0))
+    val id = r.getLong(0)
+    val w = (id % 24).toInt + 1; val h = (id % 18).toInt + 1
+    var check = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val yv = ((3 * id + 17 * (x / 8) + 29 * (y / 8)) % 256).toInt
+      val cb = ((5 * id + 23 * (x / 16) + 31 * (y / 16)) % 256).toInt
+      val cr = ((7 * id + 19 * (x / 16) + 37 * (y / 16)) % 256).toInt
+      val (er, eg, eb) = graft.multimodal.Jpeg.yccToRgb(yv, cb, cr)
+      check += (2L * er + 5L * eg + 3L * eb) * (x + 1) * (y + 1)
+    }
+    assert((r.getInt(1), r.getInt(2), r.getLong(3)) == ((w, h, check)))
+  }
+
   test("mm_pixels: full byte path on testdata — decoded dims bind to the box") {
     val rows = Multimodal.pixelStats(spark, sf(), box = 8).collect()
     assert(rows.nonEmpty)
