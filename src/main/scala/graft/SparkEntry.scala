@@ -259,7 +259,8 @@ object SparkEntry {
     "mm_resize" -> ((s, dir) => Multimodal.resizePlan(s, dir).orderBy(col("media_id"))),
     "mm_pixels" -> ((s, dir) => Multimodal.pixelStats(s, dir)),
     "mm_pixels_png" -> ((s, dir) => Multimodal.pixelStatsPng(s, dir)),
-    "mm_pixels_jpeg" -> ((s, dir) => Multimodal.pixelStatsJpeg(s, dir))
+    "mm_pixels_jpeg" -> ((s, dir) => Multimodal.pixelStatsJpeg(s, dir)),
+    "mm_audio" -> ((s, dir) => Multimodal.audioStats(s, dir))
   )
 
   /** DuckDB SQL mirrors. Column names/aliases match the Spark side exactly
@@ -637,7 +638,8 @@ object SparkEntry {
       "mm_resize" -> Multimodal.resizePlanSql(),
       "mm_pixels" -> Multimodal.pixelStatsSql(),
       "mm_pixels_png" -> Multimodal.pixelStatsPngSql(),
-      "mm_pixels_jpeg" -> Multimodal.pixelStatsJpegSql()
+      "mm_pixels_jpeg" -> Multimodal.pixelStatsJpegSql(),
+      "mm_audio" -> Multimodal.audioStatsSql()
     )
   }
 }

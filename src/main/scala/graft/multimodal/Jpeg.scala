@@ -425,6 +425,7 @@ object Jpeg {
             while (k < n) {
               val cid = b(seg + 1 + 2 * k) & 0xff
               val tt = b(seg + 2 + 2 * k) & 0xff
+              if ((tt >> 4) > 3 || (tt & 0x0f) > 3) return None
               comps.find(_.id == cid) match {
                 case Some(c) => c.dcTab = tt >> 4; c.acTab = tt & 0x0f
                 case None => return None

@@ -462,6 +462,73 @@ object Multimodal {
        |  CAST(sum((2 * r + 5 * g + 3 * b) * (x + 1) * (y + 1)) AS BIGINT) AS px_check
        |FROM rgb GROUP BY media_id, w, h ORDER BY media_id""".stripMargin
 
+  /** The AUDIO tier of the byte path — real container, real PCM: formula
+    * samples → [[Wav.encode]] to actual RIFF/WAVE bytes → [[Wav.decode]]
+    * (genuine chunk walk, sign extension, interleaving) → integer audio
+    * features (peak, energy, zero crossings) a curation pipeline gates on.
+    * All features are exact integers, so the DuckDB oracle recomputes them
+    * from the sample formula byte-free — a defect in the chunk walk,
+    * little-endian sample packing or sign extension shifts the values.
+    * Media with doc_id % 3 == 1 are the "audio" kind ([[mediaTable]]).
+    */
+  def audioStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(col("doc_id") % 3 === 1)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val sr = 8000 + ((id % 4) * 4000).toInt
+          val ch = (id % 2).toInt + 1
+          val nFrames = (id % 50).toInt + 10
+          val samples = Array.tabulate(nFrames * ch)(i =>
+            ((id * 31 + 7L * i * i) % 65536).toInt - 32768)
+          val bytes = Wav.encode(sr, ch, samples)
+          val pcm = Wav.decode(bytes)
+            .getOrElse(sys.error(s"undecodable WAV for media $id"))
+          var peak = 0
+          var energy = 0L
+          var zc = 0L
+          var i = 0
+          while (i < pcm.samples.length) {
+            val v = pcm.samples(i)
+            peak = math.max(peak, math.abs(v))
+            energy += v.toLong * v
+            if (i > 0 && (v >= 0) != (pcm.samples(i - 1) >= 0)) zc += 1
+            i += 1
+          }
+          (id, pcm.sampleRate, pcm.channels,
+            pcm.samples.length / pcm.channels, peak, energy, zc)
+        }
+      }.toDF("media_id", "sample_rate", "channels", "n_frames",
+        "peak_abs", "energy", "zero_cross")
+      .orderBy("media_id")
+  }
+
+  def audioStatsSql(): String =
+    s"""WITH au AS (
+       |  SELECT doc_id AS media_id,
+       |    8000 + (doc_id % 4) * 4000 AS sr,
+       |    doc_id % 2 + 1 AS ch,
+       |    doc_id % 50 + 10 AS nf
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |s AS (
+       |  SELECT media_id, sr, ch, nf, i,
+       |    (media_id * 31 + 7 * i * i) % 65536 - 32768 AS v
+       |  FROM au, unnest(range(0, nf * ch)) AS t(i)),
+       |f AS (
+       |  SELECT media_id, sr, ch, nf, v,
+       |    lag(v) OVER (PARTITION BY media_id ORDER BY i) AS pv
+       |  FROM s)
+       |SELECT media_id,
+       |  CAST(sr AS INT) AS sample_rate, CAST(ch AS INT) AS channels,
+       |  CAST(nf AS INT) AS n_frames,
+       |  CAST(max(abs(v)) AS INT) AS peak_abs,
+       |  CAST(sum(v * v) AS BIGINT) AS energy,
+       |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0))
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+       |FROM f GROUP BY media_id, sr, ch, nf ORDER BY media_id""".stripMargin
+
   def pixelStatsPngSql(box: Int = 7): String =
     s"""WITH imgs AS (
        |  SELECT doc_id AS media_id,

@@ -343,6 +343,73 @@ class OperatorsSpec extends SparkSuite {
     assert((r.getInt(1), r.getInt(2), r.getLong(3)) == ((w, h, check)))
   }
 
+  test("wav codec: PCM round-trips exact samples; 8-bit path; loud refusals") {
+    import graft.multimodal.{Multimodal, Wav}
+    val samples = Array.tabulate(30)(i => i * 1103 - 15000)
+    val bytes = Wav.encode(11025, 2, samples)
+    val pcm = Wav.decode(bytes).getOrElse(fail("refused own output"))
+    assert(pcm.sampleRate == 11025 && pcm.channels == 2 && pcm.bitsPerSample == 16)
+    assert(pcm.samples.toSeq == samples.toSeq)
+    // header tier agrees with the sample tier
+    val hd = Multimodal.HeaderDecoder.decode(Multimodal.MediaRecord(1L, "audio", bytes, 0, 0))
+    assert(hd.format == "wav" && hd.sample_rate == 11025 &&
+      hd.channels == 2 && hd.bits_per_sample == 16)
+    // 8-bit unsigned path (hand-built: the encoder only emits 16-bit):
+    // recentered −128..127 then ×256 onto the shared scale
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val wav8 = "RIFF".getBytes("US-ASCII") ++ le32(36 + 4) ++ "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(8000) ++ le16(1) ++ le16(8) ++
+      "data".getBytes("US-ASCII") ++ le32(4) ++
+      Array[Byte](0, 128.toByte, 255.toByte, 64)
+    val p8 = Wav.decode(wav8).getOrElse(fail("8-bit refused"))
+    assert(p8.bitsPerSample == 8 &&
+      p8.samples.toSeq == Seq(-32768, 0, 32512, -16384))
+    // loud refusals: truncated data, compressed format tag, odd data length
+    assert(Wav.decode(bytes.take(bytes.length - 3)).isEmpty, "truncated must refuse")
+    val comp = bytes.clone(); comp(20) = 2
+    assert(Wav.decode(comp).isEmpty, "non-PCM must refuse")
+    assert(Wav.decode("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("mm_audio: byte path matches the formula recomputation") {
+    val rows = Multimodal.audioStats(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val r = rows.maxBy(_.getLong(0))
+    val id = r.getLong(0)
+    val ch = (id % 2).toInt + 1
+    val nf = (id % 50).toInt + 10
+    val s = Array.tabulate(nf * ch)(i => ((id * 31 + 7L * i * i) % 65536).toInt - 32768)
+    val peak = s.map(math.abs).max
+    val energy = s.map(v => v.toLong * v).sum
+    val zc = (1 until s.length).count(i => (s(i) >= 0) != (s(i - 1) >= 0))
+    assert((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5), r.getLong(6)) ==
+      ((8000 + ((id % 4) * 4000).toInt, ch, nf, peak, energy, zc.toLong)))
+  }
+
+  test("jpeg codec: corrupt inputs refuse or decode, never crash") {
+    import graft.multimodal.Jpeg
+    // deterministic byte-flip fuzz over a real file: every mutation must
+    // come back as Some/None from a plain method call — no exception, no
+    // hang. This is the refusal contract the other codecs pin, applied to
+    // the most stateful decoder in the tier.
+    val yP = Array.tabulate(24 * 18)(p => (p * 7) % 256)
+    val cP = Array.fill(24 * 18)(128)
+    val base = Jpeg.encodeYCbCr(24, 18, yP, cP, cP)
+    val rnd = new scala.util.Random(42)
+    (0 until 300).foreach { k =>
+      val b = base.clone()
+      (0 to rnd.nextInt(8)).foreach { _ =>
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      }
+      scala.util.Try(Jpeg.decode(b)) match {
+        case scala.util.Failure(e) => fail(s"mutation $k threw: $e")
+        case _ => ()
+      }
+    }
+  }
+
   test("mm_pixels: full byte path on testdata — decoded dims bind to the box") {
     val rows = Multimodal.pixelStats(spark, sf(), box = 8).collect()
     assert(rows.nonEmpty)
