@@ -103,6 +103,9 @@ object SparkEntry {
     "e_value_hist" -> ((s, dir) => DashboardAggs.valueHistogram(valid(s, dir))),
     "e_geo_grid" -> ((s, dir) =>
       DashboardAggs.geoGrid(valid(s, dir)).orderBy(col("cell_lat"), col("cell_lon"))),
+    "e_geo_zoom" -> ((s, dir) =>
+      DashboardAggs.geoZoom(valid(s, dir))
+        .orderBy(col("zoom"), col("cell_lat"), col("cell_lon"))),
     "e_alerts" -> ((s, dir) => DashboardAggs.alerts(valid(s, dir)).orderBy(col("event_id"))),
     "e_lastn" -> ((s, dir) => DashboardAggs.lastN(valid(s, dir))),
     "e_running" -> ((s, dir) =>
@@ -492,6 +495,14 @@ object SparkEntry {
            |  max(cpm) AS max_cpm, count(*) AS n_points
            |FROM ($V) WHERE status = 'valid'
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "e_geo_zoom" ->
+        s"""SELECT CAST(zoom AS INT) AS zoom,
+           |  CAST(floor(lat / (4.0 / (1 << zoom))) AS BIGINT) AS cell_lat,
+           |  CAST(floor(lon / (4.0 / (1 << zoom))) AS BIGINT) AS cell_lon,
+           |  max(cpm) AS max_cpm, count(*) AS n_points
+           |FROM ($V), unnest(range(0, 5)) AS z(zoom)
+           |WHERE status = 'valid'
+           |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
       "e_alerts" ->
         s"""SELECT event_id, sec, lat, lon, cpm, severity, cooldown_bucket FROM (
            |  SELECT event_id, sec, lat, lon, cpm,

@@ -56,6 +56,35 @@ object DashboardAggs {
         floor(col("lon") / cellDeg).cast("long").as("cell_lon"))
       .agg(max(col("cpm")).as("max_cpm"), count(lit(1)).as("n_points"))
 
+  /** A4, the ZOOM half: the reference clusters with a zoom-dependent
+    * radius (supercluster, MapView.jsx:173-208 — radius shrinks as 2^zoom
+    * grows), re-expressed as the standard map-tile pyramid: one grid
+    * aggregate per zoom level with cell = base / 2^zoom. Base and all cell
+    * sizes are powers of two, so `lat / cell` is exact double SCALING (no
+    * rounding) and the floor lands identically on every engine — the same
+    * parity rule as [[geoGrid]].
+    *
+    * Scale shape: the zoom explode multiplies rows BEFORE the hash agg but
+    * the map-side combine collapses them per (zoom, cell) immediately;
+    * output cardinality is bounded by the tile pyramid, not the data. One
+    * shuffle for all levels together — a per-zoom loop would pay one scan
+    * and one shuffle per level.
+    */
+  def geoZoom(valid: DataFrame, baseDeg: Double = 4.0, maxZoom: Int = 4): DataFrame = {
+    require(baseDeg > 0 && (java.lang.Double.doubleToRawLongBits(baseDeg) &
+      0x000fffffffffffffL) == 0, s"baseDeg $baseDeg must be a power of two")
+    require(maxZoom >= 0 && maxZoom <= 20, s"maxZoom $maxZoom outside [0, 20]")
+    valid
+      .select(col("lat"), col("lon"), col("cpm"),
+        explode(array((0 to maxZoom).map(lit): _*)).as("zoom"))
+      // 2^zoom as an integer shift — exact, unlike float pow()
+      .withColumn("cell", lit(baseDeg) / expr("cast(shiftleft(1L, zoom) as double)"))
+      .groupBy(col("zoom"),
+        floor(col("lat") / col("cell")).cast("long").as("cell_lat"),
+        floor(col("lon") / col("cell")).cast("long").as("cell_lon"))
+      .agg(max(col("cpm")).as("max_cpm"), count(lit(1)).as("n_points"))
+  }
+
   /** A5 + D2: alert derivation with cooldown dedup.
     *
     * Severity per useWebsocket.js:59-73 (≥100 critical / ≥50 warning; below

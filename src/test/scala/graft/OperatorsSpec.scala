@@ -343,6 +343,33 @@ class OperatorsSpec extends SparkSuite {
     assert((r.getInt(1), r.getInt(2), r.getLong(3)) == ((w, h, check)))
   }
 
+  test("geoZoom: each level partitions all points and nests into the level above") {
+    import graft.operators.{DashboardAggs, Readings}
+    val v = Readings.enriched(spark, sf(), SparkEntry.T).filter(col("status") === "valid")
+    val df = DashboardAggs.geoZoom(v).cache()
+    val total = v.count()
+    (0 to 4).foreach { z =>
+      assert(df.filter(col("zoom") === z).agg(sum("n_points")).head().getLong(0) == total,
+        s"zoom $z must partition the points")
+    }
+    // power-of-two cells nest exactly: a child cell's parent index is the
+    // arithmetic right shift (= floor halving, negatives included), and
+    // the parent's count is the sum of its children's
+    (1 to 4).foreach { z =>
+      val rolled = df.filter(col("zoom") === z)
+        .groupBy(shiftright(col("cell_lat"), 1).as("cell_lat"),
+          shiftright(col("cell_lon"), 1).as("cell_lon"))
+        .agg(sum("n_points").as("n"))
+      val parents = df.filter(col("zoom") === z - 1)
+        .select(col("cell_lat"), col("cell_lon"), col("n_points"))
+      val mismatch = rolled.join(parents, Seq("cell_lat", "cell_lon"), "full")
+        .filter(col("n").isNull || col("n_points").isNull || col("n") =!= col("n_points"))
+        .count()
+      assert(mismatch == 0, s"zoom $z does not nest into zoom ${z - 1}")
+    }
+    df.unpersist()
+  }
+
   test("wav codec: PCM round-trips exact samples; 8-bit path; loud refusals") {
     import graft.multimodal.{Multimodal, Wav}
     val samples = Array.tabulate(30)(i => i * 1103 - 15000)
