@@ -30,6 +30,57 @@ class PropertySpec extends SparkSuite {
     assert(got.toSeq == expect)
   }
 
+  test("bpe apply matches an independent in-JVM greedy fold on random words and tables") {
+    // reference implementation: the classic per-merge greedy left-to-right
+    // fuse scan, written directly in Scala — no Spark, no SQL
+    def applyRef(word: String, merges: Seq[(String, String)]): Seq[String] =
+      merges.foldLeft(word.map(_.toString): Seq[String]) { case (syms, (a, b)) =>
+        syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+          else acc :+ x
+        }
+      }
+    val wordGen = Gen.chooseNum(0, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val mergeGen = Gen.listOfN(6,
+      Gen.zip(Gen.oneOf("a", "b", "c", "ab", "bc", "aa"),
+        Gen.oneOf("a", "b", "c", "ab", "bc")))
+    val cases = samples(Gen.zip(Gen.listOfN(12, wordGen), mergeGen), 8)
+    cases.foreach { case (words, merges) =>
+      val got = functions.Bpe.segmentWords(words.toDF("w"), merges)
+        .select("w", "syms").as[(String, Seq[String])].collect().toMap
+      words.distinct.foreach { w =>
+        val ref = applyRef(w, merges)
+        assert(got(w) == ref, s"word '$w' merges $merges: ${got(w)} vs $ref")
+        // the segmentation invariant: tokens concatenate back to the word
+        assert(got(w).mkString == w)
+      }
+    }
+  }
+
+  test("codec fuzz: BMP, PNG and WAV decoders never throw on mutated bytes") {
+    import graft.multimodal.{Bmp, Png, Wav}
+    val rgb = Array.tabulate(9 * 7 * 3)(i => (i * 13 + 1).toByte)
+    val samples16 = Array.tabulate(40)(i => i * 901 - 18000)
+    val bases = Seq[(String, Array[Byte], Array[Byte] => Any)](
+      ("bmp", Bmp.encode(9, 7, rgb), Bmp.decode),
+      ("png", Png.encode(9, 7, rgb, 2), Png.decode),
+      ("wav", Wav.encode(8000, 2, samples16), Wav.decode))
+    val rnd = new scala.util.Random(7)
+    bases.foreach { case (name, base, dec) =>
+      (0 until 200).foreach { k =>
+        val b = base.clone()
+        (0 to rnd.nextInt(6)).foreach { _ =>
+          b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        }
+        scala.util.Try(dec(b)) match {
+          case scala.util.Failure(e) => fail(s"$name mutation $k threw: $e")
+          case _ => ()
+        }
+      }
+    }
+  }
+
   test("level classification is total and monotone in value") {
     val order = Seq("very-low", "low", "moderate", "high", "very-high")
     val vs = samples(Gen.choose(1, 2000), 100).sorted
