@@ -222,6 +222,9 @@ object SparkEntry {
     "d_pack_chunks" -> ((s, dir) => MixOps.packChunks(s, dir)),
     "d_bpe_pairs" -> ((s, dir) => Bpe.bpePairs(s, dir)),
     "d_bpe_apply" -> ((s, dir) => Bpe.segmentCorpus(s, dir)),
+    "d_bpe_fertility" -> ((s, dir) => Bpe.fertility(s, dir)),
+    "d_split_stratified" -> ((s, dir) => TextOps.splitStratified(s, dir)),
+    "d_lsh_recall" -> ((s, dir) => TextOps.lshRecall(s, dir)),
     "d_mix_rebalance" -> ((s, dir) => MixOps.mixRebalance(s, dir)),
     "d_quality_tiers" -> ((s, dir) => MixOps.qualityTiers(s, dir)),
     "d_epoch_upsample" -> ((s, dir) => MixOps.epochUpsample(s, dir)),
@@ -615,6 +618,9 @@ object SparkEntry {
       "d_pack_chunks" -> MixOps.packChunksSql(),
       "d_bpe_pairs" -> Bpe.bpePairsSql(),
       "d_bpe_apply" -> Bpe.segmentCorpusSql(),
+      "d_bpe_fertility" -> Bpe.fertilitySql(),
+      "d_split_stratified" -> TextOps.splitStratifiedSql(),
+      "d_lsh_recall" -> TextOps.lshRecallSql(),
       "d_mix_rebalance" -> MixOps.mixRebalanceSql(),
       "d_quality_tiers" -> MixOps.qualityTiersSql(),
       "d_epoch_upsample" -> MixOps.epochUpsampleSql(),

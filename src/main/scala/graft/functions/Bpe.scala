@@ -212,6 +212,42 @@ object Bpe {
        |FROM seg WHERE i = ${merges.size} ORDER BY w""".stripMargin
   }
 
+  /** Tokenizer fertility — THE standard tokenizer-eval metric (mean tokens
+    * per word, weighted by corpus frequency), per source: a data team
+    * tracks it to catch domains the tokenizer fragments badly. Composes
+    * the apply tier: [[segmentCorpus]] runs once over DISTINCT words
+    * (|vocab| fold work) and joins back to the per-source frequency table
+    * — the corpus itself is never folded, the same |vocab|-not-|corpus|
+    * contract as the apply.
+    */
+  def fertility(spark: SparkSession, dir: String,
+                merges: Seq[(String, String)] = trainedMerges): DataFrame = {
+    val freq = TextOps.prepared(spark, dir)
+      .select(col("source"), explode(col("words")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("freq"))
+    val toks = segmentCorpus(spark, dir, merges).select(col("w"), col("n_tokens"))
+    freq.join(toks, "w")
+      .groupBy("source")
+      .agg(sum(col("freq")).as("n_words"),
+        sum(col("freq") * col("n_tokens")).as("n_tokens_total"))
+      .withColumn("fertility",
+        round(col("n_tokens_total") / col("n_words").cast("double"), 4))
+      .orderBy("source")
+  }
+
+  def fertilitySql(merges: Seq[(String, String)] = trainedMerges): String =
+    s"""WITH freq AS (
+       |  SELECT source, w, count(*) AS freq FROM (
+       |    SELECT source, unnest(words) AS w FROM (${TextOps.preparedSql}))
+       |  GROUP BY source, w),
+       |toks AS (SELECT w, n_tokens FROM (${segmentCorpusSql(merges)}))
+       |SELECT source,
+       |  CAST(sum(freq) AS BIGINT) AS n_words,
+       |  CAST(sum(freq * n_tokens) AS BIGINT) AS n_tokens_total,
+       |  round(sum(freq * n_tokens) / CAST(sum(freq) AS DOUBLE), 4) AS fertility
+       |FROM freq JOIN toks USING (w)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   /** Train `nMerges` BPE merges. Returns the ordered merge table
     * (rank, sym_a, sym_b, weight). Each round: pair-count agg over the
     * vocabulary (|vocab| rows, NOT the corpus), 1-row argmax to the driver,

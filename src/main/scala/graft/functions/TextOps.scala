@@ -1422,4 +1422,82 @@ object TextOps {
        |  JOIN sizes sb ON sb.doc_id = pairs.b_id
        |WHERE n_shared / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= $threshold
        |ORDER BY a_id, b_id""".stripMargin
+
+  // ---- stratified train/val/test split ----
+
+  /** Deterministic stratified split: each doc lands in train/val/test by a
+    * salted hash residue (90/5/5 by default), independently of every other
+    * sampler's salt — re-runs, partition layouts and engines all agree.
+    * Emitted per (source, split) with doc and token counts: the
+    * stratification report a data team checks before training. Pure
+    * row-local assignment + one map-side-combined agg; at 100 TB the
+    * assignment is a projection on the scan, no shuffle until the tiny
+    * report agg.
+    */
+  def splitStratified(spark: SparkSession, dir: String, trainPct: Int = 90,
+                      valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100,
+      s"bad split percentages ($trainPct, $valPct)")
+    val r = graft.Exprs.hex60(concat(lit("spl:"), col("doc_id").cast("string"))) % 100
+    prepared(spark, dir)
+      .select(col("source"), size(col("words")).cast("long").as("tok"),
+        when(r < trainPct, "train")
+          .when(r < trainPct + valPct, "val").otherwise("test").as("split"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
+      .orderBy("source", "split")
+  }
+
+  def splitStratifiedSql(trainPct: Int = 90, valPct: Int = 5): String =
+    s"""WITH d AS (
+       |  SELECT source, CAST(len(words) AS BIGINT) AS tok,
+       |    CASE WHEN ${graft.Exprs.hex60Sql("'spl:' || doc_id::VARCHAR")} % 100 < $trainPct
+       |           THEN 'train'
+       |         WHEN ${graft.Exprs.hex60Sql("'spl:' || doc_id::VARCHAR")} % 100 < ${trainPct + valPct}
+       |           THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (${preparedSql}))
+       |SELECT source, split, count(*) AS n_docs,
+       |  CAST(sum(tok) AS BIGINT) AS n_tokens
+       |FROM d GROUP BY source, split ORDER BY source, split""".stripMargin
+
+  // ---- LSH candidate recall vs the exact pair oracle ----
+
+  /** Pair-level recall of the MinHash-LSH candidate generator against the
+    * exact df-capped Jaccard pairs — the text-dedup analog of the ANN
+    * recall matrix ([[graft.functions.VectorOps.annRecall]]): "how many of
+    * the true ≥0.9 near-dup pairs does the banded index surface?", graded
+    * per Jaccard bucket so threshold-edge loss is visible separately from
+    * exact-duplicate recall. Fully differential: both inputs are
+    * oracle-checked relations, and the comparison itself is mirrored in
+    * SQL. The candidate side is pre-verification BY DESIGN (banding trades
+    * precision for a bounded join); recall is the metric a dedup pipeline
+    * gates on.
+    */
+  def lshRecall(spark: SparkSession, dir: String, threshold: Double = 0.9,
+                mat: Materialize = Materialize.Local): DataFrame = {
+    val exact = jaccardPairs(spark, dir, threshold, mat = mat)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val cand = minhashPairs(spark, dir, mat)
+      .select(col("doc_a"), col("doc_b")).withColumn("hit", lit(1L))
+    exact.join(cand, Seq("doc_a", "doc_b"), "left")
+      // 0.02-wide buckets over [threshold, 1]: floor(j*50) is exact for the
+      // 4-decimal rounded jaccard values both engines already agree on
+      .groupBy(floor(col("jaccard") * 50).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall", round(col("n_hit") / col("n_pairs").cast("double"), 4))
+      .orderBy("bucket")
+  }
+
+  def lshRecallSql(threshold: Double = 0.9): String =
+    s"""WITH exact AS (
+       |  SELECT doc_a, doc_b, jaccard FROM (${jaccardPairsSql(threshold)})),
+       |cand AS (SELECT doc_a, doc_b, 1 AS hit FROM (${minhashPairsSql}))
+       |SELECT CAST(floor(jaccard * 50) AS BIGINT) AS bucket,
+       |  count(*) AS n_pairs,
+       |  CAST(sum(COALESCE(hit, 0)) AS BIGINT) AS n_hit,
+       |  round(sum(COALESCE(hit, 0)) / CAST(count(*) AS DOUBLE), 4) AS recall
+       |FROM exact LEFT JOIN cand USING (doc_a, doc_b)
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
 }

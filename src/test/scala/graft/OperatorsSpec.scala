@@ -343,6 +343,26 @@ class OperatorsSpec extends SparkSuite {
     assert((r.getInt(1), r.getInt(2), r.getLong(3)) == ((w, h, check)))
   }
 
+  test("lshRecall grades the banding curve; splitStratified partitions the corpus") {
+    val rec = functions.TextOps.lshRecall(spark, sf("sf0.01")).collect()
+    assert(rec.nonEmpty)
+    // bucket 50 = jaccard 1.0: on this corpus those are identical texts,
+    // whose shingle sets (hence signatures, hence bands) coincide — the
+    // banded index can never miss them
+    val top = rec.filter(_.getLong(0) == 50L)
+    assert(top.nonEmpty && top.forall(_.getDouble(3) == 1.0),
+      "identical documents must always band together")
+    // recall is monotone-ish toward 1: the threshold-edge bucket may lose
+    // pairs, the exact bucket may not — and every bucket stays above the
+    // 2-band theoretical floor for j >= 0.9 (1-(1-j^4)^2 > 0.8)
+    assert(rec.forall(_.getDouble(3) > 0.8))
+
+    val splits = functions.TextOps.splitStratified(spark, sf("sf0.01")).collect()
+    val total = Tables.documents(spark, sf("sf0.01")).count()
+    assert(splits.map(_.getLong(2)).sum == total, "splits must partition the corpus")
+    assert(splits.map(_.getString(1)).distinct.sorted.toSeq == Seq("test", "train", "val"))
+  }
+
   test("geoZoom: each level partitions all points and nests into the level above") {
     import graft.operators.{DashboardAggs, Readings}
     val v = Readings.enriched(spark, sf(), SparkEntry.T).filter(col("status") === "valid")
