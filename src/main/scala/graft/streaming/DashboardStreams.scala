@@ -55,6 +55,30 @@ object DashboardStreams {
         col("max_cpm"), col("n_points"))
   }
 
+  /** A4 streaming, zoom tier: [[graft.operators.DashboardAggs.geoZoom]]'s
+    * tile pyramid per event-time window — all zoom levels in ONE stateful
+    * aggregation (the zoom explode happens before the agg, so state is one
+    * row per (window, zoom, cell), bounded by the pyramid × open windows).
+    */
+  def geoZoomStream(valid: DataFrame, baseDeg: Double = 4.0, maxZoom: Int = 4,
+                    window_ : String = "5 seconds", watermark: String = "5 seconds",
+                    setWatermark: Boolean = true): DataFrame = {
+    val marked =
+      if (setWatermark) valid.withWatermark("event_time", watermark) else valid
+    marked
+      .select(col("event_time"), col("lat"), col("lon"), col("value"),
+        explode(array((0 to maxZoom).map(lit): _*)).as("zoom"))
+      .withColumn("cell", lit(baseDeg) / expr("cast(shiftleft(1L, zoom) as double)"))
+      .groupBy(
+        window(col("event_time"), window_),
+        col("zoom"),
+        floor(col("lat") / col("cell")).cast("long").as("cell_lat"),
+        floor(col("lon") / col("cell")).cast("long").as("cell_lon"))
+      .agg(max(col("value")).as("max_cpm"), count(lit(1)).as("n_points"))
+      .select(col("window.start").as("window_start"), col("zoom"),
+        col("cell_lat"), col("cell_lon"), col("max_cpm"), col("n_points"))
+  }
+
   /** Streaming sessionization: Spark's native merging session windows —
     * the streaming tier of [[graft.operators.Sessions]]. Emits one row per
     * closed session (append mode fires when the watermark passes the

@@ -75,6 +75,29 @@ class DashboardStreamsSpec extends SparkSuite {
     assert(rows.toSeq == Seq((71L, 99, 2L), (88L, 50, 1L)))
   }
 
+  test("streaming geo zoom pyramid: coarse cells merge what fine cells keep apart") {
+    val in = MemoryStream[String]
+    val valid = RadiationPipeline.validate(RadiationPipeline.parse(in.toDF()))
+      .filter(col("status") === "valid" && col("event_time").isNotNull)
+    val q = DashboardStreams.geoZoomStream(valid, maxZoom = 2)
+      .writeStream.format("memory").queryName("geoz_t").outputMode("append").start()
+    in.addData(
+      rec("2011-03-15 10:00:00", 10, lat = 33.5), // zoom2 (1°) cell 33, zoom0 (4°) cell 8
+      rec("2011-03-15 10:00:01", 99, lat = 34.5), // zoom2 cell 34, zoom0 cell 8
+      rec("2011-03-15 10:10:00", 1))              // watermark pusher
+    q.processAllAvailable()
+    val rows = spark.table("geoz_t")
+      .where(col("window_start") === "2011-03-15 10:00:00")
+      .select("zoom", "cell_lat", "max_cpm", "n_points")
+      .as[(Int, Long, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    q.stop()
+    // zoom 0 (4° cells): one cell holds both points; zoom 2 (1° cells):
+    // the points separate and each keeps its own max
+    assert(rows.filter(_._1 == 0).map(r => (r._2, r._3, r._4)).toSeq == Seq((8L, 99, 2L)))
+    assert(rows.filter(_._1 == 2).map(r => (r._2, r._3, r._4)).toSeq ==
+      Seq((33L, 10, 1L), (34L, 99, 1L)))
+  }
+
   test("streaming session window groups by gap and closes on watermark") {
     val in = MemoryStream[String]
     val valid = RadiationPipeline.validate(RadiationPipeline.parse(in.toDF()))
