@@ -218,6 +218,7 @@ object SparkEntry {
     "d_segment_dedup" -> ((s, dir) => TextOps.segmentDedup(s, dir)),
     "d_lm_bits" -> ((s, dir) => TextOps.lmBits(s, dir)),
     "d_containment" -> ((s, dir) => TextOps.containmentPairs(s, dir)),
+    "d_jaccard3_pairs" -> ((s, dir) => TextOps.jaccard3Pairs(s, dir)),
     "d_shard_pack" -> ((s, dir) => MixOps.shardPack(s, dir)),
     "d_pack_chunks" -> ((s, dir) => MixOps.packChunks(s, dir)),
     "d_bpe_pairs" -> ((s, dir) => Bpe.bpePairs(s, dir)),
@@ -614,6 +615,7 @@ object SparkEntry {
       "d_segment_dedup" -> TextOps.segmentDedupSql(),
       "d_lm_bits" -> TextOps.lmBitsSql,
       "d_containment" -> TextOps.containmentPairsSql(),
+      "d_jaccard3_pairs" -> TextOps.jaccard3PairsSql(),
       "d_shard_pack" -> MixOps.shardPackSql(),
       "d_pack_chunks" -> MixOps.packChunksSql(),
       "d_bpe_pairs" -> Bpe.bpePairsSql(),

@@ -1373,9 +1373,13 @@ object TextOps {
     * (containment scores are computed over the CAPPED sets — denominator
     * and intersection use the same universe, documented contract).
     */
-  def containmentPairs(spark: SparkSession, dir: String, threshold: Double = 0.3,
-                       dfCap: Int = 50,
-                       mat: Materialize = Materialize.Local): DataFrame = {
+  /** Shared candidate scaffold for the shingle-overlap pair family: the
+    * df-capped shingle self-join with per-doc capped-set sizes joined in —
+    * [[containmentPairs]] and [[jaccard3Pairs]] differ only in the score
+    * they derive from (n_shared, n_a, n_b).
+    */
+  private def shinglePairCounts(spark: SparkSession, dir: String, dfCap: Int,
+                                mat: Materialize): DataFrame = {
     // materialized once: the shingle explode feeds FOUR consumers (df
     // counts, both self-join sides, per-doc sizes) and dominates per-doc
     // cost — same shape as [[jaccardPairs]]'s materialization point
@@ -1386,14 +1390,19 @@ object TextOps {
       .filter(col("df") > dfCap).drop("df")
     val capped = ex.join(broadcast(hot), Seq("sh"), "left_anti")
     val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val pairs = capped.as("a")
+    capped.as("a")
       .join(capped.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("n_shared"))
-    pairs
       .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
       .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+  }
+
+  def containmentPairs(spark: SparkSession, dir: String, threshold: Double = 0.3,
+                       dfCap: Int = 50,
+                       mat: Materialize = Materialize.Local): DataFrame =
+    shinglePairCounts(spark, dir, dfCap, mat)
       .withColumn("n_small", least(col("n_a"), col("n_b")))
       // ONE integer/integer double division — deterministic across engines
       .withColumn("containment", col("n_shared") / col("n_small").cast("double"))
@@ -1401,7 +1410,45 @@ object TextOps {
       .select(col("a_id"), col("b_id"), col("n_shared"), col("n_small"),
         col("containment"))
       .orderBy(col("a_id"), col("b_id"))
-  }
+
+  /** 3-gram (shingle) Jaccard near-dup pairs — the N-GRAM instantiation of
+    * the Jaccard dedup family the word-set [[jaccardPairs]] cannot cover:
+    * shingles are order-SENSITIVE, so two docs over the same vocabulary in
+    * different order (exactly this corpus's shape) score low here and high
+    * there. Same df-capped candidate generation as [[containmentPairs]];
+    * the score divides by the capped-set UNION.
+    */
+  def jaccard3Pairs(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                    dfCap: Int = 50,
+                    mat: Materialize = Materialize.Local): DataFrame =
+    shinglePairCounts(spark, dir, dfCap, mat)
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_shared"))
+      .withColumn("jaccard3",
+        round(col("n_shared") / col("n_union").cast("double"), 4))
+      .filter(col("n_shared") / col("n_union").cast("double") >= threshold)
+      .select(col("a_id"), col("b_id"), col("n_shared"), col("n_union"),
+        col("jaccard3"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  def jaccard3PairsSql(threshold: Double = 0.5, dfCap: Int = 50): String =
+    s"""WITH ex AS (
+       |  $shingles3Sql),
+       |capped AS (
+       |  SELECT doc_id, sh FROM ex
+       |  WHERE sh IN (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= $dfCap)),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM capped GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+       |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id, n_shared,
+       |  sa.n_sh + sb.n_sh - n_shared AS n_union,
+       |  round(n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE), 4) AS jaccard3
+       |FROM pairs
+       |  JOIN sizes sa ON sa.doc_id = pairs.a_id
+       |  JOIN sizes sb ON sb.doc_id = pairs.b_id
+       |WHERE n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE) >= $threshold
+       |ORDER BY a_id, b_id""".stripMargin
 
   def containmentPairsSql(threshold: Double = 0.3, dfCap: Int = 50): String =
     s"""WITH ex AS (

@@ -69,6 +69,11 @@ object VectorOps {
     * `Table(...)` materialization is an explicit caller-owned location
     * (training runs), not a query cache. Assumes `dir` contents are
     * immutable within a session (the testdata contract).
+    *
+    * Lifetime: entries are keyed by session identity and never evicted,
+    * but a STOPPED session's localCheckpoint blocks die with its block
+    * manager — a stale entry holds only a dead plan handle (bytes, not
+    * blocks), so the map's growth is bounded by live parameterizations.
     */
   private val annShared =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()

@@ -103,6 +103,14 @@ class PlanAuditSpec extends SparkSuite {
       s"slice offsets must broadcast:\n$plan")
   }
 
+  test("e_geo_zoom: all pyramid levels share one exchange") {
+    val plan = executedPlan("e_geo_zoom")
+    // the zoom explode runs before the map-side combine, so every level
+    // rides the SAME hash exchange — a per-zoom loop would pay one per level
+    assert(dataExchanges(plan) == 1,
+      s"tile pyramid must cost exactly one data exchange:\n$plan")
+  }
+
   test("v_ivf_incr: delta assignment is a shuffle-free projection") {
     val plan = executedPlan("v_ivf_incr")
     // frozen centroids/codewords ship as literals folded row-locally, so
