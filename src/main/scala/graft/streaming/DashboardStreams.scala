@@ -55,6 +55,35 @@ object DashboardStreams {
         col("max_cpm"), col("n_points"))
   }
 
+  /** Stream-STREAM interval join — the streaming twin of the batch
+    * `e_interval` shape (equi-key + bounded time range): every critical
+    * alert joined to the SAME 0.5° grid cell's readings in the following
+    * `horizon`. Both sides carry watermarks and the range condition is
+    * two-sided, so Spark bounds the join state (a one-sided range would
+    * buffer a side forever — the stream-stream join correctness rule).
+    * Append-mode inner join; state per side ≈ watermark × arrival rate.
+    */
+  def alertFollowStream(valid: DataFrame, crit: Int = 100,
+                        horizon: String = "60 seconds",
+                        watermark: String = "2 minutes"): DataFrame = {
+    def cell(c: org.apache.spark.sql.Column) = floor(c / 0.5).cast("long")
+    val alerts = valid.filter(col("value") >= crit)
+      .select(cell(col("lat")).as("a_cell_lat"), cell(col("lon")).as("a_cell_lon"),
+        col("event_time").as("alert_time"), col("value").as("alert_cpm"))
+      .withWatermark("alert_time", watermark)
+    val readings = valid
+      .select(cell(col("lat")).as("r_cell_lat"), cell(col("lon")).as("r_cell_lon"),
+        col("event_time").as("read_time"), col("value").as("read_cpm"))
+      .withWatermark("read_time", watermark)
+    alerts.join(readings,
+      col("a_cell_lat") === col("r_cell_lat") &&
+        col("a_cell_lon") === col("r_cell_lon") &&
+        col("read_time") > col("alert_time") &&
+        col("read_time") <= col("alert_time") + expr(s"INTERVAL $horizon"))
+      .select(col("a_cell_lat").as("cell_lat"), col("a_cell_lon").as("cell_lon"),
+        col("alert_time"), col("alert_cpm"), col("read_time"), col("read_cpm"))
+  }
+
   /** A4 streaming, zoom tier: [[graft.operators.DashboardAggs.geoZoom]]'s
     * tile pyramid per event-time window — all zoom levels in ONE stateful
     * aggregation (the zoom explode happens before the agg, so state is one

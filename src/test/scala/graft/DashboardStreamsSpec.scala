@@ -98,6 +98,28 @@ class DashboardStreamsSpec extends SparkSuite {
       Seq((33L, 10, 1L), (34L, 99, 1L)))
   }
 
+  test("stream-stream interval join: alerts pick up same-cell readings inside the horizon") {
+    val in = MemoryStream[String]
+    val valid = RadiationPipeline.validate(RadiationPipeline.parse(in.toDF()))
+      .filter(col("status") === "valid" && col("event_time").isNotNull)
+    val q = DashboardStreams.alertFollowStream(valid)
+      .writeStream.format("memory").queryName("af_t").outputMode("append").start()
+    in.addData(
+      rec("2011-03-15 10:00:00", 150, lat = 35.6), // the alert (>= 100)
+      rec("2011-03-15 10:00:10", 20, lat = 35.7),  // same 0.5° cell, +10 s → joins
+      rec("2011-03-15 10:00:30", 30, lat = 35.6),  // same cell, +30 s → joins
+      rec("2011-03-15 10:01:30", 40, lat = 35.6),  // +90 s: outside horizon
+      rec("2011-03-15 10:00:10", 50, lat = 44.0),  // different cell
+      rec("2011-03-15 10:20:00", 1))               // watermark pusher
+    q.processAllAvailable()
+    val rows = spark.table("af_t")
+      .select("cell_lat", "alert_cpm", "read_cpm")
+      .as[(Long, Int, Int)].collect().sortBy(_._3)
+    q.stop()
+    assert(rows.toSeq == Seq((71L, 150, 20), (71L, 150, 30)),
+      s"interval join emitted $rows")
+  }
+
   test("streaming session window groups by gap and closes on watermark") {
     val in = MemoryStream[String]
     val valid = RadiationPipeline.validate(RadiationPipeline.parse(in.toDF()))
