@@ -35,3 +35,30 @@ object Materialize {
     }
   }
 }
+
+/** Session-scoped memo for DERIVED INDEX relations that several queries
+  * share — trained assignments, signature tables, candidate scaffolds.
+  * A production deployment stores these once and derives many consumers
+  * from them; recomputing + re-materializing the identical deterministic
+  * relation inside each query is pure waste, and reuse is value-neutral.
+  *
+  * Only `Materialize.Local` memoizes — a `Table(...)` materialization is
+  * an explicit caller-owned location, not a query cache. Assumes `dir`
+  * contents are immutable within a session (the testdata contract).
+  * Entries are keyed by session identity and never evicted, but a STOPPED
+  * session's localCheckpoint blocks die with its block manager — a stale
+  * entry holds only a dead plan handle, so growth is bounded by live
+  * parameterizations.
+  */
+object SharedRel {
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def apply(spark: org.apache.spark.sql.SparkSession, key: String,
+            mat: Materialize)(build: => DataFrame): DataFrame = mat match {
+    case Materialize.Local =>
+      memo.computeIfAbsent(
+        s"${System.identityHashCode(spark)}|$key", _ => Materialize.Local(build))
+    case m => m(build)
+  }
+}

@@ -804,9 +804,13 @@ object TextOps {
     */
   def bandedSignatures(spark: SparkSession, dir: String,
                        mat: Materialize = Materialize.Local): DataFrame =
-    mat(minhashSignatures(spark, dir)
-      .withColumn("band1", concat_ws(",", col("m0"), col("m1"), col("m2"), col("m3")))
-      .withColumn("band2", concat_ws(",", col("m4"), col("m5"), col("m6"), col("m7"))))
+    // the signature TABLE a production dedup maintains once per corpus —
+    // shared per session across its consumers (pair join, CC clustering,
+    // the recall harness) via SharedRel
+    graft.SharedRel(spark, s"minhash-banded|$dir", mat)(
+      minhashSignatures(spark, dir)
+        .withColumn("band1", concat_ws(",", col("m0"), col("m1"), col("m2"), col("m3")))
+        .withColumn("band2", concat_ws(",", col("m4"), col("m5"), col("m6"), col("m7"))))
 
   def minhashPairs(spark: SparkSession, dir: String,
                    mat: Materialize = Materialize.Local): DataFrame = {
@@ -1379,7 +1383,14 @@ object TextOps {
     * they derive from (n_shared, n_a, n_b).
     */
   private def shinglePairCounts(spark: SparkSession, dir: String, dfCap: Int,
-                                mat: Materialize): DataFrame = {
+                                mat: Materialize): DataFrame =
+    // the candidate scaffold is itself a derived relation two operators
+    // score differently — computed once per (session, dir, dfCap)
+    graft.SharedRel(spark, s"shingle-pairs|$dir|$dfCap", mat)(
+      shinglePairCountsBuild(spark, dir, dfCap, mat))
+
+  private def shinglePairCountsBuild(spark: SparkSession, dir: String, dfCap: Int,
+                                     mat: Materialize): DataFrame = {
     // materialized once: the shingle explode feeds FOUR consumers (df
     // counts, both self-join sides, per-doc sizes) and dominates per-doc
     // cost — same shape as [[jaccardPairs]]'s materialization point

@@ -57,43 +57,20 @@ object VectorOps {
       |  FROM embeddings)
       |WHERE nrm > 0""".stripMargin
 
-  /** Session-scoped share of the ANN family's trained relations. Every
-    * IVF/PQ query needs the same two relations — the corpus→centroid
-    * assignment ([[ivfAssign]]) and the corpus PQ codes ([[pqAssign]]) —
-    * and recomputing + re-materializing them inside EACH query of the
-    * family is pure waste (assignment is deterministic, so reuse changes
-    * no values, only work: a bench run previously rebuilt the identical
-    * assignment ~6×). The memo caches the MATERIALIZED relation per
-    * (session, dir, params); entries are narrow id→code relations, one per
-    * distinct parameterization. Only `Materialize.Local` memoizes — a
-    * `Table(...)` materialization is an explicit caller-owned location
-    * (training runs), not a query cache. Assumes `dir` contents are
-    * immutable within a session (the testdata contract).
-    *
-    * Lifetime: entries are keyed by session identity and never evicted,
-    * but a STOPPED session's localCheckpoint blocks die with its block
-    * manager — a stale entry holds only a dead plan handle (bytes, not
-    * blocks), so the map's growth is bounded by live parameterizations.
+  /** The ANN family's trained relations — corpus→centroid assignment
+    * ([[ivfAssign]]) and corpus PQ codes ([[pqAssign]]) — shared across
+    * queries per session via [[graft.SharedRel]]: every IVF/PQ query needs
+    * them, assignment is deterministic, so reuse changes no values, only
+    * work (a bench run previously rebuilt the identical assignment ~6×).
     */
-  private val annShared =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
-  private def sharedMat(spark: SparkSession, key: String, mat: Materialize)
-                       (build: => DataFrame): DataFrame = mat match {
-    case Materialize.Local =>
-      annShared.computeIfAbsent(
-        s"${System.identityHashCode(spark)}|$key", _ => Materialize.Local(build))
-    case m => m(build)
-  }
-
   private def sharedIvfAssign(spark: SparkSession, dir: String, k: Int,
                               mat: Materialize): DataFrame =
-    sharedMat(spark, s"ivf|$dir|$k", mat)(
+    graft.SharedRel(spark, s"ivf|$dir|$k", mat)(
       ivfAssign(spark, dir, k).select("vec_id", "centroid_id"))
 
   private def sharedPqCodes(spark: SparkSession, dir: String, blocks: Int,
                             k: Int, mat: Materialize): DataFrame =
-    sharedMat(spark, s"pq|$dir|$blocks|$k", mat)(pqAssign(spark, dir, blocks, k))
+    graft.SharedRel(spark, s"pq|$dir|$blocks|$k", mat)(pqAssign(spark, dir, blocks, k))
 
   /** Per-vector norms — the smallest verifiable unit of the vector path. */
   def norms(spark: SparkSession, dir: String): DataFrame =
