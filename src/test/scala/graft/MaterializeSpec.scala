@@ -40,6 +40,27 @@ class MaterializeSpec extends SparkSuite {
     assert(rows(table) == rows(local))
   }
 
+  test("SharedRel memoizes per key for Local and never caches Table materializations") {
+    var builds = 0
+    def build(): org.apache.spark.sql.DataFrame = {
+      builds += 1
+      import spark.implicits._
+      Seq((1L, "x")).toDF("id", "v")
+    }
+    val k = s"spec-${System.nanoTime()}" // unique per run: the memo is session-global
+    val a = SharedRel(spark, k, Materialize.Local)(build())
+    val b = SharedRel(spark, k, Materialize.Local)(build())
+    assert(builds == 1, "same (session, key) must reuse the materialized build")
+    assert(a.collect().toSeq == b.collect().toSeq)
+    assert(SharedRel(spark, k + "|other", Materialize.Local)(build()) ne a)
+    assert(builds == 2, "a different key must build")
+    // Table is caller-owned output, not a cache: every call must build
+    val dir = Files.createTempDirectory("graft-sharedrel").toString
+    SharedRel(spark, k, Materialize.Table(dir))(build())
+    SharedRel(spark, k, Materialize.Table(dir))(build())
+    assert(builds == 4, "Table materializations must never be memoized")
+  }
+
   test("training loops run through the Table path: identical output, objective intact") {
     // the r7 carry-over: kmeansTrain / pqTrainCodebook hard-coded
     // localCheckpoint — on a cluster one lost executor killed a training
