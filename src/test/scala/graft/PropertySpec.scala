@@ -45,6 +45,10 @@ class PropertySpec extends SparkSuite {
     val mergeGen = Gen.listOfN(6,
       Gen.zip(Gen.oneOf("a", "b", "c", "ab", "bc", "aa"),
         Gen.oneOf("a", "b", "c", "ab", "bc")))
+    // degenerate table: no merges = plain character segmentation
+    val noMerge = functions.Bpe.segmentWords(Seq("abc").toDF("w"), Nil)
+      .select("syms").as[Seq[String]].head()
+    assert(noMerge == Seq("a", "b", "c"))
     val cases = samples(Gen.zip(Gen.listOfN(12, wordGen), mergeGen), 8)
     cases.foreach { case (words, merges) =>
       val got = functions.Bpe.segmentWords(words.toDF("w"), merges)
