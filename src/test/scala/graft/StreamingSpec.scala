@@ -177,6 +177,51 @@ class StreamingSpec extends SparkSuite {
     assert(dirty.where(col("temporal_batch_size").isNotNull).count() == 0)
   }
 
+  test("alert cooldown: transformWithState twin emits identically to flatMapGroupsWithState") {
+    import graft.streaming.AlertCooldownTws
+    // TWS executes only on the RocksDB provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def alert(ts: String, k: String = "warning|1.000|2.000") = AlertCooldown.Alert(
+        key = k, severity = "warning", lat = 1, lon = 2, value = 60,
+        event_time = java.sql.Timestamp.valueOf(ts))
+      val data = Seq(
+        alert("2011-03-15 10:00:00"),
+        alert("2011-03-15 10:00:10"),                              // inside cooldown
+        alert("2011-03-15 10:00:31"),                              // ≥ 30 s → re-emits
+        alert("2011-03-15 10:00:05", k = "critical|1.000|2.000"),  // independent key
+        alert("2011-03-15 10:01:40"))                              // past the 2nd emit
+      def run(name: String,
+              f: org.apache.spark.sql.Dataset[AlertCooldown.Alert] =>
+                org.apache.spark.sql.Dataset[AlertCooldown.Alert]): Seq[(String, String)] = {
+        val in = MemoryStream[AlertCooldown.Alert]
+        val q = f(in.toDS()).writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        in.addData(data: _*)
+        q.processAllAvailable()
+        val rows = spark.table(name).as[AlertCooldown.Alert].collect()
+          .map(a => (a.key, a.event_time.toString)).sorted.toSeq
+        q.stop(); rows
+      }
+      val tws = run("cd_tws_t", ds => AlertCooldownTws(ds))
+      val fmgs = run("cd_fmgs_t", ds => AlertCooldown(ds))
+      assert(tws == fmgs, s"tiers diverged: $tws vs $fmgs")
+      assert(tws.toSet == Set(
+        ("critical|1.000|2.000", "2011-03-15 10:00:05.0"),
+        ("warning|1.000|2.000", "2011-03-15 10:00:00.0"),
+        ("warning|1.000|2.000", "2011-03-15 10:00:31.0"),
+        ("warning|1.000|2.000", "2011-03-15 10:01:40.0")))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("alert cooldown state expires via event-time timeout after the horizon") {
     val in = MemoryStream[AlertCooldown.Alert]
     def alert(ts: String) = AlertCooldown.Alert(
