@@ -23,16 +23,24 @@ object Bench {
 
     // A failed query reports -1 (never a near-zero elapsed that would read
     // as a speedup) and the process exits nonzero after the JSON line.
+    // SharedRel first-builds (banded signature tables, IVF assignments)
+    // are SUBTRACTED from the query that happened to trigger them and
+    // accumulated into one explicit `shared_build` row — otherwise the
+    // artifact charges shared infrastructure to whichever query runs first
+    // alphabetically (the attribution instability behind the r8-r10
+    // phantom "ANN drift"; see PLANS.md "Bench attribution rule").
     def execute(name: String): Double = {
       // drain garbage from the previous query before timing: back-to-back
       // queries otherwise hand each other a nearly-full heap and a random
       // victim pays a multi-second full-GC inside its measured window
       System.gc()
+      val b0 = SharedRel.buildSeconds(spark)
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        (elapsed - (SharedRel.buildSeconds(spark) - b0)).max(0.0)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         -1.0
@@ -46,20 +54,55 @@ object Bench {
     // SPARK_GRAFT_BENCH_REPS > 1 reports the per-query MEDIAN of N runs —
     // the drift-diagnosis protocol (e_resample r8/r9, ANN r9/r10) as a
     // knob instead of hand-rolled repetition; default 1 keeps the driver
-    // contract unchanged.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    // contract unchanged. Malformed values fall back to 1 rather than
+    // crash the run; even N averages the two middle runs (true median).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1")
+      .toIntOption.getOrElse(1).max(1)
     def measured(n: String): Double =
       if (reps <= 1) execute(n)
       else {
         val ts = Seq.fill(reps)(execute(n))
         if (ts.exists(_ < 0)) -1.0
-        else ts.sorted.apply(reps / 2)
+        else {
+          val s = ts.sorted
+          if (reps % 2 == 1) s(reps / 2)
+          else (s(reps / 2 - 1) + s(reps / 2)) / 2.0
+        }
       }
     val names =
       if (args.nonEmpty) args.toSeq.sorted
       else SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> measured(n))
-    val failed = results.collect { case (k, v) if v < 0 => k }
+    val results0 = names.map(n => n -> measured(n))
+    val failed = results0.collect { case (k, v) if v < 0 => k }
+    // shared infrastructure as its own timed row (full runs only — a dev
+    // subset would misattribute builds its queries didn't trigger)
+    val results =
+      if (args.isEmpty) results0 :+ ("shared_build" ->
+        math.round(SharedRel.buildSeconds(spark) * 1000) / 1000.0)
+      else results0
+    // Per-query budget rule: at sf0.1 any query over the budget must carry
+    // a PLANS.md justification row (a `name` backtick-reference in the
+    // "Per-query bench budget" section); violations land in the JSON so
+    // the verdict can gate on them. Missing PLANS.md = everything flagged.
+    val budgetSec = 5.0
+    val justified: Set[String] = {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_PLANS", "PLANS.md"))
+      if (!java.nio.file.Files.exists(p)) Set.empty
+      else {
+        val text = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val section = text.split("(?m)^## ").find(_.startsWith("Per-query bench budget"))
+        section.toSeq.flatMap("`([A-Za-z0-9_]+)`".r.findAllMatchIn(_).map(_.group(1))).toSet
+      }
+    }
+    val overBudget =
+      if (!sfDir.contains("sf0.1")) Seq.empty
+      else results0.collect {
+        case (k, v) if v > budgetSec && !justified(k) => k
+      }
+    overBudget.foreach(k => System.err.println(
+      s"[bench] BUDGET: $k exceeds ${budgetSec}s at sf0.1 with no PLANS.md justification row"))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -72,7 +115,8 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfJson"}"""
+    val budgetJson = overBudget.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"budget_violations":$budgetJson,"sf":"$sfJson"}"""
     println(line)
     // The driver's log tail truncates the head of the line, hiding most
     // per-query timings from round-over-round comparison — so a FULL run

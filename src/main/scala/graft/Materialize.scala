@@ -45,20 +45,48 @@ object Materialize {
   * Only `Materialize.Local` memoizes — a `Table(...)` materialization is
   * an explicit caller-owned location, not a query cache. Assumes `dir`
   * contents are immutable within a session (the testdata contract).
-  * Entries are keyed by session identity and never evicted, but a STOPPED
-  * session's localCheckpoint blocks die with its block manager — a stale
-  * entry holds only a dead plan handle, so growth is bounded by live
-  * parameterizations.
+  * Entries are keyed on the session OBJECT through a WeakHashMap (an
+  * identityHashCode string key could collide a new session with a stopped
+  * one and hand back a DataFrame bound to a dead block manager): once the
+  * session is unreachable its whole inner map — plans and pinned blocks —
+  * is collectable, so growth is bounded by live sessions' live
+  * parameterizations and nothing outlives its session.
   */
 object SharedRel {
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  import org.apache.spark.sql.SparkSession
 
-  def apply(spark: org.apache.spark.sql.SparkSession, key: String,
+  private val memo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
+  private def forSession(spark: SparkSession) = memo.synchronized {
+    memo.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+  }
+
+  /** Wall-clock seconds spent inside memo-miss `build`s, per session —
+    * lets Bench report shared first-builds as their own `shared_build`
+    * row instead of charging them to whichever query runs first.
+    */
+  private val buildSecs = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.atomic.DoubleAdder]())
+
+  def buildSeconds(spark: SparkSession): Double = buildSecs.synchronized {
+    Option(buildSecs.get(spark)).map(_.sum()).getOrElse(0.0)
+  }
+
+  def apply(spark: SparkSession, key: String,
             mat: Materialize)(build: => DataFrame): DataFrame = mat match {
     case Materialize.Local =>
-      memo.computeIfAbsent(
-        s"${System.identityHashCode(spark)}|$key", _ => Materialize.Local(build))
+      forSession(spark).computeIfAbsent(key, { _ =>
+        val t0 = System.nanoTime()
+        val built = Materialize.Local(build)
+        buildSecs.synchronized {
+          buildSecs.computeIfAbsent(spark,
+            _ => new java.util.concurrent.atomic.DoubleAdder())
+        }.add((System.nanoTime() - t0) / 1e9)
+        built
+      })
     case m => m(build)
   }
 }

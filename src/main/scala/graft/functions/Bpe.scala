@@ -194,13 +194,20 @@ object Bpe {
     */
   def segmentCorpusSql(merges: Seq[(String, String)] = trainedMerges): String = {
     def q(s: String) = s.replace("'", "''")
-    val rows = merges.zipWithIndex.map { case ((a, b), i) =>
-      s"(${i + 1}, ' ${q(a)}  ${q(b)} ', ' ${q(a)}${q(b)} ')"
-    }.mkString(",\n  ")
+    // `VALUES` with zero rows is a syntax error, while the Spark twin
+    // segmentWords handles an empty merge table (the property-tested
+    // no-merge case) — mirror that with an explicit zero-row literal so
+    // both sides agree on the degenerate input.
+    val mergesRel =
+      if (merges.isEmpty)
+        "SELECT 0 AS rank, '' AS pat, '' AS rep WHERE false"
+      else
+        "VALUES\n  " + merges.zipWithIndex.map { case ((a, b), i) =>
+          s"(${i + 1}, ' ${q(a)}  ${q(b)} ', ' ${q(a)}${q(b)} ')"
+        }.mkString(",\n  ")
     s"""WITH RECURSIVE
        |words(w) AS (SELECT DISTINCT unnest(words) FROM (${TextOps.preparedSql})),
-       |merges(rank, pat, rep) AS (VALUES
-       |  $rows),
+       |merges(rank, pat, rep) AS ($mergesRel),
        |seg AS (
        |  SELECT w, regexp_replace(w, '(.)', ' \\1 ', 'g') AS s, 0 AS i FROM words
        |  UNION ALL

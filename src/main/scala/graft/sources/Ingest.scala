@@ -100,7 +100,13 @@ object Ingest {
   private def indexed(data: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val PosBits = 33 // Spark contract: partition id in the upper 31 bits
+    // Pin ONE evaluation of the id column before anything consumes it:
+    // the offsets aggregate and the join side otherwise each evaluate the
+    // subtree independently, and a non-deterministic upstream (round-robin
+    // repartition, sample) or a re-evaluation with a different partition
+    // layout would silently mis-assign __idx (skipped/duplicated rows).
     val mid = data.withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint(eager = true)
     val offsets = mid
       .groupBy(shiftright(col("__mid"), PosBits).as("__pid"))
       .agg(count(lit(1)).as("__n"))

@@ -44,6 +44,14 @@ object AlertCooldownTws {
   def apply(alerts: Dataset[Alert], cooldownSec: Int = 30, idleTtlMs: Long = 0L)
            (implicit spark: SparkSession): Dataset[Alert] = {
     import spark.implicits._
+    // A processing-time TTL shorter than ~2x the cooldown can evict a key
+    // MID-cooldown — a re-appearing key then re-emits where the fMGWS twin
+    // (event-time timeout at last + 2x cooldown) suppresses, breaking the
+    // emission-identical pairing this object documents. Refuse the
+    // configuration rather than silently weaken the dedup guarantee.
+    require(idleTtlMs == 0L || idleTtlMs >= 2L * cooldownSec * 1000L,
+      s"idleTtlMs=$idleTtlMs would evict cooldown state mid-window; " +
+        s"use 0 (no TTL) or >= ${2L * cooldownSec * 1000L} ms (2x cooldown)")
     // TTL requires ProcessingTime mode (the FunnelStreamTws caveat);
     // deterministic tests run idleTtlMs = 0 → TimeMode.None
     val timeMode = if (idleTtlMs > 0) TimeMode.ProcessingTime() else TimeMode.None()
