@@ -232,6 +232,7 @@ object SparkEntry {
     "d_cap_per_source" -> ((s, dir) => MixOps.capPerSource(s, dir)),
     "d_semantic_dedup" -> ((s, dir) => MixOps.semanticDedup(s, dir)),
     "d_shard_manifest" -> ((s, dir) => MixOps.shardManifest(s, dir)),
+    "d_manifest_incr" -> ((s, dir) => MixOps.manifestIncr(s, dir)),
 
     // ---- embedding similarity operators ----
     "v_norms" -> ((s, dir) => VectorOps.norms(s, dir).orderBy(col("vec_id"))),
@@ -629,6 +630,7 @@ object SparkEntry {
       "d_cap_per_source" -> MixOps.capPerSourceSql(),
       "d_semantic_dedup" -> MixOps.semanticDedupSql(),
       "d_shard_manifest" -> MixOps.shardManifestSql(),
+      "d_manifest_incr" -> MixOps.manifestIncrSql(),
       "v_norms" -> VectorOps.normsSql,
       "v_knn" -> VectorOps.knnSql(),
       "v_neardup" -> VectorOps.nearDupExactSql(),

@@ -222,10 +222,20 @@ object MixOps {
     * relation (consumed by both the counts pass and the rank pass).
     */
   def qualityTiers(spark: SparkSession, dir: String, rangeParts: Int = 32,
-                   mat: graft.Materialize = graft.Materialize.Local): DataFrame = {
+                   mat: graft.Materialize = graft.Materialize.Local): DataFrame =
+    qualityTiersOf(spark,
+      TextOps.prepared(spark, dir).select(
+        col("doc_id"), col("lang"), TextOps.qualityScoreE.as("quality_score")),
+      rangeParts, mat)
+
+  /** [[qualityTiers]] over an arbitrary (doc_id, lang, quality_score)
+    * relation — the same range-partitioned rank machinery, reusable on a
+    * corpus subset (the frozen-base tier computation of [[manifestIncr]]).
+    */
+  private[graft] def qualityTiersOf(spark: SparkSession, base: DataFrame,
+                                    rangeParts: Int = 32,
+                                    mat: graft.Materialize = graft.Materialize.Local): DataFrame = {
     import spark.implicits._
-    val base = TextOps.prepared(spark, dir).select(
-      col("doc_id"), col("lang"), TextOps.qualityScoreE.as("quality_score"))
     val ranged = mat(base
       .repartitionByRange(rangeParts, col("lang"), col("quality_score").desc, col("doc_id"))
       .withColumn("pid", spark_partition_id()))
@@ -529,4 +539,308 @@ object MixOps {
        |  CAST(sum(CASE WHEN tier = 'middle' THEN 1 ELSE 0 END) AS BIGINT) AS n_middle,
        |  CAST(sum(CASE WHEN tier = 'tail' THEN 1 ELSE 0 END) AS BIGINT) AS n_tail
        |FROM o GROUP BY 1 ORDER BY shard_id""".stripMargin
+
+  // ---- incremental corpus build: the daily-delta path ----
+
+  /** Incremental corpus-build / manifest maintenance — the text-side analog
+    * of `VectorOps.ivfIncrement`: yesterday's corpus (the BASE, docs with
+    * `hex60('inc:'||doc_id) % deltaMod != 0`) was built and shipped; today
+    * a DELTA arrives (the remaining ~1/deltaMod, salted-hash split so the
+    * delta decorrelates from every data column — the testdata's `source`
+    * IS a function of `doc_id % 20`, so a bare modulo split would hand the
+    * delta only sources the base never saw) and must pass the full gate
+    * chain against the base's FROZEN state — never causing a base rebuild:
+    *
+    *   - exact dedup: delta doc vs the base fingerprint set (any base hash
+    *     kills the newcomer regardless of id order — [[TextOps.dedupIncrement]]
+    *     semantics) plus min-id first-occurrence within the delta;
+    *   - semantic near-dup: a delta doc paired (either direction) with ANY
+    *     base doc drops, plus keep-smallest-id within the delta — base
+    *     survivors are never re-dropped by a smaller delta id;
+    *   - mixture gate: the rational keep predicate evaluated with the
+    *     base's frozen per-source stats (a source unseen in the base has no
+    *     frozen rate and is dropped — the conservative production default);
+    *   - quality tier: frozen score cutoffs (min base score per tier per
+    *     lang); a lang unseen in the base tiers to `tail` (null cutoffs);
+    *   - contamination / decontam spans: probe set is static (benchmark
+    *     docs), so the per-doc relations are split-independent and shared;
+    *   - shard walk: delta survivors walk their own bucketed order APPENDED
+    *     at the base's total token offset — the open shard fills first,
+    *     then new shards; base (doc → shard, off) assignments are untouched
+    *     by construction (the spec asserts it).
+    *
+    * Scale shape: every base relation here is what a production deployment
+    * has PERSISTED (fingerprint index, source stats, tier cutoffs, shard
+    * tail offset — all tiny or bucketed); the delta pass touches the base
+    * only through broadcast-size frozen state and the pair relation, and
+    * appending is one prefix sum over the delta. Nothing rewrites a base
+    * row, which is the entire point of the operator.
+    */
+  private[graft] def incrAssignments(
+      spark: SparkSession, dir: String, buckets: Int = 8, budget: Long = 500L,
+      deltaMod: Int = 10, keepLang: String = "en", probeMax: Long = 10,
+      contamMin: Long = 5, sampleMod: Int = 10, sampleKeep: Int = 8,
+      mixMod: Int = 1000,
+      mat: graft.Materialize = graft.Materialize.Local): DataFrame = {
+    import spark.implicits._
+    def deltaHash(id: Column): Column =
+      pmod(Exprs.hex60(concat(lit("inc:"), id.cast("string"))), lit(deltaMod))
+    val isDelta = deltaHash(col("doc_id")) === 0
+
+    // shared per-doc relations (split-independent): scored/normalized docs,
+    // contamination vs the static probe set, span-cleaned text, near-dup
+    // pairs. `p` feeds ~10 consumers across both chains — pin one read.
+    val p = mat(TextOps.prepared(spark, dir)
+      .withColumn("pred_lang", TextOps.predLangE)
+      .withColumn("quality_bucket", TextOps.qualityBucketE)
+      .withColumn("quality_score", TextOps.qualityScoreE)
+      .withColumn("hmd5", md5(col("norm").cast("binary")))
+      .withColumn("tok_raw", size(col("words")).cast("long"))
+      .withColumn("is_delta", isDelta)
+      .select("doc_id", "lang", "source", "norm", "pred_lang",
+        "quality_bucket", "quality_score", "hmd5", "tok_raw", "is_delta"))
+    val cont = TextOps.contamination(spark, dir, probeMax)
+      .select(col("doc_id"), col("n_shared_shingles"))
+    val clean = TextOps.decontamSpans(spark, dir, probeMax)
+      .select(col("doc_id"),
+        (col("n_words") - col("n_contam")).as("tok_clean"), col("text_clean"))
+    val pairs = mat(VectorOps.nearDupLsh(spark, dir).select("id_a", "id_b"))
+
+    // the split-independent curate gates (lang, quality, benchmark,
+    // contamination, sampling) — the dedup gate differs per chain
+    def rowGates(df: DataFrame): DataFrame =
+      df.filter(col("pred_lang") === keepLang &&
+          col("quality_bucket") =!= "low" &&
+          col("doc_id") >= probeMax &&
+          pmod(Exprs.hex60(col("doc_id").cast("string")), lit(sampleMod)) < sampleKeep)
+        .join(cont, Seq("doc_id"), "left")
+        .filter(coalesce(col("n_shared_shingles"), lit(0L)) < contamMin)
+
+    // ---- base build (yesterday's run, = corpusBuild semantics on base) ----
+    val b = p.filter(!col("is_delta"))
+    val repB = b.groupBy("hmd5").agg(min("doc_id").as("rep_doc_id"))
+    val curB = rowGates(b)
+      .join(repB, "hmd5").filter(col("doc_id") === col("rep_doc_id"))
+      .select("doc_id")
+    val pA = deltaHash(col("id_a"))
+    val pB = deltaHash(col("id_b"))
+    val dropB = pairs.filter(pA =!= 0 && pB =!= 0)
+      .select(col("id_b").as("doc_id")).distinct()
+    val statsB = b.groupBy("source").agg(count(lit(1)).as("cnt"))
+      .withColumn("w", weightE(col("source")))
+    val totB = statsB.agg(sum("cnt").as("total"), sum("w").as("sumw"))
+    def mixGate(docs: DataFrame): DataFrame = docs.select("doc_id", "source")
+      .join(broadcast(statsB), Seq("source"))
+      .crossJoin(broadcast(totB))
+      .filter(pmod(Exprs.hex60(concat(lit("mx:"), col("doc_id").cast("string"))),
+          lit(mixMod)) * col("sumw") * col("cnt")
+        < lit(mixMod) * col("total") * col("w"))
+      .select("doc_id")
+    val tiersB = mat(qualityTiersOf(spark,
+      b.select(col("doc_id"), col("lang"), col("quality_score")))
+      .select("doc_id", "lang", "quality_score", "tier"))
+    def survivors(docs: DataFrame, cur: DataFrame, dropped: DataFrame,
+                  tiers: DataFrame): DataFrame = docs
+      .join(cur, "doc_id")
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .join(mixGate(docs), "doc_id")
+      .join(tiers.select("doc_id", "tier"), "doc_id")
+      .join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("tier"),
+        coalesce(col("tok_clean"), col("tok_raw")).as("tok"),
+        coalesce(col("text_clean"), col("norm")).as("text_out"))
+    val survB = mat(survivors(b, curB, dropB, tiersB))
+    val walkB = walkOffsets(survB, buckets)
+      .withColumn("shard_id", expr(s"off div ${budget}L"))
+      .withColumn("from_delta", lit(false))
+
+    // ---- frozen base state the delta pass consumes ----
+    val baseHashes = b.select("hmd5").distinct()
+    val cuts = tiersB.groupBy("lang").agg(
+      min(when(col("tier") === "head", col("quality_score"))).as("head_cut"),
+      min(when(col("tier") === "middle", col("quality_score"))).as("mid_cut"))
+    val baseTok = survB.agg(coalesce(sum("tok"), lit(0L)).as("base_tok"))
+
+    // ---- delta pass against the frozen state ----
+    val d = p.filter(col("is_delta"))
+    val repD = d.groupBy("hmd5").agg(min("doc_id").as("rep_doc_id"))
+    val curD = rowGates(d)
+      .join(repD, "hmd5").filter(col("doc_id") === col("rep_doc_id"))
+      .join(baseHashes, Seq("hmd5"), "left_anti")
+      .select("doc_id")
+    // any pair whose id_b is delta drops id_b (partner is base OR a
+    // smaller-id delta doc); a delta id_a paired with a base id_b drops too
+    val dropD = pairs.filter(pB === 0).select(col("id_b").as("doc_id"))
+      .union(pairs.filter(pA === 0 && pB =!= 0).select(col("id_a").as("doc_id")))
+      .distinct()
+    val tiersD = d.select(col("doc_id"), col("lang"), col("quality_score"))
+      .join(broadcast(cuts), Seq("lang"), "left")
+      .withColumn("tier",
+        when(col("quality_score") >= col("head_cut"), "head")
+          .when(col("quality_score") >= col("mid_cut"), "middle")
+          .otherwise("tail"))
+    val survD = survivors(d, curD, dropD, tiersD)
+    val walkD = walkOffsets(survD, buckets)
+      .crossJoin(broadcast(baseTok))
+      .withColumn("off", col("off") + col("base_tok"))
+      .withColumn("shard_id", expr(s"off div ${budget}L"))
+      .withColumn("from_delta", lit(true))
+
+    val cols = Seq("doc_id", "source", "tier", "tok", "off", "shard_id",
+      "from_delta", "text_out")
+    walkB.select(cols.map(col): _*).unionByName(walkD.select(cols.map(col): _*))
+  }
+
+  /** The merged post-delta manifest — base shards byte-identical (delta
+    * docs only ever land at `off >= base_total`), the open shard topped up,
+    * new shards appended; `n_delta` counts the appended docs per shard.
+    * Oracle-checked as `d_manifest_incr`: the SQL recomputes the entire
+    * base chain AND the frozen-state delta chain independently and must
+    * land on identical manifests.
+    */
+  def manifestIncr(spark: SparkSession, dir: String, buckets: Int = 8,
+                   budget: Long = 500L, deltaMod: Int = 10): DataFrame =
+    incrAssignments(spark, dir, buckets, budget, deltaMod)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("tok").as("n_tokens"),
+        expr("bit_xor(cast(conv(substring(md5(text_out), 1, 15), 16, 10) as bigint))")
+          .as("checksum"),
+        sum(when(col("tier") === "head", 1L).otherwise(0L)).as("n_head"),
+        sum(when(col("tier") === "middle", 1L).otherwise(0L)).as("n_middle"),
+        sum(when(col("tier") === "tail", 1L).otherwise(0L)).as("n_tail"),
+        sum(when(col("from_delta"), 1L).otherwise(0L)).as("n_delta"))
+      .orderBy("shard_id")
+
+  def manifestIncrSql(buckets: Int = 8, budget: Long = 500L,
+                      deltaMod: Int = 10, keepLang: String = "en",
+                      probeMax: Long = 10, contamMin: Long = 5,
+                      sampleMod: Int = 10, sampleKeep: Int = 8,
+                      mixMod: Int = 1000): String =
+    s"""WITH prep AS (${TextOps.preparedSql}),
+       |p AS (
+       |  SELECT prep.doc_id, prep.lang, prep.source, prep.norm,
+       |    CAST(len(prep.words) AS BIGINT) AS tok_raw, md5(prep.norm) AS h,
+       |    l.pred_lang, q.quality_bucket, q.quality_score,
+       |    ${Exprs.hex60Sql("'inc:' || prep.doc_id::VARCHAR")} % $deltaMod = 0 AS is_delta
+       |  FROM prep
+       |  JOIN (${TextOps.langidSql}) l ON prep.doc_id = l.doc_id
+       |  JOIN (${TextOps.qualitySql}) q ON prep.doc_id = q.doc_id),
+       |cont AS (SELECT doc_id, n_shared_shingles
+       |         FROM (${TextOps.contaminationSql(probeMax)})),
+       |clean AS (SELECT doc_id, n_words - n_contam AS tok_clean, text_clean
+       |          FROM (${TextOps.decontamSpansSql(probeMax)})),
+       |pairs AS (SELECT id_a, id_b FROM (${VectorOps.nearDupLshSql()})),
+       |repb AS (SELECT h, min(doc_id) AS rep FROM p WHERE NOT is_delta GROUP BY h),
+       |curb AS (
+       |  SELECT p.doc_id FROM p JOIN repb ON p.h = repb.h
+       |  LEFT JOIN cont ON p.doc_id = cont.doc_id
+       |  WHERE NOT p.is_delta AND p.pred_lang = '$keepLang'
+       |    AND p.quality_bucket <> 'low' AND p.doc_id = repb.rep
+       |    AND p.doc_id >= $probeMax
+       |    AND COALESCE(cont.n_shared_shingles, 0) < $contamMin
+       |    AND ${Exprs.hex60Sql("p.doc_id::VARCHAR")} % $sampleMod < $sampleKeep),
+       |dropb AS (SELECT DISTINCT id_b AS doc_id FROM pairs
+       |          WHERE ${Exprs.hex60Sql("'inc:' || id_a::VARCHAR")} % $deltaMod <> 0
+       |            AND ${Exprs.hex60Sql("'inc:' || id_b::VARCHAR")} % $deltaMod <> 0),
+       |statsb AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS cnt,
+       |    (regexp_extract(source, '([0-9]+)', 1)::BIGINT % 4) + 1 AS w
+       |  FROM p WHERE NOT is_delta GROUP BY source),
+       |totb AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+       |                CAST(sum(w) AS BIGINT) AS sumw FROM statsb),
+       |mixb AS (
+       |  SELECT doc_id FROM p JOIN statsb USING (source) CROSS JOIN totb
+       |  WHERE NOT is_delta
+       |    AND (${Exprs.hex60Sql("'mx:' || doc_id::VARCHAR")} % $mixMod)
+       |        * sumw * cnt < $mixMod * total * w),
+       |rb AS (
+       |  SELECT doc_id, lang, quality_score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+       |           ORDER BY quality_score DESC, doc_id) AS INT) AS rnk,
+       |    CAST(COUNT(*) OVER (PARTITION BY lang) AS INT) AS n_lang
+       |  FROM p WHERE NOT is_delta),
+       |tb AS (
+       |  SELECT doc_id, lang, quality_score,
+       |    CASE WHEN rnk * 3 <= n_lang THEN 'head'
+       |         WHEN rnk * 3 <= n_lang * 2 THEN 'middle' ELSE 'tail' END AS tier
+       |  FROM rb),
+       |cuts AS (
+       |  SELECT lang,
+       |    min(CASE WHEN tier = 'head' THEN quality_score END) AS head_cut,
+       |    min(CASE WHEN tier = 'middle' THEN quality_score END) AS mid_cut
+       |  FROM tb GROUP BY lang),
+       |sb AS (
+       |  SELECT p.doc_id, p.source, tb.tier,
+       |    COALESCE(clean.tok_clean, p.tok_raw) AS tok,
+       |    COALESCE(clean.text_clean, p.norm) AS text_out,
+       |    ${Exprs.hex60Sql("'sp:' || p.doc_id::VARCHAR")} AS wh
+       |  FROM p JOIN curb USING (doc_id) JOIN mixb USING (doc_id)
+       |       JOIN tb ON p.doc_id = tb.doc_id
+       |       LEFT JOIN clean ON p.doc_id = clean.doc_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM dropb WHERE dropb.doc_id = p.doc_id)),
+       |ob AS (
+       |  SELECT tier, tok, text_out,
+       |    COALESCE(SUM(tok) OVER (ORDER BY wh % $buckets, wh, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM sb),
+       |btot AS (SELECT COALESCE(CAST(sum(tok) AS BIGINT), 0) AS base_tok FROM sb),
+       |basehash AS (SELECT DISTINCT h FROM p WHERE NOT is_delta),
+       |repd AS (SELECT h, min(doc_id) AS rep FROM p WHERE is_delta GROUP BY h),
+       |curd AS (
+       |  SELECT p.doc_id FROM p JOIN repd ON p.h = repd.h
+       |  LEFT JOIN cont ON p.doc_id = cont.doc_id
+       |  WHERE p.is_delta AND p.pred_lang = '$keepLang'
+       |    AND p.quality_bucket <> 'low'
+       |    AND NOT EXISTS (SELECT 1 FROM basehash WHERE basehash.h = p.h)
+       |    AND p.doc_id = repd.rep AND p.doc_id >= $probeMax
+       |    AND COALESCE(cont.n_shared_shingles, 0) < $contamMin
+       |    AND ${Exprs.hex60Sql("p.doc_id::VARCHAR")} % $sampleMod < $sampleKeep),
+       |dropd AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT id_b AS doc_id FROM pairs
+       |    WHERE ${Exprs.hex60Sql("'inc:' || id_b::VARCHAR")} % $deltaMod = 0
+       |    UNION ALL
+       |    SELECT id_a AS doc_id FROM pairs
+       |    WHERE ${Exprs.hex60Sql("'inc:' || id_a::VARCHAR")} % $deltaMod = 0
+       |      AND ${Exprs.hex60Sql("'inc:' || id_b::VARCHAR")} % $deltaMod <> 0)),
+       |mixd AS (
+       |  SELECT doc_id FROM p JOIN statsb USING (source) CROSS JOIN totb
+       |  WHERE is_delta
+       |    AND (${Exprs.hex60Sql("'mx:' || doc_id::VARCHAR")} % $mixMod)
+       |        * sumw * cnt < $mixMod * total * w),
+       |td AS (
+       |  SELECT p.doc_id,
+       |    CASE WHEN p.quality_score >= cuts.head_cut THEN 'head'
+       |         WHEN p.quality_score >= cuts.mid_cut THEN 'middle'
+       |         ELSE 'tail' END AS tier
+       |  FROM p LEFT JOIN cuts ON p.lang = cuts.lang WHERE p.is_delta),
+       |sd AS (
+       |  SELECT p.doc_id, p.source, td.tier,
+       |    COALESCE(clean.tok_clean, p.tok_raw) AS tok,
+       |    COALESCE(clean.text_clean, p.norm) AS text_out,
+       |    ${Exprs.hex60Sql("'sp:' || p.doc_id::VARCHAR")} AS wh
+       |  FROM p JOIN curd USING (doc_id) JOIN mixd USING (doc_id)
+       |       JOIN td ON p.doc_id = td.doc_id
+       |       LEFT JOIN clean ON p.doc_id = clean.doc_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM dropd WHERE dropd.doc_id = p.doc_id)),
+       |od AS (
+       |  SELECT tier, tok, text_out,
+       |    COALESCE(SUM(tok) OVER (ORDER BY wh % $buckets, wh, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      + btot.base_tok AS off
+       |  FROM sd CROSS JOIN btot),
+       |allrows AS (
+       |  SELECT tier, tok, text_out, off, FALSE AS from_delta FROM ob
+       |  UNION ALL
+       |  SELECT tier, tok, text_out, off, TRUE AS from_delta FROM od)
+       |SELECT CAST(off // $budget AS BIGINT) AS shard_id,
+       |  count(*) AS n_docs,
+       |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+       |  CAST(bit_xor(${Exprs.hex60Sql("text_out")}) AS BIGINT) AS checksum,
+       |  CAST(sum(CASE WHEN tier = 'head' THEN 1 ELSE 0 END) AS BIGINT) AS n_head,
+       |  CAST(sum(CASE WHEN tier = 'middle' THEN 1 ELSE 0 END) AS BIGINT) AS n_middle,
+       |  CAST(sum(CASE WHEN tier = 'tail' THEN 1 ELSE 0 END) AS BIGINT) AS n_tail,
+       |  CAST(sum(CASE WHEN from_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
+       |FROM allrows GROUP BY 1 ORDER BY shard_id""".stripMargin
 }

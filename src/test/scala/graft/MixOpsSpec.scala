@@ -30,6 +30,43 @@ class MixOpsSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("manifestIncr: delta strictly appends — base assignments and closed shards untouched") {
+    val dir = sf("sf0.01")
+    val budget = 500L
+    val asg = MixOps.incrAssignments(spark, dir, budget = budget).cache()
+    val base = asg.filter(!col("from_delta"))
+    val delta = asg.filter(col("from_delta"))
+    assert(base.count() > 0 && delta.count() > 0,
+      "both chains must contribute survivors at sf0.01")
+
+    // append contract: every delta doc's offset starts at or after the
+    // base's total token count — the delta can top up the open shard and
+    // extend past it, but can never land inside a closed base shard
+    val baseTok = base.agg(sum("tok")).head().getLong(0)
+    assert(delta.agg(min("off")).head().getLong(0) >= baseTok,
+      "a delta doc landed below the base high-water offset")
+
+    // closed base shards are row-identical in the merged manifest: the
+    // delta pass changed NOTHING below the open shard, and every closed
+    // shard carries zero delta docs
+    val openShard = baseTok / budget
+    val merged = MixOps.manifestIncr(spark, dir, budget = budget)
+      .filter(col("shard_id") < openShard).collect()
+    assert(merged.forall(_.getLong(7) == 0L),
+      "a closed base shard absorbed delta docs")
+    val baseOnly = base.groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"),
+        expr("bit_xor(cast(conv(substring(md5(text_out), 1, 15), 16, 10) as bigint))")
+          .as("checksum"))
+      .filter(col("shard_id") < openShard)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val mergedMap = merged
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(mergedMap == baseOnly,
+      "merged manifest diverged from the base-only build on a closed shard")
+    asg.unpersist()
+  }
+
   test("corpusBuild: written shards respect the budget and the manifest matches the files") {
     val budget = 2000L
     val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
