@@ -57,11 +57,11 @@ object SharedRel {
 
   private val memo = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+      java.util.concurrent.ConcurrentHashMap[String, Any]]())
 
   private def forSession(spark: SparkSession) = memo.synchronized {
     memo.computeIfAbsent(spark,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+      _ => new java.util.concurrent.ConcurrentHashMap[String, Any]())
   }
 
   /** Wall-clock seconds spent inside memo-miss `build`s, per session —
@@ -75,18 +75,33 @@ object SharedRel {
     Option(buildSecs.get(spark)).map(_.sum()).getOrElse(0.0)
   }
 
+  private def timed[A](spark: SparkSession)(build: => A): A = {
+    val t0 = System.nanoTime()
+    val built = build
+    buildSecs.synchronized {
+      buildSecs.computeIfAbsent(spark,
+        _ => new java.util.concurrent.atomic.DoubleAdder())
+    }.add((System.nanoTime() - t0) / 1e9)
+    built
+  }
+
   def apply(spark: SparkSession, key: String,
             mat: Materialize)(build: => DataFrame): DataFrame = mat match {
     case Materialize.Local =>
-      forSession(spark).computeIfAbsent(key, { _ =>
-        val t0 = System.nanoTime()
-        val built = Materialize.Local(build)
-        buildSecs.synchronized {
-          buildSecs.computeIfAbsent(spark,
-            _ => new java.util.concurrent.atomic.DoubleAdder())
-        }.add((System.nanoTime() - t0) / 1e9)
-        built
-      })
+      forSession(spark)
+        .computeIfAbsent(key, _ => timed(spark)(Materialize.Local(build)))
+        .asInstanceOf[DataFrame]
     case m => m(build)
   }
+
+  /** Once-per-session SIDE-EFFECT scaffold (e.g. writing a topic dir a
+    * query then reads back): `build` runs on the first call for `key`, its
+    * result is memoized, and its cost lands in [[buildSeconds]] so Bench
+    * charges it to the `shared_build` row — the query's own timed window
+    * then measures the mechanism the query is about, not setup I/O.
+    */
+  def once[A](spark: SparkSession, key: String)(build: => A): A =
+    forSession(spark)
+      .computeIfAbsent(key, _ => timed(spark)(build))
+      .asInstanceOf[A]
 }

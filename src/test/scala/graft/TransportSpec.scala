@@ -123,6 +123,29 @@ class TransportSpec extends SparkSuite {
       "kafka batch sink re-sends on retry (at-least-once), replays share the record key")
   }
 
+  test("priorityFromTopics: full write+read relay path, then a session-scaffolded reuse") {
+    import graft.operators.Readings
+    // SparkEntry's thresholds: danger=400 yields critical rows at sf0.01
+    // (the default danger=1000 leaves the critical topic empty there)
+    val t = Readings.Thresholds(low = 50, moderate = 200, danger = 400.0)
+    // first call in this session: writes the topic dirs AND reads them back
+    // (sf0.01 — the smoke scale has no critical readings, so only there do
+    // both topics materialize)
+    val first = Readings.priorityFromTopics(spark, sf("sf0.01"), t)
+    val tags = first.groupBy("data_priority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tags.keySet == Set("normal", "critical") && tags.values.forall(_ > 0),
+      s"both topics must round-trip through the dirs, got $tags")
+    // the written scaffold is session-shared: a second call reuses the SAME
+    // topic root (no re-write) and reads identical rows — the bench then
+    // times the relay READ mechanism, not parquet write throughput
+    val second = Readings.priorityFromTopics(spark, sf("sf0.01"), t)
+    assert(first.inputFiles.sorted.sameElements(second.inputFiles.sorted),
+      "second call must read the same scaffolded topic dirs")
+    assert(second.exceptAll(first).isEmpty && first.exceptAll(second).isEmpty,
+      "scaffold reuse changed the relay rows")
+  }
+
   test("run(Dir transport) end-to-end: file source to epoch-partitioned parquet") {
     val in = Files.createTempDirectory("graft-dir-in").toString
     val out = Files.createTempDirectory("graft-dir-out").toString
