@@ -48,7 +48,7 @@ object MixOps {
     * `buckets`-row totals relation, offsets come back as a broadcast join.
     * The engine under [[shardPack]], [[packChunks]] and [[corpusBuild]].
     */
-  private def walkOffsets(d0: DataFrame, buckets: Int): DataFrame = {
+  private[graft] def walkOffsets(d0: DataFrame, buckets: Int): DataFrame = {
     val d = d0
       .withColumn("h", Exprs.hex60(concat(lit("sp:"), col("doc_id").cast("string"))))
       .withColumn("bucket", pmod(col("h"), lit(buckets)))
@@ -604,7 +604,8 @@ object MixOps {
     val clean = TextOps.decontamSpans(spark, dir, probeMax)
       .select(col("doc_id"),
         (col("n_words") - col("n_contam")).as("tok_clean"), col("text_clean"))
-    val pairs = mat(VectorOps.nearDupLsh(spark, dir).select("id_a", "id_b"))
+    // nearDupLsh is itself session-shared (SharedRel) — no second pin here
+    val pairs = VectorOps.nearDupLsh(spark, dir).select("id_a", "id_b")
 
     // the split-independent curate gates (lang, quality, benchmark,
     // contamination, sampling) — the dedup gate differs per chain

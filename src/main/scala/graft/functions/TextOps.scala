@@ -338,7 +338,52 @@ object TextOps {
        |    FROM ($preparedSql),
        |         unnest(range(1, CASE WHEN len(words) >= 3 THEN len(words)-1 ELSE 2 END)) AS t(i))""".stripMargin
 
-  def contamination(spark: SparkSession, dir: String, probeMax: Long = 10): DataFrame = {
+  /** Per-document n-gram novelty — the share of a doc's distinct 3-gram
+    * shingles FIRST seen in that doc (corpus order = doc_id): the
+    * monitoring metric a training-data pipeline tracks to catch template
+    * floods and boilerplate creep (novelty collapses toward 0 as a
+    * near-duplicate wave arrives) and to rank documents by new-content
+    * contribution. first-seen = `min(doc_id)` per shingle — ONE hash agg
+    * over the shingle relation plus the equi-join back; no pairwise scan,
+    * the [[dedupExact]] scale shape on the shingle key.
+    */
+  def novelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles3(spark, dir)
+    val first = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
+    sh.join(first, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      // int/int → double division, bit-identical across engines (the
+      // d_quality parity rule: never round at a representation boundary)
+      .withColumn("novelty", col("n_novel") / col("n_shingles").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  val noveltySql: String =
+    s"""WITH sh AS (
+       |  $shingles3Sql),
+       |f AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+       |    / CAST(count(*) AS DOUBLE) AS novelty
+       |FROM sh JOIN f USING (sh)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  def contamination(spark: SparkSession, dir: String, probeMax: Long = 10): DataFrame =
+    // session-shared: the contamination index is consumed by d_contamination,
+    // curate (d_curate + both corpus builds) and the incremental delta pass —
+    // a production pipeline persists this relation once per benchmark set
+    graft.SharedRel(spark, s"contam|$dir|$probeMax", graft.Materialize.Local)(
+      contaminationBuild(spark, dir, probeMax))
+
+  /** The unmemoized build — PlanAuditSpec audits THIS plan (the memoized
+    * handle is a checkpoint scan with no joins left to audit).
+    */
+  private[graft] def contaminationBuild(spark: SparkSession, dir: String,
+                                        probeMax: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ex = shingles3(spark, dir)
     val probe = ex.filter(col("doc_id") < probeMax)
@@ -387,7 +432,18 @@ object TextOps {
     * on doc_id, never corpus-wide).
     */
   def decontamSpans(spark: SparkSession, dir: String, probeMax: Long = 10,
-                    mat: Materialize = Materialize.Local): DataFrame = {
+                    mat: Materialize = Materialize.Local): DataFrame = mat match {
+    // session-shared under the default materialization: the span-cleaned
+    // relation feeds d_decontam_spans AND both corpus builds; an explicit
+    // Table(...) materialization stays caller-owned (no memo)
+    case Materialize.Local =>
+      graft.SharedRel(spark, s"decontam|$dir|$probeMax", Materialize.Local)(
+        decontamSpansBuild(spark, dir, probeMax, Materialize.Local))
+    case m => decontamSpansBuild(spark, dir, probeMax, m)
+  }
+
+  private[graft] def decontamSpansBuild(spark: SparkSession, dir: String, probeMax: Long,
+                                        mat: Materialize): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val probe = shingles3(spark, dir).filter(col("doc_id") < probeMax)
       .select("sh").distinct()

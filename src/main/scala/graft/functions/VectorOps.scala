@@ -160,16 +160,21 @@ object VectorOps {
   /** LSH-bucketed near-dup: candidates only within the same sign bucket.
     * The scale path — trades recall for a bounded join fan-out.
     */
-  def nearDupLsh(spark: SparkSession, dir: String, threshold: Double = 0.4, bits: Int = 4): DataFrame = {
-    val e = prepared(spark, dir).withColumn("bkt", bucketExpr(col("v"), bits))
-    val a = e.select(col("bkt"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("bkt"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("bkt")).filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cos_sim") >= threshold)
-      .select(col("bkt"), col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
-      .orderBy(col("id_a"), col("id_b"))
-  }
+  def nearDupLsh(spark: SparkSession, dir: String, threshold: Double = 0.4, bits: Int = 4): DataFrame =
+    // session-shared: the near-dup pair relation is the input of
+    // v_neardup_lsh, semantic dedup (d_semantic_dedup + both corpus
+    // builds) — a production pipeline maintains this pair index, not
+    // per-query rebuilds of the bucketed self-join
+    graft.SharedRel(spark, s"neardup|$dir|$threshold|$bits", graft.Materialize.Local) {
+      val e = prepared(spark, dir).withColumn("bkt", bucketExpr(col("v"), bits))
+      val a = e.select(col("bkt"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("bkt"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("bkt")).filter(col("id_a") < col("id_b"))
+        .withColumn("cos_sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cos_sim") >= threshold)
+        .select(col("bkt"), col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy(col("id_a"), col("id_b"))
+    }
 
   def nearDupLshSql(threshold: Double = 0.4, bits: Int = 4): String =
     s"""WITH e AS (SELECT *, ${bucketSql(bits)} AS bkt FROM ($preparedSql))

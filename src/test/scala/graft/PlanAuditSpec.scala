@@ -57,8 +57,12 @@ class PlanAuditSpec extends SparkSuite {
       s"retention exchange count regressed:\n$plan")
   }
 
-  test("d_curate: the contamination probe side broadcasts") {
-    val plan = executedPlan("d_curate")
+  test("contamination index build: the benchmark probe side broadcasts") {
+    // d_curate consumes the SESSION-SHARED contamination index (a
+    // checkpoint scan in its own plan) — the join to audit lives in the
+    // index's BUILD plan
+    val plan = graft.functions.TextOps.contaminationBuild(spark, sf("sf0.001"), 10)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"benchmark probe set must broadcast into the shingle join:\n$plan")
   }
@@ -211,8 +215,12 @@ class PlanAuditSpec extends SparkSuite {
       s"only the tiny offsets relation may hit SinglePartition:\n$plan")
   }
 
-  test("d_decontam_spans: probe shingle set broadcasts into the positioned join") {
-    val plan = executedPlan("d_decontam_spans")
+  test("decontam-spans build: probe shingle set broadcasts into the positioned join") {
+    // same shared-index rule as the contamination audit: the memoized
+    // d_decontam_spans handle is a checkpoint scan; audit the build
+    val plan = graft.functions.TextOps
+      .decontamSpansBuild(spark, sf("sf0.001"), 10, graft.Materialize.Local)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"probe set must broadcast:\n$plan")
   }
