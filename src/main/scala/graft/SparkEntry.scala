@@ -197,6 +197,7 @@ object SparkEntry {
     "d_repetition" -> ((s, dir) => TextOps.repetition(s, dir).orderBy(col("doc_id"))),
     "d_source_stats" -> ((s, dir) => TextOps.sourceStats(s, dir)),
     "d_contamination" -> ((s, dir) => TextOps.contamination(s, dir).orderBy(col("doc_id"))),
+    "d_novelty" -> ((s, dir) => TextOps.novelty(s, dir)),
     "d_decontam_spans" -> ((s, dir) => TextOps.decontamSpans(s, dir)),
     "d_curate" -> ((s, dir) => TextOps.curate(s, dir).orderBy(col("doc_id"))),
     "d_redact" -> ((s, dir) => TextOps.redact(s, dir).orderBy(col("doc_id"))),
@@ -595,6 +596,7 @@ object SparkEntry {
       "d_repetition" -> TextOps.repetitionSql,
       "d_source_stats" -> TextOps.sourceStatsSql,
       "d_contamination" -> TextOps.contaminationSql(),
+      "d_novelty" -> TextOps.noveltySql,
       "d_decontam_spans" -> TextOps.decontamSpansSql(),
       "d_curate" -> TextOps.curateSql(),
       "d_redact" -> TextOps.redactSql,
