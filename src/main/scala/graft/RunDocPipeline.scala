@@ -72,6 +72,31 @@ object RunDocPipeline {
       .start()
     q2.awaitTermination(300000)
 
+    // streaming tail: admitted docs walk into token-budgeted shards via
+    // the epoch-fold append (ShardStream) — the streaming counterpart of
+    // the batch corpusBuild below. Decisions carry no content hash, so the
+    // admitted stream joins the (by now fully written) curated parquet
+    // stream-static on doc_id for text_md5.
+    import graft.streaming.ShardStream
+    val curatedStatic = spark.read.parquet(s"$workDir/out")
+      .select(col("doc_id"), col("text_md5"))
+    val admittedStream = spark.readStream
+      .schema("doc_id BIGINT, source STRING, tok BIGINT, " +
+        "admitted BOOLEAN, admitted_tok BIGINT")
+      .parquet(s"$workDir/decisions")
+      .filter(col("admitted"))
+      .join(curatedStatic, "doc_id")
+      .select(col("doc_id"), col("source"), col("text_md5"),
+        col("tok").as("n_tokens"))
+    val q3 = ShardStream.appendStream(admittedStream,
+      s"$workDir/stream_shards", s"$workDir/ckpt3")
+    q3.processAllAvailable()
+    q3.stop()
+    val (sShards, sTokens) = try {
+      val sm = spark.read.parquet(s"$workDir/stream_shards/manifest")
+      (sm.count(), sm.agg(sum("n_tokens")).collect()(0).getLong(0))
+    } catch { case _: Throwable => (0L, 0L) }
+
     val kept = try spark.read.parquet(s"$workDir/out").count()
                catch { case _: Throwable => 0L }
     val (admitted, rejected) = try {
@@ -99,7 +124,7 @@ object RunDocPipeline {
     val shardDocs = m.agg(sum("n_docs")).collect()(0).getLong(0)
     val shardTokens = m.agg(sum("n_tokens")).collect()(0).getLong(0)
 
-    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens}""")
+    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"stream_shards":$sShards,"stream_shard_tokens":$sTokens}""")
     spark.stop()
   }
 }
