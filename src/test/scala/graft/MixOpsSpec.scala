@@ -67,6 +67,16 @@ class MixOpsSpec extends SparkSuite {
     asg.unpersist()
   }
 
+  test("manifestIncr degenerate split: an empty base drops every delta doc, loudly empty") {
+    // deltaMod = 1 hashes EVERY doc into the delta: the frozen base state
+    // is empty, so every delta source is unseen (no frozen mix rate) and
+    // the conservative gate drops everything — the operator must return an
+    // empty manifest, not crash on empty aggregates/cutoffs
+    val m = MixOps.manifestIncr(spark, sf("sf0.01"), deltaMod = 1)
+    assert(m.count() == 0,
+      "an empty frozen base must admit no delta docs (unseen-source rule)")
+  }
+
   test("corpusBuild: written shards respect the budget and the manifest matches the files") {
     val budget = 2000L
     val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
