@@ -85,12 +85,28 @@ object SharedRel {
     built
   }
 
+  /** Memoize-or-build with a get/putIfAbsent double-check instead of
+    * computeIfAbsent: a build may itself populate OTHER SharedRel keys
+    * (freezeBaseState builds the contamination index, etc.), and a
+    * reentrant computeIfAbsent on one ConcurrentHashMap throws "Recursive
+    * update" whenever the keys land in the same bin — a hash-dependent
+    * landmine. The cost is a possible duplicate build under a concurrent
+    * race (one result discarded — value-neutral, both deterministic).
+    */
+  private def getOrBuild[A](spark: SparkSession, key: String)(build: => A): A = {
+    val m = forSession(spark)
+    val existing = m.get(key)
+    if (existing != null) existing.asInstanceOf[A]
+    else {
+      val built = timed(spark)(build)
+      val prev = m.putIfAbsent(key, built)
+      (if (prev != null) prev else built).asInstanceOf[A]
+    }
+  }
+
   def apply(spark: SparkSession, key: String,
             mat: Materialize)(build: => DataFrame): DataFrame = mat match {
-    case Materialize.Local =>
-      forSession(spark)
-        .computeIfAbsent(key, _ => timed(spark)(Materialize.Local(build)))
-        .asInstanceOf[DataFrame]
+    case Materialize.Local => getOrBuild(spark, key)(Materialize.Local(build))
     case m => m(build)
   }
 
@@ -101,7 +117,5 @@ object SharedRel {
     * then measures the mechanism the query is about, not setup I/O.
     */
   def once[A](spark: SparkSession, key: String)(build: => A): A =
-    forSession(spark)
-      .computeIfAbsent(key, _ => timed(spark)(build))
-      .asInstanceOf[A]
+    getOrBuild(spark, key)(build)
 }

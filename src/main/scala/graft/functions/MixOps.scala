@@ -576,120 +576,172 @@ object MixOps {
     * appending is one prefix sum over the delta. Nothing rewrites a base
     * row, which is the entire point of the operator.
     */
+  /** Delta-split hash: salted so the split decorrelates from every data
+    * column (see [[manifestIncr]] doc).
+    */
+  private def deltaHashE(id: Column, deltaMod: Int): Column =
+    pmod(Exprs.hex60(concat(lit("inc:"), id.cast("string"))), lit(deltaMod))
+
+  /** Documents + the per-doc gate columns both incremental chains read. */
+  private def incrDocs(spark: SparkSession, dir: String, deltaMod: Int): DataFrame =
+    TextOps.prepared(spark, dir)
+      .withColumn("pred_lang", TextOps.predLangE)
+      .withColumn("quality_bucket", TextOps.qualityBucketE)
+      .withColumn("quality_score", TextOps.qualityScoreE)
+      .withColumn("hmd5", md5(col("norm").cast("binary")))
+      .withColumn("tok_raw", size(col("words")).cast("long"))
+      .withColumn("is_delta", deltaHashE(col("doc_id"), deltaMod) === 0)
+      .select("doc_id", "lang", "source", "norm", "pred_lang",
+        "quality_bucket", "quality_score", "hmd5", "tok_raw", "is_delta")
+
+  // the split-independent curate gates (lang, quality, benchmark,
+  // contamination, sampling) — the dedup gate differs per chain
+  private def rowGatesF(df: DataFrame, cont: DataFrame, keepLang: String,
+                        probeMax: Long, contamMin: Long, sampleMod: Int,
+                        sampleKeep: Int): DataFrame =
+    df.filter(col("pred_lang") === keepLang &&
+        col("quality_bucket") =!= "low" &&
+        col("doc_id") >= probeMax &&
+        pmod(Exprs.hex60(col("doc_id").cast("string")), lit(sampleMod)) < sampleKeep)
+      .join(cont, Seq("doc_id"), "left")
+      .filter(coalesce(col("n_shared_shingles"), lit(0L)) < contamMin)
+
+  private def mixGateF(docs: DataFrame, statsB: DataFrame, totB: DataFrame,
+                       mixMod: Int): DataFrame = docs.select("doc_id", "source")
+    .join(broadcast(statsB), Seq("source"))
+    .crossJoin(broadcast(totB))
+    .filter(pmod(Exprs.hex60(concat(lit("mx:"), col("doc_id").cast("string"))),
+        lit(mixMod)) * col("sumw") * col("cnt")
+      < lit(mixMod) * col("total") * col("w"))
+    .select("doc_id")
+
+  private def survivorsF(docs: DataFrame, cur: DataFrame, dropped: DataFrame,
+                         tiers: DataFrame, clean: DataFrame, statsB: DataFrame,
+                         totB: DataFrame, mixMod: Int): DataFrame = docs
+    .join(cur, "doc_id")
+    .join(dropped, Seq("doc_id"), "left_anti")
+    .join(mixGateF(docs, statsB, totB, mixMod), "doc_id")
+    .join(tiers.select("doc_id", "tier"), "doc_id")
+    .join(clean, Seq("doc_id"), "left")
+    .select(col("doc_id"), col("source"), col("tier"),
+      coalesce(col("tok_clean"), col("tok_raw")).as("tok"),
+      coalesce(col("text_clean"), col("norm")).as("text_out"))
+
+  private def contRel(spark: SparkSession, dir: String, probeMax: Long): DataFrame =
+    TextOps.contamination(spark, dir, probeMax)
+      .select(col("doc_id"), col("n_shared_shingles"))
+
+  private def cleanRel(spark: SparkSession, dir: String, probeMax: Long): DataFrame =
+    TextOps.decontamSpans(spark, dir, probeMax)
+      .select(col("doc_id"),
+        (col("n_words") - col("n_contam")).as("tok_clean"), col("text_clean"))
+
+  /** Everything the delta pass consumes from yesterday's build. All of it
+    * is tiny or narrow — the persistable artifact boundary
+    * ([[freezeBaseState]] writes exactly these relations).
+    */
+  private final case class FrozenBase(
+    walkB: DataFrame,      // base assignments (doc_id..shard_id, text_out)
+    baseHashes: DataFrame, // (hmd5) — the fingerprint index
+    statsB: DataFrame,     // (source, cnt, w) — frozen mix rates
+    totB: DataFrame,       // (total, sumw) — 1 row
+    cuts: DataFrame,       // (lang, head_cut, mid_cut) — tier cutoffs
+    baseTok: DataFrame)    // (base_tok) — 1-row shard high-water mark
+
+  /** Yesterday's build: corpusBuild semantics restricted to the base
+    * split, plus the frozen state extraction.
+    */
+  private def incrBaseState(
+      spark: SparkSession, dir: String, buckets: Int, budget: Long,
+      deltaMod: Int, keepLang: String, probeMax: Long, contamMin: Long,
+      sampleMod: Int, sampleKeep: Int, mixMod: Int,
+      mat: graft.Materialize): FrozenBase = {
+    val cont = contRel(spark, dir, probeMax)
+    val clean = cleanRel(spark, dir, probeMax)
+    // nearDupLsh is session-shared (SharedRel) — no second pin here
+    val pairs = VectorOps.nearDupLsh(spark, dir).select("id_a", "id_b")
+    val b = mat(incrDocs(spark, dir, deltaMod).filter(!col("is_delta")))
+    val repB = b.groupBy("hmd5").agg(min("doc_id").as("rep_doc_id"))
+    val curB = rowGatesF(b, cont, keepLang, probeMax, contamMin, sampleMod, sampleKeep)
+      .join(repB, "hmd5").filter(col("doc_id") === col("rep_doc_id"))
+      .select("doc_id")
+    val dropB = pairs
+      .filter(deltaHashE(col("id_a"), deltaMod) =!= 0 &&
+        deltaHashE(col("id_b"), deltaMod) =!= 0)
+      .select(col("id_b").as("doc_id")).distinct()
+    val statsB = b.groupBy("source").agg(count(lit(1)).as("cnt"))
+      .withColumn("w", weightE(col("source")))
+    val totB = statsB.agg(sum("cnt").as("total"), sum("w").as("sumw"))
+    val tiersB = mat(qualityTiersOf(spark,
+      b.select(col("doc_id"), col("lang"), col("quality_score")))
+      .select("doc_id", "lang", "quality_score", "tier"))
+    val survB = mat(survivorsF(b, curB, dropB, tiersB, clean, statsB, totB, mixMod))
+    val walkB = walkOffsets(survB, buckets)
+      .withColumn("shard_id", expr(s"off div ${budget}L"))
+      .withColumn("from_delta", lit(false))
+    val cuts = tiersB.groupBy("lang").agg(
+      min(when(col("tier") === "head", col("quality_score"))).as("head_cut"),
+      min(when(col("tier") === "middle", col("quality_score"))).as("mid_cut"))
+    val baseTok = survB.agg(coalesce(sum("tok"), lit(0L)).as("base_tok"))
+    FrozenBase(walkB, b.select("hmd5").distinct(), statsB, totB, cuts, baseTok)
+  }
+
+  /** Today's increment: the full gate chain over the delta split against a
+    * [[FrozenBase]] — the ONLY code path for delta semantics, whether the
+    * frozen state was computed in-session ([[incrAssignments]]) or read
+    * back from disk ([[applyDeltaFrom]]).
+    */
+  private def incrDeltaWalk(
+      spark: SparkSession, dir: String, frozen: FrozenBase, buckets: Int,
+      budget: Long, deltaMod: Int, keepLang: String, probeMax: Long,
+      contamMin: Long, sampleMod: Int, sampleKeep: Int, mixMod: Int,
+      mat: graft.Materialize): DataFrame = {
+    val cont = contRel(spark, dir, probeMax)
+    val clean = cleanRel(spark, dir, probeMax)
+    val pairs = VectorOps.nearDupLsh(spark, dir).select("id_a", "id_b")
+    val d = mat(incrDocs(spark, dir, deltaMod).filter(col("is_delta")))
+    val repD = d.groupBy("hmd5").agg(min("doc_id").as("rep_doc_id"))
+    val curD = rowGatesF(d, cont, keepLang, probeMax, contamMin, sampleMod, sampleKeep)
+      .join(repD, "hmd5").filter(col("doc_id") === col("rep_doc_id"))
+      .join(frozen.baseHashes, Seq("hmd5"), "left_anti")
+      .select("doc_id")
+    // any pair whose id_b is delta drops id_b (partner is base OR a
+    // smaller-id delta doc); a delta id_a paired with a base id_b drops too
+    val pA = deltaHashE(col("id_a"), deltaMod)
+    val pB = deltaHashE(col("id_b"), deltaMod)
+    val dropD = pairs.filter(pB === 0).select(col("id_b").as("doc_id"))
+      .union(pairs.filter(pA === 0 && pB =!= 0).select(col("id_a").as("doc_id")))
+      .distinct()
+    val tiersD = d.select(col("doc_id"), col("lang"), col("quality_score"))
+      .join(broadcast(frozen.cuts), Seq("lang"), "left")
+      .withColumn("tier",
+        when(col("quality_score") >= col("head_cut"), "head")
+          .when(col("quality_score") >= col("mid_cut"), "middle")
+          .otherwise("tail"))
+    val survD = survivorsF(d, curD, dropD, tiersD, clean,
+      frozen.statsB, frozen.totB, mixMod)
+    walkOffsets(survD, buckets)
+      .crossJoin(broadcast(frozen.baseTok))
+      .withColumn("off", col("off") + col("base_tok"))
+      .withColumn("shard_id", expr(s"off div ${budget}L"))
+      .withColumn("from_delta", lit(true))
+  }
+
+  private val IncrCols = Seq("doc_id", "source", "tier", "tok", "off",
+    "shard_id", "from_delta", "text_out")
+
   private[graft] def incrAssignments(
       spark: SparkSession, dir: String, buckets: Int = 8, budget: Long = 500L,
       deltaMod: Int = 10, keepLang: String = "en", probeMax: Long = 10,
       contamMin: Long = 5, sampleMod: Int = 10, sampleKeep: Int = 8,
       mixMod: Int = 1000,
       mat: graft.Materialize = graft.Materialize.Local): DataFrame = {
-    import spark.implicits._
-    def deltaHash(id: Column): Column =
-      pmod(Exprs.hex60(concat(lit("inc:"), id.cast("string"))), lit(deltaMod))
-    val isDelta = deltaHash(col("doc_id")) === 0
-
-    // shared per-doc relations (split-independent): scored/normalized docs,
-    // contamination vs the static probe set, span-cleaned text, near-dup
-    // pairs. `p` feeds ~10 consumers across both chains — pin one read.
-    val p = mat(TextOps.prepared(spark, dir)
-      .withColumn("pred_lang", TextOps.predLangE)
-      .withColumn("quality_bucket", TextOps.qualityBucketE)
-      .withColumn("quality_score", TextOps.qualityScoreE)
-      .withColumn("hmd5", md5(col("norm").cast("binary")))
-      .withColumn("tok_raw", size(col("words")).cast("long"))
-      .withColumn("is_delta", isDelta)
-      .select("doc_id", "lang", "source", "norm", "pred_lang",
-        "quality_bucket", "quality_score", "hmd5", "tok_raw", "is_delta"))
-    val cont = TextOps.contamination(spark, dir, probeMax)
-      .select(col("doc_id"), col("n_shared_shingles"))
-    val clean = TextOps.decontamSpans(spark, dir, probeMax)
-      .select(col("doc_id"),
-        (col("n_words") - col("n_contam")).as("tok_clean"), col("text_clean"))
-    // nearDupLsh is itself session-shared (SharedRel) — no second pin here
-    val pairs = VectorOps.nearDupLsh(spark, dir).select("id_a", "id_b")
-
-    // the split-independent curate gates (lang, quality, benchmark,
-    // contamination, sampling) — the dedup gate differs per chain
-    def rowGates(df: DataFrame): DataFrame =
-      df.filter(col("pred_lang") === keepLang &&
-          col("quality_bucket") =!= "low" &&
-          col("doc_id") >= probeMax &&
-          pmod(Exprs.hex60(col("doc_id").cast("string")), lit(sampleMod)) < sampleKeep)
-        .join(cont, Seq("doc_id"), "left")
-        .filter(coalesce(col("n_shared_shingles"), lit(0L)) < contamMin)
-
-    // ---- base build (yesterday's run, = corpusBuild semantics on base) ----
-    val b = p.filter(!col("is_delta"))
-    val repB = b.groupBy("hmd5").agg(min("doc_id").as("rep_doc_id"))
-    val curB = rowGates(b)
-      .join(repB, "hmd5").filter(col("doc_id") === col("rep_doc_id"))
-      .select("doc_id")
-    val pA = deltaHash(col("id_a"))
-    val pB = deltaHash(col("id_b"))
-    val dropB = pairs.filter(pA =!= 0 && pB =!= 0)
-      .select(col("id_b").as("doc_id")).distinct()
-    val statsB = b.groupBy("source").agg(count(lit(1)).as("cnt"))
-      .withColumn("w", weightE(col("source")))
-    val totB = statsB.agg(sum("cnt").as("total"), sum("w").as("sumw"))
-    def mixGate(docs: DataFrame): DataFrame = docs.select("doc_id", "source")
-      .join(broadcast(statsB), Seq("source"))
-      .crossJoin(broadcast(totB))
-      .filter(pmod(Exprs.hex60(concat(lit("mx:"), col("doc_id").cast("string"))),
-          lit(mixMod)) * col("sumw") * col("cnt")
-        < lit(mixMod) * col("total") * col("w"))
-      .select("doc_id")
-    val tiersB = mat(qualityTiersOf(spark,
-      b.select(col("doc_id"), col("lang"), col("quality_score")))
-      .select("doc_id", "lang", "quality_score", "tier"))
-    def survivors(docs: DataFrame, cur: DataFrame, dropped: DataFrame,
-                  tiers: DataFrame): DataFrame = docs
-      .join(cur, "doc_id")
-      .join(dropped, Seq("doc_id"), "left_anti")
-      .join(mixGate(docs), "doc_id")
-      .join(tiers.select("doc_id", "tier"), "doc_id")
-      .join(clean, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("source"), col("tier"),
-        coalesce(col("tok_clean"), col("tok_raw")).as("tok"),
-        coalesce(col("text_clean"), col("norm")).as("text_out"))
-    val survB = mat(survivors(b, curB, dropB, tiersB))
-    val walkB = walkOffsets(survB, buckets)
-      .withColumn("shard_id", expr(s"off div ${budget}L"))
-      .withColumn("from_delta", lit(false))
-
-    // ---- frozen base state the delta pass consumes ----
-    val baseHashes = b.select("hmd5").distinct()
-    val cuts = tiersB.groupBy("lang").agg(
-      min(when(col("tier") === "head", col("quality_score"))).as("head_cut"),
-      min(when(col("tier") === "middle", col("quality_score"))).as("mid_cut"))
-    val baseTok = survB.agg(coalesce(sum("tok"), lit(0L)).as("base_tok"))
-
-    // ---- delta pass against the frozen state ----
-    val d = p.filter(col("is_delta"))
-    val repD = d.groupBy("hmd5").agg(min("doc_id").as("rep_doc_id"))
-    val curD = rowGates(d)
-      .join(repD, "hmd5").filter(col("doc_id") === col("rep_doc_id"))
-      .join(baseHashes, Seq("hmd5"), "left_anti")
-      .select("doc_id")
-    // any pair whose id_b is delta drops id_b (partner is base OR a
-    // smaller-id delta doc); a delta id_a paired with a base id_b drops too
-    val dropD = pairs.filter(pB === 0).select(col("id_b").as("doc_id"))
-      .union(pairs.filter(pA === 0 && pB =!= 0).select(col("id_a").as("doc_id")))
-      .distinct()
-    val tiersD = d.select(col("doc_id"), col("lang"), col("quality_score"))
-      .join(broadcast(cuts), Seq("lang"), "left")
-      .withColumn("tier",
-        when(col("quality_score") >= col("head_cut"), "head")
-          .when(col("quality_score") >= col("mid_cut"), "middle")
-          .otherwise("tail"))
-    val survD = survivors(d, curD, dropD, tiersD)
-    val walkD = walkOffsets(survD, buckets)
-      .crossJoin(broadcast(baseTok))
-      .withColumn("off", col("off") + col("base_tok"))
-      .withColumn("shard_id", expr(s"off div ${budget}L"))
-      .withColumn("from_delta", lit(true))
-
-    val cols = Seq("doc_id", "source", "tier", "tok", "off", "shard_id",
-      "from_delta", "text_out")
-    walkB.select(cols.map(col): _*).unionByName(walkD.select(cols.map(col): _*))
+    val frozen = incrBaseState(spark, dir, buckets, budget, deltaMod, keepLang,
+      probeMax, contamMin, sampleMod, sampleKeep, mixMod, mat)
+    val walkD = incrDeltaWalk(spark, dir, frozen, buckets, budget, deltaMod,
+      keepLang, probeMax, contamMin, sampleMod, sampleKeep, mixMod, mat)
+    frozen.walkB.select(IncrCols.map(col): _*)
+      .unionByName(walkD.select(IncrCols.map(col): _*))
   }
 
   /** The merged post-delta manifest — base shards byte-identical (delta
@@ -699,9 +751,8 @@ object MixOps {
     * base chain AND the frozen-state delta chain independently and must
     * land on identical manifests.
     */
-  def manifestIncr(spark: SparkSession, dir: String, buckets: Int = 8,
-                   budget: Long = 500L, deltaMod: Int = 10): DataFrame =
-    incrAssignments(spark, dir, buckets, budget, deltaMod)
+  private def manifestAgg(assignments: DataFrame): DataFrame =
+    assignments
       .groupBy("shard_id")
       .agg(count(lit(1)).as("n_docs"),
         sum("tok").as("n_tokens"),
@@ -711,7 +762,77 @@ object MixOps {
         sum(when(col("tier") === "middle", 1L).otherwise(0L)).as("n_middle"),
         sum(when(col("tier") === "tail", 1L).otherwise(0L)).as("n_tail"),
         sum(when(col("from_delta"), 1L).otherwise(0L)).as("n_delta"))
+
+  def manifestIncr(spark: SparkSession, dir: String, buckets: Int = 8,
+                   budget: Long = 500L, deltaMod: Int = 10): DataFrame =
+    manifestAgg(incrAssignments(spark, dir, buckets, budget, deltaMod))
       .orderBy("shard_id")
+
+  /** Persist the frozen base state — the artifact boundary between
+    * yesterday's build and today's increment. What lands in `stateDir` is
+    * exactly what the 100 TB daily job stores: the fingerprint index, the
+    * per-source mix rates, the tier cutoffs, the shard high-water mark,
+    * the base manifest, and the base assignments (kept only so consumers
+    * can read the full corpus map; the delta pass itself never opens it).
+    */
+  def freezeBaseState(spark: SparkSession, dir: String, stateDir: String,
+                      buckets: Int = 8, budget: Long = 500L,
+                      deltaMod: Int = 10): Unit = {
+    val frozen = incrBaseState(spark, dir, buckets, budget, deltaMod,
+      keepLang = "en", probeMax = 10, contamMin = 5, sampleMod = 10,
+      sampleKeep = 8, mixMod = 1000, mat = graft.Materialize.Local)
+    val walkB = frozen.walkB.select(IncrCols.map(col): _*)
+    walkB.write.mode("overwrite").parquet(s"$stateDir/assignments")
+    frozen.baseHashes.write.mode("overwrite").parquet(s"$stateDir/hashes")
+    frozen.statsB.write.mode("overwrite").parquet(s"$stateDir/mix_stats")
+    frozen.totB.write.mode("overwrite").parquet(s"$stateDir/mix_totals")
+    frozen.cuts.write.mode("overwrite").parquet(s"$stateDir/tier_cuts")
+    frozen.baseTok.write.mode("overwrite").parquet(s"$stateDir/high_water")
+    manifestAgg(walkB).write.mode("overwrite").parquet(s"$stateDir/manifest")
+  }
+
+  /** The production daily increment: run ONLY the delta chain against the
+    * state [[freezeBaseState]] persisted — the base corpus is never read
+    * (only its tiny frozen relations are) — and emit the merged manifest
+    * by associative fold: counts add, the xor checksum combines, closed
+    * base shards pass through untouched. Differentially spec-asserted
+    * row-identical to the oracle-checked single-query [[manifestIncr]].
+    */
+  def applyDeltaFrom(spark: SparkSession, dir: String, stateDir: String,
+                     buckets: Int = 8, budget: Long = 500L,
+                     deltaMod: Int = 10): DataFrame = {
+    val frozen = FrozenBase(
+      walkB = spark.read.parquet(s"$stateDir/assignments"),
+      baseHashes = spark.read.parquet(s"$stateDir/hashes"),
+      statsB = spark.read.parquet(s"$stateDir/mix_stats"),
+      totB = spark.read.parquet(s"$stateDir/mix_totals"),
+      cuts = spark.read.parquet(s"$stateDir/tier_cuts"),
+      baseTok = spark.read.parquet(s"$stateDir/high_water"))
+    val walkD = incrDeltaWalk(spark, dir, frozen, buckets, budget, deltaMod,
+      keepLang = "en", probeMax = 10, contamMin = 5, sampleMod = 10,
+      sampleKeep = 8, mixMod = 1000, mat = graft.Materialize.Local)
+    val deltaM = manifestAgg(walkD.select(IncrCols.map(col): _*))
+      .select(col("shard_id"), col("n_docs").as("d_docs"),
+        col("n_tokens").as("d_toks"), col("checksum").as("d_ck"),
+        col("n_head").as("d_h"), col("n_middle").as("d_m"),
+        col("n_tail").as("d_t"))
+    val baseM = spark.read.parquet(s"$stateDir/manifest")
+      .select(col("shard_id"), col("n_docs").as("b_docs"),
+        col("n_tokens").as("b_toks"), col("checksum").as("b_ck"),
+        col("n_head").as("b_h"), col("n_middle").as("b_m"),
+        col("n_tail").as("b_t"))
+    baseM.join(deltaM, Seq("shard_id"), "full_outer")
+      .select(col("shard_id"),
+        (coalesce(col("b_docs"), lit(0L)) + coalesce(col("d_docs"), lit(0L))).as("n_docs"),
+        (coalesce(col("b_toks"), lit(0L)) + coalesce(col("d_toks"), lit(0L))).as("n_tokens"),
+        coalesce(col("b_ck"), lit(0L)).bitwiseXOR(coalesce(col("d_ck"), lit(0L)))
+          .as("checksum"),
+        (coalesce(col("b_h"), lit(0L)) + coalesce(col("d_h"), lit(0L))).as("n_head"),
+        (coalesce(col("b_m"), lit(0L)) + coalesce(col("d_m"), lit(0L))).as("n_middle"),
+        (coalesce(col("b_t"), lit(0L)) + coalesce(col("d_t"), lit(0L))).as("n_tail"),
+        coalesce(col("d_docs"), lit(0L)).as("n_delta"))
+      .orderBy("shard_id")
+  }
 
   def manifestIncrSql(buckets: Int = 8, budget: Long = 500L,
                       deltaMod: Int = 10, keepLang: String = "en",

@@ -67,6 +67,24 @@ class MixOpsSpec extends SparkSuite {
     asg.unpersist()
   }
 
+  test("freezeBaseState/applyDeltaFrom: the persisted-state delta pass reproduces manifestIncr") {
+    val dir = sf("sf0.01")
+    val state = java.nio.file.Files.createTempDirectory("graft-incr-state").toString
+    // phase 1 (yesterday): build the base and persist the frozen state
+    MixOps.freezeBaseState(spark, dir, state)
+    // phase 2 (today): ONLY the delta chain runs, against the persisted
+    // relations; the merged manifest must be row-identical to the
+    // oracle-checked single-query operator
+    val fromState = MixOps.applyDeltaFrom(spark, dir, state)
+      .collect().map(_.toSeq).toSeq
+    val oneQuery = MixOps.manifestIncr(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(fromState == oneQuery,
+      "persisted-state increment diverged from the in-session operator")
+    assert(fromState.exists(r => r.last.asInstanceOf[Long] > 0L),
+      "the delta pass must have appended docs")
+  }
+
   test("manifestIncr degenerate split: an empty base drops every delta doc, loudly empty") {
     // deltaMod = 1 hashes EVERY doc into the delta: the frozen base state
     // is empty, so every delta source is unseen (no frozen mix rate) and
