@@ -250,6 +250,7 @@ object SparkEntry {
 
     // ---- embedding similarity operators ----
     "v_norms" -> ((s, dir) => VectorOps.norms(s, dir).orderBy(col("vec_id"))),
+    "v_drift_incr" -> ((s, dir) => VectorOps.embeddingDrift(s, dir)),
     "v_knn" -> ((s, dir) => VectorOps.knn(s, dir)),
     "v_neardup" -> ((s, dir) => VectorOps.nearDupExact(s, dir)),
     "v_neardup_lsh" -> ((s, dir) => VectorOps.nearDupLsh(s, dir)),
@@ -648,6 +649,7 @@ object SparkEntry {
       "d_manifest_incr" -> MixOps.manifestIncrSql(),
       "d_manifest_delta" -> MixOps.manifestIncrSql(),
       "v_norms" -> VectorOps.normsSql,
+      "v_drift_incr" -> VectorOps.embeddingDriftSql(),
       "v_knn" -> VectorOps.knnSql(),
       "v_neardup" -> VectorOps.nearDupExactSql(),
       "v_neardup_lsh" -> VectorOps.nearDupLshSql(),

@@ -184,6 +184,60 @@ object VectorOps {
        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Per-source embedding-centroid drift between the frozen base and the
+    * incremental delta (same salted-hash split as `MixOps.manifestIncr`) —
+    * the distribution-shift monitor a daily pipeline runs NEXT TO the
+    * incremental build: a source whose delta centroid swings away from its
+    * base centroid (large L2 shift, low centroid cosine) is flagged before
+    * its documents enter the corpus. Scale shape: posexplode →
+    * map-side-combined avg on (source, dim) — key count is |sources|×dim,
+    * never corpus-bound; the centroid join is broadcast-size.
+    */
+  def embeddingDrift(spark: SparkSession, dir: String, deltaMod: Int = 10): DataFrame = {
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id").as("vec_id"), col("source"))
+    val tagged = prepared(spark, dir).join(src, "vec_id")
+      .withColumn("is_delta",
+        pmod(graft.Exprs.hex60(concat(lit("inc:"), col("vec_id").cast("string"))),
+          lit(deltaMod)) === 0)
+    val cent = tagged
+      .select(col("source"), col("is_delta"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("source", "is_delta", "dim").agg(avg("x").as("c"))
+    val b = cent.filter(!col("is_delta"))
+      .select(col("source"), col("dim"), col("c").as("cb"))
+    val d = cent.filter(col("is_delta"))
+      .select(col("source"), col("dim"), col("c").as("cd"))
+    b.join(d, Seq("source", "dim"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_dims"),
+        round(sqrt(sum(pow(col("cb") - col("cd"), lit(2)))), 4).as("l2_shift"),
+        round(sum(col("cb") * col("cd")) /
+          (sqrt(sum(col("cb") * col("cb"))) * sqrt(sum(col("cd") * col("cd")))), 4)
+          .as("cos_centroids"))
+      .orderBy("source")
+  }
+
+  def embeddingDriftSql(deltaMod: Int = 10): String =
+    s"""WITH e AS ($preparedSql),
+       |tagged AS (
+       |  SELECT d.source, e.vec_id, e.v,
+       |    ${graft.Exprs.hex60Sql("'inc:' || e.vec_id::VARCHAR")} % $deltaMod = 0 AS is_delta
+       |  FROM e JOIN (SELECT doc_id AS vec_id, source FROM documents) d USING (vec_id)),
+       |dims AS (
+       |  SELECT source, is_delta, t.i - 1 AS dim, v[t.i] AS x
+       |  FROM tagged, unnest(range(1, len(v) + 1)) AS t(i)),
+       |cent AS (
+       |  SELECT source, is_delta, dim, avg(x) AS c FROM dims GROUP BY 1, 2, 3),
+       |j AS (
+       |  SELECT b.source, b.dim, b.c AS cb, dd.c AS cd
+       |  FROM (SELECT * FROM cent WHERE NOT is_delta) b
+       |  JOIN (SELECT * FROM cent WHERE is_delta) dd USING (source, dim))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_dims,
+       |  round(sqrt(sum((cb - cd) * (cb - cd))), 4) AS l2_shift,
+       |  round(sum(cb * cd) / (sqrt(sum(cb * cb)) * sqrt(sum(cd * cd))), 4)
+       |    AS cos_centroids
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   /** IVF coarse quantizer: the first `k` vectors (by id) act as the fixed
     * centroid set — deterministic, so assignment is oracle-checkable (a
     * trained k-means would converge data-dependently; the operator shape —
