@@ -1082,4 +1082,46 @@ class OperatorsSpec extends SparkSuite {
     // the same corpus yields NO symmetric jaccard pair at 0.9
     assert(TextOps.jaccardPairs(spark, tmp).isEmpty)
   }
+
+  test("novelty invariants: first doc fully novel; novel counts partition the shingle space") {
+    val dir = sf("sf0.01")
+    val nov = TextOps.novelty(spark, dir).cache()
+    // the smallest doc_id holds the corpus-first occurrence of every one
+    // of its shingles — novelty exactly 1.0
+    val first = nov.orderBy("doc_id").head()
+    assert(first.getAs[Double]("novelty") == 1.0,
+      s"first doc must be fully novel, got $first")
+    // every shingle is novel in exactly ONE doc (its min-id holder): the
+    // novel counts partition the distinct-shingle space — counted here
+    // INDEPENDENTLY from prepared (same shingle definition, no reuse of
+    // the novelty relation)
+    val totalNovel = nov.agg(sum("n_novel")).head().getLong(0)
+    val sh3 = when(size(col("words")) >= 3, expr(
+      "transform(sequence(0, size(words)-3), i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))"))
+      .otherwise(array(col("norm")))
+    val distinctShingles = TextOps.prepared(spark, dir)
+      .select(explode(array_distinct(sh3)).as("sh")).distinct().count()
+    assert(totalNovel == distinctShingles && totalNovel > 0,
+      s"novel counts $totalNovel must partition the $distinctShingles distinct shingles")
+    // bounds: 0 <= n_novel <= n_shingles for every doc
+    assert(nov.filter(col("n_novel") > col("n_shingles") ||
+      col("n_novel") < 0).isEmpty)
+    nov.unpersist()
+  }
+
+  test("embeddingDrift invariants: full dim coverage, cosine bounded, self-drift is zero") {
+    val drift = VectorOps.embeddingDrift(spark, sf("sf0.01")).cache()
+    assert(drift.count() > 0)
+    // every compared source covers the full embedding width, centroid
+    // cosine is a true cosine, and the L2 shift is non-negative
+    val dim = Tables.embeddings(spark, sf("sf0.01"))
+      .select(size(col("embedding"))).head().getInt(0)
+    assert(drift.filter(col("n_dims") =!= dim).isEmpty, s"expected $dim dims/source")
+    assert(drift.filter(col("cos_centroids") > 1.0001 ||
+      col("cos_centroids") < -1.0001 || col("l2_shift") < 0).isEmpty)
+    drift.unpersist()
+    // degenerate split deltaMod=1: base side empty -> inner join -> empty,
+    // never a null/NaN row
+    assert(VectorOps.embeddingDrift(spark, sf("sf0.01"), deltaMod = 1).isEmpty)
+  }
 }
