@@ -255,6 +255,45 @@ object Bpe {
        |FROM freq JOIN toks USING (w)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Tokenizer coverage per source — the OOV-rate twin of [[fertility]]:
+    * a word the merge table leaves FULLY FRAGMENTED (one token per
+    * character — no merge ever fired inside it) is the BPE analog of
+    * out-of-vocabulary, and a source with a high fragmented share is one
+    * the tokenizer was not trained for. Composes the same |vocab|-bound
+    * apply fold + frequency join-back as fertility; row-local CASE on the
+    * segmentation length vs the word's character count.
+    */
+  def coverage(spark: SparkSession, dir: String,
+               merges: Seq[(String, String)] = trainedMerges): DataFrame = {
+    val freq = TextOps.prepared(spark, dir)
+      .select(col("source"), explode(col("words")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("freq"))
+    val toks = segmentCorpus(spark, dir, merges).select(col("w"), col("n_tokens"))
+    freq.join(toks, "w")
+      .groupBy("source")
+      .agg(sum(col("freq")).as("n_words"),
+        sum(when(col("n_tokens") === length(col("w")), col("freq"))
+          .otherwise(0L)).as("n_fragmented"))
+      .withColumn("coverage",
+        round(lit(1.0) - col("n_fragmented") / col("n_words").cast("double"), 4))
+      .orderBy("source")
+  }
+
+  def coverageSql(merges: Seq[(String, String)] = trainedMerges): String =
+    s"""WITH freq AS (
+       |  SELECT source, w, count(*) AS freq FROM (
+       |    SELECT source, unnest(words) AS w FROM (${TextOps.preparedSql}))
+       |  GROUP BY source, w),
+       |toks AS (SELECT w, n_tokens FROM (${segmentCorpusSql(merges)}))
+       |SELECT source,
+       |  CAST(sum(freq) AS BIGINT) AS n_words,
+       |  CAST(sum(CASE WHEN n_tokens = length(w) THEN freq ELSE 0 END) AS BIGINT)
+       |    AS n_fragmented,
+       |  round(1.0 - sum(CASE WHEN n_tokens = length(w) THEN freq ELSE 0 END)
+       |    / CAST(sum(freq) AS DOUBLE), 4) AS coverage
+       |FROM freq JOIN toks USING (w)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   /** Train `nMerges` BPE merges. Returns the ordered merge table
     * (rank, sym_a, sym_b, weight). Each round: pair-count agg over the
     * vocabulary (|vocab| rows, NOT the corpus), 1-row argmax to the driver,
