@@ -85,6 +85,22 @@ class MixOpsSpec extends SparkSuite {
       "the delta pass must have appended docs")
   }
 
+  test("applyDeltaFrom plan: base assignments are never read — only tiny frozen relations") {
+    val dir = sf("sf0.01")
+    val state = java.nio.file.Files.createTempDirectory("graft-incr-plan").toString
+    MixOps.freezeBaseState(spark, dir, state)
+    val inputs = MixOps.applyDeltaFrom(spark, dir, state).inputFiles
+    // the corpus-size relation in the state dir is the assignments map —
+    // the delta pass must plan around it, touching only the broadcast-size
+    // frozen relations + the base manifest
+    assert(!inputs.exists(_.contains("/assignments/")),
+      "the delta pass opened the base corpus map")
+    assert(inputs.exists(_.contains("/manifest")) &&
+      inputs.exists(_.contains("/hashes")) &&
+      inputs.exists(_.contains("/mix_stats")),
+      s"expected frozen-state reads, got: ${inputs.toSeq.take(5)}")
+  }
+
   test("manifestIncr degenerate split: an empty base drops every delta doc, loudly empty") {
     // deltaMod = 1 hashes EVERY doc into the delta: the frozen base state
     // is empty, so every delta source is unseen (no frozen mix rate) and
