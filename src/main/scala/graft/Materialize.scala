@@ -47,10 +47,13 @@ object Materialize {
   * contents are immutable within a session (the testdata contract).
   * Entries are keyed on the session OBJECT through a WeakHashMap (an
   * identityHashCode string key could collide a new session with a stopped
-  * one and hand back a DataFrame bound to a dead block manager): once the
-  * session is unreachable its whole inner map — plans and pinned blocks —
-  * is collectable, so growth is bounded by live sessions' live
-  * parameterizations and nothing outlives its session.
+  * one and hand back a DataFrame bound to a dead block manager). NOTE the
+  * weak key does NOT make stopped sessions' entries collectable: the
+  * cached DataFrames strongly reference their SparkSession
+  * (`Dataset.sparkSession`), so the value reaches the key and pins the
+  * entry for the JVM lifetime. Growth is therefore bounded by distinct
+  * parameterizations per session × sessions per JVM — one session in
+  * every shipped main, a handful in the test JVM — not by GC.
   */
 object SharedRel {
   import org.apache.spark.sql.SparkSession
@@ -75,14 +78,30 @@ object SharedRel {
     Option(buildSecs.get(spark)).map(_.sum()).getOrElse(0.0)
   }
 
+  /** Build-nesting depth, per thread: a memo-miss build may itself trigger
+    * further memo-miss builds (freezeBaseState's first call builds the
+    * nearDupLsh scaffold, etc.), and the OUTER build's wall-clock already
+    * contains the inner ones' — adding both would double-count, and Bench
+    * would then subtract more than the true build time from the triggering
+    * query (masked by its `.max(0.0)`), over-reporting `shared_build`.
+    * Only the outermost frame adds to [[buildSecs]].
+    */
+  private val buildDepth = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
+
   private def timed[A](spark: SparkSession)(build: => A): A = {
+    val depth = buildDepth.get()
+    buildDepth.set(depth + 1)
     val t0 = System.nanoTime()
-    val built = build
-    buildSecs.synchronized {
-      buildSecs.computeIfAbsent(spark,
-        _ => new java.util.concurrent.atomic.DoubleAdder())
-    }.add((System.nanoTime() - t0) / 1e9)
-    built
+    try {
+      val built = build
+      if (depth == 0) buildSecs.synchronized {
+        buildSecs.computeIfAbsent(spark,
+          _ => new java.util.concurrent.atomic.DoubleAdder())
+      }.add((System.nanoTime() - t0) / 1e9)
+      built
+    } finally buildDepth.set(depth)
   }
 
   /** Memoize-or-build with a get/putIfAbsent double-check instead of

@@ -77,22 +77,24 @@ object RunDocPipeline {
     // the batch corpusBuild below. Decisions carry no content hash, so the
     // admitted stream joins the (by now fully written) curated parquet
     // stream-static on doc_id for text_md5.
+    // the whole tail is defensive like every other read in this main: if
+    // curation kept zero docs (empty/missing out dir) the demo must still
+    // print its JSON line with 0 counts, not crash on the static read
     import graft.streaming.ShardStream
-    val curatedStatic = spark.read.parquet(s"$workDir/out")
-      .select(col("doc_id"), col("text_md5"))
-    val admittedStream = spark.readStream
-      .schema("doc_id BIGINT, source STRING, tok BIGINT, " +
-        "admitted BOOLEAN, admitted_tok BIGINT")
-      .parquet(s"$workDir/decisions")
-      .filter(col("admitted"))
-      .join(curatedStatic, "doc_id")
-      .select(col("doc_id"), col("source"), col("text_md5"),
-        col("tok").as("n_tokens"))
-    val q3 = ShardStream.appendStream(admittedStream,
-      s"$workDir/stream_shards", s"$workDir/ckpt3")
-    q3.processAllAvailable()
-    q3.stop()
     val (sShards, sTokens) = try {
+      val curatedStatic = spark.read.parquet(s"$workDir/out")
+        .select(col("doc_id"), col("text_md5"))
+      val admittedStream = spark.readStream
+        .schema("doc_id BIGINT, source STRING, tok BIGINT, " +
+          "admitted BOOLEAN, admitted_tok BIGINT")
+        .parquet(s"$workDir/decisions")
+        .filter(col("admitted"))
+        .join(curatedStatic, "doc_id")
+        .select(col("doc_id"), col("source"), col("text_md5"),
+          col("tok").as("n_tokens"))
+      val q3 = ShardStream.appendStream(admittedStream,
+        s"$workDir/stream_shards", s"$workDir/ckpt3")
+      try { q3.processAllAvailable() } finally q3.stop()
       val sm = spark.read.parquet(s"$workDir/stream_shards/manifest")
       (sm.count(), sm.agg(sum("n_tokens")).collect()(0).getLong(0))
     } catch { case _: Throwable => (0L, 0L) }

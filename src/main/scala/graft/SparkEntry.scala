@@ -284,7 +284,9 @@ object SparkEntry {
     "mm_pixels" -> ((s, dir) => Multimodal.pixelStats(s, dir)),
     "mm_pixels_png" -> ((s, dir) => Multimodal.pixelStatsPng(s, dir)),
     "mm_pixels_jpeg" -> ((s, dir) => Multimodal.pixelStatsJpeg(s, dir)),
-    "mm_audio" -> ((s, dir) => Multimodal.audioStats(s, dir))
+    "mm_audio" -> ((s, dir) => Multimodal.audioStats(s, dir)),
+    "mm_phash" -> ((s, dir) => Multimodal.perceptualHash(s, dir).orderBy(col("media_id"))),
+    "mm_neardup" -> ((s, dir) => Multimodal.imageNearDup(s, dir))
   )
 
   /** DuckDB SQL mirrors. Column names/aliases match the Spark side exactly
@@ -680,7 +682,9 @@ object SparkEntry {
       "mm_pixels" -> Multimodal.pixelStatsSql(),
       "mm_pixels_png" -> Multimodal.pixelStatsPngSql(),
       "mm_pixels_jpeg" -> Multimodal.pixelStatsJpegSql(),
-      "mm_audio" -> Multimodal.audioStatsSql()
+      "mm_audio" -> Multimodal.audioStatsSql(),
+      "mm_phash" -> Multimodal.perceptualHashSql,
+      "mm_neardup" -> Multimodal.imageNearDupSql()
     )
   }
 }

@@ -1309,14 +1309,25 @@ object VectorOps {
 
   // ---- incremental index maintenance (new vectors vs a frozen index) ----
 
-  /** Base/delta split by id residue — the stand-in for "the corpus as of
-    * the last index build" vs "embeddings that arrived since". mod = 5
-    * makes the delta 20% of the corpus.
+  /** Base/delta split — the stand-in for "the corpus as of the last index
+    * build" vs "embeddings that arrived since". SALTED hash residue (the
+    * same `inc:` salt as `MixOps.deltaHashE` and [[embeddingDrift]]), NOT
+    * a bare `vec_id % mod`: the testdata's `source` is a function of
+    * `doc_id % 20`, so an unsalted mod-5 residue selects exactly 4 of the
+    * 20 sources — a source-pure delta, the easiest possible case for
+    * frozen centroids and the least representative of real arrivals. The
+    * salted split's delta approximates the corpus's source distribution
+    * (spec-asserted in OperatorsSpec). Residue 0 = delta → 1/mod of the
+    * corpus (mod=5 → 20%).
     */
+  private[graft] def incSplitE(mod: Int): Column =
+    pmod(graft.Exprs.hex60(concat(lit("inc:"), col("vec_id").cast("string"))), lit(mod))
+  private def incSplitSql(mod: Int, idExpr: String = "vec_id"): String =
+    s"${graft.Exprs.hex60Sql(s"'inc:' || $idExpr::VARCHAR")} % $mod"
   private def splitBase(e: DataFrame, mod: Int): DataFrame =
-    e.filter(col("vec_id") % mod =!= (mod - 1))
+    e.filter(incSplitE(mod) =!= 0)
   private def splitDelta(e: DataFrame, mod: Int): DataFrame =
-    e.filter(col("vec_id") % mod === (mod - 1))
+    e.filter(incSplitE(mod) === 0)
 
   /** The frozen index structure: the `kCentroids` smallest-id BASE vectors
     * as (id, vector, norm) driver state — k×dim doubles, the same bounded
@@ -1391,9 +1402,9 @@ object VectorOps {
   def ivfIncrSql(kCentroids: Int = 16, blocks: Int = 4, mod: Int = 5): String = {
     val sub = 64 / blocks
     s"""WITH e0 AS ($preparedSql),
-       |delta AS (SELECT * FROM e0 WHERE vec_id % $mod = ${mod - 1}),
+       |delta AS (SELECT * FROM e0 WHERE ${incSplitSql(mod)} = 0),
        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e0
-       |      WHERE vec_id % $mod <> ${mod - 1} ORDER BY vec_id LIMIT $kCentroids),
+       |      WHERE ${incSplitSql(mod)} <> 0 ORDER BY vec_id LIMIT $kCentroids),
        |assign AS (
        |  SELECT vec_id, cid AS centroid_id FROM (
        |    SELECT d.vec_id, c.cid, ROW_NUMBER() OVER (
@@ -1458,7 +1469,7 @@ object VectorOps {
                                   nProbe: Int, mod: Int): String =
     s"""WITH e0 AS ($preparedSql),
        |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e0
-       |      WHERE vec_id % $mod <> ${mod - 1} ORDER BY vec_id LIMIT $kCentroids),
+       |      WHERE ${incSplitSql(mod)} <> 0 ORDER BY vec_id LIMIT $kCentroids),
        |assign AS (
        |  SELECT vec_id, centroid_id FROM (
        |    SELECT e0.vec_id, c.centroid_id, ROW_NUMBER() OVER (

@@ -551,6 +551,171 @@ object Multimodal {
        |        + ((2 * sx + 5 * sy) % 256)) * (x + 1) * (y + 1)) AS BIGINT) AS px_check
        |FROM px GROUP BY media_id, out_w, out_h ORDER BY media_id""".stripMargin
 
+  /** Perceptual dHash over the decoded-pixel relation — the image twin of
+    * the text tier's fingerprints. Families of NEAR-duplicate images are
+    * synthesized on purpose (no image bytes exist in the testdata): group
+    * `g = media_id % 25` fixes the base image (dims and pixel formulas
+    * with group-dependent gradients, so distinct groups hash far apart),
+    * and each member perturbs ONE pixel's red channel by `media_id % 11`
+    * — byte-level different, perceptually near-identical, exactly the
+    * recompressed/re-watermarked copies a 100 TB image corpus dedups.
+    *
+    * The pipeline per image is REAL: formula pixels → [[Bmp.encode]] →
+    * [[Bmp.decode]] (actual codec round-trip) → [[Bmp.resizeNearest]] to
+    * the canonical 9×8 thumbnail → integer luma (299r+587g+114b)/1000 →
+    * 63 horizontal gradient-sign bits (8 rows × 8 comparisons, minus the
+    * last so the pack stays inside a non-negative BIGINT on both
+    * engines). The DuckDB oracle recomputes the hash from the formulas
+    * alone — a defect anywhere in codec, resize, or bit packing shifts
+    * it.
+    */
+  def perceptualHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(col("doc_id") % 3 === 0)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val g = (id % 25).toInt
+          val w = g % 6 + 10
+          val h = g % 4 + 9
+          val cr = 3 + g % 5
+          val cg = 2 + g % 7
+          val cb = 1 + g % 3
+          val rgb = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = (y * w + x) * 3
+              // QUADRATIC texture, not linear gradients: a linear ramp's
+              // gradient-sign pattern is nearly group-independent (mod-256
+              // wraparound aside), which collapsed cross-group hamming to
+              // ~11 and made groups collide; the x², y², xy terms give each
+              // group a pseudo-random sign pattern (measured: same-group
+              // max 2 bits, cross-group min 18, zero cross pairs ≤ 6)
+              rgb(p) = ((17L * g + cr.toLong * x * x + 11L * y * y + 7L * x * y) % 256).toByte
+              rgb(p + 1) = ((3L * g + cg.toLong * x * y + 5L * x + 2L * y * y) % 256).toByte
+              rgb(p + 2) = ((g + 2L * cb * x * x + 3L * y + cb.toLong * x * y) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          // the member perturbation: one red channel nudged — the
+          // "same image, different bytes" family member
+          val k = ((id / 25) % (w * h)).toInt
+          rgb(k * 3) = (((rgb(k * 3) & 0xff) + id % 11) % 256).toByte
+          val bytes = Bmp.encode(w, h, rgb)
+          val (dw, dh, drgb) = Bmp.decode(bytes)
+            .getOrElse(sys.error(s"undecodable BMP for media $id"))
+          val th = Bmp.resizeNearest(dw, dh, drgb, 9, 8)
+          val gray = new Array[Int](9 * 8)
+          var i = 0
+          while (i < 72) {
+            gray(i) = (299 * (th(i * 3) & 0xff) + 587 * (th(i * 3 + 1) & 0xff) +
+              114 * (th(i * 3 + 2) & 0xff)) / 1000
+            i += 1
+          }
+          var hash = 0L
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              val pos = yy * 8 + xx
+              if (pos < 63 && gray(yy * 9 + xx + 1) > gray(yy * 9 + xx))
+                hash |= 1L << pos
+              xx += 1
+            }
+            yy += 1
+          }
+          (id, hash)
+        }
+      }.toDF("media_id", "dhash")
+  }
+
+  /** Image near-duplicate pairs via hamming-banded LSH over [[perceptualHash]]
+    * — the simhash banding pattern applied to the image tier: 8 bands of
+    * 8 bits; candidates share ≥1 band; verify = exact popcount on the
+    * 63-bit hashes. With `maxDist` < 8 bands the banding is PIGEONHOLE-
+    * LOSSLESS (≤ maxDist differing bits dirty at most maxDist bands, so
+    * ≥ 2 bands stay identical): the banded result EQUALS the all-pairs
+    * result, which is exactly what the DuckDB oracle computes — no recall
+    * tolerance in the compare. No all-pairs path exists on the Spark
+    * side: candidates are generated only inside band buckets, pair output
+    * is bounded by true near-dup cluster sizes (inherent to the
+    * operator), and the verify filter is a projection.
+    */
+  def imageNearDup(spark: SparkSession, dir: String, maxDist: Int = 6): DataFrame = {
+    require(maxDist < 8, s"maxDist $maxDist >= 8 bands breaks pigeonhole-losslessness")
+    val hashes = graft.SharedRel(spark, s"phash|$dir", graft.Materialize.Local)(
+      perceptualHash(spark, dir))
+    val bands = hashes.select(col("media_id"), col("dhash"),
+      explode(sequence(lit(0), lit(7))).as("band"))
+      .withColumn("bv", expr("shiftright(dhash, band * 8)").bitwiseAND(lit(255L)))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+      .distinct()
+    cand.withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The shared analytic dHash recompute (no codec — the formulas): one
+    * row per (media_id, bit position, bit). `gray` mirrors codec output
+    * exactly because BMP is lossless and `resizeNearest` is pure integer
+    * sampling arithmetic.
+    */
+  private def dhashBitsSql: String =
+    """WITH imgs AS (
+      |  SELECT doc_id AS media_id, doc_id % 25 AS g,
+      |    (doc_id % 25) % 6 + 10 AS w, (doc_id % 25) % 4 + 9 AS h,
+      |    3 + (doc_id % 25) % 5 AS cr, 2 + (doc_id % 25) % 7 AS cg,
+      |    1 + (doc_id % 25) % 3 AS cb,
+      |    (doc_id // 25) % (((doc_id % 25) % 6 + 10) * ((doc_id % 25) % 4 + 9)) AS k,
+      |    doc_id % 11 AS delta
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |grid AS (
+      |  SELECT media_id, g, cr, cg, cb, x, y,
+      |    (2 * x + 1) * w // 18 AS sx, (2 * y + 1) * h // 16 AS sy,
+      |    k % w AS px, k // w AS py, delta
+      |  FROM imgs, unnest(range(0, 9)) AS tx(x), unnest(range(0, 8)) AS ty(y)),
+      |gray AS (
+      |  SELECT media_id, x, y,
+      |    (299 * ((17 * g + cr * sx * sx + 11 * sy * sy + 7 * sx * sy
+      |              + CASE WHEN sx = px AND sy = py THEN delta ELSE 0 END) % 256)
+      |     + 587 * ((3 * g + cg * sx * sy + 5 * sx + 2 * sy * sy) % 256)
+      |     + 114 * ((g + 2 * cb * sx * sx + 3 * sy + cb * sx * sy) % 256)) // 1000 AS gy
+      |  FROM grid),
+      |bits AS (
+      |  SELECT a.media_id, a.y * 8 + a.x AS pos,
+      |    CASE WHEN b.gy > a.gy THEN 1 ELSE 0 END AS bit
+      |  FROM gray a JOIN gray b
+      |    ON a.media_id = b.media_id AND b.x = a.x + 1 AND b.y = a.y
+      |  WHERE a.x < 8 AND a.y * 8 + a.x < 63)""".stripMargin
+
+  def perceptualHashSql: String =
+    s"""$dhashBitsSql
+       |SELECT media_id, CAST(sum(bit * (1::BIGINT << pos)) AS BIGINT) AS dhash
+       |FROM bits GROUP BY media_id ORDER BY media_id""".stripMargin
+
+  /** Oracle: plain all-pairs popcount ≤ maxDist — identical to the banded
+    * result by the pigeonhole argument in [[imageNearDup]].
+    */
+  def imageNearDupSql(maxDist: Int = 6): String =
+    s"""$dhashBitsSql,
+       |hams AS (
+       |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+       |    CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+       |  FROM bits a JOIN bits b
+       |    ON a.pos = b.pos AND a.media_id < b.media_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, hamming FROM hams
+       |WHERE hamming <= $maxDist ORDER BY id_a, id_b""".stripMargin
+
   def pixelStatsSql(box: Int = 8): String =
     s"""WITH imgs AS (
        |  SELECT doc_id AS media_id,

@@ -208,9 +208,14 @@ object Readings {
       // per-JVM-unique root: stable across calls in one session (idempotent
       // overwrite), but two concurrent JVMs over the same dataset can't
       // clobber each other's files between plan construction and execution
+      // the path carries BOTH memo-key dimensions (dir AND thresholds):
+      // two Thresholds over the same dir would otherwise share one root,
+      // and the first key's memoized path would silently return rows the
+      // second build re-routed
       val path = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
-        s"graft-topics-$jvmRunId-${java.lang.Integer.toHexString(dir.hashCode)}").toString
+        s"graft-topics-$jvmRunId-${java.lang.Integer.toHexString(dir.hashCode)}" +
+          s"-${java.lang.Integer.toHexString(t.hashCode)}").toString
       val v = enriched(spark, dir, t).filter(col("status") === "valid")
       // ONE pass over the enriched relation: partitionBy fans the rows into
       // the two topic dirs (`topic=normal-data/`, `topic=critical-data/`) in

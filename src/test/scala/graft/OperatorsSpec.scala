@@ -929,7 +929,8 @@ class OperatorsSpec extends SparkSuite {
     // the same frozen centroids, so "searchable at parity" is an identity,
     // not a tolerance
     val e = functions.VectorOps.prepared(spark, sf())
-    val cents = e.filter(col("vec_id") % 5 =!= 4).orderBy(col("vec_id")).limit(16)
+    val isDelta = functions.VectorOps.incSplitE(5) === 0
+    val cents = e.filter(!isDelta).orderBy(col("vec_id")).limit(16)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
     val batch = functions.VectorOps.annIvfMultiWith(e, cents,
       nQueries = 20, kNn = 5, nProbe = 2).collect().toSeq
@@ -938,8 +939,64 @@ class OperatorsSpec extends SparkSuite {
     assert(incr == batch, s"incremental index diverged from batch build")
     // the claim must not be vacuous: delta vectors actually surface as
     // neighbors through the incrementally-assigned inverted lists
-    assert(incr.exists(_.getAs[Long]("neighbor_id") % 5 == 4),
+    val deltaIds = e.filter(isDelta).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(incr.exists(r => deltaIds(r.getAs[Long]("neighbor_id"))),
       "no delta vector appeared in any top-k — parity untested")
+  }
+
+  test("image near-dup: banded join equals brute-force thresholded pairs; families resolve") {
+    val pairs = Multimodal.imageNearDup(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("hamming")))
+    assert(pairs.nonEmpty, "no near-dup pairs — synthesis families missing")
+    // pigeonhole-losslessness made runnable: the 8-band candidate join
+    // must emit EXACTLY the ≤6-hamming pairs a brute-force scan finds
+    val hashes = Multimodal.perceptualHash(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 6
+    } yield (a, b, d)).toSet
+    assert(pairs.toSet == brute, "banded pairs diverge from brute-force")
+    // the synthesized families separate: every pair is within one group
+    // (one perturbed pixel apart), no cross-group pair sneaks under 6
+    pairs.foreach { case (a, b, d) =>
+      assert(a % 25 == b % 25, s"cross-group pair ($a,$b) at hamming $d")
+    }
+    // and completeness: every same-group pair IS a near-dup (same base
+    // image, one nudged pixel — measured max 2 bits apart)
+    val perGroup = hashes.map(_._1).groupBy(_ % 25).values
+    val expected = perGroup.map(g => g.length.toLong * (g.length - 1) / 2).sum
+    assert(pairs.length.toLong == expected,
+      s"${pairs.length} pairs vs $expected same-group pairs")
+  }
+
+  test("ivf incr split: salted delta approximates the corpus source distribution") {
+    // the whole point of salting (vs bare vec_id % 5, which is source-pure
+    // on testdata where source = f(doc_id % 20)): the "arrived since the
+    // last build" sample must look like the corpus. Loose chi-square-style
+    // gate: every source is represented, and each source's delta share is
+    // within a wide band of the global delta rate.
+    val src = Tables.documents(spark, sf()).select(col("doc_id").as("vec_id"), col("source"))
+    val tagged = functions.VectorOps.prepared(spark, sf()).join(src, "vec_id")
+      .withColumn("is_delta", functions.VectorOps.incSplitE(5) === 0)
+    val per = tagged.groupBy("source").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("is_delta"), 1L).otherwise(0L)).as("nd"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val nSources = Tables.documents(spark, sf()).select("source").distinct().count()
+    assert(per.count(_._3 > 0) == nSources,
+      s"delta missing sources: ${per.filter(_._3 == 0).map(_._1).toSeq}")
+    val globalRate = per.map(_._3).sum.toDouble / per.map(_._2).sum
+    assert(globalRate > 0.1 && globalRate < 0.3, s"delta rate off: $globalRate")
+    // chi-square over sources against the global rate, loose 2×df gate:
+    // the salted split sits near df (15.5 at df=19 on this data); the old
+    // bare vec_id % 5 split (source-pure delta) lands in the hundreds
+    val chi2 = per.map { case (_, n, nd) =>
+      val exp = n * globalRate
+      (nd - exp) * (nd - exp) / (exp * (1 - globalRate))
+    }.sum
+    assert(chi2 < 2.0 * (per.length - 1),
+      s"delta/source chi-square $chi2 exceeds 2x df — split correlates with source")
   }
 
   test("skewed fixture: ranged qualityTiers and salted capPerSource are row-identical to single-window") {
