@@ -286,7 +286,9 @@ object SparkEntry {
     "mm_pixels_jpeg" -> ((s, dir) => Multimodal.pixelStatsJpeg(s, dir)),
     "mm_audio" -> ((s, dir) => Multimodal.audioStats(s, dir)),
     "mm_phash" -> ((s, dir) => Multimodal.perceptualHash(s, dir).orderBy(col("media_id"))),
-    "mm_neardup" -> ((s, dir) => Multimodal.imageNearDup(s, dir))
+    "mm_neardup" -> ((s, dir) => Multimodal.imageNearDup(s, dir)),
+    "mm_dup_clusters" -> ((s, dir) => Multimodal.imageDupClusters(s, dir)),
+    "mm_dedup_apply" -> ((s, dir) => Multimodal.imageDedupApply(s, dir))
   )
 
   /** DuckDB SQL mirrors. Column names/aliases match the Spark side exactly
@@ -684,7 +686,9 @@ object SparkEntry {
       "mm_pixels_jpeg" -> Multimodal.pixelStatsJpegSql(),
       "mm_audio" -> Multimodal.audioStatsSql(),
       "mm_phash" -> Multimodal.perceptualHashSql,
-      "mm_neardup" -> Multimodal.imageNearDupSql()
+      "mm_neardup" -> Multimodal.imageNearDupSql(),
+      "mm_dup_clusters" -> Multimodal.imageDupClustersSql(),
+      "mm_dedup_apply" -> Multimodal.imageDedupApplySql()
     )
   }
 }

@@ -645,24 +645,97 @@ object Multimodal {
     * is bounded by true near-dup cluster sizes (inherent to the
     * operator), and the verify filter is a projection.
     */
-  def imageNearDup(spark: SparkSession, dir: String, maxDist: Int = 6): DataFrame = {
+  /** Banded-candidate hamming pairs over an (`id`, `dhash`) relation —
+    * shared by [[imageNearDup]] (image level) and [[imageDupClusters]]
+    * (distinct-hash level).
+    */
+  private def hammingPairs(rel: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist < 8, s"maxDist $maxDist >= 8 bands breaks pigeonhole-losslessness")
-    val hashes = graft.SharedRel(spark, s"phash|$dir", graft.Materialize.Local)(
-      perceptualHash(spark, dir))
-    val bands = hashes.select(col("media_id"), col("dhash"),
+    val bands = rel.select(col("id"), col("dhash"),
       explode(sequence(lit(0), lit(7))).as("band"))
       .withColumn("bv", expr("shiftright(dhash, band * 8)").bitwiseAND(lit(255L)))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.dhash").as("ha"), col("b.dhash").as("hb"))
       .distinct()
     cand.withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
-      .orderBy("id_a", "id_b")
   }
+
+  private def sharedHashes(spark: SparkSession, dir: String): DataFrame =
+    graft.SharedRel(spark, s"phash|$dir", graft.Materialize.Local)(
+      perceptualHash(spark, dir))
+
+  def imageNearDup(spark: SparkSession, dir: String, maxDist: Int = 6): DataFrame =
+    hammingPairs(sharedHashes(spark, dir).select(col("media_id").as("id"), col("dhash")),
+        maxDist)
+      .orderBy("id_a", "id_b")
+
+  /** Image near-dup CLUSTERS — connected components over the verified
+    * ≤ `maxDist` pair graph, each image labeled with its component's
+    * min-id representative. Unlike the text tier (whose clusters are
+    * banding-DEFINED, so it propagates over the band-bucket incidence
+    * graph directly), image near-dup is verify-FILTERED: an 8-bit band
+    * collision between unrelated thumbnails must NOT merge their
+    * clusters, so components live on the verified pair graph.
+    *
+    * Scale shape, in propagation order: (1) EXACT collapse first —
+    * `groupBy(dhash)` folds every byte-identical thumbnail family to one
+    * node (hash-agg, map-side combinable; the overwhelming bulk of a real
+    * dedup corpus — re-uploads and recompressions — collapses here), so
+    * (2) the banded pair join and min-label propagation run on the
+    * DISTINCT-hash relation, orders of magnitude smaller than the image
+    * corpus, and (3) labels broadcast back to images through one join on
+    * `dhash`. The propagation loop is the [[graft.functions.TextOps.dupClusters]]
+    * machinery: one shuffle per round, lineage severed per round,
+    * convergence counted by `Observation`, loud failure on non-convergence.
+    */
+  def imageDupClusters(spark: SparkSession, dir: String, maxDist: Int = 6,
+                       mat: graft.Materialize = graft.Materialize.Local): DataFrame = {
+    val hashes = sharedHashes(spark, dir)
+    val groups = mat(hashes.groupBy("dhash").agg(min("media_id").as("id")))
+    val pairs = hammingPairs(groups, maxDist).select("id_a", "id_b")
+    val edges = mat(pairs.union(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))))
+    var labels = mat(groups.select(col("id"), col("id").as("label")))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      // min over neighbors' labels, then fold into own label
+      val stepped = edges
+        .join(labels.select(col("id").as("id_b"), col("label").as("nl")), "id_b")
+        .groupBy(col("id_a").as("id")).agg(min(col("nl")).as("nbr_min"))
+        .join(labels, Seq("id"), "right")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          (coalesce(col("nbr_min"), col("label")) < col("label")).cast("long").as("chg"))
+      val obs = org.apache.spark.sql.Observation()
+      val next = mat(stepped.observe(obs, sum(col("chg")).as("changed")))
+      changed = obs.get("changed").asInstanceOf[Long]
+      labels = next.drop("chg")
+      rounds += 1
+    }
+    require(changed == 0,
+      s"imageDupClusters did not converge within $rounds rounds ($changed labels moving)")
+    hashes.join(groups.withColumnRenamed("id", "hash_rep"), "dhash")
+      .join(labels.select(col("id").as("hash_rep"), col("label")), "hash_rep")
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("label"))))
+      .select(col("media_id"), col("label").as("cluster_rep"), col("cluster_size"))
+      .orderBy(col("media_id"))
+  }
+
+  /** The image dedup APPLY — every image tagged keep/drop, exactly one
+    * representative (the min-id label) kept per near-dup cluster; the
+    * decision relation stays 3 columns however large the payloads are.
+    */
+  def imageDedupApply(spark: SparkSession, dir: String, maxDist: Int = 6): DataFrame =
+    imageDupClusters(spark, dir, maxDist)
+      .select(col("media_id"), col("cluster_rep"),
+        (col("media_id") === col("cluster_rep")).as("keep"))
 
   /** The shared analytic dHash recompute (no codec — the formulas): one
     * row per (media_id, bit position, bit). `gray` mirrors codec output
@@ -715,6 +788,40 @@ object Multimodal {
        |  GROUP BY 1, 2)
        |SELECT id_a, id_b, hamming FROM hams
        |WHERE hamming <= $maxDist ORDER BY id_a, id_b""".stripMargin
+
+  /** Shared oracle tail: transitive closure over the verified pair graph
+    * (fixpoint reach vs the engine's exact-collapse + label propagation —
+    * a genuinely different algorithm, like the text-tier cluster oracle).
+    */
+  private def imageClusterRepSql(maxDist: Int): String =
+    s"""WITH RECURSIVE ${dhashBitsSql.stripPrefix("WITH ")},
+       |hams AS (
+       |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+       |    sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+       |  FROM bits a JOIN bits b
+       |    ON a.pos = b.pos AND a.media_id < b.media_id
+       |  GROUP BY 1, 2),
+       |pairs AS (SELECT id_a, id_b FROM hams WHERE hamming <= $maxDist),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT media_id FROM bits),
+       |reach(doc, r) AS (
+       |  SELECT media_id, media_id FROM nodes
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc),
+       |rep AS (SELECT doc, min(r) AS cluster_rep FROM reach GROUP BY doc)""".stripMargin
+
+  def imageDupClustersSql(maxDist: Int = 6): String =
+    s"""${imageClusterRepSql(maxDist)}
+       |SELECT doc AS media_id, cluster_rep,
+       |  count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+       |FROM rep ORDER BY media_id""".stripMargin
+
+  def imageDedupApplySql(maxDist: Int = 6): String =
+    s"""${imageClusterRepSql(maxDist)}
+       |SELECT doc AS media_id, cluster_rep, doc = cluster_rep AS keep
+       |FROM rep ORDER BY media_id""".stripMargin
 
   def pixelStatsSql(box: Int = 8): String =
     s"""WITH imgs AS (

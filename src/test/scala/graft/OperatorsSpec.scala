@@ -970,6 +970,33 @@ class OperatorsSpec extends SparkSuite {
       s"${pairs.length} pairs vs $expected same-group pairs")
   }
 
+  test("image dup clusters: exact-collapse + label propagation equals brute-force components") {
+    val clusters = Multimodal.imageDupClusters(spark, sf()).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // brute-force union-find over the verified pair graph
+    val pairs = Multimodal.imageNearDup(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = clusters.keys.toSeq.sorted
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra.max(rb)) = ra.min(rb)
+    }
+    val comp = ids.groupBy(find)
+    comp.foreach { case (_, members) =>
+      val rep = members.min
+      members.foreach { m =>
+        assert(clusters(m)._1 == rep, s"image $m labeled ${clusters(m)._1}, expected $rep")
+        assert(clusters(m)._2 == members.size.toLong, s"cluster size wrong for $m")
+      }
+    }
+    // the apply keeps exactly one representative per component
+    val keep = Multimodal.imageDedupApply(spark, sf()).collect()
+      .filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(keep == comp.values.map(_.min).toSet, "apply kept a non-representative set")
+  }
+
   test("ivf incr split: salted delta approximates the corpus source distribution") {
     // the whole point of salting (vs bare vec_id % 5, which is source-pure
     // on testdata where source = f(doc_id % 20)): the "arrived since the
