@@ -574,63 +574,68 @@ object Multimodal {
     Tables.documents(spark, dir).select(col("doc_id"))
       .filter(col("doc_id") % 3 === 0)
       .as[Long]
-      .mapPartitions { it =>
-        it.map { id =>
-          val g = (id % 25).toInt
-          val w = g % 6 + 10
-          val h = g % 4 + 9
-          val cr = 3 + g % 5
-          val cg = 2 + g % 7
-          val cb = 1 + g % 3
-          val rgb = new Array[Byte](w * h * 3)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val p = (y * w + x) * 3
-              // QUADRATIC texture, not linear gradients: a linear ramp's
-              // gradient-sign pattern is nearly group-independent (mod-256
-              // wraparound aside), which collapsed cross-group hamming to
-              // ~11 and made groups collide; the x², y², xy terms give each
-              // group a pseudo-random sign pattern (measured: same-group
-              // max 2 bits, cross-group min 18, zero cross pairs ≤ 6)
-              rgb(p) = ((17L * g + cr.toLong * x * x + 11L * y * y + 7L * x * y) % 256).toByte
-              rgb(p + 1) = ((3L * g + cg.toLong * x * y + 5L * x + 2L * y * y) % 256).toByte
-              rgb(p + 2) = ((g + 2L * cb * x * x + 3L * y + cb.toLong * x * y) % 256).toByte
-              x += 1
-            }
-            y += 1
-          }
-          // the member perturbation: one red channel nudged — the
-          // "same image, different bytes" family member
-          val k = ((id / 25) % (w * h)).toInt
-          rgb(k * 3) = (((rgb(k * 3) & 0xff) + id % 11) % 256).toByte
-          val bytes = Bmp.encode(w, h, rgb)
-          val (dw, dh, drgb) = Bmp.decode(bytes)
-            .getOrElse(sys.error(s"undecodable BMP for media $id"))
-          val th = Bmp.resizeNearest(dw, dh, drgb, 9, 8)
-          val gray = new Array[Int](9 * 8)
-          var i = 0
-          while (i < 72) {
-            gray(i) = (299 * (th(i * 3) & 0xff) + 587 * (th(i * 3 + 1) & 0xff) +
-              114 * (th(i * 3 + 2) & 0xff)) / 1000
-            i += 1
-          }
-          var hash = 0L
-          var yy = 0
-          while (yy < 8) {
-            var xx = 0
-            while (xx < 8) {
-              val pos = yy * 8 + xx
-              if (pos < 63 && gray(yy * 9 + xx + 1) > gray(yy * 9 + xx))
-                hash |= 1L << pos
-              xx += 1
-            }
-            yy += 1
-          }
-          (id, hash)
-        }
-      }.toDF("media_id", "dhash")
+      .mapPartitions(_.map(id => (id, dhashOf(id))))
+      .toDF("media_id", "dhash")
+  }
+
+  /** The per-image synthesize→encode→decode→resize→hash pipeline, shared
+    * verbatim by the batch [[perceptualHash]] and the streaming
+    * [[graft.streaming.ImageDedupStream]] so the two tiers cannot drift.
+    */
+  private[graft] def dhashOf(id: Long): Long = {
+    val g = (id % 25).toInt
+    val w = g % 6 + 10
+    val h = g % 4 + 9
+    val cr = 3 + g % 5
+    val cg = 2 + g % 7
+    val cb = 1 + g % 3
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = (y * w + x) * 3
+        // QUADRATIC texture, not linear gradients: a linear ramp's
+        // gradient-sign pattern is nearly group-independent (mod-256
+        // wraparound aside), which collapsed cross-group hamming to
+        // ~11 and made groups collide; the x², y², xy terms give each
+        // group a pseudo-random sign pattern (measured: same-group
+        // max 2 bits, cross-group min 18, zero cross pairs ≤ 6)
+        rgb(p) = ((17L * g + cr.toLong * x * x + 11L * y * y + 7L * x * y) % 256).toByte
+        rgb(p + 1) = ((3L * g + cg.toLong * x * y + 5L * x + 2L * y * y) % 256).toByte
+        rgb(p + 2) = ((g + 2L * cb * x * x + 3L * y + cb.toLong * x * y) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    // the member perturbation: one red channel nudged — the
+    // "same image, different bytes" family member
+    val k = ((id / 25) % (w * h)).toInt
+    rgb(k * 3) = (((rgb(k * 3) & 0xff) + id % 11) % 256).toByte
+    val bytes = Bmp.encode(w, h, rgb)
+    val (dw, dh, drgb) = Bmp.decode(bytes)
+      .getOrElse(sys.error(s"undecodable BMP for media $id"))
+    val th = Bmp.resizeNearest(dw, dh, drgb, 9, 8)
+    val gray = new Array[Int](9 * 8)
+    var i = 0
+    while (i < 72) {
+      gray(i) = (299 * (th(i * 3) & 0xff) + 587 * (th(i * 3 + 1) & 0xff) +
+        114 * (th(i * 3 + 2) & 0xff)) / 1000
+      i += 1
+    }
+    var hash = 0L
+    var yy = 0
+    while (yy < 8) {
+      var xx = 0
+      while (xx < 8) {
+        val pos = yy * 8 + xx
+        if (pos < 63 && gray(yy * 9 + xx + 1) > gray(yy * 9 + xx))
+          hash |= 1L << pos
+        xx += 1
+      }
+      yy += 1
+    }
+    hash
   }
 
   /** Image near-duplicate pairs via hamming-banded LSH over [[perceptualHash]]
@@ -720,8 +725,11 @@ object Multimodal {
     }
     require(changed == 0,
       s"imageDupClusters did not converge within $rounds rounds ($changed labels moving)")
-    hashes.join(groups.withColumnRenamed("id", "hash_rep"), "dhash")
-      .join(labels.select(col("id").as("hash_rep"), col("label")), "hash_rep")
+    // both back-join relations are distinct-hash-sized — DECLARE the
+    // broadcast: the checkpointed label relation carries no size stats,
+    // so the planner would otherwise sort-merge the image corpus into it
+    hashes.join(broadcast(groups.withColumnRenamed("id", "hash_rep")), "dhash")
+      .join(broadcast(labels.select(col("id").as("hash_rep"), col("label"))), "hash_rep")
       .withColumn("cluster_size", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("label"))))
       .select(col("media_id"), col("label").as("cluster_rep"), col("cluster_size"))

@@ -225,6 +225,28 @@ class PlanAuditSpec extends SparkSuite {
       s"probe set must broadcast:\n$plan")
   }
 
+  test("mm_neardup: candidates only from band buckets — no all-pairs path in the plan") {
+    val plan = executedPlan("mm_neardup")
+    // the banded self-join must plan as an equi-join on (band, value);
+    // a cartesian or nested-loop node would mean the all-pairs scan the
+    // banding exists to avoid
+    assert(!plan.contains("CartesianProduct"),
+      s"near-dup candidates must not cross-join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"near-dup candidates must not nested-loop:\n$plan")
+  }
+
+  test("mm_dup_clusters: labels return to images via broadcast, never a corpus shuffle") {
+    val plan = executedPlan("mm_dup_clusters")
+    // the distinct-hash label relation is tiny by construction (post
+    // exact-collapse), so both back-joins (dhash → hash_rep → label)
+    // must broadcast; a sort-merge here would shuffle the image corpus
+    assert(plan.contains("BroadcastHashJoin"),
+      s"label join-back must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"image corpus must not sort-merge against the label relation:\n$plan")
+  }
+
   test("d_bpe_pairs: pair extraction is shuffle-minimal (vocab agg + pair agg)") {
     val plan = executedPlan("d_bpe_pairs")
     // two hash exchanges: word-frequency agg and pair agg; top-k must be

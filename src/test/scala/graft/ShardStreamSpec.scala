@@ -141,6 +141,35 @@ class ShardStreamSpec extends SparkSuite {
     assert(manifestMap(out) == mBefore, "retried epoch changed the manifest")
   }
 
+  test("crash between manifest swap-renames: next epoch recovers from .old") {
+    val out = Files.createTempDirectory("graft-shardcrash").toString
+    val ckpt = Files.createTempDirectory("graft-shardcrash-ckpt").toString
+    val in = MemoryStream[CuratedDoc]
+    val q = ShardStream.appendStream(in.toDF(), out, ckpt, budget = 100L)
+    try {
+      in.addData((1L to 8L).map(doc(_, 60L)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val mBefore = manifestMap(out)
+    // simulate the crash window: manifest swapped aside, swap-in never
+    // happened — only `.old` exists on disk
+    val mDir = new java.io.File(s"$out/manifest")
+    val mOld = new java.io.File(s"$out/manifest.old")
+    assert(mDir.renameTo(mOld), "test setup: swap-aside failed")
+    // the next epoch's fold must restore `.old` first and proceed
+    ShardStream.processBatch(
+      (101L to 104L).map(doc(_, 60L)).toDF(), 1L, out, buckets = 8, budget = 100L)
+    assert(!mOld.exists(), "recovery left the .old copy behind")
+    val mAfter = manifestMap(out)
+    assert(mAfter.values.map(_._2).sum == 480L + 240L,
+      "post-recovery manifest lost tokens")
+    // closed epoch-0 shards still byte-identical through the crash
+    val openShard = 480L / 100L
+    mBefore.filter(_._1 < openShard).foreach { case (sid, row) =>
+      assert(mAfter(sid) == row, s"closed shard $sid rewritten through recovery")
+    }
+  }
+
   test("streaming N-epoch fold == one-batch walk (manifest equivalence)") {
     import graft.streaming.ShardStream.manifestDelta
     import graft.functions.MixOps

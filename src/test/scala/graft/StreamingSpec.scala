@@ -421,4 +421,29 @@ class StreamingSpec extends SparkSuite {
     q.stop()
     assert(kept.toSeq == Seq(1L, 5L))
   }
+
+  test("image stream dedup: first occurrence per perceptual hash survives, twins drop") {
+    // pick ids from the synthesis families deliberately: two whose dHash
+    // collides exactly (perceptual twins) and one distinct — computed from
+    // the SAME shared dhashOf the operator runs, so the fixture can't
+    // drift from the engine
+    val pool = (1L to 400L).filter(_ % 3 == 0)
+    val byHash = pool.groupBy(graft.multimodal.Multimodal.dhashOf)
+    val twins = byHash.values.find(_.size >= 2).get.take(2)
+    val loner = byHash.filter(_._2.size == 1).head._2.head
+    val in = MemoryStream[(Long, Timestamp)]
+    val ts = (s: Int) => Timestamp.valueOf(f"2026-01-01 10:00:$s%02d")
+    val out = graft.streaming.ImageDedupStream(
+      in.toDF().toDF("media_id", "ingest_ts"))
+    val q = out.writeStream.format("memory").queryName("imgdedup_t")
+      .outputMode("append").start()
+    in.addData((twins(0), ts(0)), (loner, ts(1)))
+    q.processAllAvailable()
+    in.addData((twins(1), ts(2))) // second family member, later batch → dropped
+    q.processAllAvailable()
+    val kept = spark.table("imgdedup_t").select("media_id").as[Long].collect().toSet
+    q.stop()
+    assert(kept == Set(twins(0), loner),
+      s"kept $kept, expected first twin ${twins(0)} and loner $loner only")
+  }
 }
