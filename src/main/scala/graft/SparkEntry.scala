@@ -288,7 +288,8 @@ object SparkEntry {
     "mm_phash" -> ((s, dir) => Multimodal.perceptualHash(s, dir).orderBy(col("media_id"))),
     "mm_neardup" -> ((s, dir) => Multimodal.imageNearDup(s, dir)),
     "mm_dup_clusters" -> ((s, dir) => Multimodal.imageDupClusters(s, dir)),
-    "mm_dedup_apply" -> ((s, dir) => Multimodal.imageDedupApply(s, dir))
+    "mm_dedup_apply" -> ((s, dir) => Multimodal.imageDedupApply(s, dir)),
+    "mm_dedup_incr" -> ((s, dir) => Multimodal.imageDedupIncr(s, dir))
   )
 
   /** DuckDB SQL mirrors. Column names/aliases match the Spark side exactly
@@ -688,7 +689,8 @@ object SparkEntry {
       "mm_phash" -> Multimodal.perceptualHashSql,
       "mm_neardup" -> Multimodal.imageNearDupSql(),
       "mm_dup_clusters" -> Multimodal.imageDupClustersSql(),
-      "mm_dedup_apply" -> Multimodal.imageDedupApplySql()
+      "mm_dedup_apply" -> Multimodal.imageDedupApplySql(),
+      "mm_dedup_incr" -> Multimodal.imageDedupIncrSql()
     )
   }
 }

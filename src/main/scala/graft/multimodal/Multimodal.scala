@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -583,7 +583,13 @@ object Multimodal {
     * [[graft.streaming.ImageDedupStream]] so the two tiers cannot drift.
     */
   private[graft] def dhashOf(id: Long): Long = {
-    val g = (id % 25).toInt
+    // HALF the images are family members (g = id % 25 picks one of 25
+    // shared base images), half are UNIQUE (g = 100 + id, their own
+    // texture): a real corpus is mostly singletons with duplicate
+    // families mixed in, and the increment operator needs genuinely-new
+    // content to ever classify anything `kept`
+    val fam = (id / 3) % 2 == 0
+    val g = if (fam) (id % 25).toInt else (100 + id).toInt
     val w = g % 6 + 10
     val h = g % 4 + 9
     val cr = 3 + g % 5
@@ -608,10 +614,13 @@ object Multimodal {
       }
       y += 1
     }
-    // the member perturbation: one red channel nudged — the
-    // "same image, different bytes" family member
+    // the member perturbation: one red and one green channel nudged —
+    // the "same image, different bytes" family member (two pixels so
+    // family hamming spans 0-4 bits, not degenerate all-0)
     val k = ((id / 25) % (w * h)).toInt
     rgb(k * 3) = (((rgb(k * 3) & 0xff) + id % 11) % 256).toByte
+    val k2 = ((id / 7) % (w * h)).toInt
+    rgb(k2 * 3 + 1) = (((rgb(k2 * 3 + 1) & 0xff) + id % 13) % 256).toByte
     val bytes = Bmp.encode(w, h, rgb)
     val (dw, dh, drgb) = Bmp.decode(bytes)
       .getOrElse(sys.error(s"undecodable BMP for media $id"))
@@ -654,14 +663,22 @@ object Multimodal {
     * shared by [[imageNearDup]] (image level) and [[imageDupClusters]]
     * (distinct-hash level).
     */
-  private def hammingPairs(rel: DataFrame, maxDist: Int): DataFrame = {
-    require(maxDist < 8, s"maxDist $maxDist >= 8 bands breaks pigeonhole-losslessness")
-    val bands = rel.select(col("id"), col("dhash"),
+  private def bandsOf(rel: DataFrame): DataFrame =
+    rel.select(col("id"), col("dhash"),
       explode(sequence(lit(0), lit(7))).as("band"))
       .withColumn("bv", expr("shiftright(dhash, band * 8)").bitwiseAND(lit(255L)))
-    val cand = bands.as("a").join(bands.as("b"),
+
+  /** Banded candidates between two (`id`, `dhash`) relations under an id
+    * predicate, verified by exact popcount — the one join shape behind
+    * [[imageNearDup]] (self, `<`), [[imageDupClusters]] (distinct-hash
+    * self, `<`) and [[imageDedupIncr]] (delta × base, unrestricted).
+    */
+  private def hammingJoin(a: DataFrame, b: DataFrame, maxDist: Int,
+                          idPred: (Column, Column) => Column): DataFrame = {
+    require(maxDist < 8, s"maxDist $maxDist >= 8 bands breaks pigeonhole-losslessness")
+    val cand = bandsOf(a).as("a").join(bandsOf(b).as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.id") < col("b.id"))
+          idPred(col("a.id"), col("b.id")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.dhash").as("ha"), col("b.dhash").as("hb"))
       .distinct()
@@ -669,6 +686,9 @@ object Multimodal {
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  private def hammingPairs(rel: DataFrame, maxDist: Int): DataFrame =
+    hammingJoin(rel, rel, maxDist, _ < _)
 
   private def sharedHashes(spark: SparkSession, dir: String): DataFrame =
     graft.SharedRel(spark, s"phash|$dir", graft.Materialize.Local)(
@@ -745,30 +765,74 @@ object Multimodal {
       .select(col("media_id"), col("cluster_rep"),
         (col("media_id") === col("cluster_rep")).as("keep"))
 
+  /** Incremental image dedup — the image twin of
+    * [[graft.functions.TextOps.dedupIncrement]], at the PERCEPTUAL level:
+    * dedup today's image intake (the salted-hash delta split — the same
+    * `inc:` salt as every other incremental operator here, so the delta
+    * approximates real arrivals instead of a source-pure slice) against
+    * the existing corpus WITHOUT touching the corpus itself. The base
+    * side collapses to its dHash index (at production scale: the
+    * persisted perceptual-hash table maintained across increments — 8
+    * bytes per image); delta images near any base hash (≤ `maxDist`)
+    * drop as `dup_of_base`, else near any SMALLER-id delta image as
+    * `dup_in_increment` (for exact-hash groups this reduces to the text
+    * tier's min-rep rule), else `kept`. Both near-joins run through the
+    * banded [[hammingJoin]] — no all-pairs path.
+    */
+  def imageDedupIncr(spark: SparkSession, dir: String, deltaMod: Int = 3,
+                     maxDist: Int = 6): DataFrame = {
+    val isDelta = pmod(graft.Exprs.hex60(
+      concat(lit("inc:"), col("media_id").cast("string"))), lit(deltaMod)) === 0
+    val hashes = sharedHashes(spark, dir)
+    val base = hashes.filter(!isDelta).select(col("media_id").as("id"), col("dhash"))
+    val delta = hashes.filter(isDelta).select(col("media_id").as("id"), col("dhash"))
+    val ofBase = hammingJoin(delta, base, maxDist, (_, _) => lit(true))
+      .select(col("id_a").as("id")).distinct().withColumn("ob", lit(1))
+    val inDelta = hammingPairs(delta, maxDist)
+      .select(col("id_b").as("id")).distinct().withColumn("od", lit(1))
+    delta
+      .join(ofBase, Seq("id"), "left")
+      .join(inDelta, Seq("id"), "left")
+      .select(col("id").as("media_id"), col("dhash"),
+        when(col("ob") === 1, "dup_of_base")
+          .when(col("od") === 1, "dup_in_increment")
+          .otherwise("kept").as("drop_reason"))
+      .withColumn("keep", col("drop_reason") === "kept")
+      .select("media_id", "dhash", "keep", "drop_reason")
+      .orderBy("media_id")
+  }
+
   /** The shared analytic dHash recompute (no codec — the formulas): one
     * row per (media_id, bit position, bit). `gray` mirrors codec output
     * exactly because BMP is lossless and `resizeNearest` is pure integer
     * sampling arithmetic.
     */
   private def dhashBitsSql: String =
-    """WITH imgs AS (
-      |  SELECT doc_id AS media_id, doc_id % 25 AS g,
-      |    (doc_id % 25) % 6 + 10 AS w, (doc_id % 25) % 4 + 9 AS h,
-      |    3 + (doc_id % 25) % 5 AS cr, 2 + (doc_id % 25) % 7 AS cg,
-      |    1 + (doc_id % 25) % 3 AS cb,
-      |    (doc_id // 25) % (((doc_id % 25) % 6 + 10) * ((doc_id % 25) % 4 + 9)) AS k,
-      |    doc_id % 11 AS delta
+    """WITH imgs0 AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN (doc_id // 3) % 2 = 0 THEN doc_id % 25
+      |         ELSE 100 + doc_id END AS g
       |  FROM documents WHERE doc_id % 3 = 0),
+      |imgs AS (
+      |  SELECT media_id, g, g % 6 + 10 AS w, g % 4 + 9 AS h,
+      |    3 + g % 5 AS cr, 2 + g % 7 AS cg, 1 + g % 3 AS cb,
+      |    (media_id // 25) % ((g % 6 + 10) * (g % 4 + 9)) AS k,
+      |    media_id % 11 AS delta,
+      |    (media_id // 7) % ((g % 6 + 10) * (g % 4 + 9)) AS k2,
+      |    media_id % 13 AS delta2
+      |  FROM imgs0),
       |grid AS (
       |  SELECT media_id, g, cr, cg, cb, x, y,
       |    (2 * x + 1) * w // 18 AS sx, (2 * y + 1) * h // 16 AS sy,
-      |    k % w AS px, k // w AS py, delta
+      |    k % w AS px, k // w AS py, delta,
+      |    k2 % w AS px2, k2 // w AS py2, delta2
       |  FROM imgs, unnest(range(0, 9)) AS tx(x), unnest(range(0, 8)) AS ty(y)),
       |gray AS (
       |  SELECT media_id, x, y,
       |    (299 * ((17 * g + cr * sx * sx + 11 * sy * sy + 7 * sx * sy
       |              + CASE WHEN sx = px AND sy = py THEN delta ELSE 0 END) % 256)
-      |     + 587 * ((3 * g + cg * sx * sy + 5 * sx + 2 * sy * sy) % 256)
+      |     + 587 * ((3 * g + cg * sx * sy + 5 * sx + 2 * sy * sy
+      |              + CASE WHEN sx = px2 AND sy = py2 THEN delta2 ELSE 0 END) % 256)
       |     + 114 * ((g + 2 * cb * sx * sx + 3 * sy + cb * sx * sy) % 256)) // 1000 AS gy
       |  FROM grid),
       |bits AS (
@@ -830,6 +894,38 @@ object Multimodal {
     s"""${imageClusterRepSql(maxDist)}
        |SELECT doc AS media_id, cluster_rep, doc = cluster_rep AS keep
        |FROM rep ORDER BY media_id""".stripMargin
+
+  /** Oracle: all-pairs popcount joins over the packed hashes (DuckDB
+    * `xor`/`bit_count`) — equivalent to the banded engine path by the
+    * same pigeonhole argument.
+    */
+  def imageDedupIncrSql(deltaMod: Int = 3, maxDist: Int = 6): String =
+    s"""$dhashBitsSql,
+       |hs AS (
+       |  SELECT media_id, CAST(sum(bit * (1::BIGINT << pos)) AS BIGINT) AS dhash
+       |  FROM bits GROUP BY media_id),
+       |tag AS (
+       |  SELECT media_id, dhash,
+       |    ${graft.Exprs.hex60Sql("'inc:' || media_id::VARCHAR")} % $deltaMod = 0 AS is_delta
+       |  FROM hs),
+       |base AS (SELECT * FROM tag WHERE NOT is_delta),
+       |delta AS (SELECT * FROM tag WHERE is_delta),
+       |ofbase AS (
+       |  SELECT DISTINCT d.media_id FROM delta d JOIN base b
+       |    ON bit_count(xor(d.dhash, b.dhash)) <= $maxDist),
+       |indelta AS (
+       |  SELECT DISTINCT d.media_id FROM delta d JOIN delta e
+       |    ON e.media_id < d.media_id AND bit_count(xor(d.dhash, e.dhash)) <= $maxDist)
+       |SELECT d.media_id, d.dhash, dr = 'kept' AS keep, dr AS drop_reason
+       |FROM (
+       |  SELECT d.media_id, d.dhash,
+       |    CASE WHEN ob.media_id IS NOT NULL THEN 'dup_of_base'
+       |         WHEN ind.media_id IS NOT NULL THEN 'dup_in_increment'
+       |         ELSE 'kept' END AS dr
+       |  FROM delta d
+       |  LEFT JOIN ofbase ob ON d.media_id = ob.media_id
+       |  LEFT JOIN indelta ind ON d.media_id = ind.media_id) d
+       |ORDER BY media_id""".stripMargin
 
   def pixelStatsSql(box: Int = 8): String =
     s"""WITH imgs AS (

@@ -957,17 +957,20 @@ class OperatorsSpec extends SparkSuite {
       d = java.lang.Long.bitCount(ha ^ hb) if d <= 6
     } yield (a, b, d)).toSet
     assert(pairs.toSet == brute, "banded pairs diverge from brute-force")
-    // the synthesized families separate: every pair is within one group
-    // (one perturbed pixel apart), no cross-group pair sneaks under 6
+    // the synthesized families separate: every pair is within one family
+    // group (two perturbed pixels apart), no unique-image or cross-group
+    // pair sneaks under 6 at this fixture scale (measured min 8)
+    def isFamily(id: Long) = (id / 3) % 2 == 0
     pairs.foreach { case (a, b, d) =>
-      assert(a % 25 == b % 25, s"cross-group pair ($a,$b) at hamming $d")
+      assert(isFamily(a) && isFamily(b) && a % 25 == b % 25,
+        s"non-family pair ($a,$b) at hamming $d")
     }
-    // and completeness: every same-group pair IS a near-dup (same base
-    // image, one nudged pixel — measured max 2 bits apart)
-    val perGroup = hashes.map(_._1).groupBy(_ % 25).values
+    // and completeness: every same-group family pair IS a near-dup (same
+    // base image, nudged pixels — measured max 4 bits apart)
+    val perGroup = hashes.map(_._1).filter(isFamily).groupBy(_ % 25).values
     val expected = perGroup.map(g => g.length.toLong * (g.length - 1) / 2).sum
     assert(pairs.length.toLong == expected,
-      s"${pairs.length} pairs vs $expected same-group pairs")
+      s"${pairs.length} pairs vs $expected same-group family pairs")
   }
 
   test("image dup clusters: exact-collapse + label propagation equals brute-force components") {
@@ -995,6 +998,32 @@ class OperatorsSpec extends SparkSuite {
     val keep = Multimodal.imageDedupApply(spark, sf()).collect()
       .filter(_.getBoolean(2)).map(_.getLong(0)).toSet
     assert(keep == comp.values.map(_.min).toSet, "apply kept a non-representative set")
+  }
+
+  test("image dedup incr: classifications match brute-force over the salted split") {
+    val hashes = Multimodal.perceptualHash(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hex60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    def isDelta(id: Long) = hex60(s"inc:$id") % 3 == 0
+    val (delta, base) = hashes.keys.toSeq.sorted.partition(isDelta)
+    def near(a: Long, b: Long) = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) <= 6
+    val expected = delta.map { id =>
+      val dr =
+        if (base.exists(near(id, _))) "dup_of_base"
+        else if (delta.exists(e => e < id && near(id, e))) "dup_in_increment"
+        else "kept"
+      id -> dr
+    }.toMap
+    val got = Multimodal.imageDedupIncr(spark, sf()).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[String]("drop_reason")).toMap
+    assert(got == expected, s"classification diverges from brute-force")
+    // all three classes must actually occur — an increment fixture that
+    // only ever produces one outcome pins nothing
+    assert(got.values.toSet == Set("kept", "dup_of_base", "dup_in_increment"),
+      s"fixture degenerate: classes seen = ${got.values.toSet}")
   }
 
   test("ivf incr split: salted delta approximates the corpus source distribution") {
