@@ -46,10 +46,16 @@ object ShardStream {
   /** Test-visible fold-input telemetry: (outPath, epochId) → (bytes, rows)
     * of the persisted state the epoch's fold actually read. The spec
     * asserts bytes stay flat as epochs accumulate — the "input does not
-    * grow with N" contract.
+    * grow with N" contract. Entries self-evict 64 epochs back so the map
+    * itself honors the bounded-state rule on a long-running stream.
     */
   private[graft] val foldInput =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), (Long, Long)]()
+
+  private def recordFoldInput(outPath: String, epochId: Long, v: (Long, Long)): Unit = {
+    foldInput.put((outPath, epochId), v)
+    foldInput.remove((outPath, epochId - 64))
+  }
 
   private val ManifestSchema =
     "shard_id BIGINT, n_docs BIGINT, n_tokens BIGINT, checksum BIGINT, last_epoch BIGINT"
@@ -102,10 +108,10 @@ object ShardStream {
       case Some(m) =>
         val d = new java.io.File(s"$outPath/state/epoch=$m")
         val df = spark.read.schema(ManifestSchema).parquet(d.getPath)
-        foldInput.put((outPath, epochId), (dirBytes(d), df.count()))
+        recordFoldInput(outPath, epochId, (dirBytes(d), df.count()))
         df
       case None =>
-        foldInput.put((outPath, epochId), (0L, 0L))
+        recordFoldInput(outPath, epochId, (0L, 0L))
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           org.apache.spark.sql.types.StructType.fromDDL(ManifestSchema))
     }
