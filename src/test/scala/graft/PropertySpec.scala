@@ -219,4 +219,22 @@ class PropertySpec extends SparkSuite {
       Multimodal.MediaRecord(6L, "image", sos, 0, 0))
     assert(dSos.format == "jpeg" && dSos.width == 0)
   }
+
+  test("hamming banding is pigeonhole-lossless: any <=6-distant pair shares an 8-bit band") {
+    // the claim every image-dedup oracle compare rests on, checked over
+    // random 63-bit hashes with random <=6-bit corruptions: flipping at
+    // most 6 bits can dirty at most 6 of the 8 bands, so at least one
+    // (in fact two) bands must stay identical — the banded candidate join
+    // can never miss a pair the all-pairs oracle would emit
+    def bands(h: Long): Seq[Long] = (0 until 8).map(b => (h >>> (b * 8)) & 255L)
+    val hashGen = Gen.choose(Long.MinValue, Long.MaxValue).map(_ & ((1L << 63) - 1))
+    val flipsGen = Gen.choose(0, 6).flatMap(n => Gen.listOfN(n, Gen.choose(0, 62)))
+    for ((h, flips) <- samples(Gen.zip(hashGen, flipsGen), 300)) {
+      val h2 = flips.foldLeft(h)((acc, p) => acc ^ (1L << p))
+      assert(java.lang.Long.bitCount(h ^ h2) <= 6)
+      val shared = bands(h).zip(bands(h2)).count { case (a, b) => a == b }
+      assert(shared >= 2,
+        f"hash $h%x corrupted to $h2%x shares only $shared bands")
+    }
+  }
 }

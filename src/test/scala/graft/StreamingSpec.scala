@@ -446,4 +446,46 @@ class StreamingSpec extends SparkSuite {
     assert(kept == Set(twins(0), loner),
       s"kept $kept, expected first twin ${twins(0)} and loner $loner only")
   }
+
+  test("image stream dedup matches batch exact-collapse: one survivor per hash, batch-1 wins") {
+    // the streaming-batch contract: first-occurrence-per-hash under
+    // ascending-id arrival is exactly the batch tier's min-id-per-dhash
+    // representative set (the groupBy(dhash) exact collapse inside
+    // imageDupClusters), so the two tiers agree on what survives
+    val ids = (1L to 200L).filter(_ % 3 == 0)
+    val in = MemoryStream[(Long, Timestamp)]
+    val ts = (s: Int) => Timestamp.valueOf(f"2026-01-01 10:${s / 60}%02d:${s % 60}%02d")
+    val out = graft.streaming.ImageDedupStream(
+      in.toDF().toDF("media_id", "ingest_ts"))
+    val q = out.writeStream.format("memory").queryName("imgdedup_eq")
+      .outputMode("append").start()
+    // two batches; all event times inside ONE watermark horizon — the
+    // `withinWatermark` contract only promises dedup for events within the
+    // horizon of each other (cross-horizon dedup is the batch compaction's
+    // job, by design)
+    val (b1, b2) = ids.splitAt(ids.length / 2)
+    in.addData(b1.map(id => (id, ts(0))): _*)
+    q.processAllAvailable()
+    in.addData(b2.map(id => (id, ts(5))): _*)
+    q.processAllAvailable()
+    val streamKept = spark.table("imgdedup_eq")
+      .select("media_id").as[Long].collect().toSet
+    q.stop()
+    // the tier contract, stated at the HASH level (which same-batch twin
+    // survives is an execution detail): exactly one survivor per distinct
+    // perceptual hash — the same survivor set size and hash coverage as
+    // the batch tier's groupBy(dhash) exact collapse
+    val dhash = graft.multimodal.Multimodal.dhashOf _
+    val batchHashes = ids.map(dhash).toSet
+    assert(streamKept.map(dhash) == batchHashes,
+      "stream survivors don't cover the batch-distinct hash set")
+    assert(streamKept.size == batchHashes.size,
+      s"stream kept ${streamKept.size} for ${batchHashes.size} distinct hashes — dup survived")
+    // cross-batch determinism: a hash first seen in batch 1 must keep its
+    // batch-1 representative, never a batch-2 twin
+    val b1Hashes = b1.map(dhash).toSet
+    streamKept.filter(id => b1Hashes(dhash(id))).foreach { id =>
+      assert(b1.contains(id), s"batch-2 twin $id displaced a batch-1 first occurrence")
+    }
+  }
 }
