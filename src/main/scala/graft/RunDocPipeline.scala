@@ -99,6 +99,31 @@ object RunDocPipeline {
       (sm.count(), sm.agg(sum("n_tokens")).collect()(0).getLong(0))
     } catch { case _: Throwable => (0L, 0L) }
 
+    // image tier of the same ingest: the media stream (image ids of this
+    // corpus snapshot) deduped on the perceptual hash in-flight — the
+    // multimodal twin of the text curation stage above, same defensive
+    // wrapper so an empty corpus still prints the JSON line
+    val imagesKept = try {
+      import graft.streaming.ImageDedupStream
+      val mediaIn = Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("media_id"),
+          current_timestamp().as("ingest_ts"))
+      mediaIn.write.mode(SaveMode.Overwrite).parquet(s"$workDir/media_in")
+      val mediaStream = spark.readStream
+        .schema("media_id BIGINT, ingest_ts TIMESTAMP")
+        .parquet(s"$workDir/media_in")
+      val q4 = ImageDedupStream(mediaStream)
+        .writeStream.format("parquet")
+        .option("path", s"$workDir/media_kept")
+        .option("checkpointLocation", s"$workDir/ckpt4")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q4.awaitTermination(300000)
+      spark.read.parquet(s"$workDir/media_kept").count()
+    } catch { case _: Throwable => 0L }
+
     val kept = try spark.read.parquet(s"$workDir/out").count()
                catch { case _: Throwable => 0L }
     val (admitted, rejected) = try {
@@ -126,7 +151,7 @@ object RunDocPipeline {
     val shardDocs = m.agg(sum("n_docs")).collect()(0).getLong(0)
     val shardTokens = m.agg(sum("n_tokens")).collect()(0).getLong(0)
 
-    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"stream_shards":$sShards,"stream_shard_tokens":$sTokens}""")
+    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept}""")
     spark.stop()
   }
 }
