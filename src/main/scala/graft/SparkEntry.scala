@@ -289,7 +289,8 @@ object SparkEntry {
     "mm_neardup" -> ((s, dir) => Multimodal.imageNearDup(s, dir)),
     "mm_dup_clusters" -> ((s, dir) => Multimodal.imageDupClusters(s, dir)),
     "mm_dedup_apply" -> ((s, dir) => Multimodal.imageDedupApply(s, dir)),
-    "mm_dedup_incr" -> ((s, dir) => Multimodal.imageDedupIncr(s, dir))
+    "mm_dedup_incr" -> ((s, dir) => Multimodal.imageDedupIncr(s, dir)),
+    "mm_video_containment" -> ((s, dir) => Multimodal.videoContainment(s, dir))
   )
 
   /** DuckDB SQL mirrors. Column names/aliases match the Spark side exactly
@@ -690,7 +691,8 @@ object SparkEntry {
       "mm_neardup" -> Multimodal.imageNearDupSql(),
       "mm_dup_clusters" -> Multimodal.imageDupClustersSql(),
       "mm_dedup_apply" -> Multimodal.imageDedupApplySql(),
-      "mm_dedup_incr" -> Multimodal.imageDedupIncrSql()
+      "mm_dedup_incr" -> Multimodal.imageDedupIncrSql(),
+      "mm_video_containment" -> Multimodal.videoContainmentSql()
     )
   }
 }

@@ -589,7 +589,19 @@ object Multimodal {
     // families mixed in, and the increment operator needs genuinely-new
     // content to ever classify anything `kept`
     val fam = (id / 3) % 2 == 0
-    val g = if (fam) (id % 25).toInt else (100 + id).toInt
+    val g = if (fam) id % 25 else 100 + id
+    dhashImage(g, id / 25, id % 11, id / 7, id % 13)
+  }
+
+  /** Core synthesize→encode→decode→resize→hash of ONE image: base texture
+    * fixed by `g`, two channel nudges parameterized by the caller —
+    * [[dhashOf]] seeds them from the image id, [[frameHash]] from the
+    * video id (so same-texture frames across videos are near, not
+    * byte-equal).
+    */
+  private def dhashImage(g0: Long, pSeed1: Long, delta1: Long,
+                         pSeed2: Long, delta2: Long): Long = {
+    val g = g0.toInt
     val w = g % 6 + 10
     val h = g % 4 + 9
     val cr = 3 + g % 5
@@ -617,13 +629,13 @@ object Multimodal {
     // the member perturbation: one red and one green channel nudged —
     // the "same image, different bytes" family member (two pixels so
     // family hamming spans 0-4 bits, not degenerate all-0)
-    val k = ((id / 25) % (w * h)).toInt
-    rgb(k * 3) = (((rgb(k * 3) & 0xff) + id % 11) % 256).toByte
-    val k2 = ((id / 7) % (w * h)).toInt
-    rgb(k2 * 3 + 1) = (((rgb(k2 * 3 + 1) & 0xff) + id % 13) % 256).toByte
+    val k = (pSeed1 % (w * h)).toInt
+    rgb(k * 3) = (((rgb(k * 3) & 0xff) + delta1) % 256).toByte
+    val k2 = (pSeed2 % (w * h)).toInt
+    rgb(k2 * 3 + 1) = (((rgb(k2 * 3 + 1) & 0xff) + delta2) % 256).toByte
     val bytes = Bmp.encode(w, h, rgb)
     val (dw, dh, drgb) = Bmp.decode(bytes)
-      .getOrElse(sys.error(s"undecodable BMP for media $id"))
+      .getOrElse(sys.error(s"undecodable BMP for texture $g"))
     val th = Bmp.resizeNearest(dw, dh, drgb, 9, 8)
     val gray = new Array[Int](9 * 8)
     var i = 0
@@ -802,6 +814,75 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** Per-frame perceptual hash of one video frame: texture token
+    * `t = (video % 15) * 4 + frame` — families of 15 share frame
+    * textures, ADJACENT families overlap on their tail/head frames
+    * (partial containment, like overlapping-cut re-edits) — with the
+    * nudge seeded by the VIDEO id, so same-texture frames across videos
+    * are near (≤ 3 bits measured), never byte-equal.
+    */
+  private[graft] def frameHash(videoId: Long, frame: Int): Long = {
+    val t = (videoId % 15) * 4 + frame
+    dhashImage(300 + t, videoId / 25, videoId % 11, videoId / 7, videoId % 13)
+  }
+
+  private[graft] def frameCount(videoId: Long): Int = (3 + videoId % 4).toInt
+
+  /** (video_id, frame, dhash) — every frame of every video decoded and
+    * hashed through the same real-codec pipeline as the image tier.
+    */
+  def videoFrameHashes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(col("doc_id") % 3 === 2)
+      .as[Long]
+      .mapPartitions(_.flatMap { v =>
+        (0 until frameCount(v)).iterator.map(f => (v, f, frameHash(v, f)))
+      })
+      .toDF("video_id", "frame", "dhash")
+  }
+
+  /** Video near-dup by FRAME containment — the video twin of the text
+    * tier's segment containment: two videos are related in proportion to
+    * how many of the first's sampled frames have a perceptual near-match
+    * (≤ `maxDist`) anywhere in the second. Exactly the re-edit/re-upload
+    * relation a 100 TB video corpus dedups on: trims, re-intros and
+    * re-encodes keep most frames perceptually intact.
+    *
+    * Shape: frame hashes → banded frame-level candidate join (the SAME
+    * [[hammingJoin]] machinery — no all-pairs over frames, let alone
+    * videos) → distinct matched (video_a, frame_a, video_b) → count per
+    * video pair / frames of a. `n_frames_a` is a row-local expression
+    * (3 + id % 4), so no second scan or join fetches it.
+    */
+  def videoContainment(spark: SparkSession, dir: String, maxDist: Int = 6): DataFrame = {
+    val frames = graft.SharedRel(spark, s"vframes|$dir", graft.Materialize.Local)(
+      videoFrameHashes(spark, dir))
+    // frame-level near matches BETWEEN videos (either direction of the
+    // banded join, a<b ordering applied at the video level)
+    val rel = frames.select(
+      (col("video_id") * 16 + col("frame")).as("id"), col("dhash"))
+    val matches = hammingJoin(rel, rel, maxDist,
+        (a, b) => floor(a / 16) =!= floor(b / 16))
+      .select(floor(col("id_a") / 16).cast("long").as("va"),
+        pmod(col("id_a"), lit(16)).as("fa"),
+        floor(col("id_b") / 16).cast("long").as("vb"))
+    // orient every match as (smaller video, its frame, larger video)
+    val oriented = matches
+      .select(least(col("va"), col("vb")).as("id_a"),
+        when(col("va") < col("vb"), col("fa")).as("frame_a"),
+        greatest(col("va"), col("vb")).as("id_b"))
+      .filter(col("frame_a").isNotNull)
+      .distinct()
+    oriented.groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast("int").as("n_shared"))
+      .withColumn("n_frames_a", (lit(3) + pmod(col("id_a"), lit(4))).cast("int"))
+      .withColumn("containment",
+        round(col("n_shared") / col("n_frames_a"), 4))
+      .select("id_a", "id_b", "n_frames_a", "n_shared", "containment")
+      .orderBy("id_a", "id_b")
+  }
+
   /** The shared analytic dHash recompute (no codec — the formulas): one
     * row per (media_id, bit position, bit). `gray` mirrors codec output
     * exactly because BMP is lossless and `resizeNearest` is pure integer
@@ -926,6 +1007,62 @@ object Multimodal {
        |  LEFT JOIN ofbase ob ON d.media_id = ob.media_id
        |  LEFT JOIN indelta ind ON d.media_id = ind.media_id) d
        |ORDER BY media_id""".stripMargin
+
+  /** Oracle: analytic per-frame hashes (same formula recompute as the
+    * image tier, keyed by (video, frame)), then plain all-pairs frame
+    * popcount — equivalent to the banded engine path by pigeonhole.
+    */
+  def videoContainmentSql(maxDist: Int = 6): String =
+    s"""WITH vids AS (
+       |  SELECT doc_id AS video_id, 3 + doc_id % 4 AS nf
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |vf0 AS (
+       |  SELECT video_id, t.frame,
+       |    300 + (video_id % 15) * 4 + t.frame AS g
+       |  FROM vids, unnest(range(0, nf)) AS t(frame)),
+       |vf AS (
+       |  SELECT video_id, frame, g, g % 6 + 10 AS w, g % 4 + 9 AS h,
+       |    3 + g % 5 AS cr, 2 + g % 7 AS cg, 1 + g % 3 AS cb,
+       |    (video_id // 25) % ((g % 6 + 10) * (g % 4 + 9)) AS k,
+       |    video_id % 11 AS delta,
+       |    (video_id // 7) % ((g % 6 + 10) * (g % 4 + 9)) AS k2,
+       |    video_id % 13 AS delta2
+       |  FROM vf0),
+       |vgrid AS (
+       |  SELECT video_id, frame, g, cr, cg, cb, x, y,
+       |    (2 * x + 1) * w // 18 AS sx, (2 * y + 1) * h // 16 AS sy,
+       |    k % w AS px, k // w AS py, delta,
+       |    k2 % w AS px2, k2 // w AS py2, delta2
+       |  FROM vf, unnest(range(0, 9)) AS tx(x), unnest(range(0, 8)) AS ty(y)),
+       |vgray AS (
+       |  SELECT video_id, frame, x, y,
+       |    (299 * ((17 * g + cr * sx * sx + 11 * sy * sy + 7 * sx * sy
+       |              + CASE WHEN sx = px AND sy = py THEN delta ELSE 0 END) % 256)
+       |     + 587 * ((3 * g + cg * sx * sy + 5 * sx + 2 * sy * sy
+       |              + CASE WHEN sx = px2 AND sy = py2 THEN delta2 ELSE 0 END) % 256)
+       |     + 114 * ((g + 2 * cb * sx * sx + 3 * sy + cb * sx * sy) % 256)) // 1000 AS gy
+       |  FROM vgrid),
+       |vbits AS (
+       |  SELECT a.video_id, a.frame, a.y * 8 + a.x AS pos,
+       |    CASE WHEN b.gy > a.gy THEN 1 ELSE 0 END AS bit
+       |  FROM vgray a JOIN vgray b
+       |    ON a.video_id = b.video_id AND a.frame = b.frame
+       |    AND b.x = a.x + 1 AND b.y = a.y
+       |  WHERE a.x < 8 AND a.y * 8 + a.x < 63),
+       |vh AS (
+       |  SELECT video_id, frame,
+       |    CAST(sum(bit * (1::BIGINT << pos)) AS BIGINT) AS dhash
+       |  FROM vbits GROUP BY 1, 2),
+       |fmatch AS (
+       |  SELECT DISTINCT a.video_id AS id_a, a.frame AS frame_a,
+       |    b.video_id AS id_b
+       |  FROM vh a JOIN vh b
+       |    ON a.video_id < b.video_id
+       |    AND bit_count(xor(a.dhash, b.dhash)) <= $maxDist)
+       |SELECT id_a, id_b, CAST(3 + id_a % 4 AS INT) AS n_frames_a,
+       |  CAST(count(*) AS INT) AS n_shared,
+       |  round(count(*) / (3.0 + id_a % 4), 4) AS containment
+       |FROM fmatch GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin
 
   def pixelStatsSql(box: Int = 8): String =
     s"""WITH imgs AS (

@@ -1026,6 +1026,30 @@ class OperatorsSpec extends SparkSuite {
       s"fixture degenerate: classes seen = ${got.values.toSet}")
   }
 
+  test("video containment: banded frame matching equals brute-force; re-edits resolve") {
+    val got = Multimodal.videoContainment(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getInt(3), r.getDouble(4))).toMap
+    assert(got.nonEmpty, "no overlapping video pairs — synthesis families missing")
+    // brute force from the shared frameHash itself (doc_ids are 0..499)
+    val vids = (0L until 500L).filter(_ % 3 == 2)
+    def frames(v: Long) =
+      (0 until Multimodal.frameCount(v)).map(f => Multimodal.frameHash(v, f))
+    val expected = (for {
+      a <- vids; b <- vids if a < b
+      fa = frames(a); fb = frames(b)
+      shared = fa.zipWithIndex.count { case (h, _) =>
+        fb.exists(h2 => java.lang.Long.bitCount(h ^ h2) <= 6) }
+      if shared > 0
+    } yield (a, b) -> (fa.length, shared,
+      math.rint(shared.toDouble / fa.length * 10000) / 10000)).toMap
+    assert(got == expected, "containment diverges from brute-force")
+    // the relation is family-structured: full containment within a
+    // family, partial (0 < c < 1) across adjacent families' shared tails
+    assert(got.values.exists(_._3 == 1.0), "no fully-contained pair")
+    assert(got.values.exists(v => v._3 > 0 && v._3 < 1.0), "no partial overlap pair")
+  }
+
   test("ivf incr split: salted delta approximates the corpus source distribution") {
     // the whole point of salting (vs bare vec_id % 5, which is source-pure
     // on testdata where source = f(doc_id % 20)): the "arrived since the

@@ -247,6 +247,12 @@ class PlanAuditSpec extends SparkSuite {
       s"image corpus must not sort-merge against the label relation:\n$plan")
   }
 
+  test("mm_video_containment: frame candidates only from band buckets, no cartesian") {
+    val plan = executedPlan("mm_video_containment")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"frame matching must stay banded:\n$plan")
+  }
+
   test("d_bpe_pairs: pair extraction is shuffle-minimal (vocab agg + pair agg)") {
     val plan = executedPlan("d_bpe_pairs")
     // two hash exchanges: word-frequency agg and pair agg; top-k must be
