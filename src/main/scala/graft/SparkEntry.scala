@@ -252,6 +252,7 @@ object SparkEntry {
     // ---- embedding similarity operators ----
     "v_norms" -> ((s, dir) => VectorOps.norms(s, dir).orderBy(col("vec_id"))),
     "v_drift_incr" -> ((s, dir) => VectorOps.embeddingDrift(s, dir)),
+    "d_domain_mix" -> ((s, dir) => VectorOps.domainMix(s, dir)),
     "v_knn" -> ((s, dir) => VectorOps.knn(s, dir)),
     "v_neardup" -> ((s, dir) => VectorOps.nearDupExact(s, dir)),
     "v_neardup_lsh" -> ((s, dir) => VectorOps.nearDupLsh(s, dir)),
@@ -290,7 +291,10 @@ object SparkEntry {
     "mm_dup_clusters" -> ((s, dir) => Multimodal.imageDupClusters(s, dir)),
     "mm_dedup_apply" -> ((s, dir) => Multimodal.imageDedupApply(s, dir)),
     "mm_dedup_incr" -> ((s, dir) => Multimodal.imageDedupIncr(s, dir)),
-    "mm_video_containment" -> ((s, dir) => Multimodal.videoContainment(s, dir))
+    "mm_video_containment" -> ((s, dir) => Multimodal.videoContainment(s, dir)),
+    "mm_audio_fp" -> ((s, dir) =>
+      Multimodal.audioFingerprint(s, dir).orderBy(col("media_id"))),
+    "mm_audio_neardup" -> ((s, dir) => Multimodal.audioNearDup(s, dir))
   )
 
   /** DuckDB SQL mirrors. Column names/aliases match the Spark side exactly
@@ -658,6 +662,7 @@ object SparkEntry {
       "d_manifest_delta" -> MixOps.manifestIncrSql(),
       "v_norms" -> VectorOps.normsSql,
       "v_drift_incr" -> VectorOps.embeddingDriftSql(),
+      "d_domain_mix" -> VectorOps.domainMixSql(),
       "v_knn" -> VectorOps.knnSql(),
       "v_neardup" -> VectorOps.nearDupExactSql(),
       "v_neardup_lsh" -> VectorOps.nearDupLshSql(),
@@ -692,7 +697,9 @@ object SparkEntry {
       "mm_dup_clusters" -> Multimodal.imageDupClustersSql(),
       "mm_dedup_apply" -> Multimodal.imageDedupApplySql(),
       "mm_dedup_incr" -> Multimodal.imageDedupIncrSql(),
-      "mm_video_containment" -> Multimodal.videoContainmentSql()
+      "mm_video_containment" -> Multimodal.videoContainmentSql(),
+      "mm_audio_fp" -> Multimodal.audioFingerprintSql,
+      "mm_audio_neardup" -> Multimodal.audioNearDupSql()
     )
   }
 }

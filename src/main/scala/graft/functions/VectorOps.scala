@@ -238,6 +238,52 @@ object VectorOps {
        |    AS cos_centroids
        |FROM j GROUP BY source ORDER BY source""".stripMargin
 
+  /** Per-domain corpus mix — the report tying the vector tier to the
+    * corpus-mix tier: each document's embedding lands in its IVF coarse
+    * domain (the session-shared [[ivfAssign]] relation) and the documents'
+    * whitespace-token mass aggregates per domain — the "how much does each
+    * semantic domain contribute, in docs and tokens" table a
+    * mixture-planning job consumes before setting [[graft.functions.MixOps]]
+    * rates. Scale shape: one equi-join of two corpus relations on
+    * vec_id = doc_id (the assignment side is 2 narrow columns however wide
+    * the vectors are), a map-side-combinable k-row agg, and the share
+    * window runs over k rows — nothing downstream of the join exceeds k.
+    */
+  def domainMix(spark: SparkSession, dir: String, k: Int = 16,
+                mat: Materialize = Materialize.Local): DataFrame = {
+    val assigned = sharedIvfAssign(spark, dir, k, mat)
+    val toks = TextOps.prepared(spark, dir)
+      .select(col("doc_id").as("vec_id"), size(col("words")).as("ws_tokens"))
+    assigned.join(toks, "vec_id")
+      .groupBy(col("centroid_id").as("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("n_tokens"))
+      .withColumn("token_share",
+        round(col("n_tokens") / sum(col("n_tokens")).over(Window.partitionBy()), 6))
+      .orderBy("domain")
+  }
+
+  def domainMixSql(k: Int = 16): String =
+    s"""WITH e AS ($preparedSql),
+       |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e WHERE vec_id < $k),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT e.vec_id, c.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC,
+       |                 c.centroid_id) AS rn
+       |    FROM e, c)
+       |  WHERE rn = 1),
+       |t AS (SELECT doc_id AS vec_id, len(words) AS ws_tokens
+       |      FROM (${TextOps.preparedSql})),
+       |agg AS (
+       |  SELECT centroid_id AS domain, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(ws_tokens) AS BIGINT) AS n_tokens
+       |  FROM assign JOIN t USING (vec_id) GROUP BY 1)
+       |SELECT domain, n_docs, n_tokens,
+       |  round(CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE), 6)
+       |    AS token_share
+       |FROM agg ORDER BY domain""".stripMargin
+
   /** IVF coarse quantizer: the first `k` vectors (by id) act as the fixed
     * centroid set — deterministic, so assignment is oracle-checkable (a
     * trained k-means would converge data-dependently; the operator shape —
