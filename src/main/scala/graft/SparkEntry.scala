@@ -276,6 +276,8 @@ object SparkEntry {
     "v_kmeans_step" -> ((s, dir) => VectorOps.kmeansStep(s, dir)),
     "v_ivf_incr" -> ((s, dir) => VectorOps.ivfIncr(s, dir)),
     "v_recall_ivf_incr" -> ((s, dir) => VectorOps.annRecallIvfIncr(s, dir)),
+    "v_knn_graph" -> ((s, dir) => VectorOps.knnGraph(s, dir)),
+    "d_coreset" -> ((s, dir) => MixOps.coresetSample(s, dir)),
 
     // ---- multimodal plumbing ----
     "mm_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir).orderBy(col("media_id"))),
@@ -685,6 +687,8 @@ object SparkEntry {
       "v_kmeans_step" -> VectorOps.kmeansStepSql(),
       "v_ivf_incr" -> VectorOps.ivfIncrSql(),
       "v_recall_ivf_incr" -> VectorOps.annRecallIvfIncrSql(),
+      "v_knn_graph" -> VectorOps.knnGraphSql(),
+      "d_coreset" -> MixOps.coresetSampleSql(),
       "mm_meta" -> Multimodal.mediaMetaSql,
       "mm_frames" -> Multimodal.frameSampleSql(),
       "mm_resize" -> Multimodal.resizePlanSql(),

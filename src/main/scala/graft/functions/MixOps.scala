@@ -421,6 +421,65 @@ object MixOps {
       .orderBy("doc_id")
   }
 
+  /** Cluster-stratified coreset sample — diversity-preserving corpus
+    * subsetting: assign every document to its embedding's IVF cell
+    * (doc_id = vec_id, the 1:1 contract [[semanticDedup]] uses), then keep
+    * a deterministic `fracPct`% from EACH cell, with a coverage floor of
+    * one document per non-empty cell. Uniform sampling ([[TextOps]]
+    * `d_sample`) preserves the corpus's mode; stratifying by embedding
+    * cell preserves its SUPPORT — rare semantic regions survive a 10%
+    * cut, which is what a curation pipeline wants from a "diverse subset"
+    * stage.
+    *
+    * Determinism/parity: selection ranks by the salted [[Exprs.hex60]]
+    * hash and the quota is integer math (`(n*fracPct + 99) DIV 100` =
+    * ceil without touching doubles) — exactly reproducible in the DuckDB
+    * oracle. Scale shape: one shuffle on `centroid_id`; both window
+    * functions (rank, cell size) share that partitioning, and cell count
+    * scales with `kCentroids`, not corpus size — no global window.
+    */
+  def coresetSample(spark: SparkSession, dir: String, fracPct: Int = 10,
+                    kCentroids: Int = 16): DataFrame = {
+    val assign = VectorOps.ivfAssign(spark, dir, kCentroids)
+      .select(col("vec_id").as("doc_id"), col("centroid_id"))
+    val docs = Tables.documents(spark, dir).select("doc_id", "source")
+      .join(assign, Seq("doc_id"))
+    val cell = Window.partitionBy("centroid_id")
+    val byHash = cell.orderBy(
+      Exprs.hex60(concat(lit("cs:"), col("doc_id").cast("string"))), col("doc_id"))
+    docs
+      .withColumn("pick", row_number().over(byHash))
+      .withColumn("cluster_n", count(lit(1)).over(cell))
+      .filter(col("pick") <=
+        greatest(lit(1L), expr(s"(cluster_n * $fracPct + 99) DIV 100")))
+      .select(col("doc_id"), col("source"), col("centroid_id"),
+        col("pick"), col("cluster_n"))
+      .orderBy("doc_id")
+  }
+
+  def coresetSampleSql(fracPct: Int = 10, kCentroids: Int = 16): String =
+    s"""WITH e0 AS (${VectorOps.preparedSql}),
+       |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e0 WHERE vec_id < $kCentroids),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT e0.vec_id, c.centroid_id, ROW_NUMBER() OVER (
+       |      PARTITION BY e0.vec_id
+       |      ORDER BY list_dot_product(e0.v, c.cv) / (e0.nrm * c.cn) DESC, c.centroid_id) AS rn
+       |    FROM e0, c)
+       |  WHERE rn = 1),
+       |d AS (SELECT doc_id, source, centroid_id
+       |      FROM documents JOIN assign ON doc_id = vec_id),
+       |ranked AS (
+       |  SELECT *,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY centroid_id
+       |      ORDER BY ${Exprs.hex60Sql("'cs:' || doc_id::VARCHAR")}, doc_id) AS INT) AS pick,
+       |    COUNT(*) OVER (PARTITION BY centroid_id) AS cluster_n
+       |  FROM d)
+       |SELECT doc_id, source, centroid_id, pick, cluster_n
+       |FROM ranked
+       |WHERE pick <= greatest(1, (cluster_n * $fracPct + 99) // 100)
+       |ORDER BY doc_id""".stripMargin
+
   def semanticDedupSql(threshold: Double = 0.4, bits: Int = 4): String =
     s"""WITH pairs AS (${VectorOps.nearDupLshSql(threshold, bits)}),
        |dropped AS (

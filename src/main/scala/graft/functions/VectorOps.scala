@@ -184,6 +184,69 @@ object VectorOps {
        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Corpus-wide k-nearest-neighbor GRAPH — every vector's top-`kNn`
+    * cosine neighbors among the vectors sharing its IVF cell, plus a
+    * `mutual` flag (dst also lists src in its own top-k). The kNN graph is
+    * the backbone relation of graph-based curation: SemDeDup-style cluster
+    * pruning, diversity sampling, and label propagation all consume it.
+    *
+    * Scale shape: NOT the brute-force [[knn]] (that broadcasts a fixed
+    * query set; here every vector is a query, so all-pairs would be n²).
+    * One shuffle on `centroid_id` co-locates each IVF cell; the per-cell
+    * self-join is bounded by cell size (at 100 TB: raise `kCentroids` so
+    * cells stay ~constant — n/k² work per cell times k cells). The edge
+    * relation (n×kNn rows) is materialized once and the mutual flag is a
+    * self equi-join on it — never a second candidate generation.
+    */
+  def knnGraph(spark: SparkSession, dir: String, kNn: Int = 5,
+               kCentroids: Int = 16,
+               mat: Materialize = Materialize.Local): DataFrame = {
+    val assigned = sharedIvfAssign(spark, dir, kCentroids, mat)
+    val e = prepared(spark, dir).join(assigned, "vec_id")
+    val a = e.select(col("centroid_id"), col("vec_id").as("src"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("centroid_id"), col("vec_id").as("dst"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val sims = a.join(b, Seq("centroid_id")).filter(col("src") =!= col("dst"))
+      .withColumn("cos_sim",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos_sim").desc, col("dst"))
+    val edges = mat(sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNn)
+      .select(col("src"), col("dst"), col("rank"), col("cos_sim")))
+    val back = edges.select(col("src").as("b_dst"), col("dst").as("b_src"))
+    edges.join(back,
+        col("src") === col("b_src") && col("dst") === col("b_dst"), "left")
+      .select(col("src"), col("dst"), col("rank"), col("cos_sim"),
+        col("b_src").isNotNull.as("mutual"))
+      .orderBy(col("src"), col("rank"))
+  }
+
+  def knnGraphSql(kNn: Int = 5, kCentroids: Int = 16): String =
+    s"""WITH e0 AS ($preparedSql),
+       |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e0 WHERE vec_id < $kCentroids),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT e0.vec_id, c.centroid_id, ROW_NUMBER() OVER (
+       |      PARTITION BY e0.vec_id
+       |      ORDER BY list_dot_product(e0.v, c.cv) / (e0.nrm * c.cn) DESC, c.centroid_id) AS rn
+       |    FROM e0, c)
+       |  WHERE rn = 1),
+       |e AS (SELECT e0.*, assign.centroid_id FROM e0 JOIN assign USING (vec_id)),
+       |sims AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+       |  FROM e a JOIN e b ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id),
+       |edges AS (
+       |  SELECT src, dst, CAST(rank AS INT) AS rank, cos_sim FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY src ORDER BY cos_sim DESC, dst) AS rank
+       |    FROM sims)
+       |  WHERE rank <= $kNn)
+       |SELECT f.src, f.dst, f.rank, f.cos_sim, (r.src IS NOT NULL) AS mutual
+       |FROM edges f LEFT JOIN edges r ON f.src = r.dst AND f.dst = r.src
+       |ORDER BY f.src, f.rank""".stripMargin
+
   /** Per-source embedding-centroid drift between the frozen base and the
     * incremental delta (same salted-hash split as `MixOps.manifestIncr`) —
     * the distribution-shift monitor a daily pipeline runs NEXT TO the

@@ -457,6 +457,26 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("events loader: ts unit normalization puts the time domain in real years") {
+    // Regression guard for the r12 incident: the testdata generator switched
+    // events.ts from TIMESTAMP(NANOS) to TIMESTAMP(MICROS) and the forced-
+    // Long read silently produced times ~1000× too small, collapsing every
+    // window/session/resample query. Pin (a) the footer-derived multiplier
+    // lands the raw integers on epoch-nanos, and (b) the canonical readings
+    // view spans a plausible wall-clock domain — any unit slip moves the
+    // domain by 3 orders of magnitude and fails both bounds.
+    val mult = Tables.tsNanosMultiplier(spark, s"${sf()}/events.parquet")
+    assert(Set(1L, 1000L, 1000000L).contains(mult))
+    val mm = graft.operators.Readings.readings(spark, sf())
+      .agg(min("sec").as("lo"), max("sec").as("hi")).head()
+    val (lo, hi) = (mm.getTimestamp(0), mm.getTimestamp(1))
+    val y2020 = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    val y2035 = java.sql.Timestamp.valueOf("2035-01-01 00:00:00")
+    assert(lo.after(y2020) && hi.before(y2035), s"time domain off: [$lo, $hi]")
+    // span must be hours, not the sub-minute smear a unit error produces
+    assert(hi.getTime - lo.getTime > 3600L * 1000, s"collapsed domain: [$lo, $hi]")
+  }
+
   test("mm_pixels: full byte path on testdata — decoded dims bind to the box") {
     val rows = Multimodal.pixelStats(spark, sf(), box = 8).collect()
     assert(rows.nonEmpty)
@@ -1077,6 +1097,52 @@ class OperatorsSpec extends SparkSuite {
     }.sum
     assert(chi2 < 2.0 * (per.length - 1),
       s"delta/source chi-square $chi2 exceeds 2x df — split correlates with source")
+  }
+
+  test("knn graph: bounded degree, mutual flag is symmetric, edges stay in-cell") {
+    val g = functions.VectorOps.knnGraph(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(4)))
+    assert(g.nonEmpty)
+    // degree bound: top-k per source, ranks dense from 1
+    g.groupBy(_._1).foreach { case (src, es) =>
+      assert(es.length <= 5, s"src $src has ${es.length} > kNn edges")
+      assert(es.map(_._3).sorted.toSeq == (1 to es.length), s"ranks not dense for $src")
+    }
+    // mutual is exactly "reverse edge exists" — and therefore symmetric
+    val edgeSet = g.map(e => (e._1, e._2)).toSet
+    g.foreach { case (s, d, _, m) =>
+      assert(m == edgeSet.contains((d, s)), s"mutual flag wrong on ($s,$d)")
+    }
+    assert(g.exists(_._4) && g.exists(!_._4),
+      "fixture degenerate: need both mutual and one-way edges")
+    // candidate generation is IVF-bucketed: every edge joins two vectors
+    // of the same cell (the scale contract — no cross-cell pair is scored)
+    val cell = functions.VectorOps.ivfAssign(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    g.foreach { case (s, d, _, _) =>
+      assert(cell(s) == cell(d), s"edge ($s,$d) crosses IVF cells")
+    }
+  }
+
+  test("coreset sample: per-cell quota with coverage floor, deterministic") {
+    val cs = functions.MixOps.coresetSample(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3), r.getLong(4)))
+    val cells = functions.VectorOps.ivfAssign(spark, sf()).collect()
+      .map(_.getLong(1)).groupBy(identity).map { case (c, a) => c -> a.length.toLong }
+    // every non-empty cell is represented (the coverage floor), and each
+    // cell contributes exactly min over its quota = ceil(10% of cell size)
+    val perCell = cs.groupBy(_._2).map { case (c, a) => c -> a.length.toLong }
+    assert(perCell.keySet == cells.keySet,
+      s"cells missing from coreset: ${cells.keySet -- perCell.keySet}")
+    cells.foreach { case (c, n) =>
+      val quota = math.max(1L, (n * 10 + 99) / 100)
+      assert(perCell(c) == quota, s"cell $c: picked ${perCell(c)}, quota $quota (n=$n)")
+      // reported cluster_n matches the true cell size
+      cs.filter(_._2 == c).foreach(r => assert(r._4 == n))
+    }
+    // determinism: a second run picks the identical doc set
+    val again = functions.MixOps.coresetSample(spark, sf()).collect().map(_.getLong(0)).toSet
+    assert(again == cs.map(_._1).toSet)
   }
 
   test("skewed fixture: ranged qualityTiers and salted capPerSource are row-identical to single-window") {
