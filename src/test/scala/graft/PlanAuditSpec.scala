@@ -261,4 +261,34 @@ class PlanAuditSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must avoid a global sort:\n$plan")
   }
+
+  test("v_knn_graph: candidates stay in-cell, mutual flag reads the materialized edges") {
+    val plan = executedPlan("v_knn_graph")
+    // the per-cell self-join must plan as an equi-join on centroid_id —
+    // a cartesian/nested-loop node is the n² path the IVF bucketing exists
+    // to avoid
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"knn-graph candidates must stay bucketed:\n$plan")
+    // the mutual join consumes the MATERIALIZED n×k edge relation
+    // (localCheckpoint → ExistingRDD scan), never a second candidate
+    // generation: exactly zero Window nodes may appear in the final plan
+    // (the ranking ran before materialization)
+    assert(plan.contains("ExistingRDD"),
+      s"mutual flag must join the materialized edges:\n$plan")
+    assert(!plan.contains("Window"),
+      s"ranking must not re-run in the mutual join plan:\n$plan")
+  }
+
+  test("d_coreset: rank and cell-size windows share one centroid exchange") {
+    val plan = executedPlan("d_coreset")
+    // both window functions (pick rank, cluster_n count) are partitioned
+    // by centroid_id and must reuse ONE hash exchange; a second
+    // centroid_id exchange would double-shuffle the corpus at 100 TB
+    val centroidExchanges =
+      "[+:]- Exchange hashpartitioning\\(centroid_id".r.findAllIn(plan).length
+    assert(centroidExchanges == 1,
+      s"windows must share one centroid_id exchange (got $centroidExchanges):\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"assignment join must stay keyed:\n$plan")
+  }
 }
