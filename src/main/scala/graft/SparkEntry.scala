@@ -277,6 +277,7 @@ object SparkEntry {
     "v_ivf_incr" -> ((s, dir) => VectorOps.ivfIncr(s, dir)),
     "v_recall_ivf_incr" -> ((s, dir) => VectorOps.annRecallIvfIncr(s, dir)),
     "v_knn_graph" -> ((s, dir) => VectorOps.knnGraph(s, dir)),
+    "v_semdedup_incr" -> ((s, dir) => VectorOps.semDedupIncr(s, dir)),
     "d_coreset" -> ((s, dir) => MixOps.coresetSample(s, dir)),
 
     // ---- multimodal plumbing ----
@@ -688,6 +689,7 @@ object SparkEntry {
       "v_ivf_incr" -> VectorOps.ivfIncrSql(),
       "v_recall_ivf_incr" -> VectorOps.annRecallIvfIncrSql(),
       "v_knn_graph" -> VectorOps.knnGraphSql(),
+      "v_semdedup_incr" -> VectorOps.semDedupIncrSql(),
       "d_coreset" -> MixOps.coresetSampleSql(),
       "mm_meta" -> Multimodal.mediaMetaSql,
       "mm_frames" -> Multimodal.frameSampleSql(),

@@ -149,7 +149,7 @@ object VectorOps {
     * (coordinate axes as hyperplanes — deterministic and oracle-expressible,
     * unlike random projections).
     */
-  private def bucketExpr(v: Column, bits: Int): Column =
+  private[graft] def bucketExpr(v: Column, bits: Int): Column =
     concat_ws("", (0 until bits).map(i =>
       when(element_at(v, i + 1) >= 0, "1").otherwise("0")): _*)
 
@@ -183,6 +183,74 @@ object VectorOps {
        |FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Incremental semantic dedup — the embedding twin of the image tier's
+    * [[graft.multimodal.Multimodal.imageDedupIncr]] and the daily-arrival
+    * form of [[graft.functions.MixOps.semanticDedup]]: classify each DELTA
+    * vector (salted [[incSplitE]] split, the unbiased-arrival contract)
+    * against the FROZEN base and against smaller-id delta vectors, using
+    * the same sign-LSH buckets as [[nearDupLsh]] — `dup_of_base` (a base
+    * vector in the same bucket has cosine ≥ threshold), `dup_in_increment`
+    * (a smaller-id delta vector does), else `kept`, with the minimum-id
+    * representative for lineage.
+    *
+    * Scale shape: two bucket equi-joins (delta×base, delta×delta) — never
+    * all-pairs; base side is touched once per increment and the base×base
+    * pair relation is never recomputed (it was settled when those vectors
+    * were admitted — the property that makes the daily job O(delta), not
+    * O(corpus²)).
+    */
+  def semDedupIncr(spark: SparkSession, dir: String, deltaMod: Int = 5,
+                   threshold: Double = 0.4, bits: Int = 4): DataFrame = {
+    val e = prepared(spark, dir).withColumn("bkt", bucketExpr(col("v"), bits))
+    val base = e.filter(incSplitE(deltaMod) =!= 0)
+      .select(col("bkt"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val delta = e.filter(incSplitE(deltaMod) === 0)
+      .select(col("bkt"), col("vec_id").as("id"), col("v"), col("nrm"))
+    val ofBase = delta.join(base, Seq("bkt"))
+      .filter(dot(col("v"), col("vb")) / (col("nrm") * col("nb")) >= threshold)
+      .groupBy("id").agg(min("id_b").as("dup_of_b"))
+    val dd = delta.select(col("bkt"), col("id").as("id_d"), col("v").as("vd"), col("nrm").as("nd"))
+    val inDelta = delta.join(dd, Seq("bkt")).filter(col("id_d") < col("id"))
+      .filter(dot(col("v"), col("vd")) / (col("nrm") * col("nd")) >= threshold)
+      .groupBy("id").agg(min("id_d").as("dup_in_d"))
+    delta
+      .join(ofBase, Seq("id"), "left")
+      .join(inDelta, Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("bkt"),
+        (col("dup_of_b").isNull && col("dup_in_d").isNull).as("keep"),
+        when(col("dup_of_b").isNotNull, "dup_of_base")
+          .when(col("dup_in_d").isNotNull, "dup_in_increment")
+          .otherwise("kept").as("drop_reason"),
+        coalesce(col("dup_of_b"), col("dup_in_d")).as("dup_of"))
+      .orderBy("vec_id")
+  }
+
+  def semDedupIncrSql(deltaMod: Int = 5, threshold: Double = 0.4, bits: Int = 4): String =
+    s"""WITH e AS (SELECT *, ${bucketSql(bits)} AS bkt FROM ($preparedSql)),
+       |tag AS (SELECT vec_id, v, nrm, bkt, ${incSplitSql(deltaMod)} = 0 AS is_delta FROM e),
+       |base AS (SELECT * FROM tag WHERE NOT is_delta),
+       |delta AS (SELECT * FROM tag WHERE is_delta),
+       |ofbase AS (
+       |  SELECT d.vec_id, min(b.vec_id) AS dup_of_b
+       |  FROM delta d JOIN base b ON d.bkt = b.bkt
+       |    AND list_dot_product(d.v, b.v) / (d.nrm * b.nrm) >= $threshold
+       |  GROUP BY d.vec_id),
+       |indelta AS (
+       |  SELECT d.vec_id, min(e2.vec_id) AS dup_in_d
+       |  FROM delta d JOIN delta e2 ON d.bkt = e2.bkt AND e2.vec_id < d.vec_id
+       |    AND list_dot_product(d.v, e2.v) / (d.nrm * e2.nrm) >= $threshold
+       |  GROUP BY d.vec_id)
+       |SELECT d.vec_id, d.bkt,
+       |  (ob.dup_of_b IS NULL AND ind.dup_in_d IS NULL) AS keep,
+       |  CASE WHEN ob.dup_of_b IS NOT NULL THEN 'dup_of_base'
+       |       WHEN ind.dup_in_d IS NOT NULL THEN 'dup_in_increment'
+       |       ELSE 'kept' END AS drop_reason,
+       |  COALESCE(ob.dup_of_b, ind.dup_in_d) AS dup_of
+       |FROM delta d
+       |LEFT JOIN ofbase ob ON d.vec_id = ob.vec_id
+       |LEFT JOIN indelta ind ON d.vec_id = ind.vec_id
+       |ORDER BY d.vec_id""".stripMargin
 
   /** Corpus-wide k-nearest-neighbor GRAPH — every vector's top-`kNn`
     * cosine neighbors among the vectors sharing its IVF cell, plus a

@@ -279,6 +279,14 @@ class PlanAuditSpec extends SparkSuite {
       s"ranking must not re-run in the mutual join plan:\n$plan")
   }
 
+  test("v_semdedup_incr: both classification joins stay bucketed — no all-pairs") {
+    val plan = executedPlan("v_semdedup_incr")
+    // delta×base and delta×delta must both plan as equi-joins on bkt; a
+    // cartesian/nested-loop node is the O(corpus²) path the buckets avoid
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"semantic-dedup classification must stay bucketed:\n$plan")
+  }
+
   test("d_coreset: rank and cell-size windows share one centroid exchange") {
     val plan = executedPlan("d_coreset")
     // both window functions (pick rank, cluster_n count) are partitioned
