@@ -279,6 +279,7 @@ object SparkEntry {
     "v_knn_graph" -> ((s, dir) => VectorOps.knnGraph(s, dir)),
     "v_semdedup_incr" -> ((s, dir) => VectorOps.semDedupIncr(s, dir)),
     "d_coreset" -> ((s, dir) => MixOps.coresetSample(s, dir)),
+    "d_mix_temperature" -> ((s, dir) => MixOps.mixTemperature(s, dir)),
 
     // ---- multimodal plumbing ----
     "mm_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir).orderBy(col("media_id"))),
@@ -691,6 +692,7 @@ object SparkEntry {
       "v_knn_graph" -> VectorOps.knnGraphSql(),
       "v_semdedup_incr" -> VectorOps.semDedupIncrSql(),
       "d_coreset" -> MixOps.coresetSampleSql(),
+      "d_mix_temperature" -> MixOps.mixTemperatureSql(),
       "mm_meta" -> Multimodal.mediaMetaSql,
       "mm_frames" -> Multimodal.frameSampleSql(),
       "mm_resize" -> Multimodal.resizePlanSql(),

@@ -365,6 +365,79 @@ object MixOps {
        |  FROM documents)
        |WHERE rnk <= $k ORDER BY doc_id""".stripMargin
 
+  // ---- temperature-flattened source mix ----
+
+  /** Temperature-flattened source sampling — the multilingual training
+    * recipe "sample source s ∝ n_s^α" at α = 1/2: per-source targets are
+    * the rational split of `budget` by weight `isqrt(n_s)` (head sources
+    * flatten, tail sources gain share vs proportional sampling), then each
+    * source keeps its salted-hash top-`target` — the deterministic
+    * counterpart of temperature sampling a data loader applies at read
+    * time, pushed into the corpus build where it belongs at 100 TB.
+    *
+    * Cross-engine parity: `floor(sqrt(n))` of an exact integer count is
+    * identical on both engines (IEEE sqrt is correctly rounded, counts
+    * ≪ 2^52), and the budget split is integer math (`(budget*w) DIV W`).
+    * Targets below 1 stay 0 — temperature sampling reweights, it does not
+    * promise coverage (that's [[coresetSample]]'s floor).
+    *
+    * SKEW: same two-stage window as [[capPerSource]] (hash-salted
+    * sub-partitions, top-target per bucket, re-rank survivors) — a hot
+    * source never serializes onto one reducer; stage-2 partitions are
+    * bounded by `salts × target ≤ salts × budget`, never by data.
+    */
+  def mixTemperature(spark: SparkSession, dir: String, budget: Long = 300,
+                     salts: Int = 8): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val counts = Tables.documents(spark, dir).groupBy("source")
+      .agg(count(lit(1)).as("n_src"))
+      .withColumn("w", floor(sqrt(col("n_src").cast("double"))).cast("long"))
+    val totalW = counts.agg(sum("w").as("w_total"))
+    val targets = broadcast(counts.crossJoin(broadcast(totalW))
+      .withColumn("target",
+        least(col("n_src"), expr(s"($budget * w) DIV w_total")))
+      .select(col("source"), col("n_src"), col("target")))
+    val h = Exprs.hex60(concat(lit("temp:"), col("doc_id").cast("string")))
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .withColumn("h", h).join(targets, Seq("source"))
+    val pre =
+      if (salts == 1) base
+      else {
+        val w1 = Window.partitionBy("source", "graft_salt")
+          .orderBy(col("h"), col("doc_id"))
+        base
+          .withColumn("graft_salt", pmod(hash(col("doc_id")), lit(salts)))
+          .withColumn("r1", row_number().over(w1))
+          .filter(col("r1") <= col("target"))
+          .drop("graft_salt", "r1")
+      }
+    val w2 = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    pre
+      .withColumn("rnk", row_number().over(w2))
+      .filter(col("rnk") <= col("target"))
+      .select(col("doc_id"), col("source"), col("rnk"), col("target"), col("n_src"))
+      .orderBy("doc_id")
+  }
+
+  def mixTemperatureSql(budget: Long = 300): String =
+    s"""WITH c AS (
+       |  SELECT source, COUNT(*) AS n_src,
+       |    CAST(floor(sqrt(COUNT(*))) AS BIGINT) AS w
+       |  FROM documents GROUP BY source),
+       |t AS (
+       |  SELECT source, n_src,
+       |    least(n_src, ($budget * w) // (SELECT sum(w) FROM c)) AS target
+       |  FROM c),
+       |r AS (
+       |  SELECT doc_id, source,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY ${Exprs.hex60Sql("'temp:' || doc_id::VARCHAR")}, doc_id) AS INT) AS rnk
+       |  FROM documents)
+       |SELECT r.doc_id, r.source, r.rnk, t.target, t.n_src
+       |FROM r JOIN t ON r.source = t.source
+       |WHERE r.rnk <= t.target
+       |ORDER BY r.doc_id""".stripMargin
+
   // ---- epoch upsampling by quality tier ----
 
   /** The complement of [[mixRebalance]]'s downsampling: repeat documents by

@@ -1145,6 +1145,45 @@ class OperatorsSpec extends SparkSuite {
     assert(again == cs.map(_._1).toSet)
   }
 
+  test("mix temperature: isqrt targets flatten the mix; salted path row-identical") {
+    val sel = functions.MixOps.mixTemperature(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    val bySrc = sel.groupBy(_._2)
+    // selection honors the computed target exactly: per source, picked
+    // count == target (target ≤ n_src by construction)
+    bySrc.foreach { case (s, rows) =>
+      val target = rows.head._4
+      assert(rows.length == target, s"source $s picked ${rows.length} != target $target")
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length), s"ranks not dense for $s")
+    }
+    // targets are the integer rational split of the budget by isqrt(n):
+    // recompute from the raw counts and compare
+    val counts = Tables.documents(spark, sf()).groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wTotal = counts.values.map(n => math.sqrt(n.toDouble).toLong).sum
+    bySrc.foreach { case (s, rows) =>
+      val w = math.sqrt(counts(s).toDouble).toLong
+      val expect = math.min(counts(s), 300L * w / wTotal)
+      assert(rows.head._4 == expect, s"source $s target ${rows.head._4} != $expect")
+    }
+    // the flattening property itself: a larger source's selected SHARE of
+    // its documents is no higher than a smaller source's (monotone
+    // flattening — proportional sampling would keep shares equal)
+    val shares = bySrc.map { case (s, rows) => counts(s) -> rows.length.toDouble / counts(s) }
+      .toSeq.sortBy(_._1)
+    shares.sliding(2).foreach { case Seq((nA, shA), (nB, shB)) =>
+      if (nA < nB) assert(shB <= shA + 1e-9,
+        s"flattening violated: n=$nA share=$shA vs n=$nB share=$shB")
+      case _ => ()
+    }
+    // the skew-safe two-stage window must be row-identical to the single
+    // window (same guarantee the capPerSource machinery pins)
+    val single = functions.MixOps.mixTemperature(spark, sf(), salts = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(single == sel.map(r => (r._1, r._3)).toSet,
+      "salted two-stage selection diverges from the single-window reference")
+  }
+
   test("skewed fixture: ranged qualityTiers and salted capPerSource are row-identical to single-window") {
     // one language / one source owns 90% of the corpus — the shape where a
     // plain per-key window serializes onto one reducer at 100 TB. The skew
