@@ -278,6 +278,7 @@ object SparkEntry {
     "v_recall_ivf_incr" -> ((s, dir) => VectorOps.annRecallIvfIncr(s, dir)),
     "v_knn_graph" -> ((s, dir) => VectorOps.knnGraph(s, dir)),
     "v_semdedup_incr" -> ((s, dir) => VectorOps.semDedupIncr(s, dir)),
+    "v_sem_clusters" -> ((s, dir) => VectorOps.semClusters(s, dir)),
     "d_coreset" -> ((s, dir) => MixOps.coresetSample(s, dir)),
     "d_mix_temperature" -> ((s, dir) => MixOps.mixTemperature(s, dir)),
 
@@ -691,6 +692,7 @@ object SparkEntry {
       "v_recall_ivf_incr" -> VectorOps.annRecallIvfIncrSql(),
       "v_knn_graph" -> VectorOps.knnGraphSql(),
       "v_semdedup_incr" -> VectorOps.semDedupIncrSql(),
+      "v_sem_clusters" -> VectorOps.semClustersSql(),
       "d_coreset" -> MixOps.coresetSampleSql(),
       "d_mix_temperature" -> MixOps.mixTemperatureSql(),
       "mm_meta" -> Multimodal.mediaMetaSql,

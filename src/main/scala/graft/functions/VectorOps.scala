@@ -315,6 +315,69 @@ object VectorOps {
        |FROM edges f LEFT JOIN edges r ON f.src = r.dst AND f.dst = r.src
        |ORDER BY f.src, f.rank""".stripMargin
 
+  /** Semantic clusters — connected components over the MUTUAL kNN edges
+    * with cosine ≥ `threshold`: the SemDeDup-style grouping relation
+    * ("these documents say the same thing") that [[knnGraph]] exists to
+    * feed. Mutuality + threshold prune the asymmetric hub edges a plain
+    * kNN graph is full of, so components track genuine semantic groups
+    * rather than chaining through popular vectors.
+    *
+    * Same min-label propagation loop as the text tier's
+    * [[graft.functions.TextOps.dupClusters]] (per round: one edge⋈label
+    * shuffle, convergence count via Observation, loud failure at the round
+    * cap), but over the DIRECT edge list — the mutual edge relation is
+    * n×k-bounded, already symmetric (a mutual pair appears in both
+    * directions), and materialized once. Oracle = recursive-CTE transitive
+    * closure, a genuinely different algorithm.
+    */
+  def semClusters(spark: SparkSession, dir: String, threshold: Double = 0.4,
+                  kNn: Int = 5, kCentroids: Int = 16,
+                  mat: Materialize = Materialize.Local): DataFrame = {
+    val edges = mat(knnGraph(spark, dir, kNn, kCentroids, mat)
+      .filter(col("mutual") && col("cos_sim") >= threshold)
+      .select(col("src"), col("dst")))
+    var labels = mat(prepared(spark, dir).select(col("vec_id"))
+      .withColumn("label", col("vec_id")))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 40) {
+      val nbrMin = edges
+        .join(labels.select(col("vec_id").as("dst"), col("label").as("dlabel")), "dst")
+        .groupBy(col("src")).agg(min(col("dlabel")).as("nbr_min"))
+      val stepped = labels
+        .join(nbrMin.withColumnRenamed("src", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          (coalesce(col("nbr_min"), col("label")) < col("label")).cast("long").as("chg"))
+      val obs = org.apache.spark.sql.Observation()
+      val next = mat(stepped.observe(obs, sum(col("chg")).as("changed")))
+      changed = obs.get("changed").asInstanceOf[Long]
+      labels = next.drop("chg")
+      rounds += 1
+    }
+    require(changed == 0,
+      s"semClusters did not converge within $rounds rounds ($changed labels still moving)")
+    labels
+      .withColumn("cluster_size", count(lit(1)).over(
+        Window.partitionBy(col("label"))))
+      .select(col("vec_id"), col("label").as("cluster_rep"), col("cluster_size"))
+      .orderBy(col("vec_id"))
+  }
+
+  def semClustersSql(threshold: Double = 0.4, kNn: Int = 5, kCentroids: Int = 16): String =
+    s"""WITH RECURSIVE edges AS (
+       |  SELECT src, dst FROM (${knnGraphSql(kNn, kCentroids)})
+       |  WHERE mutual AND cos_sim >= $threshold),
+       |nodes AS (SELECT vec_id FROM ($preparedSql)),
+       |reach(v, r) AS (
+       |  SELECT vec_id, vec_id FROM nodes
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.v),
+       |rep AS (SELECT v, min(r) AS cluster_rep FROM reach GROUP BY v)
+       |SELECT v AS vec_id, cluster_rep,
+       |  count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+       |FROM rep ORDER BY vec_id""".stripMargin
+
   /** Per-source embedding-centroid drift between the frozen base and the
     * incremental delta (same salted-hash split as `MixOps.manifestIncr`) —
     * the distribution-shift monitor a daily pipeline runs NEXT TO the

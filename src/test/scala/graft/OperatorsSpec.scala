@@ -1124,6 +1124,30 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("sem clusters: components equal a union-find over the mutual edge list") {
+    val got = functions.VectorOps.semClusters(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force union-find over the same mutual thresholded edges
+    val edges = functions.VectorOps.knnGraph(spark, sf()).collect()
+      .filter(r => r.getBoolean(4) && r.getDouble(3) >= 0.4)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    got.keys.foreach(v => parent(v) = v)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonical min-id representative per component
+    val rep = got.keys.groupBy(find).flatMap { case (_, vs) =>
+      val m = vs.min; vs.map(_ -> m)
+    }
+    assert(got == rep, "propagated labels diverge from union-find components")
+    // the relation is non-degenerate: some true cluster AND some singleton
+    val sizes = got.values.groupBy(identity).map(_._2.size)
+    assert(sizes.exists(_ > 1) && sizes.exists(_ == 1),
+      s"fixture degenerate: cluster sizes ${sizes.toSeq.sorted.reverse.take(5)}")
+  }
+
   test("coreset sample: per-cell quota with coverage floor, deterministic") {
     val cs = functions.MixOps.coresetSample(spark, sf()).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getInt(3), r.getLong(4)))
