@@ -517,6 +517,37 @@ class StreamingSpec extends SparkSuite {
       s"kept $kept: expected base near-dup 1 rejected, 2 and off-bucket 3 admitted, retry 4 collapsed")
   }
 
+  test("vector stream admission: fingerprint dedup state survives a checkpointed restart") {
+    import graft.streaming.VectorDedupStream
+    val ts = (s: Int) => Timestamp.valueOf(f"2026-01-01 10:00:$s%02d")
+    // empty base: this test isolates the STATEFUL half (exact-fingerprint
+    // dedup); the admission anti-join is stateless and covered above
+    val base = Seq.empty[(String, Long, Seq[Double], Double)]
+      .toDF("b_bkt", "id_b", "vb", "nb")
+    val vec = Seq(0.3, 0.4, 0.5, 0.6)
+    val other = Seq(9.0, 8.0, 7.0, 6.0)
+    val ckpt = java.nio.file.Files.createTempDirectory("vecdedup_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("vecdedup_out").toString
+    val in = MemoryStream[(Long, Seq[Double], Timestamp)]
+    val out = VectorDedupStream(in.toDF().toDF("vec_id", "v", "ingest_ts"), base)
+    def start() = out.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    in.addData((1L, vec, ts(0)))
+    q1.processAllAvailable()
+    q1.stop()
+    // restart from the SAME checkpoint: only recovered fingerprint state
+    // can drop the retry of vec_id 1's content arriving as vec_id 2
+    val q2 = start()
+    in.addData((2L, vec, ts(1)), (3L, other, ts(2)))
+    q2.processAllAvailable()
+    q2.stop()
+    val kept = spark.read.parquet(outDir).select("vec_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L),
+      s"kept ${kept.toSeq}: retry (2) must hit recovered state, fresh content (3) must pass")
+  }
+
   test("vector stream admission agrees with the batch incremental tier on base verdicts") {
     import graft.streaming.VectorDedupStream
     // differential contract on the REAL testdata: stream every delta-split
