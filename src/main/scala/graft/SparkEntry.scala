@@ -279,6 +279,7 @@ object SparkEntry {
     "v_knn_graph" -> ((s, dir) => VectorOps.knnGraph(s, dir)),
     "v_semdedup_incr" -> ((s, dir) => VectorOps.semDedupIncr(s, dir)),
     "v_sem_clusters" -> ((s, dir) => VectorOps.semClusters(s, dir)),
+    "v_dup_rate_incr" -> ((s, dir) => VectorOps.dupRateIncr(s, dir)),
     "d_coreset" -> ((s, dir) => MixOps.coresetSample(s, dir)),
     "d_mix_temperature" -> ((s, dir) => MixOps.mixTemperature(s, dir)),
 
@@ -693,6 +694,7 @@ object SparkEntry {
       "v_knn_graph" -> VectorOps.knnGraphSql(),
       "v_semdedup_incr" -> VectorOps.semDedupIncrSql(),
       "v_sem_clusters" -> VectorOps.semClustersSql(),
+      "v_dup_rate_incr" -> VectorOps.dupRateIncrSql(),
       "d_coreset" -> MixOps.coresetSampleSql(),
       "d_mix_temperature" -> MixOps.mixTemperatureSql(),
       "mm_meta" -> Multimodal.mediaMetaSql,

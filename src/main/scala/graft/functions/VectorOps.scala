@@ -252,6 +252,47 @@ object VectorOps {
        |LEFT JOIN indelta ind ON d.vec_id = ind.vec_id
        |ORDER BY d.vec_id""".stripMargin
 
+  /** Per-source incremental duplication-rate monitor — the third member of
+    * the arrival-monitor family ([[embeddingDrift]] watches WHERE the
+    * delta's embeddings sit, [[graft.functions.TextOps]]'s `d_novelty`
+    * watches its n-grams; this watches how much of it is ALREADY OWNED):
+    * aggregate [[semDedupIncr]]'s verdicts by the document's source —
+    * n_delta / n_dup_base / n_dup_incr and the permille dup rate (integer
+    * math, the cross-engine parity rule). A source whose arrivals suddenly
+    * duplicate the base is a scraper loop or a re-crawl; one duplicating
+    * itself is a feed stutter — both caught before admission.
+    *
+    * Scale shape: the classification is [[semDedupIncr]] (delta-bound,
+    * bucketed); this adds one |sources|-key hash agg and a broadcast-size
+    * join to documents for the source column.
+    */
+  def dupRateIncr(spark: SparkSession, dir: String, deltaMod: Int = 5,
+                  threshold: Double = 0.4, bits: Int = 4): DataFrame = {
+    val verdicts = semDedupIncr(spark, dir, deltaMod, threshold, bits)
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id").as("vec_id"), col("source"))
+    verdicts.join(src, "vec_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_delta"),
+        sum(when(col("drop_reason") === "dup_of_base", 1L).otherwise(0L)).as("n_dup_base"),
+        sum(when(col("drop_reason") === "dup_in_increment", 1L).otherwise(0L)).as("n_dup_incr"))
+      .withColumn("dup_permille",
+        expr("((n_dup_base + n_dup_incr) * 1000) DIV n_delta"))
+      .orderBy("source")
+  }
+
+  def dupRateIncrSql(deltaMod: Int = 5, threshold: Double = 0.4, bits: Int = 4): String =
+    s"""WITH verdicts AS (${semDedupIncrSql(deltaMod, threshold, bits)})
+       |SELECT d.source,
+       |  COUNT(*) AS n_delta,
+       |  sum(CASE WHEN v.drop_reason = 'dup_of_base' THEN 1 ELSE 0 END) AS n_dup_base,
+       |  sum(CASE WHEN v.drop_reason = 'dup_in_increment' THEN 1 ELSE 0 END) AS n_dup_incr,
+       |  ((sum(CASE WHEN v.drop_reason <> 'kept' THEN 1 ELSE 0 END)) * 1000) // COUNT(*) AS dup_permille
+       |FROM verdicts v JOIN documents d ON v.vec_id = d.doc_id
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
+
   /** Corpus-wide k-nearest-neighbor GRAPH — every vector's top-`kNn`
     * cosine neighbors among the vectors sharing its IVF cell, plus a
     * `mutual` flag (dst also lists src in its own top-k). The kNN graph is
