@@ -1148,6 +1148,23 @@ class OperatorsSpec extends SparkSuite {
       s"fixture degenerate: cluster sizes ${sizes.toSeq.sorted.reverse.take(5)}")
   }
 
+  test("dup rate monitor: per-source counts reconcile with the semdedup verdicts") {
+    val rates = functions.VectorOps.dupRateIncr(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rates.nonEmpty)
+    rates.foreach { case (s, n, db, di, pm) =>
+      assert(n > 0 && db >= 0 && di >= 0 && db + di <= n, s"counts inconsistent for $s")
+      assert(pm == (db + di) * 1000 / n, s"permille wrong for $s")
+    }
+    // column totals must equal the verdict relation's class totals — the
+    // monitor is an aggregation, not a re-classification
+    val verdicts = functions.VectorOps.semDedupIncr(spark, sf()).collect()
+      .map(_.getString(3))
+    assert(rates.map(_._2).sum == verdicts.length)
+    assert(rates.map(_._3).sum == verdicts.count(_ == "dup_of_base"))
+    assert(rates.map(_._4).sum == verdicts.count(_ == "dup_in_increment"))
+  }
+
   test("coreset sample: per-cell quota with coverage floor, deterministic") {
     val cs = functions.MixOps.coresetSample(spark, sf()).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getInt(3), r.getLong(4)))
