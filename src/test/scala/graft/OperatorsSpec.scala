@@ -615,6 +615,11 @@ class OperatorsSpec extends SparkSuite {
       .head().getDouble(0)
     assert(!d.isNaN)
     assert(spark.sql("SELECT count(*) FROM events").head().getLong(0) > 0)
+    // the registered events view carries the NORMALIZED epoch-nanos ts —
+    // 2020-01-01 in nanos is ~1.58e18, so any unit slip (micros 1.6e15,
+    // millis 1.6e12) fails by three orders of magnitude
+    assert(spark.sql("SELECT min(ts) FROM events").head().getLong(0) > 1500000000000000000L,
+      "registered events.ts is not epoch-nanos")
     // SQL-registered engine primitives match their Column definitions
     val fns = spark.sql("SELECT hex60('abc'), norm_text('  A  b ')").head()
     assert(fns.getLong(0) == spark.range(1)
