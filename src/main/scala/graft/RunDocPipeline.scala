@@ -124,6 +124,33 @@ object RunDocPipeline {
       spark.read.parquet(s"$workDir/media_kept").count()
     } catch { case _: Throwable => 0L }
 
+    // embedding tier of the same ingest: the corpus delta's embeddings
+    // (salted split — the same "arrived since the last build" sample the
+    // incremental index/dedup operators use) stream through semantic
+    // admission against the frozen base bucket index — the vector twin of
+    // the image stage above, same defensive wrapper
+    val vectorsAdmitted = try {
+      import graft.streaming.VectorDedupStream
+      import graft.functions.VectorOps
+      val vecIn = VectorOps.prepared(spark, sfDir)
+        .filter(VectorOps.incSplitE(5) === 0)
+        .select(col("vec_id"), col("v"), current_timestamp().as("ingest_ts"))
+      vecIn.write.mode(SaveMode.Overwrite).parquet(s"$workDir/vec_in")
+      val vecStream = spark.readStream
+        .schema("vec_id BIGINT, v ARRAY<DOUBLE>, ingest_ts TIMESTAMP")
+        .parquet(s"$workDir/vec_in")
+      val q5 = VectorDedupStream(vecStream,
+          VectorDedupStream.frozenBase(spark, sfDir))
+        .writeStream.format("parquet")
+        .option("path", s"$workDir/vec_admitted")
+        .option("checkpointLocation", s"$workDir/ckpt5")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q5.awaitTermination(300000)
+      spark.read.parquet(s"$workDir/vec_admitted").count()
+    } catch { case _: Throwable => 0L }
+
     val kept = try spark.read.parquet(s"$workDir/out").count()
                catch { case _: Throwable => 0L }
     val (admitted, rejected) = try {
@@ -151,7 +178,7 @@ object RunDocPipeline {
     val shardDocs = m.agg(sum("n_docs")).collect()(0).getLong(0)
     val shardTokens = m.agg(sum("n_tokens")).collect()(0).getLong(0)
 
-    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept}""")
+    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept,"vectors_admitted":$vectorsAdmitted}""")
     spark.stop()
   }
 }
