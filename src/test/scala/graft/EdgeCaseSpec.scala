@@ -70,4 +70,46 @@ class EdgeCaseSpec extends SparkSuite {
     assert(c == Seq((2L, 3L, 1.0)))
     TextOps.jaccardPairs(spark, tmp).collect() // no crash is the contract
   }
+
+  test("semDedupIncr: empty delta yields empty verdicts; all-dup delta classifies, zero-norm drops") {
+    import graft.functions.VectorOps
+    // partition candidate ids by the operator's OWN salted split so the
+    // fixture can't drift from the engine's residue definition
+    val residues = spark.range(0, 100).select(col("id").as("vec_id"),
+        VectorOps.incSplitE(5).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val baseIds = residues.collect { case (id, r) if r != 0 => id }.toSeq.sorted
+    val deltaIds = residues.collect { case (id, r) if r == 0 => id }.toSeq.sorted
+    assert(baseIds.size >= 3 && deltaIds.size >= 2, "fixture needs both residue classes")
+
+    def write(rows: Seq[(Long, String, Seq[Float])]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("edgevec").toString
+      rows.toDF("vec_id", "label", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      rows.map(r => (r._1, s"src${r._1 % 2}"))
+        .toDF("doc_id", "source")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val v = Seq(1f, 2f, 3f, 4f)
+
+    // (a) base-only corpus: the increment is empty — verdicts AND the
+    // dup-rate monitor must return zero rows, not crash
+    val dirA = write(baseIds.take(3).map(id => (id, "l", v)))
+    assert(VectorOps.semDedupIncr(spark, dirA).count() == 0)
+    assert(VectorOps.dupRateIncr(spark, dirA).count() == 0)
+
+    // (b) identical vector everywhere + a zero-norm delta row: both real
+    // delta rows are dup_of_base with the (single) base id as
+    // representative; the zero vector never enters (cosine undefined)
+    val zeroId = deltaIds(1)
+    val dirB = write(Seq(
+      (baseIds.head, "l", v),
+      (deltaIds.head, "l", v),
+      (zeroId, "l", Seq(0f, 0f, 0f, 0f))))
+    val got = VectorOps.semDedupIncr(spark, dirB).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq((deltaIds.head, false, "dup_of_base", baseIds.head)),
+      s"got ${got.toSeq}")
+  }
 }
