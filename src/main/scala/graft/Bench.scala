@@ -118,6 +118,11 @@ object Bench {
       }
     overBudget.foreach(k => System.err.println(
       s"[bench] BUDGET: $k exceeds ${budgetSec}s at sf0.1 with no PLANS.md justification row"))
+    // transparency: where the shared_build lump went, largest first
+    // (stderr only — the one-line JSON driver contract is unchanged)
+    SharedRel.buildBreakdown(spark).foreach { case (k, s) =>
+      System.err.println(f"[bench] shared_build detail: $k%-40s ${s}%.2f s")
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -78,6 +78,22 @@ object SharedRel {
     Option(buildSecs.get(spark)).map(_.sum()).getOrElse(0.0)
   }
 
+  /** Per-key wall-clock of OUTERMOST memo-miss builds (inner nested builds
+    * fold into the triggering key, mirroring the [[buildSecs]] accounting)
+    * — the transparency view behind Bench's single `shared_build` row.
+    */
+  private val buildByKey = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Double]]())
+
+  def buildBreakdown(spark: SparkSession): Seq[(String, Double)] =
+    buildByKey.synchronized {
+      Option(buildByKey.get(spark)).map { m =>
+        import scala.jdk.CollectionConverters._
+        m.asScala.toSeq.sortBy(-_._2)
+      }.getOrElse(Seq.empty)
+    }
+
   /** Build-nesting depth, per thread: a memo-miss build may itself trigger
     * further memo-miss builds (freezeBaseState's first call builds the
     * nearDupLsh scaffold, etc.), and the OUTER build's wall-clock already
@@ -90,16 +106,23 @@ object SharedRel {
     override def initialValue(): Integer = 0
   }
 
-  private def timed[A](spark: SparkSession)(build: => A): A = {
+  private def timed[A](spark: SparkSession, key: String)(build: => A): A = {
     val depth = buildDepth.get()
     buildDepth.set(depth + 1)
     val t0 = System.nanoTime()
     try {
       val built = build
-      if (depth == 0) buildSecs.synchronized {
-        buildSecs.computeIfAbsent(spark,
-          _ => new java.util.concurrent.atomic.DoubleAdder())
-      }.add((System.nanoTime() - t0) / 1e9)
+      if (depth == 0) {
+        val secs = (System.nanoTime() - t0) / 1e9
+        buildSecs.synchronized {
+          buildSecs.computeIfAbsent(spark,
+            _ => new java.util.concurrent.atomic.DoubleAdder())
+        }.add(secs)
+        buildByKey.synchronized {
+          buildByKey.computeIfAbsent(spark,
+            _ => new java.util.concurrent.ConcurrentHashMap[String, Double]())
+        }.merge(key, secs, (a, b) => a + b)
+      }
       built
     } finally buildDepth.set(depth)
   }
@@ -117,7 +140,7 @@ object SharedRel {
     val existing = m.get(key)
     if (existing != null) existing.asInstanceOf[A]
     else {
-      val built = timed(spark)(build)
+      val built = timed(spark, key)(build)
       val prev = m.putIfAbsent(key, built)
       (if (prev != null) prev else built).asInstanceOf[A]
     }
