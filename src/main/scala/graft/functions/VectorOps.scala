@@ -307,22 +307,34 @@ object VectorOps {
     * relation (n×kNn rows) is materialized once and the mutual flag is a
     * self equi-join on it — never a second candidate generation.
     */
+  /** The materialized n×k edge relation underlying [[knnGraph]] —
+    * session-shared ([[graft.SharedRel]]): both the graph query and its
+    * consumers ([[semClusters]]) need it, it is deterministic, and a
+    * production pipeline maintains this relation next to the IVF index
+    * rather than re-scoring candidates per consumer.
+    */
+  private def sharedKnnEdges(spark: SparkSession, dir: String, kNn: Int,
+                             kCentroids: Int, mat: Materialize): DataFrame =
+    graft.SharedRel(spark, s"knng|$dir|$kNn|$kCentroids", mat) {
+      val assigned = sharedIvfAssign(spark, dir, kCentroids, mat)
+      val e = prepared(spark, dir).join(assigned, "vec_id")
+      val a = e.select(col("centroid_id"), col("vec_id").as("src"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("centroid_id"), col("vec_id").as("dst"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      val sims = a.join(b, Seq("centroid_id")).filter(col("src") =!= col("dst"))
+        .withColumn("cos_sim",
+          round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      val w = Window.partitionBy(col("src")).orderBy(col("cos_sim").desc, col("dst"))
+      sims.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= kNn)
+        .select(col("src"), col("dst"), col("rank"), col("cos_sim"))
+    }
+
   def knnGraph(spark: SparkSession, dir: String, kNn: Int = 5,
                kCentroids: Int = 16,
                mat: Materialize = Materialize.Local): DataFrame = {
-    val assigned = sharedIvfAssign(spark, dir, kCentroids, mat)
-    val e = prepared(spark, dir).join(assigned, "vec_id")
-    val a = e.select(col("centroid_id"), col("vec_id").as("src"),
-      col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("centroid_id"), col("vec_id").as("dst"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    val sims = a.join(b, Seq("centroid_id")).filter(col("src") =!= col("dst"))
-      .withColumn("cos_sim",
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
-    val w = Window.partitionBy(col("src")).orderBy(col("cos_sim").desc, col("dst"))
-    val edges = mat(sims.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= kNn)
-      .select(col("src"), col("dst"), col("rank"), col("cos_sim")))
+    val edges = sharedKnnEdges(spark, dir, kNn, kCentroids, mat)
     val back = edges.select(col("src").as("b_dst"), col("dst").as("b_src"))
     edges.join(back,
         col("src") === col("b_src") && col("dst") === col("b_dst"), "left")
