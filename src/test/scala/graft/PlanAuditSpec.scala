@@ -287,6 +287,22 @@ class PlanAuditSpec extends SparkSuite {
       s"semantic-dedup classification must stay bucketed:\n$plan")
   }
 
+  test("d_mix_temperature: targets broadcast; no single-stage source window") {
+    val plan = executedPlan("d_mix_temperature")
+    // the |sources|-row target relation must join by broadcast — a
+    // sort-merge here would shuffle the corpus against a 20-row table
+    assert(plan.contains("BroadcastHashJoin"),
+      s"target join must broadcast:\n$plan")
+    // the skew-safe selection is two-staged: the stage-1 window must
+    // partition by (source, graft_salt) — its absence would mean the
+    // selection collapsed back to one window per source (the hot-source
+    // serialization the salting exists to break)
+    assert(plan.contains("graft_salt"),
+      s"salted stage-1 window missing:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not sort-merge against the target relation:\n$plan")
+  }
+
   test("d_coreset: rank and cell-size windows share one centroid exchange") {
     val plan = executedPlan("d_coreset")
     // both window functions (pick rank, cluster_n count) are partitioned
