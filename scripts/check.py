@@ -64,6 +64,17 @@ def main(sf_dir, out_dir):
         if sorted(got_rel.columns) != sorted(exp_rel.columns):
             print(f"  ✗ {name}: COLUMNS {sorted(got_rel.columns)} vs {sorted(exp_rel.columns)}")
             n_fail += 1
+            continue
+        # the driver's hash is type-sensitive: repr(HUGEINT 5) == repr(BIGINT 5)
+        # hides type drift, so compare DuckDB-visible column types too (the
+        # Spark side reads back through parquet → BIGINT; an uncast DuckDB
+        # sum() → HUGEINT must fail here the way the driver's hash fails)
+        got_t = dict(zip(got_rel.columns, (str(t) for t in got_rel.types)))
+        exp_t = dict(zip(exp_rel.columns, (str(t) for t in exp_rel.types)))
+        bad_t = {c: (got_t[c], exp_t[c]) for c in got_t if got_t[c] != exp_t[c]}
+        if bad_t:
+            print(f"  ✗ {name}: TYPES spark-vs-oracle {bad_t}")
+            n_fail += 1
         elif got == exp:
             print(f"  ✓ {name}: {len(got)} rows")
             n_pass += 1

@@ -178,7 +178,24 @@ object RunDocPipeline {
     val shardDocs = m.agg(sum("n_docs")).collect()(0).getLong(0)
     val shardTokens = m.agg(sum("n_tokens")).collect()(0).getLong(0)
 
-    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept,"vectors_admitted":$vectorsAdmitted}""")
+    // the temperature-flattened corpus variant: the SAME composed chain
+    // with the α=½ source flattening inserted between dedup/decontam and
+    // the shard walk (sampling runs over the survivor set — dedup first,
+    // then flatten, the production stage order). Written next to the
+    // proportional build so a trainer picks its mix per run.
+    val tempBudget = sys.env.getOrElse("GRAFT_TEMP_BUDGET", "200").toLong
+    MixOps.corpusBuild(spark, sfDir, budget = budget,
+        tempBudget = Some(tempBudget))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard_id").parquet(s"$workDir/shards_temp")
+    val mt = spark.read.parquet(s"$workDir/shards_temp")
+    val tempDocs = mt.count()
+    val tempShards = mt.select("shard_id").distinct().count()
+    val tempTokens =
+      if (tempDocs == 0) 0L
+      else mt.agg(sum("tok")).collect()(0).getLong(0)
+
+    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"temp_shards":$tempShards,"temp_docs":$tempDocs,"temp_tokens":$tempTokens,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept,"vectors_admitted":$vectorsAdmitted}""")
     spark.stop()
   }
 }

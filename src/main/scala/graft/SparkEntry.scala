@@ -300,7 +300,8 @@ object SparkEntry {
     "mm_video_containment" -> ((s, dir) => Multimodal.videoContainment(s, dir)),
     "mm_audio_fp" -> ((s, dir) =>
       Multimodal.audioFingerprint(s, dir).orderBy(col("media_id"))),
-    "mm_audio_neardup" -> ((s, dir) => Multimodal.audioNearDup(s, dir))
+    "mm_audio_neardup" -> ((s, dir) => Multimodal.audioNearDup(s, dir)),
+    "mm_audio_dedup_incr" -> ((s, dir) => Multimodal.audioDedupIncr(s, dir))
   )
 
   /** DuckDB SQL mirrors. Column names/aliases match the Spark side exactly
@@ -711,7 +712,8 @@ object SparkEntry {
       "mm_dedup_incr" -> Multimodal.imageDedupIncrSql(),
       "mm_video_containment" -> Multimodal.videoContainmentSql(),
       "mm_audio_fp" -> Multimodal.audioFingerprintSql,
-      "mm_audio_neardup" -> Multimodal.audioNearDupSql()
+      "mm_audio_neardup" -> Multimodal.audioNearDupSql(),
+      "mm_audio_dedup_incr" -> Multimodal.audioDedupIncrSql()
     )
   }
 }

@@ -55,7 +55,8 @@ object Tables {
       // a table-level property.
       val file =
         if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).map(_.getPath).find(_.getName.endsWith(".parquet")).getOrElse(p)
+          fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+            .sortBy(_.getName).headOption.getOrElse(p)
         else p
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
       try {
@@ -70,7 +71,14 @@ object Tables {
           case _ => 1L
         }
       } finally reader.close()
-    } catch { case scala.util.control.NonFatal(_) => 1L }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // a silent 1L here would reintroduce the 1000x time-collapse this
+        // probe exists to prevent — make the fallback visible in driver logs
+        System.err.println(s"[graft] WARN: ts unit probe failed for $path " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}); assuming NANOS multiplier 1")
+        1L
+    }
   }
 
   def events(spark: SparkSession, dir: String): DataFrame = {

@@ -387,9 +387,23 @@ object MixOps {
     * bounded by `salts × target ≤ salts × budget`, never by data.
     */
   def mixTemperature(spark: SparkSession, dir: String, budget: Long = 300,
-                     salts: Int = 8): DataFrame = {
+                     salts: Int = 8): DataFrame =
+    temperatureSelect(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+      budget, salts)
+      .orderBy("doc_id")
+
+  /** The relation-level core of [[mixTemperature]]: the same α=½ flattened
+    * selection over ANY (doc_id, source) relation — the [[corpusBuild]]
+    * integration point, where the flattening runs over the deduped/
+    * decontaminated survivor set rather than the raw table (sampling a
+    * corpus you then dedup re-skews the mix; dedup-then-sample is the
+    * order a production build wants).
+    */
+  private[graft] def temperatureSelect(docs: DataFrame, budget: Long,
+                                       salts: Int = 8): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
-    val counts = Tables.documents(spark, dir).groupBy("source")
+    val counts = docs.groupBy("source")
       .agg(count(lit(1)).as("n_src"))
       .withColumn("w", floor(sqrt(col("n_src").cast("double"))).cast("long"))
     val totalW = counts.agg(sum("w").as("w_total"))
@@ -398,7 +412,7 @@ object MixOps {
         least(col("n_src"), expr(s"($budget * w) DIV w_total")))
       .select(col("source"), col("n_src"), col("target")))
     val h = Exprs.hex60(concat(lit("temp:"), col("doc_id").cast("string")))
-    val base = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val base = docs.select(col("doc_id"), col("source"))
       .withColumn("h", h).join(targets, Seq("source"))
     val pre =
       if (salts == 1) base
@@ -416,7 +430,6 @@ object MixOps {
       .withColumn("rnk", row_number().over(w2))
       .filter(col("rnk") <= col("target"))
       .select(col("doc_id"), col("source"), col("rnk"), col("target"), col("n_src"))
-      .orderBy("doc_id")
   }
 
   def mixTemperatureSql(budget: Long = 300): String =
@@ -426,7 +439,7 @@ object MixOps {
        |  FROM documents GROUP BY source),
        |t AS (
        |  SELECT source, n_src,
-       |    least(n_src, ($budget * w) // (SELECT sum(w) FROM c)) AS target
+       |    CAST(least(n_src, ($budget * w) // (SELECT sum(w) FROM c)) AS BIGINT) AS target
        |  FROM c),
        |r AS (
        |  SELECT doc_id, source,
@@ -580,8 +593,15 @@ object MixOps {
     * decontam pass doesn't cover (< 3 words — too short for a shingle)
     * pass through with their raw text/counts.
     */
+  /** `tempBudget`, when set, inserts the [[mixTemperature]] flattening
+    * between the dedup/decontam stages and the shard walk — sampling the
+    * SURVIVOR set (α=½ per-source targets over post-dedup counts), the
+    * stage order a production build runs. None (the default, and what the
+    * `d_shard_manifest` oracle checks) packs every survivor.
+    */
   def corpusBuild(spark: SparkSession, dir: String, buckets: Int = 8,
-                  budget: Long = 500L): DataFrame = {
+                  budget: Long = 500L, tempBudget: Option[Long] = None,
+                  tempSalts: Int = 8): DataFrame = {
     val cur = TextOps.curate(spark, dir).filter(col("keep")).select("doc_id")
     // near-dedup = embedding-cosine semantic dedup (exact dedup is already
     // one of curate's gates). NOT the MinHash-CC cluster collapse: on a
@@ -608,7 +628,13 @@ object MixOps {
       .select(col("doc_id"), col("source"), col("tier"),
         coalesce(col("tok_clean"), col("tok_raw")).as("tok"),
         coalesce(col("text_clean"), col("norm")).as("text_out"))
-    walkOffsets(survivors, buckets)
+    val mixed = tempBudget.fold(survivors) { tb =>
+      survivors.join(
+        temperatureSelect(survivors.select(col("doc_id"), col("source")),
+          tb, tempSalts).select("doc_id"),
+        "doc_id")
+    }
+    walkOffsets(mixed, buckets)
       .withColumn("shard_id", expr(s"off div ${budget}L"))
       .select(col("doc_id"), col("source"), col("tier"), col("tok"),
         col("shard_id"), col("text_out"))
@@ -623,8 +649,9 @@ object MixOps {
     * composition surfaces as a checksum mismatch.
     */
   def shardManifest(spark: SparkSession, dir: String, buckets: Int = 8,
-                    budget: Long = 500L): DataFrame =
-    corpusBuild(spark, dir, buckets, budget)
+                    budget: Long = 500L,
+                    tempBudget: Option[Long] = None): DataFrame =
+    corpusBuild(spark, dir, buckets, budget, tempBudget)
       .groupBy("shard_id")
       .agg(count(lit(1)).as("n_docs"),
         sum("tok").as("n_tokens"),

@@ -271,7 +271,11 @@ object VectorOps {
     val verdicts = semDedupIncr(spark, dir, deltaMod, threshold, bits)
     val src = Tables.documents(spark, dir)
       .select(col("doc_id").as("vec_id"), col("source"))
-    verdicts.join(src, "vec_id")
+    // left join: a delta vector with no matching document must surface in an
+    // explicit bucket, not silently vanish from n_delta (the doc_id=vec_id
+    // 1:1 contract holds on testdata but is a table property, not a law)
+    verdicts.join(src, Seq("vec_id"), "left")
+      .withColumn("source", coalesce(col("source"), lit("__unmatched__")))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_delta"),
@@ -284,14 +288,14 @@ object VectorOps {
 
   def dupRateIncrSql(deltaMod: Int = 5, threshold: Double = 0.4, bits: Int = 4): String =
     s"""WITH verdicts AS (${semDedupIncrSql(deltaMod, threshold, bits)})
-       |SELECT d.source,
+       |SELECT COALESCE(d.source, '__unmatched__') AS source,
        |  COUNT(*) AS n_delta,
-       |  sum(CASE WHEN v.drop_reason = 'dup_of_base' THEN 1 ELSE 0 END) AS n_dup_base,
-       |  sum(CASE WHEN v.drop_reason = 'dup_in_increment' THEN 1 ELSE 0 END) AS n_dup_incr,
-       |  ((sum(CASE WHEN v.drop_reason <> 'kept' THEN 1 ELSE 0 END)) * 1000) // COUNT(*) AS dup_permille
-       |FROM verdicts v JOIN documents d ON v.vec_id = d.doc_id
-       |GROUP BY d.source
-       |ORDER BY d.source""".stripMargin
+       |  CAST(sum(CASE WHEN v.drop_reason = 'dup_of_base' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_base,
+       |  CAST(sum(CASE WHEN v.drop_reason = 'dup_in_increment' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_incr,
+       |  CAST(((sum(CASE WHEN v.drop_reason <> 'kept' THEN 1 ELSE 0 END)) * 1000) // COUNT(*) AS BIGINT) AS dup_permille
+       |FROM verdicts v LEFT JOIN documents d ON v.vec_id = d.doc_id
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
 
   /** Corpus-wide k-nearest-neighbor GRAPH — every vector's top-`kNn`
     * cosine neighbors among the vectors sharing its IVF cell, plus a
@@ -389,11 +393,30 @@ object VectorOps {
     val edges = mat(knnGraph(spark, dir, kNn, kCentroids, mat)
       .filter(col("mutual") && col("cos_sim") >= threshold)
       .select(col("src"), col("dst")))
-    var labels = mat(prepared(spark, dir).select(col("vec_id"))
+    val nodes = prepared(spark, dir).select(col("vec_id"))
+    propagateMinLabels(nodes, edges, mat)
+      .withColumn("cluster_size", count(lit(1)).over(
+        Window.partitionBy(col("label"))))
+      .select(col("vec_id"), col("label").as("cluster_rep"), col("cluster_size"))
+      .orderBy("vec_id")
+  }
+
+  /** The min-label propagation core of [[semClusters]], factored out so its
+    * convergence edge (round count = component diameter, hard `maxRounds`
+    * cap with a loud require instead of silently-partial labels) is
+    * directly drivable with adversarial fixtures — a path graph of
+    * diameter d needs exactly d+1 rounds (d label-moving + 1 quiescent).
+    * `edges` must already be symmetric (mutual pairs in both directions),
+    * as [[knnGraph]]'s mutual relation is.
+    */
+  private[graft] def propagateMinLabels(nodes: DataFrame, edges: DataFrame,
+                                        mat: Materialize,
+                                        maxRounds: Int = 40): DataFrame = {
+    var labels = mat(nodes.select(col("vec_id"))
       .withColumn("label", col("vec_id")))
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 40) {
+    while (changed > 0 && rounds < maxRounds) {
       val nbrMin = edges
         .join(labels.select(col("vec_id").as("dst"), col("label").as("dlabel")), "dst")
         .groupBy(col("src")).agg(min(col("dlabel")).as("nbr_min"))
@@ -411,10 +434,6 @@ object VectorOps {
     require(changed == 0,
       s"semClusters did not converge within $rounds rounds ($changed labels still moving)")
     labels
-      .withColumn("cluster_size", count(lit(1)).over(
-        Window.partitionBy(col("label"))))
-      .select(col("vec_id"), col("label").as("cluster_rep"), col("cluster_size"))
-      .orderBy(col("vec_id"))
   }
 
   def semClustersSql(threshold: Double = 0.4, kNn: Int = 5, kCentroids: Int = 16): String =

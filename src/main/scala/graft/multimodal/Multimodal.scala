@@ -647,6 +647,69 @@ object Multimodal {
        |WHERE bit_count(xor(a.afp, b.afp)) <= $maxDist
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Incremental audio dedup — the acoustic twin of [[imageDedupIncr]],
+    * completing the per-modality daily-arrival family (text
+    * `dedupIncrement`, image `imageDedupIncr`, vector `semDedupIncr`):
+    * classify today's clip intake (salted `inc:` split, the shared
+    * unbiased-arrival contract) against the frozen base fingerprint index
+    * — 8 bytes per clip at production scale, never recomputed per
+    * increment. Delta clips whose fingerprint is within `maxDist` of any
+    * base clip drop as `dup_of_base`; else within `maxDist` of a
+    * smaller-id delta clip as `dup_in_increment`; else `kept`. Both
+    * near-joins run through the banded [[hammingJoin]] — no all-pairs
+    * path, O(delta) per day.
+    */
+  def audioDedupIncr(spark: SparkSession, dir: String, deltaMod: Int = 3,
+                     maxDist: Int = 6): DataFrame = {
+    val isDelta = pmod(graft.Exprs.hex60(
+      concat(lit("inc:"), col("media_id").cast("string"))), lit(deltaMod)) === 0
+    val fps = sharedAudioFps(spark, dir)
+    val base = fps.filter(!isDelta).select(col("media_id").as("id"), col("afp").as("dhash"))
+    val delta = fps.filter(isDelta).select(col("media_id").as("id"), col("afp").as("dhash"))
+    val ofBase = hammingJoin(delta, base, maxDist, (_, _) => lit(true))
+      .select(col("id_a").as("id")).distinct().withColumn("ob", lit(1))
+    val inDelta = hammingPairs(delta, maxDist)
+      .select(col("id_b").as("id")).distinct().withColumn("od", lit(1))
+    delta
+      .join(ofBase, Seq("id"), "left")
+      .join(inDelta, Seq("id"), "left")
+      .select(col("id").as("media_id"), col("dhash").as("afp"),
+        when(col("ob") === 1, "dup_of_base")
+          .when(col("od") === 1, "dup_in_increment")
+          .otherwise("kept").as("drop_reason"))
+      .withColumn("keep", col("drop_reason") === "kept")
+      .select("media_id", "afp", "keep", "drop_reason")
+      .orderBy("media_id")
+  }
+
+  /** Oracle: analytic fingerprint recompute + all-pairs popcount joins —
+    * equivalent to the banded engine path by the pigeonhole argument.
+    */
+  def audioDedupIncrSql(deltaMod: Int = 3, maxDist: Int = 6): String =
+    s"""$audioFpSql,
+       |tag AS (
+       |  SELECT media_id, afp,
+       |    ${graft.Exprs.hex60Sql("'inc:' || media_id::VARCHAR")} % $deltaMod = 0 AS is_delta
+       |  FROM afps),
+       |base AS (SELECT * FROM tag WHERE NOT is_delta),
+       |delta AS (SELECT * FROM tag WHERE is_delta),
+       |ofbase AS (
+       |  SELECT DISTINCT d.media_id FROM delta d JOIN base b
+       |    ON bit_count(xor(d.afp, b.afp)) <= $maxDist),
+       |indelta AS (
+       |  SELECT DISTINCT d.media_id FROM delta d JOIN delta e
+       |    ON e.media_id < d.media_id AND bit_count(xor(d.afp, e.afp)) <= $maxDist)
+       |SELECT d.media_id, d.afp, dr = 'kept' AS keep, dr AS drop_reason
+       |FROM (
+       |  SELECT d.media_id, d.afp,
+       |    CASE WHEN ob.media_id IS NOT NULL THEN 'dup_of_base'
+       |         WHEN ind.media_id IS NOT NULL THEN 'dup_in_increment'
+       |         ELSE 'kept' END AS dr
+       |  FROM delta d
+       |  LEFT JOIN ofbase ob ON d.media_id = ob.media_id
+       |  LEFT JOIN indelta ind ON d.media_id = ind.media_id) d
+       |ORDER BY media_id""".stripMargin
+
   def pixelStatsPngSql(box: Int = 7): String =
     s"""WITH imgs AS (
        |  SELECT doc_id AS media_id,

@@ -47,8 +47,7 @@ object VectorDedupStream {
   def frozenBase(spark: SparkSession, dir: String, deltaMod: Int = 5,
                  bits: Int = 4): DataFrame =
     VectorOps.prepared(spark, dir)
-      .filter(pmod(graft.Exprs.hex60(concat(lit("inc:"), col("vec_id").cast("string"))),
-        lit(deltaMod)) =!= 0)
+      .filter(VectorOps.incSplitE(deltaMod) =!= 0)
       .select(VectorOps.bucketExpr(col("v"), bits).as("b_bkt"),
         col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
 

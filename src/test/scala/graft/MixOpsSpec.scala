@@ -149,6 +149,34 @@ class MixOpsSpec extends SparkSuite {
     assert(nBuilt > 0 && nBuilt < nAll, s"built $nBuilt of $nAll")
   }
 
+  test("corpusBuild temperature stage: flattens the SURVIVOR mix, dedup-then-sample order") {
+    val plain = MixOps.corpusBuild(spark, sf("sf0.01")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val tb = 100L
+    val flat = MixOps.corpusBuild(spark, sf("sf0.01"), tempBudget = Some(tb))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    // the stage SELECTS from the survivor set — never invents docs
+    val plainIds = plain.map(_._1).toSet
+    assert(flat.nonEmpty && flat.forall(d => plainIds.contains(d._1)),
+      "temperature stage emitted a doc the default build dropped")
+    // per-source kept counts equal the α=½ integer-math targets computed
+    // over SURVIVOR counts (not the raw table — the stage order contract)
+    val nSrc = plain.groupBy(_._2).map { case (s, a) => s -> a.length.toLong }
+    val wSum = nSrc.values.map(n => math.sqrt(n.toDouble).toLong).sum
+    val kept = flat.groupBy(_._2).map { case (s, a) => s -> a.length.toLong }
+    nSrc.foreach { case (s, n) =>
+      val target = math.min(n, tb * math.sqrt(n.toDouble).toLong / wSum)
+      assert(kept.getOrElse(s, 0L) == target,
+        s"source $s: kept ${kept.getOrElse(s, 0L)}, target $target (n=$n)")
+    }
+    // flattening property: no source exceeds its α=½ share, so the head
+    // source's share of the flat mix is at most its share of the survivors
+    val head = nSrc.maxBy(_._2)._1
+    assert(kept(head).toDouble / flat.length <=
+      nSrc(head).toDouble / plain.length + 1e-9,
+      "head source gained share under temperature flattening")
+  }
+
   test("mixRebalance: kept share per source tracks the target weight") {
     val kept = MixOps.mixRebalance(spark, sf("sf0.01")).cache()
     val before = Tables.documents(spark, sf("sf0.01"))

@@ -1168,6 +1168,37 @@ class OperatorsSpec extends SparkSuite {
     assert(rates.map(_._2).sum == verdicts.length)
     assert(rates.map(_._3).sum == verdicts.count(_ == "dup_of_base"))
     assert(rates.map(_._4).sum == verdicts.count(_ == "dup_in_increment"))
+    // the left join's unmatched bucket must stay empty on testdata — a row
+    // here means a delta vector with no document (broken doc_id=vec_id
+    // contract), surfaced instead of silently dropped
+    assert(!rates.exists(_._1 == "__unmatched__"),
+      "delta vectors without matching documents leaked into the monitor")
+  }
+
+  test("min-label propagation: path-graph diameter just under the round cap converges") {
+    // a path 0-1-...-38 has diameter 38: label 0 moves one hop per round,
+    // so convergence takes 38 moving rounds + 1 quiescent = 39 < 40 (cap)
+    val n = 39
+    val nodes = (0L until n).toDF("vec_id")
+    val fwd = (0L until n - 1).map(i => (i, i + 1))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst") // symmetric, like mutual kNN
+    val labels = functions.VectorOps.propagateMinLabels(nodes, edges, Materialize.Local)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n && labels.values.forall(_ == 0L),
+      "one path component must collapse to the min label 0")
+  }
+
+  test("min-label propagation: diameter beyond the round cap fails loudly, not partially") {
+    // diameter 45 > 40 rounds: the require must fire — silent partial
+    // labels are the failure mode the cap exists to prevent
+    val n = 46
+    val nodes = (0L until n).toDF("vec_id")
+    val fwd = (0L until n - 1).map(i => (i, i + 1))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      functions.VectorOps.propagateMinLabels(nodes, edges, Materialize.Local).collect()
+    }
+    assert(e.getMessage.contains("did not converge"), s"wrong failure: ${e.getMessage}")
   }
 
   test("coreset sample: per-cell quota with coverage floor, deterministic") {
