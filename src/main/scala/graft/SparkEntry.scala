@@ -301,7 +301,8 @@ object SparkEntry {
     "mm_audio_fp" -> ((s, dir) =>
       Multimodal.audioFingerprint(s, dir).orderBy(col("media_id"))),
     "mm_audio_neardup" -> ((s, dir) => Multimodal.audioNearDup(s, dir)),
-    "mm_audio_dedup_incr" -> ((s, dir) => Multimodal.audioDedupIncr(s, dir))
+    "mm_audio_dedup_incr" -> ((s, dir) => Multimodal.audioDedupIncr(s, dir)),
+    "mm_video_dedup_incr" -> ((s, dir) => Multimodal.videoDedupIncr(s, dir))
   )
 
   /** DuckDB SQL mirrors. Column names/aliases match the Spark side exactly
@@ -713,7 +714,8 @@ object SparkEntry {
       "mm_video_containment" -> Multimodal.videoContainmentSql(),
       "mm_audio_fp" -> Multimodal.audioFingerprintSql,
       "mm_audio_neardup" -> Multimodal.audioNearDupSql(),
-      "mm_audio_dedup_incr" -> Multimodal.audioDedupIncrSql()
+      "mm_audio_dedup_incr" -> Multimodal.audioDedupIncrSql(),
+      "mm_video_dedup_incr" -> Multimodal.videoDedupIncrSql()
     )
   }
 }

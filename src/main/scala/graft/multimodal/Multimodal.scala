@@ -1189,12 +1189,14 @@ object Multimodal {
        |  LEFT JOIN indelta ind ON d.media_id = ind.media_id) d
        |ORDER BY media_id""".stripMargin
 
-  /** Oracle: analytic per-frame hashes (same formula recompute as the
-    * image tier, keyed by (video, frame)), then plain all-pairs frame
-    * popcount — equivalent to the banded engine path by pigeonhole.
+  /** Shared analytic per-frame hash recompute (the video tier's
+    * `dhashBitsSql` — same formula recompute as the image tier, keyed by
+    * (video, frame)): CTE chain ending in `vh(video_id, frame, dhash)`.
+    * The oracles built on it are plain all-pairs frame popcounts —
+    * equivalent to the banded engine path by pigeonhole.
     */
-  def videoContainmentSql(maxDist: Int = 6): String =
-    s"""WITH vids AS (
+  private def videoHashSql: String =
+    """WITH vids AS (
        |  SELECT doc_id AS video_id, 3 + doc_id % 4 AS nf
        |  FROM documents WHERE doc_id % 3 = 2),
        |vf0 AS (
@@ -1233,7 +1235,10 @@ object Multimodal {
        |vh AS (
        |  SELECT video_id, frame,
        |    CAST(sum(bit * (1::BIGINT << pos)) AS BIGINT) AS dhash
-       |  FROM vbits GROUP BY 1, 2),
+       |  FROM vbits GROUP BY 1, 2)""".stripMargin
+
+  def videoContainmentSql(maxDist: Int = 6): String =
+    s"""$videoHashSql,
        |fmatch AS (
        |  SELECT DISTINCT a.video_id AS id_a, a.frame AS frame_a,
        |    b.video_id AS id_b
@@ -1244,6 +1249,104 @@ object Multimodal {
        |  CAST(count(*) AS INT) AS n_shared,
        |  round(count(*) / (3.0 + id_a % 4), 4) AS containment
        |FROM fmatch GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin
+
+  /** Incremental video dedup — the last member of the per-modality
+    * daily-arrival family (text/image/audio/vector twins all shipped):
+    * classify today's video intake (salted `inc:` split over video ids)
+    * by FRAME CONTAINMENT against the frozen base frame-hash index. A
+    * delta video whose sampled frames are ≥ `contThreshold` contained
+    * (perceptual near-match, ≤ `maxDist` bits) in some single base video
+    * drops as `dup_of_base` — the re-upload/re-encode of an owned video;
+    * else contained in a smaller-id DELTA video as `dup_in_increment`;
+    * else `kept`. Containment (not whole-video hashing) is the right
+    * relation for video: trims and re-intros keep most frames intact.
+    *
+    * Scale shape: the base side is the persisted per-frame hash table (8
+    * bytes × ~4 frames per video); both near-joins are the banded
+    * [[hammingJoin]] at FRAME level (no all-pairs over frames or videos);
+    * the containment fold is one (delta_video, matched_video) hash agg.
+    * O(delta) per day, like every twin.
+    */
+  def videoDedupIncr(spark: SparkSession, dir: String, deltaMod: Int = 3,
+                     maxDist: Int = 6, contThreshold: Double = 0.5): DataFrame = {
+    val frames = graft.SharedRel(spark, s"vframes|$dir", graft.Materialize.Local)(
+      videoFrameHashes(spark, dir))
+    val isDelta = pmod(graft.Exprs.hex60(
+      concat(lit("inc:"), col("video_id").cast("string"))), lit(deltaMod)) === 0
+    def rel(df: DataFrame) = df.select(
+      (col("video_id") * 16 + col("frame")).as("id"), col("dhash"))
+    val base = rel(frames.filter(!isDelta))
+    val delta = rel(frames.filter(isDelta))
+    // frame matches → per (delta video, other video) distinct matched
+    // delta-frames → containment of the DELTA video's frames
+    def contained(other: DataFrame, pred: (Column, Column) => Column) =
+      hammingJoin(delta, other, maxDist, pred)
+        .select(floor(col("id_a") / 16).cast("long").as("vd"),
+          pmod(col("id_a"), lit(16)).as("fd"),
+          floor(col("id_b") / 16).cast("long").as("vo"))
+        .distinct()
+        .groupBy("vd", "vo").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >=
+          ceil(lit(contThreshold) * (lit(3) + pmod(col("vd"), lit(4)))))
+        .select(col("vd").as("video_id")).distinct()
+    val ofBase = contained(base, (_, _) => lit(true))
+      .withColumn("ob", lit(1))
+    val inDelta = contained(delta,
+        (a, b) => floor(b / 16) < floor(a / 16))
+      .withColumn("od", lit(1))
+    frames.filter(isDelta).select("video_id").distinct()
+      .join(ofBase, Seq("video_id"), "left")
+      .join(inDelta, Seq("video_id"), "left")
+      .select(col("video_id"),
+        (lit(3) + pmod(col("video_id"), lit(4))).cast("int").as("n_frames"),
+        when(col("ob") === 1, "dup_of_base")
+          .when(col("od") === 1, "dup_in_increment")
+          .otherwise("kept").as("drop_reason"))
+      .withColumn("keep", col("drop_reason") === "kept")
+      .select("video_id", "n_frames", "keep", "drop_reason")
+      .orderBy("video_id")
+  }
+
+  /** Oracle: all-pairs frame popcount over the analytic hash recompute,
+    * then the same containment fold — banded-equivalent by pigeonhole.
+    */
+  def videoDedupIncrSql(deltaMod: Int = 3, maxDist: Int = 6,
+                        contThreshold: Double = 0.5): String =
+    s"""$videoHashSql,
+       |tag AS (
+       |  SELECT video_id, frame, dhash,
+       |    ${graft.Exprs.hex60Sql("'inc:' || video_id::VARCHAR")} % $deltaMod = 0 AS is_delta
+       |  FROM vh),
+       |vbase AS (SELECT * FROM tag WHERE NOT is_delta),
+       |vdelta AS (SELECT * FROM tag WHERE is_delta),
+       |ofbase AS (
+       |  SELECT DISTINCT vd FROM (
+       |    SELECT d.video_id AS vd, b.video_id AS vo,
+       |      count(DISTINCT d.frame) AS n_shared
+       |    FROM vdelta d JOIN vbase b
+       |      ON bit_count(xor(d.dhash, b.dhash)) <= $maxDist
+       |    GROUP BY 1, 2)
+       |  WHERE n_shared >= ceil($contThreshold * (3 + vd % 4))),
+       |indelta AS (
+       |  SELECT DISTINCT vd FROM (
+       |    SELECT d.video_id AS vd, e.video_id AS vo,
+       |      count(DISTINCT d.frame) AS n_shared
+       |    FROM vdelta d JOIN vdelta e
+       |      ON e.video_id < d.video_id
+       |      AND bit_count(xor(d.dhash, e.dhash)) <= $maxDist
+       |    GROUP BY 1, 2)
+       |  WHERE n_shared >= ceil($contThreshold * (3 + vd % 4)))
+       |SELECT video_id, CAST(3 + video_id % 4 AS INT) AS n_frames,
+       |  dr = 'kept' AS keep, dr AS drop_reason
+       |FROM (
+       |  SELECT v.video_id,
+       |    CASE WHEN ob.vd IS NOT NULL THEN 'dup_of_base'
+       |         WHEN ind.vd IS NOT NULL THEN 'dup_in_increment'
+       |         ELSE 'kept' END AS dr
+       |  FROM (SELECT DISTINCT video_id FROM vdelta) v
+       |  LEFT JOIN ofbase ob ON v.video_id = ob.vd
+       |  LEFT JOIN indelta ind ON v.video_id = ind.vd)
+       |ORDER BY video_id""".stripMargin
 
   def pixelStatsSql(box: Int = 8): String =
     s"""WITH imgs AS (

@@ -1051,6 +1051,76 @@ class OperatorsSpec extends SparkSuite {
       s"fixture degenerate: classes seen = ${got.values.toSet}")
   }
 
+  test("audio dedup incr: classifications match brute-force over the salted split") {
+    val fps = (0L until 500L).filter(_ % 3 == 1)
+      .map(id => id -> Multimodal.audioFpOf(id)).toMap
+    def hex60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    def isDelta(id: Long) = hex60(s"inc:$id") % 3 == 0
+    val (delta, base) = fps.keys.toSeq.sorted.partition(isDelta)
+    def near(a: Long, b: Long) = java.lang.Long.bitCount(fps(a) ^ fps(b)) <= 6
+    val expected = delta.map { id =>
+      val dr =
+        if (base.exists(near(id, _))) "dup_of_base"
+        else if (delta.exists(e => e < id && near(id, e))) "dup_in_increment"
+        else "kept"
+      id -> dr
+    }.toMap
+    val got = Multimodal.audioDedupIncr(spark, sf()).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[String]("drop_reason")).toMap
+    assert(got == expected, "classification diverges from brute-force")
+    assert(got.values.toSet == Set("kept", "dup_of_base", "dup_in_increment"),
+      s"fixture degenerate: classes seen = ${got.values.toSet}")
+  }
+
+  test("video dedup incr: containment classifications match brute-force over the salted split") {
+    def hex60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    def isDelta(id: Long) = hex60(s"inc:$id") % 3 == 0
+    val vids = (0L until 500L).filter(_ % 3 == 2)
+    def frames(v: Long) =
+      (0 until Multimodal.frameCount(v)).map(f => Multimodal.frameHash(v, f))
+    val (delta, base) = vids.partition(isDelta)
+    // brute-force containment of a delta video's frames in one other video
+    def contained(th: Double)(v: Long, other: Long): Boolean = {
+      val fv = frames(v); val fo = frames(other)
+      val shared = fv.count(h => fo.exists(h2 => java.lang.Long.bitCount(h ^ h2) <= 6))
+      shared >= math.ceil(th * fv.length)
+    }
+    def expected(th: Double) = delta.map { v =>
+      val c = contained(th) _
+      val dr =
+        if (base.exists(c(v, _))) "dup_of_base"
+        else if (delta.exists(e => e < v && c(v, e))) "dup_in_increment"
+        else "kept"
+      v -> dr
+    }.toMap
+    def got(th: Double) = Multimodal.videoDedupIncr(spark, sf(), contThreshold = th)
+      .collect()
+      .map(r => r.getAs[Long]("video_id") -> r.getAs[String]("drop_reason")).toMap
+    // default threshold on the full corpus: engine equals brute force (the
+    // 15-wide texture families make every delta half-contained in a base
+    // member — all dup_of_base, which IS the correct answer here)
+    assert(got(0.5) == expected(0.5), "classification diverges at threshold 0.5")
+    // discriminating fixture: a crafted 4-video corpus where full
+    // containment (threshold 1.0) produces all three classes — family 2
+    // has base 2 (nf 5) owning delta 62 (nf 5); family 5 has only deltas
+    // 5 and 65 (nf 4 each), so 5 is kept and 65 dups the increment
+    val tmp = java.nio.file.Files.createTempDirectory("vdi").toString
+    Seq(2L, 62L, 5L, 65L).toDF("doc_id")
+      .withColumn("source", lit("s")).withColumn("text", lit("t"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val strict = Multimodal.videoDedupIncr(spark, tmp, contThreshold = 1.0)
+      .collect()
+      .map(r => r.getAs[Long]("video_id") -> r.getAs[String]("drop_reason")).toMap
+    assert(strict == Map(62L -> "dup_of_base", 5L -> "kept", 65L -> "dup_in_increment"),
+      s"crafted-corpus classes wrong: $strict")
+  }
+
   test("video containment: banded frame matching equals brute-force; re-edits resolve") {
     val got = Multimodal.videoContainment(spark, sf()).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->

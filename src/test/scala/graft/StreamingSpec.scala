@@ -447,6 +447,30 @@ class StreamingSpec extends SparkSuite {
       s"kept $kept, expected first twin ${twins(0)} and loner $loner only")
   }
 
+  test("audio stream dedup: first occurrence per acoustic fingerprint survives, twins drop") {
+    // same fixture discipline as the image twin: exact-fingerprint twins
+    // and a loner picked through the SAME shared audioFpOf the operator
+    // runs, so the fixture cannot drift from the engine
+    val pool = (1L to 400L).filter(_ % 3 == 1)
+    val byFp = pool.groupBy(graft.multimodal.Multimodal.audioFpOf)
+    val twins = byFp.values.find(_.size >= 2).get.take(2)
+    val loner = byFp.filter(_._2.size == 1).head._2.head
+    val in = MemoryStream[(Long, Timestamp)]
+    val ts = (s: Int) => Timestamp.valueOf(f"2026-01-01 10:00:$s%02d")
+    val out = graft.streaming.AudioDedupStream(
+      in.toDF().toDF("media_id", "ingest_ts"))
+    val q = out.writeStream.format("memory").queryName("auddedup_t")
+      .outputMode("append").start()
+    in.addData((twins(0), ts(0)), (loner, ts(1)))
+    q.processAllAvailable()
+    in.addData((twins(1), ts(2))) // second family member, later batch → dropped
+    q.processAllAvailable()
+    val kept = spark.table("auddedup_t").select("media_id").as[Long].collect().toSet
+    q.stop()
+    assert(kept == Set(twins(0), loner),
+      s"kept $kept, expected first twin ${twins(0)} and loner $loner only")
+  }
+
   test("image stream dedup matches batch exact-collapse: one survivor per hash, batch-1 wins") {
     // the streaming-batch contract: first-occurrence-per-hash under
     // ascending-id arrival is exactly the batch tier's min-id-per-dhash
