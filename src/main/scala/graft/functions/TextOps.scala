@@ -1094,6 +1094,139 @@ object TextOps {
        |  FROM incr LEFT JOIN base ON incr.text_md5 = base.text_md5)
        |ORDER BY doc_id""".stripMargin
 
+  // ---- incremental NEAR-dup (frozen MinHash band index) ----
+
+  /** Salted arrival split for the text tier — same construction as
+    * `VectorOps.incSplitE` (`hex60('inc:' || id) % mod`, residue 0 = delta)
+    * so delta membership is uncorrelated with doc_id order and approximates
+    * the corpus's source distribution.
+    */
+  private[graft] def docSplitE(mod: Int): Column =
+    pmod(Exprs.hex60(concat(lit("inc:"), col("doc_id").cast("string"))), lit(mod))
+  private def docSplitSql(mod: Int, idExpr: String = "doc_id"): String =
+    s"${Exprs.hex60Sql(s"'inc:' || $idExpr::VARCHAR")} % $mod"
+
+  /** Incremental NEAR-dup for text — the fuzzy daily-arrival form that
+    * [[dedupIncrement]] (exact md5) cannot provide: classify each DELTA
+    * document against the FROZEN base MinHash band index and against
+    * smaller-id delta documents. Candidates come from the same 2-band × 4-row
+    * LSH index as [[minhashPairs]] (band equality, never all-pairs); each
+    * candidate is then verified IN SIGNATURE SPACE — near means agreeing on
+    * ≥ `minAgree` of the 8 minhashes (agreement fraction is the standard
+    * unbiased MinHash estimator of Jaccard, so 7/8 ≈ J ≥ 0.875). Verdicts:
+    * `dup_of_base` (min base rep for lineage), `dup_in_increment` (min
+    * smaller-id delta rep), else `kept` — the same contract as the
+    * image/audio/video/vector incremental twins, so text now has both an
+    * exact AND a near-dup frozen-index daily job.
+    *
+    * Contract delta vs exact word-set verification ([[jaccardPairs]] /
+    * [[containmentPairs]], which remain the exact-verify operators): the
+    * admission verdict is a function of the 8-hash signature alone. That is
+    * deliberate, not a shortcut — on a template-heavy corpus the band
+    * buckets are huge and HALF the candidate pairs are true near-dups
+    * (measured at sf0.1: 786k of 1.6M), so any exact verify must ship two
+    * full word arrays onto every candidate row — a multi-GB shuffle whose
+    * cost no pre-filter can bound below the true-pair count. Signature-space
+    * verification is how production MinHash dedup runs at corpus scale: the
+    * candidate row already carries both signatures, so the verify is 8 int
+    * comparisons, no array payload anywhere, and the whole frozen base index
+    * is 10 ints per admitted document.
+    *
+    * Scale shape: the banded signature relation is the session-shared
+    * [[bandedSignatures]] table a production dedup maintains anyway; the
+    * delta side is 1/`deltaMod` of arrivals, the base side is probed through
+    * two band equi-joins (bounded fan-out, int-only payload). Base×base
+    * pairs are never recomputed — they were settled when those documents
+    * were admitted, keeping the daily job O(delta), not O(corpus²).
+    */
+  def nearDupIncr(spark: SparkSession, dir: String, deltaMod: Int = 5,
+                  minAgree: Int = 7,
+                  mat: Materialize = Materialize.Local): DataFrame = {
+    val sig = bandedSignatures(spark, dir, mat)
+      .withColumn("is_delta", docSplitE(deltaMod) === 0)
+    val ms = (0 until 8).map(i => s"m$i")
+    def side(suffix: String)(d: DataFrame): DataFrame =
+      d.select(col("doc_id").as(s"id$suffix") +:
+        col("band1").as(s"band1$suffix") +: col("band2").as(s"band2$suffix") +:
+        ms.map(m => col(m).as(s"$m$suffix")): _*)
+    val delta = side("")(sig.filter(col("is_delta")))
+    val base = side("_b")(sig.filter(!col("is_delta")))
+    val nAgreeE: Column = ms.map(m =>
+      (col(m) === col(s"${m}_b")).cast("int")).reduce(_ + _)
+
+    // Band-bucket candidates (two equi-joins, band2 only where band1
+    // differs — the minhashPairs dedup-by-construction trick), verified by
+    // signature agreement on the already-joined rows.
+    def witnesses(right: DataFrame, extraPred: Column): DataFrame = {
+      val j1 = delta.join(right, col("band1") === col("band1_b") && extraPred)
+      val j2 = delta.join(right,
+        col("band2") === col("band2_b") && col("band1") =!= col("band1_b") && extraPred)
+      j1.union(j2).filter(nAgreeE >= minAgree).select(col("id"), col("id_b"))
+    }
+    val ofBase = witnesses(base, lit(true))
+      .groupBy("id").agg(min("id_b").as("dup_of_b"))
+    val inDelta = witnesses(side("_b")(sig.filter(col("is_delta"))),
+      col("id_b") < col("id"))
+      .groupBy("id").agg(min("id_b").as("dup_in_d"))
+
+    delta.select(col("id"))
+      .join(ofBase, Seq("id"), "left")
+      .join(inDelta, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        (col("dup_of_b").isNull && col("dup_in_d").isNull).as("keep"),
+        when(col("dup_of_b").isNotNull, "dup_of_base")
+          .when(col("dup_in_d").isNotNull, "dup_in_increment")
+          .otherwise("kept").as("drop_reason"),
+        coalesce(col("dup_of_b"), col("dup_in_d")).as("dup_of"))
+      .orderBy("doc_id")
+  }
+
+  def nearDupIncrSql(deltaMod: Int = 5, minAgree: Int = 7): String = {
+    val agree = (0 until 8).map(i => s"CAST(d.m$i = b.m$i AS INT)").mkString(" + ")
+    s"""WITH sig AS (
+       |  $minhashSigSqlInner),
+       |banded AS (
+       |  SELECT doc_id, m0, m1, m2, m3, m4, m5, m6, m7,
+       |    m0 || ',' || m1 || ',' || m2 || ',' || m3 AS band1,
+       |    m4 || ',' || m5 || ',' || m6 || ',' || m7 AS band2,
+       |    (${docSplitSql(deltaMod)}) = 0 AS is_delta
+       |  FROM sig),
+       |base AS (SELECT * FROM banded WHERE NOT is_delta),
+       |delta AS (SELECT * FROM banded WHERE is_delta),
+       |ofbase AS (
+       |  SELECT id, min(id_b) AS dup_of_b FROM (
+       |    SELECT d.doc_id AS id, b.doc_id AS id_b
+       |    FROM delta d JOIN base b ON d.band1 = b.band1
+       |    WHERE $agree >= $minAgree
+       |    UNION ALL
+       |    SELECT d.doc_id, b.doc_id
+       |    FROM delta d JOIN base b ON d.band2 = b.band2 AND d.band1 <> b.band1
+       |    WHERE $agree >= $minAgree)
+       |  GROUP BY id),
+       |indelta AS (
+       |  SELECT id, min(id_b) AS dup_in_d FROM (
+       |    SELECT d.doc_id AS id, b.doc_id AS id_b
+       |    FROM delta d JOIN delta b ON d.band1 = b.band1 AND b.doc_id < d.doc_id
+       |    WHERE $agree >= $minAgree
+       |    UNION ALL
+       |    SELECT d.doc_id, b.doc_id
+       |    FROM delta d JOIN delta b
+       |      ON d.band2 = b.band2 AND d.band1 <> b.band1 AND b.doc_id < d.doc_id
+       |    WHERE $agree >= $minAgree)
+       |  GROUP BY id),
+       |out AS (
+       |  SELECT d.doc_id,
+       |    (ob.dup_of_b IS NULL AND ind.dup_in_d IS NULL) AS keep,
+       |    CASE WHEN ob.dup_of_b IS NOT NULL THEN 'dup_of_base'
+       |         WHEN ind.dup_in_d IS NOT NULL THEN 'dup_in_increment'
+       |         ELSE 'kept' END AS drop_reason,
+       |    COALESCE(ob.dup_of_b, ind.dup_in_d) AS dup_of
+       |  FROM delta d
+       |  LEFT JOIN ofbase ob ON d.doc_id = ob.id
+       |  LEFT JOIN indelta ind ON d.doc_id = ind.id)
+       |SELECT * FROM out ORDER BY doc_id""".stripMargin
+  }
+
   // ---- PII redaction audit ----
 
   private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"

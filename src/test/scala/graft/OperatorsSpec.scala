@@ -1121,6 +1121,60 @@ class OperatorsSpec extends SparkSuite {
       s"crafted-corpus classes wrong: $strict")
   }
 
+  test("text near-dup incr: verdicts + lineage match brute-force over the salted split") {
+    import functions.TextOps
+    // signatures collected from the (separately oracle-checked) relation;
+    // the brute force re-derives the CLASSIFICATION from them
+    val sigs = TextOps.minhashSignatures(spark, sf()).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    def hex60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    def isDelta(id: Long) = hex60(s"inc:$id") % 5 == 0
+    def near(a: Long, b: Long): Boolean = {
+      val bands = sigs(a).take(4) == sigs(b).take(4) || sigs(a).drop(4) == sigs(b).drop(4)
+      bands && sigs(a).zip(sigs(b)).count { case (x, y) => x == y } >= 7
+    }
+    val (delta, base) = sigs.keys.toSeq.sorted.partition(isDelta)
+    val expected = delta.map { id =>
+      val ofBase = base.filter(near(id, _))
+      val inDelta = delta.filter(e => e < id && near(id, e))
+      val (dr, rep) =
+        if (ofBase.nonEmpty) ("dup_of_base", Some(ofBase.min))
+        else if (inDelta.nonEmpty) ("dup_in_increment", Some(inDelta.min))
+        else ("kept", None)
+      id -> (dr, rep)
+    }.toMap
+    val got = TextOps.nearDupIncr(spark, sf()).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("drop_reason"), Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)))
+      .toMap
+    assert(got == expected, "classification or lineage diverges from brute-force")
+    // sf0.001's near-dup families all straddle the split (no two same-family
+    // delta docs), so drive all three classes on a crafted corpus instead:
+    // ids 1/4/7/10 are delta under hex60('inc:id')%5, 0/2 are base.
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", "en", "s", 35L),
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "s", 35L), // dup_of_base(0)
+      (2L, "totally different base content here", "en", "s", 35L),
+      (4L, "red orange yellow green blue indigo", "en", "s", 35L), // kept (first of pair)
+      (7L, "red orange yellow green blue indigo", "en", "s", 35L), // dup_in_increment(4)
+      (10L, "unique snowflake text nothing shared", "en", "s", 36L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("neardup_incr").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val crafted = TextOps.nearDupIncr(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("drop_reason"), Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)))
+      .toMap
+    assert(crafted == Map(
+      1L -> ("dup_of_base", Some(0L)),
+      4L -> ("kept", None),
+      7L -> ("dup_in_increment", Some(4L)),
+      10L -> ("kept", None)), s"crafted-corpus verdicts wrong: $crafted")
+  }
+
   test("video containment: banded frame matching equals brute-force; re-edits resolve") {
     val got = Multimodal.videoContainment(spark, sf()).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
