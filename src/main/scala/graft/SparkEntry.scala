@@ -258,6 +258,7 @@ object SparkEntry {
     "v_neardup" -> ((s, dir) => VectorOps.nearDupExact(s, dir)),
     "v_neardup_lsh" -> ((s, dir) => VectorOps.nearDupLsh(s, dir)),
     "v_ann_lsh" -> ((s, dir) => VectorOps.annLsh(s, dir)),
+    "v_ann_sq" -> ((s, dir) => VectorOps.annSq(s, dir)),
     "v_ivf_assign" -> ((s, dir) => VectorOps.ivfAssign(s, dir).orderBy(col("vec_id"))),
     "v_ann_ivf" -> ((s, dir) => VectorOps.annIvf(s, dir)),
     "v_ann_ivf2" -> ((s, dir) => VectorOps.annIvfMulti(s, dir)),
@@ -272,6 +273,7 @@ object SparkEntry {
     "v_recall_ivfpq_res" -> ((s, dir) => VectorOps.annRecallIvfPqRes(s, dir)),
     "v_recall" -> ((s, dir) => VectorOps.annRecall(s, dir)),
     "v_recall_lsh" -> ((s, dir) => VectorOps.annRecallLsh(s, dir)),
+    "v_recall_sq" -> ((s, dir) => VectorOps.annRecallSq(s, dir)),
     "v_recall_ivfpq" -> ((s, dir) => VectorOps.annRecallIvfPq(s, dir)),
     "v_recall_pq" -> ((s, dir) => VectorOps.annRecallPq(s, dir)),
     "v_kmeans_step" -> ((s, dir) => VectorOps.kmeansStep(s, dir)),
@@ -677,6 +679,7 @@ object SparkEntry {
       "v_neardup" -> VectorOps.nearDupExactSql(),
       "v_neardup_lsh" -> VectorOps.nearDupLshSql(),
       "v_ann_lsh" -> VectorOps.annLshSql(),
+      "v_ann_sq" -> VectorOps.annSqSql(),
       "v_ivf_assign" -> VectorOps.ivfAssignSql(),
       "v_ann_ivf" -> VectorOps.annIvfSql(),
       "v_ann_ivf2" -> VectorOps.annIvfMultiSql(),
@@ -690,6 +693,7 @@ object SparkEntry {
       "v_recall_ivfpq_res" -> VectorOps.annRecallIvfPqResSql(),
       "v_recall" -> VectorOps.annRecallSql(),
       "v_recall_lsh" -> VectorOps.annRecallLshSql(),
+      "v_recall_sq" -> VectorOps.annRecallSqSql(),
       "v_recall_ivfpq" -> VectorOps.annRecallIvfPqSql(),
       "v_recall_pq" -> VectorOps.annRecallPqSql(),
       "v_kmeans_step" -> VectorOps.kmeansStepSql(),

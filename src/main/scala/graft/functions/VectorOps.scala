@@ -1178,6 +1178,66 @@ object VectorOps {
        |WHERE rank <= $k
        |ORDER BY q_id, rank""".stripMargin
 
+  /** Scalar-quantized (SQ8) asymmetric search — the storage tier between
+    * full-precision [[knn]] (8 bytes/dim here, 4 on disk) and PQ codes
+    * ([[annPq]], bytes/VECTOR): per-vector symmetric int8 codes with the
+    * same `max|x|/127` scale + round-half-up construction as the
+    * [[quantize]] audit, queried ASYMMETRICALLY — the query vector stays
+    * full precision and scores against reconstructed corpus vectors. The
+    * per-vector scale cancels out of reconstructed cosine
+    * (`⟨q, s·c⟩ / (‖q‖·‖s·c‖)` = `⟨q,c⟩ / (‖q‖·‖c‖)` for s > 0), so
+    * ranking needs only the code arrays — the stored index is 1 byte/dim +
+    * one float scale, 8× smaller than the raw corpus.
+    *
+    * Scale shape: a full scan like [[knn]] (SQ is the memory-bandwidth
+    * path, not a pruning path — compose with IVF cells to prune), broadcast
+    * queries, map-side scoring, one top-k window per query. At 100 TB the
+    * scan reads the 8×-smaller code table, which is the entire point.
+    */
+  def annSq(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 5): DataFrame = {
+    val e = prepared(spark, dir)
+    val sq = e
+      .withColumn("max_abs",
+        expr("aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x)))"))
+      .withColumn("scale", col("max_abs") / 127.0)
+      .select(col("vec_id"),
+        // Spark `floor` yields BIGINT (DuckDB's yields DOUBLE) — cast so
+        // the code array is array<double> for the native dot product
+        expr("transform(v, x -> CAST(floor(x / scale + 0.5d) AS DOUBLE))").as("codes"))
+    val q = broadcast(e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
+    val sims = sq.join(q, col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sq",
+        round(dot(col("qv"), col("codes"))
+          / (col("qn") * sqrt(dot(col("codes"), col("codes")))), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sq").desc, col("vec_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos_sq"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def annSqSql(nQueries: Int = 20, k: Int = 5): String =
+    s"""WITH e AS ($preparedSql),
+       |sq AS (
+       |  SELECT vec_id,
+       |    list_transform(v, x -> floor(x / (max_abs / 127.0) + 0.5)) AS codes
+       |  FROM (SELECT vec_id, v,
+       |          list_aggregate(list_transform(v, x -> abs(x)), 'max') AS max_abs
+       |        FROM e)),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $nQueries),
+       |sims AS (
+       |  SELECT q.q_id, sq.vec_id,
+       |    round(list_dot_product(q.qv, sq.codes)
+       |      / (q.qn * sqrt(list_dot_product(sq.codes, sq.codes))), 4) AS cos_sq
+       |  FROM sq, q WHERE sq.vec_id <> q.q_id)
+       |SELECT q_id, rank, vec_id AS neighbor_id, cos_sq FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY cos_sq DESC, vec_id) AS INT) AS rank
+       |  FROM sims)
+       |WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+
   /** Recall@k harness — the metric every ANN deployment gates on: for each
     * query, how many of the exact top-k ([[knn]]) the approximate search
     * ([[annIvfMulti]]) recovered. Both sides have exact DuckDB mirrors, so
@@ -1233,6 +1293,18 @@ object VectorOps {
 
   def annRecallLshSql(nQueries: Int = 20, k: Int = 5, bits: Int = 4): String =
     recallSqlOf(annLshSql(nQueries, k, bits), nQueries, k)
+
+  /** Same harness over SQ8 asymmetric ranking (full scan, no pruning) —
+    * isolates pure scalar-quantization loss: the gap between this and 1.0
+    * is what 8× storage compression costs in ranking fidelity, with no
+    * probe-restriction term mixed in.
+    */
+  def annRecallSq(spark: SparkSession, dir: String, nQueries: Int = 20,
+                  k: Int = 5): DataFrame =
+    recallAgainstExact(spark, dir, annSq(spark, dir, nQueries, k), nQueries, k)
+
+  def annRecallSqSql(nQueries: Int = 20, k: Int = 5): String =
+    recallSqlOf(annSqSql(nQueries, k), nQueries, k)
 
   /** Same harness over PQ-only ADC ranking (all candidates, no probe
     * restriction) — isolates pure quantization loss: any gap between this

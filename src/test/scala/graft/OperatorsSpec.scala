@@ -1121,6 +1121,40 @@ class OperatorsSpec extends SparkSuite {
       s"crafted-corpus classes wrong: $strict")
   }
 
+  test("SQ8 asymmetric search: codes bounded, ranking matches brute-force, recall useful") {
+    import functions.VectorOps
+    val vecs = VectorOps.prepared(spark, sf())
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])].collect().toMap
+    def codesOf(v: Seq[Double]): Seq[Double] = {
+      val s = v.map(math.abs).max / 127.0
+      v.map(x => math.floor(x / s + 0.5))
+    }
+    // int8 range by construction: |x| <= max_abs => |code| <= 127
+    vecs.values.foreach(v =>
+      assert(codesOf(v).forall(c => c.abs <= 127.0), "code outside int8 range"))
+    // asymmetric ranking == brute-force reconstructed cosine (scale cancels),
+    // with Spark round()'s HALF_UP semantics reproduced via BigDecimal
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.lazyZip(b).map(_ * _).sum
+      d / math.sqrt(a.map(x => x * x).sum) / math.sqrt(b.map(x => x * x).sum)
+    }
+    val expected = vecs.keys.toSeq.filter(_ < 5).sorted.flatMap { q =>
+      vecs.keys.toSeq.filter(_ != q)
+        .map(id => (id, r4(cos(vecs(q), codesOf(vecs(id))))))
+        .sortBy { case (id, c) => (-c, id) }.take(3).zipWithIndex
+        .map { case ((id, c), i) => (q, i + 1, id, c) }
+    }
+    val got = VectorOps.annSq(spark, sf(), nQueries = 5, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected, "SQ ranking diverges from brute-force")
+    // quantization loss stays small: recall@5 of the SQ tier on testdata
+    val rec = VectorOps.annRecallSq(spark, sf()).collect()
+      .map(_.getAs[Double]("recall_at_k"))
+    assert(rec.sum / rec.length >= 0.8, s"avg SQ recall ${rec.sum / rec.length} < 0.8")
+  }
+
   test("text near-dup incr: verdicts + lineage match brute-force over the salted split") {
     import functions.TextOps
     // signatures collected from the (separately oracle-checked) relation;

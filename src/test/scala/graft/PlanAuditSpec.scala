@@ -73,6 +73,12 @@ class PlanAuditSpec extends SparkSuite {
       s"query set must broadcast:\n$plan")
   }
 
+  test("v_ann_sq: query side broadcast, code scan never shuffled pre-rank") {
+    val plan = executedPlan("v_ann_sq")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query set must broadcast:\n$plan")
+  }
+
   test("d_shard_pack: corpus never windows in a single partition") {
     val plan = executedPlan("d_shard_pack")
     // the bucket-offsets join comes back as a broadcast, never a shuffle of
