@@ -892,6 +892,62 @@ object Multimodal {
         maxDist)
       .orderBy("id_a", "id_b")
 
+  /** Cross-modal caption+image JOINT near-dup pairs — the LAION-style
+    * pair-dedup a multimodal training corpus runs before contrastive
+    * training: a (caption, image) PAIR is a duplicate of another only when
+    * BOTH modalities agree — the images are perceptually near (banded
+    * dHash hamming ≤ `maxDist`, exactly [[imageNearDup]]'s relation) AND
+    * the captions are MinHash-near (agreement on ≥ `minAgree` of the 8
+    * signature hashes, the same signature-space contract as the text
+    * tier's `d_neardup_incr`). Same image with genuinely different
+    * captions = two distinct supervision examples (keep both); same
+    * caption on different images likewise. Only the doubly-duplicate
+    * pairs are redundant.
+    *
+    * Scale shape: the STRICTER, CHEAPER modality prunes first — image
+    * pairs come from the hamming-banded join over the session-shared
+    * phash relation (bounded by true near-dup family sizes), and the
+    * caption check then attaches 8 ints per side to that bounded pair
+    * relation via two id equi-joins on the session-shared signature
+    * table. No text-side candidate generation runs at all, and no array
+    * or text payload ever reaches the pair relation.
+    */
+  def captionDup(spark: SparkSession, dir: String, maxDist: Int = 6,
+                 minAgree: Int = 7): DataFrame = {
+    val ms = (0 until 8).map(i => s"m$i")
+    val sig = graft.functions.TextOps.bandedSignatures(spark, dir)
+    def side(suffix: String): DataFrame =
+      sig.select(col("doc_id").as(s"id$suffix") +:
+        ms.map(m => col(m).as(s"$m$suffix")): _*)
+    val nAgreeE = ms.map(m =>
+      (col(s"${m}_a") === col(s"${m}_b")).cast("int")).reduce(_ + _)
+    imageNearDup(spark, dir, maxDist)
+      .join(side("_a"), "id_a").join(side("_b"), "id_b")
+      .withColumn("n_agree", nAgreeE)
+      .filter(col("n_agree") >= minAgree)
+      .select(col("id_a"), col("id_b"), col("hamming"), col("n_agree"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def captionDupSql(maxDist: Int = 6, minAgree: Int = 7): String = {
+    val agree = (0 until 8).map(i => s"CAST(sa.m$i = sb.m$i AS INT)").mkString(" + ")
+    s"""$dhashBitsSql,
+       |hams AS (
+       |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+       |    CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+       |  FROM bits a JOIN bits b
+       |    ON a.pos = b.pos AND a.media_id < b.media_id
+       |  GROUP BY 1, 2),
+       |sig AS (
+       |  ${graft.functions.TextOps.minhashSigSqlInner})
+       |SELECT h.id_a, h.id_b, h.hamming, ($agree) AS n_agree
+       |FROM hams h
+       |JOIN sig sa ON sa.doc_id = h.id_a
+       |JOIN sig sb ON sb.doc_id = h.id_b
+       |WHERE h.hamming <= $maxDist AND ($agree) >= $minAgree
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Image near-dup CLUSTERS — connected components over the verified
     * ≤ `maxDist` pair graph, each image labeled with its component's
     * min-id representative. Unlike the text tier (whose clusters are

@@ -1121,6 +1121,29 @@ class OperatorsSpec extends SparkSuite {
       s"crafted-corpus classes wrong: $strict")
   }
 
+  test("caption+image joint dedup: equals brute-force AND of the two modality relations") {
+    import functions.TextOps
+    val sigs = TextOps.minhashSignatures(spark, sf()).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    val hashes = Multimodal.perceptualHash(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = hashes.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      ham = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if ham <= 6
+      agree = sigs(a).zip(sigs(b)).count { case (x, y) => x == y } if agree >= 7
+    } yield (a, b, ham, agree)).toSet
+    val got = Multimodal.captionDup(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(got == expected, "joint pairs diverge from brute-force")
+    assert(got.nonEmpty, "fixture degenerate: no joint caption+image dups")
+    // the joint criterion must genuinely prune: image-near pairs whose
+    // captions differ are distinct supervision examples, not duplicates
+    val imgOnly = Multimodal.imageNearDup(spark, sf()).count()
+    assert(got.size < imgOnly,
+      s"caption gate pruned nothing (joint ${got.size} vs image $imgOnly)")
+  }
+
   test("SQ8 asymmetric search: codes bounded, ranking matches brute-force, recall useful") {
     import functions.VectorOps
     val vecs = VectorOps.prepared(spark, sf())
