@@ -223,6 +223,7 @@ object SparkEntry {
     "d_jaccard3_pairs" -> ((s, dir) => TextOps.jaccard3Pairs(s, dir)),
     "d_shard_pack" -> ((s, dir) => MixOps.shardPack(s, dir)),
     "d_pack_chunks" -> ((s, dir) => MixOps.packChunks(s, dir)),
+    "d_curriculum" -> ((s, dir) => MixOps.curriculumPack(s, dir)),
     "d_bpe_pairs" -> ((s, dir) => Bpe.bpePairs(s, dir)),
     "d_bpe_apply" -> ((s, dir) => Bpe.segmentCorpus(s, dir)),
     "d_bpe_fertility" -> ((s, dir) => Bpe.fertility(s, dir)),
@@ -659,6 +660,7 @@ object SparkEntry {
       "d_jaccard3_pairs" -> TextOps.jaccard3PairsSql(),
       "d_shard_pack" -> MixOps.shardPackSql(),
       "d_pack_chunks" -> MixOps.packChunksSql(),
+      "d_curriculum" -> MixOps.curriculumPackSql(),
       "d_bpe_pairs" -> Bpe.bpePairsSql(),
       "d_bpe_apply" -> Bpe.segmentCorpusSql(),
       "d_bpe_fertility" -> Bpe.fertilitySql(),

@@ -139,6 +139,72 @@ object MixOps {
        |  CAST((off + tok - 1) // $seqLen - off // $seqLen + 1 AS INT) AS n_chunks
        |FROM o ORDER BY doc_id""".stripMargin
 
+  // ---- curriculum-ordered packing ----
+
+  /** Curriculum-ordered shard packing — the anneal-phase data ordering a
+    * pretraining run consumes: the walk visits documents in quality-PHASE
+    * order (phase 0 = `low` bucket, 1 = `medium`, 2 = `high`, each phase
+    * internally hash-shuffled), so early shards carry the bulk data and the
+    * FINAL shards are the highest-quality anneal set — the
+    * "save the best data for the learning-rate anneal" schedule, as a
+    * deterministic manifest. Quality phase is the row-local
+    * [[TextOps.qualityBucketE]] (the ONE score definition `d_quality` /
+    * `d_curate` / DocStream use), so the schedule can never disagree with
+    * the curation tier about what "high quality" means.
+    *
+    * Scale shape: identical to [[shardPack]]'s two-pass distributed prefix
+    * sum, with (phase, bucket) totals — the only unpartitioned window runs
+    * over 3 × `buckets` rows (parameter-bounded, never data-bounded);
+    * per-(phase, bucket) cumulative windows run parallel; offsets return
+    * as a broadcast join; shard assignment is row-local integer division.
+    */
+  def curriculumPack(spark: SparkSession, dir: String, buckets: Int = 8,
+                     budget: Long = 2000L): DataFrame = {
+    val d = TextOps.prepared(spark, dir).select(
+      col("doc_id"), size(col("words")).cast("long").as("tok"),
+      when(TextOps.qualityBucketE === "low", 0)
+        .when(TextOps.qualityBucketE === "medium", 1)
+        .otherwise(2).as("phase"))
+      .withColumn("h", Exprs.hex60(concat(lit("cu:"), col("doc_id").cast("string"))))
+      .withColumn("bucket", pmod(col("h"), lit(buckets)))
+    val totals = d.groupBy("phase", "bucket").agg(sum("tok").as("btok"))
+    // window over 3 × buckets rows — bounded by parameters, not the data
+    val wOff = Window.orderBy("phase", "bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("boff", coalesce(sum("btok").over(wOff), lit(0L)))
+      .select("phase", "bucket", "boff")
+    val wIn = Window.partitionBy("phase", "bucket").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("cum_in", coalesce(sum("tok").over(wIn), lit(0L)))
+      .join(broadcast(offsets), Seq("phase", "bucket"))
+      .withColumn("off", col("boff") + col("cum_in"))
+      .select(col("doc_id"), col("phase"), col("tok").cast("int").as("tok"),
+        col("off"), expr(s"off div ${budget}L").as("shard_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the same walk as ONE global window over (phase, bucket, h,
+    * doc_id) — semantically identical, fine at oracle scale.
+    */
+  def curriculumPackSql(buckets: Int = 8, budget: Long = 2000L): String =
+    s"""WITH q AS (
+       |  SELECT doc_id, quality_bucket FROM (${TextOps.qualitySql})),
+       |d AS (
+       |  SELECT p.doc_id, CAST(len(p.words) AS BIGINT) AS tok,
+       |    CASE q.quality_bucket WHEN 'low' THEN 0
+       |         WHEN 'medium' THEN 1 ELSE 2 END AS phase,
+       |    ${Exprs.hex60Sql("'cu:' || p.doc_id::VARCHAR")} AS h
+       |  FROM (${TextOps.preparedSql}) p JOIN q ON q.doc_id = p.doc_id),
+       |k AS (SELECT *, h % $buckets AS bucket FROM d)
+       |SELECT doc_id, phase, CAST(tok AS INT) AS tok,
+       |  CAST(COALESCE(SUM(tok) OVER (ORDER BY phase, bucket, h, doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off,
+       |  CAST(COALESCE(SUM(tok) OVER (ORDER BY phase, bucket, h, doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |       // $budget AS BIGINT) AS shard_id
+       |FROM k ORDER BY doc_id""".stripMargin
+
   // ---- source-mixture rebalancing ----
 
   /** Per-source target weight: sources carry a numeric suffix in the

@@ -1121,6 +1121,52 @@ class OperatorsSpec extends SparkSuite {
       s"crafted-corpus classes wrong: $strict")
   }
 
+  test("curriculum pack: phases strictly ordered in the walk, offsets a valid prefix sum") {
+    import functions.{MixOps, TextOps}
+    val rows = MixOps.curriculumPack(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    val phases = rows.map(_._2).distinct.sorted.toSeq
+    assert(phases.size >= 2, s"fixture degenerate: one phase only ($phases)")
+    // the walk is phase-ordered: every offset in phase p precedes phase p+1
+    for (Seq(p, pn) <- phases.sliding(2)) {
+      val maxP = rows.filter(_._2 == p).map(r => r._4 + r._3).max
+      val minNext = rows.filter(_._2 == pn).map(_._4).min
+      assert(maxP <= minNext, s"phase $p overlaps phase $pn in the walk")
+    }
+    // offsets form an exact prefix sum: ordered by off, each row starts
+    // where the previous ended, and the walk covers every token once
+    val byOff = rows.sortBy(_._4)
+    byOff.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 + a._3 == b._4, s"gap/overlap between ${a._1} and ${b._1}")
+    }
+    assert(byOff.head._4 == 0L)
+    assert(byOff.last._4 + byOff.last._3 == rows.map(_._3.toLong).sum)
+    // phase agrees with the curation tier's quality bucket (one definition)
+    val buckets = TextOps.quality(spark, sf()).select("doc_id", "quality_bucket")
+      .as[(Long, String)].collect().toMap
+    rows.foreach { case (id, phase, _, _, _) =>
+      val want = buckets(id) match {
+        case "low" => 0; case "medium" => 1; case _ => 2
+      }
+      assert(phase == want, s"doc $id phase $phase != bucket ${buckets(id)}")
+    }
+    // testdata tops out at 'medium' quality — drive the full three-phase
+    // schedule (anneal shards last) on a crafted corpus
+    val longWords = (1 to 200).map(i => f"wonderful$i%03d").mkString(" ")
+    val docs = Seq(
+      (1L, "the a of and to in the a of and", "en", "s", 30L), // low
+      // 90 long non-stopwords: 0.5·(90/200) + 0.3 + 0.2 = 0.725 → medium
+      (2L, (1 to 90).map(i => f"moderate$i%03d").mkString(" "), "en", "s", 1000L),
+      (3L, longWords, "en", "s", longWords.length.toLong)       // high
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("curriculum").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val crafted = MixOps.curriculumPack(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(3))).sortBy(_._3)
+    assert(crafted.map(_._2).toSeq == Seq(0, 1, 2),
+      s"crafted walk not phase-ordered low->medium->high: ${crafted.toSeq}")
+  }
+
   test("caption+image joint dedup: equals brute-force AND of the two modality relations") {
     import functions.TextOps
     val sigs = TextOps.minhashSignatures(spark, sf()).collect()
