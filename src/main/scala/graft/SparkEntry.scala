@@ -260,6 +260,7 @@ object SparkEntry {
     "v_neardup_lsh" -> ((s, dir) => VectorOps.nearDupLsh(s, dir)),
     "v_ann_lsh" -> ((s, dir) => VectorOps.annLsh(s, dir)),
     "v_ann_sq" -> ((s, dir) => VectorOps.annSq(s, dir)),
+    "v_ann_ivfsq" -> ((s, dir) => VectorOps.annIvfSq(s, dir)),
     "v_ivf_assign" -> ((s, dir) => VectorOps.ivfAssign(s, dir).orderBy(col("vec_id"))),
     "v_ann_ivf" -> ((s, dir) => VectorOps.annIvf(s, dir)),
     "v_ann_ivf2" -> ((s, dir) => VectorOps.annIvfMulti(s, dir)),
@@ -275,6 +276,7 @@ object SparkEntry {
     "v_recall" -> ((s, dir) => VectorOps.annRecall(s, dir)),
     "v_recall_lsh" -> ((s, dir) => VectorOps.annRecallLsh(s, dir)),
     "v_recall_sq" -> ((s, dir) => VectorOps.annRecallSq(s, dir)),
+    "v_recall_ivfsq" -> ((s, dir) => VectorOps.annRecallIvfSq(s, dir)),
     "v_recall_ivfpq" -> ((s, dir) => VectorOps.annRecallIvfPq(s, dir)),
     "v_recall_pq" -> ((s, dir) => VectorOps.annRecallPq(s, dir)),
     "v_kmeans_step" -> ((s, dir) => VectorOps.kmeansStep(s, dir)),
@@ -683,6 +685,7 @@ object SparkEntry {
       "v_neardup_lsh" -> VectorOps.nearDupLshSql(),
       "v_ann_lsh" -> VectorOps.annLshSql(),
       "v_ann_sq" -> VectorOps.annSqSql(),
+      "v_ann_ivfsq" -> VectorOps.annIvfSqSql(),
       "v_ivf_assign" -> VectorOps.ivfAssignSql(),
       "v_ann_ivf" -> VectorOps.annIvfSql(),
       "v_ann_ivf2" -> VectorOps.annIvfMultiSql(),
@@ -697,6 +700,7 @@ object SparkEntry {
       "v_recall" -> VectorOps.annRecallSql(),
       "v_recall_lsh" -> VectorOps.annRecallLshSql(),
       "v_recall_sq" -> VectorOps.annRecallSqSql(),
+      "v_recall_ivfsq" -> VectorOps.annRecallIvfSqSql(),
       "v_recall_ivfpq" -> VectorOps.annRecallIvfPqSql(),
       "v_recall_pq" -> VectorOps.annRecallPqSql(),
       "v_kmeans_step" -> VectorOps.kmeansStepSql(),

@@ -1238,6 +1238,84 @@ object VectorOps {
        |WHERE rank <= $k
        |ORDER BY q_id, rank""".stripMargin
 
+  /** IVF + SQ8 composed search — [[annSq]]'s "compose with IVF cells to
+    * prune" made concrete (the FAISS `IVF,SQ8` index shape, as
+    * [[annIvfPq]] is `IVF,PQ`): candidates come from the query's `nProbe`
+    * nearest inverted lists (the shared [[queryProbes]] machinery, so the
+    * IVF half cannot drift from [[annIvfMulti]]'s), ranked by the same
+    * asymmetric scale-cancelled reconstructed cosine as [[annSq]] —
+    * full-precision query against int8 codes. The two approximation knobs
+    * compose independently: probe restriction bounds WORK (fraction of
+    * lists scanned), scalar quantization bounds MEMORY (1 byte/dim
+    * scanned); `v_recall_ivfsq` vs `v_recall_sq` vs `v_recall` isolates
+    * each tier's contribution to total recall loss.
+    *
+    * Scale shape: centroids broadcast, corpus codes shuffled once on
+    * centroid_id (8× less payload than the IVF-float shuffle), probe
+    * lists broadcast per query, per-query top-k window. Never all-pairs.
+    */
+  def annIvfSq(spark: SparkSession, dir: String, nQueries: Int = 20, kNn: Int = 5,
+               kCentroids: Int = 16, nProbe: Int = 2,
+               mat: Materialize = Materialize.Local): DataFrame = {
+    val assigned = sharedIvfAssign(spark, dir, kCentroids, mat)
+    val e = prepared(spark, dir)
+    val sq = e
+      .withColumn("max_abs",
+        expr("aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x)))"))
+      .withColumn("scale", col("max_abs") / 127.0)
+      .select(col("vec_id"),
+        expr("transform(v, x -> CAST(floor(x / scale + 0.5d) AS DOUBLE))").as("codes"))
+      .join(assigned, "vec_id")
+    val qProbes = queryProbes(e, nQueries, kCentroids, nProbe)
+    val sims = sq.join(broadcast(qProbes),
+        col("centroid_id") === col("q_cent") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sq",
+        round(dot(col("qv"), col("codes"))
+          / (col("qn") * sqrt(dot(col("codes"), col("codes")))), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sq").desc, col("vec_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNn)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos_sq"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def annIvfSqSql(nQueries: Int = 20, kNn: Int = 5, kCentroids: Int = 16,
+                  nProbe: Int = 2): String =
+    s"""WITH e0 AS ($preparedSql),
+       |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e0 WHERE vec_id < $kCentroids),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT e0.vec_id, c.centroid_id, ROW_NUMBER() OVER (
+       |      PARTITION BY e0.vec_id
+       |      ORDER BY list_dot_product(e0.v, c.cv) / (e0.nrm * c.cn) DESC, c.centroid_id) AS rn
+       |    FROM e0, c)
+       |  WHERE rn = 1),
+       |sq AS (
+       |  SELECT vec_id,
+       |    list_transform(v, x -> floor(x / (max_abs / 127.0) + 0.5)) AS codes
+       |  FROM (SELECT vec_id, v,
+       |          list_aggregate(list_transform(v, x -> abs(x)), 'max') AS max_abs
+       |        FROM e0)),
+       |e AS (SELECT sq.*, assign.centroid_id FROM sq JOIN assign USING (vec_id)),
+       |q AS (
+       |  SELECT centroid_id AS q_cent, vec_id AS q_id, v AS qv, nrm AS qn FROM (
+       |    SELECT e0.vec_id, e0.v, e0.nrm, c.centroid_id, ROW_NUMBER() OVER (
+       |      PARTITION BY e0.vec_id
+       |      ORDER BY list_dot_product(e0.v, c.cv) / (e0.nrm * c.cn) DESC, c.centroid_id) AS rn
+       |    FROM e0, c WHERE e0.vec_id < $nQueries)
+       |  WHERE rn <= $nProbe),
+       |sims AS (
+       |  SELECT q.q_id, e.vec_id,
+       |    round(list_dot_product(q.qv, e.codes)
+       |      / (q.qn * sqrt(list_dot_product(e.codes, e.codes))), 4) AS cos_sq
+       |  FROM e JOIN q ON e.centroid_id = q.q_cent AND e.vec_id <> q.q_id)
+       |SELECT q_id, rank, vec_id AS neighbor_id, cos_sq FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY cos_sq DESC, vec_id) AS INT) AS rank
+       |  FROM sims)
+       |WHERE rank <= $kNn
+       |ORDER BY q_id, rank""".stripMargin
+
   /** Recall@k harness — the metric every ANN deployment gates on: for each
     * query, how many of the exact top-k ([[knn]]) the approximate search
     * ([[annIvfMulti]]) recovered. Both sides have exact DuckDB mirrors, so
@@ -1305,6 +1383,19 @@ object VectorOps {
 
   def annRecallSqSql(nQueries: Int = 20, k: Int = 5): String =
     recallSqlOf(annSqSql(nQueries, k), nQueries, k)
+
+  /** Same harness over the IVF+SQ composed index — total loss with both
+    * knobs on; compare against [[annRecallSq]] (SQ only) and [[annRecall]]
+    * (IVF only) to attribute the gap.
+    */
+  def annRecallIvfSq(spark: SparkSession, dir: String, nQueries: Int = 20,
+                     k: Int = 5, kCentroids: Int = 16, nProbe: Int = 2): DataFrame =
+    recallAgainstExact(spark, dir,
+      annIvfSq(spark, dir, nQueries, k, kCentroids, nProbe), nQueries, k)
+
+  def annRecallIvfSqSql(nQueries: Int = 20, k: Int = 5, kCentroids: Int = 16,
+                        nProbe: Int = 2): String =
+    recallSqlOf(annIvfSqSql(nQueries, k, kCentroids, nProbe), nQueries, k)
 
   /** Same harness over PQ-only ADC ranking (all candidates, no probe
     * restriction) — isolates pure quantization loss: any gap between this

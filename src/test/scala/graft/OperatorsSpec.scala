@@ -1224,6 +1224,36 @@ class OperatorsSpec extends SparkSuite {
     assert(rec.sum / rec.length >= 0.8, s"avg SQ recall ${rec.sum / rec.length} < 0.8")
   }
 
+  test("IVF+SQ composed search: equals brute-force probe restriction + SQ ranking") {
+    import functions.VectorOps
+    val vecs = VectorOps.prepared(spark, sf())
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.lazyZip(b).map(_ * _).sum
+      d / math.sqrt(a.map(x => x * x).sum) / math.sqrt(b.map(x => x * x).sum)
+    }
+    def codesOf(v: Seq[Double]): Seq[Double] = {
+      val s = v.map(math.abs).max / 127.0
+      v.map(x => math.floor(x / s + 0.5))
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cents = vecs.keys.toSeq.filter(_ < 16).sorted
+    def rankedCents(id: Long): Seq[Long] =
+      cents.map(c => (c, cos(vecs(id), vecs(c)))).sortBy { case (c, s) => (-s, c) }.map(_._1)
+    val assign = vecs.keys.map(id => id -> rankedCents(id).head).toMap
+    val expected = vecs.keys.toSeq.filter(_ < 5).sorted.flatMap { q =>
+      val probes = rankedCents(q).take(2).toSet
+      vecs.keys.toSeq.filter(id => id != q && probes(assign(id)))
+        .map(id => (id, r4(cos(vecs(q), codesOf(vecs(id))))))
+        .sortBy { case (id, c) => (-c, id) }.take(3).zipWithIndex
+        .map { case ((id, c), i) => (q, i + 1, id, c) }
+    }
+    val got = VectorOps.annIvfSq(spark, sf(), nQueries = 5, kNn = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected, "IVF+SQ ranking diverges from brute-force")
+  }
+
   test("text near-dup incr: verdicts + lineage match brute-force over the salted split") {
     import functions.TextOps
     // signatures collected from the (separately oracle-checked) relation;
