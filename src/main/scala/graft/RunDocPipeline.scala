@@ -195,7 +195,20 @@ object RunDocPipeline {
       if (tempDocs == 0) 0L
       else mt.agg(sum("tok")).collect()(0).getLong(0)
 
-    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"temp_shards":$tempShards,"temp_docs":$tempDocs,"temp_tokens":$tempTokens,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept,"vectors_admitted":$vectorsAdmitted}""")
+    // the curriculum schedule over the same corpus: the quality-phase
+    // shard walk (anneal shards last) a trainer's dataloader consumes
+    // alongside the manifests above — written as its own artifact so the
+    // run order is an explicit relation, not an implicit file order
+    MixOps.curriculumPack(spark, sfDir, budget = budget)
+      .write.mode(SaveMode.Overwrite).parquet(s"$workDir/curriculum")
+    val cur = spark.read.parquet(s"$workDir/curriculum")
+    val curShards = cur.select("shard_id").distinct().count()
+    // the anneal set: docs in the LAST phase present (testdata tops out
+    // at medium quality, so take max(phase) rather than hard-coding 2)
+    val maxPhase = cur.agg(max("phase")).collect()(0).getInt(0)
+    val annealDocs = cur.filter(col("phase") === maxPhase).count()
+
+    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"temp_shards":$tempShards,"temp_docs":$tempDocs,"temp_tokens":$tempTokens,"curriculum_shards":$curShards,"anneal_docs":$annealDocs,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept,"vectors_admitted":$vectorsAdmitted}""")
     spark.stop()
   }
 }

@@ -827,6 +827,17 @@ object TextOps {
 
   private def wordHash: Column = pmod(Exprs.hex60(col("w")), lit(P))
 
+  /** Per-ROW minhash expression over the `words` array — the
+    * streaming-capable formulation of [[minhashSignatures]] (identical
+    * hashes: same [[Exprs.hex60]] word hash, same A/B/P), computed as
+    * `array_distinct → transform → array_min` so a micro-batch row needs
+    * no explode/shuffle. Spec-pinned equal to the batch relation on
+    * testdata so the tiers cannot drift.
+    */
+  private[graft] def sigArrayE(i: Int): Column =
+    array_min(transform(array_distinct(col("words")),
+      w => pmod(pmod(Exprs.hex60(w), lit(P)) * A(i) + B(i), lit(P))))
+
   /** 8-hash MinHash signature per document over the distinct word set.
     * Shared-hash construction keeps this oracle-checkable (Exprs.hex60).
     */

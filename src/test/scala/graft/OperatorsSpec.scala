@@ -1224,6 +1224,17 @@ class OperatorsSpec extends SparkSuite {
     assert(rec.sum / rec.length >= 0.8, s"avg SQ recall ${rec.sum / rec.length} < 0.8")
   }
 
+  test("per-row minhash expression equals the batch explode/groupBy signatures") {
+    import functions.TextOps
+    val batch = TextOps.minhashSignatures(spark, sf()).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    val perRow = (0 until 8).foldLeft(TextOps.prepared(spark, sf()))(
+      (d, i) => d.withColumn(s"m$i", TextOps.sigArrayE(i)))
+      .select(col("doc_id") +: (0 until 8).map(i => col(s"m$i")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    assert(perRow == batch, "streaming-capable signature formulation drifted from batch")
+  }
+
   test("IVF+SQ composed search: equals brute-force probe restriction + SQ ranking") {
     import functions.VectorOps
     val vecs = VectorOps.prepared(spark, sf())

@@ -606,4 +606,79 @@ class StreamingSpec extends SparkSuite {
     assert(admitted == expected,
       s"stream/batch divergence: stream-only=${admitted -- expected}, batch-only=${expected -- admitted}")
   }
+  test("text stream near-dup admission: base near-dups rejected, horizon retries collapse") {
+    import graft.streaming.NearDupStream
+    val ts = (s: Int) => Timestamp.valueOf(f"2026-01-01 10:00:$s%02d")
+    // base corpus: ids 0/2 are base-split under hex60('inc:'||id) % 5
+    val baseText = "shared template words for the frozen base document"
+    val docs = Seq(
+      (0L, baseText, "en", "s", 50L),
+      (2L, "another base document with different content entirely", "en", "s", 53L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("neardup_stream").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val out = NearDupStream(
+      in.toDF().toDF("doc_id", "text", "ingest_ts"),
+      NearDupStream.frozenBase(spark, tmp))
+    val q = out.writeStream.format("memory").queryName("neardup_stream_t")
+      .outputMode("append").start()
+    in.addData(
+      (101L, baseText, ts(0)),                       // base near-dup (sig-identical) -> reject
+      (102L, "a genuinely novel arrival nothing like the base", ts(1))) // admit
+    q.processAllAvailable()
+    in.addData((103L, "a genuinely novel arrival nothing like the base", ts(2))) // exact retry -> drop
+    q.processAllAvailable()
+    val kept = spark.table("neardup_stream_t").select("doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(kept == Set(102L),
+      s"kept $kept: expected base near-dup 101 rejected, 102 admitted, retry 103 collapsed")
+  }
+
+  test("text stream admission agrees with the batch incremental tier on base verdicts") {
+    import graft.streaming.NearDupStream
+    import graft.functions.TextOps
+    // stream scope = frozen-base near-dups + exact content within the
+    // horizon; batch dup_in_increment covers NEAR within-delta pairs the
+    // stream deliberately leaves to compaction. Expected admitted set =
+    // NOT dup_of_base (batch verdict) minus exact-content repeats of an
+    // earlier delta arrival.
+    val sfDir = sf()
+    val batch = TextOps.nearDupIncr(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val deltaDocs = TextOps.prepared(spark, sfDir)
+      .filter(TextOps.docSplitE(5) === 0)
+      .select(col("doc_id"), col("norm")).as[(Long, String)].collect().sortBy(_._1)
+    val raw = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    // content-level expectation: the md5 horizon state sees only rows
+    // that pass the base gate, and within one micro-batch the kept
+    // representative of duplicated content is partition-order-dependent —
+    // so assert WHICH CONTENTS are admitted (exactly once each), not ids
+    val okIds = deltaDocs.collect {
+      case (id, _) if batch(id) != "dup_of_base" => id
+    }.toSet
+    val expectedContents = deltaDocs.collect {
+      case (id, norm) if okIds(id) => norm
+    }.toSet
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val tsv = Timestamp.valueOf("2026-01-01 10:00:00")
+    val out = NearDupStream(
+      in.toDF().toDF("doc_id", "text", "ingest_ts"),
+      NearDupStream.frozenBase(spark, sfDir))
+    val q = out.writeStream.format("memory").queryName("neardup_stream_eq")
+      .outputMode("append").start()
+    in.addData(deltaDocs.map { case (id, _) => (id, raw(id), tsv) }: _*)
+    q.processAllAvailable()
+    val admitted = spark.table("neardup_stream_eq").select("doc_id").as[Long].collect().toSet
+    q.stop()
+    val normOf = deltaDocs.toMap
+    assert(admitted.subsetOf(okIds),
+      s"stream admitted batch dup_of_base docs: ${admitted -- okIds}")
+    val admittedContents = admitted.toSeq.map(normOf)
+    assert(admittedContents.distinct.size == admittedContents.size,
+      "horizon state failed to collapse exact-content repeats")
+    assert(admittedContents.toSet == expectedContents,
+      s"stream/batch divergence on admitted contents: ${admittedContents.toSet.size} vs ${expectedContents.size}")
+  }
 }
