@@ -217,6 +217,7 @@ object SparkEntry {
     "d_dedup_apply" -> ((s, dir) => TextOps.dedupApply(s, dir).orderBy(col("doc_id"))),
     "d_dedup_incr" -> ((s, dir) => TextOps.dedupIncrement(s, dir).orderBy(col("doc_id"))),
     "d_neardup_incr" -> ((s, dir) => TextOps.nearDupIncr(s, dir)),
+    "d_quality_drift" -> ((s, dir) => TextOps.qualityDriftIncr(s, dir)),
     "d_segment_dedup" -> ((s, dir) => TextOps.segmentDedup(s, dir)),
     "d_lm_bits" -> ((s, dir) => TextOps.lmBits(s, dir)),
     "d_containment" -> ((s, dir) => TextOps.containmentPairs(s, dir)),
@@ -656,6 +657,7 @@ object SparkEntry {
       "d_dedup_apply" -> TextOps.dedupApplySql,
       "d_dedup_incr" -> TextOps.dedupIncrementSql(),
       "d_neardup_incr" -> TextOps.nearDupIncrSql(),
+      "d_quality_drift" -> TextOps.qualityDriftIncrSql(),
       "d_segment_dedup" -> TextOps.segmentDedupSql(),
       "d_lm_bits" -> TextOps.lmBitsSql,
       "d_containment" -> TextOps.containmentPairsSql(),

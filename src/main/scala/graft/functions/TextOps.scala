@@ -372,6 +372,73 @@ object TextOps {
        |FROM sh JOIN f USING (sh)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Per-source arrival QUALITY-drift monitor — the fourth member of the
+    * arrival-monitor family ([[graft.functions.VectorOps.embeddingDrift]]
+    * watches WHERE the delta's embeddings sit, [[novelty]] its n-grams,
+    * `v_dup_rate_incr` how much is already owned; this watches whether a
+    * source's arrivals are getting WORSE): per source, the high-quality
+    * permille among base docs vs delta docs (the salted [[docSplitE]]
+    * split, same arrival contract as every incremental operator) and the
+    * signed drift. A source whose delta high-permille collapses is a
+    * degraded scraper or a spam flood — caught before the docs enter the
+    * corpus build.
+    *
+    * Parity rule: the monitor reports BUCKET COUNTS and integer permille,
+    * never a mean of the double score — a double sum's value depends on
+    * fold order and would break the cross-engine oracle (the same rule as
+    * `v_quantize`'s order-independent error columns).
+    *
+    * Scale shape: one scan, row-local bucket + split exprs, one
+    * |sources|-key hash agg — delta-bound nothing; the whole monitor is a
+    * map-side-combined groupBy.
+    */
+  def qualityDriftIncr(spark: SparkSession, dir: String,
+                       deltaMod: Int = 5): DataFrame = {
+    val d = prepared(spark, dir).select(
+      col("source"),
+      (docSplitE(deltaMod) === 0).as("is_delta"),
+      (qualityBucketE =!= "low").as("ok"))
+    d.groupBy("source").agg(
+      sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_base"),
+      sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"),
+      sum(when(!col("is_delta") && col("ok"), 1L).otherwise(0L)).as("ok_base"),
+      sum(when(col("is_delta") && col("ok"), 1L).otherwise(0L)).as("ok_delta"))
+      // permille via exact integer division; sources with an empty side
+      // report -1 (distinguishable from a true 0‰) instead of dividing by 0
+      .withColumn("ok_pm_base",
+        when(col("n_base") > 0, expr("ok_base * 1000L div n_base")).otherwise(-1L))
+      .withColumn("ok_pm_delta",
+        when(col("n_delta") > 0, expr("ok_delta * 1000L div n_delta")).otherwise(-1L))
+      .withColumn("drift_pm",
+        when(col("n_base") > 0 && col("n_delta") > 0,
+          col("ok_pm_delta") - col("ok_pm_base")).otherwise(lit(null).cast("long")))
+      .select("source", "n_base", "n_delta", "ok_base", "ok_delta",
+        "ok_pm_base", "ok_pm_delta", "drift_pm")
+      .orderBy("source")
+  }
+
+  def qualityDriftIncrSql(deltaMod: Int = 5): String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    (${docSplitSql(deltaMod)}) = 0 AS is_delta,
+       |    quality_bucket <> 'low' AS ok
+       |  FROM ($qualitySql) q
+       |  JOIN (SELECT doc_id AS qid, source FROM documents) s ON s.qid = q.doc_id),
+       |agg AS (
+       |  SELECT source,
+       |    CAST(sum(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       |    CAST(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+       |    CAST(sum(CASE WHEN NOT is_delta AND ok THEN 1 ELSE 0 END) AS BIGINT) AS ok_base,
+       |    CAST(sum(CASE WHEN is_delta AND ok THEN 1 ELSE 0 END) AS BIGINT) AS ok_delta
+       |  FROM d GROUP BY source)
+       |SELECT source, n_base, n_delta, ok_base, ok_delta,
+       |  CASE WHEN n_base > 0 THEN ok_base * 1000 // n_base ELSE -1 END AS ok_pm_base,
+       |  CASE WHEN n_delta > 0 THEN ok_delta * 1000 // n_delta ELSE -1 END AS ok_pm_delta,
+       |  CASE WHEN n_base > 0 AND n_delta > 0
+       |       THEN (ok_delta * 1000 // n_delta) - (ok_base * 1000 // n_base)
+       |       ELSE NULL END AS drift_pm
+       |FROM agg ORDER BY source""".stripMargin
+
   def contamination(spark: SparkSession, dir: String, probeMax: Long = 10): DataFrame =
     // session-shared: the contamination index is consumed by d_contamination,
     // curate (d_curate + both corpus builds) and the incremental delta pass —

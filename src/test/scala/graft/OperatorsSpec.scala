@@ -1224,6 +1224,32 @@ class OperatorsSpec extends SparkSuite {
     assert(rec.sum / rec.length >= 0.8, s"avg SQ recall ${rec.sum / rec.length} < 0.8")
   }
 
+  test("quality drift monitor: counts exact, empty sides sentineled, collapse goes negative") {
+    import functions.TextOps
+    // ids 1/4/7 are delta under hex60('inc:'||id)%5; 0/2/3/5 are base.
+    // sourceA: good base (long clean docs), junk delta -> negative drift.
+    // sourceB: base only -> delta side sentinel -1, drift null.
+    def good(seed: Int) = (1 to 90).map(i => f"verbose$seed%02d$i%03d").mkString(" ")
+    val docs = Seq(
+      (0L, good(0), "en", "sourceA", 900L),
+      (2L, good(2), "en", "sourceA", 900L),
+      (1L, "the a of and to in", "en", "sourceA", 18L),   // delta, low
+      (4L, "the a of to in and", "en", "sourceA", 18L),   // delta, low
+      (3L, good(3), "en", "sourceB", 900L),
+      (5L, "the a of in to and", "en", "sourceB", 18L)    // base, low
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("qdrift").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.qualityDriftIncr(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(5),
+        r.getLong(6), Option(r.getAs[java.lang.Long]("drift_pm")).map(_.toLong)))
+      .toMap
+    assert(got("sourceA") == ((2L, 2L, 1000L, 0L, Some(-1000L))),
+      s"sourceA drift wrong: ${got("sourceA")}")
+    assert(got("sourceB") == ((2L, 0L, 500L, -1L, None)),
+      s"sourceB sentinel wrong: ${got("sourceB")}")
+  }
+
   test("per-row minhash expression equals the batch explode/groupBy signatures") {
     import functions.TextOps
     val batch = TextOps.minhashSignatures(spark, sf()).collect()
