@@ -254,6 +254,7 @@ object SparkEntry {
 
     // ---- embedding similarity operators ----
     "v_norms" -> ((s, dir) => VectorOps.norms(s, dir).orderBy(col("vec_id"))),
+    "v_embed_stale" -> ((s, dir) => VectorOps.embedStale(s, dir)),
     "v_drift_incr" -> ((s, dir) => VectorOps.embeddingDrift(s, dir)),
     "d_domain_mix" -> ((s, dir) => VectorOps.domainMix(s, dir)),
     "v_knn" -> ((s, dir) => VectorOps.knn(s, dir)),
@@ -680,6 +681,7 @@ object SparkEntry {
       "d_manifest_incr" -> MixOps.manifestIncrSql(),
       "d_manifest_delta" -> MixOps.manifestIncrSql(),
       "v_norms" -> VectorOps.normsSql,
+      "v_embed_stale" -> VectorOps.embedStaleSql(),
       "v_drift_incr" -> VectorOps.embeddingDriftSql(),
       "d_domain_mix" -> VectorOps.domainMixSql(),
       "v_knn" -> VectorOps.knnSql(),

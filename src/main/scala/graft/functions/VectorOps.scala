@@ -252,6 +252,72 @@ object VectorOps {
        |LEFT JOIN indelta ind ON d.vec_id = ind.vec_id
        |ORDER BY d.vec_id""".stripMargin
 
+  /** Cross-modal embedding-staleness monitor — the consistency check a
+    * pipeline that stores text AND embeddings needs: documents whose text
+    * is signature-identical to another's (all 8 minhashes equal — the
+    * [[graft.functions.TextOps.minhashSignatures]] relation, so "same
+    * text" means what the dedup tier means) should have near-identical
+    * embeddings; a member whose cosine to its group REPRESENTATIVE (min
+    * id) falls below `threshold` has a stale, corrupt, or mis-keyed
+    * vector. Reported per source as counts + integer permille (the
+    * monitor-family parity rule — no order-dependent double sums).
+    *
+    * The representative formulation is the scale design: comparing each
+    * member to ONE representative is linear in documents, where the pair
+    * formulation (every text-near pair × two 64-dim arrays) measured 36k
+    * array-pair rows at sf0.01 and grows with the square of family sizes.
+    * One sig-group agg, two id equi-joins each carrying a single
+    * embedding, one |sources|-key agg.
+    */
+  def embedStale(spark: SparkSession, dir: String,
+                 threshold: Double = 0.4): DataFrame = {
+    val sig = graft.functions.TextOps.minhashSignatures(spark, dir)
+      .withColumn("sig", concat_ws(",", (0 until 8).map(i => col(s"m$i")): _*))
+      .select("doc_id", "sig")
+    val reps = sig.groupBy("sig")
+      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_members"))
+      .filter(col("n_members") > 1)
+    val e = prepared(spark, dir)
+    val member = sig.join(reps, "sig").filter(col("doc_id") =!= col("rep_id"))
+      .join(e.select(col("vec_id").as("doc_id"), col("v"), col("nrm")), "doc_id")
+      .join(e.select(col("vec_id").as("rep_id"),
+        col("v").as("rv"), col("nrm").as("rn")), "rep_id")
+      .withColumn("stale",
+        dot(col("v"), col("rv")) / (col("nrm") * col("rn")) < threshold)
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    member.join(src, "doc_id")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_members"),
+        sum(col("stale").cast("long")).as("n_stale"))
+      .withColumn("stale_pm", expr("n_stale * 1000L div n_members"))
+      .orderBy("source")
+  }
+
+  def embedStaleSql(threshold: Double = 0.4): String =
+    s"""WITH sig AS (
+       |  ${graft.functions.TextOps.minhashSigSqlInner}),
+       |keyed AS (
+       |  SELECT doc_id,
+       |    m0||','||m1||','||m2||','||m3||','||m4||','||m5||','||m6||','||m7 AS sig
+       |  FROM sig),
+       |reps AS (
+       |  SELECT sig, min(doc_id) AS rep_id, count(*) AS n_members
+       |  FROM keyed GROUP BY sig HAVING count(*) > 1),
+       |e AS ($preparedSql),
+       |member AS (
+       |  SELECT k.doc_id,
+       |    list_dot_product(ev.v, er.v) / (ev.nrm * er.nrm) < $threshold AS stale
+       |  FROM keyed k JOIN reps r ON k.sig = r.sig AND k.doc_id <> r.rep_id
+       |  JOIN e ev ON ev.vec_id = k.doc_id
+       |  JOIN e er ON er.vec_id = r.rep_id)
+       |SELECT d.source,
+       |  CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(sum(CASE WHEN stale THEN 1 ELSE 0 END) AS BIGINT) AS n_stale,
+       |  CAST(sum(CASE WHEN stale THEN 1 ELSE 0 END) AS BIGINT) * 1000
+       |    // CAST(count(*) AS BIGINT) AS stale_pm
+       |FROM member m JOIN documents d ON d.doc_id = m.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   /** Per-source incremental duplication-rate monitor — the third member of
     * the arrival-monitor family ([[embeddingDrift]] watches WHERE the
     * delta's embeddings sit, [[graft.functions.TextOps]]'s `d_novelty`

@@ -1224,6 +1224,30 @@ class OperatorsSpec extends SparkSuite {
     assert(rec.sum / rec.length >= 0.8, s"avg SQ recall ${rec.sum / rec.length} < 0.8")
   }
 
+  test("embed staleness monitor: same-text member with divergent vector flagged, aligned one not") {
+    import functions.VectorOps
+    val t = "identical text shared by the whole duplicate family"
+    val docs = Seq(
+      (0L, t, "en", "sA", 50L),                 // rep of the family
+      (1L, t, "en", "sA", 50L),                 // aligned member
+      (2L, t, "en", "sB", 50L),                 // stale member (orthogonal vector)
+      (3L, "a singleton document", "en", "sB", 20L) // no group -> excluded
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f), 0),    // cos ~0.994 -> fine
+      (2L, Seq(0.0f, 0.0f, 1.0f, 0.0f), 0),    // cos 0 -> stale
+      (3L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("embstale").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    vecs.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = VectorOps.embedStale(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map("sA" -> ((1L, 0L, 0L)), "sB" -> ((1L, 1L, 1000L))),
+      s"staleness verdicts wrong: $got")
+  }
+
   test("quality drift monitor: counts exact, empty sides sentineled, collapse goes negative") {
     import functions.TextOps
     // ids 1/4/7 are delta under hex60('inc:'||id)%5; 0/2/3/5 are base.
