@@ -229,6 +229,7 @@ object SparkEntry {
     "d_bpe_apply" -> ((s, dir) => Bpe.segmentCorpus(s, dir)),
     "d_bpe_fertility" -> ((s, dir) => Bpe.fertility(s, dir)),
     "d_bpe_coverage" -> ((s, dir) => Bpe.coverage(s, dir)),
+    "d_bpe_drift" -> ((s, dir) => Bpe.bpeDrift(s, dir)),
     "d_split_stratified" -> ((s, dir) => TextOps.splitStratified(s, dir)),
     "d_lsh_recall" -> ((s, dir) => TextOps.lshRecall(s, dir)),
     "d_mix_rebalance" -> ((s, dir) => MixOps.mixRebalance(s, dir)),
@@ -670,6 +671,7 @@ object SparkEntry {
       "d_bpe_apply" -> Bpe.segmentCorpusSql(),
       "d_bpe_fertility" -> Bpe.fertilitySql(),
       "d_bpe_coverage" -> Bpe.coverageSql(),
+      "d_bpe_drift" -> Bpe.bpeDriftSql(),
       "d_split_stratified" -> TextOps.splitStratifiedSql(),
       "d_lsh_recall" -> TextOps.lshRecallSql(),
       "d_mix_rebalance" -> MixOps.mixRebalanceSql(),

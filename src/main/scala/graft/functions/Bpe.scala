@@ -294,6 +294,75 @@ object Bpe {
        |FROM freq JOIN toks USING (w)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Per-source tokenizer-drift monitor — the tokenizer member of the
+    * arrival-monitor family (embedding drift / n-gram novelty / dup rate /
+    * quality drift / this): per source, the fully-fragmented word-
+    * occurrence permille (a word the merge table cannot compress at all,
+    * `n_tokens == length(w)` — the [[coverage]] criterion) among BASE vs
+    * DELTA documents over the shared salted split, plus the signed drift.
+    * A source whose delta fragmentation climbs is shifting vocabulary out
+    * from under the frozen tokenizer — the signal that triggers a re-train
+    * before fertility regresses in production.
+    *
+    * Parity: counts + integer permille only (the monitor-family rule).
+    * Scale shape: the segmentation relation is |distinct words| (never the
+    * corpus), the frequency agg is map-side combined, the monitor itself
+    * is one |sources|-key agg.
+    */
+  def bpeDrift(spark: SparkSession, dir: String,
+               merges: Seq[(String, String)] = trainedMerges,
+               deltaMod: Int = 5): DataFrame = {
+    val freq = TextOps.prepared(spark, dir)
+      .select(col("source"), (TextOps.docSplitE(deltaMod) === 0).as("is_delta"),
+        explode(col("words")).as("w"))
+      .groupBy("source", "is_delta", "w").agg(count(lit(1)).as("freq"))
+    val toks = segmentCorpus(spark, dir, merges).select(col("w"), col("n_tokens"))
+    freq.join(toks, "w")
+      .withColumn("frag", col("n_tokens") === length(col("w")))
+      .groupBy("source").agg(
+        sum(when(!col("is_delta"), col("freq")).otherwise(0L)).as("n_base"),
+        sum(when(col("is_delta"), col("freq")).otherwise(0L)).as("n_delta"),
+        sum(when(!col("is_delta") && col("frag"), col("freq")).otherwise(0L)).as("frag_base"),
+        sum(when(col("is_delta") && col("frag"), col("freq")).otherwise(0L)).as("frag_delta"))
+      .withColumn("frag_pm_base",
+        when(col("n_base") > 0, expr("frag_base * 1000L div n_base")).otherwise(-1L))
+      .withColumn("frag_pm_delta",
+        when(col("n_delta") > 0, expr("frag_delta * 1000L div n_delta")).otherwise(-1L))
+      .withColumn("drift_pm",
+        when(col("n_base") > 0 && col("n_delta") > 0,
+          col("frag_pm_delta") - col("frag_pm_base")).otherwise(lit(null).cast("long")))
+      .select("source", "n_base", "n_delta", "frag_base", "frag_delta",
+        "frag_pm_base", "frag_pm_delta", "drift_pm")
+      .orderBy("source")
+  }
+
+  def bpeDriftSql(merges: Seq[(String, String)] = trainedMerges,
+                  deltaMod: Int = 5): String =
+    s"""WITH freq AS (
+       |  SELECT source, is_delta, w, count(*) AS freq FROM (
+       |    SELECT source, (${TextOps.docSplitSql(deltaMod)}) = 0 AS is_delta,
+       |           unnest(words) AS w
+       |    FROM (${TextOps.preparedSql}))
+       |  GROUP BY source, is_delta, w),
+       |toks AS (SELECT w, n_tokens FROM (${segmentCorpusSql(merges)})),
+       |j AS (
+       |  SELECT source, is_delta, freq, n_tokens = length(w) AS frag
+       |  FROM freq JOIN toks USING (w)),
+       |agg AS (
+       |  SELECT source,
+       |    CAST(sum(CASE WHEN NOT is_delta THEN freq ELSE 0 END) AS BIGINT) AS n_base,
+       |    CAST(sum(CASE WHEN is_delta THEN freq ELSE 0 END) AS BIGINT) AS n_delta,
+       |    CAST(sum(CASE WHEN NOT is_delta AND frag THEN freq ELSE 0 END) AS BIGINT) AS frag_base,
+       |    CAST(sum(CASE WHEN is_delta AND frag THEN freq ELSE 0 END) AS BIGINT) AS frag_delta
+       |  FROM j GROUP BY source)
+       |SELECT source, n_base, n_delta, frag_base, frag_delta,
+       |  CASE WHEN n_base > 0 THEN frag_base * 1000 // n_base ELSE -1 END AS frag_pm_base,
+       |  CASE WHEN n_delta > 0 THEN frag_delta * 1000 // n_delta ELSE -1 END AS frag_pm_delta,
+       |  CASE WHEN n_base > 0 AND n_delta > 0
+       |       THEN (frag_delta * 1000 // n_delta) - (frag_base * 1000 // n_base)
+       |       ELSE NULL END AS drift_pm
+       |FROM agg ORDER BY source""".stripMargin
+
   /** Train `nMerges` BPE merges. Returns the ordered merge table
     * (rank, sym_a, sym_b, weight). Each round: pair-count agg over the
     * vocabulary (|vocab| rows, NOT the corpus), 1-row argmax to the driver,

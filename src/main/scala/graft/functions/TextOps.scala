@@ -1181,7 +1181,7 @@ object TextOps {
     */
   private[graft] def docSplitE(mod: Int): Column =
     pmod(Exprs.hex60(concat(lit("inc:"), col("doc_id").cast("string"))), lit(mod))
-  private def docSplitSql(mod: Int, idExpr: String = "doc_id"): String =
+  private[graft] def docSplitSql(mod: Int, idExpr: String = "doc_id"): String =
     s"${Exprs.hex60Sql(s"'inc:' || $idExpr::VARCHAR")} % $mod"
 
   /** Incremental NEAR-dup for text — the fuzzy daily-arrival form that

@@ -1224,6 +1224,25 @@ class OperatorsSpec extends SparkSuite {
     assert(rec.sum / rec.length >= 0.8, s"avg SQ recall ${rec.sum / rec.length} < 0.8")
   }
 
+  test("bpe drift monitor: delta vocabulary the merges cannot compress drives drift positive") {
+    import functions.Bpe
+    // id 0 is base, id 1 is delta under the salted split; merge ("a","b")
+    // compresses "ab" (1 token < 2 chars) but leaves "xy" fully fragmented
+    val docs = Seq(
+      (0L, "ab ab ab", "en", "s", 8L),
+      (1L, "xy xy ab", "en", "s", 8L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("bpedrift").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Bpe.bpeDrift(spark, tmp, merges = Seq(("a", "b"))).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6), r.getLong(7)) ==
+      ((3L, 3L, 0L, 2L, 0L, 666L, 666L)),
+      s"drift row wrong: ${r.toSeq}")
+  }
+
   test("embed staleness monitor: same-text member with divergent vector flagged, aligned one not") {
     import functions.VectorOps
     val t = "identical text shared by the whole duplicate family"
