@@ -79,6 +79,29 @@ class PlanAuditSpec extends SparkSuite {
       s"query set must broadcast:\n$plan")
   }
 
+  test("v_ann_ivfsq: probe lists broadcast onto the code scan") {
+    val plan = executedPlan("v_ann_ivfsq")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe lists must broadcast:\n$plan")
+  }
+
+  test("d_neardup_incr: signature-space verify — no word arrays on the pair joins") {
+    val plan = executedPlan("d_neardup_incr")
+    // the round-14 perf contract: candidates are verified from the 8 ints
+    // already on the joined row; the exact formulation's array_intersect
+    // (a multi-GB word-array shuffle at sf0.1) must never reappear
+    assert(!plan.contains("array_intersect"),
+      s"exact word-set verify reappeared on the incremental path:\n$plan")
+  }
+
+  test("d_curriculum: corpus never windows in a single partition") {
+    val plan = executedPlan("d_curriculum")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"(phase,bucket) offsets must broadcast:\n$plan")
+    assert("[+:]- Exchange SinglePartition".r.findAllIn(plan).length == 1,
+      s"only the 3×buckets offsets relation may hit SinglePartition:\n$plan")
+  }
+
   test("d_shard_pack: corpus never windows in a single partition") {
     val plan = executedPlan("d_shard_pack")
     // the bucket-offsets join comes back as a broadcast, never a shuffle of
