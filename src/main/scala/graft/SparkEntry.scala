@@ -304,6 +304,7 @@ object SparkEntry {
     "mm_phash" -> ((s, dir) => Multimodal.perceptualHash(s, dir).orderBy(col("media_id"))),
     "mm_neardup" -> ((s, dir) => Multimodal.imageNearDup(s, dir)),
     "mm_caption_dup" -> ((s, dir) => Multimodal.captionDup(s, dir)),
+    "mm_caption_dup_incr" -> ((s, dir) => Multimodal.captionDupIncr(s, dir)),
     "mm_dup_clusters" -> ((s, dir) => Multimodal.imageDupClusters(s, dir)),
     "mm_dedup_apply" -> ((s, dir) => Multimodal.imageDedupApply(s, dir)),
     "mm_dedup_incr" -> ((s, dir) => Multimodal.imageDedupIncr(s, dir)),
@@ -728,6 +729,7 @@ object SparkEntry {
       "mm_phash" -> Multimodal.perceptualHashSql,
       "mm_neardup" -> Multimodal.imageNearDupSql(),
       "mm_caption_dup" -> Multimodal.captionDupSql(),
+      "mm_caption_dup_incr" -> Multimodal.captionDupIncrSql(),
       "mm_dup_clusters" -> Multimodal.imageDupClustersSql(),
       "mm_dedup_apply" -> Multimodal.imageDedupApplySql(),
       "mm_dedup_incr" -> Multimodal.imageDedupIncrSql(),

@@ -948,6 +948,119 @@ object Multimodal {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Incremental JOINT caption+image dedup — the frozen-index daily form
+    * of [[captionDup]], completing the incremental matrix for the
+    * cross-modal pair relation (text / image / audio / video / vector all
+    * have one; this is the (caption, image) PAIR's): each DELTA pair
+    * (salted `inc:` split on the media id, the shared arrival contract)
+    * is classified against the FROZEN base pair index and smaller-id
+    * delta pairs — a pair duplicates another only when BOTH modalities
+    * agree (banded dHash hamming ≤ `maxDist` AND ≥ `minAgree`-of-8
+    * MinHash agreement, exactly the batch operator's joint criterion) —
+    * as `dup_of_base` / `dup_in_increment` / `kept` with min-id lineage.
+    *
+    * Scale shape: image candidates from the hamming-banded join (delta ×
+    * base and delta × delta, never all-pairs), caption check attached as
+    * 8 ints per side from the session-shared signature table, one
+    * min-agg per verdict class. The frozen index is 8 bytes of dHash +
+    * 10 ints of signature per admitted pair.
+    */
+  def captionDupIncr(spark: SparkSession, dir: String, deltaMod: Int = 5,
+                     maxDist: Int = 6, minAgree: Int = 7): DataFrame = {
+    import graft.functions.TextOps
+    val ms = (0 until 8).map(i => s"m$i")
+    val sig = TextOps.bandedSignatures(spark, dir)
+    val hashes = sharedHashes(spark, dir)
+      .join(sig.select(col("doc_id").as("media_id") +:
+        ms.map(m => col(m)): _*), "media_id")
+      .withColumn("is_delta", pmod(graft.Exprs.hex60(
+        concat(lit("inc:"), col("media_id").cast("string"))), lit(deltaMod)) === 0)
+    def side(suffix: String)(d: DataFrame): DataFrame =
+      d.select(col("media_id").as(s"id$suffix") +: col("dhash").as(s"h$suffix") +:
+        ms.map(m => col(m).as(s"$m$suffix")): _*)
+    val delta = side("")(hashes.filter(col("is_delta")))
+    val base = side("_b")(hashes.filter(!col("is_delta")))
+    val agreeE = ms.map(m => (col(s"$m") === col(s"${m}_b")).cast("int")).reduce(_ + _)
+    def witnesses(right: DataFrame, pred: Column): DataFrame =
+      hammingJoin(
+        delta.select(col("id"), col("h").as("dhash")),
+        right.select(col("id_b").as("id"), col("h_b").as("dhash")),
+        maxDist, (a, b) => lit(true))
+        .select(col("id_a").as("id"), col("id_b"))
+        .join(delta.select(col("id") +: ms.map(m => col(m)): _*), "id")
+        .join(right.select(col("id_b") +: ms.map(m => col(s"${m}_b")): _*), "id_b")
+        .filter(agreeE >= minAgree && pred)
+    val ofBase = witnesses(base, lit(true))
+      .groupBy("id").agg(min("id_b").as("dup_of_b"))
+    val inDelta = witnesses(side("_b")(hashes.filter(col("is_delta"))),
+      col("id_b") < col("id"))
+      .groupBy("id").agg(min("id_b").as("dup_in_d"))
+    delta.select(col("id"))
+      .join(ofBase, Seq("id"), "left")
+      .join(inDelta, Seq("id"), "left")
+      .select(col("id").as("media_id"),
+        (col("dup_of_b").isNull && col("dup_in_d").isNull).as("keep"),
+        when(col("dup_of_b").isNotNull, "dup_of_base")
+          .when(col("dup_in_d").isNotNull, "dup_in_increment")
+          .otherwise("kept").as("drop_reason"),
+        coalesce(col("dup_of_b"), col("dup_in_d")).as("dup_of"))
+      .orderBy("media_id")
+  }
+
+  def captionDupIncrSql(deltaMod: Int = 5, maxDist: Int = 6,
+                        minAgree: Int = 7): String = {
+    val agree = (0 until 8).map(i => s"CAST(sa.m$i = sb.m$i AS INT)").mkString(" + ")
+    def arm(baseRel: String, pred: String): String =
+      s"""SELECT d.media_id AS id, b.media_id AS id_b
+         |  FROM hams hp
+         |  JOIN delta d ON d.media_id = hp.id_a
+         |  JOIN $baseRel b ON b.media_id = hp.id_b
+         |  JOIN sig sa ON sa.doc_id = hp.id_a
+         |  JOIN sig sb ON sb.doc_id = hp.id_b
+         |  WHERE $agree >= $minAgree $pred
+         |  UNION ALL
+         |  SELECT d.media_id, b.media_id
+         |  FROM hams hp
+         |  JOIN delta d ON d.media_id = hp.id_b
+         |  JOIN $baseRel b ON b.media_id = hp.id_a
+         |  JOIN sig sa ON sa.doc_id = hp.id_b
+         |  JOIN sig sb ON sb.doc_id = hp.id_a
+         |  WHERE $agree >= $minAgree $pred""".stripMargin
+    s"""$dhashBitsSql,
+       |hams AS (
+       |  SELECT a.media_id AS id_a, b.media_id AS id_b
+       |  FROM bits a JOIN bits b ON a.pos = b.pos AND a.media_id < b.media_id
+       |  GROUP BY 1, 2
+       |  HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= $maxDist),
+       |sig AS (
+       |  ${graft.functions.TextOps.minhashSigSqlInner}),
+       |split AS (
+       |  SELECT media_id,
+       |    (${graft.Exprs.hex60Sql("'inc:' || media_id::VARCHAR")} % $deltaMod) = 0
+       |      AS is_delta
+       |  FROM imgs0),
+       |delta AS (SELECT media_id FROM split WHERE is_delta),
+       |base AS (SELECT media_id FROM split WHERE NOT is_delta),
+       |ofbase AS (
+       |  SELECT id, min(id_b) AS dup_of_b FROM (
+       |  ${arm("base", "")})
+       |  GROUP BY id),
+       |indelta AS (
+       |  SELECT id, min(id_b) AS dup_in_d FROM (
+       |  ${arm("delta", "AND b.media_id < d.media_id")})
+       |  GROUP BY id)
+       |SELECT d.media_id,
+       |  (ob.dup_of_b IS NULL AND ind.dup_in_d IS NULL) AS keep,
+       |  CASE WHEN ob.dup_of_b IS NOT NULL THEN 'dup_of_base'
+       |       WHEN ind.dup_in_d IS NOT NULL THEN 'dup_in_increment'
+       |       ELSE 'kept' END AS drop_reason,
+       |  COALESCE(ob.dup_of_b, ind.dup_in_d) AS dup_of
+       |FROM delta d
+       |LEFT JOIN ofbase ob ON d.media_id = ob.id
+       |LEFT JOIN indelta ind ON d.media_id = ind.id
+       |ORDER BY d.media_id""".stripMargin
+  }
+
   /** Image near-dup CLUSTERS — connected components over the verified
     * ≤ `maxDist` pair graph, each image labeled with its component's
     * min-id representative. Unlike the text tier (whose clusters are

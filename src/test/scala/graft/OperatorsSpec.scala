@@ -1167,6 +1167,40 @@ class OperatorsSpec extends SparkSuite {
       s"crafted walk not phase-ordered low->medium->high: ${crafted.toSeq}")
   }
 
+  test("caption+image joint dedup incr: verdicts match brute-force over the salted split") {
+    import functions.TextOps
+    val sigs = TextOps.minhashSignatures(spark, sf()).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    val hashes = Multimodal.perceptualHash(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hex60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    def isDelta(id: Long) = hex60(s"inc:$id") % 5 == 0
+    def near(a: Long, b: Long): Boolean =
+      java.lang.Long.bitCount(hashes(a) ^ hashes(b)) <= 6 &&
+        sigs(a).zip(sigs(b)).count { case (x, y) => x == y } >= 7
+    val (delta, base) = hashes.keys.toSeq.sorted.partition(isDelta)
+    val expected = delta.map { id =>
+      val ofBase = base.filter(near(id, _))
+      val inDelta = delta.filter(e => e < id && near(id, e))
+      val (dr, rep) =
+        if (ofBase.nonEmpty) ("dup_of_base", Some(ofBase.min))
+        else if (inDelta.nonEmpty) ("dup_in_increment", Some(inDelta.min))
+        else ("kept", None)
+      id -> (dr, rep)
+    }.toMap
+    val got = Multimodal.captionDupIncr(spark, sf()).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[String]("drop_reason"), Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)))
+      .toMap
+    assert(got == expected, "joint incremental verdicts diverge from brute-force")
+    assert(got.values.map(_._1).toSet.contains("kept") &&
+      got.values.map(_._1).toSet.contains("dup_of_base"),
+      s"fixture degenerate: classes seen = ${got.values.map(_._1).toSet}")
+  }
+
   test("caption+image joint dedup: equals brute-force AND of the two modality relations") {
     import functions.TextOps
     val sigs = TextOps.minhashSignatures(spark, sf()).collect()
