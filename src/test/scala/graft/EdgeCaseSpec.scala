@@ -112,4 +112,48 @@ class EdgeCaseSpec extends SparkSuite {
     assert(got.toSeq == Seq((deltaIds.head, false, "dup_of_base", baseIds.head)),
       s"got ${got.toSeq}")
   }
+  test("nearDupIncr: degenerate docs classify without crashing; all-delta corpus self-dedups") {
+    import org.apache.spark.sql.functions._
+    // the shared degenerate corpus: null/empty/whitespace/1-char docs
+    val out = TextOps.nearDupIncr(spark, tmp).collect()
+    assert(out.forall(r => Set("kept", "dup_of_base", "dup_in_increment")
+      .contains(r.getAs[String]("drop_reason"))))
+    // ids 1/4 are delta under mod 5 — an all-delta near-identical pair
+    // must resolve within the increment (no base exists)
+    val docs = Seq(
+      (1L, "identical delta content here", "en", "s", 28L),
+      (4L, "identical delta content here", "en", "s", 28L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("ndincr_edge").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.nearDupIncr(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("drop_reason")).toMap
+    assert(got == Map(1L -> "kept", 4L -> "dup_in_increment"), s"got $got")
+  }
+
+  test("curriculumPack: single-doc corpus packs at offset zero, shard zero") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((7L, "just one document", "en", "s", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("cur_edge").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.functions.MixOps.curriculumPack(spark, dir).collect()
+    assert(r.length == 1 && r.head.getAs[Long]("off") == 0L &&
+      r.head.getAs[Long]("shard_id") == 0L, s"got ${r.toSeq}")
+  }
+
+  test("embedStale: corpus without duplicate-signature groups reports nothing") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (0L, "completely distinct first document", "en", "s", 34L),
+      (1L, "unrelated second text entirely different", "en", "s", 40L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.0f, 1.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("stale_edge").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    vecs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(graft.functions.VectorOps.embedStale(spark, dir).count() == 0)
+  }
 }
