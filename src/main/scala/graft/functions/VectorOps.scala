@@ -438,6 +438,72 @@ object VectorOps {
        |FROM edges f LEFT JOIN edges r ON f.src = r.dst AND f.dst = r.src
        |ORDER BY f.src, f.rank""".stripMargin
 
+  /** Incremental kNN-graph maintenance — the daily-arrival form of
+    * [[knnGraph]], completing the graph-based-curation story's lifecycle:
+    * DELTA vectors (salted [[incSplitE]] split) get their top-`kNn` edges
+    * against everything in their frozen-centroid cell (base AND the rest
+    * of the delta batch); base vectors' existing edge lists stay FROZEN
+    * until the next full rebuild — the asymmetric-staleness contract every
+    * production ANN-graph deployment runs (new nodes link in daily, the
+    * reverse edges and mutuality settle at recompaction, which is why this
+    * relation carries `dst_is_base` instead of [[knnGraph]]'s `mutual`).
+    *
+    * Scale shape: cell assignment is the [[ivfIncr]] centroid-literal fold
+    * (zero shuffle, zero join — k×dim driver state); the only shuffle
+    * co-locates cells for the delta×cell join, whose left side is
+    * 1/`mod` of arrivals and whose fan-out is cell-bounded, never n².
+    * Base×base pairs are never re-scored.
+    */
+  def knnGraphIncr(spark: SparkSession, dir: String, kNn: Int = 5,
+                   kCentroids: Int = 16, mod: Int = 5): DataFrame = {
+    val e = prepared(spark, dir)
+    val cents = frozenCentroids(e, kCentroids, mod)
+    val centLit = typedLit(cents)
+    val centroidId = argmaxFold(centLit, c =>
+      dot(col("v"), c.getField("_2")) / (col("nrm") * c.getField("_3")))
+    val all = e.withColumn("centroid_id", centroidId)
+      .withColumn("is_base", incSplitE(mod) =!= 0)
+    val srcs = all.filter(!col("is_base")).select(col("centroid_id"),
+      col("vec_id").as("src"), col("v").as("va"), col("nrm").as("na"))
+    val dsts = all.select(col("centroid_id"), col("vec_id").as("dst"),
+      col("v").as("vb"), col("nrm").as("nb"), col("is_base").as("dst_is_base"))
+    val sims = srcs.join(dsts, Seq("centroid_id")).filter(col("src") =!= col("dst"))
+      .withColumn("cos_sim",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos_sim").desc, col("dst"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNn)
+      .select(col("src"), col("dst"), col("rank"), col("cos_sim"), col("dst_is_base"))
+      .orderBy(col("src"), col("rank"))
+  }
+
+  def knnGraphIncrSql(kNn: Int = 5, kCentroids: Int = 16, mod: Int = 5): String =
+    s"""WITH e0 AS ($preparedSql),
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e0
+       |      WHERE ${incSplitSql(mod)} <> 0 ORDER BY vec_id LIMIT $kCentroids),
+       |assign AS (
+       |  SELECT vec_id, cid AS centroid_id FROM (
+       |    SELECT e0.vec_id, c.cid, ROW_NUMBER() OVER (
+       |      PARTITION BY e0.vec_id
+       |      ORDER BY list_dot_product(e0.v, c.cv) / (e0.nrm * c.cn) DESC, c.cid) AS rn
+       |    FROM e0, c) WHERE rn = 1),
+       |alls AS (
+       |  SELECT e0.*, assign.centroid_id, (${incSplitSql(mod)}) <> 0 AS is_base
+       |  FROM e0 JOIN assign USING (vec_id)),
+       |sims AS (
+       |  SELECT s.vec_id AS src, d.vec_id AS dst,
+       |    round(list_dot_product(s.v, d.v) / (s.nrm * d.nrm), 4) AS cos_sim,
+       |    d.is_base AS dst_is_base
+       |  FROM alls s JOIN alls d
+       |    ON s.centroid_id = d.centroid_id AND s.vec_id <> d.vec_id
+       |  WHERE NOT s.is_base)
+       |SELECT src, dst, rank, cos_sim, dst_is_base FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY src ORDER BY cos_sim DESC, dst) AS INT) AS rank
+       |  FROM sims)
+       |WHERE rank <= $kNn
+       |ORDER BY src, rank""".stripMargin
+
   /** Semantic clusters — connected components over the MUTUAL kNN edges
     * with cosine ≥ `threshold`: the SemDeDup-style grouping relation
     * ("these documents say the same thing") that [[knnGraph]] exists to

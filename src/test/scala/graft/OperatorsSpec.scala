@@ -1167,6 +1167,41 @@ class OperatorsSpec extends SparkSuite {
       s"crafted walk not phase-ordered low->medium->high: ${crafted.toSeq}")
   }
 
+  test("incremental kNN graph: delta edges match brute-force over frozen cells") {
+    import functions.VectorOps
+    val vecs = VectorOps.prepared(spark, sf())
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])].collect().toMap
+    def hex60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    def isBase(id: Long) = hex60(s"inc:$id") % 5 != 0
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.lazyZip(b).map(_ * _).sum
+      d / math.sqrt(a.map(x => x * x).sum) / math.sqrt(b.map(x => x * x).sum)
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cents = vecs.keys.toSeq.filter(isBase).sorted.take(16)
+    val cell = vecs.keys.map { id =>
+      id -> cents.map(c => (c, cos(vecs(id), vecs(c))))
+        .sortBy { case (c, s) => (-s, c) }.head._1
+    }.toMap
+    val delta = vecs.keys.toSeq.filterNot(isBase).sorted
+    val expected = delta.flatMap { s =>
+      vecs.keys.toSeq.filter(d => d != s && cell(d) == cell(s))
+        .map(d => (d, r4(cos(vecs(s), vecs(d)))))
+        .sortBy { case (d, c) => (-c, d) }.take(5).zipWithIndex
+        .map { case ((d, c), i) => (s, d, i + 1, c, isBase(d)) }
+    }
+    val got = VectorOps.knnGraphIncr(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getBoolean(4)))
+      .toSeq
+    assert(got == expected, "incremental graph edges diverge from brute-force")
+    assert(got.exists(_._5) && got.exists(!_._5),
+      "fixture degenerate: edges should reach both base and delta destinations")
+  }
+
   test("caption+image joint dedup incr: verdicts match brute-force over the salted split") {
     import functions.TextOps
     val sigs = TextOps.minhashSignatures(spark, sf()).collect()
