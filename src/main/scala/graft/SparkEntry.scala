@@ -231,6 +231,7 @@ object SparkEntry {
     "d_bpe_coverage" -> ((s, dir) => Bpe.coverage(s, dir)),
     "d_bpe_drift" -> ((s, dir) => Bpe.bpeDrift(s, dir)),
     "d_split_stratified" -> ((s, dir) => TextOps.splitStratified(s, dir)),
+    "d_eval_clean" -> ((s, dir) => TextOps.evalClean(s, dir)),
     "d_lsh_recall" -> ((s, dir) => TextOps.lshRecall(s, dir)),
     "d_mix_rebalance" -> ((s, dir) => MixOps.mixRebalance(s, dir)),
     "d_quality_tiers" -> ((s, dir) => MixOps.qualityTiers(s, dir)),
@@ -675,6 +676,7 @@ object SparkEntry {
       "d_bpe_coverage" -> Bpe.coverageSql(),
       "d_bpe_drift" -> Bpe.bpeDriftSql(),
       "d_split_stratified" -> TextOps.splitStratifiedSql(),
+      "d_eval_clean" -> TextOps.evalCleanSql(),
       "d_lsh_recall" -> TextOps.lshRecallSql(),
       "d_mix_rebalance" -> MixOps.mixRebalanceSql(),
       "d_quality_tiers" -> MixOps.qualityTiersSql(),

@@ -1786,6 +1786,87 @@ object TextOps {
        |  CAST(sum(tok) AS BIGINT) AS n_tokens
        |FROM d GROUP BY source, split ORDER BY source, split""".stripMargin
 
+  /** Decontaminated eval-holdout construction — the artifact the
+    * [[splitStratified]] report describes, actually built: each TEST-split
+    * document is admitted to the eval set only if it shares no RARE
+    * 3-gram shingle with any TRAIN-split document. Rarity (train-side
+    * df ≤ `dfCap`) is the precision knob: on template-heavy corpora every
+    * document shares boilerplate shingles with every other, so matching on
+    * common shingles would empty the eval set for no leakage reason —
+    * exactly the [[jaccardPairs]] df-cap contract, applied to the
+    * train/eval boundary. A flagged doc carries its min-id leaking train
+    * doc for audit. This is the eval-side complement of
+    * [[contamination]]/[[decontamSpans]] (which protect TRAINING data from
+    * benchmark leakage; this protects the EVAL set from training leakage).
+    *
+    * Scale shape: one shingle explode (shared shape with [[novelty]]),
+    * split tags are row-local hash exprs, the rare-shingle index is a
+    * map-side-combined agg filtered to df ≤ `dfCap` (tiny — rare by
+    * construction), and the hit check is one equi-join on the shingle key.
+    * No pairwise doc comparison anywhere.
+    */
+  def evalClean(spark: SparkSession, dir: String, trainPct: Int = 90,
+                valPct: Int = 5, dfCap: Int = 10): DataFrame = {
+    val r = Exprs.hex60(concat(lit("spl:"), col("doc_id").cast("string"))) % 100
+    val sh3 = when(size(col("words")) >= 3,
+      expr("transform(sequence(0, size(words)-3), i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))"))
+      .otherwise(array(col("norm")))
+    val tagged = prepared(spark, dir)
+      .withColumn("split",
+        when(r < trainPct, "train")
+          .when(r < trainPct + valPct, "val").otherwise("test"))
+    val sh = tagged.select(col("doc_id"), col("split"),
+      explode(array_distinct(sh3)).as("sh"))
+    val rareTrain = sh.filter(col("split") === "train")
+      .groupBy("sh").agg(min("doc_id").as("leak_src"), count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select("sh", "leak_src")
+    val hits = sh.filter(col("split") === "test")
+      .join(rareTrain, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_rare_hits"), min("leak_src").as("leak_doc"))
+    tagged.filter(col("split") === "test").select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_rare_hits"), lit(0L)).as("n_rare_hits"),
+        col("leak_doc"),
+        col("n_rare_hits").isNull.as("keep"))
+      .orderBy("doc_id")
+  }
+
+  def evalCleanSql(trainPct: Int = 90, valPct: Int = 5, dfCap: Int = 10): String =
+    s"""WITH tagged AS (
+       |  SELECT *, CASE WHEN ${Exprs.hex60Sql("'spl:' || doc_id::VARCHAR")} % 100 < $trainPct
+       |                 THEN 'train'
+       |                 WHEN ${Exprs.hex60Sql("'spl:' || doc_id::VARCHAR")} % 100 < ${trainPct + valPct}
+       |                 THEN 'val' ELSE 'test' END AS split
+       |  FROM ($preparedSql)),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, split, sh FROM (
+       |    SELECT doc_id, split,
+       |      CASE WHEN len(words) >= 3
+       |           THEN words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+       |           ELSE norm END AS sh
+       |    FROM tagged,
+       |         unnest(range(1, CASE WHEN len(words) >= 3 THEN len(words)-1 ELSE 2 END)) AS t(i))),
+       |rare AS (
+       |  SELECT sh, min(doc_id) AS leak_src
+       |  FROM sh WHERE split = 'train'
+       |  GROUP BY sh HAVING count(*) <= $dfCap),
+       |hits AS (
+       |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_rare_hits,
+       |         min(leak_src) AS leak_doc
+       |  FROM sh s JOIN rare USING (sh)
+       |  WHERE s.split = 'test'
+       |  GROUP BY s.doc_id)
+       |SELECT t.doc_id,
+       |  COALESCE(h.n_rare_hits, 0) AS n_rare_hits,
+       |  h.leak_doc,
+       |  h.n_rare_hits IS NULL AS keep
+       |FROM tagged t LEFT JOIN hits h ON t.doc_id = h.doc_id
+       |WHERE t.split = 'test'
+       |ORDER BY t.doc_id""".stripMargin
+
   // ---- LSH candidate recall vs the exact pair oracle ----
 
   /** Pair-level recall of the MinHash-LSH candidate generator against the

@@ -1167,6 +1167,29 @@ class OperatorsSpec extends SparkSuite {
       s"crafted walk not phase-ordered low->medium->high: ${crafted.toSeq}")
   }
 
+  test("eval holdout decontamination: rare-shingle leak flagged with its source, clean doc kept") {
+    import functions.TextOps
+    // ids 37/46 are test-split under hex60('spl:'||id)%100 >= 95; 0/1 train.
+    // doc 37 shares the rare shingle "secret leaked trigram" with train doc
+    // 0; doc 46 is vocabulary-disjoint from the train side.
+    val docs = Seq(
+      (0L, "the secret leaked trigram hides inside this training document", "en", "s", 60L),
+      (1L, "ordinary training content with nothing shared at all", "en", "s", 52L),
+      (37L, "evaluation text containing the secret leaked trigram too", "en", "s", 56L),
+      (46L, "completely disjoint holdout vocabulary everywhere", "en", "s", 49L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("evalclean").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.evalClean(spark, tmp).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.getAs[java.lang.Long]("leak_doc")).map(_.toLong),
+          r.getBoolean(3))).toMap
+    assert(got.keySet == Set(37L, 46L), s"test split wrong: ${got.keySet}")
+    assert(got(46L) == ((0L, None, true)), s"clean doc flagged: ${got(46L)}")
+    assert(got(37L)._2 == Some(0L) && !got(37L)._3 && got(37L)._1 >= 1L,
+      s"leak not attributed to train doc 0: ${got(37L)}")
+  }
+
   test("incremental kNN graph: delta edges match brute-force over frozen cells") {
     import functions.VectorOps
     val vecs = VectorOps.prepared(spark, sf())
