@@ -195,6 +195,23 @@ object RunDocPipeline {
       if (tempDocs == 0) 0L
       else mt.agg(sum("tok")).collect()(0).getLong(0)
 
+    // arrival monitors over the same corpus snapshot: the gate a daily
+    // increment checks BEFORE admitting sources — worst per-source quality
+    // drift and the count of degraded sources (drift below -100‰), plus
+    // the tokenizer-fit drift. Defensive like every stage: monitors must
+    // never sink the demo.
+    import graft.functions.{Bpe, TextOps}
+    val (worstQDrift, degradedSources, worstBpeDrift) = try {
+      val qd = TextOps.qualityDriftIncr(spark, sfDir)
+        .select(col("drift_pm")).filter(col("drift_pm").isNotNull)
+      val worst = qd.agg(min("drift_pm")).collect()(0).getLong(0)
+      val degraded = qd.filter(col("drift_pm") < -100).count()
+      val bd = Bpe.bpeDrift(spark, sfDir)
+        .select(col("drift_pm")).filter(col("drift_pm").isNotNull)
+      val worstB = bd.agg(max("drift_pm")).collect()(0).getLong(0)
+      (worst, degraded, worstB)
+    } catch { case _: Throwable => (0L, 0L, 0L) }
+
     // the curriculum schedule over the same corpus: the quality-phase
     // shard walk (anneal shards last) a trainer's dataloader consumes
     // alongside the manifests above — written as its own artifact so the
@@ -208,7 +225,7 @@ object RunDocPipeline {
     val maxPhase = cur.agg(max("phase")).collect()(0).getInt(0)
     val annealDocs = cur.filter(col("phase") === maxPhase).count()
 
-    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"temp_shards":$tempShards,"temp_docs":$tempDocs,"temp_tokens":$tempTokens,"curriculum_shards":$curShards,"anneal_docs":$annealDocs,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept,"vectors_admitted":$vectorsAdmitted}""")
+    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"temp_shards":$tempShards,"temp_docs":$tempDocs,"temp_tokens":$tempTokens,"curriculum_shards":$curShards,"anneal_docs":$annealDocs,"worst_quality_drift_pm":$worstQDrift,"degraded_sources":$degradedSources,"worst_bpe_drift_pm":$worstBpeDrift,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept,"vectors_admitted":$vectorsAdmitted}""")
     spark.stop()
   }
 }
