@@ -215,6 +215,10 @@ object SparkEntry {
     "d_ngrams" -> ((s, dir) => TextOps.ngramTop(s, dir)),
     "d_dup_clusters" -> ((s, dir) => TextOps.dupClusters(s, dir)),
     "d_dedup_apply" -> ((s, dir) => TextOps.dedupApply(s, dir).orderBy(col("doc_id"))),
+    "d_dedup_best" -> ((s, dir) => TextOps.dedupBest(s, dir)),
+    "d_dup_matrix" -> ((s, dir) => TextOps.dupMatrix(s, dir)),
+    "d_nb_classify" -> ((s, dir) => TextOps.nbClassify(s, dir)),
+    "d_nb_eval" -> ((s, dir) => TextOps.nbEval(s, dir)),
     "d_dedup_incr" -> ((s, dir) => TextOps.dedupIncrement(s, dir).orderBy(col("doc_id"))),
     "d_neardup_incr" -> ((s, dir) => TextOps.nearDupIncr(s, dir)),
     "d_quality_drift" -> ((s, dir) => TextOps.qualityDriftIncr(s, dir)),
@@ -268,6 +272,9 @@ object SparkEntry {
     "v_ivf_assign" -> ((s, dir) => VectorOps.ivfAssign(s, dir).orderBy(col("vec_id"))),
     "v_ann_ivf" -> ((s, dir) => VectorOps.annIvf(s, dir)),
     "v_ann_ivf2" -> ((s, dir) => VectorOps.annIvfMulti(s, dir)),
+    "v_knn_filtered" -> ((s, dir) => VectorOps.knnFiltered(s, dir)),
+    "v_ann_filtered" -> ((s, dir) => VectorOps.annIvfFiltered(s, dir)),
+    "v_recall_filtered" -> ((s, dir) => VectorOps.annRecallFiltered(s, dir)),
     "v_quantize" -> ((s, dir) => VectorOps.quantize(s, dir).orderBy(col("vec_id"))),
     "v_pq_assign" -> ((s, dir) =>
       VectorOps.pqAssign(s, dir).orderBy(col("vec_id"), col("block"))),
@@ -660,6 +667,10 @@ object SparkEntry {
       "d_ngrams" -> TextOps.ngramTopSql(),
       "d_dup_clusters" -> TextOps.dupClustersSql,
       "d_dedup_apply" -> TextOps.dedupApplySql,
+      "d_dedup_best" -> TextOps.dedupBestSql,
+      "d_dup_matrix" -> TextOps.dupMatrixSql,
+      "d_nb_classify" -> TextOps.nbClassifySql,
+      "d_nb_eval" -> TextOps.nbEvalSql,
       "d_dedup_incr" -> TextOps.dedupIncrementSql(),
       "d_neardup_incr" -> TextOps.nearDupIncrSql(),
       "d_quality_drift" -> TextOps.qualityDriftIncrSql(),
@@ -699,6 +710,9 @@ object SparkEntry {
       "v_ivf_assign" -> VectorOps.ivfAssignSql(),
       "v_ann_ivf" -> VectorOps.annIvfSql(),
       "v_ann_ivf2" -> VectorOps.annIvfMultiSql(),
+      "v_knn_filtered" -> VectorOps.knnFilteredSql(),
+      "v_ann_filtered" -> VectorOps.annIvfFilteredSql(),
+      "v_recall_filtered" -> VectorOps.annRecallFilteredSql(),
       "v_quantize" -> VectorOps.quantizeSql,
       "v_pq_assign" -> VectorOps.pqAssignSql(),
       "v_ann_pq" -> VectorOps.annPqSql(),

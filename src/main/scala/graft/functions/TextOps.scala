@@ -1128,6 +1128,95 @@ object TextOps {
     inner
   }
 
+  /** Quality-aware dedup apply — [[dedupApply]] with the OTHER
+    * representative policy a production pipeline runs: keep the
+    * highest-[[quality]] member of each near-dup cluster (tie: min
+    * doc_id), not the min-id member. Min-id is the cheapest deterministic
+    * choice, but when a boilerplate family spans a clean original and a
+    * truncated scrape, the id order is arbitrary about which survives —
+    * argmax-quality keeps the member the downstream model should train on
+    * (the C4/RefinedWeb "keep the best duplicate" recipe).
+    *
+    * Composition, no new machinery: cluster labels from [[dupClusters]],
+    * scores from [[quality]] (both already oracle-pinned), one narrow
+    * doc_id equi-join, and a per-cluster argmax window — partition
+    * cardinality is the cluster size, so the window is bounded by the
+    * largest duplicate family, never the corpus. The argmax orders on the
+    * bit-identical quality double with a doc_id tie-break, so a last-bit
+    * float divergence can't flip the representative (same guard as every
+    * rank in the ANN tier).
+    */
+  def dedupBest(spark: SparkSession, dir: String,
+                mat: Materialize = Materialize.Local): DataFrame = {
+    val clusters = dupClusters(spark, dir, mat)
+      .select(col("doc_id"), col("cluster_rep"))
+    val q = quality(spark, dir).select(col("doc_id"), col("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_rep"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    clusters.join(q, "doc_id")
+      .withColumn("best_id", first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("cluster_rep"), col("best_id"),
+        (col("doc_id") === col("best_id")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupBestSql: String =
+    s"""WITH cl AS (SELECT doc_id, cluster_rep FROM ($dupClustersSql)),
+       |q AS (SELECT doc_id, quality_score FROM ($qualitySql)),
+       |j AS (SELECT cl.doc_id, cl.cluster_rep, q.quality_score
+       |      FROM cl JOIN q USING (doc_id)),
+       |best AS (
+       |  SELECT cluster_rep, doc_id AS best_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY cluster_rep
+       |      ORDER BY quality_score DESC, doc_id) AS rn
+       |    FROM j)
+       |  WHERE rn = 1)
+       |SELECT j.doc_id, j.cluster_rep, b.best_id, j.doc_id = b.best_id AS keep
+       |FROM j JOIN best b ON j.cluster_rep = b.cluster_rep
+       |ORDER BY j.doc_id""".stripMargin
+
+  /** Cross-source duplication matrix — near-dup candidate pairs rolled up
+    * by (source, source): which ingestion feeds duplicate EACH OTHER, the
+    * attribution report that decides which crawler or vendor gets cut. The
+    * off-diagonal cells are the actionable ones (two feeds shipping the
+    * same content); the diagonal is within-feed redundancy the per-source
+    * dedup already handles. Sources are emitted least-first so each
+    * unordered feed pair lands in one cell.
+    *
+    * Scale: the pair relation is the banded [[minhashPairs]] (never
+    * all-pairs); attribution adds two narrow doc_id→source joins and a
+    * |sources|²-bounded agg — the matrix itself is tiny at any corpus
+    * size.
+    */
+  def dupMatrix(spark: SparkSession, dir: String,
+                mat: Materialize = Materialize.Local): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    minhashPairs(spark, dir, mat)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val dupMatrixSql: String =
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($minhashPairsSql)),
+       |tagged AS (
+       |  SELECT least(da.source, db.source) AS source_a,
+       |         greatest(da.source, db.source) AS source_b
+       |  FROM pairs
+       |  JOIN documents da ON pairs.doc_a = da.doc_id
+       |  JOIN documents db ON pairs.doc_b = db.doc_id)
+       |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM tagged GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   /** Incremental dedup — the shape a DAILY ingest runs: dedup the new
     * increment (docs with `doc_id >= splitId`, standing in for "today's
     * crawl") against the existing corpus WITHOUT touching the corpus
@@ -1629,6 +1718,118 @@ object TextOps {
        |    / CAST(count(*) AS DOUBLE) AS bits_per_token
        |FROM tokens JOIN counts USING (w) CROSS JOIN total
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- Naive-Bayes quality classifier (self-distilled token model) ----
+
+  /** Multinomial Naive-Bayes quality classifier, computed EXACTLY in
+    * integer bit costs — the "train a cheap classifier on heuristic
+    * labels, apply it to the firehose" recipe (the GPT-3/CCNet quality
+    * filter, with the [[quality]] heuristic standing in for the curated
+    * positive set). Class = quality bucket; features = whitespace tokens;
+    * per-token cost in bits with add-one smoothing:
+    * `⌊log2(tot_c + |V|)⌋ − ⌊log2(cnt_{w,c} + 1)⌋`, evaluated as
+    * `length(bin(x))` differences (the [[lmBits]] portability trick — no
+    * libm, bit-identical on any engine); class prior the same way over
+    * document counts. Prediction = argmin total bits, class-name
+    * tie-break. Trained and applied on the same corpus here (the oracle
+    * needs one deterministic relation); a production run fits on a labeled
+    * sample and applies the frozen counts to arrivals.
+    *
+    * Scale shape: training is one map-side-combined (class, token) count;
+    * scoring joins each token against the |V|×|classes| model relation —
+    * broadcastable while the model fits (AQE decides), a hash join on the
+    * token key beyond that — then one (doc, class) agg and a
+    * |classes|-bounded argmin window per doc. The corpus is never
+    * shuffled on anything but token and doc keys; driver state is zero.
+    */
+  def nbClassify(spark: SparkSession, dir: String): DataFrame = {
+    val p = prepared(spark, dir)
+    val lab = p.select(col("doc_id"), qualityBucketE.as("cls"))
+    val tokens = p.select(col("doc_id"), explode(col("words")).as("w"))
+    val tokc = tokens.join(lab, "doc_id")
+      .groupBy(col("cls"), col("w")).agg(count(lit(1)).as("c"))
+    val totals = tokc.groupBy(col("cls")).agg(sum(col("c")).as("tot"))
+    val vocab = tokens.agg(countDistinct(col("w")).as("vocab"))
+    val classes = lab.select(col("cls")).distinct()
+    val nDocs = lab.agg(count(lit(1)).as("n_docs"))
+    val priors = lab.groupBy(col("cls")).agg(count(lit(1)).as("n_c"))
+    def flog2(c: Column): Column = length(bin(c))
+    val scored = tokens
+      .crossJoin(broadcast(classes))
+      .join(tokc, Seq("cls", "w"), "left")
+      .join(broadcast(totals), "cls")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("cls"),
+        (flog2(col("tot") + col("vocab")) -
+          flog2(coalesce(col("c"), lit(0L)) + lit(1L))).cast("long").as("tb"))
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(col("tb")).as("tok_bits"))
+      .join(broadcast(priors), "cls")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("bits",
+        col("tok_bits") + (flog2(col("n_docs")) - flog2(col("n_c"))).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("bits"), col("cls"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("cls").as("pred_bucket"), col("bits"))
+      .join(lab.select(col("doc_id"), col("cls").as("quality_bucket")), "doc_id")
+      .withColumn("correct", col("pred_bucket") === col("quality_bucket"))
+      .select("doc_id", "pred_bucket", "bits", "quality_bucket", "correct")
+      .orderBy("doc_id")
+  }
+
+  val nbClassifySql: String =
+    s"""WITH p AS ($preparedSql),
+       |lab AS (SELECT doc_id, quality_bucket AS cls FROM ($qualitySql)),
+       |tokens AS (SELECT doc_id, unnest(words) AS w FROM p),
+       |tokc AS (
+       |  SELECT l.cls, t.w, count(*) AS c
+       |  FROM tokens t JOIN lab l USING (doc_id) GROUP BY 1, 2),
+       |totals AS (SELECT cls, CAST(sum(c) AS BIGINT) AS tot FROM tokc GROUP BY cls),
+       |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab FROM tokens),
+       |classes AS (SELECT DISTINCT cls FROM lab),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM lab),
+       |priors AS (SELECT cls, CAST(count(*) AS BIGINT) AS n_c FROM lab GROUP BY cls),
+       |tokbits AS (
+       |  SELECT t.doc_id, c.cls,
+       |    CAST(sum(length(bin(tot.tot + v.vocab))
+       |           - length(bin(coalesce(tc.c, 0) + 1))) AS BIGINT) AS tok_bits
+       |  FROM tokens t
+       |  CROSS JOIN classes c
+       |  LEFT JOIN tokc tc ON tc.cls = c.cls AND tc.w = t.w
+       |  JOIN totals tot ON tot.cls = c.cls
+       |  CROSS JOIN v
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT tb.doc_id, tb.cls,
+       |    tb.tok_bits + CAST(length(bin(nd.n_docs)) - length(bin(pr.n_c)) AS BIGINT) AS bits
+       |  FROM tokbits tb JOIN priors pr ON pr.cls = tb.cls CROSS JOIN nd),
+       |pred AS (
+       |  SELECT doc_id, cls AS pred_bucket, bits FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY doc_id ORDER BY bits, cls) AS rn
+       |    FROM scored)
+       |  WHERE rn = 1)
+       |SELECT pred.doc_id, pred.pred_bucket, pred.bits,
+       |  lab.cls AS quality_bucket, pred.pred_bucket = lab.cls AS correct
+       |FROM pred JOIN lab USING (doc_id)
+       |ORDER BY pred.doc_id""".stripMargin
+
+  /** The classifier's confusion matrix — the per-(actual, predicted)
+    * counts a pipeline gates deployment on. |classes|²-bounded from
+    * [[nbClassify]]'s output; at scale the matrix agg is free next to the
+    * scoring pass.
+    */
+  def nbEval(spark: SparkSession, dir: String): DataFrame =
+    nbClassify(spark, dir)
+      .groupBy(col("quality_bucket"), col("pred_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("quality_bucket"), col("pred_bucket"))
+
+  val nbEvalSql: String =
+    s"""SELECT quality_bucket, pred_bucket, CAST(count(*) AS BIGINT) AS n
+       |FROM ($nbClassifySql)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---- shingle containment (quote / subset-document detection) ----
 

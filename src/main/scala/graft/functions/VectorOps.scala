@@ -783,7 +783,7 @@ object VectorOps {
     q0.join(cents)
       .withColumn("__rn", row_number().over(pw)).filter(col("__rn") <= nProbe)
       .select(col("centroid_id").as("q_cent"), col("vec_id").as("q_id"),
-        col("v").as("qv"), col("nrm").as("qn"))
+        col("label").as("q_label"), col("v").as("qv"), col("nrm").as("qn"))
   }
 
   def annIvfMulti(spark: SparkSession, dir: String, nQueries: Int = 20, kNn: Int = 5,
@@ -1031,6 +1031,224 @@ object VectorOps {
        |  FROM sims)
        |WHERE rank <= $kNn
        |ORDER BY q_id, rank""".stripMargin
+
+  // ---- metadata-filtered ANN: pre-filter vs post-filter ----
+
+  /** Filtered exact top-k — the ground truth of the filtered-search tier:
+    * each query's candidates are restricted to vectors sharing its `label`
+    * (the "retrieve within my metadata slice" contract every production
+    * vector store exposes as a filter clause — tenant, language, license).
+    * Same broadcast-query / one-corpus-scan shape as [[knn]]; the label
+    * equality rides the broadcast join condition, so filtering adds zero
+    * shuffles and the scan still prunes on nothing but the corpus itself.
+    */
+  def knnFiltered(spark: SparkSession, dir: String, nQueries: Int = 20,
+                  k: Int = 5): DataFrame = {
+    val all = prepared(spark, dir)
+    val q = broadcast(all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qn")))
+    val sims = all.join(q,
+        col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def knnFilteredSql(nQueries: Int = 20, k: Int = 5): String =
+    s"""WITH e AS ($preparedSql),
+       |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
+       |      FROM e WHERE vec_id < $nQueries),
+       |sims AS (
+       |  SELECT q.q_id, e.vec_id,
+       |    round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 4) AS cos_sim
+       |  FROM e JOIN q ON e.label = q.q_label AND e.vec_id <> q.q_id)
+       |SELECT q_id, rank, vec_id AS neighbor_id, cos_sim FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+       |  FROM sims)
+       |WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** PRE-filter IVF search: the metadata predicate is applied to the
+    * inverted lists BEFORE the top-k, so every one of the k slots is spent
+    * on an eligible vector — the recall-preserving way to filter, and the
+    * reason vector stores index the filter attribute next to the codes.
+    * Plan shape is [[annIvfMulti]] with one extra equality in the probe
+    * join (label = q_label): still one corpus shuffle on centroid_id,
+    * probes broadcast, per-query top-k window; the filter shrinks the
+    * scored candidate set by the slice selectivity instead of shrinking
+    * the RESULT after scoring.
+    */
+  def annIvfFiltered(spark: SparkSession, dir: String, nQueries: Int = 20,
+                     kNn: Int = 5, kCentroids: Int = 16, nProbe: Int = 2,
+                     mat: Materialize = Materialize.Local): DataFrame = {
+    val assigned = sharedIvfAssign(spark, dir, kCentroids, mat)
+    val e = prepared(spark, dir).join(assigned, "vec_id")
+    val qProbes = queryProbes(prepared(spark, dir), nQueries, kCentroids, nProbe)
+    val sims = e.join(broadcast(qProbes),
+        col("centroid_id") === col("q_cent") && col("label") === col("q_label") &&
+          col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNn)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def annIvfFilteredSql(nQueries: Int = 20, kNn: Int = 5, kCentroids: Int = 16,
+                        nProbe: Int = 2): String =
+    s"""WITH e0 AS ($preparedSql),
+       |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e0 WHERE vec_id < $kCentroids),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT e0.vec_id, c.centroid_id, ROW_NUMBER() OVER (
+       |      PARTITION BY e0.vec_id
+       |      ORDER BY list_dot_product(e0.v, c.cv) / (e0.nrm * c.cn) DESC, c.centroid_id) AS rn
+       |    FROM e0, c)
+       |  WHERE rn = 1),
+       |e AS (SELECT e0.*, assign.centroid_id FROM e0 JOIN assign USING (vec_id)),
+       |q AS (
+       |  SELECT centroid_id AS q_cent, vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn FROM (
+       |    SELECT e0.vec_id, e0.label, e0.v, e0.nrm, c.centroid_id, ROW_NUMBER() OVER (
+       |      PARTITION BY e0.vec_id
+       |      ORDER BY list_dot_product(e0.v, c.cv) / (e0.nrm * c.cn) DESC, c.centroid_id) AS rn
+       |    FROM e0, c WHERE e0.vec_id < $nQueries)
+       |  WHERE rn <= $nProbe),
+       |sims AS (
+       |  SELECT q.q_id, e.vec_id,
+       |    round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 4) AS cos_sim
+       |  FROM e JOIN q ON e.centroid_id = q.q_cent AND e.label = q.q_label
+       |    AND e.vec_id <> q.q_id)
+       |SELECT q_id, rank, vec_id AS neighbor_id, cos_sim FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+       |  FROM sims)
+       |WHERE rank <= $kNn
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** POST-filter IVF search — the naive composition a reference user would
+    * write first: run the UNFILTERED search with an expanded fetch budget
+    * (`expand × k` candidates), then drop ineligible labels and keep the
+    * first k survivors. Kept as a first-class operator because the recall
+    * CONTRAST against [[annIvfFiltered]] is the measurement that justifies
+    * indexing the filter attribute: at slice selectivity s, the expanded
+    * fetch retains ~expand·k·s eligible rows, so any slice with
+    * s < 1/expand starves the result no matter how good the index is.
+    */
+  def annIvfPostFiltered(spark: SparkSession, dir: String, nQueries: Int = 20,
+                         kNn: Int = 5, kCentroids: Int = 16, nProbe: Int = 2,
+                         expand: Int = 3,
+                         mat: Materialize = Materialize.Local): DataFrame = {
+    val assigned = sharedIvfAssign(spark, dir, kCentroids, mat)
+    val e = prepared(spark, dir).join(assigned, "vec_id")
+    val qProbes = queryProbes(prepared(spark, dir), nQueries, kCentroids, nProbe)
+    val sims = e.join(broadcast(qProbes),
+        col("centroid_id") === col("q_cent") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    sims.withColumn("rank0", row_number().over(w))
+      .filter(col("rank0") <= expand * kNn)          // the fetch budget
+      .filter(col("label") === col("q_label"))       // then the predicate
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("rank0"))).cast("int"))
+      .filter(col("rank") <= kNn)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def annIvfPostFilteredSql(nQueries: Int = 20, kNn: Int = 5,
+                            kCentroids: Int = 16, nProbe: Int = 2,
+                            expand: Int = 3): String =
+    s"""WITH e0 AS ($preparedSql),
+       |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e0 WHERE vec_id < $kCentroids),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT e0.vec_id, c.centroid_id, ROW_NUMBER() OVER (
+       |      PARTITION BY e0.vec_id
+       |      ORDER BY list_dot_product(e0.v, c.cv) / (e0.nrm * c.cn) DESC, c.centroid_id) AS rn
+       |    FROM e0, c)
+       |  WHERE rn = 1),
+       |e AS (SELECT e0.*, assign.centroid_id FROM e0 JOIN assign USING (vec_id)),
+       |q AS (
+       |  SELECT centroid_id AS q_cent, vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn FROM (
+       |    SELECT e0.vec_id, e0.label, e0.v, e0.nrm, c.centroid_id, ROW_NUMBER() OVER (
+       |      PARTITION BY e0.vec_id
+       |      ORDER BY list_dot_product(e0.v, c.cv) / (e0.nrm * c.cn) DESC, c.centroid_id) AS rn
+       |    FROM e0, c WHERE e0.vec_id < $nQueries)
+       |  WHERE rn <= $nProbe),
+       |sims AS (
+       |  SELECT q.q_id, q.q_label, e.vec_id, e.label,
+       |    round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 4) AS cos_sim
+       |  FROM e JOIN q ON e.centroid_id = q.q_cent AND e.vec_id <> q.q_id),
+       |fetched AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank0
+       |    FROM sims)
+       |  WHERE rank0 <= ${expand * kNn} AND label = q_label)
+       |SELECT q_id, rank, vec_id AS neighbor_id, cos_sim FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY rank0) AS INT) AS rank
+       |  FROM fetched)
+       |WHERE rank <= $kNn
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** The filtered-search recall contrast, one row per query: hits of the
+    * pre-filter and post-filter searches against the filtered exact top-k
+    * ([[knnFiltered]]). This is the audit a pipeline runs before deciding
+    * whether the filter attribute must live inside the index: recall_pre
+    * is bounded only by IVF probe coverage, recall_post additionally loses
+    * every slot the expanded fetch spent on ineligible labels. Comparison
+    * is two narrow (q_id, neighbor_id) equi-joins — negligible at any
+    * scale next to the searches themselves.
+    */
+  def annRecallFiltered(spark: SparkSession, dir: String, nQueries: Int = 20,
+                        k: Int = 5, kCentroids: Int = 16, nProbe: Int = 2,
+                        expand: Int = 3,
+                        mat: Materialize = Materialize.Local): DataFrame = {
+    val exact = knnFiltered(spark, dir, nQueries, k)
+      .select(col("q_id"), col("neighbor_id"))
+    val pre = annIvfFiltered(spark, dir, nQueries, k, kCentroids, nProbe, mat)
+      .select(col("q_id"), col("neighbor_id")).withColumn("hit_pre", lit(1))
+    val post = annIvfPostFiltered(spark, dir, nQueries, k, kCentroids, nProbe,
+        expand, mat)
+      .select(col("q_id"), col("neighbor_id")).withColumn("hit_post", lit(1))
+    exact.join(pre, Seq("q_id", "neighbor_id"), "left")
+      .join(post, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(
+        sum(coalesce(col("hit_pre"), lit(0))).cast("long").as("n_hits_pre"),
+        sum(coalesce(col("hit_post"), lit(0))).cast("long").as("n_hits_post"))
+      .select(col("q_id"), col("n_hits_pre"), col("n_hits_post"),
+        (col("n_hits_pre") / lit(k.toDouble)).as("recall_pre"),
+        (col("n_hits_post") / lit(k.toDouble)).as("recall_post"))
+      .orderBy(col("q_id"))
+  }
+
+  def annRecallFilteredSql(nQueries: Int = 20, k: Int = 5, kCentroids: Int = 16,
+                           nProbe: Int = 2, expand: Int = 3): String =
+    s"""WITH exact AS (SELECT q_id, neighbor_id FROM (${knnFilteredSql(nQueries, k)})),
+       |pre AS (SELECT q_id, neighbor_id FROM (
+       |  ${annIvfFilteredSql(nQueries, k, kCentroids, nProbe)})),
+       |post AS (SELECT q_id, neighbor_id FROM (
+       |  ${annIvfPostFilteredSql(nQueries, k, kCentroids, nProbe, expand)}))
+       |SELECT q_id, n_hits_pre, n_hits_post,
+       |  n_hits_pre / CAST($k AS DOUBLE) AS recall_pre,
+       |  n_hits_post / CAST($k AS DOUBLE) AS recall_post
+       |FROM (
+       |  SELECT e.q_id,
+       |    CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_pre,
+       |    CAST(sum(CASE WHEN o.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_post
+       |  FROM exact e
+       |  LEFT JOIN pre p ON e.q_id = p.q_id AND e.neighbor_id = p.neighbor_id
+       |  LEFT JOIN post o ON e.q_id = o.q_id AND e.neighbor_id = o.neighbor_id
+       |  GROUP BY e.q_id)
+       |ORDER BY q_id""".stripMargin
 
   /** Scalar int8 quantization audit — the embedding STORAGE path at corpus
     * scale (4 bytes/dim → 1, before product quantization): per-vector

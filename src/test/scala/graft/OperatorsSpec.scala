@@ -1872,4 +1872,116 @@ class OperatorsSpec extends SparkSuite {
     // never a null/NaN row
     assert(VectorOps.embeddingDrift(spark, sf("sf0.01"), deltaMod = 1).isEmpty)
   }
+
+  test("filtered ANN: every neighbor shares its query's label, ranks contiguous") {
+    val labels = VectorOps.prepared(spark, sf("sf0.01"))
+      .select(col("vec_id"), col("label"))
+    for (res <- Seq(VectorOps.knnFiltered(spark, sf("sf0.01")),
+                    VectorOps.annIvfFiltered(spark, sf("sf0.01")),
+                    VectorOps.annIvfPostFiltered(spark, sf("sf0.01")))) {
+      val r = res.cache()
+      val bad = r
+        .join(labels.select(col("vec_id").as("q_id"), col("label").as("ql")), "q_id")
+        .join(labels.select(col("vec_id").as("neighbor_id"), col("label").as("nl")),
+          "neighbor_id")
+        .filter(col("ql") =!= col("nl"))
+      assert(bad.isEmpty, "a filtered search returned a cross-label neighbor")
+      // ranks are 1..n(q) with no gaps
+      val gaps = r.groupBy("q_id")
+        .agg(count(lit(1)).as("n"), max(col("rank")).as("mx"), min(col("rank")).as("mn"))
+        .filter(col("mn") =!= 1 || col("mx") =!= col("n"))
+      assert(gaps.isEmpty, "rank sequence has gaps")
+      r.unpersist()
+    }
+  }
+
+  test("filtered ANN: post-filter starves on a rare slice where pre-filter stays exact") {
+    // Cell 0 holds three high-sim label-1 vectors and ONE label-0 vector.
+    // With fetch budget expand*k = 2, the unfiltered top-2 is all label 1,
+    // so post-filtering leaves nothing; the pre-filter search spends its
+    // single slot inside the label slice and recovers the exact answer.
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),     // query (and centroid 0)
+      (1L, Seq(0.0f, 1.0f), 1),     // centroid 1
+      (2L, Seq(0.98f, 0.05f), 1),
+      (3L, Seq(0.96f, 0.10f), 1),
+      (4L, Seq(0.94f, 0.15f), 1),
+      (5L, Seq(0.90f, 0.30f), 0)    // the only eligible neighbor
+    ).toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("fann").toString
+    vecs.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val pre = VectorOps.annIvfFiltered(spark, tmp, nQueries = 1, kNn = 1,
+      kCentroids = 2, nProbe = 1)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSeq
+    assert(pre == Seq((0L, 5L)), s"pre-filter should find vec 5, got $pre")
+    val post = VectorOps.annIvfPostFiltered(spark, tmp, nQueries = 1, kNn = 1,
+      kCentroids = 2, nProbe = 1, expand = 2)
+    assert(post.isEmpty, "post-filter should starve: fetch budget is all label 1")
+    val rec = VectorOps.annRecallFiltered(spark, tmp, nQueries = 1, k = 1,
+      kCentroids = 2, nProbe = 1, expand = 2)
+      .select("q_id", "n_hits_pre", "n_hits_post").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(rec == Seq((0L, 1L, 0L)), s"recall contrast wrong: $rec")
+  }
+
+  test("dedupBest keeps the highest-quality member, not the min id") {
+    // docs 1 and 2 share a word SET (same minhash signature -> same
+    // cluster) but 2 repeats it 10x: higher length component -> higher
+    // quality, so the best-representative policy must pick 2 over the
+    // min-id representative 1.
+    val words = (0 until 20).map(i => s"token$i").mkString(" ")
+    val docs = Seq(
+      (1L, words, "en", "s", 100L),
+      (2L, Seq.fill(10)(words).mkString(" "), "en", "s", 1000L),
+      (3L, "entirely unrelated singleton content", "en", "s", 36L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("best").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.dedupBest(spark, tmp)
+      .select("doc_id", "best_id", "keep").as[(Long, Long, Boolean)]
+      .collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, 2L, false), (2L, 2L, true), (3L, 3L, true)),
+      s"quality argmax wrong: $got")
+  }
+
+  test("dedupBest testdata invariants: one keep per cluster, keep maximizes quality") {
+    val best = TextOps.dedupBest(spark, sf("sf0.01")).cache()
+    val perCluster = best.groupBy("cluster_rep")
+      .agg(sum(col("keep").cast("long")).as("n_keep"))
+      .filter(col("n_keep") =!= 1)
+    assert(perCluster.isEmpty, "every cluster must keep exactly one member")
+    // no member outscores its cluster's chosen representative
+    val q = TextOps.quality(spark, sf("sf0.01")).select("doc_id", "quality_score")
+    val joined = best.join(q, "doc_id")
+    val repScore = joined.filter(col("keep"))
+      .select(col("cluster_rep").as("cr"), col("quality_score").as("rep_score"))
+    assert(joined.join(repScore, col("cluster_rep") === col("cr"))
+      .filter(col("quality_score") > col("rep_score")).isEmpty,
+      "a cluster member outscores its representative")
+    best.unpersist()
+  }
+
+  test("dupMatrix: cells account for every candidate pair, sources ordered") {
+    val m = TextOps.dupMatrix(spark, sf("sf0.01")).cache()
+    assert(m.filter(col("source_a") > col("source_b")).isEmpty,
+      "matrix cells must be least-first")
+    val total = m.agg(sum(col("n_pairs"))).head().getLong(0)
+    val pairs = TextOps.minhashPairs(spark, sf("sf0.01")).count()
+    assert(total == pairs, s"matrix total $total != pair relation $pairs")
+    m.unpersist()
+  }
+
+  test("nbClassify: covers the corpus, bits positive, eval cross-foots") {
+    val cls = TextOps.nbClassify(spark, sf("sf0.01")).cache()
+    val nDocs = Tables.documents(spark, sf("sf0.01")).count()
+    assert(cls.count() == nDocs, "every doc with tokens gets a prediction")
+    assert(cls.filter(col("bits") <= 0).isEmpty, "bit costs are positive")
+    assert(cls.filter(!col("pred_bucket").isin("high", "medium", "low")).isEmpty)
+    val acc = cls.filter(col("correct")).count().toDouble / nDocs
+    assert(acc > 0.5, s"self-distilled NB should beat a coin flip, got $acc")
+    val evalTotal = TextOps.nbEval(spark, sf("sf0.01"))
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(evalTotal == nDocs, "confusion matrix must cross-foot to the corpus")
+    cls.unpersist()
+  }
 }

@@ -344,4 +344,27 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"),
       s"assignment join must stay keyed:\n$plan")
   }
+
+  test("v_ann_filtered: probes broadcast into the cell join — filter adds no exchange") {
+    val plan = executedPlan("v_ann_filtered")
+    // the label predicate rides the existing (centroid_id, label) probe
+    // join condition: same BroadcastHashJoin as the unfiltered search, and
+    // no extra hash exchange beyond the per-query top-k window
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe list must broadcast:\n$plan")
+    val unfiltered = executedPlan("v_ann_ivf2")
+    assert(dataExchanges(plan) <= dataExchanges(unfiltered),
+      s"filtering must not add exchanges (filtered ${dataExchanges(plan)} vs " +
+        s"unfiltered ${dataExchanges(unfiltered)}):\n$plan")
+  }
+
+  test("d_nb_classify: model relations broadcast into scoring; corpus never cartesian'd") {
+    val plan = executedPlan("d_nb_classify")
+    // classes (|C| rows), totals, vocab and priors are all broadcast; the
+    // only non-broadcast join key is the token itself
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"model side must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"scoring must never plan a cartesian over the corpus:\n$plan")
+  }
 }
