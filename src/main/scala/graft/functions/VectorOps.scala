@@ -774,16 +774,20 @@ object VectorOps {
     * drift (same ranking, same centroid_id tie-break).
     */
   private def queryProbes(e: DataFrame, nQueries: Int, kCentroids: Int,
-                          nProbe: Int): DataFrame = {
+                          nProbe: Int, withLabel: Boolean = false): DataFrame = {
     val q0 = e.filter(col("vec_id") < nQueries)
     val cents = broadcast(e.filter(col("vec_id") < kCentroids)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn")))
     val pw = Window.partitionBy(col("vec_id"))
       .orderBy((dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).desc, col("centroid_id"))
-    q0.join(cents)
+    val ranked = q0.join(cents)
       .withColumn("__rn", row_number().over(pw)).filter(col("__rn") <= nProbe)
-      .select(col("centroid_id").as("q_cent"), col("vec_id").as("q_id"),
-        col("label").as("q_label"), col("v").as("qv"), col("nrm").as("qn"))
+    // q_label is opt-in (filtered tiers only) so the unfiltered searches'
+    // probe subplan stays byte-identical and the scan keeps pruning label
+    val base = Seq(col("centroid_id").as("q_cent"), col("vec_id").as("q_id"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    ranked.select(
+      (if (withLabel) base :+ col("label").as("q_label") else base): _*)
   }
 
   def annIvfMulti(spark: SparkSession, dir: String, nQueries: Int = 20, kNn: Int = 5,
@@ -1088,7 +1092,7 @@ object VectorOps {
                      mat: Materialize = Materialize.Local): DataFrame = {
     val assigned = sharedIvfAssign(spark, dir, kCentroids, mat)
     val e = prepared(spark, dir).join(assigned, "vec_id")
-    val qProbes = queryProbes(prepared(spark, dir), nQueries, kCentroids, nProbe)
+    val qProbes = queryProbes(prepared(spark, dir), nQueries, kCentroids, nProbe, withLabel = true)
     val sims = e.join(broadcast(qProbes),
         col("centroid_id") === col("q_cent") && col("label") === col("q_label") &&
           col("vec_id") =!= col("q_id"))
@@ -1146,7 +1150,7 @@ object VectorOps {
                          mat: Materialize = Materialize.Local): DataFrame = {
     val assigned = sharedIvfAssign(spark, dir, kCentroids, mat)
     val e = prepared(spark, dir).join(assigned, "vec_id")
-    val qProbes = queryProbes(prepared(spark, dir), nQueries, kCentroids, nProbe)
+    val qProbes = queryProbes(prepared(spark, dir), nQueries, kCentroids, nProbe, withLabel = true)
     val sims = e.join(broadcast(qProbes),
         col("centroid_id") === col("q_cent") && col("vec_id") =!= col("q_id"))
       .withColumn("cos_sim", round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
