@@ -151,6 +151,28 @@ object RunDocPipeline {
       spark.read.parquet(s"$workDir/vec_admitted").count()
     } catch { case _: Throwable => 0L }
 
+    // classifier tier of the same ingest: every raw arrival tagged with
+    // its predicted quality bucket by the FROZEN NB model (trained batch-
+    // side on this snapshot, applied row-locally in-flight — zero state,
+    // zero shuffle). The deployment readout is the predicted-bucket
+    // histogram; same defensive wrapper as every stage.
+    val (nbScored, nbTopBucket, nbTopCount) = try {
+      import graft.streaming.NbStream
+      val model = graft.functions.TextOps.nbFrozenModel(spark, sfDir)
+      val q6 = NbStream(docs, model)
+        .writeStream.format("parquet")
+        .option("path", s"$workDir/nb_scored")
+        .option("checkpointLocation", s"$workDir/ckpt6")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q6.awaitTermination(300000)
+      val scored = spark.read.parquet(s"$workDir/nb_scored")
+      val hist = scored.groupBy("pred_bucket").count()
+        .orderBy(col("count").desc, col("pred_bucket")).collect()
+      (scored.count(), hist.head.getString(0), hist.head.getLong(1))
+    } catch { case _: Throwable => (0L, "none", 0L) }
+
     val kept = try spark.read.parquet(s"$workDir/out").count()
                catch { case _: Throwable => 0L }
     val (admitted, rejected) = try {
@@ -225,7 +247,7 @@ object RunDocPipeline {
     val maxPhase = cur.agg(max("phase")).collect()(0).getInt(0)
     val annealDocs = cur.filter(col("phase") === maxPhase).count()
 
-    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"temp_shards":$tempShards,"temp_docs":$tempDocs,"temp_tokens":$tempTokens,"curriculum_shards":$curShards,"anneal_docs":$annealDocs,"worst_quality_drift_pm":$worstQDrift,"degraded_sources":$degradedSources,"worst_bpe_drift_pm":$worstBpeDrift,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept,"vectors_admitted":$vectorsAdmitted}""")
+    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"temp_shards":$tempShards,"temp_docs":$tempDocs,"temp_tokens":$tempTokens,"curriculum_shards":$curShards,"anneal_docs":$annealDocs,"worst_quality_drift_pm":$worstQDrift,"degraded_sources":$degradedSources,"worst_bpe_drift_pm":$worstBpeDrift,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept,"vectors_admitted":$vectorsAdmitted,"nb_scored":$nbScored,"nb_top_bucket":"$nbTopBucket","nb_top_count":$nbTopCount}""")
     spark.stop()
   }
 }

@@ -1815,6 +1815,57 @@ object TextOps {
        |FROM pred JOIN lab USING (doc_id)
        |ORDER BY pred.doc_id""".stripMargin
 
+  /** One frozen class model for [[graft.streaming.NbStream]]: per-token
+    * bit costs for the tokens that SURVIVED pruning, the default cost an
+    * unseen/pruned token pays, and the class prior — all in the exact
+    * integer bit arithmetic of [[nbClassify]].
+    */
+  final case class NbClassModel(cls: String, bits: Map[String, Long],
+                                defaultBits: Long, priorBits: Long)
+
+  /** Driver-collected FROZEN NB model — the shipped-classifier artifact
+    * the streaming scorer applies row-locally. Trained by the same
+    * (class, token) aggregation as [[nbClassify]]; per class only the
+    * `topK` highest-count tokens keep exact costs (row_number window,
+    * count-desc + token tie-break — the pruning every shipped text
+    * classifier does), everything else pays the class's unseen-token
+    * default. Driver state is ≤ topK × |classes| rows — the pruning runs
+    * DISTRIBUTED before the collect, so the full vocabulary never lands
+    * on the driver. With topK ≥ |V| the model is lossless and the stream
+    * scorer is prediction-identical to [[nbClassify]] (spec-pinned).
+    */
+  def nbFrozenModel(spark: SparkSession, dir: String,
+                    topK: Int = 4096): Seq[NbClassModel] = {
+    val p = prepared(spark, dir)
+    val lab = p.select(col("doc_id"), qualityBucketE.as("cls"))
+    val tokens = p.select(col("doc_id"), explode(col("words")).as("w"))
+    val tokc = tokens.join(lab, "doc_id")
+      .groupBy(col("cls"), col("w")).agg(count(lit(1)).as("c"))
+    val totals = tokc.groupBy(col("cls")).agg(sum(col("c")).as("tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocab = tokens.select(col("w")).distinct().count()
+    val nDocs = lab.count()
+    val priors = lab.groupBy(col("cls")).agg(count(lit(1)).as("n_c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // length(bin(x)) for x >= 1, the nbClassify arithmetic on the driver
+    def flog2(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cls")).orderBy(col("c").desc, col("w"))
+    val kept = tokc.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select("cls", "w", "c").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    priors.keys.toSeq.sorted.map { cls =>
+      val denomBits = flog2(totals(cls) + vocab)
+      val bits = kept.collect { case (`cls`, tok, c) =>
+        tok -> (denomBits - flog2(c + 1))
+      }.toMap
+      NbClassModel(cls, bits,
+        defaultBits = denomBits - flog2(1L),
+        priorBits = flog2(nDocs) - flog2(priors(cls)))
+    }
+  }
+
   /** The classifier's confusion matrix — the per-(actual, predicted)
     * counts a pipeline gates deployment on. |classes|²-bounded from
     * [[nbClassify]]'s output; at scale the matrix agg is free next to the

@@ -681,4 +681,57 @@ class StreamingSpec extends SparkSuite {
     assert(admittedContents.toSet == expectedContents,
       s"stream/batch divergence on admitted contents: ${admittedContents.toSet.size} vs ${expectedContents.size}")
   }
+
+  test("NB stream scorer with a lossless model matches the batch classifier exactly") {
+    import graft.streaming.NbStream
+    import graft.functions.TextOps
+    val sfDir = sf()
+    // lossless: topK far above testdata's vocabulary, so the map literals
+    // carry every trained token and the row-local fold must reproduce the
+    // batch argmin bit-for-bit (bits AND predicted bucket)
+    val model = TextOps.nbFrozenModel(spark, sfDir, topK = 1 << 20)
+    val batch = TextOps.nbClassify(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val ts = Timestamp.valueOf("2026-01-01 10:00:00")
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val out = NbStream(in.toDF().toDF("doc_id", "text", "ingest_ts"), model)
+    val q = out.writeStream.format("memory").queryName("nb_stream_t")
+      .outputMode("append").start()
+    in.addData(docs.map { case (id, t) => (id, t, ts) }.toSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("nb_stream_t")
+      .select("doc_id", "pred_bucket", "bits").as[(Long, String, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    q.stop()
+    assert(streamed.keySet == batch.keySet, "stream must score every document")
+    val diverged = streamed.collect {
+      case (id, v) if batch(id) != v => (id, v, batch(id))
+    }
+    assert(diverged.isEmpty, s"stream/batch divergence: ${diverged.take(3)}")
+  }
+
+  test("NB stream scorer: pruned model degrades to defaults, never to garbage") {
+    import graft.streaming.NbStream
+    import graft.functions.TextOps
+    // topK=1 keeps ONE token per class; every other token pays the class
+    // default. Predictions may change — but they must stay inside the
+    // trained classes and the bit costs must stay positive.
+    val model = TextOps.nbFrozenModel(spark, sf(), topK = 1)
+    assert(model.forall(_.bits.size == 1), "pruning must keep one token per class")
+    val classes = model.map(_.cls).toSet
+    val ts = Timestamp.valueOf("2026-01-01 10:00:00")
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val out = NbStream(in.toDF().toDF("doc_id", "text", "ingest_ts"), model)
+    val q = out.writeStream.format("memory").queryName("nb_stream_p")
+      .outputMode("append").start()
+    in.addData((1L, "some arrival words entirely outside the pruned maps", ts))
+    q.processAllAvailable()
+    val rows = spark.table("nb_stream_p")
+      .select("pred_bucket", "bits").as[(String, Long)].collect()
+    q.stop()
+    assert(rows.length == 1 && classes.contains(rows.head._1) && rows.head._2 > 0,
+      s"pruned-model scoring broke: ${rows.toSeq}")
+  }
 }
