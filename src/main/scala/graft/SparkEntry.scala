@@ -275,6 +275,7 @@ object SparkEntry {
     "v_knn_filtered" -> ((s, dir) => VectorOps.knnFiltered(s, dir)),
     "v_ann_filtered" -> ((s, dir) => VectorOps.annIvfFiltered(s, dir)),
     "v_recall_filtered" -> ((s, dir) => VectorOps.annRecallFiltered(s, dir)),
+    "v_margin_pairs" -> ((s, dir) => VectorOps.marginPairs(s, dir)),
     "v_quantize" -> ((s, dir) => VectorOps.quantize(s, dir).orderBy(col("vec_id"))),
     "v_pq_assign" -> ((s, dir) =>
       VectorOps.pqAssign(s, dir).orderBy(col("vec_id"), col("block"))),
@@ -713,6 +714,7 @@ object SparkEntry {
       "v_knn_filtered" -> VectorOps.knnFilteredSql(),
       "v_ann_filtered" -> VectorOps.annIvfFilteredSql(),
       "v_recall_filtered" -> VectorOps.annRecallFilteredSql(),
+      "v_margin_pairs" -> VectorOps.marginPairsSql(),
       "v_quantize" -> VectorOps.quantizeSql,
       "v_pq_assign" -> VectorOps.pqAssignSql(),
       "v_ann_pq" -> VectorOps.annPqSql(),

@@ -1254,6 +1254,116 @@ object VectorOps {
        |  GROUP BY e.q_id)
        |ORDER BY q_id""".stripMargin
 
+  // ---- margin-based cross-side pair mining (bitext-mining shape) ----
+
+  /** Margin-scored mutual nearest-neighbor PAIR MINING across two vector
+    * populations — the CCMatrix/LASER bitext-mining recipe that builds
+    * parallel-text corpora, and the same machinery that mines
+    * (caption, image) or (query, document) alignment pairs from a shared
+    * embedding space. Sides here are the two label-parity halves of the
+    * embeddings table (standing in for "source language" / "target
+    * language"); a pair (a, b) is emitted when b is a's best cross-side
+    * neighbor AND a is b's (mutual top-1), scored by the ratio margin
+    * `cos(a,b) / mean(top-k cross-side cos of a, of b)` — absolute cosine
+    * alone over-selects hub vectors; the margin normalizes by each side's
+    * local neighborhood density (Artetxe & Schwenk).
+    *
+    * Determinism across engines: cosines are quantized to integers ONCE
+    * (`floor(cos·10⁴ + ½)` — portable round-half-up, the [[quantize]]
+    * rule), so every sum/rank below is exact integer math; the margin is
+    * ONE final double division of exact integers, and ranks tie-break on
+    * id. Variable candidate-list sizes (small cells) use the
+    * count-weighted form `2·c·k_a·k_b / (s_a·k_b + s_b·k_a)` — the mean
+    * of the two top-k means as a single rational.
+    *
+    * Scale shape: candidates are CELL-BOUNDED (both sides share the
+    * session IVF assignment — one shuffle on centroid_id, per-cell
+    * A×B join), never the n_A×n_B cross product; the two rank/sum
+    * window families partition on a_id and b_id respectively, each a
+    * cell-bounded partition. At 100 TB: raise kCentroids to hold cell
+    * sizes constant (the `v_knn_graph` argument); boundary misses are the
+    * standard IVF recall tradeoff, recovered by multi-probe if the mining
+    * recall ever gates.
+    */
+  def marginPairs(spark: SparkSession, dir: String, k: Int = 4,
+                  kCentroids: Int = 16, minMargin: Double = 1.0,
+                  mat: Materialize = Materialize.Local): DataFrame = {
+    val assigned = sharedIvfAssign(spark, dir, kCentroids, mat)
+    val e = prepared(spark, dir).join(assigned, "vec_id")
+    val a = e.filter(pmod(col("label"), lit(2)) === 0)
+      .select(col("centroid_id"), col("vec_id").as("a_id"),
+        col("v").as("va"), col("nrm").as("na"))
+    val b = e.filter(pmod(col("label"), lit(2)) === 1)
+      .select(col("centroid_id"), col("vec_id").as("b_id"),
+        col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("centroid_id"))
+      .withColumn("c_int",
+        floor(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 10000 + 0.5)
+          .cast("long"))
+      .select("a_id", "b_id", "c_int")
+    val wa = Window.partitionBy(col("a_id")).orderBy(col("c_int").desc, col("b_id"))
+    val wb = Window.partitionBy(col("b_id")).orderBy(col("c_int").desc, col("a_id"))
+    val ranked = pairs
+      .withColumn("rn_a", row_number().over(wa))
+      .withColumn("rn_b", row_number().over(wb))
+    val pa = Window.partitionBy(col("a_id"))
+    val pb = Window.partitionBy(col("b_id"))
+    val scored = ranked
+      .withColumn("s_a", sum(when(col("rn_a") <= k, col("c_int"))).over(pa))
+      .withColumn("k_a", count(when(col("rn_a") <= k, lit(1))).over(pa))
+      .withColumn("s_b", sum(when(col("rn_b") <= k, col("c_int"))).over(pb))
+      .withColumn("k_b", count(when(col("rn_b") <= k, lit(1))).over(pb))
+      .filter(col("rn_a") === 1 && col("rn_b") === 1)
+      // all-negative neighborhoods can zero the denominator; both engines
+      // disagree on double /0, so exclude them exactly (integer compare)
+      .filter(col("s_a") * col("k_b") + col("s_b") * col("k_a") > 0)
+      .withColumn("margin",
+        round(lit(2.0) * col("c_int") * col("k_a") * col("k_b") /
+          (col("s_a") * col("k_b") + col("s_b") * col("k_a")), 4))
+      .filter(col("margin") > minMargin)
+    scored.select(col("a_id"), col("b_id"),
+        (col("c_int") / 10000.0).as("cos_sim"), col("margin"))
+      .orderBy(col("a_id"))
+  }
+
+  def marginPairsSql(k: Int = 4, kCentroids: Int = 16,
+                     minMargin: Double = 1.0): String =
+    s"""WITH e0 AS ($preparedSql),
+       |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e0 WHERE vec_id < $kCentroids),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT e0.vec_id, c.centroid_id, ROW_NUMBER() OVER (
+       |      PARTITION BY e0.vec_id
+       |      ORDER BY list_dot_product(e0.v, c.cv) / (e0.nrm * c.cn) DESC, c.centroid_id) AS rn
+       |    FROM e0, c)
+       |  WHERE rn = 1),
+       |e AS (SELECT e0.*, assign.centroid_id FROM e0 JOIN assign USING (vec_id)),
+       |pairs AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    CAST(floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 10000 + 0.5) AS BIGINT) AS c_int
+       |  FROM e a JOIN e b ON a.centroid_id = b.centroid_id
+       |  WHERE a.label % 2 = 0 AND b.label % 2 = 1),
+       |ranked AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY c_int DESC, b_id) AS rn_a,
+       |    ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY c_int DESC, a_id) AS rn_b
+       |  FROM pairs),
+       |scored AS (
+       |  SELECT *,
+       |    CAST(sum(CASE WHEN rn_a <= $k THEN c_int END) OVER (PARTITION BY a_id) AS BIGINT) AS s_a,
+       |    CAST(count(CASE WHEN rn_a <= $k THEN 1 END) OVER (PARTITION BY a_id) AS BIGINT) AS k_a,
+       |    CAST(sum(CASE WHEN rn_b <= $k THEN c_int END) OVER (PARTITION BY b_id) AS BIGINT) AS s_b,
+       |    CAST(count(CASE WHEN rn_b <= $k THEN 1 END) OVER (PARTITION BY b_id) AS BIGINT) AS k_b
+       |  FROM ranked)
+       |SELECT a_id, b_id, c_int / 10000.0 AS cos_sim, margin FROM (
+       |  SELECT a_id, b_id, c_int,
+       |    round(2.0 * c_int * k_a * k_b /
+       |      (s_a * k_b + s_b * k_a), 4) AS margin
+       |  FROM scored WHERE rn_a = 1 AND rn_b = 1
+       |    AND s_a * k_b + s_b * k_a > 0)
+       |WHERE margin > $minMargin
+       |ORDER BY a_id""".stripMargin
+
   /** Scalar int8 quantization audit — the embedding STORAGE path at corpus
     * scale (4 bytes/dim → 1, before product quantization): per-vector
     * symmetric scale `max|x|/127`, round-half-up code (`floor(x/s + 0.5)`,

@@ -1971,6 +1971,41 @@ class OperatorsSpec extends SparkSuite {
     m.unpersist()
   }
 
+  test("marginPairs mines mutual aligned pairs and skips the hub vector") {
+    // two clean cross-side alignments (0,1) and (2,3); vector 5 is a "hub"
+    // moderately close to BOTH A-side vectors but nobody's top-1 — the
+    // margin/mutual machinery must emit exactly the two aligned pairs
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),     // A (also the single centroid)
+      (1L, Seq(0.99f, 0.14f), 1),   // B, aligned with 0
+      (2L, Seq(0.0f, 1.0f), 0),     // A
+      (3L, Seq(0.1f, 0.99f), 1),    // B, aligned with 2
+      (5L, Seq(0.7f, 0.7f), 1)      // B hub: close-ish to both, top-1 of neither
+    ).toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("margin").toString
+    vecs.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = VectorOps.marginPairs(spark, tmp, k = 2, kCentroids = 1)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L), (2L, 3L)), s"mined pairs wrong: $got")
+  }
+
+  test("marginPairs testdata invariants: one-to-one, cross-parity, margin above floor") {
+    val pairs = VectorOps.marginPairs(spark, sf("sf0.01")).cache()
+    assert(pairs.count() > 0, "testdata should yield some mutual pairs")
+    // mutual top-1 makes the mined relation one-to-one on both sides
+    assert(pairs.groupBy("a_id").count().filter(col("count") > 1).isEmpty)
+    assert(pairs.groupBy("b_id").count().filter(col("count") > 1).isEmpty)
+    val labels = VectorOps.prepared(spark, sf("sf0.01"))
+      .select(col("vec_id"), pmod(col("label"), lit(2)).as("par"))
+    assert(pairs
+      .join(labels.select(col("vec_id").as("a_id"), col("par").as("pa")), "a_id")
+      .join(labels.select(col("vec_id").as("b_id"), col("par").as("pb")), "b_id")
+      .filter(col("pa") =!= 0 || col("pb") =!= 1).isEmpty,
+      "sides must be the two label parities")
+    assert(pairs.filter(col("margin") <= 1.0).isEmpty, "margin floor violated")
+    pairs.unpersist()
+  }
+
   test("nbClassify: covers the corpus, bits positive, eval cross-foots") {
     val cls = TextOps.nbClassify(spark, sf("sf0.01")).cache()
     val nDocs = Tables.documents(spark, sf("sf0.01")).count()

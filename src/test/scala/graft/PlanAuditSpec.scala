@@ -358,6 +358,15 @@ class PlanAuditSpec extends SparkSuite {
         s"unfiltered ${dataExchanges(unfiltered)}):\n$plan")
   }
 
+  test("v_margin_pairs: candidates stay cell-bounded — no cross-side cartesian") {
+    val plan = executedPlan("v_margin_pairs")
+    // the A×B candidate join must be keyed on centroid_id; an all-pairs
+    // plan here is the n_A×n_B blow-up the IVF cells exist to prevent
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin Inner"),
+      s"cross-side join must stay keyed on centroid_id:\n$plan")
+  }
+
   test("d_nb_classify: model relations broadcast into scoring; corpus never cartesian'd") {
     val plan = executedPlan("d_nb_classify")
     // classes (|C| rows), totals, vocab and priors are all broadcast; the
