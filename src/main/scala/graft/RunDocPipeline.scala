@@ -124,6 +124,27 @@ object RunDocPipeline {
       spark.read.parquet(s"$workDir/media_kept").count()
     } catch { case _: Throwable => 0L }
 
+    // video tier of the same ingest: the delta videos stream through
+    // frozen-base containment admission per micro-batch (the batch
+    // containment fold shared verbatim) — the temporal-media twin of the
+    // image stage above, same defensive wrapper
+    val videosAdmitted = try {
+      import graft.streaming.VideoDedupStream
+      import graft.multimodal.Multimodal
+      val deltaVideos = Multimodal.videoDedupIncr(spark, sfDir)
+        .select(col("video_id").as("media_id"))
+      deltaVideos.select(col("media_id"), current_timestamp().as("ingest_ts"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$workDir/video_in")
+      val videoStream = spark.readStream
+        .schema("media_id BIGINT, ingest_ts TIMESTAMP")
+        .parquet(s"$workDir/video_in")
+      val q7 = VideoDedupStream.appendStream(videoStream,
+        VideoDedupStream.frozenBaseFrames(spark, sfDir),
+        s"$workDir/video_admitted", s"$workDir/ckpt7")
+      try { q7.processAllAvailable() } finally q7.stop()
+      spark.read.parquet(s"$workDir/video_admitted").count()
+    } catch { case _: Throwable => 0L }
+
     // embedding tier of the same ingest: the corpus delta's embeddings
     // (salted split — the same "arrived since the last build" sample the
     // incremental index/dedup operators use) stream through semantic
@@ -247,7 +268,7 @@ object RunDocPipeline {
     val maxPhase = cur.agg(max("phase")).collect()(0).getInt(0)
     val annealDocs = cur.filter(col("phase") === maxPhase).count()
 
-    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"temp_shards":$tempShards,"temp_docs":$tempDocs,"temp_tokens":$tempTokens,"curriculum_shards":$curShards,"anneal_docs":$annealDocs,"worst_quality_drift_pm":$worstQDrift,"degraded_sources":$degradedSources,"worst_bpe_drift_pm":$worstBpeDrift,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept,"vectors_admitted":$vectorsAdmitted,"nb_scored":$nbScored,"nb_top_bucket":"$nbTopBucket","nb_top_count":$nbTopCount}""")
+    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"temp_shards":$tempShards,"temp_docs":$tempDocs,"temp_tokens":$tempTokens,"curriculum_shards":$curShards,"anneal_docs":$annealDocs,"worst_quality_drift_pm":$worstQDrift,"degraded_sources":$degradedSources,"worst_bpe_drift_pm":$worstBpeDrift,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept,"videos_admitted":$videosAdmitted,"vectors_admitted":$vectorsAdmitted,"nb_scored":$nbScored,"nb_top_bucket":"$nbTopBucket","nb_top_count":$nbTopCount}""")
     spark.stop()
   }
 }

@@ -1436,31 +1436,43 @@ object Multimodal {
     * the containment fold is one (delta_video, matched_video) hash agg.
     * O(delta) per day, like every twin.
     */
+  /** Video ids of `queryFrames` whose sampled frames are ≥ `contThreshold`
+    * contained (frame near-match ≤ `maxDist` bits) in `otherFrames` — the
+    * banded frame join + per-pair containment fold SHARED by the batch
+    * incremental tier ([[videoDedupIncr]]) and the streaming admission
+    * ([[graft.streaming.VideoDedupStream]]), so the two cannot drift.
+    * Both inputs are (video_id, frame, dhash) relations; `pred` filters
+    * candidate frame pairs on the packed ids (id = video·16 + frame).
+    */
+  private[graft] def containedVideoIds(queryFrames: DataFrame,
+      otherFrames: DataFrame, maxDist: Int, contThreshold: Double,
+      pred: (Column, Column) => Column = (_, _) => lit(true)): DataFrame = {
+    def rel(df: DataFrame) = df.select(
+      (col("video_id") * 16 + col("frame")).as("id"), col("dhash"))
+    hammingJoin(rel(queryFrames), rel(otherFrames), maxDist, pred)
+      .select(floor(col("id_a") / 16).cast("long").as("vd"),
+        pmod(col("id_a"), lit(16)).as("fd"),
+        floor(col("id_b") / 16).cast("long").as("vo"))
+      .distinct()
+      .groupBy("vd", "vo").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >=
+        ceil(lit(contThreshold) * (lit(3) + pmod(col("vd"), lit(4)))))
+      .select(col("vd").as("video_id")).distinct()
+  }
+
   def videoDedupIncr(spark: SparkSession, dir: String, deltaMod: Int = 3,
                      maxDist: Int = 6, contThreshold: Double = 0.5): DataFrame = {
     val frames = graft.SharedRel(spark, s"vframes|$dir", graft.Materialize.Local)(
       videoFrameHashes(spark, dir))
     val isDelta = pmod(graft.Exprs.hex60(
       concat(lit("inc:"), col("video_id").cast("string"))), lit(deltaMod)) === 0
-    def rel(df: DataFrame) = df.select(
-      (col("video_id") * 16 + col("frame")).as("id"), col("dhash"))
-    val base = rel(frames.filter(!isDelta))
-    val delta = rel(frames.filter(isDelta))
+    val base = frames.filter(!isDelta)
+    val delta = frames.filter(isDelta)
     // frame matches → per (delta video, other video) distinct matched
     // delta-frames → containment of the DELTA video's frames
-    def contained(other: DataFrame, pred: (Column, Column) => Column) =
-      hammingJoin(delta, other, maxDist, pred)
-        .select(floor(col("id_a") / 16).cast("long").as("vd"),
-          pmod(col("id_a"), lit(16)).as("fd"),
-          floor(col("id_b") / 16).cast("long").as("vo"))
-        .distinct()
-        .groupBy("vd", "vo").agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >=
-          ceil(lit(contThreshold) * (lit(3) + pmod(col("vd"), lit(4)))))
-        .select(col("vd").as("video_id")).distinct()
-    val ofBase = contained(base, (_, _) => lit(true))
+    val ofBase = containedVideoIds(delta, base, maxDist, contThreshold)
       .withColumn("ob", lit(1))
-    val inDelta = contained(delta,
+    val inDelta = containedVideoIds(delta, delta, maxDist, contThreshold,
         (a, b) => floor(b / 16) < floor(a / 16))
       .withColumn("od", lit(1))
     frames.filter(isDelta).select("video_id").distinct()

@@ -682,6 +682,90 @@ class StreamingSpec extends SparkSuite {
       s"stream/batch divergence on admitted contents: ${admittedContents.toSet.size} vs ${expectedContents.size}")
   }
 
+  test("video stream admission agrees with the batch incremental tier on base verdicts") {
+    import graft.streaming.VideoDedupStream
+    import graft.multimodal.Multimodal
+    val sfDir = sf()
+    val batch = Multimodal.videoDedupIncr(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val deltaIds = batch.keySet.toSeq.sorted
+    // the stream gates ONLY against the frozen base (near containment) +
+    // exact-signature repeats; batch dup_in_increment (near pairs inside
+    // the delta) is compaction's job and must be ADMITTED by the stream
+    val expected = batch.collect {
+      case (id, reason) if reason != "dup_of_base" => id
+    }.toSet
+    val out = java.nio.file.Files.createTempDirectory("vds_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("vds_ckpt").toString
+    val ts = Timestamp.valueOf("2026-01-01 10:00:00")
+    val in = MemoryStream[(Long, Timestamp)]
+    val q = VideoDedupStream.appendStream(
+      in.toDF().toDF("media_id", "ingest_ts"),
+      VideoDedupStream.frozenBaseFrames(spark, sfDir), out, ckpt)
+    try {
+      in.addData(deltaIds.map(id => (id, ts)))
+      q.processAllAvailable()
+      val admitted = spark.read.parquet(out).select("media_id")
+        .as[Long].collect().toSet
+      assert(admitted == expected,
+        s"stream/batch divergence: stream-only=${admitted -- expected}, " +
+          s"batch-only=${expected -- admitted}")
+      // replayed feed: every signature is already admitted — the prior-
+      // signature anti join must keep the output fixed (retry idempotence)
+      in.addData(deltaIds.map(id => (id, ts)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() == expected.size,
+        "replayed arrivals must not re-admit")
+    } finally q.stop()
+  }
+
+  test("video stream: far-family arrival admitted, base-family arrival rejected") {
+    import graft.streaming.VideoDedupStream
+    import graft.multimodal.Multimodal
+    // Craft a corpus where BOTH verdict classes occur (on testdata every
+    // delta video is base-contained, so the admitted path never fires):
+    // base videos all in texture family 2; one delta arrival in family 2
+    // (fully contained -> rejected) and one in family 8 — far enough that
+    // even the adjacent-family tail/head texture overlap can't reach it
+    // (video ids are ≡2 mod 3, so only families {2,5,8,11,14} exist).
+    // Families come from id % 15; the base/delta split is the salted
+    // hex60 the tiers share.
+    val candidates = (2L until 1000L by 3L).toDF("video_id")
+      .withColumn("fam", col("video_id") % 15)
+      .withColumn("is_delta", pmod(graft.Exprs.hex60(
+        concat(lit("inc:"), col("video_id").cast("string"))), lit(3)) === 0)
+      .as[(Long, Long, Boolean)].collect()
+    val baseIds = candidates.collect { case (id, 2L, false) => id }.take(3)
+    val rejectId = candidates.collectFirst { case (id, 2L, true) => id }.get
+    val admitId = candidates.collectFirst { case (id, 8L, true) => id }.get
+    assert(baseIds.nonEmpty, "fixture needs base videos in family 2")
+    val docs = (baseIds :+ rejectId :+ admitId).toSeq
+      .map(id => (id, s"video stub $id", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("vds_craft").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // batch tier agrees on the crafted corpus — the differential anchor
+    val batch = Multimodal.videoDedupIncr(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(batch(rejectId) == "dup_of_base" && batch(admitId) == "kept",
+      s"fixture verdicts unexpected: $batch")
+    val out = java.nio.file.Files.createTempDirectory("vds_craft_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("vds_craft_ckpt").toString
+    val ts = Timestamp.valueOf("2026-01-01 10:00:00")
+    val in = MemoryStream[(Long, Timestamp)]
+    val q = VideoDedupStream.appendStream(
+      in.toDF().toDF("media_id", "ingest_ts"),
+      VideoDedupStream.frozenBaseFrames(spark, tmp), out, ckpt)
+    try {
+      in.addData((rejectId, ts), (admitId, ts))
+      q.processAllAvailable()
+      val admitted = spark.read.parquet(out).select("media_id")
+        .as[Long].collect().toSet
+      assert(admitted == Set(admitId),
+        s"expected only far-family $admitId admitted, got $admitted")
+    } finally q.stop()
+  }
+
   test("NB stream scorer with a lossless model matches the batch classifier exactly") {
     import graft.streaming.NbStream
     import graft.functions.TextOps
