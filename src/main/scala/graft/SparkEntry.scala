@@ -217,6 +217,7 @@ object SparkEntry {
     "d_dedup_apply" -> ((s, dir) => TextOps.dedupApply(s, dir).orderBy(col("doc_id"))),
     "d_dedup_best" -> ((s, dir) => TextOps.dedupBest(s, dir)),
     "d_dup_matrix" -> ((s, dir) => TextOps.dupMatrix(s, dir)),
+    "d_k_anon" -> ((s, dir) => TextOps.kAnon(s, dir)),
     "d_nb_classify" -> ((s, dir) => TextOps.nbClassify(s, dir)),
     "d_nb_eval" -> ((s, dir) => TextOps.nbEval(s, dir)),
     "d_dedup_incr" -> ((s, dir) => TextOps.dedupIncrement(s, dir).orderBy(col("doc_id"))),
@@ -276,6 +277,7 @@ object SparkEntry {
     "v_ann_filtered" -> ((s, dir) => VectorOps.annIvfFiltered(s, dir)),
     "v_recall_filtered" -> ((s, dir) => VectorOps.annRecallFiltered(s, dir)),
     "v_margin_pairs" -> ((s, dir) => VectorOps.marginPairs(s, dir)),
+    "v_sem_apply" -> ((s, dir) => VectorOps.semClustersApply(s, dir)),
     "v_quantize" -> ((s, dir) => VectorOps.quantize(s, dir).orderBy(col("vec_id"))),
     "v_pq_assign" -> ((s, dir) =>
       VectorOps.pqAssign(s, dir).orderBy(col("vec_id"), col("block"))),
@@ -670,6 +672,7 @@ object SparkEntry {
       "d_dedup_apply" -> TextOps.dedupApplySql,
       "d_dedup_best" -> TextOps.dedupBestSql,
       "d_dup_matrix" -> TextOps.dupMatrixSql,
+      "d_k_anon" -> TextOps.kAnonSql(),
       "d_nb_classify" -> TextOps.nbClassifySql,
       "d_nb_eval" -> TextOps.nbEvalSql,
       "d_dedup_incr" -> TextOps.dedupIncrementSql(),
@@ -715,6 +718,7 @@ object SparkEntry {
       "v_ann_filtered" -> VectorOps.annIvfFilteredSql(),
       "v_recall_filtered" -> VectorOps.annRecallFilteredSql(),
       "v_margin_pairs" -> VectorOps.marginPairsSql(),
+      "v_sem_apply" -> VectorOps.semClustersApplySql(),
       "v_quantize" -> VectorOps.quantizeSql,
       "v_pq_assign" -> VectorOps.pqAssignSql(),
       "v_ann_pq" -> VectorOps.annPqSql(),

@@ -1425,6 +1425,68 @@ object TextOps {
        |      '$PhoneRe', '<phone>', 'g')) AS redacted_md5
        |FROM ($preparedSql) ORDER BY doc_id""".stripMargin
 
+  // ---- k-anonymity over release metadata ----
+
+  /** k-anonymity suppression/generalization over the quasi-identifier
+    * pair (source, lang) — the privacy gate a dataset RELEASE runs on its
+    * metadata columns (the complement of [[redact]]'s content-side pass):
+    * a row whose QI combination identifies fewer than `k` documents is a
+    * re-identification handle. Local-recoding ladder, deterministic:
+    *
+    *   level 0 — (source, lang) group has ≥ k members → published as-is
+    *   level 1 — source generalized to '*'; the row publishes if the
+    *             generalized group (failing rows sharing its lang) has
+    *             ≥ k members
+    *   level 2 — still under k → suppressed (group_n reports the
+    *             undersized generalized group for the audit)
+    *
+    * `group_n` is always the size of the row's FINAL anonymity group, so
+    * the k-property is checkable by regrouping the published rows on
+    * (source_out, lang_out) — the spec does exactly that. Scale shape:
+    * two window counts (first on the QI pair, second on lang over the
+    * failing subset) — map-side-combinable key counts bounded by
+    * |sources|×|langs|, never corpus-bound.
+    */
+  def kAnon(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val w0 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("lang"))
+    val l0 = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .withColumn("n0", count(lit(1)).over(w0))
+    val w1 = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    val failing = l0.filter(col("n0") < k)
+      .withColumn("n1", count(lit(1)).over(w1))
+    val passed = l0.filter(col("n0") >= k)
+      .select(col("doc_id"), col("source").as("source_out"),
+        col("lang").as("lang_out"), lit(0).as("level"), col("n0").as("group_n"))
+    val generalized = failing
+      .select(col("doc_id"), lit("*").as("source_out"),
+        when(col("n1") >= k, col("lang")).otherwise(lit("*")).as("lang_out"),
+        when(col("n1") >= k, 1).otherwise(2).as("level"),
+        col("n1").as("group_n"))
+    passed.unionByName(generalized).orderBy(col("doc_id"))
+  }
+
+  def kAnonSql(k: Int = 10): String =
+    s"""WITH l0 AS (
+       |  SELECT doc_id, source, lang,
+       |    count(*) OVER (PARTITION BY source, lang) AS n0
+       |  FROM documents),
+       |failing AS (
+       |  SELECT doc_id, source, lang,
+       |    count(*) OVER (PARTITION BY lang) AS n1
+       |  FROM l0 WHERE n0 < $k)
+       |SELECT doc_id, source AS source_out, lang AS lang_out,
+       |  0 AS level, CAST(n0 AS BIGINT) AS group_n
+       |FROM l0 WHERE n0 >= $k
+       |UNION ALL
+       |SELECT doc_id, '*' AS source_out,
+       |  CASE WHEN n1 >= $k THEN lang ELSE '*' END AS lang_out,
+       |  CASE WHEN n1 >= $k THEN 1 ELSE 2 END AS level,
+       |  CAST(n1 AS BIGINT) AS group_n
+       |FROM failing
+       |ORDER BY doc_id""".stripMargin
+
   // ---- end-to-end curation pipeline ----
 
   /** The composed curation pipeline — the decision relation a training-data

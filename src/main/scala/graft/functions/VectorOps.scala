@@ -582,6 +582,32 @@ object VectorOps {
        |  count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
        |FROM rep ORDER BY vec_id""".stripMargin
 
+  /** The SemDeDup APPLY step — what a curation pipeline actually ships
+    * from the semantic clusters: every vector tagged keep/drop, keeping
+    * exactly the min-id representative per semantic group (singletons keep
+    * themselves). Pure composition of [[semClusters]] with a column
+    * compare — the embedding-tier mirror of [[TextOps.dedupApply]]; the
+    * decision relation stays 3 columns wide however wide the payload is.
+    */
+  def semClustersApply(spark: SparkSession, dir: String, threshold: Double = 0.4,
+                       kNn: Int = 5, kCentroids: Int = 16,
+                       mat: Materialize = Materialize.Local): DataFrame =
+    semClusters(spark, dir, threshold, kNn, kCentroids, mat)
+      .select(col("vec_id"), col("cluster_rep"),
+        (col("vec_id") === col("cluster_rep")).as("keep"))
+
+  def semClustersApplySql(threshold: Double = 0.4, kNn: Int = 5,
+                          kCentroids: Int = 16): String = {
+    // the cluster oracle minus its cluster_size tail, re-projected — the
+    // dedupApplySql tail-rewrite pattern, require-guarded against drift
+    val inner = semClustersSql(threshold, kNn, kCentroids)
+      .replace("SELECT v AS vec_id, cluster_rep,\n  count(*) OVER (PARTITION BY cluster_rep) AS cluster_size\nFROM rep ORDER BY vec_id",
+        "SELECT v AS vec_id, cluster_rep, v = cluster_rep AS keep\nFROM rep ORDER BY vec_id")
+    require(inner != semClustersSql(threshold, kNn, kCentroids),
+      "semClustersApplySql: tail rewrite did not apply")
+    inner
+  }
+
   /** Per-source embedding-centroid drift between the frozen base and the
     * incremental delta (same salted-hash split as `MixOps.manifestIncr`) —
     * the distribution-shift monitor a daily pipeline runs NEXT TO the
