@@ -1029,8 +1029,19 @@ object TextOps {
     * "Connected Components in MapReduce") halves the round count if the
     * graph ever gets chain-shaped; band-clique graphs don't need it.
     */
+  /** The converged cluster relation is session-shared: three queries
+    * consume it (the cluster report, the keep/drop apply, the
+    * quality-aware apply), it is deterministic, and a production dedup
+    * maintains the label table next to the signature table rather than
+    * re-propagating per consumer — the [[bandedSignatures]] argument one
+    * level up.
+    */
   def dupClusters(spark: SparkSession, dir: String,
-                  mat: Materialize = Materialize.Local): DataFrame = {
+                  mat: Materialize = Materialize.Local): DataFrame =
+    graft.SharedRel(spark, s"dupcc|$dir", mat)(dupClustersBuild(spark, dir, mat))
+
+  private def dupClustersBuild(spark: SparkSession, dir: String,
+                               mat: Materialize): DataFrame = {
     // Propagate over the bipartite doc ↔ band-bucket incidence graph (2 rows
     // per doc), NOT the pairwise candidate graph: a bucket holding b docs
     // contributes b incidence rows instead of b·(b-1)/2 edges, so a
@@ -1804,7 +1815,15 @@ object TextOps {
     * |classes|-bounded argmin window per doc. The corpus is never
     * shuffled on anything but token and doc keys; driver state is zero.
     */
-  def nbClassify(spark: SparkSession, dir: String): DataFrame = {
+  /** The scored prediction relation is session-shared: the per-doc report
+    * and the confusion matrix ([[nbEval]]) both consume it, and the
+    * scoring pass is the expensive half of the classifier.
+    */
+  def nbClassify(spark: SparkSession, dir: String): DataFrame =
+    graft.SharedRel(spark, s"nbpred|$dir", Materialize.Local)(
+      nbClassifyBuild(spark, dir))
+
+  private def nbClassifyBuild(spark: SparkSession, dir: String): DataFrame = {
     val p = prepared(spark, dir)
     val lab = p.select(col("doc_id"), qualityBucketE.as("cls"))
     val tokens = p.select(col("doc_id"), explode(col("words")).as("w"))

@@ -519,9 +519,19 @@ object VectorOps {
     * directions), and materialized once. Oracle = recursive-CTE transitive
     * closure, a genuinely different algorithm.
     */
+  /** Session-shared like the edge relation it consumes: both the cluster
+    * report and [[semClustersApply]] need the converged labels, and
+    * re-propagating per consumer is pure waste.
+    */
   def semClusters(spark: SparkSession, dir: String, threshold: Double = 0.4,
                   kNn: Int = 5, kCentroids: Int = 16,
-                  mat: Materialize = Materialize.Local): DataFrame = {
+                  mat: Materialize = Materialize.Local): DataFrame =
+    graft.SharedRel(spark, s"semcc|$dir|$threshold|$kNn|$kCentroids", mat)(
+      semClustersBuild(spark, dir, threshold, kNn, kCentroids, mat))
+
+  private def semClustersBuild(spark: SparkSession, dir: String, threshold: Double,
+                               kNn: Int, kCentroids: Int,
+                               mat: Materialize): DataFrame = {
     val edges = mat(knnGraph(spark, dir, kNn, kCentroids, mat)
       .filter(col("mutual") && col("cos_sim") >= threshold)
       .select(col("src"), col("dst")))
