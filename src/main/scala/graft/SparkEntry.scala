@@ -278,6 +278,7 @@ object SparkEntry {
     "v_recall_filtered" -> ((s, dir) => VectorOps.annRecallFiltered(s, dir)),
     "v_margin_pairs" -> ((s, dir) => VectorOps.marginPairs(s, dir)),
     "v_sem_apply" -> ((s, dir) => VectorOps.semClustersApply(s, dir)),
+    "v_recall_margin" -> ((s, dir) => VectorOps.marginRecall(s, dir)),
     "v_quantize" -> ((s, dir) => VectorOps.quantize(s, dir).orderBy(col("vec_id"))),
     "v_pq_assign" -> ((s, dir) =>
       VectorOps.pqAssign(s, dir).orderBy(col("vec_id"), col("block"))),
@@ -719,6 +720,7 @@ object SparkEntry {
       "v_recall_filtered" -> VectorOps.annRecallFilteredSql(),
       "v_margin_pairs" -> VectorOps.marginPairsSql(),
       "v_sem_apply" -> VectorOps.semClustersApplySql(),
+      "v_recall_margin" -> VectorOps.marginRecallSql(),
       "v_quantize" -> VectorOps.quantizeSql,
       "v_pq_assign" -> VectorOps.pqAssignSql(),
       "v_ann_pq" -> VectorOps.annPqSql(),

@@ -1323,13 +1323,26 @@ object VectorOps {
     */
   def marginPairs(spark: SparkSession, dir: String, k: Int = 4,
                   kCentroids: Int = 16, minMargin: Double = 1.0,
+                  nProbe: Int = 4,
                   mat: Materialize = Materialize.Local): DataFrame = {
     val assigned = sharedIvfAssign(spark, dir, kCentroids, mat)
-    val e = prepared(spark, dir).join(assigned, "vec_id")
+    val e = prepared(spark, dir)
+    // A-side vectors probe their nProbe nearest cells (every A vector is a
+    // query here — the multi-probe that recovers cross-cell partners the
+    // single-cell candidate join misses; v_recall_margin measures the
+    // difference); B-side vectors stay in their one assigned list, so a
+    // candidate pair is generated at most once per probed cell and the
+    // fan-out is exactly nProbe×.
+    val cents = broadcast(e.filter(col("vec_id") < kCentroids)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn")))
+    val pw = Window.partitionBy(col("vec_id"))
+      .orderBy((dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).desc, col("centroid_id"))
     val a = e.filter(pmod(col("label"), lit(2)) === 0)
+      .join(cents)
+      .withColumn("__rn", row_number().over(pw)).filter(col("__rn") <= nProbe)
       .select(col("centroid_id"), col("vec_id").as("a_id"),
         col("v").as("va"), col("nrm").as("na"))
-    val b = e.filter(pmod(col("label"), lit(2)) === 1)
+    val b = e.join(assigned, "vec_id").filter(pmod(col("label"), lit(2)) === 1)
       .select(col("centroid_id"), col("vec_id").as("b_id"),
         col("v").as("vb"), col("nrm").as("nb"))
     val pairs = a.join(b, Seq("centroid_id"))
@@ -1363,7 +1376,7 @@ object VectorOps {
   }
 
   def marginPairsSql(k: Int = 4, kCentroids: Int = 16,
-                     minMargin: Double = 1.0): String =
+                     minMargin: Double = 1.0, nProbe: Int = 4): String =
     s"""WITH e0 AS ($preparedSql),
        |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e0 WHERE vec_id < $kCentroids),
        |assign AS (
@@ -1373,12 +1386,20 @@ object VectorOps {
        |      ORDER BY list_dot_product(e0.v, c.cv) / (e0.nrm * c.cn) DESC, c.centroid_id) AS rn
        |    FROM e0, c)
        |  WHERE rn = 1),
-       |e AS (SELECT e0.*, assign.centroid_id FROM e0 JOIN assign USING (vec_id)),
+       |aprobe AS (
+       |  SELECT centroid_id, vec_id, v, nrm FROM (
+       |    SELECT e0.vec_id, e0.v, e0.nrm, c.centroid_id, ROW_NUMBER() OVER (
+       |      PARTITION BY e0.vec_id
+       |      ORDER BY list_dot_product(e0.v, c.cv) / (e0.nrm * c.cn) DESC, c.centroid_id) AS rn
+       |    FROM e0, c WHERE e0.label % 2 = 0)
+       |  WHERE rn <= $nProbe),
+       |bside AS (
+       |  SELECT assign.centroid_id, e0.vec_id, e0.v, e0.nrm
+       |  FROM e0 JOIN assign USING (vec_id) WHERE e0.label % 2 = 1),
        |pairs AS (
        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        |    CAST(floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 10000 + 0.5) AS BIGINT) AS c_int
-       |  FROM e a JOIN e b ON a.centroid_id = b.centroid_id
-       |  WHERE a.label % 2 = 0 AND b.label % 2 = 1),
+       |  FROM aprobe a JOIN bside b ON a.centroid_id = b.centroid_id),
        |ranked AS (
        |  SELECT *,
        |    ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY c_int DESC, b_id) AS rn_a,
@@ -1399,6 +1420,55 @@ object VectorOps {
        |    AND s_a * k_b + s_b * k_a > 0)
        |WHERE margin > $minMargin
        |ORDER BY a_id""".stripMargin
+
+  /** Mining-recall harness for [[marginPairs]] — the cell-bounded miner
+    * against the EXACT cross-side mutual-top-1 relation, which is just
+    * `marginPairs` with one cell (kCentroids = 1 puts every vector in the
+    * same inverted list, so candidate generation degenerates to the full
+    * A×B relation — a verification harness by construction, like
+    * [[nearDupExact]]; never the production path). One summary row of
+    * integer counts + permille ratios: recall = mined ∩ exact / exact,
+    * precision likewise — the same contract as the ANN `v_recall*` matrix
+    * and the text tier's `d_lsh_recall`. The comparison is a narrow
+    * (a_id, b_id) equi-join; the harness's cost is the exact miner.
+    */
+  def marginRecall(spark: SparkSession, dir: String, k: Int = 4,
+                   kCentroids: Int = 16, minMargin: Double = 1.0,
+                   mat: Materialize = Materialize.Local): DataFrame = {
+    val approx = marginPairs(spark, dir, k, kCentroids, minMargin, mat = mat)
+      .select(col("a_id"), col("b_id")).withColumn("ap", lit(1))
+    val exact = marginPairs(spark, dir, k, 1, minMargin, mat = mat)
+      .select(col("a_id"), col("b_id")).withColumn("ex", lit(1))
+    exact.join(approx, Seq("a_id", "b_id"), "full_outer")
+      .agg(
+        sum(coalesce(col("ex"), lit(0))).cast("long").as("n_exact"),
+        sum(coalesce(col("ap"), lit(0))).cast("long").as("n_mined"),
+        sum(when(col("ex") === 1 && col("ap") === 1, 1L).otherwise(0L))
+          .cast("long").as("n_common"))
+      .withColumn("recall_pm", expr("n_common * 1000L div n_exact"))
+      .withColumn("precision_pm", expr("n_common * 1000L div n_mined"))
+  }
+
+  def marginRecallSql(k: Int = 4, kCentroids: Int = 16,
+                      minMargin: Double = 1.0): String =
+    s"""WITH approx AS (SELECT a_id, b_id FROM (
+       |  ${marginPairsSql(k, kCentroids, minMargin)})),
+       |exact AS (SELECT a_id, b_id FROM (
+       |  ${marginPairsSql(k, 1, minMargin)})),
+       |j AS (
+       |  SELECT coalesce(e.a_id, a.a_id) AS a_id,
+       |    CASE WHEN e.a_id IS NOT NULL THEN 1 ELSE 0 END AS ex,
+       |    CASE WHEN a.a_id IS NOT NULL THEN 1 ELSE 0 END AS ap
+       |  FROM exact e FULL OUTER JOIN approx a
+       |    ON e.a_id = a.a_id AND e.b_id = a.b_id)
+       |SELECT n_exact, n_mined, n_common,
+       |  n_common * 1000 // n_exact AS recall_pm,
+       |  n_common * 1000 // n_mined AS precision_pm
+       |FROM (
+       |  SELECT CAST(sum(ex) AS BIGINT) AS n_exact,
+       |    CAST(sum(ap) AS BIGINT) AS n_mined,
+       |    CAST(sum(CASE WHEN ex = 1 AND ap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+       |  FROM j)""".stripMargin
 
   /** Scalar int8 quantization audit — the embedding STORAGE path at corpus
     * scale (4 bytes/dim → 1, before product quantization): per-vector

@@ -2057,6 +2057,20 @@ class OperatorsSpec extends SparkSuite {
     pairs.unpersist()
   }
 
+  test("marginRecall: counts cross-foot, mined pairs cell-consistent with exact") {
+    val r = VectorOps.marginRecall(spark, sf("sf0.01")).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (nExact, nMined, nCommon) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nExact > 0 && nMined > 0, "both relations must mine something")
+    assert(nCommon <= math.min(nExact, nMined), "intersection bound")
+    assert(row.getLong(3) == nCommon * 1000 / nExact, "recall permille arithmetic")
+    assert(row.getLong(4) == nCommon * 1000 / nMined, "precision permille arithmetic")
+    // one-cell exact mining is a superset-quality reference: the cell-
+    // bounded miner cannot beat it on recall of itself
+    assert(row.getLong(3) <= 1000 && row.getLong(4) <= 1000)
+  }
+
   test("nbClassify: covers the corpus, bits positive, eval cross-foots") {
     val cls = TextOps.nbClassify(spark, sf("sf0.01")).cache()
     val nDocs = Tables.documents(spark, sf("sf0.01")).count()
