@@ -1549,6 +1549,55 @@ object TextOps {
         col("drop_reason"))
   }
 
+  /** The curation FUNNEL report — per-gate drop counts in pipeline order
+    * with the surviving population after each gate, zero-filled so every
+    * stage appears even when nothing fails it (the dashboard a curation
+    * run is monitored by; [[curate]]'s first-failing-gate contract makes
+    * the cumulative subtraction exact). `n_remaining` is the population
+    * ENTERING the next stage; the terminal `kept` row reaches 0 by
+    * construction. 7-row output; the only cost is [[curate]] itself plus
+    * one |gates|-row window.
+    */
+  def curateFunnel(spark: SparkSession, dir: String, keepLang: String = "en",
+                   probeMax: Long = 10, contamMin: Long = 5,
+                   sampleMod: Int = 10, sampleKeep: Int = 8): DataFrame = {
+    import spark.implicits._
+    val gates = Seq((1, "lang"), (2, "quality"), (3, "duplicate"),
+      (4, "benchmark"), (5, "contaminated"), (6, "sampled_out"), (7, "kept"))
+      .toDF("stage_idx", "gate")
+    val verdicts = curate(spark, dir, keepLang, probeMax, contamMin,
+      sampleMod, sampleKeep)
+    val counts = verdicts.groupBy(col("drop_reason").as("gate"))
+      .agg(count(lit(1)).as("n"))
+    val total = verdicts.agg(count(lit(1)).as("t"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("stage_idx"))
+    gates.join(counts, Seq("gate"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("n_docs", coalesce(col("n"), lit(0L)).cast("long"))
+      .withColumn("n_remaining",
+        (col("t") - sum(col("n_docs")).over(w)).cast("long"))
+      .select(col("stage_idx"), col("gate"), col("n_docs"), col("n_remaining"))
+      .orderBy(col("stage_idx"))
+  }
+
+  def curateFunnelSql(keepLang: String = "en", probeMax: Long = 10,
+                      contamMin: Long = 5, sampleMod: Int = 10,
+                      sampleKeep: Int = 8): String =
+    s"""WITH v AS (${curateSql(keepLang, probeMax, contamMin, sampleMod, sampleKeep)}),
+       |gates(stage_idx, gate) AS (VALUES
+       |  (1,'lang'),(2,'quality'),(3,'duplicate'),(4,'benchmark'),
+       |  (5,'contaminated'),(6,'sampled_out'),(7,'kept')),
+       |c AS (SELECT drop_reason AS gate, CAST(count(*) AS BIGINT) AS n
+       |      FROM v GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM v)
+       |SELECT stage_idx, gate, n_docs,
+       |  CAST(t - sum(n_docs) OVER (ORDER BY stage_idx) AS BIGINT) AS n_remaining
+       |FROM (
+       |  SELECT g.stage_idx, g.gate,
+       |    CAST(coalesce(c.n, 0) AS BIGINT) AS n_docs, tot.t
+       |  FROM gates g LEFT JOIN c USING (gate) CROSS JOIN tot)
+       |ORDER BY stage_idx""".stripMargin
+
   def curateSql(keepLang: String = "en", probeMax: Long = 10,
                 contamMin: Long = 5, sampleMod: Int = 10,
                 sampleKeep: Int = 8): String =

@@ -1971,6 +1971,24 @@ class OperatorsSpec extends SparkSuite {
     m.unpersist()
   }
 
+  test("curateFunnel: cumulative subtraction exact, all stages present, cross-foots curate") {
+    val funnel = TextOps.curateFunnel(spark, sf("sf0.01"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(funnel.map(_._1).toSeq == (1 to 7), "all seven stages, in order")
+    val total = Tables.documents(spark, sf("sf0.01")).count()
+    assert(funnel.map(_._3).sum == total, "drop counts partition the corpus")
+    // n_remaining is the running survivor count; the terminal row hits 0
+    var remaining = total
+    funnel.foreach { case (_, gate, n, rem) =>
+      remaining -= n
+      assert(rem == remaining, s"survivor math wrong at $gate")
+    }
+    assert(funnel.last._4 == 0L)
+    // the kept row equals curate's keep count
+    val kept = TextOps.curate(spark, sf("sf0.01")).filter(col("keep")).count()
+    assert(funnel.find(_._2 == "kept").get._3 == kept)
+  }
+
   test("kAnon: every published group has >= k members, coverage exact") {
     val k = 10
     val out = TextOps.kAnon(spark, sf("sf0.01"), k).cache()
