@@ -1872,7 +1872,9 @@ object TextOps {
     graft.SharedRel(spark, s"nbpred|$dir", Materialize.Local)(
       nbClassifyBuild(spark, dir))
 
-  private def nbClassifyBuild(spark: SparkSession, dir: String): DataFrame = {
+  // private[graft]: PlanAuditSpec pins the SCORING plan, which the
+  // memoized SharedRel surface hides behind a checkpoint scan
+  private[graft] def nbClassifyBuild(spark: SparkSession, dir: String): DataFrame = {
     val p = prepared(spark, dir)
     val lab = p.select(col("doc_id"), qualityBucketE.as("cls"))
     val tokens = p.select(col("doc_id"), explode(col("words")).as("w"))

@@ -368,7 +368,11 @@ class PlanAuditSpec extends SparkSuite {
   }
 
   test("d_nb_classify: model relations broadcast into scoring; corpus never cartesian'd") {
-    val plan = executedPlan("d_nb_classify")
+    // audit the BUILD plan directly: the query surface memoizes the scored
+    // relation (SharedRel), so a second call in the suite would show only
+    // the checkpoint scan
+    val plan = graft.functions.TextOps.nbClassifyBuild(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
     // classes (|C| rows), totals, vocab and priors are all broadcast; the
     // only non-broadcast join key is the token itself
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
