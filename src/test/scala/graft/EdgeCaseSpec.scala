@@ -156,4 +156,52 @@ class EdgeCaseSpec extends SparkSuite {
     vecs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     assert(graft.functions.VectorOps.embedStale(spark, dir).count() == 0)
   }
+
+  test("marginPairs: an empty side mines nothing, never crashes") {
+    // all labels even -> B side empty -> no candidate pairs
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(0.9f, 0.1f), 2),
+      (2L, Seq(0.0f, 1.0f), 4)
+    ).toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("edge_margin").toString
+    vecs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(graft.functions.VectorOps
+      .marginPairs(spark, dir, k = 2, kCentroids = 1).isEmpty)
+  }
+
+  test("kAnon at k=1: every row publishes untouched at level 0") {
+    val out = TextOps.kAnon(spark, tmp, k = 1)
+    assert(out.filter(col("level") =!= 0).isEmpty,
+      "k=1 can never fail a nonempty group")
+    assert(out.count() == 4)
+  }
+
+  test("NbStream: single-class model (the least()-guard branch) scores every arrival") {
+    // a corpus whose every doc lands in ONE quality bucket -> one class
+    // model -> the scored.size == 1 path must still tag arrivals
+    val docs = Seq(
+      (1L, "plain short words here", "en", "s", 22L),
+      (2L, "more plain short words", "en", "s", 22L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("edge_nb1").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val model = TextOps.nbFrozenModel(spark, dir)
+    assert(model.size == 1, s"fixture should train one class, got ${model.map(_.cls)}")
+    val scored = graft.streaming.NbStream(
+      Seq((9L, "anything at all",
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+        .toDF("doc_id", "text", "ingest_ts"), model)
+      .select("pred_bucket", "bits").as[(String, Long)].collect()
+    assert(scored.length == 1 && scored.head._1 == model.head.cls
+      && scored.head._2 > 0)
+  }
+
+  test("curateFunnel: degenerate corpus still emits all seven zero-filled stages") {
+    val funnel = TextOps.curateFunnel(spark, tmp)
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+    assert(funnel.map(_._1).toSeq == (1 to 7), "stages present and ordered")
+    assert(funnel.map(_._2).sum == 4, "partition covers the degenerate docs")
+    assert(funnel.last._3 == 0L)
+  }
 }
