@@ -1524,7 +1524,18 @@ object TextOps {
     */
   def curate(spark: SparkSession, dir: String, keepLang: String = "en",
              probeMax: Long = 10, contamMin: Long = 5,
-             sampleMod: Int = 10, sampleKeep: Int = 8): DataFrame = {
+             sampleMod: Int = 10, sampleKeep: Int = 8): DataFrame =
+    // session-shared: three consumers (the verdict query, the funnel
+    // report, the corpus build's keep set) and a deterministic relation —
+    // the dupClusters argument
+    graft.SharedRel(spark,
+      s"curate|$dir|$keepLang|$probeMax|$contamMin|$sampleMod|$sampleKeep",
+      Materialize.Local)(
+      curateBuild(spark, dir, keepLang, probeMax, contamMin, sampleMod, sampleKeep))
+
+  private def curateBuild(spark: SparkSession, dir: String, keepLang: String,
+                          probeMax: Long, contamMin: Long,
+                          sampleMod: Int, sampleKeep: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = prepared(spark, dir)
       .withColumn("pred_lang", predLangE)
