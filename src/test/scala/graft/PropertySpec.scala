@@ -237,4 +237,48 @@ class PropertySpec extends SparkSuite {
         f"hash $h%x corrupted to $h2%x shares only $shared bands")
     }
   }
+
+  test("kAnon k-property holds on random QI distributions") {
+    import graft.functions.TextOps
+    val srcGen = Gen.oneOf("a", "b", "c", "d", "e")
+    val langGen = Gen.oneOf("en", "fr", "zh")
+    val rowsGen = Gen.choose(20, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(srcGen, langGen)))
+    samples(rowsGen, 5).zipWithIndex.foreach { case (rows, i) =>
+      val docs = rows.zipWithIndex
+        .map { case ((s, l), id) => (id.toLong, s"t$id", l, s, 2L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val dir = java.nio.file.Files.createTempDirectory(s"prop_kanon$i").toString
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val k = 4
+      val out = TextOps.kAnon(spark, dir, k).cache()
+      assert(out.count() == rows.length, s"case $i: coverage")
+      val small = out.filter(col("level") < 2)
+        .groupBy("source_out", "lang_out").count()
+        .filter(col("count") < k)
+      assert(small.isEmpty, s"case $i: a published group is under k")
+      out.unpersist()
+    }
+  }
+
+  test("marginPairs mutual-top-1 is one-to-one on random embeddings") {
+    import graft.functions.VectorOps
+    val vecGen = Gen.listOfN(8, Gen.choose(-1.0, 1.0).map(_.toFloat))
+    val corpGen = Gen.choose(24, 48).flatMap(n => Gen.listOfN(n, vecGen))
+    samples(corpGen, 3).zipWithIndex.foreach { case (vs, i) =>
+      val vecs = vs.zipWithIndex
+        .map { case (v, id) => (id.toLong, v, id % 4) }
+        .toDF("vec_id", "embedding", "label")
+      val dir = java.nio.file.Files.createTempDirectory(s"prop_margin$i").toString
+      vecs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val pairs = VectorOps.marginPairs(spark, dir, k = 3, kCentroids = 2,
+        minMargin = 0.0).cache()
+      // mutual top-1 makes both endpoint columns unique, on ANY corpus
+      assert(pairs.groupBy("a_id").count().filter(col("count") > 1).isEmpty,
+        s"case $i: duplicate a_id")
+      assert(pairs.groupBy("b_id").count().filter(col("count") > 1).isEmpty,
+        s"case $i: duplicate b_id")
+      pairs.unpersist()
+    }
+  }
 }
