@@ -217,6 +217,7 @@ object SparkEntry {
     "d_dedup_apply" -> ((s, dir) => TextOps.dedupApply(s, dir).orderBy(col("doc_id"))),
     "d_dedup_best" -> ((s, dir) => TextOps.dedupBest(s, dir)),
     "d_dup_matrix" -> ((s, dir) => TextOps.dupMatrix(s, dir)),
+    "d_compress_ratio" -> ((s, dir) => TextOps.compressRatio(s, dir)),
     "d_curate_funnel" -> ((s, dir) => TextOps.curateFunnel(s, dir)),
     "d_k_anon" -> ((s, dir) => TextOps.kAnon(s, dir)),
     "d_nb_classify" -> ((s, dir) => TextOps.nbClassify(s, dir)),

@@ -1436,6 +1436,51 @@ object TextOps {
        |      '$PhoneRe', '<phone>', 'g')) AS redacted_md5
        |FROM ($preparedSql) ORDER BY doc_id""".stripMargin
 
+  // ---- compression-ratio quality signal ----
+
+  /** Deflate compression ratio per document — the Gopher-recipe quality
+    * signal the heuristic score can't see: boilerplate and templated spam
+    * compress far below natural prose, whatever their word statistics.
+    * Computed over the normalized text with ONE explicitly-pinned
+    * Deflater configuration (level 6, default strategy, zlib wrapper) so
+    * the number is a property of the bytes, not of a knob; one Deflater
+    * instance is reused (reset) across a partition — row-local, zero
+    * shuffle, the mapPartitions shape of the multimodal codecs.
+    *
+    * No DuckDB oracle — SQL has no zlib — so this query takes the
+    * driver's weaker rows-only check by design; the cross-run contract is
+    * spec-pinned instead (determinism, bounds, and the
+    * repetitive-compresses-better ordering).
+    */
+  def compressRatio(spark: SparkSession, dir: String,
+                    repetitiveMax: Int = 300): DataFrame = {
+    import spark.implicits._
+    prepared(spark, dir).select(col("doc_id"), col("norm"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, norm) =>
+          val raw =
+            if (norm == null) Array.emptyByteArray
+            else norm.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          (id, raw.length.toLong, n)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_compressed")
+      .withColumn("ratio_pm",
+        when(col("n_bytes") === 0, lit(null).cast("long"))
+          .otherwise(expr("n_compressed * 1000L div n_bytes")))
+      .withColumn("repetitive",
+        coalesce(col("ratio_pm") < repetitiveMax, lit(false)))
+      .orderBy("doc_id")
+  }
+
   // ---- k-anonymity over release metadata ----
 
   /** k-anonymity suppression/generalization over the quasi-identifier

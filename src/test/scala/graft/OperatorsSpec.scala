@@ -1971,6 +1971,31 @@ class OperatorsSpec extends SparkSuite {
     m.unpersist()
   }
 
+  test("compressRatio: deterministic, bounded, and orders repetition below prose") {
+    val varied = (1 to 120).map(i => s"w${i * 7919 % 997}x$i").mkString(" ")
+    val docs = Seq(
+      (1L, Seq.fill(120)("spam spam spam").mkString(" "), "en", "s", 100L),
+      (2L, varied, "en", "s", 100L),
+      (3L, "", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("zratio").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def run() = TextOps.compressRatio(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3),
+          r.getBoolean(4))).toMap
+    val a = run()
+    assert(a == run(), "deflate output must be run-deterministic")
+    // repetition compresses far below varied prose; both within (0, ~1030]
+    assert(a(1L)._3 < a(2L)._3, s"repetitive doc must compress better: $a")
+    assert(a(1L)._4 && !a(2L)._4, "repetitive flag tracks the threshold")
+    Seq(1L, 2L).foreach { id =>
+      assert(a(id)._3 > 0 && a(id)._3 <= 1030, s"ratio out of range for $id: $a")
+    }
+    // empty doc: zero bytes, null ratio surfaced as non-repetitive
+    assert(a(3L)._1 == 0L && a(3L)._3 == -1L && !a(3L)._4)
+  }
+
   test("curateFunnel: cumulative subtraction exact, all stages present, cross-foots curate") {
     val funnel = TextOps.curateFunnel(spark, sf("sf0.01"))
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
