@@ -197,6 +197,19 @@ class EdgeCaseSpec extends SparkSuite {
       && scored.head._2 > 0)
   }
 
+  test("compressRatio: null and empty docs yield zero bytes and a null ratio") {
+    val got = TextOps.compressRatio(spark, tmp).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    assert(got.length == 4)
+    // null text and whitespace-only normalize to no bytes; single char
+    // deflates to MORE bytes than input (header overhead) — ratio > 1000
+    got.take(3).foreach { case (id, nb, pm, rep) =>
+      assert(nb == 0L && pm == -1L && !rep, s"degenerate doc $id: $got")
+    }
+    assert(got(3)._2 == 1L && got(3)._3 > 1000L)
+  }
+
   test("curateFunnel: degenerate corpus still emits all seven zero-filled stages") {
     val funnel = TextOps.curateFunnel(spark, tmp)
       .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
