@@ -279,6 +279,7 @@ object SparkEntry {
     "v_ann_filtered" -> ((s, dir) => VectorOps.annIvfFiltered(s, dir)),
     "v_recall_filtered" -> ((s, dir) => VectorOps.annRecallFiltered(s, dir)),
     "v_margin_pairs" -> ((s, dir) => VectorOps.marginPairs(s, dir)),
+    "v_margin_incr" -> ((s, dir) => VectorOps.marginPairsIncr(s, dir)),
     "v_sem_apply" -> ((s, dir) => VectorOps.semClustersApply(s, dir)),
     "v_recall_margin" -> ((s, dir) => VectorOps.marginRecall(s, dir)),
     "v_quantize" -> ((s, dir) => VectorOps.quantize(s, dir).orderBy(col("vec_id"))),
@@ -722,6 +723,7 @@ object SparkEntry {
       "v_ann_filtered" -> VectorOps.annIvfFilteredSql(),
       "v_recall_filtered" -> VectorOps.annRecallFilteredSql(),
       "v_margin_pairs" -> VectorOps.marginPairsSql(),
+      "v_margin_incr" -> VectorOps.marginPairsIncrSql(),
       "v_sem_apply" -> VectorOps.semClustersApplySql(),
       "v_recall_margin" -> VectorOps.marginRecallSql(),
       "v_quantize" -> VectorOps.quantizeSql,

@@ -1324,7 +1324,34 @@ object VectorOps {
   def marginPairs(spark: SparkSession, dir: String, k: Int = 4,
                   kCentroids: Int = 16, minMargin: Double = 1.0,
                   nProbe: Int = 4,
-                  mat: Materialize = Materialize.Local): DataFrame = {
+                  mat: Materialize = Materialize.Local): DataFrame =
+    marginCore(spark, dir, pmod(col("label"), lit(2)) === 0,
+      k, kCentroids, minMargin, nProbe, mat)
+
+  /** The DAILY-ARRIVAL form of [[marginPairs]] — new source-side vectors
+    * (the salted delta split of the A parity) mined against the full
+    * frozen target side, the shape an incremental bitext/alignment job
+    * actually runs (yesterday's pairs are already shipped; only arrivals
+    * need mining). Mutuality is evaluated WITHIN the job's candidate
+    * relation: a frozen base A vector that would out-rank a delta arrival
+    * for some b stays out of this job by contract — base pairs were mined
+    * when THAT vector arrived, and re-opening them is the recompaction's
+    * job. The same asymmetric-staleness contract as `v_knn_graph_incr`,
+    * spec-pinned on a crafted fixture. Work is delta-bound: the probe
+    * side is 1/deltaMod of one parity; everything else is the
+    * [[marginPairs]] plan unchanged.
+    */
+  def marginPairsIncr(spark: SparkSession, dir: String, deltaMod: Int = 5,
+                      k: Int = 4, kCentroids: Int = 16,
+                      minMargin: Double = 1.0, nProbe: Int = 4,
+                      mat: Materialize = Materialize.Local): DataFrame =
+    marginCore(spark, dir,
+      pmod(col("label"), lit(2)) === 0 && incSplitE(deltaMod) === 0,
+      k, kCentroids, minMargin, nProbe, mat)
+
+  private def marginCore(spark: SparkSession, dir: String, aFilter: Column,
+                         k: Int, kCentroids: Int, minMargin: Double,
+                         nProbe: Int, mat: Materialize): DataFrame = {
     val assigned = sharedIvfAssign(spark, dir, kCentroids, mat)
     val e = prepared(spark, dir)
     // A-side vectors probe their nProbe nearest cells (every A vector is a
@@ -1337,7 +1364,7 @@ object VectorOps {
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn")))
     val pw = Window.partitionBy(col("vec_id"))
       .orderBy((dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).desc, col("centroid_id"))
-    val a = e.filter(pmod(col("label"), lit(2)) === 0)
+    val a = e.filter(aFilter)
       .join(cents)
       .withColumn("__rn", row_number().over(pw)).filter(col("__rn") <= nProbe)
       .select(col("centroid_id"), col("vec_id").as("a_id"),
@@ -1375,8 +1402,14 @@ object VectorOps {
       .orderBy(col("a_id"))
   }
 
+  def marginPairsIncrSql(deltaMod: Int = 5, k: Int = 4, kCentroids: Int = 16,
+                         minMargin: Double = 1.0, nProbe: Int = 4): String =
+    marginPairsSql(k, kCentroids, minMargin, nProbe,
+      aWhere = s"e0.label % 2 = 0 AND ${incSplitSql(deltaMod, "e0.vec_id")} = 0")
+
   def marginPairsSql(k: Int = 4, kCentroids: Int = 16,
-                     minMargin: Double = 1.0, nProbe: Int = 4): String =
+                     minMargin: Double = 1.0, nProbe: Int = 4,
+                     aWhere: String = "e0.label % 2 = 0"): String =
     s"""WITH e0 AS ($preparedSql),
        |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e0 WHERE vec_id < $kCentroids),
        |assign AS (
@@ -1391,7 +1424,7 @@ object VectorOps {
        |    SELECT e0.vec_id, e0.v, e0.nrm, c.centroid_id, ROW_NUMBER() OVER (
        |      PARTITION BY e0.vec_id
        |      ORDER BY list_dot_product(e0.v, c.cv) / (e0.nrm * c.cn) DESC, c.centroid_id) AS rn
-       |    FROM e0, c WHERE e0.label % 2 = 0)
+       |    FROM e0, c WHERE $aWhere)
        |  WHERE rn <= $nProbe),
        |bside AS (
        |  SELECT assign.centroid_id, e0.vec_id, e0.v, e0.nrm

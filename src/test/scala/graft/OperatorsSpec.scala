@@ -2110,6 +2110,48 @@ class OperatorsSpec extends SparkSuite {
     pairs.unpersist()
   }
 
+  test("marginPairsIncr: frozen base side excluded — the arrival wins its pair") {
+    // a base A vector is b's TRUE best neighbor, but it is not an arrival:
+    // the incremental job must pair b with the best DELTA arrival instead
+    // (base pairs were mined when that vector arrived — the
+    // v_knn_graph_incr asymmetric-staleness contract)
+    val deltaMod = 5
+    val candidates = (1L until 400L).toDF("vec_id")
+      .withColumn("is_delta", pmod(graft.Exprs.hex60(
+        concat(lit("inc:"), col("vec_id").cast("string"))), lit(deltaMod)) === 0)
+      .as[(Long, Boolean)].collect()
+    val baseAId = candidates.collectFirst { case (id, false) => id }.get
+    val deltaAId = candidates.collectFirst { case (id, true) => id }.get
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f), 1),          // b (and the single centroid)
+      (baseAId, Seq(0.99f, 0.1f), 0),    // frozen base A — b's true best
+      (deltaAId, Seq(0.9f, 0.2f), 0)     // today's arrival
+    ).toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("margin_incr").toString
+    vecs.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val full = VectorOps.marginPairs(spark, tmp, k = 2, kCentroids = 1,
+      minMargin = 0.0).select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(full == Set((baseAId, 0L)), s"full miner should pair the base: $full")
+    val incr = VectorOps.marginPairsIncr(spark, tmp, deltaMod, k = 2,
+      kCentroids = 1, minMargin = 0.0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(incr == Set((deltaAId, 0L)), s"incr miner should pair the arrival: $incr")
+  }
+
+  test("marginPairsIncr testdata invariants: delta-bound, one-to-one") {
+    val incr = functions.VectorOps.marginPairsIncr(spark, sf("sf0.01")).cache()
+    assert(incr.count() > 0)
+    val offSplit = incr.join(
+      VectorOps.prepared(spark, sf("sf0.01"))
+        .filter(!(pmod(col("label"), lit(2)) === 0 &&
+          VectorOps.incSplitE(5) === 0))
+        .select(col("vec_id").as("a_id")), "a_id")
+    assert(offSplit.isEmpty, "an a_id outside the delta A split leaked in")
+    assert(incr.groupBy("a_id").count().filter(col("count") > 1).isEmpty)
+    assert(incr.groupBy("b_id").count().filter(col("count") > 1).isEmpty)
+    incr.unpersist()
+  }
+
   test("marginRecall: counts cross-foot, mined pairs cell-consistent with exact") {
     val r = VectorOps.marginRecall(spark, sf("sf0.01")).collect()
     assert(r.length == 1)
