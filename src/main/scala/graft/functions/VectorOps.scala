@@ -1379,14 +1379,16 @@ object VectorOps {
       .select("a_id", "b_id", "c_int")
     val wa = Window.partitionBy(col("a_id")).orderBy(col("c_int").desc, col("b_id"))
     val wb = Window.partitionBy(col("b_id")).orderBy(col("c_int").desc, col("a_id"))
-    val ranked = pairs
-      .withColumn("rn_a", row_number().over(wa))
-      .withColumn("rn_b", row_number().over(wb))
     val pa = Window.partitionBy(col("a_id"))
     val pb = Window.partitionBy(col("b_id"))
-    val scored = ranked
+    // window order groups SAME-KEY windows adjacently (rank then sums on
+    // a_id, then rank and sums on b_id) so each side costs ONE hash
+    // exchange; the alternating order a→b→a→b planned four
+    val scored = pairs
+      .withColumn("rn_a", row_number().over(wa))
       .withColumn("s_a", sum(when(col("rn_a") <= k, col("c_int"))).over(pa))
       .withColumn("k_a", count(when(col("rn_a") <= k, lit(1))).over(pa))
+      .withColumn("rn_b", row_number().over(wb))
       .withColumn("s_b", sum(when(col("rn_b") <= k, col("c_int"))).over(pb))
       .withColumn("k_b", count(when(col("rn_b") <= k, lit(1))).over(pb))
       .filter(col("rn_a") === 1 && col("rn_b") === 1)
