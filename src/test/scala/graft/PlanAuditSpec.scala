@@ -365,6 +365,14 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin Inner"),
       s"cross-side join must stay keyed on centroid_id:\n$plan")
+    // rank + neighborhood-sum windows are grouped per side: ONE a_id and
+    // ONE b_id hash exchange — the alternating order planned a third
+    // full-relation shuffle
+    def sideExchanges(key: String): Int =
+      s"[+:]- Exchange hashpartitioning\\($key".r.findAllIn(plan).length
+    assert(sideExchanges("a_id") == 1 && sideExchanges("b_id") == 1,
+      s"per-side window exchanges regressed (a=${sideExchanges("a_id")}, " +
+        s"b=${sideExchanges("b_id")}):\n$plan")
   }
 
   test("d_nb_classify: model relations broadcast into scoring; corpus never cartesian'd") {
