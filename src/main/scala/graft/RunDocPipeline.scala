@@ -14,6 +14,21 @@ import graft.streaming.DocStream
   * Usage: runMain graft.RunDocPipeline [sfDir] [workDir]
   */
 object RunDocPipeline {
+
+  /** Demo-stage guard: a failed stage reports its sentinel so the JSON
+    * line still prints, but NEVER silently — the exception class + message
+    * go to stderr first, so `images_kept: 0` from a broken stage is
+    * distinguishable from an empty corpus (the `Tables.scala` timestamp-
+    * probe rule: make the fallback visible).
+    */
+  private[graft] def guarded[T](stage: String, sentinel: => T)(body: => T): T =
+    try body catch {
+      case e: Throwable =>
+        Console.err.println(s"[docpipeline] stage '$stage' failed " +
+          s"(${e.getClass.getName}: ${e.getMessage}); reporting sentinel")
+        sentinel
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val workDir = args.lift(1).getOrElse(
@@ -81,7 +96,7 @@ object RunDocPipeline {
     // curation kept zero docs (empty/missing out dir) the demo must still
     // print its JSON line with 0 counts, not crash on the static read
     import graft.streaming.ShardStream
-    val (sShards, sTokens) = try {
+    val (sShards, sTokens) = guarded("stream_shards", (0L, 0L)) {
       val curatedStatic = spark.read.parquet(s"$workDir/out")
         .select(col("doc_id"), col("text_md5"))
       val admittedStream = spark.readStream
@@ -97,13 +112,13 @@ object RunDocPipeline {
       try { q3.processAllAvailable() } finally q3.stop()
       val sm = spark.read.parquet(s"$workDir/stream_shards/manifest")
       (sm.count(), sm.agg(sum("n_tokens")).collect()(0).getLong(0))
-    } catch { case _: Throwable => (0L, 0L) }
+    }
 
     // image tier of the same ingest: the media stream (image ids of this
     // corpus snapshot) deduped on the perceptual hash in-flight — the
     // multimodal twin of the text curation stage above, same defensive
     // wrapper so an empty corpus still prints the JSON line
-    val imagesKept = try {
+    val imagesKept = guarded("image_dedup", 0L) {
       import graft.streaming.ImageDedupStream
       val mediaIn = Tables.documents(spark, sfDir)
         .filter(col("doc_id") % 3 === 0)
@@ -122,13 +137,13 @@ object RunDocPipeline {
         .start()
       q4.awaitTermination(300000)
       spark.read.parquet(s"$workDir/media_kept").count()
-    } catch { case _: Throwable => 0L }
+    }
 
     // video tier of the same ingest: the delta videos stream through
     // frozen-base containment admission per micro-batch (the batch
     // containment fold shared verbatim) — the temporal-media twin of the
     // image stage above, same defensive wrapper
-    val videosAdmitted = try {
+    val videosAdmitted = guarded("video_dedup", 0L) {
       import graft.streaming.VideoDedupStream
       import graft.multimodal.Multimodal
       val deltaVideos = Multimodal.videoDedupIncr(spark, sfDir)
@@ -143,14 +158,14 @@ object RunDocPipeline {
         s"$workDir/video_admitted", s"$workDir/ckpt7")
       try { q7.processAllAvailable() } finally q7.stop()
       spark.read.parquet(s"$workDir/video_admitted").count()
-    } catch { case _: Throwable => 0L }
+    }
 
     // embedding tier of the same ingest: the corpus delta's embeddings
     // (salted split — the same "arrived since the last build" sample the
     // incremental index/dedup operators use) stream through semantic
     // admission against the frozen base bucket index — the vector twin of
     // the image stage above, same defensive wrapper
-    val vectorsAdmitted = try {
+    val vectorsAdmitted = guarded("vector_admission", 0L) {
       import graft.streaming.VectorDedupStream
       import graft.functions.VectorOps
       val vecIn = VectorOps.prepared(spark, sfDir)
@@ -170,14 +185,14 @@ object RunDocPipeline {
         .start()
       q5.awaitTermination(300000)
       spark.read.parquet(s"$workDir/vec_admitted").count()
-    } catch { case _: Throwable => 0L }
+    }
 
     // classifier tier of the same ingest: every raw arrival tagged with
     // its predicted quality bucket by the FROZEN NB model (trained batch-
     // side on this snapshot, applied row-locally in-flight — zero state,
     // zero shuffle). The deployment readout is the predicted-bucket
     // histogram; same defensive wrapper as every stage.
-    val (nbScored, nbTopBucket, nbTopCount) = try {
+    val (nbScored, nbTopBucket, nbTopCount) = guarded("nb_scoring", (0L, "none", 0L)) {
       import graft.streaming.NbStream
       val model = graft.functions.TextOps.nbFrozenModel(spark, sfDir)
       val q6 = NbStream(docs, model)
@@ -192,14 +207,15 @@ object RunDocPipeline {
       val hist = scored.groupBy("pred_bucket").count()
         .orderBy(col("count").desc, col("pred_bucket")).collect()
       (scored.count(), hist.head.getString(0), hist.head.getLong(1))
-    } catch { case _: Throwable => (0L, "none", 0L) }
+    }
 
-    val kept = try spark.read.parquet(s"$workDir/out").count()
-               catch { case _: Throwable => 0L }
-    val (admitted, rejected) = try {
+    val kept = guarded("curated_count", 0L) {
+      spark.read.parquet(s"$workDir/out").count()
+    }
+    val (admitted, rejected) = guarded("quota_decisions", (0L, 0L)) {
       val d = spark.read.parquet(s"$workDir/decisions")
       (d.filter(col("admitted")).count(), d.filter(!col("admitted")).count())
-    } catch { case _: Throwable => (0L, 0L) }
+    }
     val total = Tables.documents(spark, sfDir).count()
 
     // third stage — the BATCH corpus build artifact: the full composed
@@ -244,7 +260,7 @@ object RunDocPipeline {
     // the tokenizer-fit drift. Defensive like every stage: monitors must
     // never sink the demo.
     import graft.functions.{Bpe, TextOps}
-    val (worstQDrift, degradedSources, worstBpeDrift) = try {
+    val (worstQDrift, degradedSources, worstBpeDrift) = guarded("arrival_monitors", (0L, 0L, 0L)) {
       val qd = TextOps.qualityDriftIncr(spark, sfDir)
         .select(col("drift_pm")).filter(col("drift_pm").isNotNull)
       val worst = qd.agg(min("drift_pm")).collect()(0).getLong(0)
@@ -253,7 +269,7 @@ object RunDocPipeline {
         .select(col("drift_pm")).filter(col("drift_pm").isNotNull)
       val worstB = bd.agg(max("drift_pm")).collect()(0).getLong(0)
       (worst, degraded, worstB)
-    } catch { case _: Throwable => (0L, 0L, 0L) }
+    }
 
     // the curriculum schedule over the same corpus: the quality-phase
     // shard walk (anneal shards last) a trainer's dataloader consumes

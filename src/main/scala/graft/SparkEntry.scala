@@ -217,7 +217,7 @@ object SparkEntry {
     "d_dedup_apply" -> ((s, dir) => TextOps.dedupApply(s, dir).orderBy(col("doc_id"))),
     "d_dedup_best" -> ((s, dir) => TextOps.dedupBest(s, dir)),
     "d_dup_matrix" -> ((s, dir) => TextOps.dupMatrix(s, dir)),
-    "d_compress_ratio" -> ((s, dir) => TextOps.compressRatio(s, dir)),
+    "d_compress_bytes" -> ((s, dir) => TextOps.compressBytes(s, dir)),
     "d_curate_funnel" -> ((s, dir) => TextOps.curateFunnel(s, dir)),
     "d_k_anon" -> ((s, dir) => TextOps.kAnon(s, dir)),
     "d_nb_classify" -> ((s, dir) => TextOps.nbClassify(s, dir)),
@@ -678,6 +678,7 @@ object SparkEntry {
       "d_dup_matrix" -> TextOps.dupMatrixSql,
       "d_curate_funnel" -> TextOps.curateFunnelSql(),
       "d_k_anon" -> TextOps.kAnonSql(),
+      "d_compress_bytes" -> TextOps.compressBytesSql,
       "d_nb_classify" -> TextOps.nbClassifySql,
       "d_nb_eval" -> TextOps.nbEvalSql,
       "d_dedup_incr" -> TextOps.dedupIncrementSql(),

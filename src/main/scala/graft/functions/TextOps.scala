@@ -1460,6 +1460,12 @@ object TextOps {
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(6)
         val buf = new Array[Byte](1 << 16)
+        // release the native zlib buffers at task end — without end() they
+        // sit off-heap until GC finds the Deflater, which on a long-lived
+        // executor running many tasks is an accumulation, not a leak-free
+        // steady state
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => deflater.end()))
         it.map { case (id, norm) =>
           val raw =
             if (norm == null) Array.emptyByteArray
@@ -1480,6 +1486,47 @@ object TextOps {
         coalesce(col("ratio_pm") < repetitiveMax, lit(false)))
       .orderBy("doc_id")
   }
+
+  /** [[compressRatio]] re-expressed on the codegen'd
+    * `graft.plans.DeflatedLength` expression — identical output, but the
+    * scan → project pipeline stays inside whole-stage codegen instead of
+    * round-tripping every document through a `Dataset[(Long, String)]`
+    * encoder. A null/missing text maps to the empty byte string on the
+    * compressed side (matching the mapPartitions form) and 0 on the byte
+    * side, so the two forms are row-for-row equal — spec-pinned.
+    */
+  def compressRatioExpr(spark: SparkSession, dir: String,
+                        repetitiveMax: Int = 300): DataFrame =
+    prepared(spark, dir).select(
+      col("doc_id"),
+      coalesce(octet_length(col("norm")), lit(0)).cast("long").as("n_bytes"),
+      graft.plans.CompressExprs.deflatedLength(coalesce(col("norm"), lit("")))
+        .as("n_compressed"))
+      .withColumn("ratio_pm",
+        when(col("n_bytes") === 0, lit(null).cast("long"))
+          .otherwise(expr("n_compressed * 1000L div n_bytes")))
+      .withColumn("repetitive",
+        coalesce(col("ratio_pm") < repetitiveMax, lit(false)))
+      .orderBy("doc_id")
+
+  /** The SQL-expressible projection of the compression signal — UTF-8 byte
+    * length of the normalized text per document. This is the oracle-checked
+    * half of the [[compressRatio]] split: the deflate columns have no SQL
+    * rendering (no zlib in any SQL engine) and stay spec-pinned, while the
+    * byte denominator every ratio divides by IS differentially checked
+    * here; a spec cross-foots the two relations so the oracle transitively
+    * anchors the zlib relation's denominator.
+    */
+  def compressBytes(spark: SparkSession, dir: String): DataFrame =
+    prepared(spark, dir).select(
+      col("doc_id"),
+      coalesce(octet_length(col("norm")), lit(0)).cast("long").as("n_bytes"))
+      .orderBy("doc_id")
+
+  val compressBytesSql: String =
+    s"""SELECT doc_id,
+       |  CAST(coalesce(octet_length(encode(norm)), 0) AS BIGINT) AS n_bytes
+       |FROM ($preparedSql) ORDER BY doc_id""".stripMargin
 
   // ---- k-anonymity over release metadata ----
 

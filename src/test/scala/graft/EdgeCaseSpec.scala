@@ -210,6 +210,32 @@ class EdgeCaseSpec extends SparkSuite {
     assert(got(3)._2 == 1L && got(3)._3 > 1000L)
   }
 
+  test("compressRatioExpr: degenerate docs match the mapPartitions form exactly") {
+    val mp = TextOps.compressRatio(spark, tmp).collect().map(_.toSeq).toSeq
+    val ex = TextOps.compressRatioExpr(spark, tmp).collect().map(_.toSeq).toSeq
+    assert(ex == mp, s"expression form diverges on degenerate docs: $ex vs $mp")
+  }
+
+  test("RunDocPipeline.guarded: a forced stage failure warns on stderr and returns the sentinel") {
+    val err = new java.io.ByteArrayOutputStream()
+    val got = Console.withErr(new java.io.PrintStream(err, true, "UTF-8")) {
+      RunDocPipeline.guarded("forced_stage", 42L) {
+        throw new IllegalStateException("boom"); 0L
+      }
+    }
+    assert(got == 42L, "sentinel must be returned on failure")
+    val msg = err.toString("UTF-8")
+    assert(msg.contains("forced_stage") && msg.contains("IllegalStateException")
+      && msg.contains("boom"),
+      s"failure must be loud with stage name + exception, got: $msg")
+    // and the happy path is silent + transparent
+    val err2 = new java.io.ByteArrayOutputStream()
+    val ok = Console.withErr(new java.io.PrintStream(err2, true, "UTF-8")) {
+      RunDocPipeline.guarded("quiet_stage", 0L)(7L)
+    }
+    assert(ok == 7L && err2.toString("UTF-8").isEmpty)
+  }
+
   test("curateFunnel: degenerate corpus still emits all seven zero-filled stages") {
     val funnel = TextOps.curateFunnel(spark, tmp)
       .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))

@@ -64,9 +64,11 @@ class OperatorsSpec extends SparkSuite {
     // allowlist is the explicit form of that decision: each entry must
     // name why SQL cannot express the semantics, and carries a dedicated
     // spec pinning the cross-run contract instead.
-    val rowsOnlyByDesign = Set(
-      "d_compress_ratio" // deflate ratio — SQL has no zlib; OperatorsSpec
-    )
+    // currently empty: the deflate ratio (the one historical entry) was
+    // split in r15 — its SQL-expressible byte denominator is the oracle-
+    // checked d_compress_bytes, and the zlib columns live outside
+    // SparkEntry.queries, spec-pinned (compressRatio tests below)
+    val rowsOnlyByDesign = Set.empty[String]
     assert((q -- o -- rowsOnlyByDesign).isEmpty,
       s"queries without an oracle: ${(q -- o -- rowsOnlyByDesign).toSeq.sorted}")
     assert((rowsOnlyByDesign -- q).isEmpty, "allowlist names a missing query")
@@ -2004,6 +2006,28 @@ class OperatorsSpec extends SparkSuite {
     }
     // empty doc: zero bytes, null ratio surfaced as non-repetitive
     assert(a(3L)._1 == 0L && a(3L)._3 == -1L && !a(3L)._4)
+  }
+
+  test("compressRatioExpr: codegen expression form row-for-row equals the mapPartitions form") {
+    val dir = sf("sf0.01")
+    val mp = TextOps.compressRatio(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val ex = TextOps.compressRatioExpr(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(mp.keySet == ex.keySet)
+    mp.foreach { case (id, row) =>
+      assert(ex(id) == row, s"expr form diverges at doc $id: ${ex(id)} vs $row")
+    }
+  }
+
+  test("compressBytes cross-foots compressRatio: the oracle-checked byte column is the ratio denominator") {
+    val dir = sf("sf0.01")
+    val oracleSide = TextOps.compressBytes(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val zlibSide = TextOps.compressRatio(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(oracleSide == zlibSide,
+      "n_bytes must be identical between the oracle-checked projection and the zlib relation")
   }
 
   test("curateFunnel: cumulative subtraction exact, all stages present, cross-foots curate") {
