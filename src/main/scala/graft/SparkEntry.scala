@@ -220,6 +220,7 @@ object SparkEntry {
     "d_compress_bytes" -> ((s, dir) => TextOps.compressBytes(s, dir)),
     "d_curate_funnel" -> ((s, dir) => TextOps.curateFunnel(s, dir)),
     "d_k_anon" -> ((s, dir) => TextOps.kAnon(s, dir)),
+    "d_k_anon_release" -> ((s, dir) => TextOps.kAnonRelease(s, dir)),
     "d_nb_classify" -> ((s, dir) => TextOps.nbClassify(s, dir)),
     "d_nb_eval" -> ((s, dir) => TextOps.nbEval(s, dir)),
     "d_dedup_incr" -> ((s, dir) => TextOps.dedupIncrement(s, dir).orderBy(col("doc_id"))),
@@ -678,6 +679,7 @@ object SparkEntry {
       "d_dup_matrix" -> TextOps.dupMatrixSql,
       "d_curate_funnel" -> TextOps.curateFunnelSql(),
       "d_k_anon" -> TextOps.kAnonSql(),
+      "d_k_anon_release" -> TextOps.kAnonReleaseSql(),
       "d_compress_bytes" -> TextOps.compressBytesSql,
       "d_nb_classify" -> TextOps.nbClassifySql,
       "d_nb_eval" -> TextOps.nbEvalSql,

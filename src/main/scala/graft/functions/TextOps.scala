@@ -1570,6 +1570,20 @@ object TextOps {
     passed.unionByName(generalized).orderBy(col("doc_id"))
   }
 
+  /** The PUBLISHABLE projection of [[kAnon]] — level-2 (suppressed) rows
+    * dropped. [[kAnon]] is the AUDIT view: its level-2 rows carry their
+    * real doc_id so the suppression decision is reviewable, which means a
+    * consumer that ships the audit view unfiltered re-releases the
+    * undersized (*,*) group. This relation is the one a release actually
+    * publishes — every (source_out, lang_out) group in it has ≥ k members,
+    * spec-checked including the absence of any suppressed row.
+    */
+  def kAnonRelease(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    kAnon(spark, dir, k).filter(col("level") < 2)
+
+  def kAnonReleaseSql(k: Int = 10): String =
+    s"""SELECT * FROM (${kAnonSql(k)}) WHERE level < 2 ORDER BY doc_id""".stripMargin
+
   def kAnonSql(k: Int = 10): String =
     s"""WITH l0 AS (
        |  SELECT doc_id, source, lang,

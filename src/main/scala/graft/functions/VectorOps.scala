@@ -1476,12 +1476,22 @@ object VectorOps {
       .select(col("a_id"), col("b_id")).withColumn("ex", lit(1))
     exact.join(approx, Seq("a_id", "b_id"), "full_outer")
       .agg(
-        sum(coalesce(col("ex"), lit(0))).cast("long").as("n_exact"),
-        sum(coalesce(col("ap"), lit(0))).cast("long").as("n_mined"),
-        sum(when(col("ex") === 1 && col("ap") === 1, 1L).otherwise(0L))
-          .cast("long").as("n_common"))
-      .withColumn("recall_pm", expr("n_common * 1000L div n_exact"))
-      .withColumn("precision_pm", expr("n_common * 1000L div n_mined"))
+        // outer coalesce: sum over ZERO rows (nothing mined, nothing
+        // exact) is null — the report must say 0
+        coalesce(sum(coalesce(col("ex"), lit(0))), lit(0L))
+          .cast("long").as("n_exact"),
+        coalesce(sum(coalesce(col("ap"), lit(0))), lit(0L))
+          .cast("long").as("n_mined"),
+        coalesce(sum(when(col("ex") === 1 && col("ap") === 1, 1L)
+          .otherwise(0L)), lit(0L)).cast("long").as("n_common"))
+      // degenerate inputs (empty corpus, nothing mined) must yield a
+      // well-defined 0, not a null the summary row silently carries
+      .withColumn("recall_pm",
+        when(col("n_exact") > 0, expr("n_common * 1000L div n_exact"))
+          .otherwise(lit(0L)))
+      .withColumn("precision_pm",
+        when(col("n_mined") > 0, expr("n_common * 1000L div n_mined"))
+          .otherwise(lit(0L)))
   }
 
   def marginRecallSql(k: Int = 4, kCentroids: Int = 16,
@@ -1497,12 +1507,14 @@ object VectorOps {
        |  FROM exact e FULL OUTER JOIN approx a
        |    ON e.a_id = a.a_id AND e.b_id = a.b_id)
        |SELECT n_exact, n_mined, n_common,
-       |  n_common * 1000 // n_exact AS recall_pm,
-       |  n_common * 1000 // n_mined AS precision_pm
+       |  CASE WHEN n_exact > 0 THEN n_common * 1000 // n_exact
+       |       ELSE 0 END AS recall_pm,
+       |  CASE WHEN n_mined > 0 THEN n_common * 1000 // n_mined
+       |       ELSE 0 END AS precision_pm
        |FROM (
-       |  SELECT CAST(sum(ex) AS BIGINT) AS n_exact,
-       |    CAST(sum(ap) AS BIGINT) AS n_mined,
-       |    CAST(sum(CASE WHEN ex = 1 AND ap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+       |  SELECT CAST(coalesce(sum(ex), 0) AS BIGINT) AS n_exact,
+       |    CAST(coalesce(sum(ap), 0) AS BIGINT) AS n_mined,
+       |    CAST(coalesce(sum(CASE WHEN ex = 1 AND ap = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_common
        |  FROM j)""".stripMargin
 
   /** Scalar int8 quantization audit — the embedding STORAGE path at corpus

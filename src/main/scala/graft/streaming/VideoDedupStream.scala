@@ -86,10 +86,17 @@ object VideoDedupStream {
         val rejected = Multimodal
           .containedVideoIds(frames, baseFrames, maxDist, contThreshold)
           .withColumnRenamed("video_id", "media_id")
+        // the empty fallback is ONLY for the first epoch (outDir not yet
+        // created) — a transient/corrupt read must propagate, because
+        // silently substituting an empty prior disables the cross-epoch
+        // anti-join and a replayed batch would re-admit duplicates
+        val outPath = new org.apache.hadoop.fs.Path(outDir)
+        val outFs = outPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
         val prior =
-          try spark.read.parquet(outDir).select(col("vsig").as("prior_sig"))
-          catch { case scala.util.control.NonFatal(_) =>
-            spark.range(0).select(lit("").as("prior_sig")).limit(0) }
+          if (outFs.exists(outPath) && outFs.listStatus(outPath).nonEmpty)
+            spark.read.parquet(outDir).select(col("vsig").as("prior_sig"))
+          else spark.range(0).select(lit("").as("prior_sig")).limit(0)
         arrivals
           .join(rejected, Seq("media_id"), "left_anti")
           .dropDuplicates("vsig")

@@ -170,6 +170,29 @@ class EdgeCaseSpec extends SparkSuite {
       .marginPairs(spark, dir, k = 2, kCentroids = 1).isEmpty)
   }
 
+  test("marginRecall: nothing mined yields defined zero permilles, not nulls") {
+    // reuse the empty-B-side shape: exact AND approx miners both return
+    // nothing -> n_exact = n_mined = 0 -> the guarded divisions must
+    // report 0, never a null the summary row silently carries
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(0.9f, 0.1f), 2),
+      (2L, Seq(0.0f, 1.0f), 4)
+    ).toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("edge_mrecall").toString
+    vecs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = graft.functions.VectorOps
+      .marginRecall(spark, dir, k = 2, kCentroids = 2).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(row.fieldIndex("n_exact")) == 0L)
+    assert(row.getLong(row.fieldIndex("n_mined")) == 0L)
+    assert(!row.isNullAt(row.fieldIndex("recall_pm"))
+      && row.getLong(row.fieldIndex("recall_pm")) == 0L)
+    assert(!row.isNullAt(row.fieldIndex("precision_pm"))
+      && row.getLong(row.fieldIndex("precision_pm")) == 0L)
+  }
+
   test("kAnon at k=1: every row publishes untouched at level 0") {
     val out = TextOps.kAnon(spark, tmp, k = 1)
     assert(out.filter(col("level") =!= 0).isEmpty,

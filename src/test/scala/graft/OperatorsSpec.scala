@@ -2067,6 +2067,16 @@ class OperatorsSpec extends SparkSuite {
     // suppressed rows never leak a QI value
     assert(out.filter(col("level") === 2 &&
       (col("source_out") =!= "*" || col("lang_out") =!= "*")).isEmpty)
+    // the PUBLISHABLE relation: exactly the audit view minus level-2 rows,
+    // so no undersized group can leak through an unfiltered ship — checked
+    // by regrouping the release relation itself
+    val rel = TextOps.kAnonRelease(spark, sf("sf0.01"), k).cache()
+    assert(rel.filter(col("level") === 2).isEmpty, "release must not carry suppressed rows")
+    assert(rel.count() == out.filter(col("level") < 2).count())
+    assert(rel.groupBy("source_out", "lang_out").count()
+      .filter(col("count") < k).isEmpty,
+      "a release anonymity group is under k")
+    rel.unpersist()
     out.unpersist()
   }
 
