@@ -301,6 +301,7 @@ object SparkEntry {
     "v_kmeans_step" -> ((s, dir) => VectorOps.kmeansStep(s, dir)),
     "v_ivf_incr" -> ((s, dir) => VectorOps.ivfIncr(s, dir)),
     "v_recall_ivf_incr" -> ((s, dir) => VectorOps.annRecallIvfIncr(s, dir)),
+    "v_recall_ivf_trained" -> ((s, dir) => VectorOps.annRecallIvfTrained(s, dir)),
     "v_knn_graph_incr" -> ((s, dir) => VectorOps.knnGraphIncr(s, dir)),
     "v_knn_graph" -> ((s, dir) => VectorOps.knnGraph(s, dir)),
     "v_semdedup_incr" -> ((s, dir) => VectorOps.semDedupIncr(s, dir)),
@@ -746,6 +747,7 @@ object SparkEntry {
       "v_kmeans_step" -> VectorOps.kmeansStepSql(),
       "v_ivf_incr" -> VectorOps.ivfIncrSql(),
       "v_recall_ivf_incr" -> VectorOps.annRecallIvfIncrSql(),
+      "v_recall_ivf_trained" -> VectorOps.annRecallIvfTrainedSql(),
       "v_knn_graph_incr" -> VectorOps.knnGraphIncrSql(),
       "v_knn_graph" -> VectorOps.knnGraphSql(),
       "v_semdedup_incr" -> VectorOps.semDedupIncrSql(),

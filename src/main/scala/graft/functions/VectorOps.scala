@@ -944,6 +944,162 @@ object VectorOps {
       annIvfMultiWith(prepared(spark, dir), centroids, nQueries, k, nProbe),
       nQueries, k)
 
+  /** ORACLE-PORTABLE spherical k-means: [[kmeansTrain]]'s Lloyd loop with
+    * every round's centroid coordinates ROUNDED to 4 decimals before the
+    * next assignment — the [[kmeansStep]] cross-engine trick extended to
+    * the full loop. Rounding re-anchors both engines each round: the only
+    * cross-engine float divergence (summation order inside `avg`) is
+    * absorbed by `round(·, 4)`, and everything downstream of the rounded
+    * coordinates (sequential dot products, `sqrt`, the argmax with
+    * centroid_id ties) is bit-identical arithmetic over identical doubles.
+    * The production trainer stays [[kmeansTrain]] (no quantization, full
+    * precision); this variant exists so a TRAINED quantizer can sit inside
+    * a differentially-checked query instead of taking a rows-only pass.
+    *
+    * Same bounded-driver-state contract as [[kmeansTrain]]: k×dim doubles
+    * per round, one broadcast + one map-side-combined agg per round, the
+    * corpus never collected. Empty clusters keep their previous centroid.
+    * Returns (centroid_id, cv, cn) — the [[annIvfMultiWith]] input shape.
+    */
+  def kmeansTrainRounded(spark: SparkSession, dir: String, k: Int = 16,
+                         iters: Int = 3,
+                         mat: Materialize = Materialize.Local): DataFrame = {
+    import spark.implicits._
+    val e = mat(prepared(spark, dir).select(col("vec_id"), col("v"), col("nrm")))
+    // seed = raw first-k vectors (float32→double, exactly representable on
+    // both engines — no rounding needed at round 0)
+    var cents: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+      .collect().sortBy(_._1).map { case (id, v) => id.toInt -> v }
+    def centDf(c: Seq[(Int, Seq[Double])]): DataFrame =
+      c.map { case (cid, cv) =>
+        // left-to-right sum of squares == list_dot_product(cv, cv): the
+        // same accumulation order DuckDB's sqrt(list_dot_product) uses
+        (cid, cv, math.sqrt(cv.foldLeft(0.0)((s, x) => s + x * x)))
+      }.toDF("centroid_id", "cv", "cn")
+    for (_ <- 1 to iters) {
+      val cDf = broadcast(centDf(cents))
+      val aw = Window.partitionBy(col("vec_id"))
+        .orderBy((dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).desc,
+          col("centroid_id"))
+      val means = e.join(cDf)
+        .withColumn("__rn", row_number().over(aw)).filter(col("__rn") === 1)
+        .select(col("centroid_id"), col("nrm"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        // spherical update over UNIT vectors, quantized for portability
+        .groupBy(col("centroid_id"), col("dim"))
+        .agg(round(avg(col("x") / col("nrm")), 4).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          val arr = new Array[Double](rows.length)
+          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          cid -> arr.toSeq
+        }
+      cents = cents.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
+    }
+    centDf(cents)
+  }
+
+  /** DuckDB mirror of [[kmeansTrainRounded]]: the Lloyd rounds unrolled as
+    * a CTE chain (assignment → rounded unit-vector means → regrouped list
+    * with empty-cluster carry-over), ending in relation `ct`
+    * (centroid_id, cv, cn). `iters` is a compile-time unroll — bounded and
+    * small by contract, like the BPE trainer's merge rounds.
+    */
+  def kmeansTrainRoundedCtes(k: Int = 16, iters: Int = 3): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = if (i == 1) "c0" else s"c${i - 1}"
+      s"""a$i AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT e0.vec_id, c.centroid_id, ROW_NUMBER() OVER (
+         |      PARTITION BY e0.vec_id
+         |      ORDER BY list_dot_product(e0.v, c.cv) / (e0.nrm * c.cn) DESC, c.centroid_id) AS rn
+         |    FROM e0, $prev c)
+         |  WHERE rn = 1),
+         |m$i AS (
+         |  SELECT centroid_id, i AS dim, round(avg(v[i] / nrm), 4) AS m
+         |  FROM e0 JOIN a$i USING (vec_id),
+         |       unnest(range(1, len(v) + 1)) AS t(i)
+         |  GROUP BY centroid_id, i),
+         |g$i AS (SELECT centroid_id, list(m ORDER BY dim) AS cv FROM m$i GROUP BY centroid_id),
+         |c$i AS (
+         |  SELECT c.centroid_id, coalesce(g.cv, c.cv) AS cv,
+         |    sqrt(list_dot_product(coalesce(g.cv, c.cv), coalesce(g.cv, c.cv))) AS cn
+         |  FROM $prev c LEFT JOIN g$i g USING (centroid_id))""".stripMargin
+    }.mkString(",\n")
+    s"""c0 AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e0 WHERE vec_id < $k),
+       |$rounds,
+       |ct AS (SELECT * FROM c$iters)""".stripMargin
+  }
+
+  /** Seed-vs-trained IVF recall attribution at EQUAL probe budget — what
+    * Lloyd training buys the inverted-file quantizer, per query: the
+    * existing recall harness run twice, once over the fixed first-k
+    * centroids ([[annIvfMulti]]) and once over [[kmeansTrainRounded]]
+    * centroids through the same [[annIvfMultiWith]] plan, joined on q_id.
+    * Fully differential: the quantized trainer makes the trained side
+    * oracle-expressible, so BOTH columns hash-check (no rows-only row).
+    */
+  def annRecallIvfTrained(spark: SparkSession, dir: String, nQueries: Int = 20,
+                          k: Int = 5, kCentroids: Int = 16, nProbe: Int = 2,
+                          iters: Int = 3,
+                          mat: Materialize = Materialize.Local): DataFrame = {
+    val seed = recallAgainstExact(spark, dir,
+        annIvfMulti(spark, dir, nQueries, k, kCentroids, nProbe, mat), nQueries, k)
+      .select(col("q_id"), col("n_hits").as("n_hits_seed"),
+        col("recall_at_k").as("recall_seed"))
+    val trained = kmeansTrainRounded(spark, dir, kCentroids, iters, mat)
+    val tr = recallAgainstExact(spark, dir,
+        annIvfMultiWith(prepared(spark, dir), trained, nQueries, k, nProbe),
+        nQueries, k)
+      .select(col("q_id"), col("n_hits").as("n_hits_trained"),
+        col("recall_at_k").as("recall_trained"))
+    seed.join(tr, "q_id").orderBy("q_id")
+  }
+
+  def annRecallIvfTrainedSql(nQueries: Int = 20, k: Int = 5,
+                             kCentroids: Int = 16, nProbe: Int = 2,
+                             iters: Int = 3): String = {
+    // trained-side search: annIvfMultiSql's plan with `ct` as the centroid
+    // relation (assignment + probes over trained centroids)
+    val trainedSearch =
+      s"""WITH e0 AS ($preparedSql),
+         |${kmeansTrainRoundedCtes(kCentroids, iters)},
+         |assign AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT e0.vec_id, c.centroid_id, ROW_NUMBER() OVER (
+         |      PARTITION BY e0.vec_id
+         |      ORDER BY list_dot_product(e0.v, c.cv) / (e0.nrm * c.cn) DESC, c.centroid_id) AS rn
+         |    FROM e0, ct c)
+         |  WHERE rn = 1),
+         |e AS (SELECT e0.*, assign.centroid_id FROM e0 JOIN assign USING (vec_id)),
+         |q AS (
+         |  SELECT centroid_id AS q_cent, vec_id AS q_id, v AS qv, nrm AS qn FROM (
+         |    SELECT e0.vec_id, e0.v, e0.nrm, c.centroid_id, ROW_NUMBER() OVER (
+         |      PARTITION BY e0.vec_id
+         |      ORDER BY list_dot_product(e0.v, c.cv) / (e0.nrm * c.cn) DESC, c.centroid_id) AS rn
+         |    FROM e0, ct c WHERE e0.vec_id < $nQueries)
+         |  WHERE rn <= $nProbe),
+         |sims AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 4) AS cos_sim
+         |  FROM e JOIN q ON e.centroid_id = q.q_cent AND e.vec_id <> q.q_id)
+         |SELECT q_id, rank, vec_id AS neighbor_id, cos_sim FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+         |  FROM sims)
+         |WHERE rank <= $k""".stripMargin
+    s"""WITH seed AS (
+       |  SELECT q_id, n_hits AS n_hits_seed, recall_at_k AS recall_seed FROM (
+       |    ${recallSqlOf(annIvfMultiSql(nQueries, k, kCentroids, nProbe), nQueries, k)})),
+       |tr AS (
+       |  SELECT q_id, n_hits AS n_hits_trained, recall_at_k AS recall_trained FROM (
+       |    ${recallSqlOf(trainedSearch, nQueries, k)}))
+       |SELECT q_id, n_hits_seed, recall_seed, n_hits_trained, recall_trained
+       |FROM seed JOIN tr USING (q_id) ORDER BY q_id""".stripMargin
+  }
+
   /** Train the PQ sub-quantizers with per-block L2 Lloyd iterations — the
     * missing TRAIN half of [[pqAssign]]'s fixed first-k codebook (which is
     * exactly this trainer's round-0 state, so recall deltas isolate what

@@ -2008,6 +2008,53 @@ class OperatorsSpec extends SparkSuite {
     assert(a(3L)._1 == 0L && a(3L)._3 == -1L && !a(3L)._4)
   }
 
+  test("kmeansTrainRounded: deterministic, k centroids, cn is the coordinate norm, objective not degraded") {
+    val dir = sf("sf0.01")
+    val k = 16
+    def runOnce() = VectorOps.kmeansTrainRounded(spark, dir, k, iters = 3)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+    val a = runOnce()
+    assert(a.toSeq == runOnce().toSeq, "quantized Lloyd must be run-deterministic")
+    assert(a.length == k && a.map(_._1).toSeq == (0 until k))
+    a.foreach { case (cid, cv, cn) =>
+      val expect = math.sqrt(cv.foldLeft(0.0)((s, x) => s + x * x))
+      assert(cn == expect, s"cn must be the norm of cv for centroid $cid")
+    }
+    // training must not DEGRADE the clustering objective Σ max-cos vs the
+    // seed centroids (Lloyd is non-decreasing; the 4-decimal quantization
+    // can cost at most a hair — bounded here at 1e-3 per vector on avg)
+    import org.apache.spark.sql.expressions.Window
+    def objective(cents: org.apache.spark.sql.DataFrame): Double =
+      VectorOps.prepared(spark, dir)
+        .join(broadcast(cents))
+        .withColumn("c_sim",
+          graft.plans.ArrayExprs.dotNative(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .groupBy(col("vec_id")).agg(max(col("c_sim")).as("best"))
+        .agg(sum(col("best"))).head().getDouble(0)
+    val e0 = VectorOps.prepared(spark, dir)
+    val seed = e0.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("centroid_id"),
+        col("v").as("cv"), col("nrm").as("cn"))
+    val trained = VectorOps.kmeansTrainRounded(spark, dir, k, iters = 3)
+    val n = e0.count().toDouble
+    val (objSeed, objTrained) = (objective(seed), objective(trained))
+    assert(objTrained >= objSeed - 1e-3 * n,
+      s"training degraded the Lloyd objective: seed=$objSeed trained=$objTrained")
+  }
+
+  test("annRecallIvfTrained: one row per query, recalls well-formed on both sides") {
+    val out = VectorOps.annRecallIvfTrained(spark, sf("sf0.01")).collect()
+    assert(out.length == 20, "one joined row per query")
+    out.foreach { r =>
+      val (rs, rt) = (r.getDouble(r.fieldIndex("recall_seed")),
+        r.getDouble(r.fieldIndex("recall_trained")))
+      assert(rs >= 0.0 && rs <= 1.0 && rt >= 0.0 && rt <= 1.0)
+      assert(r.getLong(r.fieldIndex("n_hits_seed")) == math.round(rs * 5))
+      assert(r.getLong(r.fieldIndex("n_hits_trained")) == math.round(rt * 5))
+    }
+  }
+
   test("compressRatioExpr: codegen expression form row-for-row equals the mapPartitions form") {
     val dir = sf("sf0.01")
     val mp = TextOps.compressRatio(spark, dir).collect()

@@ -375,6 +375,17 @@ class PlanAuditSpec extends SparkSuite {
         s"b=${sideExchanges("b_id")}):\n$plan")
   }
 
+  test("v_recall_ivf_trained: centroid joins broadcast on both sides, never cartesian") {
+    val plan = executedPlan("v_recall_ivf_trained")
+    // every centroid relation (seed AND trained, k rows each) must ride a
+    // broadcast into its assignment/probe join; the corpus is never
+    // partition-wise cartesian'd against anything
+    assert(!plan.contains("CartesianProduct"),
+      s"trained-recall harness must never plan a cartesian:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"centroids must broadcast:\n$plan")
+  }
+
   test("d_nb_classify: model relations broadcast into scoring; corpus never cartesian'd") {
     // audit the BUILD plan directly: the query surface memoizes the scored
     // relation (SharedRel), so a second call in the suite would show only
