@@ -306,6 +306,7 @@ object SparkEntry {
     "v_knn_graph" -> ((s, dir) => VectorOps.knnGraph(s, dir)),
     "v_semdedup_incr" -> ((s, dir) => VectorOps.semDedupIncr(s, dir)),
     "v_sem_clusters" -> ((s, dir) => VectorOps.semClusters(s, dir)),
+    "v_sem_clusters_lsls" -> ((s, dir) => VectorOps.semClustersLsLs(s, dir)),
     "v_dup_rate_incr" -> ((s, dir) => VectorOps.dupRateIncr(s, dir)),
     "d_coreset" -> ((s, dir) => MixOps.coresetSample(s, dir)),
     "d_mix_temperature" -> ((s, dir) => MixOps.mixTemperature(s, dir)),
@@ -752,6 +753,9 @@ object SparkEntry {
       "v_knn_graph" -> VectorOps.knnGraphSql(),
       "v_semdedup_incr" -> VectorOps.semDedupIncrSql(),
       "v_sem_clusters" -> VectorOps.semClustersSql(),
+      // components are algorithm-agnostic: the lsls variant shares the
+      // recursive-reachability oracle with the min-label variant
+      "v_sem_clusters_lsls" -> VectorOps.semClustersSql(),
       "v_dup_rate_incr" -> VectorOps.dupRateIncrSql(),
       "d_coreset" -> MixOps.coresetSampleSql(),
       "d_mix_temperature" -> MixOps.mixTemperatureSql(),

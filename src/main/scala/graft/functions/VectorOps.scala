@@ -578,6 +578,90 @@ object VectorOps {
     labels
   }
 
+  /** Large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — the ESCALATION path
+    * PLANS documents for when semantic-cluster chain diameters exceed
+    * [[propagateMinLabels]]'s round cap: min-label propagation needs
+    * diameter-many rounds (a 10k-hop chain is 10k shuffles), while the
+    * alternating star operations contract chains exponentially —
+    * O(log² n) rounds worst case, O(log n) in practice, each round two
+    * keyed aggregations over the EDGE set (never the node set squared).
+    *
+    *   large-star(u): connect every neighbor v > u to min(Γ(u) ∪ {u})
+    *   small-star(u): connect every neighbor v < u, and u itself, to
+    *                  min(Γ<(u))
+    *
+    * Both emit strictly-canonical (a < b) edges, so the fixpoint is a star
+    * forest with every component's min id at the center — labels read off
+    * directly. Convergence is detected by edge-set stability (two
+    * `except` probes per round, each bounded by the edge relation) and
+    * guarded by the same loud `require` contract as min-label: a
+    * non-converged run must never ship partial labels.
+    */
+  private[graft] def propagateLsLs(nodes: DataFrame, edges0: DataFrame,
+                                   mat: Materialize,
+                                   maxRounds: Int = 25): DataFrame = {
+    // canonicalize: undirected, no self-loops, deduped, a < b
+    var e = mat(edges0.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct())
+    def largeStar(cur: DataFrame): DataFrame = {
+      val adj = cur.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(cur.select(col("b").as("u"), col("a").as("v")))
+      val mins = adj.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      adj.join(mins, "u").filter(col("v") > col("u"))
+        .select(least(col("mn"), col("u")).as("a"), col("v").as("b"))
+        .distinct()
+    }
+    def smallStar(cur: DataFrame): DataFrame = {
+      val mins = cur.groupBy(col("b").as("u")).agg(min(col("a")).as("m"))
+      val nbrs = cur.join(mins, col("b") === col("u"))
+        .filter(col("a") =!= col("m"))
+        .select(col("m").as("a"), col("a").as("b"))
+      nbrs.unionAll(mins.select(col("m").as("a"), col("u").as("b"))).distinct()
+    }
+    var rounds = 0
+    var stable = e.isEmpty
+    while (!stable && rounds < maxRounds) {
+      val next = mat(smallStar(largeStar(e)))
+      stable = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      e = next
+      rounds += 1
+    }
+    require(stable,
+      s"propagateLsLs did not converge within $rounds rounds")
+    nodes.select(col("vec_id"))
+      .join(e.select(col("b").as("vec_id"), col("a").as("label")),
+        Seq("vec_id"), "left")
+      .groupBy(col("vec_id"))
+      .agg(min(col("label")).as("ml"))
+      .select(col("vec_id"), coalesce(col("ml"), col("vec_id")).as("label"))
+  }
+
+  /** [[semClusters]] over [[propagateLsLs]] — identical clustering (both
+    * compute exact connected components of the same mutual-kNN edge
+    * relation; the recursive-SQL oracle is algorithm-agnostic, so the two
+    * operators share it), different convergence envelope: min-label is
+    * diameter-bounded, this is log-bounded. The production default stays
+    * min-label (semantic near-dup components are short chains; fewer
+    * shuffles per round); this is the documented escalation, now
+    * implemented and differentially graded rather than just described.
+    */
+  def semClustersLsLs(spark: SparkSession, dir: String, threshold: Double = 0.4,
+                      kNn: Int = 5, kCentroids: Int = 16,
+                      mat: Materialize = Materialize.Local): DataFrame = {
+    val edges = mat(knnGraph(spark, dir, kNn, kCentroids, mat)
+      .filter(col("mutual") && col("cos_sim") >= threshold)
+      .select(col("src"), col("dst")))
+    val nodes = prepared(spark, dir).select(col("vec_id"))
+    propagateLsLs(nodes, edges, mat)
+      .withColumn("cluster_size", count(lit(1)).over(
+        Window.partitionBy(col("label"))))
+      .select(col("vec_id"), col("label").as("cluster_rep"), col("cluster_size"))
+      .orderBy("vec_id")
+  }
+
   def semClustersSql(threshold: Double = 0.4, kNn: Int = 5, kCentroids: Int = 16): String =
     s"""WITH RECURSIVE edges AS (
        |  SELECT src, dst FROM (${knnGraphSql(kNn, kCentroids)})

@@ -1642,6 +1642,54 @@ class OperatorsSpec extends SparkSuite {
     assert(e.getMessage.contains("did not converge"), s"wrong failure: ${e.getMessage}")
   }
 
+  test("large-star/small-star: agrees with min-label on the path-graph fixture") {
+    val n = 39
+    val nodes = (0L until n).toDF("vec_id")
+    val fwd = (0L until n - 1).map(i => (i, i + 1))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val ml = functions.VectorOps.propagateMinLabels(nodes, edges, Materialize.Local)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ls = functions.VectorOps.propagateLsLs(nodes, edges, Materialize.Local)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ls == ml, "the two component algorithms must label identically")
+  }
+
+  test("large-star/small-star: converges where min-label's round cap fires") {
+    // diameter 45 kills min-label at maxRounds=40 (fixture above); the
+    // star contraction is log-bounded and must label the same chain fine
+    val n = 46
+    val nodes = (0L until n).toDF("vec_id")
+    val fwd = (0L until n - 1).map(i => (i, i + 1))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      functions.VectorOps.propagateMinLabels(nodes, edges, Materialize.Local).collect()
+    }
+    val ls = functions.VectorOps.propagateLsLs(nodes, edges, Materialize.Local)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ls.size == n && ls.values.forall(_ == 0L),
+      "lsls must collapse the over-cap chain to label 0")
+  }
+
+  test("large-star/small-star: multi-component forest with isolated nodes") {
+    // two components + two singletons; labels must be each component's min
+    val nodes = (0L until 10L).toDF("vec_id")
+    val und = Seq((1L, 3L), (3L, 5L), (5L, 1L), // triangle+cycle: {1,3,5}
+      (2L, 7L), (7L, 8L)) // chain: {2,7,8}
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val ls = functions.VectorOps.propagateLsLs(nodes, edges, Materialize.Local)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = Map(0L -> 0L, 1L -> 1L, 3L -> 1L, 5L -> 1L,
+      2L -> 2L, 7L -> 2L, 8L -> 2L, 4L -> 4L, 6L -> 6L, 9L -> 9L)
+    assert(ls == expect, s"got $ls")
+  }
+
+  test("semClustersLsLs: identical relation to semClusters on real embeddings") {
+    val a = functions.VectorOps.semClusters(spark, sf("sf0.01")).collect().map(_.toSeq)
+    val b = functions.VectorOps.semClustersLsLs(spark, sf("sf0.01")).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq,
+      "min-label and lsls must produce the identical cluster relation")
+  }
+
   test("coreset sample: per-cell quota with coverage floor, deterministic") {
     val cs = functions.MixOps.coresetSample(spark, sf()).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getInt(3), r.getLong(4)))
