@@ -1612,6 +1612,21 @@ object VectorOps {
     val b = e.join(assigned, "vec_id").filter(pmod(col("label"), lit(2)) === 1)
       .select(col("centroid_id"), col("vec_id").as("b_id"),
         col("v").as("vb"), col("nrm").as("nb"))
+    marginJoinScore(a, b, k, minMargin).orderBy(col("a_id"))
+  }
+
+  /** The cell-join + mutual-top-1 + margin scoring shared by the batch
+    * miners ([[marginPairs]]/[[marginPairsIncr]] via `marginCore`) and the
+    * streaming twin (`MarginStream`, which builds its own probe side from
+    * the micro-batch arrivals and its frozen target side once). Inputs:
+    * `a` = (centroid_id, a_id, va, na) probe rows, `b` =
+    * (centroid_id, b_id, vb, nb) one row per target vector in its
+    * assigned cell. Candidate pairs are cell-bounded (never n_A×n_B);
+    * cosines quantize to integers once so the window sums are exact and
+    * cross-engine deterministic.
+    */
+  private[graft] def marginJoinScore(a: DataFrame, b: DataFrame,
+                                     k: Int, minMargin: Double): DataFrame = {
     val pairs = a.join(b, Seq("centroid_id"))
       .withColumn("c_int",
         floor(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 10000 + 0.5)
@@ -1640,8 +1655,7 @@ object VectorOps {
           (col("s_a") * col("k_b") + col("s_b") * col("k_a")), 4))
       .filter(col("margin") > minMargin)
     scored.select(col("a_id"), col("b_id"),
-        (col("c_int") / 10000.0).as("cos_sim"), col("margin"))
-      .orderBy(col("a_id"))
+      (col("c_int") / 10000.0).as("cos_sim"), col("margin"))
   }
 
   def marginPairsIncrSql(deltaMod: Int = 5, k: Int = 4, kCentroids: Int = 16,

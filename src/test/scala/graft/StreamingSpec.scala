@@ -818,4 +818,37 @@ class StreamingSpec extends SparkSuite {
     assert(rows.length == 1 && classes.contains(rows.head._1) && rows.head._2 > 0,
       s"pruned-model scoring broke: ${rows.toSeq}")
   }
+
+  test("margin stream: one-batch feed mines pair-for-pair what marginPairsIncr mines") {
+    import graft.streaming.MarginStream
+    val sfDir = sf("sf0.01") // the delta A split at sf0.001 mines nothing
+    val batch = graft.functions.VectorOps.marginPairsIncr(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(batch.nonEmpty, "fixture must mine at least one pair")
+    val delta = graft.functions.VectorOps.prepared(spark, sfDir)
+      .filter(pmod(col("label"), lit(2)) === 0 &&
+        graft.functions.VectorOps.incSplitE(5) === 0)
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])].collect()
+    val out = java.nio.file.Files.createTempDirectory("margin_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("margin_ckpt").toString
+    val ts = Timestamp.valueOf("2026-01-01 10:00:00")
+    val in = MemoryStream[(Long, Seq[Double], Timestamp)]
+    val q = MarginStream.appendStream(in.toDF().toDF("vec_id", "v", "ingest_ts"),
+      MarginStream.frozenTarget(spark, sfDir), out, ckpt)
+    try {
+      in.addData(delta.map { case (id, v) => (id, v, ts) })
+      q.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .select("a_id", "b_id", "cos_sim", "margin")
+        .as[(Long, Long, Double, Double)].collect().toSet
+      assert(got == batch,
+        s"stream/batch divergence: stream-only=${got -- batch}, batch-only=${batch -- got}")
+      // replayed feed: the prior-pair anti-join must keep the relation
+      // fixed (retry idempotence)
+      in.addData(delta.map { case (id, v) => (id, v, ts) })
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() == batch.size,
+        "replayed arrivals must not re-append mined pairs")
+    } finally q.stop()
+  }
 }
