@@ -187,6 +187,28 @@ object RunDocPipeline {
       spark.read.parquet(s"$workDir/vec_admitted").count()
     }
 
+    // alignment-mining tier of the same ingest: the source-parity slice of
+    // the vec delta (already landed at vec_in by the stage above) mined
+    // against the frozen target side per micro-batch — the MarginStream
+    // online form of the daily margin job; readout is the mined-pair count
+    val pairsMined = guarded("margin_mining", 0L) {
+      import graft.streaming.MarginStream
+      import graft.functions.VectorOps
+      val srcStream = spark.readStream
+        .schema("vec_id BIGINT, v ARRAY<DOUBLE>, ingest_ts TIMESTAMP")
+        .parquet(s"$workDir/vec_in")
+      // A parity only (even label): re-derive it from the frozen snapshot,
+      // the stream payload carries no label column
+      val aIds = VectorOps.prepared(spark, sfDir)
+        .filter(pmod(col("label"), lit(2)) === 0).select("vec_id")
+      val q8 = MarginStream.appendStream(
+        srcStream.join(aIds, "vec_id"),
+        MarginStream.frozenTarget(spark, sfDir),
+        s"$workDir/pairs_mined", s"$workDir/ckpt8")
+      try { q8.processAllAvailable() } finally q8.stop()
+      spark.read.parquet(s"$workDir/pairs_mined").count()
+    }
+
     // classifier tier of the same ingest: every raw arrival tagged with
     // its predicted quality bucket by the FROZEN NB model (trained batch-
     // side on this snapshot, applied row-locally in-flight — zero state,
@@ -284,7 +306,7 @@ object RunDocPipeline {
     val maxPhase = cur.agg(max("phase")).collect()(0).getInt(0)
     val annealDocs = cur.filter(col("phase") === maxPhase).count()
 
-    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"temp_shards":$tempShards,"temp_docs":$tempDocs,"temp_tokens":$tempTokens,"curriculum_shards":$curShards,"anneal_docs":$annealDocs,"worst_quality_drift_pm":$worstQDrift,"degraded_sources":$degradedSources,"worst_bpe_drift_pm":$worstBpeDrift,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept,"videos_admitted":$videosAdmitted,"vectors_admitted":$vectorsAdmitted,"nb_scored":$nbScored,"nb_top_bucket":"$nbTopBucket","nb_top_count":$nbTopCount}""")
+    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"temp_shards":$tempShards,"temp_docs":$tempDocs,"temp_tokens":$tempTokens,"curriculum_shards":$curShards,"anneal_docs":$annealDocs,"worst_quality_drift_pm":$worstQDrift,"degraded_sources":$degradedSources,"worst_bpe_drift_pm":$worstBpeDrift,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept,"videos_admitted":$videosAdmitted,"vectors_admitted":$vectorsAdmitted,"pairs_mined":$pairsMined,"nb_scored":$nbScored,"nb_top_bucket":"$nbTopBucket","nb_top_count":$nbTopCount}""")
     spark.stop()
   }
 }
