@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators._
-import graft.functions.{Bpe, MixOps, TextOps, VectorOps}
+import graft.functions.{Bpe, MixOps, Retrieval, TextOps, VectorOps}
 import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -228,6 +228,8 @@ object SparkEntry {
     "d_quality_drift" -> ((s, dir) => TextOps.qualityDriftIncr(s, dir)),
     "d_segment_dedup" -> ((s, dir) => TextOps.segmentDedup(s, dir)),
     "d_lm_bits" -> ((s, dir) => TextOps.lmBits(s, dir)),
+    "d_bm25" -> ((s, dir) => Retrieval.bm25(s, dir)),
+    "d_hybrid_rrf" -> ((s, dir) => Retrieval.hybridRrf(s, dir)),
     "d_containment" -> ((s, dir) => TextOps.containmentPairs(s, dir)),
     "d_jaccard3_pairs" -> ((s, dir) => TextOps.jaccard3Pairs(s, dir)),
     "d_shard_pack" -> ((s, dir) => MixOps.shardPack(s, dir)),
@@ -690,6 +692,8 @@ object SparkEntry {
       "d_quality_drift" -> TextOps.qualityDriftIncrSql(),
       "d_segment_dedup" -> TextOps.segmentDedupSql(),
       "d_lm_bits" -> TextOps.lmBitsSql,
+      "d_bm25" -> Retrieval.bm25Sql(),
+      "d_hybrid_rrf" -> Retrieval.hybridRrfSql(),
       "d_containment" -> TextOps.containmentPairsSql(),
       "d_jaccard3_pairs" -> TextOps.jaccard3PairsSql(),
       "d_shard_pack" -> MixOps.shardPackSql(),

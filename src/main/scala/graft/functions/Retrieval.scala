@@ -1,0 +1,181 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Materialize
+
+/** Retrieval tier over the corpus: BM25 lexical search and
+  * reciprocal-rank-fusion hybrid search (lexical ∪ semantic), the query
+  * side a training-data pipeline runs for decontamination probes, hard-
+  * negative mining, and RAG corpus construction. Queries are the probe
+  * documents (`doc_id < probeMax` — the same probe-set convention as
+  * [[TextOps.contamination]]); the semantic side rides the
+  * `doc_id = vec_id` 1:1 embedding contract ([[MixOps]] / `v_embed_stale`).
+  *
+  * Cross-engine determinism uses the margin-miner pattern: every per-term
+  * BM25 contribution quantizes to an integer (floor(x·10⁴ + ½)) BEFORE
+  * summation, so per-(query, doc) scores are order-free integer sums and
+  * ranking ties break on doc_id identically on both engines. RRF is pure
+  * integer arithmetic (10⁶ div (k₀ + rank)).
+  */
+object Retrieval {
+
+  /** BM25 (k1, b) top-k retrieval of corpus documents for each probe
+    * query. Score for doc d, query q:
+    *   Σ_{t ∈ q ∩ d} idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b+b·|d|/avgdl))
+    * with idf(t) = ln((N − df + ½)/(df + ½) + 1) (the Lucene form — never
+    * negative). Query terms above the df-FRACTION cap (`maxDfFrac` of the
+    * corpus, default 0.9) are dropped — stopword semantics: a ubiquitous
+    * term contributes near-zero score but corpus-sized candidate fan-out.
+    * The cap is a fraction, not an absolute ([[TextOps.jaccardPairs]]'s
+    * dfCap), because "ubiquitous" is relative to N; scoring cost is
+    * Σ df(t) over the surviving query terms, which on a Zipfian vocabulary
+    * with the stopword tail cut is the classic inverted-index bound.
+    *
+    * Scale shape: one exchange for the (doc, term) tf agg, the tiny query
+    * term list broadcast into the term-keyed candidate join, map-side
+    * combined integer score sum per (q, doc), then the per-query top-k
+    * window. Corpus stats (N, Σlen) are a broadcast 1-row relation; the
+    * inverted list is never materialized driver-side.
+    */
+  def bm25(spark: SparkSession, dir: String, probeMax: Long = 10,
+           k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+           maxDfFrac: Double = 0.9,
+           mat: Materialize = Materialize.Local): DataFrame = {
+    val d = mat(TextOps.prepared(spark, dir).select(
+      col("doc_id"),
+      filter(col("words"), w => w =!= "").as("ws")))
+    val withLen = d.select(col("doc_id"), col("ws"), size(col("ws")).as("len"))
+    val tf = withLen.select(col("doc_id"), col("len"), explode(col("ws")).as("w"))
+      .groupBy(col("doc_id"), col("len"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val stats = withLen.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+    // query side: distinct probe terms, df-capped; carries df for the idf
+    val qTerms = tf.filter(col("doc_id") < probeMax)
+      .select(col("doc_id").as("q_id"), col("w"))
+      .join(df, "w").crossJoin(broadcast(stats.select(col("n_docs").as("nd"))))
+      .filter(col("df").cast("double") <= lit(maxDfFrac) * col("nd"))
+      .drop("nd")
+    val cands = tf.join(broadcast(qTerms), "w")
+      .filter(col("doc_id") =!= col("q_id"))
+      .crossJoin(broadcast(stats))
+      // ratio, idf, contribution: operand order written identically in the
+      // DuckDB mirror so the doubles match bit-for-bit pre-quantization
+      .withColumn("ratio",
+        col("len").cast("double") * col("n_docs") / col("sum_len"))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("c_int",
+        floor(col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("ratio")))
+          * 10000 + 0.5).cast("long"))
+    val scored = cands.groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("c_int")).as("s_int"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("s_int").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"),
+        (col("s_int") / 10000.0).as("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def bm25Sql(probeMax: Long = 10, k: Int = 10, k1: Double = 1.2,
+              b: Double = 0.75, maxDfFrac: Double = 0.9): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, list_filter(words, w -> w <> '') AS ws
+       |  FROM (${TextOps.preparedSql})),
+       |wl AS (SELECT doc_id, ws, len(ws) AS len FROM d),
+       |tf AS (
+       |  SELECT doc_id, len, w, count(*) AS tf
+       |  FROM wl, unnest(ws) AS t(w)
+       |  GROUP BY doc_id, len, w),
+       |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+       |stats AS (SELECT count(*) AS n_docs, sum(len) AS sum_len FROM wl),
+       |qt AS (
+       |  SELECT tf.doc_id AS q_id, tf.w, df.df
+       |  FROM tf JOIN df USING (w), stats
+       |  WHERE tf.doc_id < $probeMax
+       |    AND CAST(df.df AS DOUBLE) <= $maxDfFrac * stats.n_docs),
+       |cands AS (
+       |  SELECT qt.q_id, tf.doc_id,
+       |    CAST(floor(
+       |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |        * (tf * ${k1 + 1}) /
+       |        (tf + $k1 * (${1.0 - b} + $b *
+       |          (CAST(len AS DOUBLE) * n_docs / sum_len)))
+       |      * 10000 + 0.5) AS BIGINT) AS c_int
+       |  FROM tf JOIN qt USING (w), stats
+       |  WHERE tf.doc_id <> qt.q_id),
+       |scored AS (
+       |  SELECT q_id, doc_id, sum(c_int) AS s_int
+       |  FROM cands GROUP BY q_id, doc_id)
+       |SELECT q_id, rank, doc_id, s_int / 10000.0 AS score FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY s_int DESC, doc_id) AS INT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** Reciprocal-rank-fusion hybrid retrieval: the BM25 lexical top-k and
+    * the exact-cosine semantic top-k ([[VectorOps.knn]], embeddings joined
+    * on the doc_id = vec_id contract) fused per query with
+    * rrf(d) = Σ_lists 10⁶ div (k0 + rank_list(d)) — pure integer
+    * arithmetic, no cross-engine float at all. The standard k0 = 60
+    * (Cormack et al.) keeps tail ranks meaningful; `src` tags whether a
+    * fused doc came from one list or both, which is the diagnostic a
+    * hybrid deployment actually monitors (lex-only vs sem-only drift).
+    *
+    * Scale shape: both lists are per-query top-k relations (tiny); the
+    * fusion is a full-outer join on (q_id, doc_id) over |queries| × k
+    * rows — negligible against either search. The searches themselves
+    * carry their own documented postures.
+    */
+  def hybridRrf(spark: SparkSession, dir: String, nQueries: Int = 10,
+                k: Int = 10, k0: Int = 60, maxDfFrac: Double = 0.9,
+                mat: Materialize = Materialize.Local): DataFrame = {
+    val lex = bm25(spark, dir, probeMax = nQueries, k = k,
+        maxDfFrac = maxDfFrac, mat = mat)
+      .select(col("q_id"), col("doc_id"), col("rank").as("rank_lex"))
+    val sem = VectorOps.knn(spark, dir, nQueries, k)
+      .select(col("q_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("rank_sem"))
+    val fused = lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf_ppm",
+        coalesce(expr(s"1000000L div ($k0 + rank_lex)"), lit(0L)) +
+          coalesce(expr(s"1000000L div ($k0 + rank_sem)"), lit(0L)))
+      .withColumn("src",
+        when(col("rank_lex").isNotNull && col("rank_sem").isNotNull, "both")
+          .when(col("rank_lex").isNotNull, "lex").otherwise("sem"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("rrf_ppm").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("rrf_ppm"), col("src"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def hybridRrfSql(nQueries: Int = 10, k: Int = 10, k0: Int = 60,
+                   maxDfFrac: Double = 0.9): String =
+    s"""WITH lex AS (
+       |  SELECT q_id, doc_id, rank AS rank_lex FROM (
+       |    ${bm25Sql(probeMax = nQueries, k = k, maxDfFrac = maxDfFrac)})),
+       |sem AS (
+       |  SELECT q_id, neighbor_id AS doc_id, rank AS rank_sem FROM (
+       |    ${VectorOps.knnSql(nQueries, k)})),
+       |fused AS (
+       |  SELECT coalesce(lex.q_id, sem.q_id) AS q_id,
+       |    coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+       |    coalesce(1000000 // ($k0 + rank_lex), 0)
+       |      + coalesce(1000000 // ($k0 + rank_sem), 0) AS rrf_ppm,
+       |    CASE WHEN rank_lex IS NOT NULL AND rank_sem IS NOT NULL THEN 'both'
+       |         WHEN rank_lex IS NOT NULL THEN 'lex' ELSE 'sem' END AS src
+       |  FROM lex FULL OUTER JOIN sem
+       |    ON lex.q_id = sem.q_id AND lex.doc_id = sem.doc_id)
+       |SELECT q_id, rank, doc_id, CAST(rrf_ppm AS BIGINT) AS rrf_ppm, src FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY rrf_ppm DESC, doc_id) AS INT) AS rank
+       |  FROM fused)
+       |WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+}

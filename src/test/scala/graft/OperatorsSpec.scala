@@ -1690,6 +1690,68 @@ class OperatorsSpec extends SparkSuite {
       "min-label and lsls must produce the identical cluster relation")
   }
 
+  test("bm25: tf saturation, length normalization, and the df-fraction stopword cap") {
+    // one query doc (0: just "w"); three candidates probing each axis:
+    //   doc 2 "w w w"            tf=3, len=3  -> highest
+    //   doc 1 "w f1 f2"          tf=1, len=3  -> middle
+    //   doc 3 "w z1 z2 z3 z4 z5" tf=1, len=6  -> lowest (length-normalized)
+    //   doc 4 "common only"      no query term -> absent
+    val docs = Seq(
+      (0L, "w", "en", "s", 1L),
+      (1L, "w f1 f2", "en", "s", 7L),
+      (2L, "w w w", "en", "s", 5L),
+      (3L, "w z1 z2 z3 z4 z5", "en", "s", 16L),
+      (4L, "common only", "en", "s", 11L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = functions.Retrieval.bm25(spark, tmp, probeMax = 1)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._2).toSeq == Seq(2L, 1L, 3L),
+      s"BM25 must rank tf-saturated > baseline > long doc: ${got.toSeq}")
+    assert(got.forall(_._3 > 0))
+    // the df-fraction cap: every doc sharing ONLY ubiquitous terms is
+    // absent — a term in >90% of docs generates no candidates
+    val all = Seq.tabulate(10)(i =>
+      (i.toLong, s"stop u$i", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp2 = java.nio.file.Files.createTempDirectory("bm25cap").toString
+    all.write.mode("overwrite").parquet(s"$tmp2/documents.parquet")
+    // "stop" df = 10/10 = 1.0 > 0.9 -> dropped; u0 is unique to the query
+    // doc itself -> zero candidates in the rest of the corpus
+    assert(functions.Retrieval.bm25(spark, tmp2, probeMax = 1).isEmpty,
+      "a corpus sharing only >90%-df terms must retrieve nothing")
+  }
+
+  test("hybridRrf: fusion equals a driver-side recomputation from the two lists") {
+    val dir = sf("sf0.01")
+    val lex = functions.Retrieval.bm25(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    val sem = functions.VectorOps.knn(spark, dir, nQueries = 10, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    val expected = (lex.keySet ++ sem.keySet).groupBy(_._1).flatMap {
+      case (q, keys) =>
+        val scored = keys.toSeq.map { key =>
+          val rrf = lex.get(key).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+            sem.get(key).map(r => 1000000L / (60 + r)).getOrElse(0L)
+          (key._2, rrf)
+        }.sortBy { case (d, s) => (-s, d) }.take(10)
+        scored.zipWithIndex.map { case ((d, s), i) => (q, i + 1, d, s) }
+    }.toSet
+    val got = functions.Retrieval.hybridRrf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected,
+      s"fusion mismatch: got-only=${got -- expected}, exp-only=${expected -- got}")
+    // src tags: a 'both' row must appear in both source lists
+    functions.Retrieval.hybridRrf(spark, dir).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      val tag = r.getString(4)
+      val inLex = lex.contains(key); val inSem = sem.contains(key)
+      val want = if (inLex && inSem) "both" else if (inLex) "lex" else "sem"
+      assert(tag == want, s"src tag wrong for $key: $tag vs $want")
+    }
+  }
+
   test("coreset sample: per-cell quota with coverage floor, deterministic") {
     val cs = functions.MixOps.coresetSample(spark, sf()).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getInt(3), r.getLong(4)))

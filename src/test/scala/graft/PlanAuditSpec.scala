@@ -386,6 +386,14 @@ class PlanAuditSpec extends SparkSuite {
       s"centroids must broadcast:\n$plan")
   }
 
+  test("d_bm25: query terms broadcast into the term-keyed candidate join, never cartesian") {
+    val plan = executedPlan("d_bm25")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the w-keyed candidate join must broadcast the query-term list:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"retrieval must never plan a partition-wise cartesian:\n$plan")
+  }
+
   test("d_nb_classify: model relations broadcast into scoring; corpus never cartesian'd") {
     // audit the BUILD plan directly: the query surface memoizes the scored
     // relation (SharedRel), so a second call in the suite would show only
