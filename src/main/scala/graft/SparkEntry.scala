@@ -230,6 +230,7 @@ object SparkEntry {
     "d_lm_bits" -> ((s, dir) => TextOps.lmBits(s, dir)),
     "d_bm25" -> ((s, dir) => Retrieval.bm25(s, dir)),
     "d_hybrid_rrf" -> ((s, dir) => Retrieval.hybridRrf(s, dir)),
+    "d_dsir" -> ((s, dir) => MixOps.dsirWeights(s, dir)),
     "d_containment" -> ((s, dir) => TextOps.containmentPairs(s, dir)),
     "d_jaccard3_pairs" -> ((s, dir) => TextOps.jaccard3Pairs(s, dir)),
     "d_shard_pack" -> ((s, dir) => MixOps.shardPack(s, dir)),
@@ -694,6 +695,7 @@ object SparkEntry {
       "d_lm_bits" -> TextOps.lmBitsSql,
       "d_bm25" -> Retrieval.bm25Sql(),
       "d_hybrid_rrf" -> Retrieval.hybridRrfSql(),
+      "d_dsir" -> MixOps.dsirWeightsSql(),
       "d_containment" -> TextOps.containmentPairsSql(),
       "d_jaccard3_pairs" -> TextOps.jaccard3PairsSql(),
       "d_shard_pack" -> MixOps.shardPackSql(),

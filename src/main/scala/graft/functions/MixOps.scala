@@ -1190,4 +1190,100 @@ object MixOps {
        |  CAST(sum(CASE WHEN tier = 'tail' THEN 1 ELSE 0 END) AS BIGINT) AS n_tail,
        |  CAST(sum(CASE WHEN from_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
        |FROM allrows GROUP BY 1 ORDER BY shard_id""".stripMargin
+
+  // ---- DSIR-style importance resampling ----
+
+  /** Hashed n-gram importance weights (the DSIR recipe, Xie et al. 2023):
+    * every document scored by how much more likely its token features are
+    * under the TARGET distribution (the probe/benchmark docs,
+    * `doc_id < probeMax` — the [[TextOps.contamination]] probe convention)
+    * than under the RAW corpus distribution — the data-selection signal
+    * that upweights target-domain-looking documents without a trained
+    * classifier. Features are unigrams + bigrams hashed into `buckets`
+    * cells ([[Exprs.hex60]] mod buckets); both distributions add-1
+    * smoothed over the cells; the per-cell log-likelihood ratio
+    * ln(p_target/p_raw) quantizes ONCE per cell (buckets values total —
+    * the narrowest possible ln exposure, same class as `v_kmeans_step`'s
+    * round) and each document's log weight is the INTEGER sum of its
+    * features' quantized ratios — order-free, cross-engine exact. `keep`
+    * is the deterministic resample: logw_q > 0 (more target-like than
+    * raw).
+    *
+    * Scale shape: feature explode → (doc, cell) with map-side combine;
+    * the two distributions are `buckets`-row relations (broadcast); the
+    * per-doc sum is one map-side-combined agg. Nothing is
+    * vocabulary-bound — that is the entire point of the hashing.
+    */
+  def dsirWeights(spark: SparkSession, dir: String, probeMax: Long = 10,
+                  buckets: Int = 64,
+                  mat: graft.Materialize = graft.Materialize.Local): DataFrame = {
+    val d = TextOps.prepared(spark, dir).select(
+      col("doc_id"), filter(col("words"), w => w =!= "").as("ws"))
+    val uni = d.select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
+    val ow = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = uni.withColumn("nw", lead(col("w"), 1).over(ow))
+      .filter(col("nw").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("nw")).as("f"))
+    val feats = mat(uni.select(col("doc_id"), col("w").as("f")).unionAll(bi)
+      .withColumn("cell", pmod(Exprs.hex60(col("f")), lit(buckets.toLong))))
+    val tCnt = feats.filter(col("doc_id") < probeMax)
+      .groupBy(col("cell")).agg(count(lit(1)).as("tc"))
+    val rCnt = feats.groupBy(col("cell")).agg(count(lit(1)).as("rc"))
+    val tTot = feats.filter(col("doc_id") < probeMax)
+      .agg(count(lit(1)).as("tt"))
+    val rTot = feats.agg(count(lit(1)).as("rt"))
+    val frame = spark.range(buckets).select(col("id").as("cell"))
+    val ratio = frame
+      .join(tCnt, Seq("cell"), "left").join(rCnt, Seq("cell"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("cell"),
+        floor((log((coalesce(col("tc"), lit(0L)) + lit(1.0)) /
+                   (col("tt") + lit(buckets.toDouble))) -
+               log((coalesce(col("rc"), lit(0L)) + lit(1.0)) /
+                   (col("rt") + lit(buckets.toDouble))))
+          * 10000 + 0.5).cast("long").as("r_int"))
+    val perDoc = feats.join(broadcast(ratio), "cell")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("r_int")).as("logw_q"))
+    d.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("logw_q"), lit(0L)).as("logw_q"))
+      .withColumn("keep", col("logw_q") > 0)
+      .orderBy("doc_id")
+  }
+
+  def dsirWeightsSql(probeMax: Long = 10, buckets: Int = 64): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, list_filter(words, w -> w <> '') AS ws
+       |  FROM (${TextOps.preparedSql})),
+       |uni AS (SELECT doc_id, w FROM d, unnest(ws) AS t(w)),
+       |bi AS (
+       |  SELECT doc_id, f
+       |  FROM d, unnest(list_transform(range(1, len(ws)),
+       |    i -> ws[i] || ' ' || ws[i + 1])) AS t(f)),
+       |feats AS (
+       |  SELECT doc_id, ${Exprs.hex60Sql("f")} % $buckets AS cell FROM (
+       |    SELECT doc_id, w AS f FROM uni
+       |    UNION ALL SELECT doc_id, f FROM bi)),
+       |tc AS (SELECT cell, count(*) AS tc FROM feats WHERE doc_id < $probeMax GROUP BY cell),
+       |rc AS (SELECT cell, count(*) AS rc FROM feats GROUP BY cell),
+       |tt AS (SELECT count(*) AS tt FROM feats WHERE doc_id < $probeMax),
+       |rt AS (SELECT count(*) AS rt FROM feats),
+       |ratio AS (
+       |  SELECT fr.cell,
+       |    CAST(floor((ln((coalesce(tc, 0) + 1.0) / (tt + ${buckets.toDouble}))
+       |              - ln((coalesce(rc, 0) + 1.0) / (rt + ${buckets.toDouble})))
+       |      * 10000 + 0.5) AS BIGINT) AS r_int
+       |  FROM (SELECT CAST(range AS BIGINT) AS cell FROM range($buckets)) fr
+       |  LEFT JOIN tc USING (cell) LEFT JOIN rc USING (cell), tt, rt),
+       |per_doc AS (
+       |  SELECT doc_id, count(*) AS n_feats, sum(r_int) AS logw_q
+       |  FROM feats JOIN ratio USING (cell) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(n_feats, 0) AS BIGINT) AS n_feats,
+       |  CAST(coalesce(logw_q, 0) AS BIGINT) AS logw_q,
+       |  coalesce(logw_q, 0) > 0 AS keep
+       |FROM d LEFT JOIN per_doc USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 }

@@ -1752,6 +1752,37 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("dsirWeights: target-like docs weigh positive, off-target negative, features counted exactly") {
+    // probes (0,1) speak "alpha beta"; doc 5 mimics them (target-like),
+    // doc 6 speaks a vocabulary the probes never use (raw-only)
+    val docs = Seq(
+      (0L, "alpha beta alpha", "en", "s", 16L),
+      (1L, "beta alpha beta", "en", "s", 15L),
+      (5L, "alpha beta alpha beta", "en", "s", 21L),
+      (6L, "zeta eta theta iota kappa", "en", "s", 25L),
+      (7L, "", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("dsir").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // buckets = 8: the add-1 smoothing mass must stay small relative to
+    // the fixture's ~30 feature occurrences or it drowns the signal
+    val got = functions.MixOps.dsirWeights(spark, tmp, probeMax = 2, buckets = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // n_feats = unigrams + bigrams = len + (len - 1)
+    assert(got(5L)._1 == 4 + 3 && got(6L)._1 == 5 + 4)
+    assert(got(5L)._2 > 0 && got(5L)._3, s"target-like doc must keep: $got")
+    assert(got(6L)._2 < 0 && !got(6L)._3, s"off-target doc must drop: $got")
+    assert(got(5L)._2 > got(6L)._2)
+    // empty doc: zero features, weight 0, not kept
+    assert(got(7L) == ((0L, 0L, false)))
+    // determinism
+    val again = functions.MixOps.dsirWeights(spark, tmp, probeMax = 2, buckets = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(again == got)
+  }
+
   test("coreset sample: per-cell quota with coverage floor, deterministic") {
     val cs = functions.MixOps.coresetSample(spark, sf()).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getInt(3), r.getLong(4)))
