@@ -228,6 +228,8 @@ object SparkEntry {
     "d_quality_drift" -> ((s, dir) => TextOps.qualityDriftIncr(s, dir)),
     "d_segment_dedup" -> ((s, dir) => TextOps.segmentDedup(s, dir)),
     "d_lm_bits" -> ((s, dir) => TextOps.lmBits(s, dir)),
+    "d_lm2_bits" -> ((s, dir) => TextOps.lm2Bits(s, dir)),
+    "d_quality_ensemble" -> ((s, dir) => TextOps.qualityEnsemble(s, dir)),
     "d_bm25" -> ((s, dir) => Retrieval.bm25(s, dir)),
     "d_hybrid_rrf" -> ((s, dir) => Retrieval.hybridRrf(s, dir)),
     "d_dsir" -> ((s, dir) => MixOps.dsirWeights(s, dir)),
@@ -693,6 +695,8 @@ object SparkEntry {
       "d_quality_drift" -> TextOps.qualityDriftIncrSql(),
       "d_segment_dedup" -> TextOps.segmentDedupSql(),
       "d_lm_bits" -> TextOps.lmBitsSql,
+      "d_lm2_bits" -> TextOps.lm2BitsSql,
+      "d_quality_ensemble" -> TextOps.qualityEnsembleSql,
       "d_bm25" -> Retrieval.bm25Sql(),
       "d_hybrid_rrf" -> Retrieval.hybridRrfSql(),
       "d_dsir" -> MixOps.dsirWeightsSql(),

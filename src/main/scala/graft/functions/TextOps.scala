@@ -1958,6 +1958,162 @@ object TextOps {
        |FROM tokens JOIN counts USING (w) CROSS JOIN total
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Bigram LM scoring in exact integer bits — the CCNet/KenLM perplexity
+    * filter one order up from [[lmBits]]'s unigram model: fluent text is
+    * cheap under a bigram model trained on the corpus itself, word salad
+    * and shuffled boilerplate are expensive even when their UNIGRAM stats
+    * look normal (exactly the gap `d_repetition`'s surface features and
+    * `d_lm_bits` both miss). Add-one smoothing throughout; every cost is a
+    * `length(bin(x))` difference (⌊log2⌋+1 — the [[lmBits]] portability
+    * trick, no libm anywhere):
+    *
+    *   first token:  ⌊log2(N + V)⌋+1 − ⌊log2(cnt(w) + 1)⌋+1
+    *   later tokens: ⌊log2(ctx(w₁) + V)⌋+1 − ⌊log2(c₂(w₁,w₂) + 1)⌋+1
+    *
+    * with ctx(w₁) = bigram-context occurrences of w₁ (so the conditional
+    * is properly normalized over observed contexts) and V the corpus
+    * vocabulary. Same output schema as [[lmBits]] (family parity), so the
+    * two models' bits_per_token are directly comparable per document.
+    *
+    * Scale shape: the bigram model is a (w₁, w₂)-keyed count relation —
+    * vocabulary²-bounded, joined on the bigram key with map-side combine,
+    * broadcast while it fits (AQE decides); the corpus shuffles only on
+    * token/bigram/doc keys. Train/apply on one corpus here (the oracle
+    * needs one relation); production freezes the counts like the NB tier.
+    */
+  def lm2Bits(spark: SparkSession, dir: String): DataFrame = {
+    val toks = prepared(spark, dir)
+      .select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "w")))
+    val ow = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = toks.withColumn("nw", lead(col("w"), 1).over(ow))
+      .filter(col("nw").isNotNull)
+      .select(col("doc_id"), col("w").as("w1"), col("nw").as("w2"))
+    val uniCnt = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val biCnt = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val ctxCnt = bi.groupBy(col("w1")).agg(count(lit(1)).as("ctx"))
+    val stats = uniCnt.agg(sum(col("cnt")).as("n_total"),
+      count(lit(1)).as("v_size"))
+    val firstBits = toks.filter(col("pos") === 0)
+      .join(uniCnt, "w").crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (length(bin(col("n_total") + col("v_size"))) -
+          length(bin(col("cnt") + 1))).cast("long").as("bits"))
+    val nextBits = bi
+      .join(biCnt, Seq("w1", "w2")).join(ctxCnt, "w1")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (length(bin(col("ctx") + col("v_size"))) -
+          length(bin(col("c2") + 1))).cast("long").as("bits"))
+    firstBits.unionAll(nextBits)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))
+      .withColumn("bits_per_token",
+        col("sum_bits") / col("n_tokens").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lm2BitsSql: String =
+    s"""WITH d AS (SELECT doc_id, words FROM ($preparedSql)),
+       |toks AS (SELECT doc_id, unnest(words) AS w FROM d),
+       |firsts AS (SELECT doc_id, words[1] AS w FROM d WHERE len(words) > 0),
+       |bi AS (
+       |  SELECT doc_id, f[1] AS w1, f[2] AS w2
+       |  FROM d, unnest(list_transform(range(1, len(words)),
+       |    i -> [words[i], words[i + 1]])) AS t(f)),
+       |uni AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+       |bic AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+       |ctx AS (SELECT w1, count(*) AS ctx FROM bi GROUP BY w1),
+       |stats AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+       |         CAST(count(*) AS BIGINT) AS v_size FROM uni),
+       |costs AS (
+       |  SELECT doc_id,
+       |    length(bin(n_total + v_size)) - length(bin(cnt + 1)) AS bits
+       |  FROM firsts JOIN uni USING (w) CROSS JOIN stats
+       |  UNION ALL
+       |  SELECT bi.doc_id,
+       |    length(bin(ctx + v_size)) - length(bin(c2 + 1)) AS bits
+       |  FROM bi JOIN bic USING (w1, w2) JOIN ctx USING (w1)
+       |       CROSS JOIN stats)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(bits) AS BIGINT) AS sum_bits,
+       |  CAST(sum(bits) AS BIGINT) / CAST(count(*) AS DOUBLE) AS bits_per_token
+       |FROM costs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Quality-ensemble gate — the "no single filter ships alone" pattern
+    * every production curation stack converges on: three INDEPENDENT
+    * quality signals vote and a document drops only on agreement
+    * (2-of-3), which bounds each signal's false-positive damage:
+    *
+    *   heur_low — the surface-statistics bucket ([[quality]])
+    *   nb_low   — the trained token classifier ([[nbClassify]])
+    *   lm_low   — bigram-LM fluency: bits/token (integer permille) in the
+    *              corpus's top decile ([[lm2Bits]])
+    *
+    * The decile flag avoids a corpus-wide ranking window: bits/token
+    * quantizes to an integer permille, so the threshold comes from the
+    * VALUE-DOMAIN histogram (group-by permille + one running sum over
+    * that tiny relation — the shard-walk posture; the only unpartitioned
+    * window is bounded by the permille domain, never by corpus size).
+    * Ties at the threshold all flag — deterministic on both engines.
+    */
+  def qualityEnsemble(spark: SparkSession, dir: String): DataFrame = {
+    val nc = nbClassify(spark, dir).select(col("doc_id"),
+      (col("quality_bucket") === "low").as("heur_low"),
+      (col("pred_bucket") === "low").as("nb_low"))
+    val lm = lm2Bits(spark, dir)
+      .select(col("doc_id"), expr("sum_bits * 1000L div n_tokens").as("bpt_pm"))
+    val hist = lm.groupBy(col("bpt_pm")).agg(count(lit(1)).as("n"))
+    val hw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bpt_pm").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val total = hist.agg(sum(col("n")).as("n_docs"))
+    val flagged = hist
+      .withColumn("n_above", coalesce(sum(col("n")).over(hw), lit(0L)))
+      .crossJoin(broadcast(total))
+      .filter(col("n_above") < expr("(n_docs + 9) div 10"))
+      .select(col("bpt_pm"), lit(true).as("lm_low"))
+    nc.join(lm, "doc_id")
+      .join(broadcast(flagged), Seq("bpt_pm"), "left")
+      .withColumn("lm_low", coalesce(col("lm_low"), lit(false)))
+      .withColumn("n_low_votes",
+        col("heur_low").cast("int") + col("nb_low").cast("int") +
+          col("lm_low").cast("int"))
+      .withColumn("keep", col("n_low_votes") <= 1)
+      .select(col("doc_id"), col("heur_low"), col("nb_low"), col("lm_low"),
+        col("n_low_votes"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  // lazy: nbClassifySql initializes later in the file
+  lazy val qualityEnsembleSql: String =
+    s"""WITH nc AS (
+       |  SELECT doc_id, quality_bucket = 'low' AS heur_low,
+       |         pred_bucket = 'low' AS nb_low
+       |  FROM ($nbClassifySql)),
+       |lm AS (
+       |  SELECT doc_id, sum_bits * 1000 // n_tokens AS bpt_pm
+       |  FROM ($lm2BitsSql)),
+       |hist AS (SELECT bpt_pm, count(*) AS n FROM lm GROUP BY bpt_pm),
+       |total AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs FROM hist),
+       |flagged AS (
+       |  SELECT bpt_pm, TRUE AS lm_low FROM (
+       |    SELECT bpt_pm,
+       |      coalesce(sum(n) OVER (ORDER BY bpt_pm DESC
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_above
+       |    FROM hist) h, total
+       |  WHERE n_above < (n_docs + 9) // 10)
+       |SELECT nc.doc_id, heur_low, nb_low,
+       |  coalesce(lm_low, FALSE) AS lm_low,
+       |  CAST(CAST(heur_low AS INT) + CAST(nb_low AS INT)
+       |    + CAST(coalesce(lm_low, FALSE) AS INT) AS INT) AS n_low_votes,
+       |  CAST(heur_low AS INT) + CAST(nb_low AS INT)
+       |    + CAST(coalesce(lm_low, FALSE) AS INT) <= 1 AS keep
+       |FROM nc JOIN lm USING (doc_id)
+       |     LEFT JOIN flagged USING (bpt_pm)
+       |ORDER BY doc_id""".stripMargin
+
   // ---- Naive-Bayes quality classifier (self-distilled token model) ----
 
   /** Multinomial Naive-Bayes quality classifier, computed EXACTLY in

@@ -1752,6 +1752,60 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("lm2Bits: shuffled word order costs more than fluent order at IDENTICAL unigram stats") {
+    // ten fluent docs train the bigram model on x->y->z->x; the probe pair
+    // shares one token multiset (2 of each) but opposite transition order,
+    // so the unigram model CANNOT separate them and the bigram model must
+    val fluent = (1 to 10).map(i =>
+      (i.toLong, "x y z x y z", "en", "s", 11L))
+    val docs = (fluent ++ Seq(
+      (20L, "x y z x y z", "en", "s", 11L),   // fluent probe
+      (21L, "x z y x z y", "en", "s", 11L)))  // shuffled probe
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("lm2").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val bi2 = TextOps.lm2Bits(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val uni = TextOps.lmBits(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(uni(20L) == uni(21L),
+      s"unigram model must NOT separate the probes: $uni")
+    assert(bi2(21L) > bi2(20L),
+      s"bigram model must charge the shuffled probe more: $bi2")
+    // family parity: same token count per doc under both models
+    val nt2 = TextOps.lm2Bits(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nt1 = TextOps.lmBits(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nt2 == nt1, "n_tokens must agree between the two LM tiers")
+  }
+
+  test("qualityEnsemble: votes cross-foot the three source relations, decile flag monotone") {
+    val dir = sf("sf0.01")
+    val out = TextOps.qualityEnsemble(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getInt(4), r.getBoolean(5)))
+      .toMap
+    val nc = TextOps.nbClassify(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(3) == "low", r.getString(1) == "low")).toMap
+    val pm = TextOps.lm2Bits(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2) * 1000 / r.getLong(1)).toMap
+    assert(out.keySet == nc.keySet)
+    out.foreach { case (id, (h, nb, _, votes, keep)) =>
+      assert((h, nb) == nc(id), s"heur/nb vote mismatch at $id")
+      val lm = out(id)._3
+      assert(votes == Seq(h, nb, lm).count(identity))
+      assert(keep == (votes <= 1))
+    }
+    // the decile flag: monotone in bits/token (no flagged doc sits below
+    // an unflagged one) and covers at least ceil(N/10) docs
+    val flaggedVals = out.collect { case (id, v) if v._3 => pm(id) }
+    val unflaggedVals = out.collect { case (id, v) if !v._3 => pm(id) }
+    assert(flaggedVals.nonEmpty && flaggedVals.min > unflaggedVals.max,
+      "decile flag must be monotone in bits/token")
+    assert(flaggedVals.size >= (out.size + 9) / 10)
+  }
+
   test("dsirWeights: target-like docs weigh positive, off-target negative, features counted exactly") {
     // probes (0,1) speak "alpha beta"; doc 5 mimics them (target-like),
     // doc 6 speaks a vocabulary the probes never use (raw-only)
