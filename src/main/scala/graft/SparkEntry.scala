@@ -312,6 +312,7 @@ object SparkEntry {
     "v_semdedup_incr" -> ((s, dir) => VectorOps.semDedupIncr(s, dir)),
     "v_sem_clusters" -> ((s, dir) => VectorOps.semClusters(s, dir)),
     "v_sem_clusters_lsls" -> ((s, dir) => VectorOps.semClustersLsLs(s, dir)),
+    "v_compact_audit" -> ((s, dir) => VectorOps.compactAudit(s, dir)),
     "v_dup_rate_incr" -> ((s, dir) => VectorOps.dupRateIncr(s, dir)),
     "d_coreset" -> ((s, dir) => MixOps.coresetSample(s, dir)),
     "d_mix_temperature" -> ((s, dir) => MixOps.mixTemperature(s, dir)),
@@ -766,6 +767,7 @@ object SparkEntry {
       // components are algorithm-agnostic: the lsls variant shares the
       // recursive-reachability oracle with the min-label variant
       "v_sem_clusters_lsls" -> VectorOps.semClustersSql(),
+      "v_compact_audit" -> VectorOps.compactAuditSql(),
       "v_dup_rate_incr" -> VectorOps.dupRateIncrSql(),
       "d_coreset" -> MixOps.coresetSampleSql(),
       "d_mix_temperature" -> MixOps.mixTemperatureSql(),

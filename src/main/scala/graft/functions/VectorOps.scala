@@ -252,6 +252,102 @@ object VectorOps {
        |LEFT JOIN indelta ind ON d.vec_id = ind.vec_id
        |ORDER BY d.vec_id""".stripMargin
 
+  /** Recompaction audit — the settling of the debt every incremental
+    * contract in this file defers ("re-opening base pairs is the
+    * recompaction's job"): compare the verdicts the INCREMENTAL era
+    * produced (base vectors settled against base only, delta vectors via
+    * [[semDedupIncr]]) with a FULL min-id recompute over base + delta, and
+    * report the reconciliation matrix. The interesting cells are the
+    * documented staleness classes, now measured instead of just promised:
+    *
+    *   demoted  (incr keep → full drop): a base keeper whose true min-id
+    *            dup partner arrived in the delta (salted ids interleave,
+    *            so delta ids CAN undercut base ids), or a delta keeper
+    *            undercut across buckets of the increment
+    *   promoted (incr drop → full keep): a delta vector the incremental
+    *            tier dropped against a LARGER-id base partner that the
+    *            global min-id rule resolves the other way
+    *
+    * Output is the (side, incr_keep, full_keep) count matrix with the
+    * class name spelled out — the compaction job's before/after report, a
+    * few rows however large the corpus. Scale shape: three same-bucket
+    * smaller-id self-joins (full, base-era, plus [[semDedupIncr]]'s two) —
+    * all LSH-bucket-bounded, never all-pairs; the matrix agg is
+    * map-side-combined on a 8-value key.
+    */
+  def compactAudit(spark: SparkSession, dir: String, deltaMod: Int = 5,
+                   threshold: Double = 0.4, bits: Int = 4): DataFrame = {
+    val e = prepared(spark, dir).withColumn("bkt", bucketExpr(col("v"), bits))
+      .select(col("vec_id"), col("v"), col("nrm"), col("bkt"),
+        (incSplitE(deltaMod) === 0).as("is_delta"))
+    def dupsOf(probe: DataFrame, pool: DataFrame): DataFrame =
+      probe.join(pool
+          .select(col("bkt"), col("vec_id").as("id_p"), col("v").as("vp"),
+            col("nrm").as("np")), Seq("bkt"))
+        .filter(col("id_p") < col("vec_id") &&
+          dot(col("v"), col("vp")) / (col("nrm") * col("np")) >= threshold)
+        .select(col("vec_id")).distinct().withColumn("is_dup", lit(true))
+    val fullDups = dupsOf(e, e)
+    val base = e.filter(!col("is_delta"))
+    val baseDups = dupsOf(base, base)
+    val deltaKeep = semDedupIncr(spark, dir, deltaMod, threshold, bits)
+      .select(col("vec_id"), col("keep").as("incr_keep_d"))
+    e.select(col("vec_id"), col("is_delta"))
+      .join(fullDups, Seq("vec_id"), "left")
+      .join(baseDups.withColumnRenamed("is_dup", "base_dup"), Seq("vec_id"), "left")
+      .join(deltaKeep, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("is_delta"), "delta").otherwise("base").as("side"),
+        when(col("is_delta"), col("incr_keep_d"))
+          .otherwise(col("base_dup").isNull).as("incr_keep"),
+        col("is_dup").isNull.as("full_keep"))
+      .groupBy(col("side"), col("incr_keep"), col("full_keep"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("class",
+        when(col("incr_keep") && col("full_keep"), "stable_keep")
+          .when(!col("incr_keep") && !col("full_keep"), "stable_drop")
+          .when(col("incr_keep") && !col("full_keep"), "demoted")
+          .otherwise("promoted"))
+      .select(col("side"), col("class"), col("incr_keep"), col("full_keep"), col("n"))
+      .orderBy(col("side"), col("class"))
+  }
+
+  def compactAuditSql(deltaMod: Int = 5, threshold: Double = 0.4,
+                      bits: Int = 4): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, v, nrm, ${bucketSql(bits)} AS bkt,
+       |    ${incSplitSql(deltaMod)} = 0 AS is_delta
+       |  FROM ($preparedSql)),
+       |full_dups AS (
+       |  SELECT DISTINCT a.vec_id FROM e a JOIN e p ON a.bkt = p.bkt
+       |    AND p.vec_id < a.vec_id
+       |    AND list_dot_product(a.v, p.v) / (a.nrm * p.nrm) >= $threshold),
+       |base_dups AS (
+       |  SELECT DISTINCT a.vec_id FROM e a JOIN e p ON a.bkt = p.bkt
+       |    AND p.vec_id < a.vec_id
+       |    AND list_dot_product(a.v, p.v) / (a.nrm * p.nrm) >= $threshold
+       |  WHERE NOT a.is_delta AND NOT p.is_delta),
+       |incr_d AS (SELECT vec_id, keep FROM (${semDedupIncrSql(deltaMod, threshold, bits)})),
+       |verdicts AS (
+       |  SELECT e.vec_id,
+       |    CASE WHEN e.is_delta THEN 'delta' ELSE 'base' END AS side,
+       |    CASE WHEN e.is_delta THEN incr_d.keep
+       |         ELSE bd.vec_id IS NULL END AS incr_keep,
+       |    fd.vec_id IS NULL AS full_keep
+       |  FROM e
+       |  LEFT JOIN full_dups fd ON e.vec_id = fd.vec_id
+       |  LEFT JOIN base_dups bd ON e.vec_id = bd.vec_id
+       |  LEFT JOIN incr_d ON e.vec_id = incr_d.vec_id)
+       |SELECT side,
+       |  CASE WHEN incr_keep AND full_keep THEN 'stable_keep'
+       |       WHEN NOT incr_keep AND NOT full_keep THEN 'stable_drop'
+       |       WHEN incr_keep AND NOT full_keep THEN 'demoted'
+       |       ELSE 'promoted' END AS class,
+       |  incr_keep, full_keep, count(*) AS n
+       |FROM verdicts
+       |GROUP BY side, incr_keep, full_keep
+       |ORDER BY side, class""".stripMargin
+
   /** Cross-modal embedding-staleness monitor — the consistency check a
     * pipeline that stores text AND embeddings needs: documents whose text
     * is signature-identical to another's (all 8 minhashes equal — the

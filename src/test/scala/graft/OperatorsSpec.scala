@@ -1780,6 +1780,49 @@ class OperatorsSpec extends SparkSuite {
     assert(nt2 == nt1, "n_tokens must agree between the two LM tiers")
   }
 
+  test("compactAudit: a delta id undercutting a base keeper demotes it and promotes itself") {
+    // find a delta id d and a base id b with d < b (the salted split
+    // interleaves ids, so both orders occur); give them the SAME vector.
+    // Incremental era: b keeps (no base dup), d drops as dup_of_base(b).
+    // Full min-id recompute: d keeps (smaller id), b drops -> one
+    // demotion on the base side, one promotion on the delta side.
+    val ids = (0L until 20L)
+    val split = ids.toDF("vec_id")
+      .withColumn("is_d", functions.VectorOps.incSplitE(5) === 0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val d = ids.find(split(_)).get
+    val b = ids.find(i => !split(i) && i > d).get
+    val dim = 20
+    def basis(i: Int) = Seq.tabulate(dim)(j => if (j == i) 1.0f else 0.0f)
+    val vecs = ids.map { i =>
+      val v = if (i == b) basis(d.toInt) else basis(i.toInt)
+      (i, v, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("compact").toString
+    vecs.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = functions.VectorOps.compactAudit(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    val nDelta = split.values.count(identity)
+    val nBase = 20 - nDelta
+    assert(out == Map(
+      ("base", "demoted") -> 1L,
+      ("base", "stable_keep") -> (nBase - 1).toLong,
+      ("delta", "promoted") -> 1L,
+      ("delta", "stable_keep") -> (nDelta - 1).toLong), s"got $out (d=$d b=$b)")
+  }
+
+  test("compactAudit: matrix covers the corpus exactly; delta column cross-foots semDedupIncr") {
+    val dir = sf("sf0.01")
+    val out = functions.VectorOps.compactAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getBoolean(2), r.getBoolean(3), r.getLong(4)))
+    val n = functions.VectorOps.prepared(spark, dir).count()
+    assert(out.map(_._4).sum == n, "every vector gets exactly one cell")
+    val incrDeltaKeeps = functions.VectorOps.semDedupIncr(spark, dir)
+      .filter(col("keep")).count()
+    assert(out.filter(r => r._1 == "delta" && r._2).map(_._4).sum == incrDeltaKeeps,
+      "delta incr_keep column must cross-foot semDedupIncr")
+  }
+
   test("qualityEnsemble: votes cross-foot the three source relations, decile flag monotone") {
     val dir = sf("sf0.01")
     val out = TextOps.qualityEnsemble(spark, dir).collect()
