@@ -1981,7 +1981,13 @@ object TextOps {
     * token/bigram/doc keys. Train/apply on one corpus here (the oracle
     * needs one relation); production freezes the counts like the NB tier.
     */
-  def lm2Bits(spark: SparkSession, dir: String): DataFrame = {
+  def lm2Bits(spark: SparkSession, dir: String): DataFrame =
+    // session-shared: the relation feeds its own driver query AND the
+    // ensemble gate; the bigram model build is the expensive half
+    graft.SharedRel(spark, s"lm2|$dir", graft.Materialize.Local)(
+      lm2BitsBuild(spark, dir))
+
+  private def lm2BitsBuild(spark: SparkSession, dir: String): DataFrame = {
     val toks = prepared(spark, dir)
       .select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "w")))
     val ow = org.apache.spark.sql.expressions.Window
