@@ -261,6 +261,30 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("large-star/small-star equals min-label propagation on random graphs") {
+    import graft.functions.VectorOps
+    // random sparse graphs under the min-label cap: the two component
+    // algorithms must produce identical labelings on EVERY input, not
+    // just the crafted fixtures
+    val edgeGen = for {
+      n <- Gen.choose(5, 30)
+      m <- Gen.choose(0, n * 2)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+    } yield (n, es)
+    samples(edgeGen, 6).zipWithIndex.foreach { case ((n, es), i) =>
+      val nodes = (0L until n).toDF("vec_id")
+      val sym = (es ++ es.map(_.swap)).filter { case (a, b) => a != b }
+      val edges =
+        if (sym.isEmpty) Seq((0L, 0L)).toDF("src", "dst").filter(col("src") =!= col("dst"))
+        else sym.toDF("src", "dst")
+      val ml = VectorOps.propagateMinLabels(nodes, edges, Materialize.Local)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ls = VectorOps.propagateLsLs(nodes, edges, Materialize.Local)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(ls == ml, s"case $i (n=$n, m=${sym.size}): lsls disagrees with min-label")
+    }
+  }
+
   test("marginPairs mutual-top-1 is one-to-one on random embeddings") {
     import graft.functions.VectorOps
     val vecGen = Gen.listOfN(8, Gen.choose(-1.0, 1.0).map(_.toFloat))

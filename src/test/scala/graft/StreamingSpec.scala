@@ -819,6 +819,42 @@ class StreamingSpec extends SparkSuite {
       s"pruned-model scoring broke: ${rows.toSeq}")
   }
 
+  test("contam stream: per-arrival verdicts agree with the batch contamination relation") {
+    import graft.streaming.ContamStream
+    val sfDir = sf()
+    val batch = graft.functions.TextOps.contamination(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val feed = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") >= 10)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val ts = Timestamp.valueOf("2026-01-01 10:00:00")
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val out = ContamStream(in.toDF().toDF("doc_id", "text", "ingest_ts"),
+      ContamStream.frozenProbes(spark, sfDir))
+    val q = out.writeStream.format("memory").queryName("contam_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(feed.map { case (id, t) => (id, t, ts) })
+      q.processAllAvailable()
+      val got = spark.table("contam_stream")
+        .select("doc_id", "top_probe_id", "n_shared_shingles", "contaminated")
+        .as[(Long, Long, Long, Boolean)].collect()
+      assert(got.length == feed.length, "every arrival gets a verdict")
+      got.foreach { case (id, pid, n, flag) =>
+        batch.get(id) match {
+          case Some((bPid, bN)) =>
+            assert((pid, n) == (bPid, bN),
+              s"doc $id: stream ($pid,$n) vs batch ($bPid,$bN)")
+            assert(flag == (n >= 5))
+          case None =>
+            assert(n == 0 && !flag, s"doc $id absent from batch must score 0: ($pid,$n)")
+        }
+      }
+      // the alarm signal exists on testdata: some arrivals ARE contaminated
+      assert(got.exists(_._4), "fixture must contain at least one contaminated arrival")
+    } finally q.stop()
+  }
+
   test("margin stream: one-batch feed mines pair-for-pair what marginPairsIncr mines") {
     import graft.streaming.MarginStream
     val sfDir = sf("sf0.01") // the delta A split at sf0.001 mines nothing
