@@ -716,6 +716,34 @@ object TextOps {
        |FROM ($preparedSql)
        |GROUP BY md5(norm) ORDER BY rep_doc_id""".stripMargin
 
+  /** [[dedupExact]] with Unicode NFC canonicalization before hashing —
+    * the multilingual-correctness form: composed (U+00E9) and decomposed
+    * (e + U+0301) renderings of the same text are different byte strings,
+    * so the raw-byte group misses duplicates any real web crawl contains
+    * (different OCR/browser/OS producers mix the two encodings freely).
+    * Built on the codegen `graft.plans.NfcNormalize` expression; DuckDB's
+    * `nfc_normalize` mirrors it exactly (both implement the Unicode
+    * standard algorithm). `n_forms` counts distinct RAW byte forms inside
+    * the group — > 1 is precisely the duplicate class the raw-byte dedup
+    * would have leaked, so the relation doubles as the encoding-drift
+    * monitor. Identical plan shape to [[dedupExact]]: one hash-agg on the
+    * content hash, no extra exchange for the normalization (row-local,
+    * inside the scan's codegen stage).
+    */
+  def dedupNfc(spark: SparkSession, dir: String): DataFrame =
+    prepared(spark, dir)
+      .groupBy(md5(graft.plans.UnicodeExprs.nfcNormalize(col("norm"))
+        .cast("binary")).as("text_md5"))
+      .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_copies"),
+        countDistinct(md5(col("norm").cast("binary"))).as("n_forms"))
+      .select("rep_doc_id", "text_md5", "n_copies", "n_forms")
+
+  val dedupNfcSql: String =
+    s"""SELECT min(doc_id) AS rep_doc_id, md5(nfc_normalize(norm)) AS text_md5,
+       |  count(*) AS n_copies, count(DISTINCT md5(norm)) AS n_forms
+       |FROM ($preparedSql)
+       |GROUP BY md5(nfc_normalize(norm)) ORDER BY rep_doc_id""".stripMargin
+
   // ---- n-gram (word-set) jaccard near-dup ----
 
   /** Exact word-set Jaccard over blocked candidate pairs (same language +

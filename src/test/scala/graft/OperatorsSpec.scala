@@ -1823,6 +1823,34 @@ class OperatorsSpec extends SparkSuite {
       "delta incr_keep column must cross-foot semDedupIncr")
   }
 
+  test("dedupNfc: composed and decomposed Unicode forms collapse; raw-byte dedup leaks them") {
+    // "café" with U+00E9 (composed) vs "cafe" + U+0301 (decomposed): same
+    // rendered text, different bytes
+    val composed = "caf\u00e9 au lait"
+    val decomposed = "cafe\u0301 au lait"
+    assert(composed != decomposed, "fixture must use distinct byte forms")
+    val docs = Seq(
+      (1L, composed, "fr", "s", 12L),
+      (2L, decomposed, "fr", "s", 13L),
+      (3L, "plain ascii text", "en", "s", 16L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("nfc").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // raw-byte dedup sees three distinct contents — the leak
+    assert(TextOps.dedupExact(spark, tmp).count() == 3)
+    val got = TextOps.dedupNfc(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // NFC collapses the pair into one group, rep = min id, and n_forms
+    // records that TWO raw byte forms fed it (the encoding-drift signal)
+    assert(got == Map(1L -> ((2L, 2L)), 3L -> ((1L, 1L))), s"got $got")
+    // expression/interpreted parity: the codegen path equals Normalizer
+    val nfcCol = spark.range(1).select(
+      graft.plans.UnicodeExprs.nfcNormalize(lit(decomposed)).as("n"))
+      .head().getString(0)
+    assert(nfcCol == java.text.Normalizer.normalize(
+      decomposed, java.text.Normalizer.Form.NFC) && nfcCol == composed)
+  }
+
   test("qualityEnsemble: votes cross-foot the three source relations, decile flag monotone") {
     val dir = sf("sf0.01")
     val out = TextOps.qualityEnsemble(spark, dir).collect()
