@@ -209,6 +209,25 @@ object RunDocPipeline {
       spark.read.parquet(s"$workDir/pairs_mined").count()
     }
 
+    // decontamination tier of the same ingest: every raw arrival tagged
+    // against the frozen benchmark probe set (row-local literal-compiled
+    // gate — zero state); readout is the quarantine count, which doubles
+    // as the contamination-rate alarm
+    val contaminated = guarded("contam_gate", 0L) {
+      import graft.streaming.ContamStream
+      val probes = ContamStream.frozenProbes(spark, sfDir)
+      val q9 = ContamStream(docs, probes)
+        .writeStream.format("parquet")
+        .option("path", s"$workDir/contam_tags")
+        .option("checkpointLocation", s"$workDir/ckpt9")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q9.awaitTermination(300000)
+      spark.read.parquet(s"$workDir/contam_tags")
+        .filter(col("contaminated")).count()
+    }
+
     // classifier tier of the same ingest: every raw arrival tagged with
     // its predicted quality bucket by the FROZEN NB model (trained batch-
     // side on this snapshot, applied row-locally in-flight — zero state,
@@ -306,7 +325,7 @@ object RunDocPipeline {
     val maxPhase = cur.agg(max("phase")).collect()(0).getInt(0)
     val annealDocs = cur.filter(col("phase") === maxPhase).count()
 
-    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"temp_shards":$tempShards,"temp_docs":$tempDocs,"temp_tokens":$tempTokens,"curriculum_shards":$curShards,"anneal_docs":$annealDocs,"worst_quality_drift_pm":$worstQDrift,"degraded_sources":$degradedSources,"worst_bpe_drift_pm":$worstBpeDrift,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept,"videos_admitted":$videosAdmitted,"vectors_admitted":$vectorsAdmitted,"pairs_mined":$pairsMined,"nb_scored":$nbScored,"nb_top_bucket":"$nbTopBucket","nb_top_count":$nbTopCount}""")
+    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"temp_shards":$tempShards,"temp_docs":$tempDocs,"temp_tokens":$tempTokens,"curriculum_shards":$curShards,"anneal_docs":$annealDocs,"worst_quality_drift_pm":$worstQDrift,"degraded_sources":$degradedSources,"worst_bpe_drift_pm":$worstBpeDrift,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept,"videos_admitted":$videosAdmitted,"vectors_admitted":$vectorsAdmitted,"pairs_mined":$pairsMined,"contaminated":$contaminated,"nb_scored":$nbScored,"nb_top_bucket":"$nbTopBucket","nb_top_count":$nbTopCount}""")
     spark.stop()
   }
 }
