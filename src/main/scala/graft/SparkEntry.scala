@@ -314,6 +314,7 @@ object SparkEntry {
     "v_sem_clusters" -> ((s, dir) => VectorOps.semClusters(s, dir)),
     "v_sem_clusters_lsls" -> ((s, dir) => VectorOps.semClustersLsLs(s, dir)),
     "v_compact_audit" -> ((s, dir) => VectorOps.compactAudit(s, dir)),
+    "v_graph_rank" -> ((s, dir) => VectorOps.graphRank(s, dir)),
     "v_dup_rate_incr" -> ((s, dir) => VectorOps.dupRateIncr(s, dir)),
     "d_coreset" -> ((s, dir) => MixOps.coresetSample(s, dir)),
     "d_mix_temperature" -> ((s, dir) => MixOps.mixTemperature(s, dir)),
@@ -770,6 +771,7 @@ object SparkEntry {
       // recursive-reachability oracle with the min-label variant
       "v_sem_clusters_lsls" -> VectorOps.semClustersSql(),
       "v_compact_audit" -> VectorOps.compactAuditSql(),
+      "v_graph_rank" -> VectorOps.graphRankSql(),
       "v_dup_rate_incr" -> VectorOps.dupRateIncrSql(),
       "d_coreset" -> MixOps.coresetSampleSql(),
       "d_mix_temperature" -> MixOps.mixTemperatureSql(),

@@ -758,6 +758,82 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** PageRank-style centrality over the mutual-kNN graph — the
+    * representativeness signal graph-based curation uses (central members
+    * describe their semantic neighborhood; peripheral ones are outliers or
+    * bridges): `iters` power-iteration rounds with damping `d`/100, in
+    * EXACT integer arithmetic so both engines agree bit-for-bit with no
+    * quantization step at all — scores are integers (init 10⁶), each
+    * round is `new = (100−d)·10⁴ + (d · Σ score_j div deg_j) div 100`
+    * (integer division throughout, deterministic on any engine). Isolated
+    * nodes hold the teleport floor. Unnormalized (no 1/N): ranking and
+    * ratios are what curation consumes, and the integer floor keeps the
+    * fixed point exact.
+    *
+    * Scale shape per round: one (src-keyed) contribution agg over the
+    * EDGE relation + one left join back to nodes — the min-label
+    * propagation cost model with a constant round count instead of a
+    * diameter-bound. Edge relation is the session-shared kNN graph.
+    */
+  def graphRank(spark: SparkSession, dir: String, threshold: Double = 0.4,
+                kNn: Int = 5, kCentroids: Int = 16, iters: Int = 3,
+                damp: Int = 85,
+                mat: Materialize = Materialize.Local): DataFrame = {
+    val edges = mat(knnGraph(spark, dir, kNn, kCentroids, mat)
+      .filter(col("mutual") && col("cos_sim") >= threshold)
+      .select(col("src"), col("dst")))
+    val nodes = prepared(spark, dir).select(col("vec_id"))
+    graphRankCore(nodes, edges, iters, damp, mat).orderBy(col("vec_id"))
+  }
+
+  /** The power-iteration core of [[graphRank]], factored out so crafted
+    * graph fixtures drive it directly. `edges` must be symmetric.
+    */
+  private[graft] def graphRankCore(nodes: DataFrame, edges: DataFrame,
+                                   iters: Int, damp: Int,
+                                   mat: Materialize): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var scores = nodes.withColumn("score", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(scores.select(col("vec_id").as("src"), col("score")), "src")
+        .join(deg, "src")
+        .select(col("dst"), expr("score div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_c"))
+      scores = mat(nodes
+        .join(contrib.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit((100L - damp) * 10000L) +
+            expr(s"($damp * coalesce(in_c, 0L)) div 100")).as("score")))
+    }
+    scores
+  }
+
+  def graphRankSql(threshold: Double = 0.4, kNn: Int = 5, kCentroids: Int = 16,
+                   iters: Int = 3, damp: Int = 85): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = if (i == 1) "s0" else s"s${i - 1}"
+      s"""c$i AS (
+         |  SELECT e.dst, sum($prev.score // deg.deg) AS in_c
+         |  FROM edges e JOIN $prev ON e.src = $prev.vec_id
+         |       JOIN deg ON e.src = deg.src
+         |  GROUP BY e.dst),
+         |s$i AS (
+         |  SELECT n.vec_id,
+         |    ${(100L - damp) * 10000L} + ($damp * coalesce(c$i.in_c, 0)) // 100 AS score
+         |  FROM nodes n LEFT JOIN c$i ON n.vec_id = c$i.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT src, dst FROM (${knnGraphSql(kNn, kCentroids)})
+       |  WHERE mutual AND cos_sim >= $threshold),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |nodes AS (SELECT vec_id FROM ($preparedSql)),
+       |s0 AS (SELECT vec_id, 1000000 AS score FROM nodes),
+       |$rounds
+       |SELECT vec_id, CAST(score AS BIGINT) AS score FROM s$iters
+       |ORDER BY vec_id""".stripMargin
+  }
+
   def semClustersSql(threshold: Double = 0.4, kNn: Int = 5, kCentroids: Int = 16): String =
     s"""WITH RECURSIVE edges AS (
        |  SELECT src, dst FROM (${knnGraphSql(kNn, kCentroids)})

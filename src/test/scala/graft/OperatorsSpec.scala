@@ -1823,6 +1823,29 @@ class OperatorsSpec extends SparkSuite {
       "delta incr_keep column must cross-foot semDedupIncr")
   }
 
+  test("graphRank: star hub outranks leaves, isolated node holds the teleport floor, exact integers") {
+    // star: 0 <-> {1..5}; node 9 isolated
+    val nodes = (Seq(0L, 1L, 2L, 3L, 4L, 5L, 9L)).toDF("vec_id")
+    val und = (1L to 5L).map(i => (0L, i))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = functions.VectorOps.graphRankCore(nodes, edges, iters = 3,
+      damp = 85, mat = Materialize.Local)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(9L) == 150000L, "isolated node must hold the teleport floor")
+    assert((1L to 5L).map(got).distinct.size == 1, "leaves are symmetric")
+    assert(got(0L) > got(1L) * 3, s"hub must dominate leaves: $got")
+    // exact-integer replay: recompute the 3 rounds in plain Scala
+    val deg = Map(0L -> 5L) ++ (1L to 5L).map(_ -> 1L)
+    var cur = (Seq(0L, 1L, 2L, 3L, 4L, 5L, 9L)).map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val in = (und ++ und.map(_.swap)).groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => cur(src) / deg(src) }.sum
+      }
+      cur = cur.map { case (v, _) => v -> (150000L + 85L * in.getOrElse(v, 0L) / 100L) }
+    }
+    assert(got == cur, s"integer replay mismatch: $got vs $cur")
+  }
+
   test("dedupNfc: composed and decomposed Unicode forms collapse; raw-byte dedup leaks them") {
     // "café" with U+00E9 (composed) vs "cafe" + U+0301 (decomposed): same
     // rendered text, different bytes
