@@ -231,6 +231,7 @@ object SparkEntry {
     "d_lm2_bits" -> ((s, dir) => TextOps.lm2Bits(s, dir)),
     "d_quality_ensemble" -> ((s, dir) => TextOps.qualityEnsemble(s, dir)),
     "d_dedup_nfc" -> ((s, dir) => TextOps.dedupNfc(s, dir)),
+    "d_coreset_central" -> ((s, dir) => MixOps.coresetCentral(s, dir)),
     "d_bm25" -> ((s, dir) => Retrieval.bm25(s, dir)),
     "d_hybrid_rrf" -> ((s, dir) => Retrieval.hybridRrf(s, dir)),
     "d_dsir" -> ((s, dir) => MixOps.dsirWeights(s, dir)),
@@ -701,6 +702,7 @@ object SparkEntry {
       "d_lm2_bits" -> TextOps.lm2BitsSql,
       "d_quality_ensemble" -> TextOps.qualityEnsembleSql,
       "d_dedup_nfc" -> TextOps.dedupNfcSql,
+      "d_coreset_central" -> MixOps.coresetCentralSql(),
       "d_bm25" -> Retrieval.bm25Sql(),
       "d_hybrid_rrf" -> Retrieval.hybridRrfSql(),
       "d_dsir" -> MixOps.dsirWeightsSql(),

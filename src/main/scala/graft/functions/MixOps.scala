@@ -609,6 +609,54 @@ object MixOps {
       .orderBy("doc_id")
   }
 
+  /** [[coresetSample]] with the pick ORDER upgraded from hash-uniform to
+    * CENTRALITY-ranked ([[VectorOps.graphRank]] over the mutual-kNN
+    * graph): same per-cell quota and coverage floor, but each cell
+    * contributes its most REPRESENTATIVE members (highest kNN-graph
+    * centrality, vec_id tie-break) instead of a uniform sample — the
+    * graph-based coreset recipe (central members summarize their
+    * neighborhood; the uniform variant stays as the unbiased baseline,
+    * and the shared quota rule makes the two directly comparable). Exact
+    * integer scores → deterministic ranking on both engines.
+    */
+  def coresetCentral(spark: SparkSession, dir: String, fracPct: Int = 10,
+                     kCentroids: Int = 16): DataFrame = {
+    val assign = VectorOps.ivfAssign(spark, dir, kCentroids)
+      .select(col("vec_id").as("doc_id"), col("centroid_id"))
+    val rank = VectorOps.graphRank(spark, dir, kCentroids = kCentroids)
+      .select(col("vec_id").as("doc_id"), col("score"))
+    val docs = Tables.documents(spark, dir).select("doc_id", "source")
+      .join(assign, Seq("doc_id")).join(rank, Seq("doc_id"))
+    val cell = Window.partitionBy("centroid_id")
+    val byRank = cell.orderBy(col("score").desc, col("doc_id"))
+    docs
+      .withColumn("pick", row_number().over(byRank))
+      .withColumn("cluster_n", count(lit(1)).over(cell))
+      .filter(col("pick") <=
+        greatest(lit(1L), expr(s"(cluster_n * $fracPct + 99) DIV 100")))
+      .select(col("doc_id"), col("source"), col("centroid_id"),
+        col("pick"), col("cluster_n"), col("score"))
+      .orderBy("doc_id")
+  }
+
+  def coresetCentralSql(fracPct: Int = 10, kCentroids: Int = 16): String =
+    s"""WITH assign0 AS (${VectorOps.ivfAssignSql(kCentroids)}),
+       |rank0 AS (${VectorOps.graphRankSql(kCentroids = kCentroids)}),
+       |d AS (SELECT doc_id, source, centroid_id, score
+       |      FROM documents
+       |      JOIN assign0 ON doc_id = assign0.vec_id
+       |      JOIN rank0 ON doc_id = rank0.vec_id),
+       |ranked AS (
+       |  SELECT *,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY centroid_id
+       |      ORDER BY score DESC, doc_id) AS INT) AS pick,
+       |    COUNT(*) OVER (PARTITION BY centroid_id) AS cluster_n
+       |  FROM d)
+       |SELECT doc_id, source, centroid_id, pick, cluster_n, CAST(score AS BIGINT) AS score
+       |FROM ranked
+       |WHERE pick <= greatest(1, (cluster_n * $fracPct + 99) // 100)
+       |ORDER BY doc_id""".stripMargin
+
   def coresetSampleSql(fracPct: Int = 10, kCentroids: Int = 16): String =
     s"""WITH e0 AS (${VectorOps.preparedSql}),
        |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e0 WHERE vec_id < $kCentroids),

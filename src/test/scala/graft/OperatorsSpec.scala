@@ -1823,6 +1823,36 @@ class OperatorsSpec extends SparkSuite {
       "delta incr_keep column must cross-foot semDedupIncr")
   }
 
+  test("coresetCentral: same quotas as the uniform coreset, picks are cell-wise centrality maxima") {
+    val dir = sf("sf0.01")
+    val central = functions.MixOps.coresetCentral(spark, dir).cache()
+    val uniform = functions.MixOps.coresetSample(spark, dir)
+    // identical quota rule -> identical per-cell pick COUNTS
+    val cCells = central.groupBy("centroid_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val uCells = uniform.groupBy("centroid_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cCells == uCells, "quota rule must match the uniform baseline")
+    // every pick dominates every non-pick of its cell on (score, doc_id)
+    val rank = functions.VectorOps.graphRank(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val assign = functions.VectorOps.ivfAssign(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val picked = central.select("doc_id").as[Long].collect().toSet
+    val byCell = assign.keys.groupBy(assign)
+    byCell.foreach { case (cell, members) =>
+      val (in, outM) = members.partition(picked)
+      if (in.nonEmpty && outM.nonEmpty) {
+        val worstIn = in.map(m => (rank(m), -m)).min
+        val bestOut = outM.map(m => (rank(m), -m)).max
+        assert(worstIn._1 > bestOut._1 ||
+          (worstIn._1 == bestOut._1 && -worstIn._2 < -bestOut._2),
+          s"cell $cell picked a less-central member over a more-central one")
+      }
+    }
+    central.unpersist()
+  }
+
   test("graphRank: star hub outranks leaves, isolated node holds the teleport floor, exact integers") {
     // star: 0 <-> {1..5}; node 9 isolated
     val nodes = (Seq(0L, 1L, 2L, 3L, 4L, 5L, 9L)).toDF("vec_id")
