@@ -234,6 +234,7 @@ object SparkEntry {
     "d_coreset_central" -> ((s, dir) => MixOps.coresetCentral(s, dir)),
     "d_bm25" -> ((s, dir) => Retrieval.bm25(s, dir)),
     "d_hybrid_rrf" -> ((s, dir) => Retrieval.hybridRrf(s, dir)),
+    "d_bm25_incr" -> ((s, dir) => Retrieval.bm25Incr(s, dir)),
     "d_dsir" -> ((s, dir) => MixOps.dsirWeights(s, dir)),
     "d_containment" -> ((s, dir) => TextOps.containmentPairs(s, dir)),
     "d_jaccard3_pairs" -> ((s, dir) => TextOps.jaccard3Pairs(s, dir)),
@@ -705,6 +706,7 @@ object SparkEntry {
       "d_coreset_central" -> MixOps.coresetCentralSql(),
       "d_bm25" -> Retrieval.bm25Sql(),
       "d_hybrid_rrf" -> Retrieval.hybridRrfSql(),
+      "d_bm25_incr" -> Retrieval.bm25IncrSql(),
       "d_dsir" -> MixOps.dsirWeightsSql(),
       "d_containment" -> TextOps.containmentPairsSql(),
       "d_jaccard3_pairs" -> TextOps.jaccard3PairsSql(),

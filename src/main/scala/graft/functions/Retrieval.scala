@@ -125,6 +125,149 @@ object Retrieval {
        |WHERE rank <= $k
        |ORDER BY q_id, rank""".stripMargin
 
+  /** Standing-query BM25 over ARRIVALS with FROZEN statistics — the
+    * incremental form retrieval serving actually runs: the index
+    * statistics (df, N, Σlen) freeze at base-build time (the salted
+    * [[TextOps]] `docSplitE` split — same "base" as every text-tier
+    * incremental), standing queries are the probe docs, and only the
+    * DELTA documents are scored — the news-alerting / standing-retrieval
+    * shape, O(delta) per day. Contract delta vs [[bm25]], stated: idf and
+    * avgdl are the BASE corpus's (stale by one increment — the universal
+    * serving trade; refreshing them is the recompaction), and ranks are
+    * WITHIN the increment (yesterday's alerts already fired). tf is the
+    * arrival's own — the only per-arrival term.
+    *
+    * Same quantized-contribution determinism as [[bm25]]; same plan with
+    * the corpus side filtered to the delta split (the filter reaches the
+    * scan — delta is a row predicate, not a join).
+    */
+  def bm25Incr(spark: SparkSession, dir: String, probeMax: Long = 10,
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+               maxDfFrac: Double = 0.9, deltaMod: Int = 5,
+               mat: Materialize = Materialize.Local): DataFrame = {
+    val scored = bm25IncrScored(spark, dir, probeMax, k1, b, maxDfFrac,
+      deltaMod, mat)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("s_int").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"),
+        (col("s_int") / 10000.0).as("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The pre-top-k (q_id, doc_id, s_int) score relation of [[bm25Incr]] —
+    * exposed so the streaming twin's parity spec can compare the full
+    * per-pair scores, not just the per-query winners.
+    */
+  private[graft] def bm25IncrScored(spark: SparkSession, dir: String,
+                                    probeMax: Long, k1: Double, b: Double,
+                                    maxDfFrac: Double, deltaMod: Int,
+                                    mat: Materialize): DataFrame = {
+    val withLen = TextOps.prepared(spark, dir).select(
+      col("doc_id"),
+      filter(col("words"), w => w =!= "").as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("len"))
+    val tf = graft.SharedRel(spark, s"bm25idx|$dir", mat)(
+      withLen.select(col("doc_id"), col("len"), explode(col("ws")).as("w"))
+        .groupBy(col("doc_id"), col("len"), col("w"))
+        .agg(count(lit(1)).as("tf")))
+    val isBase = TextOps.docSplitE(deltaMod) =!= 0
+    // FROZEN statistics: df / N / Σlen over the base split only
+    val df = tf.filter(isBase).groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val stats = withLen.filter(isBase)
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+    val qTerms = tf.filter(col("doc_id") < probeMax)
+      .select(col("doc_id").as("q_id"), col("w"))
+      .join(df, "w").crossJoin(broadcast(stats.select(col("n_docs").as("nd"))))
+      .filter(col("df").cast("double") <= lit(maxDfFrac) * col("nd"))
+      .drop("nd")
+    val cands = tf.filter(!isBase && col("doc_id") >= probeMax)
+      .join(broadcast(qTerms), "w")
+      .crossJoin(broadcast(stats))
+      .withColumn("ratio",
+        col("len").cast("double") * col("n_docs") / col("sum_len"))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("c_int",
+        floor(col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("ratio")))
+          * 10000 + 0.5).cast("long"))
+    cands.groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("c_int")).as("s_int"))
+  }
+
+  /** The frozen standing-query index [[Bm25Stream]] compiles into its
+    * per-arrival expressions: per query, the df-capped terms with their
+    * BASE-split df, plus the frozen (N, Σlen) scalars.
+    */
+  def frozenQueries(spark: SparkSession, dir: String, probeMax: Long = 10,
+                    maxDfFrac: Double = 0.9, deltaMod: Int = 5):
+      (Seq[(Long, Seq[(String, Long)])], Long, Long) = {
+    import spark.implicits._
+    val withLen = TextOps.prepared(spark, dir).select(
+      col("doc_id"),
+      filter(col("words"), w => w =!= "").as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("len"))
+    val tf = withLen.select(col("doc_id"), col("len"), explode(col("ws")).as("w"))
+      .groupBy(col("doc_id"), col("len"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val isBase = TextOps.docSplitE(deltaMod) =!= 0
+    val df = tf.filter(isBase).groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val Array(nDocs, sumLen) = withLen.filter(isBase)
+      .agg(count(lit(1)), sum(col("len"))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val terms = tf.filter(col("doc_id") < probeMax)
+      .select(col("doc_id").as("q_id"), col("w"))
+      .join(df, "w")
+      .filter(col("df").cast("double") <= lit(maxDfFrac) * lit(nDocs.toDouble))
+      .select(col("q_id"), col("w"), col("df"))
+      .as[(Long, String, Long)].collect()
+    val byQ = terms.groupBy(_._1).map { case (q, ts) =>
+      q -> ts.map(t => (t._2, t._3)).sortBy(_._1).toSeq
+    }.toSeq.sortBy(_._1)
+    (byQ, nDocs, sumLen)
+  }
+
+  def bm25IncrSql(probeMax: Long = 10, k: Int = 10, k1: Double = 1.2,
+                  b: Double = 0.75, maxDfFrac: Double = 0.9,
+                  deltaMod: Int = 5): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, list_filter(words, w -> w <> '') AS ws
+       |  FROM (${TextOps.preparedSql})),
+       |wl AS (SELECT doc_id, ws, len(ws) AS len,
+       |         ${TextOps.docSplitSql(deltaMod)} <> 0 AS is_base FROM d),
+       |tf AS (
+       |  SELECT doc_id, len, is_base, w, count(*) AS tf
+       |  FROM wl, unnest(ws) AS t(w)
+       |  GROUP BY doc_id, len, is_base, w),
+       |df AS (SELECT w, count(*) AS df FROM tf WHERE is_base GROUP BY w),
+       |stats AS (SELECT count(*) AS n_docs, sum(len) AS sum_len
+       |          FROM wl WHERE is_base),
+       |qt AS (
+       |  SELECT tf.doc_id AS q_id, tf.w, df.df
+       |  FROM tf JOIN df USING (w), stats
+       |  WHERE tf.doc_id < $probeMax
+       |    AND CAST(df.df AS DOUBLE) <= $maxDfFrac * stats.n_docs),
+       |cands AS (
+       |  SELECT qt.q_id, tf.doc_id,
+       |    CAST(floor(
+       |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |        * (tf * ${k1 + 1}) /
+       |        (tf + $k1 * (${1.0 - b} + $b *
+       |          (CAST(len AS DOUBLE) * n_docs / sum_len)))
+       |      * 10000 + 0.5) AS BIGINT) AS c_int
+       |  FROM tf JOIN qt USING (w), stats
+       |  WHERE NOT tf.is_base AND tf.doc_id >= $probeMax),
+       |scored AS (
+       |  SELECT q_id, doc_id, sum(c_int) AS s_int
+       |  FROM cands GROUP BY q_id, doc_id)
+       |SELECT q_id, rank, doc_id, s_int / 10000.0 AS score FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY s_int DESC, doc_id) AS INT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+
   /** Reciprocal-rank-fusion hybrid retrieval: the BM25 lexical top-k and
     * the exact-cosine semantic top-k ([[VectorOps.knn]], embeddings joined
     * on the doc_id = vec_id contract) fused per query with

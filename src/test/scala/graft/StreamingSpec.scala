@@ -855,6 +855,39 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("bm25 stream: arrival scores equal the batch frozen-stats score relation") {
+    import graft.streaming.Bm25Stream
+    import graft.functions.{Retrieval, TextOps}
+    val sfDir = sf("sf0.01")
+    val batch = Retrieval.bm25IncrScored(spark, sfDir, probeMax = 10,
+        k1 = 1.2, b = 0.75, maxDfFrac = 0.9, deltaMod = 5, graft.Materialize.Local)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(batch.nonEmpty, "fixture must score at least one pair")
+    // the batch corpus side: delta split, non-probe docs
+    val feed = TextOps.prepared(spark, sfDir)
+      .filter(TextOps.docSplitE(5) === 0 && col("doc_id") >= 10)
+      .select(col("doc_id"))
+      .join(graft.Tables.documents(spark, sfDir), "doc_id")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val ts = Timestamp.valueOf("2026-01-01 10:00:00")
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val out = Bm25Stream(in.toDF().toDF("doc_id", "text", "ingest_ts"),
+      Retrieval.frozenQueries(spark, sfDir))
+    val q = out.writeStream.format("memory").queryName("bm25_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(feed.map { case (id, t) => (id, t, ts) })
+      q.processAllAvailable()
+      val got = spark.table("bm25_stream")
+        .select("q_id", "doc_id", "s_int")
+        .as[(Long, Long, Long)].collect()
+        .map { case (qd, d, s) => (qd, d) -> s }.toMap
+      assert(got == batch,
+        s"stream/batch divergence: stream-only=${(got.toSet -- batch.toSet).take(3)}, " +
+          s"batch-only=${(batch.toSet -- got.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("margin stream: one-batch feed mines pair-for-pair what marginPairsIncr mines") {
     import graft.streaming.MarginStream
     val sfDir = sf("sf0.01") // the delta A split at sf0.001 mines nothing
