@@ -394,6 +394,41 @@ class PlanAuditSpec extends SparkSuite {
       s"retrieval must never plan a partition-wise cartesian:\n$plan")
   }
 
+  test("d_dsir: cell distributions broadcast, corpus shuffles only on the per-doc agg") {
+    val plan = executedPlan("d_dsir")
+    assert(!plan.contains("CartesianProduct"),
+      s"dsir must never plan a cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"the 64-cell ratio relation must broadcast into the feature join:\n$plan")
+  }
+
+  test("d_lm2_bits / d_quality_ensemble: no cartesian; ensemble histogram window domain-bounded") {
+    for (name <- Seq("d_lm2_bits", "d_quality_ensemble")) {
+      val plan = executedPlan(name)
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+    }
+  }
+
+  test("v_graph_rank / d_coreset_central: per-round aggs keyed, never cartesian") {
+    for (name <- Seq("v_graph_rank", "d_coreset_central")) {
+      val plan = executedPlan(name)
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+    }
+  }
+
+  test("d_bm25_incr: the delta restriction is a scan-level predicate, not a join") {
+    // the O(delta) contract: the corpus side reaches the candidate join
+    // already filtered by the salted-split row predicate — a plan that
+    // reconstructs the split via a join (or worse, scores the base side
+    // and discards it) has silently lost the incremental shape
+    val df = SparkEntry.queries("d_bm25_incr")(spark, sf("sf0.001"))
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pmod") && plan.contains("% 5") || plan.contains("pmod"),
+      s"delta split must appear as a row-level predicate:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("d_nb_classify: model relations broadcast into scoring; corpus never cartesian'd") {
     // audit the BUILD plan directly: the query surface memoizes the scored
     // relation (SharedRel), so a second call in the suite would show only
