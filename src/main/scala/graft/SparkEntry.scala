@@ -327,6 +327,7 @@ object SparkEntry {
       Multimodal.frameSample(s, dir).orderBy(col("media_id"), col("frame_idx"))),
     "mm_resize" -> ((s, dir) => Multimodal.resizePlan(s, dir).orderBy(col("media_id"))),
     "mm_pixels" -> ((s, dir) => Multimodal.pixelStats(s, dir)),
+    "mm_image_bits" -> ((s, dir) => Multimodal.imageBits(s, dir)),
     "mm_pixels_png" -> ((s, dir) => Multimodal.pixelStatsPng(s, dir)),
     "mm_pixels_jpeg" -> ((s, dir) => Multimodal.pixelStatsJpeg(s, dir)),
     "mm_audio" -> ((s, dir) => Multimodal.audioStats(s, dir)),
@@ -780,6 +781,7 @@ object SparkEntry {
       "d_coreset" -> MixOps.coresetSampleSql(),
       "d_mix_temperature" -> MixOps.mixTemperatureSql(),
       "mm_meta" -> Multimodal.mediaMetaSql,
+      "mm_image_bits" -> Multimodal.imageBitsSql(),
       "mm_frames" -> Multimodal.frameSampleSql(),
       "mm_resize" -> Multimodal.resizePlanSql(),
       "mm_pixels" -> Multimodal.pixelStatsSql(),

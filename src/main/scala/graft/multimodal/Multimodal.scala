@@ -462,6 +462,99 @@ object Multimodal {
        |  CAST(sum((2 * r + 5 * g + 3 * b) * (x + 1) * (y + 1)) AS BIGINT) AS px_check
        |FROM rgb GROUP BY media_id, w, h ORDER BY media_id""".stripMargin
 
+  /** Image self-coding bits — the visual twin of the text tier's
+    * `d_lm_bits`/`d_compress_ratio` quality signals: total bits to code
+    * each image's gray values under their own histogram (the entropy
+    * lower bound, in the exact-integer `length(bin(x))` formulation — no
+    * libm). Flat/templated images (solid fills, letterboxes, test cards)
+    * code in near-zero bits however large they are; real photographs
+    * don't — the degenerate-image filter a multimodal curation pipeline
+    * gates on. Byte path is REAL (the [[pixelStatsJpeg]] JPEG round-trip:
+    * encode → full entropy decode → fixed-point YCbCr→RGB); the DuckDB
+    * oracle recomputes the same pixels arithmetically (block-constant
+    * planes are DCT-exact) and the same integer bits — a defect anywhere
+    * in the codec path shifts the histogram and fails the hash.
+    *
+    * Scale shape: decode + histogram are row-local (765-int state per
+    * image, inside mapPartitions like every codec op); the relation never
+    * shuffles anything but the final per-image rows.
+    */
+  def imageBits(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def lenbin(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(col("doc_id") % 3 === 0)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 24).toInt + 1
+          val h = (id % 18).toInt + 1
+          val yP = new Array[Int](w * h)
+          val cbP = new Array[Int](w * h)
+          val crP = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = y * w + x
+              yP(p) = ((3 * id + 17 * (x / 8) + 29 * (y / 8)) % 256).toInt
+              cbP(p) = ((5 * id + 23 * (x / 16) + 31 * (y / 16)) % 256).toInt
+              crP(p) = ((7 * id + 19 * (x / 16) + 37 * (y / 16)) % 256).toInt
+              x += 1
+            }
+            y += 1
+          }
+          val bytes = Jpeg.encodeYCbCr(w, h, yP, cbP, crP)
+          val (dw, dh, rgb) = Jpeg.decode(bytes)
+            .getOrElse(sys.error(s"undecodable JPEG for media $id"))
+          val hist = new Array[Long](766)
+          var i = 0
+          while (i < dw * dh) {
+            val p = i * 3
+            hist((rgb(p) & 0xff) + (rgb(p + 1) & 0xff) + (rgb(p + 2) & 0xff)) += 1
+            i += 1
+          }
+          val nPx = (dw * dh).toLong
+          var sumBits = 0L
+          var v = 0
+          while (v < 766) {
+            if (hist(v) > 0) sumBits += hist(v) * (lenbin(nPx) - lenbin(hist(v)))
+            v += 1
+          }
+          (id, nPx, sumBits, sumBits / nPx.toDouble)
+        }
+      }.toDF("media_id", "n_px", "sum_bits", "bits_per_px")
+      .orderBy("media_id")
+  }
+
+  def imageBitsSql(): String =
+    s"""WITH imgs AS (
+       |  SELECT doc_id AS media_id,
+       |    doc_id % 24 + 1 AS w, doc_id % 18 + 1 AS h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |px AS (
+       |  SELECT media_id, w, h,
+       |    (3 * media_id + 17 * (x // 8) + 29 * (y // 8)) % 256 AS yv,
+       |    (5 * media_id + 23 * (x // 16) + 31 * (y // 16)) % 256 AS cb,
+       |    (7 * media_id + 19 * (x // 16) + 37 * (y // 16)) % 256 AS cr
+       |  FROM imgs, unnest(range(0, w)) AS tx(x), unnest(range(0, h)) AS ty(y)),
+       |gray AS (
+       |  SELECT media_id, w, h,
+       |    least(greatest(yv + (91881 * cr + 32768) // 65536 - 179, 0), 255)
+       |    + least(greatest(yv - (22554 * cb + 46802 * cr + 32768) // 65536 + 135, 0), 255)
+       |    + least(greatest(yv + (116130 * cb + 32768) // 65536 - 227, 0), 255) AS g
+       |  FROM px),
+       |hist AS (
+       |  SELECT media_id, w, h, g, count(*) AS c
+       |  FROM gray GROUP BY media_id, w, h, g)
+       |SELECT media_id,
+       |  CAST(w * h AS BIGINT) AS n_px,
+       |  CAST(sum(c * (length(bin(CAST(w * h AS BIGINT)))
+       |    - length(bin(c)))) AS BIGINT) AS sum_bits,
+       |  CAST(sum(c * (length(bin(CAST(w * h AS BIGINT))) - length(bin(c)))) AS BIGINT)
+       |    / CAST(w * h AS DOUBLE) AS bits_per_px
+       |FROM hist GROUP BY media_id, w, h ORDER BY media_id""".stripMargin
+
   /** The AUDIO tier of the byte path — real container, real PCM: formula
     * samples → [[Wav.encode]] to actual RIFF/WAVE bytes → [[Wav.decode]]
     * (genuine chunk walk, sign extension, interleaving) → integer audio

@@ -1876,6 +1876,29 @@ class OperatorsSpec extends SparkSuite {
     assert(got == cur, s"integer replay mismatch: $got vs $cur")
   }
 
+  test("imageBits: entropy bound holds, degenerate single-pixel image codes in zero bits") {
+    import graft.multimodal.Multimodal
+    val got = Multimodal.imageBits(spark, sf("sf0.01")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    def lenbin(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    got.foreach { case (id, (nPx, sumBits, bpp)) =>
+      // the self-coding bound: 0 <= bits <= n_px * ceil-log2(n_px)
+      assert(sumBits >= 0 && sumBits <= nPx * lenbin(nPx), s"bound broken at $id")
+      assert(bpp == sumBits / nPx.toDouble)
+      // a constant image (all pixels one gray) codes in zero bits; n_px=1
+      // is constant by construction
+      if (nPx == 1) assert(sumBits == 0L, s"1-px image must code free: $id")
+    }
+    // flat blocks code cheaper: the 1x1..8x8 images are single-DCT-block
+    // (one gray) and must all code at 0 bits/px
+    val flat = got.filter { case (id, _) => id % 24 < 8 && id % 18 < 8 }
+    assert(flat.nonEmpty && flat.forall(_._2._2 == 0L),
+      "single-block images are constant-gray and must code in zero bits")
+    // larger multi-block images carry real variation on testdata
+    assert(got.exists(_._2._3 > 1.0), "fixture must contain high-entropy images")
+  }
+
   test("dedupNfc: composed and decomposed Unicode forms collapse; raw-byte dedup leaks them") {
     // "café" with U+00E9 (composed) vs "cafe" + U+0301 (decomposed): same
     // rendered text, different bytes
