@@ -193,6 +193,47 @@ class EdgeCaseSpec extends SparkSuite {
       && row.getLong(row.fieldIndex("precision_pm")) == 0L)
   }
 
+  test("bm25: an empty probe doc and an all-stopword probe retrieve nothing, never crash") {
+    val docs = Seq(
+      (0L, "", "en", "s", 0L),                       // empty probe
+      (1L, "stop stop stop", "en", "s", 14L),        // all-ubiquitous probe
+      (10L, "stop alpha beta", "en", "s", 15L),
+      (11L, "stop gamma delta", "en", "s", 16L),
+      (12L, "stop epsilon", "en", "s", 12L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25edge").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // "stop" df = 4/5 = 0.8 <= 0.9 survives the cap here, so probe 1 DOES
+    // retrieve; tighten the cap to 0.5 to exercise the all-capped path
+    val got = graft.functions.Retrieval.bm25(spark, tmp, probeMax = 2,
+      maxDfFrac = 0.5).collect()
+    assert(got.isEmpty,
+      s"empty and all-stopword probes must retrieve nothing: ${got.toSeq}")
+  }
+
+  test("graphRank: an edgeless graph is all teleport floor") {
+    val nodes = (0L until 5L).toDF("vec_id")
+    val edges = Seq((0L, 0L)).toDF("src", "dst").filter(col("src") =!= col("dst"))
+    val got = graft.functions.VectorOps.graphRankCore(nodes, edges,
+      iters = 3, damp = 85, mat = Materialize.Local)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(got == Set(150000L), "every node must hold the teleport floor")
+  }
+
+  test("dsirWeights: an empty target distribution still yields defined weights") {
+    // probeMax = 0: no probe docs -> target counts all zero, smoothing
+    // only; weights must be defined (smoothing ratio), nothing crashes
+    val docs = Seq(
+      (5L, "some plain words", "en", "s", 16L),
+      (6L, "other plain words", "en", "s", 17L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("dsir0").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.functions.MixOps.dsirWeights(spark, tmp, probeMax = 0,
+      buckets = 8).collect()
+    assert(got.length == 2 && got.forall(!_.isNullAt(2)))
+  }
+
   test("kAnon at k=1: every row publishes untouched at level 0") {
     val out = TextOps.kAnon(spark, tmp, k = 1)
     assert(out.filter(col("level") =!= 0).isEmpty,
