@@ -317,6 +317,7 @@ object SparkEntry {
     "v_sem_clusters_lsls" -> ((s, dir) => VectorOps.semClustersLsLs(s, dir)),
     "v_compact_audit" -> ((s, dir) => VectorOps.compactAudit(s, dir)),
     "v_graph_rank" -> ((s, dir) => VectorOps.graphRank(s, dir)),
+    "v_cluster_stats" -> ((s, dir) => VectorOps.clusterStats(s, dir)),
     "v_dup_rate_incr" -> ((s, dir) => VectorOps.dupRateIncr(s, dir)),
     "d_coreset" -> ((s, dir) => MixOps.coresetSample(s, dir)),
     "d_mix_temperature" -> ((s, dir) => MixOps.mixTemperature(s, dir)),
@@ -777,6 +778,7 @@ object SparkEntry {
       "v_sem_clusters_lsls" -> VectorOps.semClustersSql(),
       "v_compact_audit" -> VectorOps.compactAuditSql(),
       "v_graph_rank" -> VectorOps.graphRankSql(),
+      "v_cluster_stats" -> VectorOps.clusterStatsSql(),
       "v_dup_rate_incr" -> VectorOps.dupRateIncrSql(),
       "d_coreset" -> MixOps.coresetSampleSql(),
       "d_mix_temperature" -> MixOps.mixTemperatureSql(),

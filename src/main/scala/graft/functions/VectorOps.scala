@@ -758,6 +758,63 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** Per-cluster decision relation for SemDeDup-style cluster pruning —
+    * the step between [[semClusters]] (who is grouped) and
+    * [[semClustersApply]] (keep the min-id rep): a real pipeline prunes
+    * per CLUSTER, not per member, and needs the cluster-level evidence in
+    * one row — size, representative, token mass, low-quality share (the
+    * doc_id = vec_id contract joins the text tier's quality relation) —
+    * plus the verdict: `oversized` (size > `maxSize`, the
+    * template/boilerplate family signature SemDeDup drops wholesale),
+    * `low_quality` (strict majority of members in the low bucket), else
+    * `keep`. Singletons are their own healthy clusters.
+    *
+    * Scale shape: one join of the cluster relation to the per-doc quality
+    * and token columns (doc-keyed), one map-side-combined group on the
+    * cluster rep — nothing new shuffles beyond the semClusters build.
+    */
+  def clusterStats(spark: SparkSession, dir: String, maxSize: Long = 25,
+                   threshold: Double = 0.4, kNn: Int = 5,
+                   kCentroids: Int = 16,
+                   mat: Materialize = Materialize.Local): DataFrame = {
+    val clusters = semClusters(spark, dir, threshold, kNn, kCentroids, mat)
+      .select(col("vec_id").as("doc_id"), col("cluster_rep"))
+    val docs = TextOps.quality(spark, dir)
+      .select(col("doc_id"), (col("quality_bucket") === "low").as("is_low"),
+        col("n_words"))
+    clusters.join(docs, "doc_id")
+      .groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("n_words")).as("sum_words"),
+        sum(col("is_low").cast("long")).as("n_low"))
+      .withColumn("verdict",
+        when(col("n_members") > maxSize, "oversized")
+          .when(col("n_low") * 2 > col("n_members"), "low_quality")
+          .otherwise("keep"))
+      .select(col("cluster_rep"), col("n_members"), col("sum_words"),
+        col("n_low"), col("verdict"))
+      .orderBy(col("cluster_rep"))
+  }
+
+  def clusterStatsSql(maxSize: Long = 25, threshold: Double = 0.4,
+                      kNn: Int = 5, kCentroids: Int = 16): String =
+    s"""WITH clusters AS (
+       |  SELECT vec_id AS doc_id, cluster_rep
+       |  FROM (${semClustersSql(threshold, kNn, kCentroids)})),
+       |q AS (
+       |  SELECT doc_id, quality_bucket = 'low' AS is_low, n_words
+       |  FROM (${TextOps.qualitySql})),
+       |agg AS (
+       |  SELECT cluster_rep, count(*) AS n_members,
+       |    CAST(sum(n_words) AS BIGINT) AS sum_words,
+       |    CAST(sum(CASE WHEN is_low THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+       |  FROM clusters JOIN q USING (doc_id) GROUP BY cluster_rep)
+       |SELECT cluster_rep, n_members, sum_words, n_low,
+       |  CASE WHEN n_members > $maxSize THEN 'oversized'
+       |       WHEN n_low * 2 > n_members THEN 'low_quality'
+       |       ELSE 'keep' END AS verdict
+       |FROM agg ORDER BY cluster_rep""".stripMargin
+
   /** PageRank-style centrality over the mutual-kNN graph — the
     * representativeness signal graph-based curation uses (central members
     * describe their semantic neighborhood; peripheral ones are outliers or

@@ -1853,6 +1853,31 @@ class OperatorsSpec extends SparkSuite {
     central.unpersist()
   }
 
+  test("clusterStats: partitions the corpus, cross-foots semClusters and quality, verdict rules exact") {
+    val dir = sf("sf0.01")
+    val out = functions.VectorOps.clusterStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    val clusters = functions.VectorOps.semClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val lowDocs = TextOps.quality(spark, dir)
+      .filter(col("quality_bucket") === "low")
+      .select("doc_id").as[Long].collect().toSet
+    // members partition the corpus; per-cluster counts cross-foot
+    assert(out.values.map(_._1).sum == clusters.length)
+    clusters.groupBy(_._2).foreach { case (rep, ms) =>
+      val (n, _, nLow, verdict) = out(rep)
+      assert(n == ms.length, s"cluster $rep size mismatch")
+      assert(nLow == ms.count(m => lowDocs(m._1)), s"cluster $rep low-count mismatch")
+      val expect = if (n > 25) "oversized"
+        else if (nLow * 2 > n) "low_quality" else "keep"
+      assert(verdict == expect, s"cluster $rep verdict $verdict != $expect")
+    }
+    // the relation is a decision surface: all three verdicts occur OR the
+    // corpus genuinely has no oversized/low clusters — assert keep exists
+    assert(out.values.exists(_._4 == "keep"))
+  }
+
   test("graphRank: star hub outranks leaves, isolated node holds the teleport floor, exact integers") {
     // star: 0 <-> {1..5}; node 9 isolated
     val nodes = (Seq(0L, 1L, 2L, 3L, 4L, 5L, 9L)).toDF("vec_id")
