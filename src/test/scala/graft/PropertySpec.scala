@@ -261,6 +261,30 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("bm25 is bag-of-words: shuffling document word order never changes a score") {
+    import graft.functions.Retrieval
+    // random small corpora; second table = same docs with words reversed
+    // (tf, df, len all preserved -> identical BM25 relation; contrast with
+    // lm2Bits, which is order-SENSITIVE by design)
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docGen = Gen.choose(3, 12).flatMap(n => Gen.listOfN(n, word))
+    val corpusGen = Gen.choose(6, 12).flatMap(n => Gen.listOfN(n, docGen))
+    samples(corpusGen, 3).zipWithIndex.foreach { case (corpus, i) =>
+      def write(dir: String, rev: Boolean): Unit =
+        corpus.zipWithIndex.map { case (ws, id) =>
+          val t = (if (rev) ws.reverse else ws).mkString(" ")
+          (id.toLong, t, "en", "s", t.length.toLong)
+        }.toDF("doc_id", "text", "lang", "source", "n_chars")
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val d1 = java.nio.file.Files.createTempDirectory(s"bm25p$i").toString
+      val d2 = java.nio.file.Files.createTempDirectory(s"bm25r$i").toString
+      write(d1, rev = false); write(d2, rev = true)
+      val a = Retrieval.bm25(spark, d1, probeMax = 2).collect().map(_.toSeq).toSeq
+      val b = Retrieval.bm25(spark, d2, probeMax = 2).collect().map(_.toSeq).toSeq
+      assert(a == b, s"case $i: word order changed a BM25 relation")
+    }
+  }
+
   test("large-star/small-star equals min-label propagation on random graphs") {
     import graft.functions.VectorOps
     // random sparse graphs under the min-label cap: the two component
