@@ -236,6 +236,7 @@ object SparkEntry {
     "d_hybrid_rrf" -> ((s, dir) => Retrieval.hybridRrf(s, dir)),
     "d_bm25_incr" -> ((s, dir) => Retrieval.bm25Incr(s, dir)),
     "d_dsir" -> ((s, dir) => MixOps.dsirWeights(s, dir)),
+    "d_dsir_mix" -> ((s, dir) => MixOps.dsirMix(s, dir)),
     "d_containment" -> ((s, dir) => TextOps.containmentPairs(s, dir)),
     "d_jaccard3_pairs" -> ((s, dir) => TextOps.jaccard3Pairs(s, dir)),
     "d_shard_pack" -> ((s, dir) => MixOps.shardPack(s, dir)),
@@ -710,6 +711,7 @@ object SparkEntry {
       "d_hybrid_rrf" -> Retrieval.hybridRrfSql(),
       "d_bm25_incr" -> Retrieval.bm25IncrSql(),
       "d_dsir" -> MixOps.dsirWeightsSql(),
+      "d_dsir_mix" -> MixOps.dsirMixSql(),
       "d_containment" -> TextOps.containmentPairsSql(),
       "d_jaccard3_pairs" -> TextOps.jaccard3PairsSql(),
       "d_shard_pack" -> MixOps.shardPackSql(),

@@ -1301,6 +1301,34 @@ object MixOps {
       .orderBy("doc_id")
   }
 
+  /** Per-source DSIR keep rates — the monitor row the mixture owner reads:
+    * which sources look target-like under the importance weights (the
+    * [[dsirWeights]] verdicts folded onto the source key, the
+    * `v_dup_rate_incr` monitor-family shape: |sources| rows of integer
+    * permille however large the corpus).
+    */
+  def dsirMix(spark: SparkSession, dir: String, probeMax: Long = 10,
+              buckets: Int = 64): DataFrame =
+    dsirWeights(spark, dir, probeMax, buckets)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_keep"),
+        sum(col("logw_q")).as("sum_logw_q"))
+      .withColumn("keep_permille", expr("n_keep * 1000L div n_docs"))
+      .orderBy(col("source"))
+
+  def dsirMixSql(probeMax: Long = 10, buckets: Int = 64): String =
+    s"""WITH w AS (${dsirWeightsSql(probeMax, buckets)})
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN w.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |  CAST(sum(w.logw_q) AS BIGINT) AS sum_logw_q,
+       |  CAST(sum(CASE WHEN w.keep THEN 1 ELSE 0 END) * 1000
+       |    // count(*) AS BIGINT) AS keep_permille
+       |FROM w JOIN documents d USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   def dsirWeightsSql(probeMax: Long = 10, buckets: Int = 64): String =
     s"""WITH d AS (
        |  SELECT doc_id, list_filter(words, w -> w <> '') AS ws

@@ -1978,6 +1978,24 @@ class OperatorsSpec extends SparkSuite {
     assert(flaggedVals.size >= (out.size + 9) / 10)
   }
 
+  test("dsirMix: per-source keep rates cross-foot the per-doc weights") {
+    val dir = sf("sf0.01")
+    val perDoc = functions.MixOps.dsirWeights(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    val srcOf = Tables.documents(spark, dir).select("doc_id", "source")
+      .as[(Long, String)].collect().toMap
+    val got = functions.MixOps.dsirMix(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val expect = perDoc.toSeq.groupBy { case (id, _) => srcOf(id) }.map {
+      case (src, ms) =>
+        val n = ms.size.toLong
+        val k = ms.count(_._2._2).toLong
+        src -> (n, k, ms.map(_._2._1).sum, k * 1000 / n)
+    }
+    assert(got == expect, s"mix monitor diverges from the per-doc relation")
+  }
+
   test("dsirWeights: target-like docs weigh positive, off-target negative, features counted exactly") {
     // probes (0,1) speak "alpha beta"; doc 5 mimics them (target-like),
     // doc 6 speaks a vocabulary the probes never use (raw-only)
