@@ -26,6 +26,15 @@ object Materialize {
     * anything long-running; also gives the re-read plan real parquet
     * statistics and column pruning.
     */
+  /** No-op: keep the full lineage live. NOT for production iteration
+    * (lineage grows per round) — exists so plan audits can explain the
+    * per-round shape that `Local`/`Table` would otherwise hide behind a
+    * checkpoint scan.
+    */
+  case object Passthrough extends Materialize {
+    def apply(df: DataFrame): DataFrame = df
+  }
+
   final case class Table(dir: String) extends Materialize {
     private val n = new java.util.concurrent.atomic.AtomicInteger(0)
     def apply(df: DataFrame): DataFrame = {

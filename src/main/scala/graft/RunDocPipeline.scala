@@ -23,7 +23,9 @@ object RunDocPipeline {
     */
   private[graft] def guarded[T](stage: String, sentinel: => T)(body: => T): T =
     try body catch {
-      case e: Throwable =>
+      case scala.util.control.NonFatal(e) =>
+        // NonFatal only: OutOfMemoryError / LinkageError must propagate,
+        // not print a plausible-looking JSON line after a fatal condition
         Console.err.println(s"[docpipeline] stage '$stage' failed " +
           s"(${e.getClass.getName}: ${e.getMessage}); reporting sentinel")
         sentinel

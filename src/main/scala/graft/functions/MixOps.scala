@@ -1270,9 +1270,9 @@ object MixOps {
     graft.SharedRel(spark, s"dsir|$dir|$probeMax|$buckets", mat)(
       dsirWeightsBuild(spark, dir, probeMax, buckets, mat))
 
-  private def dsirWeightsBuild(spark: SparkSession, dir: String,
-                               probeMax: Long, buckets: Int,
-                               mat: graft.Materialize): DataFrame = {
+  private[graft] def dsirWeightsBuild(spark: SparkSession, dir: String,
+                                      probeMax: Long = 10, buckets: Int = 64,
+                                      mat: graft.Materialize = graft.Materialize.Local): DataFrame = {
     val d = TextOps.prepared(spark, dir).select(
       col("doc_id"), filter(col("words"), w => w =!= "").as("ws"))
     val uni = d.select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))

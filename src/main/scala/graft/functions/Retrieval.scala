@@ -198,11 +198,12 @@ object Retrieval {
 
   /** The frozen standing-query index [[Bm25Stream]] compiles into its
     * per-arrival expressions: per query, the df-capped terms with their
-    * BASE-split df, plus the frozen (N, Σlen) scalars.
+    * BASE-split df, plus the frozen (N, Σlen) scalars and the probe-id
+    * cutoff (so the stream can exclude probe self-matches itself).
     */
   def frozenQueries(spark: SparkSession, dir: String, probeMax: Long = 10,
                     maxDfFrac: Double = 0.9, deltaMod: Int = 5):
-      (Seq[(Long, Seq[(String, Long)])], Long, Long) = {
+      (Seq[(Long, Seq[(String, Long)])], Long, Long, Long) = {
     import spark.implicits._
     val withLen = TextOps.prepared(spark, dir).select(
       col("doc_id"),
@@ -225,7 +226,7 @@ object Retrieval {
     val byQ = terms.groupBy(_._1).map { case (q, ts) =>
       q -> ts.map(t => (t._2, t._3)).sortBy(_._1).toSeq
     }.toSeq.sortBy(_._1)
-    (byQ, nDocs, sumLen)
+    (byQ, nDocs, sumLen, probeMax)
   }
 
   def bm25IncrSql(probeMax: Long = 10, k: Int = 10, k1: Double = 1.2,

@@ -2015,7 +2015,7 @@ object TextOps {
     graft.SharedRel(spark, s"lm2|$dir", graft.Materialize.Local)(
       lm2BitsBuild(spark, dir))
 
-  private def lm2BitsBuild(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def lm2BitsBuild(spark: SparkSession, dir: String): DataFrame = {
     val toks = prepared(spark, dir)
       .select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "w")))
     val ow = org.apache.spark.sql.expressions.Window

@@ -25,16 +25,23 @@ import graft.Exprs
   * batch relation's inner-join semantics; consumers threshold on
   * `s_int` for alert routing.
   *
-  * `docs` must carry (doc_id, text, ingest_ts).
+  * `docs` must carry (doc_id, text, ingest_ts) and is expected to be
+  * ARRIVALS — documents not already in the frozen base index. Probe docs
+  * (`doc_id &lt; probeMax`, carried in the frozen tuple) are filtered out
+  * HERE, so a feed that replays them cannot self-match its own standing
+  * queries; re-feeding base-split documents is the one remaining caller
+  * responsibility (the stream cannot tell a base re-feed from a genuine
+  * arrival — an arrival is by definition not in the frozen index).
   */
 object Bm25Stream {
 
   def apply(docs: DataFrame,
-            frozen: (Seq[(Long, Seq[(String, Long)])], Long, Long),
+            frozen: (Seq[(Long, Seq[(String, Long)])], Long, Long, Long),
             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val (queries, nDocs, sumLen) = frozen
+    val (queries, nDocs, sumLen, probeMax) = frozen
     require(queries.nonEmpty, "frozen standing-query set must not be empty")
     val withWords = docs
+      .filter(col("doc_id") >= probeMax)
       .withColumn("norm", Exprs.normText(col("text")))
       .withColumn("ws", filter(split(col("norm"), " "), w => w =!= ""))
       .withColumn("len", size(col("ws")))

@@ -79,7 +79,17 @@ object MarginStream {
   }
 
   /** `vecs` must carry (vec_id, v: array&lt;double&gt;, ingest_ts). Mined
-    * pairs append to `outDir` as (a_id, b_id, cos_sim, margin).
+    * pairs append to `outDir` as (a_id, b_id, cos_sim, margin),
+    * partitioned by the epoch (`batch_id`).
+    *
+    * Exactly-once contract: a REPLAYED micro-batch (crash between the
+    * parquet write and the checkpoint commit) is detected by its own
+    * epoch partition already existing, and the anti-join that completes
+    * it reads ONLY that partition — per-batch replay cost is O(batch),
+    * not O(accumulated output), however long the stream runs. Re-fed
+    * duplicate ARRIVALS in a later epoch are out of scope here (that is
+    * upstream admission dedup's job — DocStream and kin), exactly as in
+    * the batch miner, which scores whatever rows its delta split hands it.
     */
   def appendStream(vecs: DataFrame, frozen: (DataFrame, DataFrame),
                    outDir: String, ckptDir: String, k: Int = 4,
@@ -87,26 +97,29 @@ object MarginStream {
     val (cents, target) = frozen
     vecs.writeStream
       .option("checkpointLocation", ckptDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val mined = mineBatch(batch.select(col("vec_id"), col("v")), cents,
           target, k, minMargin, nProbe)
-        // replayed micro-batch (crash between write and commit) must not
-        // double-append a pair: anti-join against prior mined pairs — the
-        // VideoDedupStream prior-signature pattern. Fallback is ONLY the
-        // first-epoch missing/empty outDir; real read errors propagate.
-        val outPath = new org.apache.hadoop.fs.Path(outDir)
-        val outFs = outPath.getFileSystem(
+          .withColumn("batch_id", lit(batchId))
+        // replay detection is scoped to THIS epoch: the partitioned
+        // layout makes the prior read a single-directory open. Fallback
+        // is ONLY the missing-partition (first-attempt) case; real read
+        // errors propagate.
+        val epochPath = new org.apache.hadoop.fs.Path(
+          outDir, s"batch_id=$batchId")
+        val outFs = epochPath.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
         val out =
-          if (outFs.exists(outPath) && outFs.listStatus(outPath).nonEmpty) {
+          if (outFs.exists(epochPath) && outFs.listStatus(epochPath).nonEmpty) {
             val prior = spark.read.parquet(outDir)
+              .filter(col("batch_id") === batchId)
               .select(col("a_id").as("p_a"), col("b_id").as("p_b"))
             mined.join(prior,
               col("a_id") === col("p_a") && col("b_id") === col("p_b"),
               "left_anti")
           } else mined
-        out.write.mode(SaveMode.Append).parquet(outDir)
+        out.write.partitionBy("batch_id").mode(SaveMode.Append).parquet(outDir)
         ()
       }
       .start()

@@ -298,6 +298,11 @@ class EdgeCaseSpec extends SparkSuite {
       RunDocPipeline.guarded("quiet_stage", 0L)(7L)
     }
     assert(ok == 7L && err2.toString("UTF-8").isEmpty)
+    // fatal JVM conditions must PROPAGATE, never be swallowed into a
+    // sentinel that prints a plausible-looking demo line
+    intercept[LinkageError] {
+      RunDocPipeline.guarded("fatal_stage", 0L) { throw new LinkageError("jvm"); 0L }
+    }
   }
 
   test("curateFunnel: degenerate corpus still emits all seven zero-filled stages") {

@@ -13,7 +13,21 @@ class PlanAuditSpec extends SparkSuite {
 
   private def executedPlan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
-    df.queryExecution.executedPlan.toString
+    val plan = df.queryExecution.executedPlan.toString
+    // Pin hygiene (the r15 d_dsir lesson): when a pinned query's ENTIRE
+    // body gets session-shared (SharedRel), its explain collapses to a
+    // bare materialized scan and every structural assertion on it is
+    // vacuous — the pin must then audit the BUILD relation instead (as
+    // the d_dsir / d_nb_classify pins do). Fail loudly here rather than
+    // letting a broadcast/no-cartesian pin pass or fail against a
+    // checkpoint scan. A plan that merely CONTAINS an ExistingRDD scan
+    // alongside live joins/aggs is fine.
+    val bare = plan.contains("ExistingRDD") &&
+      !Seq("Join", "HashAggregate", "ObjectHashAggregate", "SortAggregate",
+        "Scan parquet", "Generate").exists(plan.contains)
+    assert(!bare,
+      s"$name explains as a bare materialized scan — point this pin at the build function, not the shared query surface:\n$plan")
+    plan
   }
 
   /** Count exchanges, excluding the final presentation orderBy's — the
@@ -395,7 +409,11 @@ class PlanAuditSpec extends SparkSuite {
   }
 
   test("d_dsir: cell distributions broadcast, corpus shuffles only on the per-doc agg") {
-    val plan = executedPlan("d_dsir")
+    // audit the BUILD plan directly: the public surface is session-shared
+    // (SharedRel — the verdicts feed both d_dsir and d_dsir_mix), so the
+    // query's own explain is just the materialized scan
+    val plan = graft.functions.MixOps.dsirWeightsBuild(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
       s"dsir must never plan a cartesian:\n$plan")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
@@ -403,17 +421,29 @@ class PlanAuditSpec extends SparkSuite {
   }
 
   test("d_lm2_bits / d_quality_ensemble: no cartesian; ensemble histogram window domain-bounded") {
-    for (name <- Seq("d_lm2_bits", "d_quality_ensemble")) {
-      val plan = executedPlan(name)
-      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
-    }
+    // d_lm2_bits' public surface is session-shared (feeds the ensemble
+    // gate too) — audit the build relation directly
+    val lmPlan = graft.functions.TextOps.lm2BitsBuild(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!lmPlan.contains("CartesianProduct"),
+      s"d_lm2_bits plans a cartesian:\n$lmPlan")
+    val plan = executedPlan("d_quality_ensemble")
+    assert(!plan.contains("CartesianProduct"), s"d_quality_ensemble plans a cartesian:\n$plan")
   }
 
   test("v_graph_rank / d_coreset_central: per-round aggs keyed, never cartesian") {
-    for (name <- Seq("v_graph_rank", "d_coreset_central")) {
-      val plan = executedPlan(name)
-      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
-    }
+    // v_graph_rank's public surface ends on the last round's materialized
+    // scan — audit the LIVE per-round plan via the pass-through
+    // materialization instead (the d_dsir build-side rule)
+    val rankPlan = graft.functions.VectorOps.graphRank(spark, sf("sf0.001"),
+      mat = graft.Materialize.Passthrough)
+      .queryExecution.executedPlan.toString
+    assert(!rankPlan.contains("CartesianProduct"),
+      s"v_graph_rank plans a cartesian:\n$rankPlan")
+    assert(rankPlan.contains("HashAggregate"),
+      s"per-round contributions must be keyed aggs:\n$rankPlan")
+    val plan = executedPlan("d_coreset_central")
+    assert(!plan.contains("CartesianProduct"), s"d_coreset_central plans a cartesian:\n$plan")
   }
 
   test("d_bm25_incr: the delta restriction is a scan-level predicate, not a join") {
@@ -424,7 +454,7 @@ class PlanAuditSpec extends SparkSuite {
     val df = SparkEntry.queries("d_bm25_incr")(spark, sf("sf0.001"))
     df.write.format("noop").mode("overwrite").save()
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("pmod") && plan.contains("% 5") || plan.contains("pmod"),
+    assert(plan.contains("pmod") && (plan.contains("% 5") || plan.contains("pmod(")),
       s"delta split must appear as a row-level predicate:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }

@@ -863,9 +863,10 @@ class StreamingSpec extends SparkSuite {
         k1 = 1.2, b = 0.75, maxDfFrac = 0.9, deltaMod = 5, graft.Materialize.Local)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(batch.nonEmpty, "fixture must score at least one pair")
-    // the batch corpus side: delta split, non-probe docs
+    // the batch corpus side: delta split — probe docs (doc_id < 10) are
+    // DELIBERATELY left in the feed; the stream must drop them itself
     val feed = TextOps.prepared(spark, sfDir)
-      .filter(TextOps.docSplitE(5) === 0 && col("doc_id") >= 10)
+      .filter(TextOps.docSplitE(5) === 0 || col("doc_id") < 10)
       .select(col("doc_id"))
       .join(graft.Tables.documents(spark, sfDir), "doc_id")
       .select(col("doc_id"), col("text")).as[(Long, String)].collect()
@@ -912,12 +913,23 @@ class StreamingSpec extends SparkSuite {
         .as[(Long, Long, Double, Double)].collect().toSet
       assert(got == batch,
         s"stream/batch divergence: stream-only=${got -- batch}, batch-only=${batch -- got}")
-      // replayed feed: the prior-pair anti-join must keep the relation
-      // fixed (retry idempotence)
+      // simulated crash replay: pre-seed the NEXT epoch's partition with
+      // a PARTIAL write (the crash-between-write-and-commit state), then
+      // feed the same arrivals — the epoch-scoped anti-join must complete
+      // the partition without duplicating the partial rows, and must not
+      // touch epoch 0 (per-batch replay cost stays O(batch))
+      val partial = batch.take(batch.size / 2 max 1).toSeq
+      partial.toDF("a_id", "b_id", "cos_sim", "margin")
+        .write.parquet(s"$out/batch_id=1")
       in.addData(delta.map { case (id, v) => (id, v, ts) })
       q.processAllAvailable()
-      assert(spark.read.parquet(out).count() == batch.size,
-        "replayed arrivals must not re-append mined pairs")
+      val epoch1 = spark.read.parquet(out).filter(col("batch_id") === 1)
+        .select("a_id", "b_id", "cos_sim", "margin")
+        .as[(Long, Long, Double, Double)].collect()
+      assert(epoch1.toSet == batch && epoch1.length == batch.size,
+        "replayed epoch must complete exactly-once over its partial write")
+      assert(spark.read.parquet(out).count() == 2L * batch.size,
+        "replay completion must not disturb prior epochs")
     } finally q.stop()
   }
 }
