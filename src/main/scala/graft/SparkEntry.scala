@@ -199,7 +199,10 @@ object SparkEntry {
     "d_contamination" -> ((s, dir) => TextOps.contamination(s, dir).orderBy(col("doc_id"))),
     "d_novelty" -> ((s, dir) => TextOps.novelty(s, dir)),
     "d_decontam_spans" -> ((s, dir) => TextOps.decontamSpans(s, dir)),
+    "d_dup_spans" -> ((s, dir) => TextOps.dupSpans(s, dir)),
     "d_curate" -> ((s, dir) => TextOps.curate(s, dir).orderBy(col("doc_id"))),
+    "d_curate_spans" -> ((s, dir) =>
+      TextOps.curate(s, dir, dupTokenMax = 20).orderBy(col("doc_id"))),
     "d_redact" -> ((s, dir) => TextOps.redact(s, dir).orderBy(col("doc_id"))),
     "d_top_terms" -> ((s, dir) => TextOps.topTerms(s, dir).orderBy(col("doc_id"), col("rank"))),
     "d_dedup_exact" -> ((s, dir) => TextOps.dedupExact(s, dir).orderBy(col("rep_doc_id"))),
@@ -674,7 +677,9 @@ object SparkEntry {
       "d_contamination" -> TextOps.contaminationSql(),
       "d_novelty" -> TextOps.noveltySql,
       "d_decontam_spans" -> TextOps.decontamSpansSql(),
+      "d_dup_spans" -> TextOps.dupSpansSql(),
       "d_curate" -> TextOps.curateSql(),
+      "d_curate_spans" -> TextOps.curateSql(dupTokenMax = 20),
       "d_redact" -> TextOps.redactSql,
       "d_top_terms" -> TextOps.topTermsSql(),
       "d_dedup_exact" -> TextOps.dedupExactSql,

@@ -588,6 +588,124 @@ object TextOps {
        |        LEFT JOIN clean ON pw.doc_id = clean.doc_id
        |ORDER BY pw.doc_id""".stripMargin
 
+  /** Substring-level EXACT dedup (the Lee et al. "Deduplicating Training
+    * Data Makes Language Models Better" cut, fixed-width form): a sliding
+    * `n`-token window whose text occurs anywhere else in the corpus —
+    * another document, or an earlier position of the same document — is a
+    * duplicated substring; every occurrence except the globally FIRST
+    * (min (doc_id, position)) is cut. Overlapping cut windows merge into
+    * maximal spans; output mirrors [[decontamSpans]] (the span-merge
+    * machinery is the same, pointed at corpus-frequent shingles instead
+    * of probe shingles): per-doc token/span counts and the cleaned text.
+    * This is the memorization-risk cut a training pipeline runs BESIDE
+    * decontamination — verbatim boilerplate (licenses, navigation chrome,
+    * quoted passages) disappears while each unique passage survives in
+    * exactly one place.
+    *
+    * Contract: docs with ≥ `n` words (shorter docs have no windows — the
+    * doc-level dedup ladder owns them). Suffix arrays find VARIABLE-length
+    * maximal runs; the fixed-`n` shingle form is the shuffle-native
+    * equivalent (any shared run of length ≥ n is covered by its length-n
+    * sub-windows, so cut coverage is identical for runs ≥ n).
+    *
+    * Scale shape: positioned shingle explode → shingle-keyed first-
+    * occurrence agg (map-side combined; only shingles with ≥ 2 occurrences
+    * survive to the join) → equi-join back on the shingle → per-doc span
+    * merge bounded by each doc's own length. Skew bound: the hottest
+    * shingle's occurrence list lands in one agg task — the same hot-key
+    * bound every LSH band join in this file carries; AQE splits the join
+    * side at 100 TB.
+    */
+  def dupSpans(spark: SparkSession, dir: String, n: Int = 5,
+               mat: Materialize = Materialize.Local): DataFrame = mat match {
+    // session-shared under the default materialization: the relation
+    // feeds its own verdict query and the optional [[curate]] gate
+    case Materialize.Local =>
+      graft.SharedRel(spark, s"dupspans|$dir|$n", Materialize.Local)(
+        dupSpansBuild(spark, dir, n, Materialize.Local))
+    case m => dupSpansBuild(spark, dir, n, m)
+  }
+
+  private[graft] def dupSpansBuild(spark: SparkSession, dir: String, n: Int,
+                                   mat: Materialize): DataFrame = {
+    val pw = mat(prepared(spark, dir).filter(size(col("words")) >= n)
+      .select(col("doc_id"), col("words")))
+    val sh = pw.select(col("doc_id"), posexplode(expr(
+      s"transform(sequence(0, size(words)-$n), i -> array_join(slice(words, i+1, $n), ' '))"))
+      .as(Seq("i", "sh")))
+    // keeper = globally first (doc_id, i) per shingle text; only shingles
+    // seen twice survive into the cut join
+    val keep = sh.groupBy(col("sh"))
+      .agg(min(struct(col("doc_id"), col("i"))).as("k"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("sh"), col("k.doc_id").as("k_doc"), col("k.i").as("k_i"))
+    val hits = mat(sh.join(keep, "sh")
+      .filter(!(col("doc_id") === col("k_doc") && col("i") === col("k_i")))
+      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${n - 1})")).as("p"))
+      .distinct())
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val spans = hits.withColumn("prev", lag("p", 1).over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup"),
+        sum(when(col("prev").isNull || col("p") - col("prev") =!= 1, 1L)
+          .otherwise(0L)).as("n_spans"))
+    val wp = pw.select(col("doc_id"), posexplode(col("words")).as(Seq("p", "word")))
+    val clean = wp.join(hits, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(p, word))), x -> x.word)"),
+        " ").as("text_clean"))
+    pw.select(col("doc_id"), size(col("words")).cast("long").as("n_words"))
+      .join(spans, Seq("doc_id"), "left")
+      .join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  def dupSpansSql(n: Int = 5): String =
+    s"""WITH pw AS (
+       |  SELECT doc_id, words FROM ($preparedSql) WHERE len(words) >= $n),
+       |sh AS (
+       |  SELECT doc_id, i - 1 AS i,
+       |         array_to_string(words[i : i + ${n - 1}], ' ') AS sh
+       |  FROM pw, unnest(range(1, len(words) - ${n - 1} + 1)) AS t(i)),
+       |dup AS (
+       |  SELECT doc_id, i FROM (
+       |    SELECT doc_id, i,
+       |      ROW_NUMBER() OVER (PARTITION BY sh ORDER BY doc_id, i) AS rn
+       |    FROM sh)
+       |  WHERE rn > 1),
+       |hits AS (
+       |  SELECT DISTINCT doc_id, i + d AS p
+       |  FROM dup, unnest(range(0, $n)) AS u(d)),
+       |spans AS (
+       |  SELECT doc_id, count(*) AS n_dup,
+       |    CAST(sum(CASE WHEN prev IS NULL OR p - prev <> 1 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_spans
+       |  FROM (SELECT doc_id, p,
+       |          lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM hits)
+       |  GROUP BY doc_id),
+       |wp AS (
+       |  SELECT doc_id, i - 1 AS p, words[i] AS word
+       |  FROM pw, unnest(range(1, len(words) + 1)) AS t(i)),
+       |clean AS (
+       |  SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS text_clean
+       |  FROM wp
+       |  WHERE NOT EXISTS (SELECT 1 FROM hits h
+       |                    WHERE h.doc_id = wp.doc_id AND h.p = wp.p)
+       |  GROUP BY doc_id)
+       |SELECT pw.doc_id, CAST(len(words) AS BIGINT) AS n_words,
+       |  COALESCE(n_dup, 0) AS n_dup,
+       |  COALESCE(n_spans, 0) AS n_spans,
+       |  COALESCE(text_clean, '') AS text_clean
+       |FROM pw LEFT JOIN spans ON pw.doc_id = spans.doc_id
+       |        LEFT JOIN clean ON pw.doc_id = clean.doc_id
+       |ORDER BY pw.doc_id""".stripMargin
+
   // ---- repetition signals (Gopher-style quality filters) ----
 
   /** Per-doc repetition signals — the Gopher/C4 family of quality filters a
@@ -1656,20 +1774,29 @@ object TextOps {
     * The decision relation stays narrow however wide the docs are — payload
     * re-joins by doc_id downstream, exactly like [[dedupApply]].
     */
+  /** `dupTokenMax >= 0` arms the OPTIONAL substring-dedup gate: a doc
+    * whose [[dupSpans]] cut covers more than `dupTokenMax` tokens drops
+    * with reason `dup_span` (after the contamination gate — both are
+    * span-level verdicts — and before sampling). Default −1 = off, the
+    * reference 6-gate chain; [[curateFunnel]] reports the default chain.
+    */
   def curate(spark: SparkSession, dir: String, keepLang: String = "en",
              probeMax: Long = 10, contamMin: Long = 5,
-             sampleMod: Int = 10, sampleKeep: Int = 8): DataFrame =
+             sampleMod: Int = 10, sampleKeep: Int = 8,
+             dupTokenMax: Long = -1L): DataFrame =
     // session-shared: three consumers (the verdict query, the funnel
     // report, the corpus build's keep set) and a deterministic relation —
     // the dupClusters argument
     graft.SharedRel(spark,
-      s"curate|$dir|$keepLang|$probeMax|$contamMin|$sampleMod|$sampleKeep",
+      s"curate|$dir|$keepLang|$probeMax|$contamMin|$sampleMod|$sampleKeep|$dupTokenMax",
       Materialize.Local)(
-      curateBuild(spark, dir, keepLang, probeMax, contamMin, sampleMod, sampleKeep))
+      curateBuild(spark, dir, keepLang, probeMax, contamMin, sampleMod,
+        sampleKeep, dupTokenMax))
 
   private def curateBuild(spark: SparkSession, dir: String, keepLang: String,
                           probeMax: Long, contamMin: Long,
-                          sampleMod: Int, sampleKeep: Int): DataFrame = {
+                          sampleMod: Int, sampleKeep: Int,
+                          dupTokenMax: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = prepared(spark, dir)
       .withColumn("pred_lang", predLangE)
@@ -1679,15 +1806,23 @@ object TextOps {
         min(col("doc_id")).over(Window.partitionBy(col("h"))))
     val cont = contamination(spark, dir, probeMax)
       .select(col("doc_id"), col("n_shared_shingles"))
+    val dupCond: Column =
+      if (dupTokenMax >= 0) coalesce(col("n_dup"), lit(0L)) > dupTokenMax
+      else lit(false)
     val reason = when(col("pred_lang") =!= keepLang, "lang")
       .when(col("quality_bucket") === "low", "quality")
       .when(col("doc_id") =!= col("rep_doc_id"), "duplicate")
       .when(col("doc_id") < probeMax, "benchmark")
       .when(coalesce(col("n_shared_shingles"), lit(0L)) >= contamMin, "contaminated")
+      .when(dupCond, "dup_span")
       .when(pmod(Exprs.hex60(col("doc_id").cast("string")), lit(sampleMod)) >= sampleKeep,
         "sampled_out")
       .otherwise("kept")
-    base.join(cont, Seq("doc_id"), "left")
+    val withDup = if (dupTokenMax >= 0)
+      base.join(dupSpans(spark, dir).select(col("doc_id"), col("n_dup")),
+        Seq("doc_id"), "left")
+    else base
+    withDup.join(cont, Seq("doc_id"), "left")
       .withColumn("drop_reason", reason)
       .select(col("doc_id"), col("source"), col("pred_lang"),
         col("quality_bucket"), (col("drop_reason") === "kept").as("keep"),
@@ -1745,12 +1880,23 @@ object TextOps {
 
   def curateSql(keepLang: String = "en", probeMax: Long = 10,
                 contamMin: Long = 5, sampleMod: Int = 10,
-                sampleKeep: Int = 8): String =
+                sampleKeep: Int = 8, dupTokenMax: Long = -1L): String = {
+    val dupCte =
+      if (dupTokenMax >= 0)
+        s",\nds AS (SELECT doc_id, n_dup FROM (${dupSpansSql()}))"
+      else ""
+    val dupCase =
+      if (dupTokenMax >= 0)
+        s"\n         WHEN coalesce(ds.n_dup, 0) > $dupTokenMax THEN 'dup_span'"
+      else ""
+    val dupJoin =
+      if (dupTokenMax >= 0) "\n  LEFT JOIN ds ON d.doc_id = ds.doc_id"
+      else ""
     s"""WITH lang AS (SELECT doc_id, pred_lang FROM ($langidSql)),
        |q AS (SELECT doc_id, quality_bucket FROM ($qualitySql)),
        |d AS (SELECT doc_id, source, md5(norm) AS h FROM ($preparedSql)),
        |rep AS (SELECT h, min(doc_id) AS rep_doc_id FROM d GROUP BY h),
-       |cont AS (SELECT doc_id, n_shared_shingles FROM (${contaminationSql(probeMax)}))
+       |cont AS (SELECT doc_id, n_shared_shingles FROM (${contaminationSql(probeMax)}))$dupCte
        |SELECT doc_id, source, pred_lang, quality_bucket,
        |  drop_reason = 'kept' AS keep, drop_reason
        |FROM (
@@ -1759,7 +1905,7 @@ object TextOps {
        |         WHEN q.quality_bucket = 'low' THEN 'quality'
        |         WHEN d.doc_id <> rep.rep_doc_id THEN 'duplicate'
        |         WHEN d.doc_id < $probeMax THEN 'benchmark'
-       |         WHEN coalesce(cont.n_shared_shingles, 0) >= $contamMin THEN 'contaminated'
+       |         WHEN coalesce(cont.n_shared_shingles, 0) >= $contamMin THEN 'contaminated'$dupCase
        |         WHEN ${Exprs.hex60Sql("d.doc_id::VARCHAR")} % $sampleMod >= $sampleKeep
        |           THEN 'sampled_out'
        |         ELSE 'kept' END AS drop_reason
@@ -1767,8 +1913,9 @@ object TextOps {
        |  JOIN lang ON d.doc_id = lang.doc_id
        |  JOIN q ON d.doc_id = q.doc_id
        |  JOIN rep ON d.h = rep.h
-       |  LEFT JOIN cont ON d.doc_id = cont.doc_id)
+       |  LEFT JOIN cont ON d.doc_id = cont.doc_id$dupJoin)
        |ORDER BY doc_id""".stripMargin
+  }
 
   // ---- SimHash ----
 

@@ -858,6 +858,31 @@ class OperatorsSpec extends SparkSuite {
       (13L, 3L, 1L, "")))
   }
 
+  test("dupSpans cuts every duplicated n-gram occurrence except the globally first") {
+    val docs = Seq(
+      // keeper of "a b c d e" (min (doc_id, pos)) — survives untouched
+      (20L, "a b c d e x y z w v", "en", "s", 1L),
+      // cross-doc dup at positions 2-6 → one span, middle cut
+      (21L, "p q a b c d e r s t", "en", "s", 1L),
+      // fully unique → untouched
+      (22L, "m n o p q r s t u v", "en", "s", 1L),
+      // within-doc repeat of a 7-token run: both halves lose their shared
+      // 5-gram coverage (the run's own first occurrence ALSO loses to
+      // doc 20's "a b c d e"); surviving tokens are exactly positions 5-6
+      (23L, "a b c d e f g a b c d e f g", "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("dupspans").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextOps.dupSpans(spark, tmp)
+      .select("doc_id", "n_dup", "n_spans", "text_clean")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (20L, 0L, 0L, "a b c d e x y z w v"),
+      (21L, 5L, 1L, "p q r s t"),
+      (22L, 0L, 0L, "m n o p q r s t u v"),
+      (23L, 12L, 2L, "f g")))
+  }
+
   test("bpe: classic low/lower/newest corpus trains the expected first merges") {
     // the textbook BPE example: "lo" then "low" dominate
     val docs = Seq(

@@ -268,6 +268,16 @@ class PlanAuditSpec extends SparkSuite {
       s"probe set must broadcast:\n$plan")
   }
 
+  test("dup-spans build: shingle-keyed equi-join, never cartesian") {
+    // the memoized d_dup_spans handle is a checkpoint scan; audit the build
+    val plan = graft.functions.TextOps
+      .dupSpansBuild(spark, sf("sf0.001"), 5, graft.Materialize.Local)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"cut join must stay keyed on the shingle:\n$plan")
+  }
+
   test("mm_neardup: candidates only from band buckets — no all-pairs path in the plan") {
     val plan = executedPlan("mm_neardup")
     // the banded self-join must plan as an equi-join on (band, value);
