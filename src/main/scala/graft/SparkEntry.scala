@@ -238,6 +238,7 @@ object SparkEntry {
     "d_bm25" -> ((s, dir) => Retrieval.bm25(s, dir)),
     "d_hybrid_rrf" -> ((s, dir) => Retrieval.hybridRrf(s, dir)),
     "d_bm25_incr" -> ((s, dir) => Retrieval.bm25Incr(s, dir)),
+    "d_bm25_compact" -> ((s, dir) => Retrieval.bm25Compact(s, dir)),
     "d_dsir" -> ((s, dir) => MixOps.dsirWeights(s, dir)),
     "d_dsir_mix" -> ((s, dir) => MixOps.dsirMix(s, dir)),
     "d_containment" -> ((s, dir) => TextOps.containmentPairs(s, dir)),
@@ -715,6 +716,7 @@ object SparkEntry {
       "d_bm25" -> Retrieval.bm25Sql(),
       "d_hybrid_rrf" -> Retrieval.hybridRrfSql(),
       "d_bm25_incr" -> Retrieval.bm25IncrSql(),
+      "d_bm25_compact" -> Retrieval.bm25CompactSql(),
       "d_dsir" -> MixOps.dsirWeightsSql(),
       "d_dsir_mix" -> MixOps.dsirMixSql(),
       "d_containment" -> TextOps.containmentPairsSql(),

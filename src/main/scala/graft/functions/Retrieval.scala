@@ -162,7 +162,8 @@ object Retrieval {
   private[graft] def bm25IncrScored(spark: SparkSession, dir: String,
                                     probeMax: Long, k1: Double, b: Double,
                                     maxDfFrac: Double, deltaMod: Int,
-                                    mat: Materialize): DataFrame = {
+                                    mat: Materialize,
+                                    freshStats: Boolean = false): DataFrame = {
     val withLen = TextOps.prepared(spark, dir).select(
       col("doc_id"),
       filter(col("words"), w => w =!= "").as("ws"))
@@ -172,9 +173,12 @@ object Retrieval {
         .groupBy(col("doc_id"), col("len"), col("w"))
         .agg(count(lit(1)).as("tf")))
     val isBase = TextOps.docSplitE(deltaMod) =!= 0
-    // FROZEN statistics: df / N / Σlen over the base split only
-    val df = tf.filter(isBase).groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val stats = withLen.filter(isBase)
+    // FROZEN statistics: df / N / Σlen over the base split only —
+    // unless `freshStats`, which scores the same delta candidates under
+    // REFRESHED full-corpus statistics (the [[bm25Compact]] contrast side)
+    val df = (if (freshStats) tf else tf.filter(isBase))
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val stats = (if (freshStats) withLen else withLen.filter(isBase))
       .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
     val qTerms = tf.filter(col("doc_id") < probeMax)
       .select(col("doc_id").as("q_id"), col("w"))
@@ -268,6 +272,126 @@ object Retrieval {
        |  FROM scored)
        |WHERE rank <= $k
        |ORDER BY q_id, rank""".stripMargin
+
+  /** Index-recompaction audit — the staleness-cost report that tells a
+    * BM25 deployment WHEN to re-index (the [[VectorOps]] `v_compact_audit`
+    * twin for the retrieval tier): the same delta candidates are scored
+    * twice, once under the FROZEN base statistics [[bm25Incr]] serves with
+    * (df/N/avgdl stale by one increment — `Retrieval.scala` freeze
+    * contract) and once under REFRESHED full-corpus statistics, and the
+    * per-standing-query rank drift between the two is folded to integer
+    * monitor rows: pair counts per side, common pairs, rank-changed pairs,
+    * total absolute rank drift, and how much of the serving top-k is
+    * stable. All-integer output — cross-engine exact, no float compare.
+    *
+    * The df-FRACTION cap is applied per side against its own N (a term can
+    * be under the cap frozen and over it refreshed — that asymmetry is
+    * real staleness cost and shows up as one-sided pairs). Scale shape:
+    * two passes over the shared session inverted index with broadcast
+    * stats + query terms (each pass the [[bm25Incr]] plan), then a
+    * |queries|·|delta|-bounded rank join — the audit costs two serving
+    * queries, never a corpus rebuild.
+    */
+  def bm25Compact(spark: SparkSession, dir: String, probeMax: Long = 10,
+                  k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+                  maxDfFrac: Double = 0.9, deltaMod: Int = 5,
+                  mat: Materialize = Materialize.Local): DataFrame = {
+    val frozen = bm25IncrScored(spark, dir, probeMax, k1, b, maxDfFrac,
+      deltaMod, mat)
+    val fresh = bm25IncrScored(spark, dir, probeMax, k1, b, maxDfFrac,
+      deltaMod, mat, freshStats = true)
+    def ranked(sc: DataFrame, nm: String) = sc.select(col("q_id"), col("doc_id"),
+      row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("s_int").desc, col("doc_id"))).as(nm))
+    ranked(frozen, "rank_frozen")
+      .join(ranked(fresh, "rank_fresh"), Seq("q_id", "doc_id"), "full_outer")
+      .groupBy(col("q_id")).agg(
+        count(col("rank_frozen")).as("n_frozen"),
+        count(col("rank_fresh")).as("n_fresh"),
+        count(when(col("rank_frozen").isNotNull && col("rank_fresh").isNotNull,
+          1)).as("n_common"),
+        count(when(col("rank_frozen") =!= col("rank_fresh"), 1))
+          .as("n_rank_changed"),
+        coalesce(sum(abs(col("rank_frozen") - col("rank_fresh"))), lit(0L))
+          .cast("long").as("sum_abs_drift"),
+        count(when(col("rank_frozen") <= k && col("rank_fresh") <= k, 1))
+          .as("topk_stable"))
+      .orderBy(col("q_id"))
+  }
+
+  def bm25CompactSql(probeMax: Long = 10, k: Int = 10, k1: Double = 1.2,
+                     b: Double = 0.75, maxDfFrac: Double = 0.9,
+                     deltaMod: Int = 5): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, list_filter(words, w -> w <> '') AS ws
+       |  FROM (${TextOps.preparedSql})),
+       |wl AS (SELECT doc_id, ws, len(ws) AS len,
+       |         ${TextOps.docSplitSql(deltaMod)} <> 0 AS is_base FROM d),
+       |tf AS (
+       |  SELECT doc_id, len, is_base, w, count(*) AS tf
+       |  FROM wl, unnest(ws) AS t(w)
+       |  GROUP BY doc_id, len, is_base, w),
+       |dfb AS (SELECT w, count(*) AS df FROM tf WHERE is_base GROUP BY w),
+       |dff AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+       |sb AS (SELECT count(*) AS n_docs, sum(len) AS sum_len
+       |       FROM wl WHERE is_base),
+       |sf AS (SELECT count(*) AS n_docs, sum(len) AS sum_len FROM wl),
+       |qtb AS (
+       |  SELECT tf.doc_id AS q_id, tf.w, dfb.df
+       |  FROM tf JOIN dfb USING (w), sb
+       |  WHERE tf.doc_id < $probeMax
+       |    AND CAST(dfb.df AS DOUBLE) <= $maxDfFrac * sb.n_docs),
+       |qtf AS (
+       |  SELECT tf.doc_id AS q_id, tf.w, dff.df
+       |  FROM tf JOIN dff USING (w), sf
+       |  WHERE tf.doc_id < $probeMax
+       |    AND CAST(dff.df AS DOUBLE) <= $maxDfFrac * sf.n_docs),
+       |scb AS (
+       |  SELECT q_id, doc_id, sum(c_int) AS s_int FROM (
+       |    SELECT qtb.q_id, tf.doc_id,
+       |      CAST(floor(
+       |        ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |          * (tf * ${k1 + 1}) /
+       |          (tf + $k1 * (${1.0 - b} + $b *
+       |            (CAST(len AS DOUBLE) * n_docs / sum_len)))
+       |        * 10000 + 0.5) AS BIGINT) AS c_int
+       |    FROM tf JOIN qtb USING (w), sb
+       |    WHERE NOT tf.is_base AND tf.doc_id >= $probeMax)
+       |  GROUP BY q_id, doc_id),
+       |scf AS (
+       |  SELECT q_id, doc_id, sum(c_int) AS s_int FROM (
+       |    SELECT qtf.q_id, tf.doc_id,
+       |      CAST(floor(
+       |        ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |          * (tf * ${k1 + 1}) /
+       |          (tf + $k1 * (${1.0 - b} + $b *
+       |            (CAST(len AS DOUBLE) * n_docs / sum_len)))
+       |        * 10000 + 0.5) AS BIGINT) AS c_int
+       |    FROM tf JOIN qtf USING (w), sf
+       |    WHERE NOT tf.is_base AND tf.doc_id >= $probeMax)
+       |  GROUP BY q_id, doc_id),
+       |rb AS (SELECT q_id, doc_id, CAST(ROW_NUMBER() OVER (
+       |         PARTITION BY q_id ORDER BY s_int DESC, doc_id) AS INT)
+       |         AS rank_frozen FROM scb),
+       |rf AS (SELECT q_id, doc_id, CAST(ROW_NUMBER() OVER (
+       |         PARTITION BY q_id ORDER BY s_int DESC, doc_id) AS INT)
+       |         AS rank_fresh FROM scf),
+       |j AS (SELECT coalesce(rb.q_id, rf.q_id) AS q_id, rank_frozen, rank_fresh
+       |      FROM rb FULL OUTER JOIN rf
+       |        ON rb.q_id = rf.q_id AND rb.doc_id = rf.doc_id)
+       |SELECT q_id,
+       |  CAST(count(rank_frozen) AS BIGINT) AS n_frozen,
+       |  CAST(count(rank_fresh) AS BIGINT) AS n_fresh,
+       |  CAST(count(CASE WHEN rank_frozen IS NOT NULL
+       |                   AND rank_fresh IS NOT NULL THEN 1 END) AS BIGINT)
+       |    AS n_common,
+       |  CAST(count(CASE WHEN rank_frozen <> rank_fresh THEN 1 END) AS BIGINT)
+       |    AS n_rank_changed,
+       |  CAST(coalesce(sum(abs(rank_frozen - rank_fresh)), 0) AS BIGINT)
+       |    AS sum_abs_drift,
+       |  CAST(count(CASE WHEN rank_frozen <= $k AND rank_fresh <= $k THEN 1 END)
+       |       AS BIGINT) AS topk_stable
+       |FROM j GROUP BY q_id ORDER BY q_id""".stripMargin
 
   /** Reciprocal-rank-fusion hybrid retrieval: the BM25 lexical top-k and
     * the exact-cosine semantic top-k ([[VectorOps.knn]], embeddings joined

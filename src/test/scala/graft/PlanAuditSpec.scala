@@ -456,6 +456,14 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), s"d_coreset_central plans a cartesian:\n$plan")
   }
 
+  test("d_bm25_compact: both stat passes broadcast; audit never cartesian") {
+    val plan = executedPlan("d_bm25_compact")
+    assert(!plan.contains("CartesianProduct"),
+      s"recompaction audit must never plan a cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-term joins must broadcast on both stat passes:\n$plan")
+  }
+
   test("d_bm25_incr: the delta restriction is a scan-level predicate, not a join") {
     // the O(delta) contract: the corpus side reaches the candidate join
     // already filtered by the salted-split row predicate — a plan that
