@@ -10,8 +10,9 @@ import graft.Tables
   * Decode comes in two tiers. [[HeaderDecoder]] and the pixel codecs
   * ([[Bmp]], [[Png]], [[Jpeg]] — including full baseline JPEG entropy
   * decode) are REAL: pure-JVM parsing of actual bytes, no native bindings.
-  * Audio/video codecs (MP3/H.264) would need bindings this container
-  * lacks, so that step is a clearly-marked deterministic stub
+  * Audio/video SAMPLE decode (MP3/H.264) would need bindings this
+  * container lacks, so that step is a clearly-marked deterministic stub
+  * (MP3 frame HEADERS are real — [[Mp3]])
   * ([[StubDecoder]]). Both run through the same Spark-side shape —
   * binary+metadata schema, partition-wise batch UDF (`mapPartitions` over
   * a typed Dataset — the Scala analog of `mapInPandas`), and a
@@ -621,6 +622,76 @@ object Multimodal {
        |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0))
        |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
        |FROM f GROUP BY media_id, sr, ch, nf ORDER BY media_id""".stripMargin
+
+  /** Compressed-audio HEADER metadata through the real [[Mp3]] frame walk:
+    * formula-parameterized VBR MPEG-1 Layer III streams (per-frame bitrate
+    * index and padding vary, an ID3v2 tag prefixes the frames) are encoded
+    * to actual bytes, then [[Mp3.parse]] re-derives every reported column
+    * by walking sync words and hopping computed frame lengths — the
+    * duration / bitrate / frame-count readout a curation pipeline gates
+    * compressed audio on WITHOUT a codec binding (the header tier the
+    * H.264-free video path established). The DuckDB oracle recomputes the
+    * same columns byte-free from the generating formula, so any defect in
+    * the frame-length hop, syncsafe ID3 size or table lookup shifts a
+    * value. Media with doc_id % 3 == 1 are the "audio" kind.
+    */
+  def mp3Meta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(col("doc_id") % 3 === 1)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val srIdx = (id % 3).toInt
+          val chMode = (id % 4).toInt
+          val nFrames = (id % 40).toInt + 5
+          val id3Payload = (id % 100).toInt + 10
+          val bytes = Mp3.encode(srIdx, chMode,
+            f => 1 + ((id * 7 + f * 3L) % 14).toInt,
+            f => ((id + f) % 2).toInt,
+            nFrames, id3Payload)
+          val info = Mp3.parse(bytes)
+            .getOrElse(sys.error(s"unparseable MP3 stream for media $id"))
+          (id, info.nFrames, info.sampleRate,
+            info.nFrames.toLong * Mp3.SamplesPerFrame * 1000L / info.sampleRate,
+            info.sumKbps / info.nFrames, info.chMode,
+            info.nBytes.toLong, info.id3Bytes.toLong)
+        }
+      }.toDF("media_id", "n_frames", "sample_rate", "duration_ms",
+        "kbps_avg", "ch_mode", "n_bytes", "id3_bytes")
+      .orderBy("media_id")
+  }
+
+  def mp3MetaSql: String =
+    s"""WITH au AS (
+       |  SELECT doc_id AS media_id,
+       |    doc_id % 3 AS sri, doc_id % 4 AS ch_mode,
+       |    doc_id % 40 + 5 AS nf, doc_id % 100 + 10 AS id3
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |fr AS (
+       |  SELECT media_id, sri, ch_mode, nf, id3, f,
+       |    ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[
+       |      CAST(1 + (media_id * 7 + f * 3) % 14 AS INT)] AS kbps,
+       |    (media_id + f) % 2 AS pad
+       |  FROM au, unnest(range(0, nf)) AS t(f)),
+       |fl AS (
+       |  SELECT media_id, sri, ch_mode, nf, id3,
+       |    sum(144 * (kbps * 1000)
+       |        // ([44100,48000,32000])[CAST(sri + 1 AS INT)] + pad)
+       |      AS frame_bytes,
+       |    sum(kbps) AS sum_kbps
+       |  FROM fr GROUP BY media_id, sri, ch_mode, nf, id3)
+       |SELECT media_id,
+       |  CAST(nf AS INT) AS n_frames,
+       |  CAST(([44100,48000,32000])[CAST(sri + 1 AS INT)] AS INT) AS sample_rate,
+       |  CAST(nf * 1152 * 1000
+       |       // ([44100,48000,32000])[CAST(sri + 1 AS INT)] AS BIGINT)
+       |    AS duration_ms,
+       |  CAST(sum_kbps // nf AS BIGINT) AS kbps_avg,
+       |  CAST(ch_mode AS INT) AS ch_mode,
+       |  CAST(10 + id3 + frame_bytes AS BIGINT) AS n_bytes,
+       |  CAST(10 + id3 AS BIGINT) AS id3_bytes
+       |FROM fl ORDER BY media_id""".stripMargin
 
   /** Acoustic fingerprint of one audio clip — the audio twin of [[dhashOf]],
     * in the Haitsma–Kalker energy-difference family (ISMIR 2002, public):

@@ -3,7 +3,8 @@ package graft.multimodal
 /** Pure-JVM canonical RIFF/WAVE PCM codec — the audio analog of
   * [[Bmp]]/[[Png]]/[[Jpeg]]: real bytes, real container walk, no native
   * binding needed because PCM is uncompressed. Retires the decode stub for
-  * the uncompressed audio container; MP3 stays stubbed
+  * the uncompressed audio container; MP3 sample decode stays stubbed
+  * (frame headers are real — [[Mp3]])
   * ([[Multimodal.StubDecoder]]).
   *
   * Decoder: chunk walk (2-byte aligned, `fmt ` anywhere before `data`),

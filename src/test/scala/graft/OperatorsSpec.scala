@@ -432,6 +432,40 @@ class OperatorsSpec extends SparkSuite {
     assert(Wav.decode("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
   }
 
+  test("mp3 codec: header walk recovers the encoded stream shape; loud refusals") {
+    import graft.multimodal.Mp3
+    // VBR stream: per-frame bitrate index and padding vary; ID3 prefix
+    val bytes = Mp3.encode(srIdx = 1, chMode = 3,
+      bitrateIdx = f => 1 + (f * 5) % 14, padding = f => f % 2,
+      nFrames = 7, id3Payload = 300)
+    val info = Mp3.parse(bytes).getOrElse(fail("refused own output"))
+    assert(info.sampleRate == 48000 && info.chMode == 3 && info.nFrames == 7)
+    assert(info.id3Bytes == 310 && info.nBytes == bytes.length)
+    // sumKbps from the table at the generated indices
+    val expKbps = (0 until 7).map(f => Mp3.BitrateKbps(1 + (f * 5) % 14).toLong).sum
+    assert(info.sumKbps == expKbps)
+    // no ID3 tag: walk starts at the first sync word
+    val bare = Mp3.encode(0, 0, _ => 9, _ => 0, 3, 0)
+    assert(Mp3.parse(bare).exists(i => i.id3Bytes == 0 && i.nFrames == 3
+      && i.sampleRate == 44100))
+    // loud refusals: truncated tail, lost sync, free/reserved bitrate,
+    // reserved samplerate, mid-stream samplerate change, ID3-only
+    assert(Mp3.parse(bytes.take(bytes.length - 1)).isEmpty, "truncated must refuse")
+    val lost = bare.clone(); lost(0) = 0x12
+    assert(Mp3.parse(lost).isEmpty, "lost sync must refuse")
+    val free = bare.clone(); free(2) = (0 << 4 | 0 << 2).toByte
+    assert(Mp3.parse(free).isEmpty, "free-format bitrate must refuse")
+    val rsr = bare.clone(); rsr(2) = (9 << 4 | 3 << 2).toByte
+    assert(Mp3.parse(rsr).isEmpty, "reserved samplerate must refuse")
+    val id3Only = Mp3.encode(0, 0, _ => 9, _ => 0, 1, 20).take(30)
+    assert(Mp3.parse(id3Only).isEmpty, "tag with no frames must refuse")
+    val drift = Mp3.encode(2, 1, _ => 9, _ => 0, 2, 0)
+    // rewrite the SECOND frame's samplerate index (frame len for idx 2 /
+    // 128 kbps @32kHz = 576): parse must refuse the mid-stream change
+    drift(576 + 2) = (9 << 4 | 0 << 2).toByte
+    assert(Mp3.parse(drift).isEmpty, "mid-stream samplerate change must refuse")
+  }
+
   test("mm_audio: byte path matches the formula recomputation") {
     val rows = Multimodal.audioStats(spark, sf()).collect()
     assert(rows.nonEmpty)
