@@ -296,6 +296,7 @@ object SparkEntry {
     "v_margin_incr" -> ((s, dir) => VectorOps.marginPairsIncr(s, dir)),
     "v_sem_apply" -> ((s, dir) => VectorOps.semClustersApply(s, dir)),
     "v_recall_margin" -> ((s, dir) => VectorOps.marginRecall(s, dir)),
+    "v_recall_margin_trained" -> ((s, dir) => VectorOps.marginRecallTrained(s, dir)),
     "v_quantize" -> ((s, dir) => VectorOps.quantize(s, dir).orderBy(col("vec_id"))),
     "v_pq_assign" -> ((s, dir) =>
       VectorOps.pqAssign(s, dir).orderBy(col("vec_id"), col("block"))),
@@ -761,6 +762,7 @@ object SparkEntry {
       "v_margin_incr" -> VectorOps.marginPairsIncrSql(),
       "v_sem_apply" -> VectorOps.semClustersApplySql(),
       "v_recall_margin" -> VectorOps.marginRecallSql(),
+      "v_recall_margin_trained" -> VectorOps.marginRecallTrainedSql(),
       "v_quantize" -> VectorOps.quantizeSql,
       "v_pq_assign" -> VectorOps.pqAssignSql(),
       "v_ann_pq" -> VectorOps.annPqSql(),

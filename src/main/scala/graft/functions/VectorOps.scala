@@ -72,6 +72,15 @@ object VectorOps {
                             k: Int, mat: Materialize): DataFrame =
     graft.SharedRel(spark, s"pq|$dir|$blocks|$k", mat)(pqAssign(spark, dir, blocks, k))
 
+  /** The quantized-Lloyd trained centroid relation, session-shared: the
+    * trained-recall harness and the trained margin miner consume the same
+    * deterministic k×dim relation — retraining it per query is pure waste.
+    */
+  private def sharedTrained(spark: SparkSession, dir: String, k: Int,
+                            iters: Int, mat: Materialize): DataFrame =
+    graft.SharedRel(spark, s"kmtrained|$dir|$k|$iters", mat)(
+      kmeansTrainRounded(spark, dir, k, iters, mat))
+
   /** Per-vector norms — the smallest verifiable unit of the vector path. */
   def norms(spark: SparkSession, dir: String): DataFrame =
     prepared(spark, dir).select(
@@ -1362,7 +1371,7 @@ object VectorOps {
         annIvfMulti(spark, dir, nQueries, k, kCentroids, nProbe, mat), nQueries, k)
       .select(col("q_id"), col("n_hits").as("n_hits_seed"),
         col("recall_at_k").as("recall_seed"))
-    val trained = kmeansTrainRounded(spark, dir, kCentroids, iters, mat)
+    val trained = sharedTrained(spark, dir, kCentroids, iters, mat)
     val tr = recallAgainstExact(spark, dir,
         annIvfMultiWith(prepared(spark, dir), trained, nQueries, k, nProbe),
         nQueries, k)
@@ -1892,24 +1901,33 @@ object VectorOps {
     marginPairsSql(k, kCentroids, minMargin, nProbe,
       aWhere = s"e0.label % 2 = 0 AND ${incSplitSql(deltaMod, "e0.vec_id")} = 0")
 
+  /** `centCtes`/`centRel` inject a NON-SEED centroid relation (e.g. the
+    * trained `ct` chain from [[kmeansTrainRoundedCtes]]) in place of the
+    * default first-k `c` — the oracle side of [[marginCoreWith]].
+    */
   def marginPairsSql(k: Int = 4, kCentroids: Int = 16,
                      minMargin: Double = 1.0, nProbe: Int = 4,
-                     aWhere: String = "e0.label % 2 = 0"): String =
+                     aWhere: String = "e0.label % 2 = 0",
+                     centCtes: String = "", centRel: String = ""): String = {
+    val extra = if (centCtes.isEmpty) "" else centCtes + ",\n"
+    val cDef =
+      if (centRel.nonEmpty) ""
+      else s"c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e0 WHERE vec_id < $kCentroids),\n"
+    val cn = if (centRel.nonEmpty) centRel else "c"
     s"""WITH e0 AS ($preparedSql),
-       |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e0 WHERE vec_id < $kCentroids),
-       |assign AS (
+       |$extra${cDef}assign AS (
        |  SELECT vec_id, centroid_id FROM (
        |    SELECT e0.vec_id, c.centroid_id, ROW_NUMBER() OVER (
        |      PARTITION BY e0.vec_id
        |      ORDER BY list_dot_product(e0.v, c.cv) / (e0.nrm * c.cn) DESC, c.centroid_id) AS rn
-       |    FROM e0, c)
+       |    FROM e0, $cn c)
        |  WHERE rn = 1),
        |aprobe AS (
        |  SELECT centroid_id, vec_id, v, nrm FROM (
        |    SELECT e0.vec_id, e0.v, e0.nrm, c.centroid_id, ROW_NUMBER() OVER (
        |      PARTITION BY e0.vec_id
        |      ORDER BY list_dot_product(e0.v, c.cv) / (e0.nrm * c.cn) DESC, c.centroid_id) AS rn
-       |    FROM e0, c WHERE $aWhere)
+       |    FROM e0, $cn c WHERE $aWhere)
        |  WHERE rn <= $nProbe),
        |bside AS (
        |  SELECT assign.centroid_id, e0.vec_id, e0.v, e0.nrm
@@ -1938,6 +1956,7 @@ object VectorOps {
        |    AND s_a * k_b + s_b * k_a > 0)
        |WHERE margin > $minMargin
        |ORDER BY a_id""".stripMargin
+  }
 
   /** Mining-recall harness for [[marginPairs]] — the cell-bounded miner
     * against the EXACT cross-side mutual-top-1 relation, which is just
@@ -1950,13 +1969,23 @@ object VectorOps {
     * and the text tier's `d_lsh_recall`. The comparison is a narrow
     * (a_id, b_id) equi-join; the harness's cost is the exact miner.
     */
+  /** The exact (kCentroids = 1) mutual-top-1 pair relation both mining-
+    * recall harnesses compare against, session-shared: deterministic,
+    * and the single most expensive piece of either harness.
+    */
+  private def sharedMarginExact(spark: SparkSession, dir: String, k: Int,
+                                minMargin: Double, mat: Materialize): DataFrame =
+    graft.SharedRel(spark, s"marginexact|$dir|$k|$minMargin", mat)(
+      marginPairs(spark, dir, k, 1, minMargin, mat = mat)
+        .select(col("a_id"), col("b_id")))
+
   def marginRecall(spark: SparkSession, dir: String, k: Int = 4,
                    kCentroids: Int = 16, minMargin: Double = 1.0,
                    mat: Materialize = Materialize.Local): DataFrame = {
     val approx = marginPairs(spark, dir, k, kCentroids, minMargin, mat = mat)
       .select(col("a_id"), col("b_id")).withColumn("ap", lit(1))
-    val exact = marginPairs(spark, dir, k, 1, minMargin, mat = mat)
-      .select(col("a_id"), col("b_id")).withColumn("ex", lit(1))
+    val exact = sharedMarginExact(spark, dir, k, minMargin, mat)
+      .withColumn("ex", lit(1))
     exact.join(approx, Seq("a_id", "b_id"), "full_outer")
       .agg(
         // outer coalesce: sum over ZERO rows (nothing mined, nothing
@@ -1975,6 +2004,111 @@ object VectorOps {
       .withColumn("precision_pm",
         when(col("n_mined") > 0, expr("n_common * 1000L div n_mined"))
           .otherwise(lit(0L)))
+  }
+
+  /** Seed-vs-trained mining recall at EQUAL probe budget — what Lloyd
+    * training buys the MARGIN MINER (the [[annRecallIvfTrained]] question
+    * asked of the bitext-mining tier): the cell-bounded miner runs under
+    * both quantizers at nProbe ∈ {1, 4, 8}, each against the one exact
+    * mutual-top-1 relation, yielding a 6-row tuning curve of integer
+    * counts + permille recall/precision. This is the table that decides
+    * whether a mining deployment pays for quantizer training or just
+    * raises nProbe. Cost: the exact relation once (materialized, reused
+    * by all six contrasts) + six cell-bounded miner runs; the trained
+    * centroids are the session-shared [[kmeansTrainRounded]] relation.
+    */
+  def marginRecallTrained(spark: SparkSession, dir: String, k: Int = 4,
+                          kCentroids: Int = 16, iters: Int = 3,
+                          minMargin: Double = 1.0,
+                          probes: Seq[Int] = Seq(1, 4, 8),
+                          mat: Materialize = Materialize.Local): DataFrame = {
+    val exact = sharedMarginExact(spark, dir, k, minMargin, mat)
+      .withColumn("ex", lit(1))
+    def row(mined: DataFrame, quant: String, np: Int): DataFrame =
+      exact.join(mined.select(col("a_id"), col("b_id")).withColumn("ap", lit(1)),
+          Seq("a_id", "b_id"), "full_outer")
+        .agg(
+          coalesce(sum(coalesce(col("ex"), lit(0))), lit(0L))
+            .cast("long").as("n_exact"),
+          coalesce(sum(coalesce(col("ap"), lit(0))), lit(0L))
+            .cast("long").as("n_mined"),
+          coalesce(sum(when(col("ex") === 1 && col("ap") === 1, 1L)
+            .otherwise(0L)), lit(0L)).cast("long").as("n_common"))
+        .withColumn("recall_pm",
+          when(col("n_exact") > 0, expr("n_common * 1000L div n_exact"))
+            .otherwise(lit(0L)))
+        .withColumn("precision_pm",
+          when(col("n_mined") > 0, expr("n_common * 1000L div n_mined"))
+            .otherwise(lit(0L)))
+        .select(lit(quant).as("quantizer"), lit(np).as("n_probe"),
+          col("n_exact"), col("n_mined"), col("n_common"),
+          col("recall_pm"), col("precision_pm"))
+    val aF = pmod(col("label"), lit(2)) === 0
+    val e = prepared(spark, dir)
+    // per quantizer, rank the probe list ONCE at max(probes) and reuse the
+    // materialized relation for every budget (rn <= np is a filter, not a
+    // re-scoring) — the centroid-scoring pass is the dominant cost and is
+    // identical across the curve
+    def sides(cents0: DataFrame): (DataFrame, DataFrame) = {
+      val cents = broadcast(cents0.select(col("centroid_id"), col("cv"), col("cn")))
+      val pw = Window.partitionBy(col("vec_id"))
+        .orderBy((dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).desc,
+          col("centroid_id"))
+      val a = mat(e.filter(aF).join(cents)
+        .withColumn("__rn", row_number().over(pw))
+        .filter(col("__rn") <= probes.max)
+        .select(col("centroid_id"), col("vec_id").as("a_id"),
+          col("v").as("va"), col("nrm").as("na"), col("__rn")))
+      val b = mat(e.filter(pmod(col("label"), lit(2)) === 1).join(cents)
+        .withColumn("__rn", row_number().over(pw)).filter(col("__rn") === 1)
+        .select(col("centroid_id"), col("vec_id").as("b_id"),
+          col("v").as("vb"), col("nrm").as("nb")))
+      (a, b)
+    }
+    val seedCents = e.filter(col("vec_id") < kCentroids)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val bySide = Seq(
+      "seed" -> sides(seedCents),
+      "trained" -> sides(sharedTrained(spark, dir, kCentroids, iters, mat)))
+    probes.flatMap { np =>
+      bySide.map { case (quant, (a, b)) =>
+        row(marginJoinScore(a.filter(col("__rn") <= np).drop("__rn"), b,
+          k, minMargin), quant, np)
+      }
+    }.reduce(_ unionAll _).orderBy(col("quantizer"), col("n_probe"))
+  }
+
+  def marginRecallTrainedSql(k: Int = 4, kCentroids: Int = 16,
+                             iters: Int = 3, minMargin: Double = 1.0,
+                             probes: Seq[Int] = Seq(1, 4, 8)): String = {
+    def minedSql(np: Int, trained: Boolean): String =
+      if (trained)
+        marginPairsSql(k, kCentroids, minMargin, np,
+          centCtes = kmeansTrainRoundedCtes(kCentroids, iters), centRel = "ct")
+      else marginPairsSql(k, kCentroids, minMargin, np)
+    def rowSql(quant: String, np: Int): String =
+      s"""SELECT '$quant' AS quantizer, $np AS n_probe, n_exact, n_mined, n_common,
+         |  CASE WHEN n_exact > 0 THEN n_common * 1000 // n_exact
+         |       ELSE 0 END AS recall_pm,
+         |  CASE WHEN n_mined > 0 THEN n_common * 1000 // n_mined
+         |       ELSE 0 END AS precision_pm
+         |FROM (
+         |  SELECT CAST(coalesce(sum(ex), 0) AS BIGINT) AS n_exact,
+         |    CAST(coalesce(sum(ap), 0) AS BIGINT) AS n_mined,
+         |    CAST(coalesce(sum(CASE WHEN ex = 1 AND ap = 1 THEN 1 ELSE 0 END), 0)
+         |         AS BIGINT) AS n_common
+         |  FROM (
+         |    SELECT CASE WHEN e.a_id IS NOT NULL THEN 1 ELSE 0 END AS ex,
+         |      CASE WHEN m.a_id IS NOT NULL THEN 1 ELSE 0 END AS ap
+         |    FROM exact e FULL OUTER JOIN (
+         |      SELECT a_id, b_id FROM (${minedSql(np, quant == "trained")})) m
+         |      ON e.a_id = m.a_id AND e.b_id = m.b_id))""".stripMargin
+    val rows = probes.flatMap(np => Seq(rowSql("seed", np), rowSql("trained", np)))
+    s"""WITH exact AS (SELECT a_id, b_id FROM (
+       |  ${marginPairsSql(k, 1, minMargin)}))
+       |SELECT * FROM (
+       |${rows.map(r => s"($r)").mkString("\nUNION ALL\n")})
+       |ORDER BY quantizer, n_probe""".stripMargin
   }
 
   def marginRecallSql(k: Int = 4, kCentroids: Int = 16,

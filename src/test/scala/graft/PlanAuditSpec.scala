@@ -382,6 +382,15 @@ class PlanAuditSpec extends SparkSuite {
         s"unfiltered ${dataExchanges(unfiltered)}):\n$plan")
   }
 
+  test("v_recall_margin_trained: every miner's cross-side join stays cell-keyed") {
+    // six miners + the exact contrast in one plan: none of them may
+    // degenerate to a cross-side cartesian (the broadcast-of-centroids
+    // BNLJ is fine — k rows; the INNER A×B one is not)
+    val plan = executedPlan("v_recall_margin_trained")
+    assert(!plan.contains("CartesianProduct"),
+      s"trained-mining recall must never plan a cartesian:\n$plan")
+  }
+
   test("v_margin_pairs: candidates stay cell-bounded — no cross-side cartesian") {
     val plan = executedPlan("v_margin_pairs")
     // the A×B candidate join must be keyed on centroid_id; an all-pairs
