@@ -230,6 +230,23 @@ object RunDocPipeline {
         .filter(col("contaminated")).count()
     }
 
+    // memorization-risk tier of the same ingest: every raw arrival has
+    // its n-token runs already present in the frozen base substring index
+    // cut out in-flight (stream-static join, epoch-partitioned output);
+    // readout is the total tokens cut — the verbatim-duplication alarm
+    val spanTokensCut = guarded("dup_span_cut", 0L) {
+      import graft.streaming.DupSpanStream
+      val frozen = DupSpanStream.frozenShingles(spark, sfDir)
+      // ARRIVALS only (the delta split): a base doc re-fed through the
+      // gate would trivially self-match its own frozen shingles
+      val q10 = DupSpanStream.appendStream(
+        docs.filter(graft.functions.TextOps.docSplitE(5) === 0), frozen,
+        s"$workDir/span_cut", s"$workDir/ckpt10")
+      try { q10.processAllAvailable() } finally q10.stop()
+      spark.read.parquet(s"$workDir/span_cut")
+        .agg(coalesce(sum(col("n_dup")), lit(0L))).collect()(0).getLong(0)
+    }
+
     // classifier tier of the same ingest: every raw arrival tagged with
     // its predicted quality bucket by the FROZEN NB model (trained batch-
     // side on this snapshot, applied row-locally in-flight — zero state,
@@ -327,7 +344,7 @@ object RunDocPipeline {
     val maxPhase = cur.agg(max("phase")).collect()(0).getInt(0)
     val annealDocs = cur.filter(col("phase") === maxPhase).count()
 
-    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"temp_shards":$tempShards,"temp_docs":$tempDocs,"temp_tokens":$tempTokens,"curriculum_shards":$curShards,"anneal_docs":$annealDocs,"worst_quality_drift_pm":$worstQDrift,"degraded_sources":$degradedSources,"worst_bpe_drift_pm":$worstBpeDrift,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept,"videos_admitted":$videosAdmitted,"vectors_admitted":$vectorsAdmitted,"pairs_mined":$pairsMined,"contaminated":$contaminated,"nb_scored":$nbScored,"nb_top_bucket":"$nbTopBucket","nb_top_count":$nbTopCount}""")
+    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"temp_shards":$tempShards,"temp_docs":$tempDocs,"temp_tokens":$tempTokens,"curriculum_shards":$curShards,"anneal_docs":$annealDocs,"worst_quality_drift_pm":$worstQDrift,"degraded_sources":$degradedSources,"worst_bpe_drift_pm":$worstBpeDrift,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept,"videos_admitted":$videosAdmitted,"vectors_admitted":$vectorsAdmitted,"pairs_mined":$pairsMined,"contaminated":$contaminated,"span_tokens_cut":$spanTokensCut,"nb_scored":$nbScored,"nb_top_bucket":"$nbTopBucket","nb_top_count":$nbTopCount}""")
     spark.stop()
   }
 }

@@ -200,6 +200,7 @@ object SparkEntry {
     "d_novelty" -> ((s, dir) => TextOps.novelty(s, dir)),
     "d_decontam_spans" -> ((s, dir) => TextOps.decontamSpans(s, dir)),
     "d_dup_spans" -> ((s, dir) => TextOps.dupSpans(s, dir)),
+    "d_dup_spans_incr" -> ((s, dir) => TextOps.dupSpansIncr(s, dir)),
     "d_curate" -> ((s, dir) => TextOps.curate(s, dir).orderBy(col("doc_id"))),
     "d_curate_spans" -> ((s, dir) =>
       TextOps.curate(s, dir, dupTokenMax = 20).orderBy(col("doc_id"))),
@@ -681,6 +682,7 @@ object SparkEntry {
       "d_novelty" -> TextOps.noveltySql,
       "d_decontam_spans" -> TextOps.decontamSpansSql(),
       "d_dup_spans" -> TextOps.dupSpansSql(),
+      "d_dup_spans_incr" -> TextOps.dupSpansIncrSql(),
       "d_curate" -> TextOps.curateSql(),
       "d_curate_spans" -> TextOps.curateSql(dupTokenMax = 20),
       "d_redact" -> TextOps.redactSql,

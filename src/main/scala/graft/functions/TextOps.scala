@@ -644,6 +644,15 @@ object TextOps {
       .filter(!(col("doc_id") === col("k_doc") && col("i") === col("k_i")))
       .select(col("doc_id"), explode(expr(s"sequence(i, i + ${n - 1})")).as("p"))
       .distinct())
+    spanFold(pw, hits)
+  }
+
+  /** The span-merge + re-assembly tail shared by the substring-dedup
+    * family: given (doc_id, words) docs and the distinct cut positions
+    * (doc_id, p), merge contiguous cuts into spans and rebuild the
+    * surviving text — every per-doc step bounded by that doc's length.
+    */
+  private[graft] def spanFold(pw: DataFrame, hits: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("p")
     val spans = hits.withColumn("prev", lag("p", 1).over(w))
       .groupBy("doc_id")
@@ -665,6 +674,96 @@ object TextOps {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
       .orderBy(col("doc_id"))
   }
+
+  /** Positioned `n`-token shingles of (doc_id, words) rows. */
+  private[graft] def posShingles(d: DataFrame, n: Int): DataFrame =
+    d.select(col("doc_id"), posexplode(expr(
+      s"transform(sequence(0, size(words)-$n), i -> array_join(slice(words, i+1, $n), ' '))"))
+      .as(Seq("i", "sh")))
+
+  /** O(delta) incremental form of [[dupSpans]] — the daily-increment cut:
+    * only DELTA documents (the salted [[docSplitE]] split) are span-cut,
+    * against (a) the FROZEN base shingle set — base owns every first
+    * occurrence by contract, its own spans were cut at base-build time —
+    * and (b) earlier occurrences WITHIN the increment (the batch keeper
+    * rule restricted to delta). The same asymmetric-staleness contract as
+    * [[nearDupIncr]]: base documents are never re-opened; a base doc that
+    * first duplicated a run only after the increment arrived is the
+    * recompaction's job. In production the base shingle set is the stored
+    * substring index; here it derives from the same split so the oracle
+    * can recompute it.
+    */
+  def dupSpansIncr(spark: SparkSession, dir: String, n: Int = 5,
+                   deltaMod: Int = 5,
+                   mat: Materialize = Materialize.Local): DataFrame = {
+    val pwAll = prepared(spark, dir).filter(size(col("words")) >= n)
+      .select(col("doc_id"), col("words"), (docSplitE(deltaMod) === 0).as("is_delta"))
+    val pw = mat(pwAll.filter(col("is_delta")).select("doc_id", "words"))
+    val shD = posShingles(pw, n)
+    val baseSet = posShingles(pwAll.filter(!col("is_delta"))
+      .select("doc_id", "words"), n).select("sh").distinct()
+    val ofBase = shD.join(baseSet, "sh").select(col("doc_id"), col("i"))
+    val keepD = shD.groupBy(col("sh"))
+      .agg(min(struct(col("doc_id"), col("i"))).as("k"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("sh"), col("k.doc_id").as("k_doc"), col("k.i").as("k_i"))
+    val inDelta = shD.join(keepD, "sh")
+      .filter(!(col("doc_id") === col("k_doc") && col("i") === col("k_i")))
+      .select(col("doc_id"), col("i"))
+    val hits = mat(ofBase.unionAll(inDelta)
+      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${n - 1})")).as("p"))
+      .distinct())
+    spanFold(pw, hits)
+  }
+
+  def dupSpansIncrSql(n: Int = 5, deltaMod: Int = 5): String =
+    s"""WITH pwa AS (
+       |  SELECT doc_id, words, (${docSplitSql(deltaMod)}) = 0 AS is_delta
+       |  FROM ($preparedSql) WHERE len(words) >= $n),
+       |pw AS (SELECT doc_id, words FROM pwa WHERE is_delta),
+       |shd AS (
+       |  SELECT doc_id, i - 1 AS i,
+       |         array_to_string(words[i : i + ${n - 1}], ' ') AS sh
+       |  FROM pw, unnest(range(1, len(words) - ${n - 1} + 1)) AS t(i)),
+       |bset AS (
+       |  SELECT DISTINCT array_to_string(words[i : i + ${n - 1}], ' ') AS sh
+       |  FROM pwa, unnest(range(1, len(words) - ${n - 1} + 1)) AS t(i)
+       |  WHERE NOT is_delta),
+       |cut AS (
+       |  SELECT doc_id, i FROM shd JOIN bset USING (sh)
+       |  UNION ALL
+       |  SELECT doc_id, i FROM (
+       |    SELECT doc_id, i,
+       |      ROW_NUMBER() OVER (PARTITION BY sh ORDER BY doc_id, i) AS rn
+       |    FROM shd)
+       |  WHERE rn > 1),
+       |hits AS (
+       |  SELECT DISTINCT doc_id, i + d AS p
+       |  FROM cut, unnest(range(0, $n)) AS u(d)),
+       |spans AS (
+       |  SELECT doc_id, count(*) AS n_dup,
+       |    CAST(sum(CASE WHEN prev IS NULL OR p - prev <> 1 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_spans
+       |  FROM (SELECT doc_id, p,
+       |          lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM hits)
+       |  GROUP BY doc_id),
+       |wp AS (
+       |  SELECT doc_id, i - 1 AS p, words[i] AS word
+       |  FROM pw, unnest(range(1, len(words) + 1)) AS t(i)),
+       |clean AS (
+       |  SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS text_clean
+       |  FROM wp
+       |  WHERE NOT EXISTS (SELECT 1 FROM hits h
+       |                    WHERE h.doc_id = wp.doc_id AND h.p = wp.p)
+       |  GROUP BY doc_id)
+       |SELECT pw.doc_id, CAST(len(words) AS BIGINT) AS n_words,
+       |  COALESCE(n_dup, 0) AS n_dup,
+       |  COALESCE(n_spans, 0) AS n_spans,
+       |  COALESCE(text_clean, '') AS text_clean
+       |FROM pw LEFT JOIN spans ON pw.doc_id = spans.doc_id
+       |        LEFT JOIN clean ON pw.doc_id = clean.doc_id
+       |ORDER BY pw.doc_id""".stripMargin
 
   def dupSpansSql(n: Int = 5): String =
     s"""WITH pw AS (

@@ -889,6 +889,71 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("dup-span stream: base-run cuts match dupSpansIncr; within-stream dups stay (scope split)") {
+    import graft.streaming.DupSpanStream
+    import graft.functions.TextOps
+    // derive split membership so the crafted corpus lands where intended
+    val residues = spark.range(100).select(col("id").as("doc_id"))
+      .withColumn("r", TextOps.docSplitE(5))
+      .as[(Long, Long)].collect().toMap
+    val baseIds = (0L until 100L).filter(residues(_) != 0)
+    val deltaIds = (0L until 100L).filter(residues(_) == 0)
+    assert(baseIds.nonEmpty && deltaIds.size >= 4, "fixture needs both splits")
+    val Seq(d1, d2, d3, d4) = deltaIds.take(4)
+    val docs = Seq(
+      // base template owning the run "alpha beta gamma delta epsilon"
+      (baseIds.head, "alpha beta gamma delta epsilon zeta eta"),
+      // arrival sharing that run with BASE → positions 2-6 cut
+      (d1, "one two alpha beta gamma delta epsilon three four"),
+      // arrival sharing nothing → untouched
+      (d2, "purely unique words here nothing shared at all ok"),
+      // two arrivals sharing a run ONLY with each other — the stream must
+      // NOT cut either (within-increment dedup is the batch compaction's
+      // job); dupSpansIncr DOES cut the later one
+      (d3, "red green blue cyan magenta yellow"),
+      (d4, "red green blue cyan magenta crimson")
+    ).map { case (id, t) => (id, t, "en", "s", 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("dss").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = java.nio.file.Files.createTempDirectory("dss_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("dss_ckpt").toString
+    val frozen = DupSpanStream.frozenShingles(spark, tmp)
+    val ts = Timestamp.valueOf("2026-01-01 10:00:00")
+    val feed = Seq(d1, d2, d3, d4).map { id =>
+      val t = docs.filter(col("doc_id") === id).select("text").as[String].head()
+      (id, t, ts)
+    }
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = DupSpanStream.appendStream(
+      in.toDF().toDF("doc_id", "text", "ingest_ts"), frozen, out, ckpt)
+    try {
+      in.addData(feed)
+      q.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .select("doc_id", "n_words", "n_dup", "n_spans", "text_clean")
+        .as[(Long, Long, Long, Long, String)].collect()
+        .map(r => r._1 -> r).toMap
+      assert(got(d1)._5 == "one two three four" && got(d1)._3 == 5 && got(d1)._4 == 1)
+      assert(got(d2)._3 == 0 && got(d2)._5.startsWith("purely unique"))
+      // scope split: within-stream duplicate run is NOT cut here...
+      assert(got(d3)._3 == 0 && got(d4)._3 == 0,
+        "stream must not cut within-increment runs")
+      // ...but the batch incremental tier DOES cut the later of the pair
+      val incr = TextOps.dupSpansIncr(spark, tmp)
+        .select("doc_id", "n_dup").as[(Long, Long)].collect().toMap
+      assert(incr(d3.min(d4)) == 0 && incr(d3.max(d4)) == 5,
+        s"batch incr must cut the later within-delta twin: $incr")
+      // and on the base-cut-only docs the two tiers agree row-for-row
+      val incrFull = TextOps.dupSpansIncr(spark, tmp)
+        .select("doc_id", "n_words", "n_dup", "n_spans", "text_clean")
+        .as[(Long, Long, Long, Long, String)].collect()
+        .map(r => r._1 -> r).toMap
+      for (id <- Seq(d1, d2)) assert(got(id) == incrFull(id),
+        s"stream/batch divergence on base-cut doc $id")
+    } finally q.stop()
+  }
+
   test("margin stream: one-batch feed mines pair-for-pair what marginPairsIncr mines") {
     import graft.streaming.MarginStream
     val sfDir = sf("sf0.01") // the delta A split at sf0.001 mines nothing
