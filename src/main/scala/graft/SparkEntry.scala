@@ -201,6 +201,8 @@ object SparkEntry {
     "d_decontam_spans" -> ((s, dir) => TextOps.decontamSpans(s, dir)),
     "d_dup_spans" -> ((s, dir) => TextOps.dupSpans(s, dir)),
     "d_dup_spans_incr" -> ((s, dir) => TextOps.dupSpansIncr(s, dir)),
+    "d_dup_span_rate" -> ((s, dir) => TextOps.dupSpanRate(s, dir)),
+    "d_dup_top_runs" -> ((s, dir) => TextOps.dupTopRuns(s, dir)),
     "d_curate" -> ((s, dir) => TextOps.curate(s, dir).orderBy(col("doc_id"))),
     "d_curate_spans" -> ((s, dir) =>
       TextOps.curate(s, dir, dupTokenMax = 20).orderBy(col("doc_id"))),
@@ -683,6 +685,8 @@ object SparkEntry {
       "d_decontam_spans" -> TextOps.decontamSpansSql(),
       "d_dup_spans" -> TextOps.dupSpansSql(),
       "d_dup_spans_incr" -> TextOps.dupSpansIncrSql(),
+      "d_dup_span_rate" -> TextOps.dupSpanRateSql(),
+      "d_dup_top_runs" -> TextOps.dupTopRunsSql(),
       "d_curate" -> TextOps.curateSql(),
       "d_curate_spans" -> TextOps.curateSql(dupTokenMax = 20),
       "d_redact" -> TextOps.redactSql,

@@ -630,10 +630,8 @@ object TextOps {
                                    mat: Materialize): DataFrame = {
     val pw = mat(prepared(spark, dir).filter(size(col("words")) >= n)
       .select(col("doc_id"), col("words")))
-    val sh = pw.select(col("doc_id"), posexplode(expr(
-      s"transform(sequence(0, size(words)-$n), i -> array_join(slice(words, i+1, $n), ' '))"))
-      .as(Seq("i", "sh")))
-    // keeper = globally first (doc_id, i) per shingle text; only shingles
+    val sh = posShingles(pw, n)
+    // keeper = globally first (doc_id, i) per shingle key; only shingles
     // seen twice survive into the cut join
     val keep = sh.groupBy(col("sh"))
       .agg(min(struct(col("doc_id"), col("i"))).as("k"),
@@ -675,11 +673,18 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  /** Positioned `n`-token shingles of (doc_id, words) rows. */
+  /** Positioned `n`-token shingles of (doc_id, words) rows, keyed by the
+    * 60-bit [[Exprs.hex60]] hash of the shingle text: at corpus scale the
+    * shingle-keyed agg/join shuffles 8 bytes per window instead of the
+    * n-word string (the payload never needs the text back — cuts are
+    * positional), and the hash is oracle-portable so the differential
+    * check stays exact.
+    */
   private[graft] def posShingles(d: DataFrame, n: Int): DataFrame =
     d.select(col("doc_id"), posexplode(expr(
       s"transform(sequence(0, size(words)-$n), i -> array_join(slice(words, i+1, $n), ' '))"))
       .as(Seq("i", "sh")))
+      .select(col("doc_id"), col("i"), Exprs.hex60(col("sh")).as("sh"))
 
   /** O(delta) incremental form of [[dupSpans]] — the daily-increment cut:
     * only DELTA documents (the salted [[docSplitE]] split) are span-cut,
@@ -724,10 +729,10 @@ object TextOps {
        |pw AS (SELECT doc_id, words FROM pwa WHERE is_delta),
        |shd AS (
        |  SELECT doc_id, i - 1 AS i,
-       |         array_to_string(words[i : i + ${n - 1}], ' ') AS sh
+       |         ${Exprs.hex60Sql(s"array_to_string(words[i : i + ${n - 1}], ' ')")} AS sh
        |  FROM pw, unnest(range(1, len(words) - ${n - 1} + 1)) AS t(i)),
        |bset AS (
-       |  SELECT DISTINCT array_to_string(words[i : i + ${n - 1}], ' ') AS sh
+       |  SELECT DISTINCT ${Exprs.hex60Sql(s"array_to_string(words[i : i + ${n - 1}], ' ')")} AS sh
        |  FROM pwa, unnest(range(1, len(words) - ${n - 1} + 1)) AS t(i)
        |  WHERE NOT is_delta),
        |cut AS (
@@ -770,7 +775,7 @@ object TextOps {
        |  SELECT doc_id, words FROM ($preparedSql) WHERE len(words) >= $n),
        |sh AS (
        |  SELECT doc_id, i - 1 AS i,
-       |         array_to_string(words[i : i + ${n - 1}], ' ') AS sh
+       |         ${Exprs.hex60Sql(s"array_to_string(words[i : i + ${n - 1}], ' ')")} AS sh
        |  FROM pw, unnest(range(1, len(words) - ${n - 1} + 1)) AS t(i)),
        |dup AS (
        |  SELECT doc_id, i FROM (
@@ -804,6 +809,75 @@ object TextOps {
        |FROM pw LEFT JOIN spans ON pw.doc_id = spans.doc_id
        |        LEFT JOIN clean ON pw.doc_id = clean.doc_id
        |ORDER BY pw.doc_id""".stripMargin
+
+  /** Per-source duplicated-token rate — the monitor row the substring-
+    * dedup owner reads next to the dup-rate / quality-drift monitors:
+    * which sources are shipping verbatim-duplicated text, as |sources|
+    * rows of integer permille (the [[dupSpans]] verdicts folded onto the
+    * source key). Rides the session-shared span relation — one doc-keyed
+    * join + a map-side-combined fold, nothing new shuffles.
+    */
+  def dupSpanRate(spark: SparkSession, dir: String): DataFrame =
+    dupSpans(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_dup")).as("n_dup"))
+      .withColumn("dup_permille", expr("n_dup * 1000L div n_words"))
+      .orderBy(col("source"))
+
+  def dupSpanRateSql(n: Int = 5): String =
+    s"""WITH s AS (${dupSpansSql(n)})
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(s.n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(s.n_dup) AS BIGINT) AS n_dup,
+       |  CAST(sum(s.n_dup) * 1000 // sum(s.n_words) AS BIGINT) AS dup_permille
+       |FROM s JOIN documents d USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  /** The boilerplate report — WHICH runs dominate the duplication
+    * [[dupSpans]] cuts: the top-k most-repeated n-token windows with
+    * occurrence and doc counts (license headers, navigation chrome,
+    * quoted templates — what a curation owner reads before deciding
+    * whether to cut or to special-case). This is the one member of the
+    * family that carries the shingle TEXT (the report is for humans), so
+    * it explodes its own positioned text rather than riding the hashed
+    * [[posShingles]] key; the agg is vocabulary-bounded and the top-k is
+    * a TakeOrdered, never a corpus-wide window.
+    */
+  def dupTopRuns(spark: SparkSession, dir: String, n: Int = 5,
+                 k: Int = 20): DataFrame = {
+    val pw = prepared(spark, dir).filter(size(col("words")) >= n)
+      .select(col("doc_id"), col("words"))
+    val counts = pw.select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(words)-$n), i -> array_join(slice(words, i+1, $n), ' '))"))
+        .as("sh"))
+      .groupBy(col("sh"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occ") >= 2)
+      .orderBy(col("n_occ").desc, col("sh")).limit(k)
+    val w = Window.orderBy(col("n_occ").desc, col("sh"))
+    counts.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("sh").as("run"), col("n_docs"), col("n_occ"))
+      .orderBy(col("rank"))
+  }
+
+  def dupTopRunsSql(n: Int = 5, k: Int = 20): String =
+    s"""WITH pw AS (
+       |  SELECT doc_id, words FROM ($preparedSql) WHERE len(words) >= $n),
+       |counts AS (
+       |  SELECT sh, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+       |  FROM (
+       |    SELECT doc_id, array_to_string(words[i : i + ${n - 1}], ' ') AS sh
+       |    FROM pw, unnest(range(1, len(words) - ${n - 1} + 1)) AS t(i))
+       |  GROUP BY sh)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, sh) AS INT) AS rank,
+       |  sh AS run, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_occ AS BIGINT) AS n_occ
+       |FROM counts WHERE n_occ >= 2
+       |ORDER BY n_occ DESC, sh LIMIT $k""".stripMargin
 
   // ---- repetition signals (Gopher-style quality filters) ----
 
