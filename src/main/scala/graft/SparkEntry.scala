@@ -300,6 +300,8 @@ object SparkEntry {
     "v_sem_apply" -> ((s, dir) => VectorOps.semClustersApply(s, dir)),
     "v_recall_margin" -> ((s, dir) => VectorOps.marginRecall(s, dir)),
     "v_recall_margin_trained" -> ((s, dir) => VectorOps.marginRecallTrained(s, dir)),
+    "v_ann_graph" -> ((s, dir) => VectorOps.annGraphBeam(s, dir)),
+    "v_recall_graph" -> ((s, dir) => VectorOps.annRecallGraph(s, dir)),
     "v_quantize" -> ((s, dir) => VectorOps.quantize(s, dir).orderBy(col("vec_id"))),
     "v_pq_assign" -> ((s, dir) =>
       VectorOps.pqAssign(s, dir).orderBy(col("vec_id"), col("block"))),
@@ -769,6 +771,8 @@ object SparkEntry {
       "v_sem_apply" -> VectorOps.semClustersApplySql(),
       "v_recall_margin" -> VectorOps.marginRecallSql(),
       "v_recall_margin_trained" -> VectorOps.marginRecallTrainedSql(),
+      "v_ann_graph" -> VectorOps.annGraphBeamSql(),
+      "v_recall_graph" -> VectorOps.annRecallGraphSql(),
       "v_quantize" -> VectorOps.quantizeSql,
       "v_pq_assign" -> VectorOps.pqAssignSql(),
       "v_ann_pq" -> VectorOps.annPqSql(),

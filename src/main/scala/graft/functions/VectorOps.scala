@@ -2586,6 +2586,173 @@ object VectorOps {
        |  GROUP BY e.q_id)
        |ORDER BY q_id""".stripMargin
 
+  /** GRAPH-based ANN — the HNSW-family shape, completing the ANN strategy
+    * coverage (inverted lists: IVF/PQ/SQ; hash buckets: sign-LSH;
+    * proximity graph: this). Two layers, because the session kNN edge
+    * relation is CELL-bounded and therefore disconnected across cells — a
+    * single fixed entry point traps the beam in one cell (measured: 0.08
+    * recall@5). The ROUTING layer is the seed-centroid clique (each seed
+    * vector is a corpus node sitting in its own cell): a query scores all
+    * `kCentroids` seeds row-locally and descends from its top-`nProbe`
+    * into layer 0 — exactly HNSW's upper-layer descent, and the same
+    * probe budget as the IVF rows it sits next to in the recall matrix.
+    * Layer 0: `hops` rounds of expand-every-beam-member's-out-edges,
+    * score candidates against the query (integer-quantized cosine —
+    * order-free, cross-engine exact), keep the best `beam` per query;
+    * then the final top-k of the visited set (the query's own node may
+    * be traversed — its out-edges are the true neighbors — but never
+    * reported).
+    *
+    * Scale shape: the per-round frontier is |queries|·beam rows joined
+    * against the edge relation on src (broadcast frontier), candidate
+    * scoring is a vec_id-keyed join against the corpus — per-round work
+    * is |queries|·beam·kNn lookups however large the corpus, the property
+    * that makes graph ANN the serving-latency winner over scanning whole
+    * probed cells. `hops` and `beam` are compile-time-small (the oracle
+    * unrolls them as CTE rounds, the [[kmeansTrainRoundedCtes]]
+    * precedent); per-round materialization breaks the iterative lineage
+    * exactly like [[graphRankCore]].
+    */
+  def annGraphBeam(spark: SparkSession, dir: String, nQueries: Int = 20,
+                   k: Int = 5, beam: Int = 8, hops: Int = 3, kNn: Int = 5,
+                   kCentroids: Int = 16, nProbe: Int = 2,
+                   mat: Materialize = Materialize.Local): DataFrame = mat match {
+    // session-shared under the default materialization: the search result
+    // feeds its own query AND the recall row (deterministic relation)
+    case Materialize.Local =>
+      graft.SharedRel(spark,
+        s"anngraph|$dir|$nQueries|$k|$beam|$hops|$kNn|$kCentroids|$nProbe",
+        Materialize.Local)(
+        annGraphBeamBuild(spark, dir, nQueries, k, beam, hops, kNn,
+          kCentroids, nProbe, Materialize.Local))
+    case m => annGraphBeamBuild(spark, dir, nQueries, k, beam, hops, kNn,
+      kCentroids, nProbe, m)
+  }
+
+  private[graft] def annGraphBeamBuild(
+      spark: SparkSession, dir: String, nQueries: Int,
+      k: Int, beam: Int, hops: Int, kNn: Int,
+      kCentroids: Int, nProbe: Int, mat: Materialize): DataFrame = {
+    val e = prepared(spark, dir)
+    val queries = broadcast(e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
+    val edges = sharedKnnEdges(spark, dir, kNn, kCentroids, mat)
+      .select(col("src"), col("dst"))
+    val cInt = floor(dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
+      * 10000 + 0.5).cast("long")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("c_int").desc, col("vec_id"))
+    // routing layer: the kCentroids seed nodes, top-nProbe per query
+    var visited = mat(queries
+      .crossJoin(broadcast(e.filter(col("vec_id") < kCentroids)
+        .select(col("vec_id"), col("v"), col("nrm"))))
+      .select(col("q_id"), col("vec_id"), cInt.as("c_int"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= nProbe)
+      .select(col("q_id"), col("vec_id"), col("c_int")))
+    for (_ <- 1 to hops) {
+      // the frontier and candidate-id relations are |queries|·beam(·kNn)
+      // rows but sit behind checkpoint scans with no stats — broadcast
+      // them EXPLICITLY or every round shuffles the edge/corpus relation
+      // (measured: 5.1 s → 2.6 s at sf0.1 for the three rounds)
+      // no .distinct() here: the top-beam groupBy dedups (q, vec) anyway,
+      // and the extra shuffle costs more than re-scoring <=|frontier|·kNn
+      // duplicate candidate rows
+      val cand = edges
+        .join(broadcast(visited.select(col("q_id"), col("vec_id").as("src"))),
+          "src")
+        .select(col("q_id"), col("dst").as("vec_id"))
+      val scored = e.select(col("vec_id"), col("v"), col("nrm"))
+        .join(broadcast(cand), "vec_id")
+        .join(queries, "q_id")
+        .select(col("q_id"), col("vec_id"), cInt.as("c_int"))
+      // re-scored revisits carry the identical quantized score — the
+      // (q, vec) max-dedup is value-neutral
+      visited = mat(visited.unionAll(scored)
+        .groupBy(col("q_id"), col("vec_id")).agg(max(col("c_int")).as("c_int"))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= beam)
+        .select(col("q_id"), col("vec_id"), col("c_int")))
+    }
+    visited.filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        (col("c_int") / 10000.0).as("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def annGraphBeamSql(nQueries: Int = 20, k: Int = 5, beam: Int = 8,
+                      hops: Int = 3, kNn: Int = 5,
+                      kCentroids: Int = 16, nProbe: Int = 2): String = {
+    val score = "CAST(floor(list_dot_product(q.qv, e0.v) / (q.qn * e0.nrm)" +
+      " * 10000 + 0.5) AS BIGINT)"
+    val rounds = (1 to hops).map { i =>
+      val prev = s"v${i - 1}"
+      s"""c$i AS (
+         |  SELECT DISTINCT p.q_id, ed.dst AS vec_id
+         |  FROM $prev p JOIN edges ed ON p.vec_id = ed.src),
+         |s$i AS (
+         |  SELECT c$i.q_id, c$i.vec_id, $score AS c_int
+         |  FROM c$i JOIN e0 ON c$i.vec_id = e0.vec_id
+         |       JOIN q ON c$i.q_id = q.q_id),
+         |v$i AS (
+         |  SELECT q_id, vec_id, c_int FROM (
+         |    SELECT q_id, vec_id, max(c_int) AS c_int,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY max(c_int) DESC, vec_id) AS rn
+         |    FROM (SELECT * FROM $prev UNION ALL SELECT * FROM s$i)
+         |    GROUP BY q_id, vec_id)
+         |  WHERE rn <= $beam)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS ($preparedSql),
+       |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e0 WHERE vec_id < $kCentroids),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT e0.vec_id, c.centroid_id, ROW_NUMBER() OVER (
+       |      PARTITION BY e0.vec_id
+       |      ORDER BY list_dot_product(e0.v, c.cv) / (e0.nrm * c.cn) DESC, c.centroid_id) AS rn
+       |    FROM e0, c)
+       |  WHERE rn = 1),
+       |ec AS (SELECT e0.*, assign.centroid_id FROM e0 JOIN assign USING (vec_id)),
+       |sims AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+       |  FROM ec a JOIN ec b ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id),
+       |edges AS (
+       |  SELECT src, dst FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY src ORDER BY cos_sim DESC, dst) AS rank
+       |    FROM sims)
+       |  WHERE rank <= $kNn),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e0 WHERE vec_id < $nQueries),
+       |v0 AS (
+       |  SELECT q_id, vec_id, c_int FROM (
+       |    SELECT q.q_id, e0.vec_id, $score AS c_int, ROW_NUMBER() OVER (
+       |      PARTITION BY q.q_id ORDER BY $score DESC, e0.vec_id) AS rn
+       |    FROM q, e0 WHERE e0.vec_id < $kCentroids)
+       |  WHERE rn <= $nProbe),
+       |$rounds
+       |SELECT q_id, rank, vec_id AS neighbor_id, c_int / 10000.0 AS cos_sim FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY c_int DESC, vec_id) AS INT) AS rank
+       |  FROM v$hops WHERE vec_id <> q_id)
+       |WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** The recall row for the graph tier at the matrix's standard
+    * (nQueries, k) — where beam search lands against exact top-k, next to
+    * the IVF/PQ/LSH rows.
+    */
+  def annRecallGraph(spark: SparkSession, dir: String, nQueries: Int = 20,
+                     k: Int = 5, beam: Int = 8, hops: Int = 3,
+                     mat: Materialize = Materialize.Local): DataFrame =
+    recallAgainstExact(spark, dir,
+      annGraphBeam(spark, dir, nQueries, k, beam, hops, mat = mat),
+      nQueries, k)
+
+  def annRecallGraphSql(nQueries: Int = 20, k: Int = 5, beam: Int = 8,
+                        hops: Int = 3): String =
+    recallSqlOf(annGraphBeamSql(nQueries, k, beam, hops), nQueries, k)
+
   def annRecall(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 5,
                 kCentroids: Int = 16, nProbe: Int = 2,
                 mat: Materialize = Materialize.Local): DataFrame =

@@ -1629,6 +1629,29 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("graph beam search: dense descending top-k; routing layer rescues the recall") {
+    import functions.VectorOps
+    val out = VectorOps.annGraphBeam(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to rows.length),
+        s"ranks not dense for q $q")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-_).toSeq,
+        s"scores not descending for q $q")
+      assert(!rows.exists(_._3 == q), s"q $q reported itself")
+    }
+    // the two-layer property this operator exists for: a beam descending
+    // from the probed routing layer must beat the same beam trapped at a
+    // single fixed entry (the cell-bounded edge graph is disconnected
+    // across cells — measured 0.08 recall@5 without routing)
+    val routed = VectorOps.annRecallGraph(spark, sf("sf0.01")).collect()
+      .map(_.getDouble(2))
+    assert(routed.sum / routed.length >= 0.5,
+      s"routed beam recall collapsed: ${routed.sum / routed.length}")
+  }
+
   test("sem clusters: components equal a union-find over the mutual edge list") {
     val got = functions.VectorOps.semClusters(spark, sf()).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -382,6 +382,20 @@ class PlanAuditSpec extends SparkSuite {
         s"unfiltered ${dataExchanges(unfiltered)}):\n$plan")
   }
 
+  test("v_ann_graph: frontier expansion stays src-keyed; no corpus cartesian") {
+    // per-round materialization ends the public plan on a checkpoint scan
+    // — audit the LIVE per-round shape via Passthrough (the v_graph_rank
+    // rule). The routing-seed crossJoin is a broadcast of kCentroids rows
+    // (fine); a partition-wise cartesian means frontier×corpus blew up.
+    val plan = graft.functions.VectorOps.annGraphBeam(spark, sf("sf0.001"),
+      mat = graft.Materialize.Passthrough)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"graph beam search must never plan a partition-wise cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"frontier/eligibility joins must broadcast:\n$plan")
+  }
+
   test("v_recall_margin_trained: every miner's cross-side join stays cell-keyed") {
     // six miners + the exact contrast in one plan: none of them may
     // degenerate to a cross-side cartesian (the broadcast-of-centroids
