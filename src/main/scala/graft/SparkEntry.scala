@@ -302,6 +302,8 @@ object SparkEntry {
     "v_recall_margin_trained" -> ((s, dir) => VectorOps.marginRecallTrained(s, dir)),
     "v_ann_graph" -> ((s, dir) => VectorOps.annGraphBeam(s, dir)),
     "v_recall_graph" -> ((s, dir) => VectorOps.annRecallGraph(s, dir)),
+    "v_ann_graph_filtered" -> ((s, dir) => VectorOps.annGraphFiltered(s, dir)),
+    "v_recall_graph_filtered" -> ((s, dir) => VectorOps.annRecallGraphFiltered(s, dir)),
     "v_quantize" -> ((s, dir) => VectorOps.quantize(s, dir).orderBy(col("vec_id"))),
     "v_pq_assign" -> ((s, dir) =>
       VectorOps.pqAssign(s, dir).orderBy(col("vec_id"), col("block"))),
@@ -773,6 +775,8 @@ object SparkEntry {
       "v_recall_margin_trained" -> VectorOps.marginRecallTrainedSql(),
       "v_ann_graph" -> VectorOps.annGraphBeamSql(),
       "v_recall_graph" -> VectorOps.annRecallGraphSql(),
+      "v_ann_graph_filtered" -> VectorOps.annGraphFilteredSql(),
+      "v_recall_graph_filtered" -> VectorOps.annRecallGraphFilteredSql(),
       "v_quantize" -> VectorOps.quantizeSql,
       "v_pq_assign" -> VectorOps.pqAssignSql(),
       "v_ann_pq" -> VectorOps.annPqSql(),

@@ -2632,10 +2632,12 @@ object VectorOps {
   private[graft] def annGraphBeamBuild(
       spark: SparkSession, dir: String, nQueries: Int,
       k: Int, beam: Int, hops: Int, kNn: Int,
-      kCentroids: Int, nProbe: Int, mat: Materialize): DataFrame = {
+      kCentroids: Int, nProbe: Int, mat: Materialize,
+      filtered: Boolean = false): DataFrame = {
     val e = prepared(spark, dir)
     val queries = broadcast(e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qn")))
     val edges = sharedKnnEdges(spark, dir, kNn, kCentroids, mat)
       .select(col("src"), col("dst"))
     val cInt = floor(dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
@@ -2644,10 +2646,17 @@ object VectorOps {
     // routing layer: the kCentroids seed nodes, top-nProbe per query
     var visited = mat(queries
       .crossJoin(broadcast(e.filter(col("vec_id") < kCentroids)
-        .select(col("vec_id"), col("v"), col("nrm"))))
-      .select(col("q_id"), col("vec_id"), cInt.as("c_int"))
+        .select(col("vec_id"), col("label"), col("v"), col("nrm"))))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        cInt.as("c_int"))
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= nProbe)
-      .select(col("q_id"), col("vec_id"), col("c_int")))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        col("c_int")))
+    // harvest pool for the FILTERED search: traversal stays unfiltered
+    // (pre-filtering the edge graph fragments it — the routing-layer
+    // lesson all over again, and the ACORN finding), but every scored
+    // candidate with the query's label is banked for the final top-k
+    var pool = visited
     for (_ <- 1 to hops) {
       // the frontier and candidate-id relations are |queries|·beam(·kNn)
       // rows but sit behind checkpoint scans with no stats — broadcast
@@ -2660,18 +2669,26 @@ object VectorOps {
         .join(broadcast(visited.select(col("q_id"), col("vec_id").as("src"))),
           "src")
         .select(col("q_id"), col("dst").as("vec_id"))
-      val scored = e.select(col("vec_id"), col("v"), col("nrm"))
+      val scored = e.select(col("vec_id"), col("label"), col("v"), col("nrm"))
         .join(broadcast(cand), "vec_id")
         .join(queries, "q_id")
-        .select(col("q_id"), col("vec_id"), cInt.as("c_int"))
+        .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+          cInt.as("c_int"))
       // re-scored revisits carry the identical quantized score — the
       // (q, vec) max-dedup is value-neutral
       visited = mat(visited.unionAll(scored)
-        .groupBy(col("q_id"), col("vec_id")).agg(max(col("c_int")).as("c_int"))
+        .groupBy(col("q_id"), col("q_label"), col("vec_id"), col("label"))
+        .agg(max(col("c_int")).as("c_int"))
         .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= beam)
-        .select(col("q_id"), col("vec_id"), col("c_int")))
+        .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+          col("c_int")))
+      if (filtered) pool = pool.unionAll(scored)
     }
-    visited.filter(col("vec_id") =!= col("q_id"))
+    val out = if (filtered) {
+      mat(pool).filter(col("label") === col("q_label"))
+        .groupBy(col("q_id"), col("vec_id")).agg(max(col("c_int")).as("c_int"))
+    } else visited.select(col("q_id"), col("vec_id"), col("c_int"))
+    out.filter(col("vec_id") =!= col("q_id"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
@@ -2679,9 +2696,50 @@ object VectorOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Predicate-filtered graph search — the graph tier's answer to
+    * [[annIvfFiltered]], using the strategy the graph FORCES (the public
+    * ACORN observation): pre-filtering the edge relation fragments an
+    * already cell-bounded graph, so the beam TRAVERSES unfiltered — a
+    * wrong-label node is still a stepping stone — while every scored
+    * candidate matching the query's label is harvested into a side pool,
+    * whose top-k is the answer. Costs the same traversal as
+    * [[annGraphBeam]] plus a parameter-bounded pool fold.
+    */
+  def annGraphFiltered(spark: SparkSession, dir: String, nQueries: Int = 20,
+                       k: Int = 5, beam: Int = 16, hops: Int = 3, kNn: Int = 5,
+                       kCentroids: Int = 16, nProbe: Int = 4,
+                       mat: Materialize = Materialize.Local): DataFrame = mat match {
+    case Materialize.Local =>
+      graft.SharedRel(spark,
+        s"anngraphf|$dir|$nQueries|$k|$beam|$hops|$kNn|$kCentroids|$nProbe",
+        Materialize.Local)(
+        annGraphBeamBuild(spark, dir, nQueries, k, beam, hops, kNn,
+          kCentroids, nProbe, Materialize.Local, filtered = true))
+    case m => annGraphBeamBuild(spark, dir, nQueries, k, beam, hops, kNn,
+      kCentroids, nProbe, m, filtered = true)
+  }
+
   def annGraphBeamSql(nQueries: Int = 20, k: Int = 5, beam: Int = 8,
                       hops: Int = 3, kNn: Int = 5,
-                      kCentroids: Int = 16, nProbe: Int = 2): String = {
+                      kCentroids: Int = 16, nProbe: Int = 2): String =
+    graphBeamSqlCore(nQueries, k, beam, hops, kNn, kCentroids, nProbe,
+      filtered = false)
+
+  /** Filtered defaults widen the beam and the probe set (16/4 vs the
+    * unfiltered 8/2) — the ACORN expansion factor: only the label-matching
+    * fraction of traversed nodes is harvestable, so equal-recall filtered
+    * search costs a wider frontier (measured: 0.37 → 0.52 recall@5,
+    * matching the IVF pre-filter row).
+    */
+  def annGraphFilteredSql(nQueries: Int = 20, k: Int = 5, beam: Int = 16,
+                          hops: Int = 3, kNn: Int = 5,
+                          kCentroids: Int = 16, nProbe: Int = 4): String =
+    graphBeamSqlCore(nQueries, k, beam, hops, kNn, kCentroids, nProbe,
+      filtered = true)
+
+  private def graphBeamSqlCore(nQueries: Int, k: Int, beam: Int,
+                               hops: Int, kNn: Int, kCentroids: Int,
+                               nProbe: Int, filtered: Boolean): String = {
     val score = "CAST(floor(list_dot_product(q.qv, e0.v) / (q.qn * e0.nrm)" +
       " * 10000 + 0.5) AS BIGINT)"
     val rounds = (1 to hops).map { i =>
@@ -2690,18 +2748,24 @@ object VectorOps {
          |  SELECT DISTINCT p.q_id, ed.dst AS vec_id
          |  FROM $prev p JOIN edges ed ON p.vec_id = ed.src),
          |s$i AS (
-         |  SELECT c$i.q_id, c$i.vec_id, $score AS c_int
+         |  SELECT c$i.q_id, q.q_label, c$i.vec_id, e0.label, $score AS c_int
          |  FROM c$i JOIN e0 ON c$i.vec_id = e0.vec_id
          |       JOIN q ON c$i.q_id = q.q_id),
          |v$i AS (
-         |  SELECT q_id, vec_id, c_int FROM (
-         |    SELECT q_id, vec_id, max(c_int) AS c_int,
+         |  SELECT q_id, q_label, vec_id, label, c_int FROM (
+         |    SELECT q_id, q_label, vec_id, label, max(c_int) AS c_int,
          |      ROW_NUMBER() OVER (PARTITION BY q_id
          |        ORDER BY max(c_int) DESC, vec_id) AS rn
          |    FROM (SELECT * FROM $prev UNION ALL SELECT * FROM s$i)
-         |    GROUP BY q_id, vec_id)
+         |    GROUP BY q_id, q_label, vec_id, label)
          |  WHERE rn <= $beam)""".stripMargin
     }.mkString(",\n")
+    val finalRel =
+      if (filtered)
+        s"""(SELECT q_id, vec_id, max(c_int) AS c_int
+           |   FROM (SELECT * FROM v0${(1 to hops).map(i => s" UNION ALL SELECT * FROM s$i").mkString}) pool
+           |   WHERE label = q_label GROUP BY q_id, vec_id)""".stripMargin
+      else s"v$hops"
     s"""WITH e0 AS ($preparedSql),
        |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e0 WHERE vec_id < $kCentroids),
        |assign AS (
@@ -2722,18 +2786,20 @@ object VectorOps {
        |      PARTITION BY src ORDER BY cos_sim DESC, dst) AS rank
        |    FROM sims)
        |  WHERE rank <= $kNn),
-       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e0 WHERE vec_id < $nQueries),
+       |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
+       |      FROM e0 WHERE vec_id < $nQueries),
        |v0 AS (
-       |  SELECT q_id, vec_id, c_int FROM (
-       |    SELECT q.q_id, e0.vec_id, $score AS c_int, ROW_NUMBER() OVER (
-       |      PARTITION BY q.q_id ORDER BY $score DESC, e0.vec_id) AS rn
+       |  SELECT q_id, q_label, vec_id, label, c_int FROM (
+       |    SELECT q.q_id, q.q_label, e0.vec_id, e0.label, $score AS c_int,
+       |      ROW_NUMBER() OVER (
+       |        PARTITION BY q.q_id ORDER BY $score DESC, e0.vec_id) AS rn
        |    FROM q, e0 WHERE e0.vec_id < $kCentroids)
        |  WHERE rn <= $nProbe),
        |$rounds
        |SELECT q_id, rank, vec_id AS neighbor_id, c_int / 10000.0 AS cos_sim FROM (
-       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |  SELECT q_id, vec_id, c_int, CAST(ROW_NUMBER() OVER (
        |    PARTITION BY q_id ORDER BY c_int DESC, vec_id) AS INT) AS rank
-       |  FROM v$hops WHERE vec_id <> q_id)
+       |  FROM $finalRel base WHERE vec_id <> q_id)
        |WHERE rank <= $k
        |ORDER BY q_id, rank""".stripMargin
   }
@@ -2752,6 +2818,39 @@ object VectorOps {
   def annRecallGraphSql(nQueries: Int = 20, k: Int = 5, beam: Int = 8,
                         hops: Int = 3): String =
     recallSqlOf(annGraphBeamSql(nQueries, k, beam, hops), nQueries, k)
+
+  /** Filtered-graph recall against the exact FILTERED top-k ([[knnFiltered]])
+    * — where harvest-while-traversing lands, next to the IVF pre/post
+    * contrast rows.
+    */
+  def annRecallGraphFiltered(spark: SparkSession, dir: String,
+                             nQueries: Int = 20, k: Int = 5, beam: Int = 16,
+                             hops: Int = 3,
+                             mat: Materialize = Materialize.Local): DataFrame = {
+    val exact = knnFiltered(spark, dir, nQueries, k)
+      .select(col("q_id"), col("neighbor_id"))
+    val approx = annGraphFiltered(spark, dir, nQueries, k, beam, hops, mat = mat)
+      .select(col("q_id"), col("neighbor_id")).withColumn("hit", lit(1))
+    exact.join(approx, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        (col("n_hits") / lit(k.toDouble)).as("recall_at_k"))
+      .orderBy(col("q_id"))
+  }
+
+  def annRecallGraphFilteredSql(nQueries: Int = 20, k: Int = 5, beam: Int = 16,
+                                hops: Int = 3): String =
+    s"""WITH exact AS (SELECT q_id, neighbor_id FROM (${knnFilteredSql(nQueries, k)})),
+       |approx AS (SELECT q_id, neighbor_id FROM (
+       |  ${annGraphFilteredSql(nQueries, k, beam, hops)}))
+       |SELECT q_id, n_hits, n_hits / CAST($k AS DOUBLE) AS recall_at_k FROM (
+       |  SELECT e.q_id,
+       |    CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |  FROM exact e LEFT JOIN approx a
+       |    ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id
+       |  GROUP BY e.q_id)
+       |ORDER BY q_id""".stripMargin
 
   def annRecall(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 5,
                 kCentroids: Int = 16, nProbe: Int = 2,

@@ -1650,6 +1650,21 @@ class OperatorsSpec extends SparkSuite {
       .map(_.getDouble(2))
     assert(routed.sum / routed.length >= 0.5,
       s"routed beam recall collapsed: ${routed.sum / routed.length}")
+    // filtered variant: traversal is unfiltered but every REPORTED
+    // neighbor must satisfy the predicate — and the widened beam keeps
+    // harvest recall in IVF-pre-filter territory
+    val labels = VectorOps.prepared(spark, sf("sf0.01"))
+      .select("vec_id", "label").as[(Long, Long)].collect().toMap
+    val filt = VectorOps.annGraphFiltered(spark, sf("sf0.01")).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(filt.nonEmpty)
+    filt.foreach { case (q, n) =>
+      assert(labels(n) == labels(q), s"neighbor $n breaks q $q's predicate")
+    }
+    val fRecall = VectorOps.annRecallGraphFiltered(spark, sf("sf0.01"))
+      .collect().map(_.getDouble(2))
+    assert(fRecall.sum / fRecall.length >= 0.4,
+      s"filtered harvest recall collapsed: ${fRecall.sum / fRecall.length}")
   }
 
   test("sem clusters: components equal a union-find over the mutual edge list") {
