@@ -304,6 +304,7 @@ object SparkEntry {
     "v_recall_graph" -> ((s, dir) => VectorOps.annRecallGraph(s, dir)),
     "v_ann_graph_filtered" -> ((s, dir) => VectorOps.annGraphFiltered(s, dir)),
     "v_recall_graph_filtered" -> ((s, dir) => VectorOps.annRecallGraphFiltered(s, dir)),
+    "v_graph_compact" -> ((s, dir) => VectorOps.graphCompact(s, dir)),
     "v_quantize" -> ((s, dir) => VectorOps.quantize(s, dir).orderBy(col("vec_id"))),
     "v_pq_assign" -> ((s, dir) =>
       VectorOps.pqAssign(s, dir).orderBy(col("vec_id"), col("block"))),
@@ -777,6 +778,7 @@ object SparkEntry {
       "v_recall_graph" -> VectorOps.annRecallGraphSql(),
       "v_ann_graph_filtered" -> VectorOps.annGraphFilteredSql(),
       "v_recall_graph_filtered" -> VectorOps.annRecallGraphFilteredSql(),
+      "v_graph_compact" -> VectorOps.graphCompactSql(),
       "v_quantize" -> VectorOps.quantizeSql,
       "v_pq_assign" -> VectorOps.pqAssignSql(),
       "v_ann_pq" -> VectorOps.annPqSql(),

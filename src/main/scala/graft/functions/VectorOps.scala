@@ -2638,14 +2638,29 @@ object VectorOps {
     val queries = broadcast(e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("v").as("qv"), col("nrm").as("qn")))
-    val edges = sharedKnnEdges(spark, dir, kNn, kCentroids, mat)
-      .select(col("src"), col("dst"))
+    graphBeamWith(e, queries,
+      sharedKnnEdges(spark, dir, kNn, kCentroids, mat)
+        .select(col("src"), col("dst")),
+      e.filter(col("vec_id") < kCentroids)
+        .select(col("vec_id"), col("label"), col("v"), col("nrm")),
+      k, beam, hops, nProbe, mat, filtered)
+  }
+
+  /** The beam core over an EXPLICIT serving graph — `edges` (src, dst)
+    * plus the routing `seeds` (vec_id, label, v, nrm) — so the staleness
+    * audit ([[graphCompact]]) can search the frozen-base + delta graph
+    * with the exact machinery the live search uses.
+    */
+  private def graphBeamWith(e: DataFrame, queries: DataFrame,
+                            edges: DataFrame, seeds: DataFrame,
+                            k: Int, beam: Int, hops: Int, nProbe: Int,
+                            mat: Materialize, filtered: Boolean): DataFrame = {
     val cInt = floor(dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
       * 10000 + 0.5).cast("long")
     val w = Window.partitionBy(col("q_id")).orderBy(col("c_int").desc, col("vec_id"))
-    // routing layer: the kCentroids seed nodes, top-nProbe per query
+    // routing layer: the seed nodes, top-nProbe per query
     var visited = mat(queries
-      .crossJoin(broadcast(e.filter(col("vec_id") < kCentroids)
+      .crossJoin(broadcast(seeds
         .select(col("vec_id"), col("label"), col("v"), col("nrm"))))
       .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
         cInt.as("c_int"))
@@ -2739,7 +2754,8 @@ object VectorOps {
 
   private def graphBeamSqlCore(nQueries: Int, k: Int, beam: Int,
                                hops: Int, kNn: Int, kCentroids: Int,
-                               nProbe: Int, filtered: Boolean): String = {
+                               nProbe: Int, filtered: Boolean,
+                               edgesCtes: String = "", seedsSql: String = ""): String = {
     val score = "CAST(floor(list_dot_product(q.qv, e0.v) / (q.qn * e0.nrm)" +
       " * 10000 + 0.5) AS BIGINT)"
     val rounds = (1 to hops).map { i =>
@@ -2766,26 +2782,31 @@ object VectorOps {
            |   FROM (SELECT * FROM v0${(1 to hops).map(i => s" UNION ALL SELECT * FROM s$i").mkString}) pool
            |   WHERE label = q_label GROUP BY q_id, vec_id)""".stripMargin
       else s"v$hops"
+    val edgeBlock = if (edgesCtes.nonEmpty) edgesCtes else
+      s"""c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e0 WHERE vec_id < $kCentroids),
+         |assign AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT e0.vec_id, c.centroid_id, ROW_NUMBER() OVER (
+         |      PARTITION BY e0.vec_id
+         |      ORDER BY list_dot_product(e0.v, c.cv) / (e0.nrm * c.cn) DESC, c.centroid_id) AS rn
+         |    FROM e0, c)
+         |  WHERE rn = 1),
+         |ec AS (SELECT e0.*, assign.centroid_id FROM e0 JOIN assign USING (vec_id)),
+         |sims AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+         |  FROM ec a JOIN ec b ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id),
+         |edges AS (
+         |  SELECT src, dst FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY src ORDER BY cos_sim DESC, dst) AS rank
+         |    FROM sims)
+         |  WHERE rank <= $kNn)""".stripMargin
+    val seedBlock = if (seedsSql.nonEmpty) seedsSql else
+      s"SELECT vec_id, label, v, nrm FROM e0 WHERE vec_id < $kCentroids"
     s"""WITH e0 AS ($preparedSql),
-       |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e0 WHERE vec_id < $kCentroids),
-       |assign AS (
-       |  SELECT vec_id, centroid_id FROM (
-       |    SELECT e0.vec_id, c.centroid_id, ROW_NUMBER() OVER (
-       |      PARTITION BY e0.vec_id
-       |      ORDER BY list_dot_product(e0.v, c.cv) / (e0.nrm * c.cn) DESC, c.centroid_id) AS rn
-       |    FROM e0, c)
-       |  WHERE rn = 1),
-       |ec AS (SELECT e0.*, assign.centroid_id FROM e0 JOIN assign USING (vec_id)),
-       |sims AS (
-       |  SELECT a.vec_id AS src, b.vec_id AS dst,
-       |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
-       |  FROM ec a JOIN ec b ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id),
-       |edges AS (
-       |  SELECT src, dst FROM (
-       |    SELECT *, ROW_NUMBER() OVER (
-       |      PARTITION BY src ORDER BY cos_sim DESC, dst) AS rank
-       |    FROM sims)
-       |  WHERE rank <= $kNn),
+       |$edgeBlock,
+       |sd AS ($seedBlock),
        |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
        |      FROM e0 WHERE vec_id < $nQueries),
        |v0 AS (
@@ -2793,7 +2814,7 @@ object VectorOps {
        |    SELECT q.q_id, q.q_label, e0.vec_id, e0.label, $score AS c_int,
        |      ROW_NUMBER() OVER (
        |        PARTITION BY q.q_id ORDER BY $score DESC, e0.vec_id) AS rn
-       |    FROM q, e0 WHERE e0.vec_id < $kCentroids)
+       |    FROM q, sd e0)
        |  WHERE rn <= $nProbe),
        |$rounds
        |SELECT q_id, rank, vec_id AS neighbor_id, c_int / 10000.0 AS cos_sim FROM (
@@ -2802,6 +2823,137 @@ object VectorOps {
        |  FROM $finalRel base WHERE vec_id <> q_id)
        |WHERE rank <= $k
        |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Graph-serving recompaction audit — the third member of the
+    * staleness trilogy (`v_compact_audit` for semantic dedup,
+    * `d_bm25_compact` for retrieval, this for graph search): the SAME
+    * beam runs over the LIVE rebuilt graph and over the STALE serving
+    * graph an incremental deployment actually has after a day of
+    * arrivals — frozen base-built edges (base vectors link only to base;
+    * their lists predate the increment) plus [[knnGraphIncr]]'s delta
+    * edges, routed from the frozen-base seeds. Delta vectors are
+    * reachable only THROUGH delta out-edges on the stale graph, so every
+    * exact neighbor that arrived with the increment is at risk — the
+    * per-query recall gap is the staleness cost that tells a deployment
+    * when the nightly graph rebuild stops being optional.
+    */
+  def graphCompact(spark: SparkSession, dir: String, nQueries: Int = 20,
+                   k: Int = 5, beam: Int = 8, hops: Int = 3, kNn: Int = 5,
+                   kCentroids: Int = 16, mod: Int = 5, nProbe: Int = 2,
+                   mat: Materialize = Materialize.Local): DataFrame = {
+    val e = prepared(spark, dir)
+    val queries = broadcast(e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qn")))
+    // the stale serving graph: base edges as built at base time (frozen-
+    // base centroids, base-only cells) + the delta edges the increment
+    // job linked in
+    val cents = frozenCentroids(e, kCentroids, mod)
+    val centroidId = argmaxFold(typedLit(cents), c =>
+      dot(col("v"), c.getField("_2")) / (col("nrm") * c.getField("_3")))
+    val base = e.filter(incSplitE(mod) =!= 0).withColumn("centroid_id", centroidId)
+    val ba = base.select(col("centroid_id"), col("vec_id").as("src"),
+      col("v").as("va"), col("nrm").as("na"))
+    val bb = base.select(col("centroid_id"), col("vec_id").as("dst"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val wSrc = Window.partitionBy(col("src"))
+      .orderBy(col("cos_sim").desc, col("dst"))
+    val baseEdges = ba.join(bb, Seq("centroid_id"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("cos_sim",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .withColumn("rank", row_number().over(wSrc)).filter(col("rank") <= kNn)
+      .select(col("src"), col("dst"))
+    val deltaEdges = knnGraphIncr(spark, dir, kNn, kCentroids, mod)
+      .select(col("src"), col("dst"))
+    val staleEdges = mat(baseEdges.unionAll(deltaEdges))
+    val staleSeeds = e.filter(col("vec_id").isin(cents.map(_._1): _*))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"))
+    val stale = graphBeamWith(e, queries, staleEdges, staleSeeds,
+      k, beam, hops, nProbe, mat, filtered = false)
+      .select(col("q_id"), col("neighbor_id")).withColumn("hit_stale", lit(1))
+    val full = annGraphBeam(spark, dir, nQueries, k, beam, hops, kNn,
+        kCentroids, nProbe, mat)
+      .select(col("q_id"), col("neighbor_id")).withColumn("hit_full", lit(1))
+    val exact = knn(spark, dir, nQueries, k)
+      .select(col("q_id"), col("neighbor_id"))
+    exact.join(full, Seq("q_id", "neighbor_id"), "left")
+      .join(stale, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(
+        sum(coalesce(col("hit_full"), lit(0))).cast("long").as("n_hits_full"),
+        sum(coalesce(col("hit_stale"), lit(0))).cast("long").as("n_hits_stale"))
+      .select(col("q_id"), col("n_hits_full"), col("n_hits_stale"),
+        (col("n_hits_full") / lit(k.toDouble)).as("recall_full"),
+        (col("n_hits_stale") / lit(k.toDouble)).as("recall_stale"))
+      .orderBy(col("q_id"))
+  }
+
+  def graphCompactSql(nQueries: Int = 20, k: Int = 5, beam: Int = 8,
+                      hops: Int = 3, kNn: Int = 5, kCentroids: Int = 16,
+                      mod: Int = 5, nProbe: Int = 2): String = {
+    val staleEdgeCtes =
+      s"""cfz AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e0
+         |        WHERE ${incSplitSql(mod)} <> 0 ORDER BY vec_id LIMIT $kCentroids),
+         |asg AS (
+         |  SELECT vec_id, cid AS centroid_id FROM (
+         |    SELECT e0.vec_id, c.cid, ROW_NUMBER() OVER (
+         |      PARTITION BY e0.vec_id
+         |      ORDER BY list_dot_product(e0.v, c.cv) / (e0.nrm * c.cn) DESC, c.cid) AS rn
+         |    FROM e0, cfz c)
+         |  WHERE rn = 1),
+         |alls AS (
+         |  SELECT e0.*, asg.centroid_id, (${incSplitSql(mod)}) <> 0 AS is_base
+         |  FROM e0 JOIN asg USING (vec_id)),
+         |bedges AS (
+         |  SELECT src, dst FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY src ORDER BY cos_sim DESC, dst) AS rank
+         |    FROM (
+         |      SELECT s.vec_id AS src, d.vec_id AS dst,
+         |        round(list_dot_product(s.v, d.v) / (s.nrm * d.nrm), 4) AS cos_sim
+         |      FROM alls s JOIN alls d
+         |        ON s.centroid_id = d.centroid_id AND s.vec_id <> d.vec_id
+         |      WHERE s.is_base AND d.is_base))
+         |  WHERE rank <= $kNn),
+         |dedges AS (
+         |  SELECT src, dst FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY src ORDER BY cos_sim DESC, dst) AS rank
+         |    FROM (
+         |      SELECT s.vec_id AS src, d.vec_id AS dst,
+         |        round(list_dot_product(s.v, d.v) / (s.nrm * d.nrm), 4) AS cos_sim
+         |      FROM alls s JOIN alls d
+         |        ON s.centroid_id = d.centroid_id AND s.vec_id <> d.vec_id
+         |      WHERE NOT s.is_base))
+         |  WHERE rank <= $kNn),
+         |edges AS (SELECT * FROM bedges UNION ALL SELECT * FROM dedges)""".stripMargin
+    val staleSeeds =
+      s"""SELECT vec_id, label, v, nrm FROM e0
+         |   WHERE ${incSplitSql(mod)} <> 0 ORDER BY vec_id LIMIT $kCentroids""".stripMargin
+    val staleSearch = graphBeamSqlCore(nQueries, k, beam, hops, kNn,
+      kCentroids, nProbe, filtered = false,
+      edgesCtes = staleEdgeCtes, seedsSql = staleSeeds)
+    val fullSearch = graphBeamSqlCore(nQueries, k, beam, hops, kNn,
+      kCentroids, nProbe, filtered = false)
+    s"""WITH exact AS (SELECT q_id, neighbor_id FROM (${knnSql(nQueries, k)})),
+       |fs AS (SELECT q_id, neighbor_id FROM (
+       |  $fullSearch)),
+       |ss AS (SELECT q_id, neighbor_id FROM (
+       |  $staleSearch))
+       |SELECT q_id, n_hits_full, n_hits_stale,
+       |  n_hits_full / CAST($k AS DOUBLE) AS recall_full,
+       |  n_hits_stale / CAST($k AS DOUBLE) AS recall_stale
+       |FROM (
+       |  SELECT e.q_id,
+       |    CAST(sum(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_full,
+       |    CAST(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_stale
+       |  FROM exact e
+       |  LEFT JOIN fs f ON e.q_id = f.q_id AND e.neighbor_id = f.neighbor_id
+       |  LEFT JOIN ss s ON e.q_id = s.q_id AND e.neighbor_id = s.neighbor_id
+       |  GROUP BY e.q_id)
+       |ORDER BY q_id""".stripMargin
   }
 
   /** The recall row for the graph tier at the matrix's standard

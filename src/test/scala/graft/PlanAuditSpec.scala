@@ -396,6 +396,14 @@ class PlanAuditSpec extends SparkSuite {
       s"frontier/eligibility joins must broadcast:\n$plan")
   }
 
+  test("v_graph_compact: both serving graphs cell-keyed; audit never cartesian") {
+    val plan = graft.functions.VectorOps.graphCompact(spark, sf("sf0.001"),
+      mat = graft.Materialize.Passthrough)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"staleness audit must never plan a partition-wise cartesian:\n$plan")
+  }
+
   test("v_recall_margin_trained: every miner's cross-side join stays cell-keyed") {
     // six miners + the exact contrast in one plan: none of them may
     // degenerate to a cross-side cartesian (the broadcast-of-centroids
