@@ -285,6 +285,80 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("mp3 header walk round-trips random VBR streams; never throws on mutations") {
+    import graft.multimodal.Mp3
+    val caseGen = for {
+      sr <- Gen.choose(0, 2); mode <- Gen.choose(0, 3)
+      nf <- Gen.choose(1, 30); id3 <- Gen.choose(0, 200)
+      a <- Gen.choose(1L, 997L); b <- Gen.choose(0L, 13L)
+    } yield (sr, mode, nf, id3, a, b)
+    samples(caseGen, 30).foreach { case (sr, mode, nf, id3, a, b) =>
+      def bi(f: Int) = 1 + ((a * f + b) % 14).toInt
+      def pad(f: Int) = ((a + f) % 2).toInt
+      val bytes = Mp3.encode(sr, mode, bi, pad, nf, id3)
+      val info = Mp3.parse(bytes).getOrElse(fail(s"refused ($sr,$mode,$nf,$id3)"))
+      assert(info.sampleRate == Mp3.SampleRate(sr) && info.chMode == mode &&
+        info.nFrames == nf && info.nBytes == bytes.length &&
+        info.id3Bytes == (if (id3 > 0) 10 + id3 else 0) &&
+        info.sumKbps == (0 until nf).map(f => Mp3.BitrateKbps(bi(f)).toLong).sum)
+      // mutation fuzz: parse is total — Some or None, never a throw —
+      // and a mutated stream that still parses reports consistent totals
+      val rnd = new scala.util.Random(a * 31 + b)
+      for (_ <- 0 until 20) {
+        val m = bytes.clone()
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        Mp3.parse(m).foreach(i => assert(i.nBytes == m.length && i.nFrames > 0))
+      }
+    }
+  }
+
+  test("dupSpans equals a brute-force positional cut on random corpora") {
+    import graft.functions.TextOps
+    val n = 5
+    // small vocabulary forces genuine cross-doc window collisions
+    val wordGen = Gen.oneOf("aa", "bb", "cc", "dd")
+    val docGen = Gen.choose(n, 14).flatMap(len => Gen.listOfN(len, wordGen))
+    val corpusGen = Gen.choose(3, 7).flatMap(m => Gen.listOfN(m, docGen))
+    samples(corpusGen, 6).zipWithIndex.foreach { case (corpus, ci) =>
+      val docs = corpus.zipWithIndex
+        .map { case (ws, id) => (id.toLong, ws.mkString(" "), "en", "s", 1L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val dir = java.nio.file.Files.createTempDirectory(s"prop_ds$ci").toString
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // brute-force reference: global first occurrence per window text in
+      // (doc_id, pos) order; all other occurrences cut, positions unioned
+      val first = scala.collection.mutable.Map[String, (Int, Int)]()
+      for ((ws, d) <- corpus.zipWithIndex; i <- 0 to ws.length - n) {
+        val sh = ws.slice(i, i + n).mkString(" ")
+        if (!first.contains(sh)) first(sh) = (d, i)
+      }
+      val expect = corpus.zipWithIndex.map { case (ws, d) =>
+        val cut = (for {
+          i <- 0 to ws.length - n
+          sh = ws.slice(i, i + n).mkString(" ")
+          if first(sh) != (d, i) && {
+            val occs = for ((ws2, d2) <- corpus.zipWithIndex;
+                            j <- 0 to ws2.length - n
+                            if ws2.slice(j, j + n).mkString(" ") == sh) yield ()
+            occs.length >= 2
+          }
+          p <- i until i + n
+        } yield p).toSet
+        val spans = cut.toSeq.sorted.foldLeft((0, -2)) { case ((c, prev), p) =>
+          (if (p == prev + 1) c else c + 1, p)
+        }._1
+        val clean = ws.zipWithIndex.collect { case (w, p) if !cut(p) => w }
+        (d.toLong, (ws.length.toLong, cut.size.toLong, spans.toLong,
+          clean.mkString(" ")))
+      }.toMap
+      val got = TextOps.dupSpans(spark, dir)
+        .select("doc_id", "n_words", "n_dup", "n_spans", "text_clean")
+        .as[(Long, Long, Long, Long, String)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+      assert(got == expect, s"case $ci diverges from brute force")
+    }
+  }
+
   test("large-star/small-star equals min-label propagation on random graphs") {
     import graft.functions.VectorOps
     // random sparse graphs under the min-label cap: the two component
