@@ -242,6 +242,7 @@ object SparkEntry {
     "d_hybrid_rrf" -> ((s, dir) => Retrieval.hybridRrf(s, dir)),
     "d_bm25_incr" -> ((s, dir) => Retrieval.bm25Incr(s, dir)),
     "d_bm25_compact" -> ((s, dir) => Retrieval.bm25Compact(s, dir)),
+    "d_bm25_stats" -> ((s, dir) => Retrieval.bm25IndexStats(s, dir)),
     "d_dsir" -> ((s, dir) => MixOps.dsirWeights(s, dir)),
     "d_dsir_mix" -> ((s, dir) => MixOps.dsirMix(s, dir)),
     "d_containment" -> ((s, dir) => TextOps.containmentPairs(s, dir)),
@@ -305,6 +306,7 @@ object SparkEntry {
     "v_ann_graph_filtered" -> ((s, dir) => VectorOps.annGraphFiltered(s, dir)),
     "v_recall_graph_filtered" -> ((s, dir) => VectorOps.annRecallGraphFiltered(s, dir)),
     "v_graph_compact" -> ((s, dir) => VectorOps.graphCompact(s, dir)),
+    "v_ivf_stats" -> ((s, dir) => VectorOps.ivfStats(s, dir)),
     "v_quantize" -> ((s, dir) => VectorOps.quantize(s, dir).orderBy(col("vec_id"))),
     "v_pq_assign" -> ((s, dir) =>
       VectorOps.pqAssign(s, dir).orderBy(col("vec_id"), col("block"))),
@@ -730,6 +732,7 @@ object SparkEntry {
       "d_hybrid_rrf" -> Retrieval.hybridRrfSql(),
       "d_bm25_incr" -> Retrieval.bm25IncrSql(),
       "d_bm25_compact" -> Retrieval.bm25CompactSql(),
+      "d_bm25_stats" -> Retrieval.bm25IndexStatsSql(),
       "d_dsir" -> MixOps.dsirWeightsSql(),
       "d_dsir_mix" -> MixOps.dsirMixSql(),
       "d_containment" -> TextOps.containmentPairsSql(),
@@ -779,6 +782,7 @@ object SparkEntry {
       "v_ann_graph_filtered" -> VectorOps.annGraphFilteredSql(),
       "v_recall_graph_filtered" -> VectorOps.annRecallGraphFilteredSql(),
       "v_graph_compact" -> VectorOps.graphCompactSql(),
+      "v_ivf_stats" -> VectorOps.ivfStatsSql(),
       "v_quantize" -> VectorOps.quantizeSql,
       "v_pq_assign" -> VectorOps.pqAssignSql(),
       "v_ann_pq" -> VectorOps.annPqSql(),

@@ -273,6 +273,62 @@ object Retrieval {
        |WHERE rank <= $k
        |ORDER BY q_id, rank""".stripMargin
 
+  /** Inverted-index health monitor — the one-row report a retrieval
+    * deployment reads beside [[bm25Compact]]: vocabulary size, corpus and
+    * posting mass, the df skew (max df, the permille of postings carried
+    * by terms over the [[bm25]] df-fraction cap — the stopword mass the
+    * cap exists to cut), and average document length. All integers over
+    * the session-shared index; one pass, map-side combined.
+    */
+  def bm25IndexStats(spark: SparkSession, dir: String,
+                     maxDfFrac: Double = 0.9,
+                     mat: Materialize = Materialize.Local): DataFrame = {
+    val withLen = TextOps.prepared(spark, dir).select(
+      col("doc_id"),
+      filter(col("words"), w => w =!= "").as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("len"), col("ws"))
+    val tf = graft.SharedRel(spark, s"bm25idx|$dir", mat)(
+      withLen.select(col("doc_id"), col("len"), explode(col("ws")).as("w"))
+        .groupBy(col("doc_id"), col("len"), col("w"))
+        .agg(count(lit(1)).as("tf")))
+    val stats = withLen.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+    val df = tf.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("postings"))
+    df.crossJoin(broadcast(stats))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("postings")).as("n_postings"),
+        max(col("df")).as("max_df"),
+        sum(when(col("df").cast("double") > lit(maxDfFrac) * col("n_docs"),
+          col("postings")).otherwise(lit(0L))).as("capped_postings"),
+        first(col("n_docs")).as("n_docs"),
+        first(col("sum_len")).as("sum_len"))
+      .select(col("n_docs"), col("n_terms"), col("n_postings"), col("max_df"),
+        expr("capped_postings * 1000L div n_postings").as("capped_pm"),
+        expr("sum_len div n_docs").as("avg_len"))
+  }
+
+  def bm25IndexStatsSql(maxDfFrac: Double = 0.9): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, list_filter(words, w -> w <> '') AS ws
+       |  FROM (${TextOps.preparedSql})),
+       |wl AS (SELECT doc_id, len(ws) AS len, ws FROM d),
+       |tf AS (
+       |  SELECT doc_id, len, w, count(*) AS tf
+       |  FROM wl, unnest(ws) AS t(w)
+       |  GROUP BY doc_id, len, w),
+       |stats AS (SELECT count(*) AS n_docs, sum(len) AS sum_len FROM wl),
+       |df AS (SELECT w, count(*) AS df, sum(tf) AS postings FROM tf GROUP BY w)
+       |SELECT CAST(stats.n_docs AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_terms,
+       |  CAST(sum(postings) AS BIGINT) AS n_postings,
+       |  CAST(max(df) AS BIGINT) AS max_df,
+       |  CAST(sum(CASE WHEN CAST(df AS DOUBLE) > $maxDfFrac * stats.n_docs
+       |           THEN postings ELSE 0 END) * 1000
+       |       // sum(postings) AS BIGINT) AS capped_pm,
+       |  CAST(stats.sum_len // stats.n_docs AS BIGINT) AS avg_len
+       |FROM df, stats GROUP BY stats.n_docs, stats.sum_len""".stripMargin
+
   /** Index-recompaction audit — the staleness-cost report that tells a
     * BM25 deployment WHEN to re-index (the [[VectorOps]] `v_compact_audit`
     * twin for the retrieval tier): the same delta candidates are scored

@@ -1056,6 +1056,47 @@ object VectorOps {
       .select(col("vec_id"), col("centroid_id"), round(col("c_sim"), 4).as("c_sim"))
   }
 
+  /** IVF index-health monitor — the |cells| rows an index operator reads
+    * before deciding which inverted lists to split at the next rebuild:
+    * per-cell membership count, share of the corpus in permille, the
+    * in-cell assignment-similarity floor (a LOW min cosine means the cell
+    * is a catch-all whose members barely belong — the split candidate
+    * signature), and the hot flag (cell > 2× the mean size, the skew that
+    * turns a single-probe search into a scan). All-integer except the
+    * quantized floor; rides the session-shared assignment.
+    */
+  def ivfStats(spark: SparkSession, dir: String, k: Int = 16,
+               mat: Materialize = Materialize.Local): DataFrame = {
+    val assign = sharedIvfAssignSim(spark, dir, k, mat)
+    val tot = assign.agg(count(lit(1)).as("n"))
+    assign.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("c_sim")).as("min_sim"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_pm", expr("n_vecs * 1000L div n"))
+      .withColumn("hot", col("n_vecs") * k > lit(2L) * col("n"))
+      .select(col("centroid_id"), col("n_vecs"), col("share_pm"),
+        col("min_sim"), col("hot"))
+      .orderBy(col("centroid_id"))
+  }
+
+  /** The (vec_id, centroid_id, c_sim) assignment WITH the quantized
+    * similarity — shared so [[ivfStats]] does not re-run the argmax the
+    * plain id-only [[sharedIvfAssign]] already paid for.
+    */
+  private def sharedIvfAssignSim(spark: SparkSession, dir: String, k: Int,
+                                 mat: Materialize): DataFrame =
+    graft.SharedRel(spark, s"ivfsim|$dir|$k", mat)(ivfAssign(spark, dir, k))
+
+  def ivfStatsSql(k: Int = 16): String =
+    s"""WITH a AS (${ivfAssignSql(k)}),
+       |n AS (SELECT count(*) AS n FROM a)
+       |SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(count(*) * 1000 // n.n AS BIGINT) AS share_pm,
+       |  min(c_sim) AS min_sim,
+       |  count(*) * $k > 2 * n.n AS hot
+       |FROM a, n GROUP BY centroid_id, n.n ORDER BY centroid_id""".stripMargin
+
   def ivfAssignSql(k: Int = 16): String =
     s"""WITH e AS ($preparedSql),
        |c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e WHERE vec_id < $k),

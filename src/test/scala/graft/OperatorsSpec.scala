@@ -1629,6 +1629,27 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("index-health monitors cross-foot against their base relations") {
+    import functions.{Retrieval, VectorOps}
+    // ivf: cell sizes partition the corpus; shares sum to ~1000 permille
+    val cells = VectorOps.ivfStats(spark, sf()).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(4)))
+    val nVecs = VectorOps.prepared(spark, sf()).count()
+    assert(cells.map(_._1).sum == nVecs, "cell sizes must partition the corpus")
+    assert(math.abs(cells.map(_._2).sum - 1000) <= cells.length,
+      "permille shares must sum to ~1000 (floor rounding)")
+    val mean = nVecs.toDouble / cells.length
+    cells.foreach { case (n, _, hot) =>
+      assert(hot == (n > 2 * mean), "hot flag must be the 2x-mean rule")
+    }
+    // bm25: posting mass equals the token mass of the filtered word relation
+    val st = Retrieval.bm25IndexStats(spark, sf()).head()
+    val toks = functions.TextOps.prepared(spark, sf())
+      .select(explode(filter(col("words"), w => w =!= ""))).count()
+    assert(st.getLong(2) == toks, "posting mass must equal token mass")
+    assert(st.getLong(0) > 0 && st.getLong(5) == toks / st.getLong(0))
+  }
+
   test("graph beam search: dense descending top-k; routing layer rescues the recall") {
     import functions.VectorOps
     val out = VectorOps.annGraphBeam(spark, sf()).collect()
