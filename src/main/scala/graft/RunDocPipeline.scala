@@ -208,7 +208,11 @@ object RunDocPipeline {
         MarginStream.frozenTarget(spark, sfDir),
         s"$workDir/pairs_mined", s"$workDir/ckpt8")
       try { q8.processAllAvailable() } finally q8.stop()
-      spark.read.parquet(s"$workDir/pairs_mined").count()
+      // distinct (a_id, b_id): epoch-scoped replay dedup inside the stream
+      // means a re-fed arrival in a later epoch can append the same pair
+      // twice; the readout stays replay-robust by counting pairs, not rows
+      spark.read.parquet(s"$workDir/pairs_mined")
+        .select("a_id", "b_id").distinct().count()
     }
 
     // decontamination tier of the same ingest: every raw arrival tagged

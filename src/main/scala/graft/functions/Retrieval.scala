@@ -306,6 +306,10 @@ object Retrieval {
       .select(col("n_docs"), col("n_terms"), col("n_postings"), col("max_df"),
         expr("capped_postings * 1000L div n_postings").as("capped_pm"),
         expr("sum_len div n_docs").as("avg_len"))
+      // empty/stopword-free corpus: the SQL oracle's GROUP BY over an empty
+      // df CTE yields zero rows; drop the degenerate all-null row so both
+      // engines agree on the shape (no corpus -> no report)
+      .where(col("n_terms") > 0)
   }
 
   def bm25IndexStatsSql(maxDfFrac: Double = 0.9): String =

@@ -1061,9 +1061,10 @@ object VectorOps {
     * per-cell membership count, share of the corpus in permille, the
     * in-cell assignment-similarity floor (a LOW min cosine means the cell
     * is a catch-all whose members barely belong — the split candidate
-    * signature), and the hot flag (cell > 2× the mean size, the skew that
-    * turns a single-probe search into a scan). All-integer except the
-    * quantized floor; rides the session-shared assignment.
+    * signature), and the hot flag (cell > 2× the mean size, where the mean
+    * denominator is `k` — ALL centroids, including empty cells, so the
+    * flag is stable as cells drain). All-integer except the quantized
+    * floor; rides the session-shared assignment.
     */
   def ivfStats(spark: SparkSession, dir: String, k: Int = 16,
                mat: Materialize = Materialize.Local): DataFrame = {

@@ -40,7 +40,8 @@ object Mp3 {
   def encode(srIdx: Int, chMode: Int, bitrateIdx: Int => Int,
              padding: Int => Int, nFrames: Int, id3Payload: Int): Array[Byte] = {
     require(srIdx >= 0 && srIdx <= 2 && chMode >= 0 && chMode <= 3 &&
-      nFrames > 0 && id3Payload >= 0, "bad MP3 shape")
+      nFrames > 0 && id3Payload >= 0 && id3Payload < (1 << 28),
+      "bad MP3 shape") // ID3v2 size field is 28-bit syncsafe
     val frames = (0 until nFrames).map { f =>
       val bi = bitrateIdx(f)
       val pad = padding(f) & 1

@@ -642,7 +642,9 @@ object Multimodal {
       .as[Long]
       .mapPartitions { it =>
         it.map { id =>
-          val srIdx = (id % 3).toInt
+          // (id/3)%3, NOT id%3: media ids are already the id%3==1 residue,
+          // so id%3 would pin every stream to one sample-rate table entry
+          val srIdx = ((id / 3) % 3).toInt
           val chMode = (id % 4).toInt
           val nFrames = (id % 40).toInt + 5
           val id3Payload = (id % 100).toInt + 10
@@ -665,7 +667,7 @@ object Multimodal {
   def mp3MetaSql: String =
     s"""WITH au AS (
        |  SELECT doc_id AS media_id,
-       |    doc_id % 3 AS sri, doc_id % 4 AS ch_mode,
+       |    (doc_id // 3) % 3 AS sri, doc_id % 4 AS ch_mode,
        |    doc_id % 40 + 5 AS nf, doc_id % 100 + 10 AS id3
        |  FROM documents WHERE doc_id % 3 = 1),
        |fr AS (

@@ -1638,9 +1638,12 @@ class OperatorsSpec extends SparkSuite {
     assert(cells.map(_._1).sum == nVecs, "cell sizes must partition the corpus")
     assert(math.abs(cells.map(_._2).sum - 1000) <= cells.length,
       "permille shares must sum to ~1000 (floor rounding)")
-    val mean = nVecs.toDouble / cells.length
+    // mean denominator is k (all centroids incl. empty cells) per the
+    // ivfStats contract, NOT the returned (non-empty) cell count
+    val ivfK = 16
+    val mean = nVecs.toDouble / ivfK
     cells.foreach { case (n, _, hot) =>
-      assert(hot == (n > 2 * mean), "hot flag must be the 2x-mean rule")
+      assert(hot == (n > 2 * mean), "hot flag must be the 2x-mean-over-k rule")
     }
     // bm25: posting mass equals the token mass of the filtered word relation
     val st = Retrieval.bm25IndexStats(spark, sf()).head()
