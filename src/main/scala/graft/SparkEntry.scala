@@ -201,6 +201,8 @@ object SparkEntry {
     "d_decontam_spans" -> ((s, dir) => TextOps.decontamSpans(s, dir)),
     "d_dup_spans" -> ((s, dir) => TextOps.dupSpans(s, dir)),
     "d_dup_spans_incr" -> ((s, dir) => TextOps.dupSpansIncr(s, dir)),
+    "d_dup_runs" -> ((s, dir) => TextOps.dupRuns(s, dir)),
+    "d_dup_runs_strict" -> ((s, dir) => TextOps.dupRuns(s, dir, minRun = 30)),
     "d_dup_span_rate" -> ((s, dir) => TextOps.dupSpanRate(s, dir)),
     "d_dup_top_runs" -> ((s, dir) => TextOps.dupTopRuns(s, dir)),
     "d_curate" -> ((s, dir) => TextOps.curate(s, dir).orderBy(col("doc_id"))),
@@ -243,6 +245,7 @@ object SparkEntry {
     "d_bm25_incr" -> ((s, dir) => Retrieval.bm25Incr(s, dir)),
     "d_bm25_compact" -> ((s, dir) => Retrieval.bm25Compact(s, dir)),
     "d_bm25_stats" -> ((s, dir) => Retrieval.bm25IndexStats(s, dir)),
+    "d_bm25_pruned" -> ((s, dir) => Retrieval.bm25Pruned(s, dir)),
     "d_dsir" -> ((s, dir) => MixOps.dsirWeights(s, dir)),
     "d_dsir_mix" -> ((s, dir) => MixOps.dsirMix(s, dir)),
     "d_containment" -> ((s, dir) => TextOps.containmentPairs(s, dir)),
@@ -306,7 +309,10 @@ object SparkEntry {
     "v_ann_graph_filtered" -> ((s, dir) => VectorOps.annGraphFiltered(s, dir)),
     "v_recall_graph_filtered" -> ((s, dir) => VectorOps.annRecallGraphFiltered(s, dir)),
     "v_graph_compact" -> ((s, dir) => VectorOps.graphCompact(s, dir)),
+    "v_graph_merge" -> ((s, dir) => VectorOps.graphMerge(s, dir)),
     "v_ivf_stats" -> ((s, dir) => VectorOps.ivfStats(s, dir)),
+    "v_ivf_split" -> ((s, dir) => VectorOps.ivfSplit(s, dir)),
+    "v_recall_ivf_split" -> ((s, dir) => VectorOps.annRecallIvfSplit(s, dir)),
     "v_quantize" -> ((s, dir) => VectorOps.quantize(s, dir).orderBy(col("vec_id"))),
     "v_pq_assign" -> ((s, dir) =>
       VectorOps.pqAssign(s, dir).orderBy(col("vec_id"), col("block"))),
@@ -353,6 +359,7 @@ object SparkEntry {
     "mm_neardup" -> ((s, dir) => Multimodal.imageNearDup(s, dir)),
     "mm_caption_dup" -> ((s, dir) => Multimodal.captionDup(s, dir)),
     "mm_caption_dup_incr" -> ((s, dir) => Multimodal.captionDupIncr(s, dir)),
+    "mm_caption_mismatch" -> ((s, dir) => Multimodal.captionMismatch(s, dir)),
     "mm_dup_clusters" -> ((s, dir) => Multimodal.imageDupClusters(s, dir)),
     "mm_dedup_apply" -> ((s, dir) => Multimodal.imageDedupApply(s, dir)),
     "mm_dedup_incr" -> ((s, dir) => Multimodal.imageDedupIncr(s, dir)),
@@ -692,6 +699,8 @@ object SparkEntry {
       "d_decontam_spans" -> TextOps.decontamSpansSql(),
       "d_dup_spans" -> TextOps.dupSpansSql(),
       "d_dup_spans_incr" -> TextOps.dupSpansIncrSql(),
+      "d_dup_runs" -> TextOps.dupRunsSql(),
+      "d_dup_runs_strict" -> TextOps.dupRunsSql(minRun = 30),
       "d_dup_span_rate" -> TextOps.dupSpanRateSql(),
       "d_dup_top_runs" -> TextOps.dupTopRunsSql(),
       "d_curate" -> TextOps.curateSql(),
@@ -733,6 +742,7 @@ object SparkEntry {
       "d_bm25_incr" -> Retrieval.bm25IncrSql(),
       "d_bm25_compact" -> Retrieval.bm25CompactSql(),
       "d_bm25_stats" -> Retrieval.bm25IndexStatsSql(),
+      "d_bm25_pruned" -> Retrieval.bm25PrunedSql(),
       "d_dsir" -> MixOps.dsirWeightsSql(),
       "d_dsir_mix" -> MixOps.dsirMixSql(),
       "d_containment" -> TextOps.containmentPairsSql(),
@@ -782,7 +792,10 @@ object SparkEntry {
       "v_ann_graph_filtered" -> VectorOps.annGraphFilteredSql(),
       "v_recall_graph_filtered" -> VectorOps.annRecallGraphFilteredSql(),
       "v_graph_compact" -> VectorOps.graphCompactSql(),
+      "v_graph_merge" -> VectorOps.graphMergeSql(),
       "v_ivf_stats" -> VectorOps.ivfStatsSql(),
+      "v_ivf_split" -> VectorOps.ivfSplitSql(),
+      "v_recall_ivf_split" -> VectorOps.annRecallIvfSplitSql(),
       "v_quantize" -> VectorOps.quantizeSql,
       "v_pq_assign" -> VectorOps.pqAssignSql(),
       "v_ann_pq" -> VectorOps.annPqSql(),
@@ -827,6 +840,7 @@ object SparkEntry {
       "mm_neardup" -> Multimodal.imageNearDupSql(),
       "mm_caption_dup" -> Multimodal.captionDupSql(),
       "mm_caption_dup_incr" -> Multimodal.captionDupIncrSql(),
+      "mm_caption_mismatch" -> Multimodal.captionMismatchSql(),
       "mm_dup_clusters" -> Multimodal.imageDupClustersSql(),
       "mm_dedup_apply" -> Multimodal.imageDedupApplySql(),
       "mm_dedup_incr" -> Multimodal.imageDedupIncrSql(),

@@ -43,16 +43,35 @@ object Retrieval {
            k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
            maxDfFrac: Double = 0.9,
            mat: Materialize = Materialize.Local): DataFrame = {
+    val scored = bm25Scored(spark, dir, probeMax, k1, b, maxDfFrac, mat)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("s_int").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"),
+        (col("s_int") / 10000.0).as("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The pre-top-k (q_id, doc_id, s_int) score relation of [[bm25]] —
+    * candidates from the session-shared inverted index with query terms
+    * over `maxDfFrac`·N dropped. Because every contribution comes from a
+    * q ∩ d term, capping the QUERY terms is observationally identical to
+    * serving from an index with those terms' posting lists pruned — which
+    * is exactly how [[bm25Pruned]] reuses this at two cap values.
+    */
+  private def bm25Scored(spark: SparkSession, dir: String, probeMax: Long,
+                         k1: Double, b: Double, maxDfFrac: Double,
+                         mat: Materialize): DataFrame = {
     val withLen = TextOps.prepared(spark, dir).select(
       col("doc_id"),
       filter(col("words"), w => w =!= "").as("ws"))
       .select(col("doc_id"), col("ws"), size(col("ws")).as("len"))
     // the inverted index: session-shared (SharedRel) because it is a
-    // derived index relation with MULTIPLE query consumers (d_bm25 and
-    // d_hybrid_rrf) and four in-plan consumers (df, query terms, the
-    // candidate join, stats' len base) — unshared, each consumer re-ran
-    // the explode + count over the corpus (measured 5.8 s → ~2.6 s
-    // marginal at sf0.1)
+    // derived index relation with MULTIPLE query consumers (d_bm25,
+    // d_bm25_pruned and d_hybrid_rrf) and four in-plan consumers (df,
+    // query terms, the candidate join, stats' len base) — unshared, each
+    // consumer re-ran the explode + count over the corpus (measured
+    // 5.8 s → ~2.6 s marginal at sf0.1)
     val tf = graft.SharedRel(spark, s"bm25idx|$dir", mat)(
       withLen.select(col("doc_id"), col("len"), explode(col("ws")).as("w"))
         .groupBy(col("doc_id"), col("len"), col("w"))
@@ -78,14 +97,8 @@ object Retrieval {
         floor(col("idf") * (col("tf") * lit(k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("ratio")))
           * 10000 + 0.5).cast("long"))
-    val scored = cands.groupBy(col("q_id"), col("doc_id"))
+    cands.groupBy(col("q_id"), col("doc_id"))
       .agg(sum(col("c_int")).as("s_int"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("s_int").desc, col("doc_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("doc_id"),
-        (col("s_int") / 10000.0).as("score"))
-      .orderBy(col("q_id"), col("rank"))
   }
 
   def bm25Sql(probeMax: Long = 10, k: Int = 10, k1: Double = 1.2,
@@ -360,21 +373,35 @@ object Retrieval {
       deltaMod, mat)
     val fresh = bm25IncrScored(spark, dir, probeMax, k1, b, maxDfFrac,
       deltaMod, mat, freshStats = true)
+    rankDriftFold(frozen, fresh, "frozen", "fresh", k)
+  }
+
+  /** The per-query rank-drift monitor fold both serving audits share
+    * ([[bm25Compact]] frozen-vs-fresh, [[bm25Pruned]] full-vs-pruned):
+    * rank both (q_id, doc_id, s_int) relations per query, full-outer join
+    * on the pair, and fold to integer drift rows — pair counts per side,
+    * common pairs, rank-changed pairs, total absolute drift, and how much
+    * of the top-k survives on both sides. |queries|·|candidates|-bounded.
+    */
+  private def rankDriftFold(a: DataFrame, b: DataFrame, aName: String,
+                            bName: String, k: Int): DataFrame = {
     def ranked(sc: DataFrame, nm: String) = sc.select(col("q_id"), col("doc_id"),
       row_number().over(Window.partitionBy(col("q_id"))
         .orderBy(col("s_int").desc, col("doc_id"))).as(nm))
-    ranked(frozen, "rank_frozen")
-      .join(ranked(fresh, "rank_fresh"), Seq("q_id", "doc_id"), "full_outer")
+    val ra = s"rank_$aName"
+    val rb = s"rank_$bName"
+    ranked(a, ra)
+      .join(ranked(b, rb), Seq("q_id", "doc_id"), "full_outer")
       .groupBy(col("q_id")).agg(
-        count(col("rank_frozen")).as("n_frozen"),
-        count(col("rank_fresh")).as("n_fresh"),
-        count(when(col("rank_frozen").isNotNull && col("rank_fresh").isNotNull,
+        count(col(ra)).as(s"n_$aName"),
+        count(col(rb)).as(s"n_$bName"),
+        count(when(col(ra).isNotNull && col(rb).isNotNull,
           1)).as("n_common"),
-        count(when(col("rank_frozen") =!= col("rank_fresh"), 1))
+        count(when(col(ra) =!= col(rb), 1))
           .as("n_rank_changed"),
-        coalesce(sum(abs(col("rank_frozen") - col("rank_fresh"))), lit(0L))
+        coalesce(sum(abs(col(ra) - col(rb))), lit(0L))
           .cast("long").as("sum_abs_drift"),
-        count(when(col("rank_frozen") <= k && col("rank_fresh") <= k, 1))
+        count(when(col(ra) <= k && col(rb) <= k, 1))
           .as("topk_stable"))
       .orderBy(col("q_id"))
   }
@@ -452,6 +479,125 @@ object Retrieval {
        |  CAST(count(CASE WHEN rank_frozen <= $k AND rank_fresh <= $k THEN 1 END)
        |       AS BIGINT) AS topk_stable
        |FROM j GROUP BY q_id ORDER BY q_id""".stripMargin
+
+  /** Stopword-pruned serving audit — the ACTION that closes the
+    * [[bm25IndexStats]] monitor loop: the monitor prices the posting mass
+    * carried by over-cap (stopword-grade) terms; this operator actually
+    * SERVES from the pruned index and reports what the prune buys and
+    * costs. The same probe queries are scored twice through [[bm25Scored]]
+    * — once uncapped (`maxDfFrac = 1.0`, the full index) and once with
+    * terms over `pruneFrac`·N removed (identical to pruning those terms'
+    * posting lists, since every contribution is a q ∩ d term) — and the
+    * per-query rank drift between the two is folded by [[rankDriftFold]].
+    * Every row carries `pruned_mass_pm`, the permille of posting mass the
+    * prune deletes: the serving-cost saving the fidelity loss is weighed
+    * against. The default prune point (0.78) sits INSIDE the testdata's
+    * stopword band (30 terms, df-frac 0.746–0.804, 999‰ of postings):
+    * it prunes the hottest ~half (509‰ of mass) while the rest still
+    * serve — and the report shows the real cost of pruning a
+    * stopword-dominated query load (candidates survive via the remaining
+    * terms, but top-10 stability collapses to 0–6 of 10). A cap below
+    * the band (e.g. 0.5) deletes the queries' entire vocabulary:
+    * n_pruned = 0 — the "don't prune what your queries are made of"
+    * failure the report makes visible either way.
+    *
+    * Scale shape: two passes over the session-shared inverted index with
+    * broadcast stats + query terms (each the [[bm25]] plan — candidate
+    * cost Σ df(t), so the pruned pass is itself ~1000× cheaper here), then
+    * the |queries|·|candidates| rank join. idf/avgdl stay the full-corpus
+    * statistics on BOTH sides: the prune deletes posting lists, it does
+    * not pretend the corpus shrank.
+    */
+  def bm25Pruned(spark: SparkSession, dir: String, probeMax: Long = 10,
+                 k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+                 pruneFrac: Double = 0.78,
+                 mat: Materialize = Materialize.Local): DataFrame = {
+    val full = bm25Scored(spark, dir, probeMax, k1, b, 1.0, mat)
+    val pruned = bm25Scored(spark, dir, probeMax, k1, b, pruneFrac, mat)
+    val withLen = TextOps.prepared(spark, dir).select(
+      col("doc_id"),
+      filter(col("words"), w => w =!= "").as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("len"), col("ws"))
+    val tf = graft.SharedRel(spark, s"bm25idx|$dir", mat)(
+      withLen.select(col("doc_id"), col("len"), explode(col("ws")).as("w"))
+        .groupBy(col("doc_id"), col("len"), col("w"))
+        .agg(count(lit(1)).as("tf")))
+    val nDocs = withLen.agg(count(lit(1)).as("n_docs"))
+    val mass = tf.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("postings"))
+      .crossJoin(broadcast(nDocs))
+      .agg(
+        sum(when(col("df").cast("double") > lit(pruneFrac) * col("n_docs"),
+          col("postings")).otherwise(lit(0L))).as("pruned_postings"),
+        sum(col("postings")).as("n_postings"))
+      .select(expr("pruned_postings * 1000L div n_postings")
+        .as("pruned_mass_pm"))
+    rankDriftFold(full, pruned, "full", "pruned", k)
+      .crossJoin(broadcast(mass))
+  }
+
+  def bm25PrunedSql(probeMax: Long = 10, k: Int = 10, k1: Double = 1.2,
+                    b: Double = 0.75, pruneFrac: Double = 0.78): String = {
+    def scoredCte(nm: String, capPred: String): String =
+      s"""$nm AS (
+         |  SELECT q_id, doc_id, sum(c_int) AS s_int FROM (
+         |    SELECT qt.q_id, tf.doc_id,
+         |      CAST(floor(
+         |        ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |          * (tf * ${k1 + 1}) /
+         |          (tf + $k1 * (${1.0 - b} + $b *
+         |            (CAST(len AS DOUBLE) * n_docs / sum_len)))
+         |        * 10000 + 0.5) AS BIGINT) AS c_int
+         |    FROM tf JOIN (
+         |      SELECT tf.doc_id AS q_id, tf.w, df.df
+         |      FROM tf JOIN df USING (w), stats
+         |      WHERE tf.doc_id < $probeMax AND $capPred) qt USING (w), stats
+         |    WHERE tf.doc_id <> qt.q_id)
+         |  GROUP BY q_id, doc_id)""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, list_filter(words, w -> w <> '') AS ws
+       |  FROM (${TextOps.preparedSql})),
+       |wl AS (SELECT doc_id, ws, len(ws) AS len FROM d),
+       |tf AS (
+       |  SELECT doc_id, len, w, count(*) AS tf
+       |  FROM wl, unnest(ws) AS t(w)
+       |  GROUP BY doc_id, len, w),
+       |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+       |stats AS (SELECT count(*) AS n_docs, sum(len) AS sum_len FROM wl),
+       |${scoredCte("scfull", "TRUE")},
+       |${scoredCte("scpruned",
+           s"CAST(df.df AS DOUBLE) <= $pruneFrac * stats.n_docs")},
+       |mass AS (
+       |  SELECT CAST(sum(CASE WHEN CAST(p.df AS DOUBLE) > $pruneFrac * stats.n_docs
+       |           THEN p.postings ELSE 0 END) * 1000
+       |         // sum(p.postings) AS BIGINT) AS pruned_mass_pm
+       |  FROM (SELECT w, count(*) AS df, sum(tf) AS postings
+       |        FROM tf GROUP BY w) p, stats),
+       |rfull AS (SELECT q_id, doc_id, CAST(ROW_NUMBER() OVER (
+       |         PARTITION BY q_id ORDER BY s_int DESC, doc_id) AS INT)
+       |         AS rank_full FROM scfull),
+       |rpruned AS (SELECT q_id, doc_id, CAST(ROW_NUMBER() OVER (
+       |         PARTITION BY q_id ORDER BY s_int DESC, doc_id) AS INT)
+       |         AS rank_pruned FROM scpruned),
+       |j AS (SELECT coalesce(rfull.q_id, rpruned.q_id) AS q_id,
+       |        rank_full, rank_pruned
+       |      FROM rfull FULL OUTER JOIN rpruned
+       |        ON rfull.q_id = rpruned.q_id AND rfull.doc_id = rpruned.doc_id)
+       |SELECT q_id,
+       |  CAST(count(rank_full) AS BIGINT) AS n_full,
+       |  CAST(count(rank_pruned) AS BIGINT) AS n_pruned,
+       |  CAST(count(CASE WHEN rank_full IS NOT NULL
+       |                   AND rank_pruned IS NOT NULL THEN 1 END) AS BIGINT)
+       |    AS n_common,
+       |  CAST(count(CASE WHEN rank_full <> rank_pruned THEN 1 END) AS BIGINT)
+       |    AS n_rank_changed,
+       |  CAST(coalesce(sum(abs(rank_full - rank_pruned)), 0) AS BIGINT)
+       |    AS sum_abs_drift,
+       |  CAST(count(CASE WHEN rank_full <= $k AND rank_pruned <= $k THEN 1 END)
+       |       AS BIGINT) AS topk_stable,
+       |  mass.pruned_mass_pm
+       |FROM j, mass GROUP BY q_id, mass.pruned_mass_pm ORDER BY q_id""".stripMargin
+  }
 
   /** Reciprocal-rank-fusion hybrid retrieval: the BM25 lexical top-k and
     * the exact-cosine semantic top-k ([[VectorOps.knn]], embeddings joined

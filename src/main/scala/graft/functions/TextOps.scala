@@ -810,6 +810,99 @@ object TextOps {
        |        LEFT JOIN clean ON pw.doc_id = clean.doc_id
        |ORDER BY pw.doc_id""".stripMargin
 
+  /** Variable-length maximal-run cut — the Lee-et-al form [[dupSpans]]
+    * approximates: dedup deployments don't cut every duplicated 5-token
+    * window, they cut maximal duplicated RUNS of at least `minRun`
+    * tokens (minRun > n — the knob that separates "verbatim boilerplate
+    * block" from "five common words in a row"). The fixed-width pass
+    * already produces maximal spans of contiguous cut positions; this
+    * operator islands them (gaps-and-islands: p − row_number per doc),
+    * keeps only islands of length ≥ `minRun`, and feeds the surviving
+    * positions through the same [[spanFold]] tail — so a doc whose only
+    * duplication is a lone shingle-width span keeps its text intact,
+    * while long verbatim runs are cut exactly as before. Keeper
+    * semantics inherit from [[dupSpans]]: first global occurrence owns
+    * the run; only non-keeper occurrences generate cut positions.
+    *
+    * Scale shape: identical to [[dupSpans]] (60-bit hashed shingle keys
+    * through every shuffle, per-doc folds bounded by doc length) plus
+    * one doc-keyed window pair over the hit positions — the hit relation
+    * is the duplicated-token subset, far below corpus token mass.
+    */
+  def dupRuns(spark: SparkSession, dir: String, n: Int = 5, minRun: Int = 8,
+              mat: Materialize = Materialize.Local): DataFrame = {
+    val pw = mat(prepared(spark, dir).filter(size(col("words")) >= n)
+      .select(col("doc_id"), col("words")))
+    val sh = posShingles(pw, n)
+    val keep = sh.groupBy(col("sh"))
+      .agg(min(struct(col("doc_id"), col("i"))).as("k"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("sh"), col("k.doc_id").as("k_doc"), col("k.i").as("k_i"))
+    val hits0 = sh.join(keep, "sh")
+      .filter(!(col("doc_id") === col("k_doc") && col("i") === col("k_i")))
+      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${n - 1})")).as("p"))
+      .distinct()
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val isl = hits0.withColumn("grp", col("p") - row_number().over(wd))
+    val hits = mat(isl
+      .withColumn("span_len",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"), col("grp"))))
+      .filter(col("span_len") >= minRun)
+      .select(col("doc_id"), col("p")))
+    spanFold(pw, hits)
+  }
+
+  def dupRunsSql(n: Int = 5, minRun: Int = 8): String =
+    s"""WITH pw AS (
+       |  SELECT doc_id, words FROM ($preparedSql) WHERE len(words) >= $n),
+       |sh AS (
+       |  SELECT doc_id, i - 1 AS i,
+       |         ${Exprs.hex60Sql(s"array_to_string(words[i : i + ${n - 1}], ' ')")} AS sh
+       |  FROM pw, unnest(range(1, len(words) - ${n - 1} + 1)) AS t(i)),
+       |dup AS (
+       |  SELECT doc_id, i FROM (
+       |    SELECT doc_id, i,
+       |      ROW_NUMBER() OVER (PARTITION BY sh ORDER BY doc_id, i) AS rn
+       |    FROM sh)
+       |  WHERE rn > 1),
+       |hits0 AS (
+       |  SELECT DISTINCT doc_id, i + d AS p
+       |  FROM dup, unnest(range(0, $n)) AS u(d)),
+       |isl AS (
+       |  SELECT doc_id, p,
+       |    p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+       |  FROM hits0),
+       |hits AS (
+       |  SELECT doc_id, p FROM (
+       |    SELECT doc_id, p,
+       |      count(*) OVER (PARTITION BY doc_id, grp) AS span_len
+       |    FROM isl)
+       |  WHERE span_len >= $minRun),
+       |spans AS (
+       |  SELECT doc_id, count(*) AS n_dup,
+       |    CAST(sum(CASE WHEN prev IS NULL OR p - prev <> 1 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_spans
+       |  FROM (SELECT doc_id, p,
+       |          lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM hits)
+       |  GROUP BY doc_id),
+       |wp AS (
+       |  SELECT doc_id, i - 1 AS p, words[i] AS word
+       |  FROM pw, unnest(range(1, len(words) + 1)) AS t(i)),
+       |clean AS (
+       |  SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS text_clean
+       |  FROM wp
+       |  WHERE NOT EXISTS (SELECT 1 FROM hits h
+       |                    WHERE h.doc_id = wp.doc_id AND h.p = wp.p)
+       |  GROUP BY doc_id)
+       |SELECT pw.doc_id, CAST(len(words) AS BIGINT) AS n_words,
+       |  COALESCE(n_dup, 0) AS n_dup,
+       |  COALESCE(n_spans, 0) AS n_spans,
+       |  COALESCE(text_clean, '') AS text_clean
+       |FROM pw LEFT JOIN spans ON pw.doc_id = spans.doc_id
+       |        LEFT JOIN clean ON pw.doc_id = clean.doc_id
+       |ORDER BY pw.doc_id""".stripMargin
+
   /** Per-source duplicated-token rate — the monitor row the substring-
     * dedup owner reads next to the dup-rate / quality-drift monitors:
     * which sources are shipping verbatim-duplicated text, as |sources|

@@ -1111,6 +1111,245 @@ object VectorOps {
        |  FROM sims)
        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  /** Hot-cell split — the ACTION that closes the [[ivfStats]] monitor loop
+    * (the index-rebuild decision a serving deployment makes when a cell's
+    * inverted list grows into a scan): cells flagged `hot` by the monitor's
+    * 2×-mean rule PLUS the `topM` largest (so the operator is exercisable
+    * on balanced fixtures too — the policy a deployment tunes) are each
+    * split in two by one quantized Lloyd step over their members only:
+    * seed with the cell's two smallest vec_ids, assign members to the
+    * nearer seed, recompute the two sub-centroids as quantized spherical
+    * means ([[kmeansTrainRounded]]'s update), then rebuild the two
+    * inverted lists against the recomputed means. Child cells get ids
+    * `k + 2·parent + sub` — disjoint from the unsplit 0..k-1 id space.
+    *
+    * The shared sub-relations (members, seed assignment, recomputed
+    * sub-centroids, rebuilt lists) also feed [[annRecallIvfSplit]].
+    */
+  private case class IvfSplitRels(e0: DataFrame, tot: DataFrame,
+                                  sz: DataFrame, tgt: DataFrame,
+                                  ccn: DataFrame, reassign: DataFrame)
+
+  private def ivfSplitRels(spark: SparkSession, dir: String, k: Int,
+                           topM: Int, mat: Materialize): IvfSplitRels = {
+    val e0 = prepared(spark, dir)
+    val assign = sharedIvfAssign(spark, dir, k, mat)
+    val tot = assign.agg(count(lit(1)).as("n"))
+    val sz = assign.groupBy(col("centroid_id")).agg(count(lit(1)).as("n_vecs"))
+    // k rows: the single-partition rank window is over the CELL relation,
+    // never the corpus
+    val rw = Window.orderBy(col("n_vecs").desc, col("centroid_id"))
+    val tgt = sz.crossJoin(broadcast(tot))
+      .withColumn("rn", row_number().over(rw))
+      .filter((col("rn") <= topM || col("n_vecs") * k > lit(2L) * col("n")) &&
+        col("n_vecs") >= 2)
+      .select(col("centroid_id").as("parent"))
+    val mem = e0.join(assign, "vec_id")
+      .withColumnRenamed("centroid_id", "parent")
+      .join(broadcast(tgt), "parent")
+      .select(col("parent"), col("vec_id"), col("v"), col("nrm"))
+    val sw = Window.partitionBy(col("parent")).orderBy(col("vec_id"))
+    val seeds = mem.withColumn("rn", row_number().over(sw))
+      .filter(col("rn") <= 2)
+      .select(col("parent"), (col("rn") - 1).cast("long").as("sub"),
+        col("v").as("sv"), col("nrm").as("sn"))
+    def argmaxSub(cents: DataFrame, cv: String, cn: String): DataFrame = {
+      val aw = Window.partitionBy(col("vec_id"))
+        .orderBy((dot(col("v"), col(cv)) / (col("nrm") * col(cn))).desc, col("sub"))
+      mem.join(broadcast(cents), "parent")
+        .withColumn("__rn", row_number().over(aw)).filter(col("__rn") === 1)
+        .select(col("vec_id"), col("parent"), col("sub"))
+    }
+    val suba = argmaxSub(seeds, "sv", "sn")
+    // quantized spherical means of the seed assignment = the two new
+    // sub-centroids; built distributed (sorted per-dim collect_list), the
+    // +0.0 normalizes IEEE -0.0 so both engines hold identical vectors
+    val ccn = mem.join(suba.select(col("vec_id"), col("sub")), "vec_id")
+      .select(col("parent"), col("sub"), posexplode(col("v")).as(Seq("dim", "x")),
+        col("nrm"))
+      .groupBy(col("parent"), col("sub"), col("dim"))
+      .agg((round(avg(col("x") / col("nrm")), 4) + lit(0.0)).as("m"))
+      .groupBy(col("parent"), col("sub"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("ms"))
+      .select(col("parent"), col("sub"),
+        transform(col("ms"), s => s.getField("m")).as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    val reassign = argmaxSub(ccn, "cv", "cn")
+    IvfSplitRels(e0, tot, sz, tgt, ccn, reassign)
+  }
+
+  /** The post-split per-cell report: unsplit cells unchanged, each split
+    * cell replaced by its two children (list size + corpus share), with
+    * the before/after max-share skew carried on every row — the
+    * rebalance evidence the split decision is judged by. Cell-local by
+    * design: only the flagged lists are rebuilt (the cheap local rebuild),
+    * never the full index ([[annRecallIvfSplit]] prices the full-corpus
+    * reassignment the next full rebuild would apply).
+    */
+  def ivfSplit(spark: SparkSession, dir: String, k: Int = 16, topM: Int = 2,
+               mat: Materialize = Materialize.Local): DataFrame = {
+    val r = ivfSplitRels(spark, dir, k, topM, mat)
+    val unsplit = r.sz.join(broadcast(r.tgt),
+        r.sz("centroid_id") === r.tgt("parent"), "left_anti")
+      .select(col("centroid_id").as("cell_id"),
+        col("centroid_id").as("parent_id"),
+        lit(false).as("is_child"), col("n_vecs"))
+    val children = r.reassign.groupBy(col("parent"), col("sub"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .select((lit(k.toLong) + lit(2L) * col("parent") + col("sub")).as("cell_id"),
+        col("parent").as("parent_id"), lit(true).as("is_child"), col("n_vecs"))
+    val after = unsplit.unionByName(children)
+    val beforeMax = r.sz.crossJoin(broadcast(r.tot))
+      .agg(max(expr("n_vecs * 1000L div n")).as("before_max_pm"))
+    val afterMax = after.crossJoin(broadcast(r.tot))
+      .agg(max(expr("n_vecs * 1000L div n")).as("after_max_pm"))
+    after.crossJoin(broadcast(r.tot))
+      .crossJoin(broadcast(beforeMax)).crossJoin(broadcast(afterMax))
+      .select(col("cell_id"), col("parent_id"), col("is_child"), col("n_vecs"),
+        expr("n_vecs * 1000L div n").as("share_pm"),
+        col("before_max_pm"), col("after_max_pm"))
+      .orderBy(col("cell_id"))
+  }
+
+  /** The shared split CTE chain (expects `e0` bound upstream): assignment,
+    * cell sizes, split targets (hot ∪ top-m), seed Lloyd step, recomputed
+    * sub-centroids `ccn`, rebuilt lists `reassign` — the DuckDB mirror of
+    * [[ivfSplitRels]].
+    */
+  private def ivfSplitCtes(k: Int, topM: Int): String =
+    s"""c AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM e0 WHERE vec_id < $k),
+       |a AS (SELECT vec_id, centroid_id FROM (
+       |  SELECT e0.vec_id, c.centroid_id, ROW_NUMBER() OVER (
+       |    PARTITION BY e0.vec_id
+       |    ORDER BY list_dot_product(e0.v, c.cv) / (e0.nrm * c.cn) DESC, c.centroid_id) AS rn
+       |  FROM e0, c) WHERE rn = 1),
+       |n AS (SELECT count(*) AS n FROM a),
+       |sz AS (SELECT centroid_id, count(*) AS n_vecs FROM a GROUP BY centroid_id),
+       |tgt AS (SELECT centroid_id AS parent FROM (
+       |  SELECT sz.centroid_id, sz.n_vecs, n.n,
+       |    ROW_NUMBER() OVER (ORDER BY sz.n_vecs DESC, sz.centroid_id) AS rn
+       |  FROM sz, n)
+       |  WHERE (rn <= $topM OR n_vecs * $k > 2 * n) AND n_vecs >= 2),
+       |mem AS (SELECT a.centroid_id AS parent, e0.vec_id, e0.v, e0.nrm
+       |  FROM e0 JOIN a USING (vec_id)
+       |  WHERE a.centroid_id IN (SELECT parent FROM tgt)),
+       |seeds AS (SELECT parent, CAST(rn - 1 AS BIGINT) AS sub, v AS sv, nrm AS sn FROM (
+       |  SELECT parent, v, nrm, ROW_NUMBER() OVER (PARTITION BY parent ORDER BY vec_id) AS rn
+       |  FROM mem) WHERE rn <= 2),
+       |suba AS (SELECT vec_id, parent, sub FROM (
+       |  SELECT m.vec_id, m.parent, s.sub, ROW_NUMBER() OVER (
+       |    PARTITION BY m.vec_id
+       |    ORDER BY list_dot_product(m.v, s.sv) / (m.nrm * s.sn) DESC, s.sub) AS rn
+       |  FROM mem m JOIN seeds s ON m.parent = s.parent) WHERE rn = 1),
+       |subm AS (SELECT m.parent, suba.sub, i AS dim,
+       |    round(avg(m.v[i] / m.nrm), 4) + CAST(0.0 AS DOUBLE) AS mx
+       |  FROM mem m JOIN suba ON m.vec_id = suba.vec_id,
+       |       unnest(range(1, len(m.v) + 1)) AS t(i)
+       |  GROUP BY m.parent, suba.sub, i),
+       |cc AS (SELECT parent, sub, list(mx ORDER BY dim) AS cv FROM subm GROUP BY parent, sub),
+       |ccn AS (SELECT parent, sub, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cc),
+       |reassign AS (SELECT vec_id, parent, sub FROM (
+       |  SELECT m.vec_id, m.parent, cc.sub, ROW_NUMBER() OVER (
+       |    PARTITION BY m.vec_id
+       |    ORDER BY list_dot_product(m.v, cc.cv) / (m.nrm * cc.cn) DESC, cc.sub) AS rn
+       |  FROM mem m JOIN ccn cc ON m.parent = cc.parent) WHERE rn = 1)""".stripMargin
+
+  def ivfSplitSql(k: Int = 16, topM: Int = 2): String =
+    s"""WITH e0 AS ($preparedSql),
+       |${ivfSplitCtes(k, topM)},
+       |after AS (
+       |  SELECT sz.centroid_id AS cell_id, sz.centroid_id AS parent_id,
+       |    FALSE AS is_child, sz.n_vecs
+       |  FROM sz WHERE sz.centroid_id NOT IN (SELECT parent FROM tgt)
+       |  UNION ALL
+       |  SELECT $k + 2 * parent + sub, parent, TRUE, count(*)
+       |  FROM reassign GROUP BY parent, sub),
+       |summ AS (
+       |  SELECT (SELECT max(n_vecs * 1000 // n.n) FROM sz, n) AS before_max_pm,
+       |         (SELECT max(n_vecs * 1000 // n.n) FROM after, n) AS after_max_pm)
+       |SELECT CAST(cell_id AS BIGINT) AS cell_id,
+       |  CAST(parent_id AS BIGINT) AS parent_id, is_child,
+       |  CAST(n_vecs AS BIGINT) AS n_vecs,
+       |  CAST(n_vecs * 1000 // n.n AS BIGINT) AS share_pm,
+       |  CAST(before_max_pm AS BIGINT) AS before_max_pm,
+       |  CAST(after_max_pm AS BIGINT) AS after_max_pm
+       |FROM after, n, summ ORDER BY cell_id""".stripMargin
+
+  /** Recall attribution for the split at EQUAL probe budget — what the
+    * hot-cell split buys (or costs) the quantizer: the seed-centroid
+    * harness ([[annIvfMulti]]) against the same search over the POST-SPLIT
+    * centroid set (unsplit originals + recomputed sub-centroids, full
+    * corpus reassigned through the identical [[annIvfMultiWith]] plan),
+    * joined per query. Fully differential like [[annRecallIvfTrained]]:
+    * the quantized sub-centroid means keep the split side
+    * oracle-expressible.
+    */
+  def annRecallIvfSplit(spark: SparkSession, dir: String, nQueries: Int = 20,
+                        k: Int = 5, kCentroids: Int = 16, nProbe: Int = 2,
+                        topM: Int = 2,
+                        mat: Materialize = Materialize.Local): DataFrame = {
+    val seed = recallAgainstExact(spark, dir,
+        annIvfMulti(spark, dir, nQueries, k, kCentroids, nProbe, mat), nQueries, k)
+      .select(col("q_id"), col("n_hits").as("n_hits_seed"),
+        col("recall_at_k").as("recall_seed"))
+    val r = ivfSplitRels(spark, dir, kCentroids, topM, mat)
+    val unsplitCents = r.e0.filter(col("vec_id") < kCentroids)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .join(broadcast(r.tgt), col("centroid_id") === col("parent"), "left_anti")
+    val childCents = r.ccn.select(
+      (lit(kCentroids.toLong) + lit(2L) * col("parent") + col("sub")).as("centroid_id"),
+      col("cv"), col("cn"))
+    val newCents = unsplitCents.unionByName(childCents)
+    val sp = recallAgainstExact(spark, dir,
+        annIvfMultiWith(r.e0, newCents, nQueries, k, nProbe), nQueries, k)
+      .select(col("q_id"), col("n_hits").as("n_hits_split"),
+        col("recall_at_k").as("recall_split"))
+    seed.join(sp, "q_id").orderBy("q_id")
+  }
+
+  def annRecallIvfSplitSql(nQueries: Int = 20, k: Int = 5,
+                           kCentroids: Int = 16, nProbe: Int = 2,
+                           topM: Int = 2): String = {
+    val splitSearch =
+      s"""WITH e0 AS ($preparedSql),
+         |${ivfSplitCtes(kCentroids, topM)},
+         |newc AS (
+         |  SELECT c.centroid_id, c.cv, c.cn FROM c
+         |  WHERE c.centroid_id NOT IN (SELECT parent FROM tgt)
+         |  UNION ALL
+         |  SELECT $kCentroids + 2 * parent + sub, cv, cn FROM ccn),
+         |nassign AS (SELECT vec_id, centroid_id FROM (
+         |  SELECT e0.vec_id, nc.centroid_id, ROW_NUMBER() OVER (
+         |    PARTITION BY e0.vec_id
+         |    ORDER BY list_dot_product(e0.v, nc.cv) / (e0.nrm * nc.cn) DESC, nc.centroid_id) AS rn
+         |  FROM e0, newc nc) WHERE rn = 1),
+         |e AS (SELECT e0.*, nassign.centroid_id FROM e0 JOIN nassign USING (vec_id)),
+         |q AS (
+         |  SELECT centroid_id AS q_cent, vec_id AS q_id, v AS qv, nrm AS qn FROM (
+         |    SELECT e0.vec_id, e0.v, e0.nrm, nc.centroid_id, ROW_NUMBER() OVER (
+         |      PARTITION BY e0.vec_id
+         |      ORDER BY list_dot_product(e0.v, nc.cv) / (e0.nrm * nc.cn) DESC, nc.centroid_id) AS rn
+         |    FROM e0, newc nc WHERE e0.vec_id < $nQueries)
+         |  WHERE rn <= $nProbe),
+         |sims AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    round(list_dot_product(q.qv, e.v) / (q.qn * e.nrm), 4) AS cos_sim
+         |  FROM e JOIN q ON e.centroid_id = q.q_cent AND e.vec_id <> q.q_id)
+         |SELECT q_id, rank, vec_id AS neighbor_id, cos_sim FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+         |  FROM sims)
+         |WHERE rank <= $k""".stripMargin
+    s"""WITH seed AS (
+       |  SELECT q_id, n_hits AS n_hits_seed, recall_at_k AS recall_seed FROM (
+       |    ${recallSqlOf(annIvfMultiSql(nQueries, k, kCentroids, nProbe), nQueries, k)})),
+       |sp AS (
+       |  SELECT q_id, n_hits AS n_hits_split, recall_at_k AS recall_split FROM (
+       |    ${recallSqlOf(splitSearch, nQueries, k)}))
+       |SELECT q_id, n_hits_seed, recall_seed, n_hits_split, recall_split
+       |FROM seed JOIN sp USING (q_id) ORDER BY q_id""".stripMargin
+  }
+
   /** IVF single-probe ANN: each query searches only its own centroid's
     * inverted list. Cluster-scale shape: centroid broadcast, corpus
     * shuffled once on centroid_id, per-list top-k.
@@ -2994,6 +3233,180 @@ object VectorOps {
        |  FROM exact e
        |  LEFT JOIN fs f ON e.q_id = f.q_id AND e.neighbor_id = f.neighbor_id
        |  LEFT JOIN ss s ON e.q_id = s.q_id AND e.neighbor_id = s.neighbor_id
+       |  GROUP BY e.q_id)
+       |ORDER BY q_id""".stripMargin
+  }
+
+  /** Delta-edge graph recompaction — the ACTION that closes the
+    * [[graphCompact]] staleness loop: instead of the nightly full rebuild
+    * (re-scoring every cell pair), the serving deployment runs the
+    * BOUNDED merge — [[knnGraphIncr]]'s delta out-edges are inserted into
+    * the frozen base graph along with their REVERSES (each delta edge
+    * delta→dst also proposes dst→delta into dst's list — the NN-descent
+    * insertion step, and the only way base nodes learn the increment
+    * exists), then every touched list is re-capped at `kNn` by cosine.
+    * Merge cost is O(delta·kNn) edge insertions — base×base pairs are
+    * NEVER re-scored, and the routing seeds stay the frozen-base layer —
+    * vs the rebuild's full cell-pair scoring.
+    *
+    * The report prices the repair: the same beam runs over the LIVE
+    * rebuilt graph, the STALE serving graph, and the MERGED graph, each
+    * scored against exact top-k per query — recall_merged recovering to
+    * within noise of recall_full at O(delta·kNn) cost is the claim.
+    */
+  def graphMerge(spark: SparkSession, dir: String, nQueries: Int = 20,
+                 k: Int = 5, beam: Int = 8, hops: Int = 3, kNn: Int = 5,
+                 kCentroids: Int = 16, mod: Int = 5, nProbe: Int = 2,
+                 mat: Materialize = Materialize.Local): DataFrame = {
+    val e = prepared(spark, dir)
+    val queries = broadcast(e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qn")))
+    val cents = frozenCentroids(e, kCentroids, mod)
+    val centroidId = argmaxFold(typedLit(cents), c =>
+      dot(col("v"), c.getField("_2")) / (col("nrm") * c.getField("_3")))
+    val base = e.filter(incSplitE(mod) =!= 0).withColumn("centroid_id", centroidId)
+    val ba = base.select(col("centroid_id"), col("vec_id").as("src"),
+      col("v").as("va"), col("nrm").as("na"))
+    val bb = base.select(col("centroid_id"), col("vec_id").as("dst"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val wSrc = Window.partitionBy(col("src"))
+      .orderBy(col("cos_sim").desc, col("dst"))
+    val baseEdges = ba.join(bb, Seq("centroid_id"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("cos_sim",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .withColumn("rank", row_number().over(wSrc)).filter(col("rank") <= kNn)
+      .select(col("src"), col("dst"), col("cos_sim"))
+    val deltaEdges = knnGraphIncr(spark, dir, kNn, kCentroids, mod)
+      .select(col("src"), col("dst"), col("cos_sim"))
+    // the reverse proposals: cosine is symmetric and both directions
+    // round identically, so the reverse edge carries the same cos_sim
+    val revEdges = deltaEdges.select(col("dst").as("src"),
+      col("src").as("dst"), col("cos_sim"))
+    val merged = mat(baseEdges.unionAll(deltaEdges).unionAll(revEdges)
+      .groupBy(col("src"), col("dst")).agg(max(col("cos_sim")).as("cos_sim"))
+      .withColumn("rank", row_number().over(wSrc)).filter(col("rank") <= kNn)
+      .select(col("src"), col("dst")))
+    val staleEdges = mat(baseEdges.select(col("src"), col("dst"))
+      .unionAll(deltaEdges.select(col("src"), col("dst"))))
+    val staleSeeds = e.filter(col("vec_id").isin(cents.map(_._1): _*))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"))
+    def hits(edges: DataFrame, nm: String) =
+      graphBeamWith(e, queries, edges, staleSeeds,
+          k, beam, hops, nProbe, mat, filtered = false)
+        .select(col("q_id"), col("neighbor_id")).withColumn(nm, lit(1))
+    val mergedHits = hits(merged, "hit_merged")
+    val staleHits = hits(staleEdges, "hit_stale")
+    val full = annGraphBeam(spark, dir, nQueries, k, beam, hops, kNn,
+        kCentroids, nProbe, mat)
+      .select(col("q_id"), col("neighbor_id")).withColumn("hit_full", lit(1))
+    val exact = knn(spark, dir, nQueries, k)
+      .select(col("q_id"), col("neighbor_id"))
+    exact.join(full, Seq("q_id", "neighbor_id"), "left")
+      .join(staleHits, Seq("q_id", "neighbor_id"), "left")
+      .join(mergedHits, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(
+        sum(coalesce(col("hit_full"), lit(0))).cast("long").as("n_hits_full"),
+        sum(coalesce(col("hit_stale"), lit(0))).cast("long").as("n_hits_stale"),
+        sum(coalesce(col("hit_merged"), lit(0))).cast("long").as("n_hits_merged"))
+      .select(col("q_id"), col("n_hits_full"), col("n_hits_stale"),
+        col("n_hits_merged"),
+        (col("n_hits_full") / lit(k.toDouble)).as("recall_full"),
+        (col("n_hits_stale") / lit(k.toDouble)).as("recall_stale"),
+        (col("n_hits_merged") / lit(k.toDouble)).as("recall_merged"))
+      .orderBy(col("q_id"))
+  }
+
+  def graphMergeSql(nQueries: Int = 20, k: Int = 5, beam: Int = 8,
+                    hops: Int = 3, kNn: Int = 5, kCentroids: Int = 16,
+                    mod: Int = 5, nProbe: Int = 2): String = {
+    // base/delta edge CTEs WITH cos_sim (graphCompactSql's stale builds
+    // keep only (src, dst) — the merge needs the scores to re-cap)
+    val edgePrefix =
+      s"""cfz AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e0
+         |        WHERE ${incSplitSql(mod)} <> 0 ORDER BY vec_id LIMIT $kCentroids),
+         |asg AS (
+         |  SELECT vec_id, cid AS centroid_id FROM (
+         |    SELECT e0.vec_id, c.cid, ROW_NUMBER() OVER (
+         |      PARTITION BY e0.vec_id
+         |      ORDER BY list_dot_product(e0.v, c.cv) / (e0.nrm * c.cn) DESC, c.cid) AS rn
+         |    FROM e0, cfz c)
+         |  WHERE rn = 1),
+         |alls AS (
+         |  SELECT e0.*, asg.centroid_id, (${incSplitSql(mod)}) <> 0 AS is_base
+         |  FROM e0 JOIN asg USING (vec_id)),
+         |bedges AS (
+         |  SELECT src, dst, cos_sim FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY src ORDER BY cos_sim DESC, dst) AS rank
+         |    FROM (
+         |      SELECT s.vec_id AS src, d.vec_id AS dst,
+         |        round(list_dot_product(s.v, d.v) / (s.nrm * d.nrm), 4) AS cos_sim
+         |      FROM alls s JOIN alls d
+         |        ON s.centroid_id = d.centroid_id AND s.vec_id <> d.vec_id
+         |      WHERE s.is_base AND d.is_base))
+         |  WHERE rank <= $kNn),
+         |dedges AS (
+         |  SELECT src, dst, cos_sim FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY src ORDER BY cos_sim DESC, dst) AS rank
+         |    FROM (
+         |      SELECT s.vec_id AS src, d.vec_id AS dst,
+         |        round(list_dot_product(s.v, d.v) / (s.nrm * d.nrm), 4) AS cos_sim
+         |      FROM alls s JOIN alls d
+         |        ON s.centroid_id = d.centroid_id AND s.vec_id <> d.vec_id
+         |      WHERE NOT s.is_base))
+         |  WHERE rank <= $kNn)""".stripMargin
+    val mergedEdgeCtes =
+      s"""$edgePrefix,
+         |edges AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst, ROW_NUMBER() OVER (
+         |      PARTITION BY src ORDER BY cos_sim DESC, dst) AS rank
+         |    FROM (
+         |      SELECT src, dst, max(cos_sim) AS cos_sim FROM (
+         |        SELECT src, dst, cos_sim FROM bedges
+         |        UNION ALL SELECT src, dst, cos_sim FROM dedges
+         |        UNION ALL SELECT dst AS src, src AS dst, cos_sim FROM dedges)
+         |      GROUP BY src, dst))
+         |  WHERE rank <= $kNn)""".stripMargin
+    val staleEdgeCtes =
+      s"""$edgePrefix,
+         |edges AS (SELECT src, dst FROM bedges
+         |          UNION ALL SELECT src, dst FROM dedges)""".stripMargin
+    val staleSeeds =
+      s"""SELECT vec_id, label, v, nrm FROM e0
+         |   WHERE ${incSplitSql(mod)} <> 0 ORDER BY vec_id LIMIT $kCentroids""".stripMargin
+    val mergedSearch = graphBeamSqlCore(nQueries, k, beam, hops, kNn,
+      kCentroids, nProbe, filtered = false,
+      edgesCtes = mergedEdgeCtes, seedsSql = staleSeeds)
+    val staleSearch = graphBeamSqlCore(nQueries, k, beam, hops, kNn,
+      kCentroids, nProbe, filtered = false,
+      edgesCtes = staleEdgeCtes, seedsSql = staleSeeds)
+    val fullSearch = graphBeamSqlCore(nQueries, k, beam, hops, kNn,
+      kCentroids, nProbe, filtered = false)
+    s"""WITH exact AS (SELECT q_id, neighbor_id FROM (${knnSql(nQueries, k)})),
+       |fs AS (SELECT q_id, neighbor_id FROM (
+       |  $fullSearch)),
+       |ss AS (SELECT q_id, neighbor_id FROM (
+       |  $staleSearch)),
+       |ms AS (SELECT q_id, neighbor_id FROM (
+       |  $mergedSearch))
+       |SELECT q_id, n_hits_full, n_hits_stale, n_hits_merged,
+       |  n_hits_full / CAST($k AS DOUBLE) AS recall_full,
+       |  n_hits_stale / CAST($k AS DOUBLE) AS recall_stale,
+       |  n_hits_merged / CAST($k AS DOUBLE) AS recall_merged
+       |FROM (
+       |  SELECT e.q_id,
+       |    CAST(sum(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_full,
+       |    CAST(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_stale,
+       |    CAST(sum(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_merged
+       |  FROM exact e
+       |  LEFT JOIN fs f ON e.q_id = f.q_id AND e.neighbor_id = f.neighbor_id
+       |  LEFT JOIN ss s ON e.q_id = s.q_id AND e.neighbor_id = s.neighbor_id
+       |  LEFT JOIN ms m ON e.q_id = m.q_id AND e.neighbor_id = m.neighbor_id
        |  GROUP BY e.q_id)
        |ORDER BY q_id""".stripMargin
   }

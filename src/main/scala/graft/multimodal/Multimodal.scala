@@ -1114,6 +1114,82 @@ object Multimodal {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Caption–image consistency gate — the alt-text/boilerplate cut every
+    * image-text corpus runs, and the COMPLEMENT of [[captionDup]]'s joint
+    * verdict: pairs whose captions are MinHash-near (≥ `minAgree` of 8
+    * signature hashes — the text tier's near-dup contract) but whose
+    * images are NOT perceptually near (banded dHash hamming > `maxDist`).
+    * A caption recycled across unrelated images is navigation chrome,
+    * SEO spam, or a template alt-text — supervision noise for contrastive
+    * training, where [[captionDup]]'s doubly-duplicate pairs are merely
+    * redundant. Pure composition of the two session-shared relations.
+    *
+    * Scale shape: here the CAPTION side generates candidates (the
+    * opposite pruning order from [[captionDup]] — the surviving modality
+    * must drive): the banded-signature self-join over image docs
+    * (bounded LSH bucket fan-out), agreement verified as 8 int
+    * comparisons, and the image check is a popcount PROJECTION on the
+    * two dhashes already attached to the pair — no image-side candidate
+    * generation at all.
+    */
+  def captionMismatch(spark: SparkSession, dir: String, maxDist: Int = 6,
+                      minAgree: Int = 7): DataFrame = {
+    val ms = (0 until 8).map(i => s"m$i")
+    val sig = graft.functions.TextOps.bandedSignatures(spark, dir)
+    val msig = sig.join(
+      sharedHashes(spark, dir).withColumnRenamed("media_id", "doc_id"), "doc_id")
+    def pairCols = col("a.doc_id").as("id_a") +: col("b.doc_id").as("id_b") +:
+      col("a.dhash").as("ha") +: col("b.dhash").as("hb") +:
+      ms.flatMap(m => Seq(col(s"a.$m").as(s"${m}_a"), col(s"b.$m").as(s"${m}_b")))
+    val j1 = msig.as("a").join(msig.as("b"),
+        col("a.band1") === col("b.band1") && col("a.doc_id") < col("b.doc_id"))
+      .select(pairCols: _*)
+    val j2 = msig.as("a").join(msig.as("b"),
+        col("a.band2") === col("b.band2") && col("a.band1") =!= col("b.band1") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(pairCols: _*)
+    val nAgreeE = ms.map(m =>
+      (col(s"${m}_a") === col(s"${m}_b")).cast("int")).reduce(_ + _)
+    j1.unionAll(j2)
+      .withColumn("n_agree", nAgreeE)
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("n_agree") >= minAgree && col("hamming") > maxDist)
+      .select(col("id_a"), col("id_b"), col("n_agree"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def captionMismatchSql(maxDist: Int = 6, minAgree: Int = 7): String = {
+    val agree = (0 until 8).map(i => s"CAST(a.m$i = b.m$i AS INT)").mkString(" + ")
+    s"""$dhashBitsSql,
+       |ph AS (
+       |  SELECT media_id, CAST(sum(bit * (1::BIGINT << pos)) AS BIGINT) AS dhash
+       |  FROM bits GROUP BY media_id),
+       |hams AS (
+       |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+       |    CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+       |  FROM bits a JOIN bits b
+       |    ON a.pos = b.pos AND a.media_id < b.media_id
+       |  GROUP BY 1, 2),
+       |sig AS (
+       |  ${graft.functions.TextOps.minhashSigSqlInner}),
+       |msig AS (
+       |  SELECT sig.*,
+       |    m0 || ',' || m1 || ',' || m2 || ',' || m3 AS band1,
+       |    m4 || ',' || m5 || ',' || m6 || ',' || m7 AS band2
+       |  FROM sig JOIN ph ON sig.doc_id = ph.media_id),
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, ($agree) AS n_agree
+       |  FROM msig a JOIN msig b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+       |  UNION ALL
+       |  SELECT a.doc_id, b.doc_id, ($agree)
+       |  FROM msig a JOIN msig b
+       |    ON a.band2 = b.band2 AND a.band1 <> b.band1 AND a.doc_id < b.doc_id)
+       |SELECT c.id_a, c.id_b, c.n_agree, h.hamming
+       |FROM cand c JOIN hams h ON h.id_a = c.id_a AND h.id_b = c.id_b
+       |WHERE c.n_agree >= $minAgree AND h.hamming > $maxDist
+       |ORDER BY c.id_a, c.id_b""".stripMargin
+  }
+
   /** Incremental JOINT caption+image dedup — the frozen-index daily form
     * of [[captionDup]], completing the incremental matrix for the
     * cross-modal pair relation (text / image / audio / video / vector all

@@ -917,6 +917,50 @@ class OperatorsSpec extends SparkSuite {
       (23L, 12L, 2L, "f g")))
   }
 
+  test("dupRuns spares sub-minRun islands and cuts long runs whole") {
+    val docs = Seq(
+      (20L, "a b c d e x y z w v", "en", "s", 1L),
+      (21L, "p q a b c d e r s t", "en", "s", 1L),
+      (22L, "m n o p q r s t u v", "en", "s", 1L),
+      (23L, "a b c d e f g a b c d e f g", "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("dupruns").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // minRun=6 over the dupSpans fixture: doc 21's 5-wide island and doc
+    // 23's leading 5-wide island fall under the floor (text restored);
+    // doc 23's 7-wide trailing run is still cut whole
+    val out = TextOps.dupRuns(spark, tmp, n = 5, minRun = 6)
+      .select("doc_id", "n_dup", "n_spans", "text_clean")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (20L, 0L, 0L, "a b c d e x y z w v"),
+      (21L, 0L, 0L, "p q a b c d e r s t"),
+      (22L, 0L, 0L, "m n o p q r s t u v"),
+      (23L, 7L, 1L, "a b c d e f g")))
+  }
+
+  test("monitor-action cross-foots: pruned mass matches the stats monitor; merge recall columns match the compact audit") {
+    val dir = sf("sf0.001")
+    // d_bm25_pruned's constant column IS the capped_pm the index monitor
+    // reports at the same cap — the monitor and the action must price the
+    // same mass
+    val st = functions.Retrieval.bm25IndexStats(spark, dir, maxDfFrac = 0.78)
+      .select("capped_pm").as[Long].head()
+    val pr = functions.Retrieval.bm25Pruned(spark, dir)
+      .select("pruned_mass_pm").as[Long].head()
+    assert(pr == st, s"pruned_mass_pm $pr != monitor capped_pm $st")
+    // v_graph_merge's full/stale columns reuse graphCompact's machinery —
+    // the two audits must agree query-for-query on the shared sides
+    val compact = functions.VectorOps.graphCompact(spark, dir)
+      .select("q_id", "n_hits_full", "n_hits_stale")
+      .as[(Long, Long, Long)].collect().toSet
+    val merge = functions.VectorOps.graphMerge(spark, dir)
+      .select("q_id", "n_hits_full", "n_hits_stale")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merge == compact,
+      s"merge audit disagrees with compact on shared sides: ${merge -- compact}")
+  }
+
   test("bpe: classic low/lower/newest corpus trains the expected first merges") {
     // the textbook BPE example: "lo" then "low" dominate
     val docs = Seq(
@@ -1645,6 +1689,19 @@ class OperatorsSpec extends SparkSuite {
     cells.foreach { case (n, _, hot) =>
       assert(hot == (n > 2 * mean), "hot flag must be the 2x-mean-over-k rule")
     }
+    // the split ACTION: post-split cells still partition the corpus, the
+    // skew headline never worsens, and child ids stay in the k+2p+s space
+    val split = VectorOps.ivfSplit(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3),
+        r.getLong(5), r.getLong(6)))
+    assert(split.map(_._4).sum == nVecs, "split cells must partition the corpus")
+    val (beforeMax, afterMax) = (split.head._5, split.head._6)
+    assert(afterMax <= beforeMax, "split must not worsen max cell share")
+    split.filter(_._3).foreach { case (cid, pid, _, _, _, _) =>
+      assert(cid == ivfK + 2 * pid || cid == ivfK + 2 * pid + 1,
+        s"child id $cid not in the k+2p+s space for parent $pid")
+    }
+    assert(split.count(_._3) >= 2, "top-m policy must split at least one cell")
     // bm25: posting mass equals the token mass of the filtered word relation
     val st = Retrieval.bm25IndexStats(spark, sf()).head()
     val toks = functions.TextOps.prepared(spark, sf())

@@ -404,6 +404,21 @@ class PlanAuditSpec extends SparkSuite {
       s"staleness audit must never plan a partition-wise cartesian:\n$plan")
   }
 
+  test("v_ivf_split: split work is member-bounded — no corpus cartesian") {
+    // members/seeds/sub-centroid joins are all keyed on parent (flagged
+    // cells only); the only BNLJ allowed is the broadcast of the tiny
+    // cell/centroid relations — an INNER cartesian would be corpus²
+    val plan = executedPlan("v_ivf_split")
+    assert(!plan.contains("CartesianProduct"),
+      s"hot-cell split must never plan a partition-wise cartesian:\n$plan")
+  }
+
+  test("v_recall_ivf_split: both searches keyed on centroid; no cartesian") {
+    val plan = executedPlan("v_recall_ivf_split")
+    assert(!plan.contains("CartesianProduct"),
+      s"split-recall must never plan a partition-wise cartesian:\n$plan")
+  }
+
   test("v_recall_margin_trained: every miner's cross-side join stays cell-keyed") {
     // six miners + the exact contrast in one plan: none of them may
     // degenerate to a cross-side cartesian (the broadcast-of-centroids
@@ -493,6 +508,33 @@ class PlanAuditSpec extends SparkSuite {
       s"recompaction audit must never plan a cartesian:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"query-term joins must broadcast on both stat passes:\n$plan")
+  }
+
+  test("d_bm25_pruned: both serving passes broadcast query terms; never cartesian") {
+    // two bm25Scored passes (uncapped + pruned) + the mass readout: the
+    // only nested-loop allowed is the broadcast of 1-row stat relations
+    val plan = executedPlan("d_bm25_pruned")
+    assert(!plan.contains("CartesianProduct"),
+      s"pruned-serve audit must never plan a partition-wise cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-term joins must broadcast on both serving passes:\n$plan")
+  }
+
+  test("v_graph_merge: merge is edge-keyed, searches broadcast frontiers — no cartesian") {
+    // the O(delta·kNn) claim: base/delta/reverse edges union + per-src
+    // re-cap are keyed aggs/windows; the three beams ride graphBeamWith's
+    // broadcast frontier. An INNER cartesian would be the full rebuild
+    // this operator exists to avoid.
+    val plan = executedPlan("v_graph_merge")
+    assert(!plan.contains("CartesianProduct"),
+      s"delta-edge merge must never plan a partition-wise cartesian:\n$plan")
+  }
+
+  test("d_dup_runs: island filter stays doc-keyed; cut join stays on the shingle") {
+    val plan = executedPlan("d_dup_runs")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"maximal-run cut must stay keyed:\n$plan")
   }
 
   test("d_bm25_incr: the delta restriction is a scan-level predicate, not a join") {

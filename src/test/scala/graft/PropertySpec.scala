@@ -359,6 +359,63 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("dupRuns equals brute-force island-filtered cut; minRun=n degenerates to dupSpans") {
+    import graft.functions.TextOps
+    val n = 3
+    // small vocabulary + short shingle width force both short (width-n)
+    // and long duplicated runs in tiny random corpora
+    val wordGen = Gen.oneOf("aa", "bb", "cc")
+    val docGen = Gen.choose(n, 16).flatMap(len => Gen.listOfN(len, wordGen))
+    val corpusGen = Gen.choose(3, 6).flatMap(m => Gen.listOfN(m, docGen))
+    samples(corpusGen, 4).zipWithIndex.foreach { case (corpus, ci) =>
+      val docs = corpus.zipWithIndex
+        .map { case (ws, id) => (id.toLong, ws.mkString(" "), "en", "s", 1L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val dir = java.nio.file.Files.createTempDirectory(s"prop_dr$ci").toString
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // brute-force: the dupSpans positional cut, then drop islands < L
+      val first = scala.collection.mutable.Map[String, (Int, Int)]()
+      for ((ws, d) <- corpus.zipWithIndex; i <- 0 to ws.length - n) {
+        val sh = ws.slice(i, i + n).mkString(" ")
+        if (!first.contains(sh)) first(sh) = (d, i)
+      }
+      def cutOf(ws: List[String], d: Int): Set[Int] = (for {
+        i <- 0 to ws.length - n
+        sh = ws.slice(i, i + n).mkString(" ")
+        if first(sh) != (d, i)
+        p <- i until i + n
+      } yield p).toSet
+      def islands(cut: Set[Int]): Seq[Seq[Int]] =
+        cut.toSeq.sorted.foldLeft(Seq.empty[Seq[Int]]) { (acc, p) =>
+          if (acc.nonEmpty && acc.last.last == p - 1) acc.init :+ (acc.last :+ p)
+          else acc :+ Seq(p)
+        }
+      for (l <- Seq(n, n + 2)) {
+        val expect = corpus.zipWithIndex.map { case (ws, d) =>
+          val kept = islands(cutOf(ws, d)).filter(_.size >= l)
+          val cut = kept.flatten.toSet
+          val clean = ws.zipWithIndex.collect { case (w, p) if !cut(p) => w }
+          (d.toLong, (ws.length.toLong, cut.size.toLong, kept.size.toLong,
+            clean.mkString(" ")))
+        }.toMap
+        val got = TextOps.dupRuns(spark, dir, n, minRun = l)
+          .select("doc_id", "n_words", "n_dup", "n_spans", "text_clean")
+          .as[(Long, Long, Long, Long, String)].collect()
+          .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+        assert(got == expect, s"case $ci L=$l diverges from brute force")
+      }
+      // the degenerate identity: every island is >= n wide by
+      // construction, so minRun = n must reproduce dupSpans exactly
+      val spans = TextOps.dupSpans(spark, dir, n, Materialize.Passthrough)
+        .select("doc_id", "n_words", "n_dup", "n_spans", "text_clean")
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      val runs = TextOps.dupRuns(spark, dir, n, minRun = n)
+        .select("doc_id", "n_words", "n_dup", "n_spans", "text_clean")
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      assert(runs == spans, s"case $ci: minRun=n must equal dupSpans")
+    }
+  }
+
   test("large-star/small-star equals min-label propagation on random graphs") {
     import graft.functions.VectorOps
     // random sparse graphs under the min-label cap: the two component
