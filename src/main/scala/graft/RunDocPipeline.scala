@@ -141,6 +141,17 @@ object RunDocPipeline {
       spark.read.parquet(s"$workDir/media_kept").count()
     }
 
+    // caption-consistency gate over the image tier: media whose caption
+    // is MinHash-near another image's caption while the images themselves
+    // are NOT perceptually near — template alt-text / SEO boilerplate,
+    // supervision noise a contrastive corpus cuts (the batch
+    // mm_caption_mismatch relation folded to a flagged-media count)
+    val captionMismatchMedia = guarded("caption_mismatch", 0L) {
+      val p = graft.multimodal.Multimodal.captionMismatch(spark, sfDir)
+      p.select(col("id_a").as("id")).unionAll(p.select(col("id_b").as("id")))
+        .distinct().count()
+    }
+
     // video tier of the same ingest: the delta videos stream through
     // frozen-base containment admission per micro-batch (the batch
     // containment fold shared verbatim) — the temporal-media twin of the
@@ -348,7 +359,7 @@ object RunDocPipeline {
     val maxPhase = cur.agg(max("phase")).collect()(0).getInt(0)
     val annealDocs = cur.filter(col("phase") === maxPhase).count()
 
-    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"temp_shards":$tempShards,"temp_docs":$tempDocs,"temp_tokens":$tempTokens,"curriculum_shards":$curShards,"anneal_docs":$annealDocs,"worst_quality_drift_pm":$worstQDrift,"degraded_sources":$degradedSources,"worst_bpe_drift_pm":$worstBpeDrift,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept,"videos_admitted":$videosAdmitted,"vectors_admitted":$vectorsAdmitted,"pairs_mined":$pairsMined,"contaminated":$contaminated,"span_tokens_cut":$spanTokensCut,"nb_scored":$nbScored,"nb_top_bucket":"$nbTopBucket","nb_top_count":$nbTopCount}""")
+    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"temp_shards":$tempShards,"temp_docs":$tempDocs,"temp_tokens":$tempTokens,"curriculum_shards":$curShards,"anneal_docs":$annealDocs,"worst_quality_drift_pm":$worstQDrift,"degraded_sources":$degradedSources,"worst_bpe_drift_pm":$worstBpeDrift,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept,"caption_mismatch_media":$captionMismatchMedia,"videos_admitted":$videosAdmitted,"vectors_admitted":$vectorsAdmitted,"pairs_mined":$pairsMined,"contaminated":$contaminated,"span_tokens_cut":$spanTokensCut,"nb_scored":$nbScored,"nb_top_bucket":"$nbTopBucket","nb_top_count":$nbTopCount}""")
     spark.stop()
   }
 }
