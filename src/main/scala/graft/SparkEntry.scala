@@ -203,6 +203,7 @@ object SparkEntry {
     "d_dup_spans_incr" -> ((s, dir) => TextOps.dupSpansIncr(s, dir)),
     "d_dup_runs" -> ((s, dir) => TextOps.dupRuns(s, dir)),
     "d_dup_runs_strict" -> ((s, dir) => TextOps.dupRuns(s, dir, minRun = 30)),
+    "d_dup_runs_incr" -> ((s, dir) => TextOps.dupRunsIncr(s, dir)),
     "d_dup_span_rate" -> ((s, dir) => TextOps.dupSpanRate(s, dir)),
     "d_dup_top_runs" -> ((s, dir) => TextOps.dupTopRuns(s, dir)),
     "d_curate" -> ((s, dir) => TextOps.curate(s, dir).orderBy(col("doc_id"))),
@@ -234,6 +235,7 @@ object SparkEntry {
     "d_dedup_incr" -> ((s, dir) => TextOps.dedupIncrement(s, dir).orderBy(col("doc_id"))),
     "d_neardup_incr" -> ((s, dir) => TextOps.nearDupIncr(s, dir)),
     "d_quality_drift" -> ((s, dir) => TextOps.qualityDriftIncr(s, dir)),
+    "d_quality_requota" -> ((s, dir) => TextOps.qualityRequota(s, dir)),
     "d_segment_dedup" -> ((s, dir) => TextOps.segmentDedup(s, dir)),
     "d_lm_bits" -> ((s, dir) => TextOps.lmBits(s, dir)),
     "d_lm2_bits" -> ((s, dir) => TextOps.lm2Bits(s, dir)),
@@ -258,6 +260,7 @@ object SparkEntry {
     "d_bpe_fertility" -> ((s, dir) => Bpe.fertility(s, dir)),
     "d_bpe_coverage" -> ((s, dir) => Bpe.coverage(s, dir)),
     "d_bpe_drift" -> ((s, dir) => Bpe.bpeDrift(s, dir)),
+    "d_bpe_extend" -> ((s, dir) => Bpe.bpeExtend(s, dir)),
     "d_split_stratified" -> ((s, dir) => TextOps.splitStratified(s, dir)),
     "d_eval_clean" -> ((s, dir) => TextOps.evalClean(s, dir)),
     "d_lsh_recall" -> ((s, dir) => TextOps.lshRecall(s, dir)),
@@ -285,6 +288,7 @@ object SparkEntry {
     // ---- embedding similarity operators ----
     "v_norms" -> ((s, dir) => VectorOps.norms(s, dir).orderBy(col("vec_id"))),
     "v_embed_stale" -> ((s, dir) => VectorOps.embedStale(s, dir)),
+    "v_embed_refresh" -> ((s, dir) => VectorOps.embedRefresh(s, dir)),
     "v_drift_incr" -> ((s, dir) => VectorOps.embeddingDrift(s, dir)),
     "d_domain_mix" -> ((s, dir) => VectorOps.domainMix(s, dir)),
     "v_knn" -> ((s, dir) => VectorOps.knn(s, dir)),
@@ -701,6 +705,7 @@ object SparkEntry {
       "d_dup_spans_incr" -> TextOps.dupSpansIncrSql(),
       "d_dup_runs" -> TextOps.dupRunsSql(),
       "d_dup_runs_strict" -> TextOps.dupRunsSql(minRun = 30),
+      "d_dup_runs_incr" -> TextOps.dupRunsIncrSql(),
       "d_dup_span_rate" -> TextOps.dupSpanRateSql(),
       "d_dup_top_runs" -> TextOps.dupTopRunsSql(),
       "d_curate" -> TextOps.curateSql(),
@@ -731,6 +736,7 @@ object SparkEntry {
       "d_dedup_incr" -> TextOps.dedupIncrementSql(),
       "d_neardup_incr" -> TextOps.nearDupIncrSql(),
       "d_quality_drift" -> TextOps.qualityDriftIncrSql(),
+      "d_quality_requota" -> TextOps.qualityRequotaSql(),
       "d_segment_dedup" -> TextOps.segmentDedupSql(),
       "d_lm_bits" -> TextOps.lmBitsSql,
       "d_lm2_bits" -> TextOps.lm2BitsSql,
@@ -755,6 +761,7 @@ object SparkEntry {
       "d_bpe_fertility" -> Bpe.fertilitySql(),
       "d_bpe_coverage" -> Bpe.coverageSql(),
       "d_bpe_drift" -> Bpe.bpeDriftSql(),
+      "d_bpe_extend" -> Bpe.bpeExtendSql(),
       "d_split_stratified" -> TextOps.splitStratifiedSql(),
       "d_eval_clean" -> TextOps.evalCleanSql(),
       "d_lsh_recall" -> TextOps.lshRecallSql(),
@@ -768,6 +775,7 @@ object SparkEntry {
       "d_manifest_delta" -> MixOps.manifestIncrSql(),
       "v_norms" -> VectorOps.normsSql,
       "v_embed_stale" -> VectorOps.embedStaleSql(),
+      "v_embed_refresh" -> VectorOps.embedRefreshSql(),
       "v_drift_incr" -> VectorOps.embeddingDriftSql(),
       "d_domain_mix" -> VectorOps.domainMixSql(),
       "v_knn" -> VectorOps.knnSql(),

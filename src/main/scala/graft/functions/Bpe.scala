@@ -363,6 +363,141 @@ object Bpe {
        |       ELSE NULL END AS drift_pm
        |FROM agg ORDER BY source""".stripMargin
 
+  /** Vocabulary-extension retrain — the ACTION the [[bpeDrift]] monitor's
+    * climbing fragmentation feeds: a deployment does not retrain a 30k
+    * tokenizer from scratch per increment, it CONTINUES training on the
+    * increment — the frozen merge table is folded over the DELTA
+    * vocabulary first, then `nExtra` further merges are trained by the
+    * same sequential argmax (weight desc, pair asc) over the delta's
+    * frequency-weighted symbol relation. The report prices the extension
+    * per source with the monitor family's integer contract: delta word
+    * occurrences, fertility permille (tokens per word ×1000) and
+    * fully-fragmented permille under the FROZEN vs EXTENDED table —
+    * fragmentation recovered at the cost of `nExtra` new vocab entries.
+    *
+    * Scale shape: everything is |delta vocab|-bounded — the frozen fold
+    * is [[segmentWords]]' constant-depth pass over distinct delta words,
+    * each extension round is one map-side-combined pair agg plus a 1-row
+    * argmax to the driver (the [[train]] loop contract), and the report
+    * joins token counts back to the per-source frequency table, never
+    * re-folding the corpus. Oracle: the extension unrolls to one
+    * (pairs, argmax, apply) CTE triple per round — the
+    * `kmeansTrainRounded` precedent — so DuckDB recomputes the SAME
+    * extension merges and the drift report stays fully differential.
+    */
+  def bpeExtend(spark: SparkSession, dir: String,
+                merges: Seq[(String, String)] = trainedMerges,
+                nExtra: Int = 3, deltaMod: Int = 5): DataFrame = {
+    val freqSrc = TextOps.prepared(spark, dir)
+      .filter(TextOps.docSplitE(deltaMod) === 0)
+      .select(col("source"), explode(col("words")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("freq"))
+    val freqW = freqSrc.groupBy("w").agg(sum(col("freq")).as("freq"))
+    val seg0 = segmentWords(freqW, merges).cache()
+    val frozenToks = seg0.select(col("w"), size(col("syms")).as("ntok_frozen"))
+    var v = seg0
+    var r = 0
+    var exhausted = false
+    while (r < nExtra && !exhausted) {
+      val top = bpePairsFrom(v)
+        .orderBy(col("weight").desc, col("pair")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val Array(a, b) = top(0).getString(0).split(" ", 2)
+        val next = applyMerge(v, a, b).cache()
+        next.count()
+        if (v ne seg0) v.unpersist()
+        v = next
+        r += 1
+      }
+    }
+    val extToks = v.select(col("w"), size(col("syms")).as("ntok_ext"))
+    val out = freqSrc.join(frozenToks, "w").join(extToks, "w")
+      .groupBy(col("source")).agg(
+        sum(col("freq")).as("n_words"),
+        sum(col("freq") * col("ntok_frozen")).as("t_frozen"),
+        sum(col("freq") * col("ntok_ext")).as("t_ext"),
+        sum(when(col("ntok_frozen") === length(col("w")), col("freq"))
+          .otherwise(0L)).as("frag_frozen"),
+        sum(when(col("ntok_ext") === length(col("w")), col("freq"))
+          .otherwise(0L)).as("frag_ext"))
+      .select(col("source"), col("n_words"),
+        expr("t_frozen * 1000L div n_words").as("fert_pm_frozen"),
+        expr("t_ext * 1000L div n_words").as("fert_pm_ext"),
+        expr("frag_frozen * 1000L div n_words").as("frag_pm_frozen"),
+        expr("frag_ext * 1000L div n_words").as("frag_pm_ext"))
+      .orderBy(col("source"))
+    seg0.unpersist()
+    if (v ne seg0) v.unpersist()
+    out
+  }
+
+  def bpeExtendSql(merges: Seq[(String, String)] = trainedMerges,
+                   nExtra: Int = 3, deltaMod: Int = 5): String = {
+    def q(s: String) = s.replace("'", "''")
+    val mergesRel =
+      if (merges.isEmpty)
+        "SELECT 0 AS rank, '' AS pat, '' AS rep WHERE false"
+      else
+        "VALUES\n  " + merges.zipWithIndex.map { case ((a, b), i) =>
+          s"(${i + 1}, ' ${q(a)}  ${q(b)} ', ' ${q(a)}${q(b)} ')"
+        }.mkString(",\n  ")
+    // one (pairs, argmax, apply) triple per extension round; the LEFT
+    // JOIN ON TRUE makes an exhausted round a no-op on both engines
+    val rounds = (1 to nExtra).map { r =>
+      val prev = s"s${r - 1}"
+      s"""p$r AS (
+         |  SELECT syms[i] AS a, syms[i + 1] AS b, sum(freq) AS weight
+         |  FROM (SELECT w, string_split(trim(s), '  ') AS syms FROM $prev)
+         |       JOIN freqw USING (w),
+         |       unnest(range(1, len(syms))) AS u(i)
+         |  WHERE len(syms) >= 2
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT a, b FROM p$r ORDER BY weight DESC, a || ' ' || b LIMIT 1),
+         |s$r AS (
+         |  SELECT w, CASE WHEN b$r.a IS NULL THEN s
+         |    ELSE replace(s, ' ' || b$r.a || '  ' || b$r.b || ' ',
+         |                 ' ' || b$r.a || b$r.b || ' ') END AS s
+         |  FROM $prev LEFT JOIN b$r ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE
+       |freqsrc AS (
+       |  SELECT source, w, count(*) AS freq FROM (
+       |    SELECT source, unnest(words) AS w
+       |    FROM (${TextOps.preparedSql})
+       |    WHERE (${TextOps.docSplitSql(deltaMod)}) = 0)
+       |  GROUP BY source, w),
+       |freqw AS (SELECT w, CAST(sum(freq) AS BIGINT) AS freq
+       |          FROM freqsrc GROUP BY w),
+       |fm(rank, pat, rep) AS ($mergesRel),
+       |seg AS (
+       |  SELECT w, regexp_replace(w, '(.)', ' \\1 ', 'g') AS s, 0 AS i FROM freqw
+       |  UNION ALL
+       |  SELECT seg.w, replace(seg.s, m.pat, m.rep), seg.i + 1
+       |  FROM seg JOIN fm m ON m.rank = seg.i + 1),
+       |s0 AS (SELECT w, s FROM seg WHERE i = ${merges.size}),
+       |$rounds,
+       |nt AS (
+       |  SELECT s0.w,
+       |    (length(s0.s) - length(replace(s0.s, ' ', ''))) // 2 AS ntok_frozen,
+       |    (length(sN.s) - length(replace(sN.s, ' ', ''))) // 2 AS ntok_ext
+       |  FROM s0 JOIN s$nExtra sN USING (w))
+       |SELECT source, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(t_frozen * 1000 // n_words AS BIGINT) AS fert_pm_frozen,
+       |  CAST(t_ext * 1000 // n_words AS BIGINT) AS fert_pm_ext,
+       |  CAST(frag_frozen * 1000 // n_words AS BIGINT) AS frag_pm_frozen,
+       |  CAST(frag_ext * 1000 // n_words AS BIGINT) AS frag_pm_ext
+       |FROM (
+       |  SELECT f.source, sum(f.freq) AS n_words,
+       |    sum(f.freq * nt.ntok_frozen) AS t_frozen,
+       |    sum(f.freq * nt.ntok_ext) AS t_ext,
+       |    sum(CASE WHEN nt.ntok_frozen = length(f.w) THEN f.freq ELSE 0 END) AS frag_frozen,
+       |    sum(CASE WHEN nt.ntok_ext = length(f.w) THEN f.freq ELSE 0 END) AS frag_ext
+       |  FROM freqsrc f JOIN nt USING (w)
+       |  GROUP BY f.source)
+       |ORDER BY source""".stripMargin
+  }
+
   /** Train `nMerges` BPE merges. Returns the ordered merge table
     * (rank, sym_a, sym_b, weight). Each round: pair-count agg over the
     * vocabulary (|vocab| rows, NOT the corpus), 1-row argmax to the driver,

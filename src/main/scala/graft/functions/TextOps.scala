@@ -457,6 +457,116 @@ object TextOps {
        |       ELSE NULL END AS drift_pm
        |FROM agg ORDER BY source""".stripMargin
 
+  /** Admission-threshold retune — the ACTION [[qualityDriftIncr]]'s
+    * collapsing delta keep-rate feeds: when a source's arrivals degrade,
+    * the deployed fixed threshold (score ≥ 0.5, the `quality_bucket ≠
+    * low` gate every curate path uses) either floods the corpus with the
+    * degraded tail or, for an improving source, throttles it — the knob a
+    * deployment actually turns is the per-source threshold that RESTORES
+    * the base keep-rate on the delta. Computed by exact order statistics,
+    * not approximate quantiles: rank the delta's scores (score desc,
+    * doc_id asc — total order, so both engines pick the same row), take
+    * `target_keep = n_delta * keep_base div n_base` and read `tau` off
+    * the rank-target_keep row; `keep_retuned` counts score ≥ tau
+    * (tie-inclusive, so it can exceed target_keep by the tie width —
+    * reported rather than hidden). Sentinels: sources with an empty side
+    * report -1 permille; tau is null when target_keep = 0 (nothing may
+    * pass) and keep_retuned is then 0.
+    *
+    * Scale shape: one scan + |sources|-key agg for the rates; the ranking
+    * window partitions by source over DELTA rows only (the increment,
+    * not the corpus); no global window, no driver-side quantile state.
+    * `percentile_approx` would be cheaper still at 100 TB but trades the
+    * exact cross-engine contract for an epsilon — the exact form is the
+    * oracle-checkable reference; swap in the sketch only when the rank
+    * shuffle measures as the bottleneck.
+    */
+  def qualityRequota(spark: SparkSession, dir: String,
+                     deltaMod: Int = 5): DataFrame = {
+    val d = prepared(spark, dir).select(
+      col("doc_id"), col("source"),
+      (docSplitE(deltaMod) === 0).as("is_delta"),
+      qualityScoreE.as("score"))
+    val agg0 = d.groupBy("source").agg(
+      sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_base"),
+      sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"),
+      sum(when(!col("is_delta") && col("score") >= 0.5, 1L).otherwise(0L))
+        .as("keep_base"),
+      sum(when(col("is_delta") && col("score") >= 0.5, 1L).otherwise(0L))
+        .as("keep_delta"))
+      .withColumn("target_keep",
+        when(col("n_base") > 0, expr("n_delta * keep_base div n_base"))
+          .otherwise(lit(null).cast("long")))
+    val wd = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val ranked = d.filter(col("is_delta"))
+      .withColumn("rk", row_number().over(wd))
+    val tau = ranked
+      .join(agg0.select(col("source"), col("target_keep")), "source")
+      .filter(col("rk") === col("target_keep"))
+      .select(col("source"), col("score").as("tau"))
+    val retuned = ranked.join(tau, "source")
+      .filter(col("score") >= col("tau"))
+      .groupBy("source").agg(count(lit(1)).as("n_retuned"))
+    agg0.join(tau, Seq("source"), "left").join(retuned, Seq("source"), "left")
+      .select(col("source"), col("n_base"), col("n_delta"),
+        when(col("n_base") > 0, expr("keep_base * 1000L div n_base"))
+          .otherwise(-1L).as("keep_pm_base"),
+        when(col("n_delta") > 0, expr("keep_delta * 1000L div n_delta"))
+          .otherwise(-1L).as("keep_pm_delta"),
+        col("target_keep"), col("tau"),
+        coalesce(col("n_retuned"), lit(0L)).as("keep_retuned"),
+        when(col("n_delta") > 0,
+          expr("coalesce(n_retuned, cast(0 as bigint)) * 1000 div n_delta"))
+          .otherwise(-1L).as("keep_retuned_pm"))
+      .orderBy("source")
+  }
+
+  def qualityRequotaSql(deltaMod: Int = 5): String =
+    s"""WITH d AS (
+       |  SELECT q.doc_id, s.source,
+       |    (${docSplitSql(deltaMod, "q.doc_id")}) = 0 AS is_delta,
+       |    q.quality_score AS score
+       |  FROM ($qualitySql) q
+       |  JOIN (SELECT doc_id AS sid, source FROM documents) s ON s.sid = q.doc_id),
+       |agg0 AS (
+       |  SELECT source,
+       |    CAST(sum(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       |    CAST(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+       |    CAST(sum(CASE WHEN NOT is_delta AND score >= 0.5 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS keep_base,
+       |    CAST(sum(CASE WHEN is_delta AND score >= 0.5 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS keep_delta
+       |  FROM d GROUP BY source),
+       |t AS (
+       |  SELECT *, CASE WHEN n_base > 0
+       |    THEN CAST(n_delta * keep_base // n_base AS BIGINT) END AS target_keep
+       |  FROM agg0),
+       |ranked AS (
+       |  SELECT source, doc_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |                       ORDER BY score DESC, doc_id) AS rk
+       |  FROM d WHERE is_delta),
+       |tau AS (
+       |  SELECT r.source, r.score AS tau
+       |  FROM ranked r JOIN t ON r.source = t.source AND r.rk = t.target_keep),
+       |ret AS (
+       |  SELECT r.source, CAST(count(*) AS BIGINT) AS n_retuned
+       |  FROM ranked r JOIN tau ON r.source = tau.source AND r.score >= tau.tau
+       |  GROUP BY r.source)
+       |SELECT t.source, n_base, n_delta,
+       |  CASE WHEN n_base > 0 THEN keep_base * 1000 // n_base ELSE -1 END
+       |    AS keep_pm_base,
+       |  CASE WHEN n_delta > 0 THEN keep_delta * 1000 // n_delta ELSE -1 END
+       |    AS keep_pm_delta,
+       |  target_keep, tau.tau AS tau,
+       |  COALESCE(n_retuned, 0) AS keep_retuned,
+       |  CASE WHEN n_delta > 0 THEN COALESCE(n_retuned, 0) * 1000 // n_delta
+       |       ELSE -1 END AS keep_retuned_pm
+       |FROM t LEFT JOIN tau ON t.source = tau.source
+       |       LEFT JOIN ret ON t.source = ret.source
+       |ORDER BY t.source""".stripMargin
+
   def contamination(spark: SparkSession, dir: String, probeMax: Long = 10): DataFrame =
     // session-shared: the contamination index is consumed by d_contamination,
     // curate (d_curate + both corpus builds) and the incremental delta pass —
@@ -861,15 +971,110 @@ object TextOps {
       .filter(!(col("doc_id") === col("k_doc") && col("i") === col("k_i")))
       .select(col("doc_id"), explode(expr(s"sequence(i, i + ${n - 1})")).as("p"))
       .distinct()
+    spanFold(pw, mat(minRunFilter(hits0, minRun)))
+  }
+
+  /** Keep only cut positions lying on a maximal contiguous run of at
+    * least `minRun` positions — the gaps-and-islands filter shared by
+    * [[dupRuns]] and [[dupRunsIncr]]. Two doc-keyed windows over the
+    * duplicated-position subset, nothing corpus-bounded.
+    */
+  private def minRunFilter(hits0: DataFrame, minRun: Int): DataFrame = {
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-    val isl = hits0.withColumn("grp", col("p") - row_number().over(wd))
-    val hits = mat(isl
+    hits0.withColumn("grp", col("p") - row_number().over(wd))
       .withColumn("span_len",
         count(lit(1)).over(Window.partitionBy(col("doc_id"), col("grp"))))
       .filter(col("span_len") >= minRun)
-      .select(col("doc_id"), col("p")))
-    spanFold(pw, hits)
+      .select(col("doc_id"), col("p"))
   }
+
+  /** O(delta) incremental form of [[dupRuns]] — [[dupSpansIncr]]'s cut
+    * positions (frozen base shingle set + in-increment keepers) passed
+    * through the same maximal-run floor: a delta arrival loses only runs
+    * of ≥ `minRun` tokens it duplicates, against an index that is never
+    * re-opened. Same asymmetric-staleness contract as [[dupSpansIncr]].
+    */
+  def dupRunsIncr(spark: SparkSession, dir: String, n: Int = 5,
+                  minRun: Int = 8, deltaMod: Int = 5,
+                  mat: Materialize = Materialize.Local): DataFrame = {
+    val pwAll = prepared(spark, dir).filter(size(col("words")) >= n)
+      .select(col("doc_id"), col("words"), (docSplitE(deltaMod) === 0).as("is_delta"))
+    val pw = mat(pwAll.filter(col("is_delta")).select("doc_id", "words"))
+    val shD = posShingles(pw, n)
+    val baseSet = posShingles(pwAll.filter(!col("is_delta"))
+      .select("doc_id", "words"), n).select("sh").distinct()
+    val ofBase = shD.join(baseSet, "sh").select(col("doc_id"), col("i"))
+    val keepD = shD.groupBy(col("sh"))
+      .agg(min(struct(col("doc_id"), col("i"))).as("k"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("sh"), col("k.doc_id").as("k_doc"), col("k.i").as("k_i"))
+    val inDelta = shD.join(keepD, "sh")
+      .filter(!(col("doc_id") === col("k_doc") && col("i") === col("k_i")))
+      .select(col("doc_id"), col("i"))
+    val hits0 = ofBase.unionAll(inDelta)
+      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${n - 1})")).as("p"))
+      .distinct()
+    spanFold(pw, mat(minRunFilter(hits0, minRun)))
+  }
+
+  def dupRunsIncrSql(n: Int = 5, minRun: Int = 8, deltaMod: Int = 5): String =
+    s"""WITH pwa AS (
+       |  SELECT doc_id, words, (${docSplitSql(deltaMod)}) = 0 AS is_delta
+       |  FROM ($preparedSql) WHERE len(words) >= $n),
+       |pw AS (SELECT doc_id, words FROM pwa WHERE is_delta),
+       |shd AS (
+       |  SELECT doc_id, i - 1 AS i,
+       |         ${Exprs.hex60Sql(s"array_to_string(words[i : i + ${n - 1}], ' ')")} AS sh
+       |  FROM pw, unnest(range(1, len(words) - ${n - 1} + 1)) AS t(i)),
+       |bset AS (
+       |  SELECT DISTINCT ${Exprs.hex60Sql(s"array_to_string(words[i : i + ${n - 1}], ' ')")} AS sh
+       |  FROM pwa, unnest(range(1, len(words) - ${n - 1} + 1)) AS t(i)
+       |  WHERE NOT is_delta),
+       |cut AS (
+       |  SELECT doc_id, i FROM shd JOIN bset USING (sh)
+       |  UNION ALL
+       |  SELECT doc_id, i FROM (
+       |    SELECT doc_id, i,
+       |      ROW_NUMBER() OVER (PARTITION BY sh ORDER BY doc_id, i) AS rn
+       |    FROM shd)
+       |  WHERE rn > 1),
+       |hits0 AS (
+       |  SELECT DISTINCT doc_id, i + d AS p
+       |  FROM cut, unnest(range(0, $n)) AS u(d)),
+       |isl AS (
+       |  SELECT doc_id, p,
+       |    p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+       |  FROM hits0),
+       |hits AS (
+       |  SELECT doc_id, p FROM (
+       |    SELECT doc_id, p,
+       |      count(*) OVER (PARTITION BY doc_id, grp) AS span_len
+       |    FROM isl)
+       |  WHERE span_len >= $minRun),
+       |spans AS (
+       |  SELECT doc_id, count(*) AS n_dup,
+       |    CAST(sum(CASE WHEN prev IS NULL OR p - prev <> 1 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_spans
+       |  FROM (SELECT doc_id, p,
+       |          lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM hits)
+       |  GROUP BY doc_id),
+       |wp AS (
+       |  SELECT doc_id, i - 1 AS p, words[i] AS word
+       |  FROM pw, unnest(range(1, len(words) + 1)) AS t(i)),
+       |clean AS (
+       |  SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS text_clean
+       |  FROM wp
+       |  WHERE NOT EXISTS (SELECT 1 FROM hits h
+       |                    WHERE h.doc_id = wp.doc_id AND h.p = wp.p)
+       |  GROUP BY doc_id)
+       |SELECT pw.doc_id, CAST(len(words) AS BIGINT) AS n_words,
+       |  COALESCE(n_dup, 0) AS n_dup,
+       |  COALESCE(n_spans, 0) AS n_spans,
+       |  COALESCE(text_clean, '') AS text_clean
+       |FROM pw LEFT JOIN spans ON pw.doc_id = spans.doc_id
+       |        LEFT JOIN clean ON pw.doc_id = clean.doc_id
+       |ORDER BY pw.doc_id""".stripMargin
 
   def dupRunsSql(n: Int = 5, minRun: Int = 8): String =
     s"""WITH pw AS (

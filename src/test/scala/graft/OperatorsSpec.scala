@@ -939,6 +939,138 @@ class OperatorsSpec extends SparkSuite {
       (23L, 7L, 1L, "a b c d e f g")))
   }
 
+  test("dupRunsIncr cuts only >= minRun runs against the frozen base; minRun=n degenerates to dupSpansIncr") {
+    // derive split membership so the crafted corpus lands where intended
+    val residues = spark.range(100).select(col("id").as("doc_id"))
+      .withColumn("r", TextOps.docSplitE(5))
+      .as[(Long, Long)].collect().toMap
+    val baseIds = (0L until 100L).filter(residues(_) != 0)
+    val deltaIds = (0L until 100L).filter(residues(_) == 0)
+    val Seq(d1, d2, d3) = deltaIds.take(3)
+    val docs = Seq(
+      // base template owning a 7-token run and a separate 5-token run
+      (baseIds.head, "alpha beta gamma delta epsilon zeta eta THE END"),
+      (baseIds(1), "red green blue cyan magenta"),
+      // arrival sharing the 7-run (>= minRun=6 -> cut) AND the 5-run
+      // (island of 5 < 6 -> spared by the floor)
+      (d1, "one two alpha beta gamma delta epsilon zeta eta three " +
+        "red green blue cyan magenta four"),
+      // arrival sharing only the 5-run -> untouched at minRun=6
+      (d2, "red green blue cyan magenta totally new tail here"),
+      // arrival sharing nothing -> untouched
+      (d3, "purely unique words here nothing shared at all ok")
+    ).map { case (id, t) => (id, t, "en", "s", 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("duprunsincr").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.dupRunsIncr(spark, tmp, n = 5, minRun = 6)
+      .select("doc_id", "n_dup", "n_spans", "text_clean")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(d1) == ((d1, 7L, 1L,
+      "one two three red green blue cyan magenta four")),
+      s"7-run must be cut whole, 5-island spared: ${got(d1)}")
+    assert(got(d2)._2 == 0 && got(d2)._4.startsWith("red green blue"),
+      s"sub-floor island must be spared: ${got(d2)}")
+    assert(got(d3)._2 == 0, s"unshared arrival must be untouched: ${got(d3)}")
+    // degenerate identity: at minRun = n the floor is a no-op (every cut
+    // position sits on an island of >= n by construction)
+    val runs = TextOps.dupRunsIncr(spark, tmp, n = 5, minRun = 5)
+      .select("doc_id", "n_dup", "n_spans", "text_clean")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val spans = TextOps.dupSpansIncr(spark, tmp)
+      .select("doc_id", "n_dup", "n_spans", "text_clean")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(runs == spans, s"minRun=n must equal dupSpansIncr; " +
+      s"runs-only=${(runs -- spans).take(3)} spans-only=${(spans -- runs).take(3)}")
+  }
+
+  test("bpeExtend: continued training on the delta recovers fragmentation the frozen table leaves") {
+    import functions.Bpe
+    // id 0 is base, id 1 is delta under the salted split; frozen merge
+    // ("a","b") compresses "ab" but leaves "xy" fully fragmented — the
+    // extension must learn ("x","y") from the delta and the report must
+    // price the recovery: fert 5/3 -> 3/3 per word, frag 666 -> 0 permille
+    val docs = Seq(
+      (0L, "ab ab ab", "en", "s", 8L),
+      (1L, "xy xy ab", "en", "s", 8L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("bpeext").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // nExtra=3 also exercises exhaustion: after ("x","y") every delta word
+    // is a single symbol, so rounds 2-3 must no-op on both engines
+    val got = Bpe.bpeExtend(spark, tmp, merges = Seq(("a", "b")), nExtra = 3)
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((3L, 1666L, 1000L, 666L, 0L)),
+      s"extension report wrong: ${r.toSeq}")
+  }
+
+  test("embedRefresh: stale member that evaded semantic dedup is reclaimed by serving the rep's vector") {
+    import functions.VectorOps
+    val t = "identical text shared by the whole duplicate family"
+    val docs = Seq(
+      (0L, t, "en", "sA", 50L),                 // rep of the family
+      (1L, t, "en", "sA", 50L),                 // aligned member
+      (2L, t, "en", "sB", 50L),                 // stale member (orthogonal vector)
+      (3L, "a singleton document", "en", "sB", 20L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f), 0),    // cos ~0.994 -> aligned
+      (2L, Seq(0.0f, 0.0f, 1.0f, 0.0f), 0),    // cos 0 -> stale AND evades cos-dedup
+      (3L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("embrefresh").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    vecs.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = VectorOps.embedRefresh(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // sB's stale member evaded the LSH-cos drop verdict before the repair
+    // (orthogonal vector), is dropped after (vector == rep's): recovered 1
+    assert(got == Map(
+      "sA" -> ((1L, 0L, 0L, 0L, 0L, -1L)),
+      "sB" -> ((1L, 1L, 1L, 0L, 1L, 1000L))),
+      s"refresh audit wrong: $got")
+  }
+
+  test("qualityRequota: retuned threshold restores the base keep-rate on the delta by exact rank") {
+    // derive split membership so the crafted corpus lands where intended
+    val residues = spark.range(100).select(col("id").as("doc_id"))
+      .withColumn("r", TextOps.docSplitE(5))
+      .as[(Long, Long)].collect().toMap
+    val baseIds = (0L until 100L).filter(residues(_) != 0)
+    val deltaIds = (0L until 100L).filter(residues(_) == 0)
+    val Seq(d1, d2, d3, d4) = deltaIds.take(4)
+    // scores: HIGH ~0.51 (>= 0.5 deployed gate), LOWs all < 0.5, distinct
+    val docs = Seq(
+      (baseIds.head, "excellent fantastic remarkable brilliant"), // base HIGH
+      (baseIds(1), "a to in"),                                    // base LOW
+      (d1, "wonderful magnificent extraordinary phenomenal"),     // delta HIGH ~0.51
+      (d2, "some random cat dog"),                                // ~0.41
+      (d3, "the and cat"),                                        // ~0.18
+      (d4, "the of")                                              // ~0.07
+    ).map { case (id, t) => (id, t, "en", "sA", 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("requota").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = TextOps.qualityRequota(spark, tmp).collect()
+    assert(r.length == 1)
+    val row = r.head
+    // base keeps 1/2 = 500pm at the deployed gate; the delta collapses to
+    // 1/4 = 250pm; target_keep = 4 * 1 div 2 = 2, tau = the 2nd-ranked
+    // delta score (~0.41, BELOW the deployed 0.5 — a rate-preserving
+    // retune lowers the bar), and the retuned rate is back at 500pm
+    assert((row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4),
+      row.getLong(5), row.getLong(7), row.getLong(8)) ==
+      ((2L, 4L, 500L, 250L, 2L, 2L, 500L)),
+      s"requota row wrong: ${row.toSeq}")
+    val tau = row.getDouble(6)
+    assert(tau > 0.4 && tau < 0.5, s"tau $tau should be the 2nd delta score")
+  }
+
   test("monitor-action cross-foots: pruned mass matches the stats monitor; merge recall columns match the compact audit") {
     val dir = sf("sf0.001")
     // d_bm25_pruned's constant column IS the capped_pm the index monitor
