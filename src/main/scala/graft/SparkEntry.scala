@@ -296,6 +296,8 @@ object SparkEntry {
     "v_neardup_lsh" -> ((s, dir) => VectorOps.nearDupLsh(s, dir)),
     "v_ann_lsh" -> ((s, dir) => VectorOps.annLsh(s, dir)),
     "v_ann_sq" -> ((s, dir) => VectorOps.annSq(s, dir)),
+    "v_ann_rp" -> ((s, dir) => VectorOps.annRp(s, dir)),
+    "v_ann_rp_rr" -> ((s, dir) => VectorOps.annRpRr(s, dir)),
     "v_ann_ivfsq" -> ((s, dir) => VectorOps.annIvfSq(s, dir)),
     "v_ivf_assign" -> ((s, dir) => VectorOps.ivfAssign(s, dir).orderBy(col("vec_id"))),
     "v_ann_ivf" -> ((s, dir) => VectorOps.annIvf(s, dir)),
@@ -329,6 +331,8 @@ object SparkEntry {
     "v_recall" -> ((s, dir) => VectorOps.annRecall(s, dir)),
     "v_recall_lsh" -> ((s, dir) => VectorOps.annRecallLsh(s, dir)),
     "v_recall_sq" -> ((s, dir) => VectorOps.annRecallSq(s, dir)),
+    "v_recall_rp" -> ((s, dir) => VectorOps.annRecallRp(s, dir)),
+    "v_recall_rp_rr" -> ((s, dir) => VectorOps.annRecallRpRr(s, dir)),
     "v_recall_ivfsq" -> ((s, dir) => VectorOps.annRecallIvfSq(s, dir)),
     "v_recall_ivfpq" -> ((s, dir) => VectorOps.annRecallIvfPq(s, dir)),
     "v_recall_pq" -> ((s, dir) => VectorOps.annRecallPq(s, dir)),
@@ -783,6 +787,8 @@ object SparkEntry {
       "v_neardup_lsh" -> VectorOps.nearDupLshSql(),
       "v_ann_lsh" -> VectorOps.annLshSql(),
       "v_ann_sq" -> VectorOps.annSqSql(),
+      "v_ann_rp" -> VectorOps.annRpSql(),
+      "v_ann_rp_rr" -> VectorOps.annRpRrSql(),
       "v_ann_ivfsq" -> VectorOps.annIvfSqSql(),
       "v_ivf_assign" -> VectorOps.ivfAssignSql(),
       "v_ann_ivf" -> VectorOps.annIvfSql(),
@@ -815,6 +821,8 @@ object SparkEntry {
       "v_recall" -> VectorOps.annRecallSql(),
       "v_recall_lsh" -> VectorOps.annRecallLshSql(),
       "v_recall_sq" -> VectorOps.annRecallSqSql(),
+      "v_recall_rp" -> VectorOps.annRecallRpSql(),
+      "v_recall_rp_rr" -> VectorOps.annRecallRpRrSql(),
       "v_recall_ivfsq" -> VectorOps.annRecallIvfSqSql(),
       "v_recall_ivfpq" -> VectorOps.annRecallIvfPqSql(),
       "v_recall_pq" -> VectorOps.annRecallPqSql(),

@@ -2879,6 +2879,158 @@ object VectorOps {
        |WHERE rank <= $k
        |ORDER BY q_id, rank""".stripMargin
 
+  /** Deterministic ±1 projection matrix for [[annRp]] — MD5-parity signs,
+    * no RNG (the oracle reproduces the identical matrix from the same
+    * literals), the sparse-JL construction with every entry kept.
+    */
+  private[graft] def rpSigns(kDim: Int, d: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until kDim).map { j =>
+      (0 until d).map { i =>
+        val h = md.digest(s"rp:$j:$i".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Signed-random-projection reduced-space search — the DIMENSION
+    * compression tier of the ANN matrix, orthogonal to [[annSq]]'s
+    * precision compression and IVF's candidate pruning: project every
+    * vector through a fixed ±1 matrix (Johnson–Lindenstrauss; signs are
+    * hash-derived so both engines hold the identical matrix with no RNG),
+    * then rank by cosine in the `kDim`-dim space — `d/kDim`× fewer
+    * multiplies per distance and `d/kDim`× smaller resident vectors.
+    * Brute-force over the reduced corpus isolates pure projection loss
+    * (the way [[annSq]] isolates quantization loss); `v_recall_rp` vs
+    * `v_recall_sq` contrasts the two compression axes at equal k, and at
+    * deployment scale the reduced table composes with IVF for pruning the
+    * same way the SQ codes do.
+    *
+    * Scale shape: the projection is one row-local map (a kDim-row literal
+    * matrix folded by the native dot expression — no shuffle, no UDF);
+    * the scan is the memory-bandwidth path over vectors 4× smaller than
+    * the corpus; queries broadcast; one top-k window per query.
+    */
+  /** The reduced relation both RP forms share: (vec_id, rv, rn). */
+  private def rpReduced(spark: SparkSession, dir: String, kDim: Int,
+                        d: Int): DataFrame = {
+    val mt = typedLit(rpSigns(kDim, d))
+    prepared(spark, dir)
+      .withColumn("rv", transform(mt, row => dot(row, col("v"))))
+      .withColumn("rn", sqrt(dot(col("rv"), col("rv"))))
+      .filter(col("rn") > 0)
+      .select(col("vec_id"), col("rv"), col("rn"))
+  }
+
+  private def rpReducedSql(kDim: Int, d: Int): String = {
+    val mtLit = rpSigns(kDim, d)
+      .map(_.map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ", ", "]"))
+      .mkString("[", ",\n    ", "]")
+    s"""SELECT vec_id, rv, sqrt(list_dot_product(rv, rv)) AS rn
+       |FROM (
+       |  SELECT vec_id,
+       |    list_transform($mtLit, r -> list_dot_product(r, v)) AS rv
+       |  FROM ($preparedSql))
+       |WHERE sqrt(list_dot_product(rv, rv)) > 0""".stripMargin
+  }
+
+  def annRp(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 5,
+            kDim: Int = 32, d: Int = 64): DataFrame = {
+    val e = rpReduced(spark, dir, kDim, d)
+    val q = broadcast(e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("rv").as("qv"), col("rn").as("qn")))
+    val sims = e.join(q, col("vec_id") =!= col("q_id"))
+      .withColumn("cos_rp",
+        round(dot(col("qv"), col("rv")) / (col("qn") * col("rn")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_rp").desc, col("vec_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos_rp"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def annRpSql(nQueries: Int = 20, k: Int = 5, kDim: Int = 32, d: Int = 64): String =
+    s"""WITH e AS (${rpReducedSql(kDim, d)}),
+       |q AS (SELECT vec_id AS q_id, rv AS qv, rn AS qn FROM e WHERE vec_id < $nQueries),
+       |sims AS (
+       |  SELECT q.q_id, e.vec_id,
+       |    round(list_dot_product(q.qv, e.rv) / (q.qn * e.rn), 4) AS cos_rp
+       |  FROM e, q WHERE e.vec_id <> q.q_id)
+       |SELECT q_id, rank, vec_id AS neighbor_id, cos_rp FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY cos_rp DESC, vec_id) AS INT) AS rank
+       |  FROM sims)
+       |WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** RP-prefilter + exact re-rank — the PRODUCTION form of the projection
+    * tier (the `v_ann_ivfpq_rr` pattern on the dimension axis): generate
+    * `cand` candidates per query by reduced-space cosine (cheap
+    * distances), then re-rank ONLY those candidates with the
+    * full-precision vectors. The reduced scan bounds the expensive exact
+    * work to `|queries|·cand` pairs regardless of corpus size; `cand` is
+    * a constant, so the pruned fraction improves as the corpus grows —
+    * at sf0.001's 500 vectors cand=100 is 20% of the corpus, at 100 TB
+    * it is nothing. `v_recall_rp_rr` vs `v_recall_rp` separates
+    * candidate-coverage loss (all that remains after re-ranking) from
+    * raw projection-ranking loss.
+    */
+  def annRpRr(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 5,
+              kDim: Int = 32, cand: Int = 100, d: Int = 64): DataFrame = {
+    val e = rpReduced(spark, dir, kDim, d)
+    val q = broadcast(e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("rv").as("qv"), col("rn").as("qn")))
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_rp").desc, col("vec_id"))
+    val candidates = e.join(q, col("vec_id") =!= col("q_id"))
+      .withColumn("cos_rp",
+        round(dot(col("qv"), col("rv")) / (col("qn") * col("rn")), 4))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= cand)
+      .select(col("q_id"), col("vec_id"))
+    val full = prepared(spark, dir)
+    val rr = candidates
+      .join(full.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .join(broadcast(full.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("fqv"),
+          col("nrm").as("fqn"))), "q_id")
+      .withColumn("cos_sim",
+        round(dot(col("fqv"), col("v")) / (col("fqn") * col("nrm")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    rr.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def annRpRrSql(nQueries: Int = 20, k: Int = 5, kDim: Int = 32,
+                 cand: Int = 100, d: Int = 64): String =
+    s"""WITH e AS (${rpReducedSql(kDim, d)}),
+       |q AS (SELECT vec_id AS q_id, rv AS qv, rn AS qn FROM e WHERE vec_id < $nQueries),
+       |cands AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, e.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |        ORDER BY round(list_dot_product(q.qv, e.rv) / (q.qn * e.rn), 4) DESC,
+       |                 e.vec_id) AS crank
+       |    FROM e, q WHERE e.vec_id <> q.q_id)
+       |  WHERE crank <= $cand),
+       |full0 AS ($preparedSql),
+       |fq AS (SELECT vec_id AS q_id, v AS fqv, nrm AS fqn
+       |       FROM full0 WHERE vec_id < $nQueries),
+       |rr AS (
+       |  SELECT c.q_id, c.vec_id,
+       |    round(list_dot_product(fq.fqv, f.v) / (fq.fqn * f.nrm), 4) AS cos_sim
+       |  FROM cands c
+       |  JOIN full0 f ON f.vec_id = c.vec_id
+       |  JOIN fq ON fq.q_id = c.q_id)
+       |SELECT q_id, rank, vec_id AS neighbor_id, cos_sim FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+       |  FROM rr)
+       |WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+
   /** IVF + SQ8 composed search — [[annSq]]'s "compose with IVF cells to
     * prune" made concrete (the FAISS `IVF,SQ8` index shape, as
     * [[annIvfPq]] is `IVF,PQ`): candidates come from the query's `nProbe`
@@ -3616,6 +3768,32 @@ object VectorOps {
 
   def annRecallSqSql(nQueries: Int = 20, k: Int = 5): String =
     recallSqlOf(annSqSql(nQueries, k), nQueries, k)
+
+  /** Same harness over the signed-random-projection reduced space —
+    * isolates pure dimension-reduction loss: the gap to 1.0 is what a
+    * `d/kDim`× cheaper distance costs in ranking fidelity, the third
+    * compression axis beside [[annRecallSq]] (precision) and
+    * [[annRecall]] (candidate pruning).
+    */
+  def annRecallRp(spark: SparkSession, dir: String, nQueries: Int = 20,
+                  k: Int = 5, kDim: Int = 32): DataFrame =
+    recallAgainstExact(spark, dir, annRp(spark, dir, nQueries, k, kDim), nQueries, k)
+
+  def annRecallRpSql(nQueries: Int = 20, k: Int = 5, kDim: Int = 32): String =
+    recallSqlOf(annRpSql(nQueries, k, kDim), nQueries, k)
+
+  /** Same harness over the RP-prefilter + exact-re-rank pipeline — the
+    * production form's recall; the gap to [[annRecallRp]] is what exact
+    * re-ranking recovers from the candidate pool.
+    */
+  def annRecallRpRr(spark: SparkSession, dir: String, nQueries: Int = 20,
+                    k: Int = 5, kDim: Int = 32, cand: Int = 100): DataFrame =
+    recallAgainstExact(spark, dir,
+      annRpRr(spark, dir, nQueries, k, kDim, cand), nQueries, k)
+
+  def annRecallRpRrSql(nQueries: Int = 20, k: Int = 5, kDim: Int = 32,
+                       cand: Int = 100): String =
+    recallSqlOf(annRpRrSql(nQueries, k, kDim, cand), nQueries, k)
 
   /** Same harness over the IVF+SQ composed index — total loss with both
     * knobs on; compare against [[annRecallSq]] (SQ only) and [[annRecall]]

@@ -1007,6 +1007,59 @@ class OperatorsSpec extends SparkSuite {
       s"extension report wrong: ${r.toSeq}")
   }
 
+  test("annRp ranks by cosine in the deterministic reduced space; re-rank recovers recall") {
+    import functions.VectorOps
+    val signs = VectorOps.rpSigns(32, 64)
+    // the matrix is deterministic and balanced-ish: no all-equal row
+    assert(signs.forall(r => r.length == 64 && r.toSet.size == 2))
+    val vecs = VectorOps.prepared(spark, sf())
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])].collect().toMap
+    def reduce(v: Seq[Double]): Seq[Double] =
+      signs.map(r => r.lazyZip(v).map(_ * _).sum)
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.lazyZip(b).map(_ * _).sum
+      d / math.sqrt(a.map(x => x * x).sum) / math.sqrt(b.map(x => x * x).sum)
+    }
+    val red = vecs.map { case (id, v) => id -> reduce(v) }
+    val expected = red.keys.toSeq.filter(_ < 5).sorted.flatMap { q =>
+      red.keys.toSeq.filter(_ != q)
+        .map(id => (id, r4(cos(red(q), red(id)))))
+        .sortBy { case (id, c) => (-c, id) }.take(3).zipWithIndex
+        .map { case ((id, c), i) => (q, i + 1, id, c) }
+    }
+    val got = VectorOps.annRp(spark, sf(), nQueries = 5, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected, "RP ranking diverges from brute-force projection")
+    // the rr pipeline re-ranks the RP candidate pool with exact cosine:
+    // brute-force the same two stages in plain Scala
+    val expectedRr = red.keys.toSeq.filter(_ < 5).sorted.flatMap { q =>
+      val pool = red.keys.toSeq.filter(_ != q)
+        .map(id => (id, r4(cos(red(q), red(id)))))
+        .sortBy { case (id, c) => (-c, id) }.take(50).map(_._1)
+      pool.map(id => (id, r4(cos(vecs(q), vecs(id)))))
+        .sortBy { case (id, c) => (-c, id) }.take(3).zipWithIndex
+        .map { case ((id, c), i) => (q, i + 1, id, c) }
+    }
+    val gotRr = VectorOps.annRpRr(spark, sf(), nQueries = 5, k = 3, cand = 50)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(gotRr == expectedRr, "RP re-rank diverges from two-stage brute-force")
+    // raw projection ranking on isotropic testdata is lossy but far above
+    // the ~0.01 chance floor; exact re-rank over the candidate pool
+    // recovers most of it — the gap IS the operator's story
+    val rec = VectorOps.annRecallRp(spark, sf()).collect()
+      .map(_.getAs[Double]("recall_at_k"))
+    val raw = rec.sum / rec.length
+    assert(raw >= 0.1, s"avg raw RP recall $raw < 0.1")
+    val recRr = VectorOps.annRecallRpRr(spark, sf()).collect()
+      .map(_.getAs[Double]("recall_at_k"))
+    val rr = recRr.sum / recRr.length
+    assert(rr >= 0.7, s"avg re-ranked RP recall $rr < 0.7")
+    assert(rr > raw, "re-rank must improve on raw projection ranking")
+  }
+
   test("embedRefresh: stale member that evaded semantic dedup is reclaimed by serving the rep's vector") {
     import functions.VectorOps
     val t = "identical text shared by the whole duplicate family"
