@@ -567,6 +567,70 @@ object TextOps {
        |       LEFT JOIN ret ON t.source = ret.source
        |ORDER BY t.source""".stripMargin
 
+  /** Bounded-memory distinct counting — the K-minimum-values sketch, the
+    * SURVEY §7.2 "approx distinct" north-star done with an EXACT
+    * cross-engine contract instead of `approx_count_distinct` (whose HLL
+    * bytes differ per engine and cannot be oracled): per source, keep the
+    * `k` smallest [[graft.Exprs.hex60]] hashes of the distinct words; the
+    * classic KMV estimator `(k-1) · 2^60 / h_k` (h_k = k-th smallest)
+    * estimates the distinct count from a k-value state, and the report
+    * prices it against the exact count as integer permille error. Both
+    * engines hash with the same md5 prefix and run the same IEEE double
+    * estimate, so the differential is exact — the sketch is
+    * "approximate" w.r.t. the truth, never w.r.t. the oracle.
+    *
+    * Distinctness is by HASH (the value the sketch actually sees — a
+    * 2^-60 collision would fold two words on both engines identically).
+    * Scale shape: one distinct-hash agg, one per-source top-k window
+    * over distinct hashes, one |sources|-key fold. At 100 TB the point
+    * is the SERVING state: k longs per source replaces the
+    * |vocabulary|-sized exact distinct state; the exact column here is
+    * the verification harness, priced by the err_pm column it enables.
+    */
+  def distinctKmv(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val dw = prepared(spark, dir)
+      .select(col("source"), explode(col("words")).as("w"))
+      .select(col("source"),
+        graft.Exprs.hex60(concat(lit("kmv:"), col("w"))).as("h"))
+      .distinct()
+    val exact = dw.groupBy("source").agg(count(lit(1)).as("n_exact"))
+    val wk = Window.partitionBy(col("source")).orderBy(col("h"))
+    val topk = dw.withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= k)
+      .groupBy("source").agg(max(col("h")).as("h_k"), count(lit(1)).as("n_k"))
+    exact.join(topk, "source")
+      .select(col("source"), col("n_exact"), col("h_k"),
+        when(col("n_k") < k, col("n_exact"))
+          .otherwise(expr(s"CAST(floor((${k - 1}.0d * 1152921504606846976.0d) / h_k) AS BIGINT)"))
+          .as("est"))
+      .withColumn("err_pm",
+        expr("abs(est - n_exact) * 1000L div n_exact"))
+      .orderBy("source")
+  }
+
+  def distinctKmvSql(k: Int = 16): String =
+    s"""WITH dw AS (
+       |  SELECT DISTINCT source, ${graft.Exprs.hex60Sql("'kmv:' || w")} AS h
+       |  FROM (SELECT source, unnest(words) AS w FROM ($preparedSql))),
+       |exact AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_exact FROM dw GROUP BY source),
+       |topk AS (
+       |  SELECT source, max(h) AS h_k, count(*) AS n_k FROM (
+       |    SELECT source, h,
+       |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+       |    FROM dw)
+       |  WHERE rk <= $k GROUP BY source)
+       |SELECT source, n_exact, h_k,
+       |  CAST(est AS BIGINT) AS est,
+       |  CAST(abs(est - n_exact) * 1000 // n_exact AS BIGINT) AS err_pm
+       |FROM (
+       |  SELECT e.source, n_exact, h_k,
+       |    CASE WHEN n_k < $k THEN n_exact
+       |         ELSE CAST(floor((${k - 1}.0 * 1152921504606846976.0) / h_k) AS BIGINT)
+       |         END AS est
+       |  FROM exact e JOIN topk USING (source))
+       |ORDER BY source""".stripMargin
+
   def contamination(spark: SparkSession, dir: String, probeMax: Long = 10): DataFrame =
     // session-shared: the contamination index is consumed by d_contamination,
     // curate (d_curate + both corpus builds) and the incremental delta pass —

@@ -1060,6 +1060,34 @@ class OperatorsSpec extends SparkSuite {
     assert(rr > raw, "re-rank must improve on raw projection ranking")
   }
 
+  test("distinctKmv: sub-k source is exact, over-k source matches the scala KMV estimator") {
+    def hex60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val bigWords = (0 until 100).map(i => s"tok$i")
+    val docs = Seq(
+      (0L, "alpha beta gamma alpha", "en", "srcSmall", 1L),
+      (1L, bigWords.mkString(" "), "en", "srcBig", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("kmv").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.distinctKmv(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    // < k distinct -> estimator degenerates to the exact count
+    assert(got("srcSmall") == ((3L, got("srcSmall")._2, 3L, 0L)),
+      s"sub-k source must be exact: ${got("srcSmall")}")
+    // >= k distinct -> the classic (k-1)*2^60/h_k estimate, replicated here
+    val hashes = bigWords.map(w => hex60(s"kmv:$w")).sorted
+    val hK = hashes(15)
+    val est = math.floor(15.0 * 1152921504606846976.0 / hK).toLong
+    val errPm = math.abs(est - 100L) * 1000 / 100
+    assert(got("srcBig") == ((100L, hK, est, errPm)),
+      s"KMV estimate diverges from scala replica: ${got("srcBig")} vs ($hK, $est, $errPm)")
+  }
+
   test("embedRefresh: stale member that evaded semantic dedup is reclaimed by serving the rep's vector") {
     import functions.VectorOps
     val t = "identical text shared by the whole duplicate family"
