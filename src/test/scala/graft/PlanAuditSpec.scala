@@ -563,4 +563,51 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"),
       s"scoring must never plan a cartesian over the corpus:\n$plan")
   }
+
+  test("d_dup_runs_incr: O(delta) run cut stays keyed; base index join on the shingle") {
+    val plan = executedPlan("d_dup_runs_incr")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"incremental run cut must stay keyed:\n$plan")
+  }
+
+  test("d_quality_requota: rank window is source-partitioned, never global") {
+    // the exact-order-statistics claim holds at scale ONLY because the
+    // ranking partitions by source over delta rows — a global window
+    // (empty windowspec partition) would single-thread the corpus
+    val plan = executedPlan("d_quality_requota")
+    assert(plan.contains("windowspecdefinition(source"),
+      s"rank must partition by source:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"requota must never cartesian:\n$plan")
+  }
+
+  test("v_embed_refresh: both LSH passes bucket-keyed; patch join is an equi left join") {
+    // the double-pass audit claim: the refreshed relation's pair join must
+    // plan exactly like the shared one — bucket equi-join, never all-pairs
+    val plan = executedPlan("v_embed_refresh")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"refresh audit must stay bucket-keyed:\n$plan")
+  }
+
+  test("v_ann_rp_rr: re-rank tail joins are hash equi-joins on the candidate keys") {
+    // the |queries|·cand bound: candidate generation scans the reduced
+    // corpus against the BROADCAST 20-row query relation (nested-loop
+    // against a broadcast literal is the intended full-scan shape, as in
+    // v_ann_sq); the exact re-rank must then join candidates by key, and
+    // nothing may plan a partition-wise cartesian
+    val plan = executedPlan("v_ann_rp_rr")
+    assert(!plan.contains("CartesianProduct"),
+      s"rp re-rank must never plan a partition-wise cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"re-rank candidate joins must broadcast-hash on keys:\n$plan")
+  }
+
+  test("d_distinct_kmv: top-k window partitions by source over distinct hashes") {
+    val plan = executedPlan("d_distinct_kmv")
+    assert(plan.contains("windowspecdefinition(source"),
+      s"KMV rank must partition by source:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }

@@ -954,6 +954,39 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("kmv stream: k-bounded state converges to the batch sketch; 2-batch feed equals 1-batch") {
+    import graft.streaming.KmvStream
+    import graft.functions.TextOps
+    val sfDir = sf()
+    val batch = TextOps.distinctKmv(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("text"), col("source")).as[(String, String)].collect().toSeq
+    def run(batches: Seq[Seq[(String, String)]], name: String): Map[String, Long] = {
+      val in = MemoryStream[(String, String)]
+      val out = KmvStream.estimates(in.toDF().toDF("text", "source"))
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => in.addData(b); q.processAllAvailable() }
+        // h_k is nonincreasing as smaller hashes arrive, so the estimate is
+        // monotone nondecreasing — the final state's estimate is the max
+        spark.table(name).groupBy("source").agg(max("est").as("est"))
+          .as[(String, Long)].collect().toMap
+      } finally q.stop()
+    }
+    val (a, b) = docs.splitAt(docs.size / 2)
+    val twoBatch = run(Seq(a, b), "kmv_stream_2b")
+    val oneBatch = run(Seq(docs), "kmv_stream_1b")
+    assert(twoBatch == oneBatch,
+      s"k-min merge must be batching-insensitive: ${
+        (twoBatch.toSet diff oneBatch.toSet).take(3)}")
+    assert(twoBatch == batch,
+      s"stream sketch must converge to the batch estimate: stream-only=${
+        (twoBatch.toSet diff batch.toSet).take(3)} batch-only=${
+        (batch.toSet diff twoBatch.toSet).take(3)}")
+  }
+
   test("margin stream: one-batch feed mines pair-for-pair what marginPairsIncr mines") {
     import graft.streaming.MarginStream
     val sfDir = sf("sf0.01") // the delta A split at sf0.001 mines nothing
