@@ -345,6 +345,20 @@ object RunDocPipeline {
       val worstB = bd.agg(max("drift_pm")).collect()(0).getLong(0)
       (worst, degraded, worstB)
     }
+    // the monitor's ACTION twin + the cardinality sketch, same snapshot:
+    // how many sources the rate-restoring threshold retune would actually
+    // move (delta keep-rate off base by >100‰ at the deployed gate), and
+    // the largest per-source vocabulary estimate the k-longs-per-source
+    // KMV state serves (testdata sources share one vocabulary, so max is
+    // the headline; a union sketch would merge the k-min lists instead)
+    val (requotaMoved, vocabEst) = guarded("retune_monitors", (0L, 0L)) {
+      val rq = TextOps.qualityRequota(spark, sfDir)
+      val moved = rq.filter(col("tau").isNotNull &&
+        abs(col("keep_pm_delta") - col("keep_pm_base")) > 100).count()
+      val est = TextOps.distinctKmv(spark, sfDir)
+        .agg(max("est")).collect()(0).getLong(0)
+      (moved, est)
+    }
 
     // the curriculum schedule over the same corpus: the quality-phase
     // shard walk (anneal shards last) a trainer's dataloader consumes
@@ -359,7 +373,7 @@ object RunDocPipeline {
     val maxPhase = cur.agg(max("phase")).collect()(0).getInt(0)
     val annealDocs = cur.filter(col("phase") === maxPhase).count()
 
-    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"temp_shards":$tempShards,"temp_docs":$tempDocs,"temp_tokens":$tempTokens,"curriculum_shards":$curShards,"anneal_docs":$annealDocs,"worst_quality_drift_pm":$worstQDrift,"degraded_sources":$degradedSources,"worst_bpe_drift_pm":$worstBpeDrift,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept,"caption_mismatch_media":$captionMismatchMedia,"videos_admitted":$videosAdmitted,"vectors_admitted":$vectorsAdmitted,"pairs_mined":$pairsMined,"contaminated":$contaminated,"span_tokens_cut":$spanTokensCut,"nb_scored":$nbScored,"nb_top_bucket":"$nbTopBucket","nb_top_count":$nbTopCount}""")
+    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"temp_shards":$tempShards,"temp_docs":$tempDocs,"temp_tokens":$tempTokens,"curriculum_shards":$curShards,"anneal_docs":$annealDocs,"worst_quality_drift_pm":$worstQDrift,"degraded_sources":$degradedSources,"worst_bpe_drift_pm":$worstBpeDrift,"requota_moved_sources":$requotaMoved,"vocab_est":$vocabEst,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept,"caption_mismatch_media":$captionMismatchMedia,"videos_admitted":$videosAdmitted,"vectors_admitted":$vectorsAdmitted,"pairs_mined":$pairsMined,"contaminated":$contaminated,"span_tokens_cut":$spanTokensCut,"nb_scored":$nbScored,"nb_top_bucket":"$nbTopBucket","nb_top_count":$nbTopCount}""")
     spark.stop()
   }
 }
