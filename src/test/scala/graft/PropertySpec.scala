@@ -416,6 +416,101 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("qualityRequota equals a full scala replica on random corpora") {
+    import graft.functions.TextOps
+    def hex60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    // mixed-quality vocabulary: stopwords drag the score down, long rare
+    // words push it up — random docs land on both sides of the 0.5 gate
+    val wordGen = Gen.oneOf("the", "a", "of", "and", "wonderful",
+      "magnificent", "extraordinary", "cat", "dog")
+    val docGen = Gen.choose(2, 12).flatMap(len => Gen.listOfN(len, wordGen))
+    val corpusGen = Gen.choose(8, 16).flatMap(m => Gen.listOfN(m, docGen))
+    samples(corpusGen, 3).zipWithIndex.foreach { case (corpus, ci) =>
+      val srcOf = (id: Long) => if (id % 2 == 0) "sA" else "sB"
+      val docs = corpus.zipWithIndex
+        .map { case (ws, id) => (id.toLong, ws.mkString(" "), "en", srcOf(id.toLong), 1L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val dir = java.nio.file.Files.createTempDirectory(s"prop_rq$ci").toString
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val stop = Set("the", "a", "of", "and", "to", "in")
+      def score(ws: List[String]): Double = {
+        val n = ws.length
+        val avgLen = ws.map(_.length).sum.toDouble / n
+        0.5 * math.min(1.0, n / 200.0) +
+          0.3 * (1.0 - ws.count(stop) / n.toDouble) +
+          0.2 * math.min(1.0, avgLen / 8.0)
+      }
+      val rows = corpus.zipWithIndex.map { case (ws, id) =>
+        (id.toLong, srcOf(id.toLong), hex60(s"inc:$id") % 5 == 0, score(ws))
+      }
+      val expect = rows.groupBy(_._2).map { case (src, rs) =>
+        val base = rs.filter(!_._3); val delta = rs.filter(_._3)
+        val nB = base.size.toLong; val nD = delta.size.toLong
+        val keepB = base.count(_._4 >= 0.5).toLong
+        val keepD = delta.count(_._4 >= 0.5).toLong
+        val target: java.lang.Long = if (nB > 0) nD * keepB / nB else null
+        val ranked = delta.sortBy(r => (-r._4, r._1))
+        val tau: java.lang.Double =
+          if (target != null && target >= 1 && target <= nD)
+            ranked(target.toInt - 1)._4 else null
+        val kept = if (tau == null) 0L
+          else ranked.count(_._4 >= tau.doubleValue()).toLong
+        (src, (nB, nD,
+          if (nB > 0) keepB * 1000 / nB else -1L,
+          if (nD > 0) keepD * 1000 / nD else -1L,
+          target, tau, kept,
+          if (nD > 0) kept * 1000 / nD else -1L))
+      }
+      val got = TextOps.qualityRequota(spark, dir).collect().map { r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) null else java.lang.Long.valueOf(r.getLong(5)),
+          if (r.isNullAt(6)) null else java.lang.Double.valueOf(r.getDouble(6)),
+          r.getLong(7), r.getLong(8)))
+      }.toMap
+      assert(got == expect, s"case $ci requota diverges:\n got=$got\n exp=$expect")
+    }
+  }
+
+  test("distinctKmv equals a full scala replica on random corpora") {
+    import graft.functions.TextOps
+    def hex60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    // vocab larger than k=16 so random corpora land on both estimator paths
+    val wordGen = Gen.choose(0, 39).map(i => s"w$i")
+    val docGen = Gen.choose(1, 20).flatMap(len => Gen.listOfN(len, wordGen))
+    val corpusGen = Gen.choose(2, 8).flatMap(m => Gen.listOfN(m, docGen))
+    samples(corpusGen, 4).zipWithIndex.foreach { case (corpus, ci) =>
+      val srcOf = (id: Long) => if (id % 2 == 0) "sA" else "sB"
+      val docs = corpus.zipWithIndex
+        .map { case (ws, id) => (id.toLong, ws.mkString(" "), "en", srcOf(id.toLong), 1L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val dir = java.nio.file.Files.createTempDirectory(s"prop_kmv$ci").toString
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val expect = corpus.zipWithIndex
+        .flatMap { case (ws, id) => ws.map(w => (srcOf(id.toLong), hex60(s"kmv:$w"))) }
+        .distinct.groupBy(_._1).map { case (src, hs) =>
+          val sorted = hs.map(_._2).sorted
+          val nExact = sorted.size.toLong
+          val mins = sorted.take(16)
+          val hK = mins.last
+          val est = if (mins.size < 16) nExact
+            else math.floor(15.0 * 1152921504606846976.0 / hK).toLong
+          (src, (nExact, hK, est, math.abs(est - nExact) * 1000 / nExact))
+        }
+      val got = TextOps.distinctKmv(spark, dir).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got == expect, s"case $ci kmv diverges:\n got=$got\n exp=$expect")
+    }
+  }
+
   test("large-star/small-star equals min-label propagation on random graphs") {
     import graft.functions.VectorOps
     // random sparse graphs under the min-label cap: the two component
