@@ -157,6 +157,55 @@ class EdgeCaseSpec extends SparkSuite {
     assert(graft.functions.VectorOps.embedStale(spark, dir).count() == 0)
   }
 
+  test("embedRefresh: no duplicate families means nothing to repair, zero rows") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (0L, "completely distinct first document", "en", "s", 34L),
+      (1L, "unrelated second text entirely different", "en", "s", 40L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0), (1L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("refresh_edge").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    vecs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // the member relation is empty, both LSH passes still run — the
+    // oracle's GROUP BY over zero member rows is zero rows, not a crash
+    assert(graft.functions.VectorOps.embedRefresh(spark, dir).count() == 0)
+  }
+
+  test("qualityRequota: degenerate docs and one-sided sources take the sentinel paths") {
+    // the shared degenerate fixture: ids 1/4 are delta under the salted
+    // split, 2/3 base; null text (doc 1, delta) drops out of prepared's
+    // explode-free row path? No — prepared keeps it with null words, and
+    // the score is null: a null score never passes the >= gates and
+    // sorts LAST in the rank (nulls last under desc), so the retune
+    // stays defined. The assertion pins counts, sentinels and tau shape.
+    val r = TextOps.qualityRequota(spark, tmp).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (nB, nD) = (row.getLong(1), row.getLong(2))
+    assert(nB + nD == 4, s"all degenerate docs must be counted: ${row.toSeq}")
+    // every degenerate doc scores below 0.5 (or null) -> keep rates 0,
+    // target_keep 0, no tau, nothing retuned — on BOTH engines
+    assert(row.getLong(3) == 0 && row.getLong(4) == 0,
+      s"degenerate docs must not pass the deployed gate: ${row.toSeq}")
+    assert(row.getLong(5) == 0 && row.isNullAt(6) &&
+      row.getLong(7) == 0 && row.getLong(8) == 0,
+      s"zero target must produce null tau and zero retuned: ${row.toSeq}")
+  }
+
+  test("distinctKmv: degenerate docs still hash deterministically, sub-k exact") {
+    val r = TextOps.distinctKmv(spark, tmp).collect()
+    assert(r.length == 1)
+    val row = r.head
+    // vocabulary of the degenerate fixture: "" (from the empty/whitespace
+    // docs) and "x" — null text contributes nothing; 2 distinct hashes,
+    // far under k, so the estimate IS the exact count and err is 0
+    assert(row.getLong(1) == 2 && row.getLong(3) == 2 && row.getLong(4) == 0,
+      s"degenerate KMV row wrong: ${row.toSeq}")
+  }
+
   test("marginPairs: an empty side mines nothing, never crashes") {
     // all labels even -> B side empty -> no candidate pairs
     val vecs = Seq(
