@@ -1172,6 +1172,25 @@ class OperatorsSpec extends SparkSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(merge == compact,
       s"merge audit disagrees with compact on shared sides: ${merge -- compact}")
+    // d_bpe_extend's frozen columns ARE the drift monitor's delta side —
+    // the monitor and the retrain must price the same fragmentation
+    val drift = functions.Bpe.bpeDrift(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(6)))).toMap
+    val ext = functions.Bpe.bpeExtend(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(4)))).toMap
+    assert(ext.keySet.subsetOf(drift.keySet), "extend sources must be monitored")
+    val bpeDiv = ext.collect { case (s, v) if drift(s) != v => (s, v, drift(s)) }
+    assert(bpeDiv.isEmpty,
+      s"extend frozen side disagrees with drift delta side: ${bpeDiv.take(3)}")
+    // v_embed_refresh's member/stale columns ARE the staleness monitor's —
+    // the repair must act on exactly the set the monitor flags
+    val stale = functions.VectorOps.embedStale(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val refresh = functions.VectorOps.embedRefresh(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(refresh == stale,
+      s"refresh member/stale counts disagree with the monitor: ${
+        refresh.toSet diff stale.toSet}")
   }
 
   test("bpe: classic low/lower/newest corpus trains the expected first merges") {
