@@ -237,6 +237,7 @@ object SparkEntry {
     "d_quality_drift" -> ((s, dir) => TextOps.qualityDriftIncr(s, dir)),
     "d_quality_requota" -> ((s, dir) => TextOps.qualityRequota(s, dir)),
     "d_distinct_kmv" -> ((s, dir) => TextOps.distinctKmv(s, dir)),
+    "d_source_budget" -> ((s, dir) => TextOps.sourceBudget(s, dir)),
     "d_segment_dedup" -> ((s, dir) => TextOps.segmentDedup(s, dir)),
     "d_lm_bits" -> ((s, dir) => TextOps.lmBits(s, dir)),
     "d_lm2_bits" -> ((s, dir) => TextOps.lm2Bits(s, dir)),
@@ -743,6 +744,7 @@ object SparkEntry {
       "d_quality_drift" -> TextOps.qualityDriftIncrSql(),
       "d_quality_requota" -> TextOps.qualityRequotaSql(),
       "d_distinct_kmv" -> TextOps.distinctKmvSql(),
+      "d_source_budget" -> TextOps.sourceBudgetSql(),
       "d_segment_dedup" -> TextOps.segmentDedupSql(),
       "d_lm_bits" -> TextOps.lmBitsSql,
       "d_lm2_bits" -> TextOps.lm2BitsSql,

@@ -1927,6 +1927,82 @@ object TextOps {
        |FROM tagged GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
+  /** Crawl-budget reallocation — the ACTION [[dupMatrix]]'s cross-source
+    * attribution feeds: content a source shares with ANOTHER source is
+    * content the corpus pays for twice, so its per-source cap should
+    * shrink by exactly the redundant fraction. A document is
+    * OWNED-ELSEWHERE when it is the larger-id side of a cross-source
+    * near-dup pair (the min-id keeper convention every dedup tier uses —
+    * the smaller id is the copy the corpus keeps, so the larger-id
+    * source is the one crawling redundantly). Per source:
+    * `owned_pm` (redundant permille), `k_eff = max(1, k·(1000−owned_pm)
+    * div 1000)` — then the operator EXECUTES the reallocation: the
+    * salted-hash cap walk (`d_cap_per_source`'s machinery) under the
+    * adjusted per-source quota, emitting the kept selection with its
+    * quota columns. A source whose content is 40% owned elsewhere loses
+    * 40% of its budget; a fully-original source keeps all of k.
+    *
+    * Scale shape: the pair relation is the session-shared banded
+    * minhash join (never all-pairs); ownership is one distinct + one
+    * |sources|-key agg; the selection is the same per-source rank window
+    * as the fixed cap — nothing global, nothing quadratic.
+    */
+  def sourceBudget(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val owned = minhashPairs(spark, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb"))
+      .select(col("doc_b").as("doc_id")).distinct()
+    val stats = src.join(owned.withColumn("own", lit(true)), Seq("doc_id"), "left")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("own").isNotNull, 1L).otherwise(0L)).as("n_owned"))
+      .withColumn("owned_pm", expr("n_owned * 1000L div n_docs"))
+      .withColumn("k_eff",
+        greatest(lit(1L), expr(s"${k}L * (1000 - owned_pm) div 1000")))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    src
+      .withColumn("h", Exprs.hex60(concat(lit("cap:"), col("doc_id").cast("string"))))
+      .join(stats.select("source", "owned_pm", "k_eff"), "source")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= col("k_eff"))
+      .select(col("doc_id"), col("source"), col("rnk"),
+        col("owned_pm"), col("k_eff"))
+      .orderBy("doc_id")
+  }
+
+  def sourceBudgetSql(k: Int = 100): String =
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($minhashPairsSql)),
+       |owned AS (
+       |  SELECT DISTINCT doc_b AS doc_id
+       |  FROM pairs
+       |  JOIN documents da ON pairs.doc_a = da.doc_id
+       |  JOIN documents db ON pairs.doc_b = db.doc_id
+       |  WHERE da.source <> db.source),
+       |stats AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN o.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_owned
+       |  FROM documents d LEFT JOIN owned o ON d.doc_id = o.doc_id
+       |  GROUP BY source),
+       |q AS (
+       |  SELECT source,
+       |    CAST(n_owned * 1000 // n_docs AS BIGINT) AS owned_pm,
+       |    CAST(greatest(1, $k * (1000 - n_owned * 1000 // n_docs) // 1000)
+       |         AS BIGINT) AS k_eff
+       |  FROM stats),
+       |ranked AS (
+       |  SELECT doc_id, source,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY ${Exprs.hex60Sql("'cap:' || doc_id::VARCHAR")}, doc_id)
+       |      AS BIGINT) AS rnk
+       |  FROM documents)
+       |SELECT r.doc_id, r.source, r.rnk, q.owned_pm, q.k_eff
+       |FROM ranked r JOIN q USING (source)
+       |WHERE r.rnk <= q.k_eff
+       |ORDER BY r.doc_id""".stripMargin
+
   /** Incremental dedup — the shape a DAILY ingest runs: dedup the new
     * increment (docs with `doc_id >= splitId`, standing in for "today's
     * crawl") against the existing corpus WITHOUT touching the corpus

@@ -1088,6 +1088,36 @@ class OperatorsSpec extends SparkSuite {
       s"KMV estimate diverges from scala replica: ${got("srcBig")} vs ($hK, $est, $errPm)")
   }
 
+  test("sourceBudget: cross-source redundancy shrinks the crawl quota; original source keeps all") {
+    def hex60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val shared = "this exact text is crawled by both sources word for word"
+    val docs = Seq(
+      (0L, shared, "en", "srcA", 1L),                       // original owner (min id)
+      (1L, "unique content only srcA ever crawled here", "en", "srcA", 1L),
+      (2L, shared, "en", "srcB", 1L),                       // redundant copy -> owned
+      (3L, "another text only srcB has in its crawl", "en", "srcB", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("srcbudget").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.sourceBudget(spark, tmp, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val bySrc = got.groupBy(_._2)
+    // srcA: nothing owned elsewhere -> full quota, both docs kept
+    assert(bySrc("srcA").map(_._1).toSet == Set(0L, 1L) &&
+      bySrc("srcA").head._4 == 0L && bySrc("srcA").head._5 == 2L,
+      s"original source must keep its full quota: ${bySrc.get("srcA")}")
+    // srcB: half its crawl is owned by srcA -> quota halves to 1; the
+    // survivor is the cap walk's hash-rank winner, replicated here
+    val winner = Seq(2L, 3L).minBy(id => (hex60(s"cap:$id"), id))
+    assert(bySrc("srcB").map(t => (t._1, t._4, t._5)).toSeq ==
+      Seq((winner, 500L, 1L)),
+      s"redundant source must lose half its budget: ${bySrc.get("srcB")}")
+  }
+
   test("embedRefresh: stale member that evaded semantic dedup is reclaimed by serving the rep's vector") {
     import functions.VectorOps
     val t = "identical text shared by the whole duplicate family"
