@@ -604,6 +604,15 @@ class PlanAuditSpec extends SparkSuite {
       s"re-rank candidate joins must broadcast-hash on keys:\n$plan")
   }
 
+  test("d_source_budget: ownership stays pair-keyed, selection window source-partitioned") {
+    val plan = executedPlan("d_source_budget")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"budget reallocation must stay keyed:\n$plan")
+    assert(plan.contains("windowspecdefinition(source"),
+      s"cap walk must partition by source:\n$plan")
+  }
+
   test("d_distinct_kmv: top-k window partitions by source over distinct hashes") {
     val plan = executedPlan("d_distinct_kmv")
     assert(plan.contains("windowspecdefinition(source"),
