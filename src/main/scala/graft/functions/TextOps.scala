@@ -631,6 +631,70 @@ object TextOps {
        |  FROM exact e JOIN topk USING (source))
        |ORDER BY source""".stripMargin
 
+  /** Bounded-memory frequency estimation — the Count-Min sketch, the
+    * frequency-counting sibling of [[distinctKmv]] with the same
+    * cross-engine contract: `depth` salted [[graft.Exprs.hex60]] hash rows
+    * of `width` counters each; a term's estimate is the MIN of its
+    * `depth` bucket counters, which can only OVER-estimate (every
+    * colliding term adds mass, none removes it), so `over_pm =
+    * (est − n_exact)·1000 div n_exact` is a nonnegative integer both
+    * engines compute identically. The report prices the sketch on the
+    * top-`k` exact terms (deterministic tie-break by term).
+    *
+    * Scale shape: the serving state is `depth·width` longs REGARDLESS of
+    * vocabulary size — the 100 TB answer to [[topTerms]]' exact
+    * |vocab|-sized count table; one word-count agg builds the counters,
+    * and the candidate probe is `k·depth`-bounded with both small sides
+    * (`k` candidates, `depth·width` counters) explicitly broadcast. The
+    * exact column is the verification harness the sketch is priced
+    * against, same posture as the KMV tier.
+    */
+  def heavyHitters(spark: SparkSession, dir: String, depth: Int = 3,
+                   width: Int = 64, k: Int = 20): DataFrame = {
+    val cnt = prepared(spark, dir)
+      .select(explode(col("words")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_exact"))
+    val buckets = (0 until depth).map { r =>
+      cnt.select(lit(r).as("r"),
+        (Exprs.hex60(concat(lit(s"cms$r:"), col("w"))) % lit(width.toLong)).as("bkt"),
+        col("w"), col("n_exact"))
+    }.reduce(_.unionByName(_))
+    val counters = buckets.groupBy("r", "bkt").agg(sum("n_exact").as("c"))
+    val cand = cnt.orderBy(col("n_exact").desc, col("w")).limit(k)
+    buckets.join(broadcast(cand.select(col("w"))), "w")
+      .join(broadcast(counters), Seq("r", "bkt"))
+      .groupBy(col("w"), col("n_exact"))
+      .agg(min(col("c")).as("est"))
+      .select(col("w").as("term"), col("n_exact"), col("est"),
+        expr("(est - n_exact) * 1000L div n_exact").as("over_pm"))
+      .orderBy(col("n_exact").desc, col("term"))
+  }
+
+  def heavyHittersSql(depth: Int = 3, width: Int = 64, k: Int = 20): String = {
+    require(depth == 3, "oracle SQL unrolls exactly 3 hash rows")
+    s"""WITH p AS ($preparedSql),
+       |cnt AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n_exact
+       |  FROM (SELECT unnest(words) AS w FROM p) GROUP BY w),
+       |bkts AS (
+       |  SELECT 0 AS r, w, n_exact,
+       |         ${Exprs.hex60Sql("'cms0:' || w")} % $width AS bkt FROM cnt
+       |  UNION ALL SELECT 1, w, n_exact,
+       |         ${Exprs.hex60Sql("'cms1:' || w")} % $width FROM cnt
+       |  UNION ALL SELECT 2, w, n_exact,
+       |         ${Exprs.hex60Sql("'cms2:' || w")} % $width FROM cnt),
+       |counters AS (
+       |  SELECT r, bkt, CAST(sum(n_exact) AS BIGINT) AS c
+       |  FROM bkts GROUP BY 1, 2),
+       |cand AS (SELECT w FROM cnt ORDER BY n_exact DESC, w LIMIT $k)
+       |SELECT b.w AS term, b.n_exact,
+       |  CAST(min(c.c) AS BIGINT) AS est,
+       |  CAST((min(c.c) - b.n_exact) * 1000 // b.n_exact AS BIGINT) AS over_pm
+       |FROM bkts b JOIN cand USING (w) JOIN counters c USING (r, bkt)
+       |GROUP BY b.w, b.n_exact
+       |ORDER BY b.n_exact DESC, term""".stripMargin
+  }
+
   def contamination(spark: SparkSession, dir: String, probeMax: Long = 10): DataFrame =
     // session-shared: the contamination index is consumed by d_contamination,
     // curate (d_curate + both corpus builds) and the incremental delta pass —

@@ -1088,6 +1088,41 @@ class OperatorsSpec extends SparkSuite {
       s"KMV estimate diverges from scala replica: ${got("srcBig")} vs ($hK, $est, $errPm)")
   }
 
+  test("heavyHitters: CMS report matches a full scala replica; min-of-rows only over-counts") {
+    def hex60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val texts = Seq(
+      "apple banana apple cherry apple",
+      "banana cherry durian apple banana",
+      "elder fig grape elder apple")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s0", 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("cms").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val counts = texts.flatMap(_.split(" "))
+      .groupBy(identity).map { case (w, l) => (w, l.size.toLong) }
+    val counters = (0 until 3).map { r =>
+      counts.toSeq.groupBy { case (w, _) => hex60(s"cms$r:$w") % 64 }
+        .map { case (b, ws) => (b, ws.map(_._2).sum) }
+    }
+    val expect = counts.toSeq.sortBy { case (w, n) => (-n, w) }.take(20)
+      .map { case (w, n) =>
+        val est = (0 until 3).map(r => counters(r)(hex60(s"cms$r:$w") % 64)).min
+        w -> ((n, est, (est - n) * 1000 / n))
+      }.toMap
+    val got = TextOps.heavyHitters(spark, tmp).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect, s"CMS diverges from replica:\n got=$got\n exp=$expect")
+    got.values.foreach { case (n, est, overPm) =>
+      assert(est >= n && overPm >= 0, "CMS must never under-estimate")
+    }
+  }
+
   test("sourceBudget: cross-source redundancy shrinks the crawl quota; original source keeps all") {
     def hex60(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")

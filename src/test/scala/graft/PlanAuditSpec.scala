@@ -613,6 +613,15 @@ class PlanAuditSpec extends SparkSuite {
       s"cap walk must partition by source:\n$plan")
   }
 
+  test("d_heavy_hitters: candidate and counter probes broadcast; no cartesian") {
+    val plan = executedPlan("d_heavy_hitters")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"CMS probe joins must stay keyed:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"k-candidate and depth*width-counter sides must broadcast:\n$plan")
+  }
+
   test("d_distinct_kmv: top-k window partitions by source over distinct hashes") {
     val plan = executedPlan("d_distinct_kmv")
     assert(plan.contains("windowspecdefinition(source"),

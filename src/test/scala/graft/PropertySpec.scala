@@ -511,6 +511,42 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("heavyHitters equals a full scala CMS replica on random corpora") {
+    import graft.functions.TextOps
+    def hex60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    // vocab of 100 > 64 buckets: per-row collisions are guaranteed by
+    // pigeonhole, so the min-of-rows arithmetic is exercised under load
+    val wordGen = Gen.choose(0, 99).map(i => s"w$i")
+    val docGen = Gen.choose(1, 30).flatMap(len => Gen.listOfN(len, wordGen))
+    val corpusGen = Gen.choose(2, 8).flatMap(m => Gen.listOfN(m, docGen))
+    samples(corpusGen, 4).zipWithIndex.foreach { case (corpus, ci) =>
+      val docs = corpus.zipWithIndex
+        .map { case (ws, id) => (id.toLong, ws.mkString(" "), "en", "s0", 1L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val dir = java.nio.file.Files.createTempDirectory(s"prop_cms$ci").toString
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val counts = corpus.flatten
+        .groupBy(identity).map { case (w, l) => (w, l.size.toLong) }
+      val counters = (0 until 3).map { r =>
+        counts.toSeq.groupBy { case (w, _) => hex60(s"cms$r:$w") % 64 }
+          .map { case (b, ws) => (b, ws.map(_._2).sum) }
+      }
+      val expect = counts.toSeq.sortBy { case (w, n) => (-n, w) }.take(20)
+        .map { case (w, n) =>
+          val est = (0 until 3).map(r => counters(r)(hex60(s"cms$r:$w") % 64)).min
+          w -> ((n, est, (est - n) * 1000 / n))
+        }.toMap
+      val got = TextOps.heavyHitters(spark, dir).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == expect, s"case $ci cms diverges:\n got=$got\n exp=$expect")
+    }
+  }
+
   test("large-star/small-star equals min-label propagation on random graphs") {
     import graft.functions.VectorOps
     // random sparse graphs under the min-label cap: the two component

@@ -987,6 +987,45 @@ class StreamingSpec extends SparkSuite {
         (batch.toSet diff twoBatch.toSet).take(3)}")
   }
 
+  test("cms stream: width-bounded counter state converges to the batch sketch; 2-batch feed equals 1-batch") {
+    import graft.streaming.CmsStream
+    val sfDir = sf()
+    // batch counters from the same prepared relation the batch operator
+    // aggregates — the cross-foot target for the stream's final state
+    val cnt = graft.functions.TextOps.prepared(spark, sfDir)
+      .select(explode(col("words")).as("w"))
+    val batch = (0 until CmsStream.Depth).flatMap { r =>
+      cnt.select((graft.Exprs.hex60(concat(lit(s"cms$r:"), col("w")))
+          % lit(CmsStream.Width.toLong)).cast("int").as("bkt"))
+        .groupBy("bkt").agg(count(lit(1)).as("c"))
+        .as[(Int, Long)].collect().map { case (b, c) => ((r, b), c) }
+    }.toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("text")).as[String].collect().toSeq
+    def run(batches: Seq[Seq[String]], name: String): Map[(Int, Int), Long] = {
+      val in = MemoryStream[String]
+      val out = CmsStream.counters(in.toDF().toDF("text"))
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => in.addData(b); q.processAllAvailable() }
+        // counters are monotone nondecreasing — final state is the max
+        spark.table(name).groupBy("r", "bkt").agg(max("c").as("c"))
+          .as[(Int, Int, Long)].collect().map(t => ((t._1, t._2), t._3)).toMap
+      } finally q.stop()
+    }
+    val (a, b) = docs.splitAt(docs.size / 2)
+    val twoBatch = run(Seq(a, b), "cms_stream_2b")
+    val oneBatch = run(Seq(docs), "cms_stream_1b")
+    assert(twoBatch == oneBatch,
+      s"counter addition must be batching-insensitive: ${
+        (twoBatch.toSet diff oneBatch.toSet).take(3)}")
+    assert(twoBatch == batch,
+      s"stream counters must converge to the batch sketch: stream-only=${
+        (twoBatch.toSet diff batch.toSet).take(3)} batch-only=${
+        (batch.toSet diff twoBatch.toSet).take(3)}")
+  }
+
   test("margin stream: one-batch feed mines pair-for-pair what marginPairsIncr mines") {
     import graft.streaming.MarginStream
     val sfDir = sf("sf0.01") // the delta A split at sf0.001 mines nothing
