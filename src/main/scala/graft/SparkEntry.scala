@@ -238,6 +238,7 @@ object SparkEntry {
     "d_quality_requota" -> ((s, dir) => TextOps.qualityRequota(s, dir)),
     "d_distinct_kmv" -> ((s, dir) => TextOps.distinctKmv(s, dir)),
     "d_heavy_hitters" -> ((s, dir) => TextOps.heavyHitters(s, dir)),
+    "d_hh_widen" -> ((s, dir) => TextOps.hhWiden(s, dir)),
     "d_source_budget" -> ((s, dir) => TextOps.sourceBudget(s, dir)),
     "d_segment_dedup" -> ((s, dir) => TextOps.segmentDedup(s, dir)),
     "d_lm_bits" -> ((s, dir) => TextOps.lmBits(s, dir)),
@@ -746,6 +747,7 @@ object SparkEntry {
       "d_quality_requota" -> TextOps.qualityRequotaSql(),
       "d_distinct_kmv" -> TextOps.distinctKmvSql(),
       "d_heavy_hitters" -> TextOps.heavyHittersSql(),
+      "d_hh_widen" -> TextOps.hhWidenSql(),
       "d_source_budget" -> TextOps.sourceBudgetSql(),
       "d_segment_dedup" -> TextOps.segmentDedupSql(),
       "d_lm_bits" -> TextOps.lmBitsSql,

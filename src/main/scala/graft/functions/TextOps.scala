@@ -695,6 +695,86 @@ object TextOps {
        |ORDER BY b.n_exact DESC, term""".stripMargin
   }
 
+  /** Sketch-widening action — what a deployment does when
+    * [[heavyHitters]]' over_pm monitor reads hot: double the counter
+    * width and price the fidelity recovered. Both widths share ONE
+    * hash, so the coarse bucket is the fold of its two children
+    * (`h % 64 == (h % 128) % 64` ⇒ counter64[b] = counter128[b] +
+    * counter128[b+64]): the wide sketch strictly REFINES the narrow
+    * one, per-row counters can only shrink, and `est_w128 ≤ est_w64`
+    * holds for every term by construction — `recovered_pm =
+    * over_w64_pm − over_w128_pm` is a nonnegative integer both engines
+    * agree on (the monotone-refinement invariant the spec pins; two
+    * independently-hashed sketches would NOT guarantee it per-term).
+    *
+    * Scale shape: identical to [[heavyHitters]] — one word-count agg
+    * feeds both widths' counters (the wide relation is built once, the
+    * narrow is a second k-bounded agg of the same rows), candidate and
+    * counter probe sides broadcast, serving state depth·width longs.
+    */
+  def hhWiden(spark: SparkSession, dir: String, depth: Int = 3,
+              width: Int = 64, k: Int = 20): DataFrame = {
+    val wide = width * 2
+    val cnt = prepared(spark, dir)
+      .select(explode(col("words")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_exact"))
+    val buckets = (0 until depth).map { r =>
+      cnt.select(lit(r).as("r"), col("w"), col("n_exact"),
+        (Exprs.hex60(concat(lit(s"cms$r:"), col("w"))) % lit(wide.toLong)).as("bw"))
+    }.reduce(_.unionByName(_))
+      .withColumn("bn", col("bw") % lit(width.toLong))
+    val countersWide = buckets.groupBy("r", "bw").agg(sum("n_exact").as("cw"))
+    val countersNarrow = buckets.groupBy("r", "bn").agg(sum("n_exact").as("cn"))
+    val cand = cnt.orderBy(col("n_exact").desc, col("w")).limit(k)
+    buckets.join(broadcast(cand.select(col("w"))), "w")
+      .join(broadcast(countersWide), Seq("r", "bw"))
+      .join(broadcast(countersNarrow), Seq("r", "bn"))
+      .groupBy(col("w"), col("n_exact"))
+      .agg(min(col("cn")).as("est_w64"), min(col("cw")).as("est_w128"))
+      .select(col("w").as("term"), col("n_exact"),
+        col("est_w64"), col("est_w128"),
+        expr("(est_w64 - n_exact) * 1000L div n_exact").as("over_w64_pm"),
+        expr("(est_w128 - n_exact) * 1000L div n_exact").as("over_w128_pm"))
+      .withColumn("recovered_pm", col("over_w64_pm") - col("over_w128_pm"))
+      .orderBy(col("n_exact").desc, col("term"))
+  }
+
+  def hhWidenSql(depth: Int = 3, width: Int = 64, k: Int = 20): String = {
+    require(depth == 3, "oracle SQL unrolls exactly 3 hash rows")
+    val wide = width * 2
+    s"""WITH p AS ($preparedSql),
+       |cnt AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n_exact
+       |  FROM (SELECT unnest(words) AS w FROM p) GROUP BY w),
+       |bkts AS (
+       |  SELECT r, w, n_exact, bw, bw % $width AS bn FROM (
+       |    SELECT 0 AS r, w, n_exact,
+       |           ${Exprs.hex60Sql("'cms0:' || w")} % $wide AS bw FROM cnt
+       |    UNION ALL SELECT 1, w, n_exact,
+       |           ${Exprs.hex60Sql("'cms1:' || w")} % $wide FROM cnt
+       |    UNION ALL SELECT 2, w, n_exact,
+       |           ${Exprs.hex60Sql("'cms2:' || w")} % $wide FROM cnt)),
+       |cw AS (SELECT r, bw, CAST(sum(n_exact) AS BIGINT) AS cw
+       |       FROM bkts GROUP BY 1, 2),
+       |cn AS (SELECT r, bn, CAST(sum(n_exact) AS BIGINT) AS cn
+       |       FROM bkts GROUP BY 1, 2),
+       |cand AS (SELECT w FROM cnt ORDER BY n_exact DESC, w LIMIT $k),
+       |folded AS (
+       |  SELECT b.w AS term, b.n_exact,
+       |    CAST(min(cn.cn) AS BIGINT) AS est_w64,
+       |    CAST(min(cw.cw) AS BIGINT) AS est_w128
+       |  FROM bkts b JOIN cand USING (w)
+       |    JOIN cw USING (r, bw) JOIN cn USING (r, bn)
+       |  GROUP BY b.w, b.n_exact)
+       |SELECT term, n_exact, est_w64, est_w128,
+       |  CAST((est_w64 - n_exact) * 1000 // n_exact AS BIGINT) AS over_w64_pm,
+       |  CAST((est_w128 - n_exact) * 1000 // n_exact AS BIGINT) AS over_w128_pm,
+       |  CAST((est_w64 - n_exact) * 1000 // n_exact
+       |     - (est_w128 - n_exact) * 1000 // n_exact AS BIGINT) AS recovered_pm
+       |FROM folded
+       |ORDER BY n_exact DESC, term""".stripMargin
+  }
+
   def contamination(spark: SparkSession, dir: String, probeMax: Long = 10): DataFrame =
     // session-shared: the contamination index is consumed by d_contamination,
     // curate (d_curate + both corpus builds) and the incremental delta pass —

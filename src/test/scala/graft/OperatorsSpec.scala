@@ -1123,6 +1123,47 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("hhWiden: doubling width refines monotonically; both widths match the replica") {
+    def hex60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    // vocab of 90 > 64 buckets: narrow-width collisions are certain
+    val texts = (0 until 6).map { d =>
+      (0 until 15).map(i => s"tok${(d * 15 + i) % 90}").mkString(" ")
+    } ++ Seq("tok0 tok0 tok0 tok1 tok1")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s0", 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("hhw").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val counts = texts.flatMap(_.split(" "))
+      .groupBy(identity).map { case (w, l) => (w, l.size.toLong) }
+    def counterAt(width: Int): Seq[Map[Long, Long]] = (0 until 3).map { r =>
+      counts.toSeq.groupBy { case (w, _) => hex60(s"cms$r:$w") % width }
+        .map { case (b, ws) => (b, ws.map(_._2).sum) }
+    }
+    val (c64, c128) = (counterAt(64), counterAt(128))
+    val expect = counts.toSeq.sortBy { case (w, n) => (-n, w) }.take(20)
+      .map { case (w, n) =>
+        val e64 = (0 until 3).map(r => c64(r)(hex60(s"cms$r:$w") % 64)).min
+        val e128 = (0 until 3).map(r => c128(r)(hex60(s"cms$r:$w") % 128)).min
+        w -> ((n, e64, e128,
+          (e64 - n) * 1000 / n - (e128 - n) * 1000 / n))
+      }.toMap
+    val got = TextOps.hhWiden(spark, tmp).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(6)))).toMap
+    assert(got == expect, s"widen diverges from replica:\n got=$got\n exp=$expect")
+    // shared-hash refinement: the coarse counter is the sum of its two
+    // children, so the wide estimate can never exceed the narrow one
+    got.values.foreach { case (n, e64, e128, recPm) =>
+      assert(e128 <= e64 && e128 >= n && recPm >= 0,
+        s"refinement invariant violated: n=$n e64=$e64 e128=$e128")
+    }
+  }
+
   test("sourceBudget: cross-source redundancy shrinks the crawl quota; original source keeps all") {
     def hex60(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")

@@ -622,6 +622,15 @@ class PlanAuditSpec extends SparkSuite {
       s"k-candidate and depth*width-counter sides must broadcast:\n$plan")
   }
 
+  test("d_hh_widen: both widths' counter probes broadcast; no cartesian") {
+    val plan = executedPlan("d_hh_widen")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"widen probe joins must stay keyed:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate and counter sides must broadcast:\n$plan")
+  }
+
   test("d_distinct_kmv: top-k window partitions by source over distinct hashes") {
     val plan = executedPlan("d_distinct_kmv")
     assert(plan.contains("windowspecdefinition(source"),
