@@ -240,6 +240,9 @@ object SparkEntry {
     "d_heavy_hitters" -> ((s, dir) => TextOps.heavyHitters(s, dir)),
     "d_hh_widen" -> ((s, dir) => TextOps.hhWiden(s, dir)),
     "d_source_budget" -> ((s, dir) => TextOps.sourceBudget(s, dir)),
+    "d_quantiles" -> ((s, dir) => TextOps.quantileSketch(s, dir)),
+    "d_len_cap" -> ((s, dir) => TextOps.lenCap(s, dir)),
+    "d_lsh_sweep" -> ((s, dir) => TextOps.lshSweep(s, dir)),
     "d_segment_dedup" -> ((s, dir) => TextOps.segmentDedup(s, dir)),
     "d_lm_bits" -> ((s, dir) => TextOps.lmBits(s, dir)),
     "d_lm2_bits" -> ((s, dir) => TextOps.lm2Bits(s, dir)),
@@ -749,6 +752,9 @@ object SparkEntry {
       "d_heavy_hitters" -> TextOps.heavyHittersSql(),
       "d_hh_widen" -> TextOps.hhWidenSql(),
       "d_source_budget" -> TextOps.sourceBudgetSql(),
+      "d_quantiles" -> TextOps.quantileSketchSql(),
+      "d_len_cap" -> TextOps.lenCapSql(),
+      "d_lsh_sweep" -> TextOps.lshSweepSql(),
       "d_segment_dedup" -> TextOps.segmentDedupSql(),
       "d_lm_bits" -> TextOps.lmBitsSql,
       "d_lm2_bits" -> TextOps.lm2BitsSql,

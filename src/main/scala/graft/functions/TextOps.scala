@@ -3535,4 +3535,260 @@ object TextOps {
        |  round(sum(COALESCE(hit, 0)) / CAST(count(*) AS DOUBLE), 4) AS recall
        |FROM exact LEFT JOIN cand USING (doc_a, doc_b)
        |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---- bounded-memory order statistics: the quantile sketch ----
+
+  /** Bounded-memory quantile estimation — the order-statistics member of
+    * the sketch tier ([[distinctKmv]] distinct, [[heavyHitters]]
+    * frequency, this one quantiles), same cross-engine contract: per
+    * source keep the `k` docs with the smallest salted
+    * [[graft.Exprs.hex60]] hashes of `doc_id` — a deterministic uniform
+    * sample, because the hash order is independent of the value order —
+    * and estimate permille-percentile `p` of the token count as the
+    * sample value at rank `(m-1)·p div 1000 + 1` (ascending,
+    * `(v, doc_id)` tie-break). The exact column runs the SAME integer
+    * rank math over the full relation, so `err_pm = |est−exact|·1000
+    * div max(exact,1)` is an integer both engines compute identically:
+    * the sketch is approximate w.r.t. the truth, never w.r.t. the
+    * oracle. A sub-k source's sample IS the relation, so est == exact
+    * there by construction.
+    *
+    * Scale shape: the serving state is `k` (hash, value) pairs per
+    * source — a bottom-k-by-hash semilattice (order/batching/replay
+    * insensitive, the [[graft.streaming.QuantileStream]] twin holds
+    * exactly this state) — versus the full per-source sort the exact
+    * column needs. At 100 TB the exact side is the verification harness
+    * this report prices, same posture as the KMV/CMS tiers; the
+    * percentile probe is a 3-row broadcast literal, never a shuffle.
+    */
+  def quantileSketch(spark: SparkSession, dir: String, k: Int = 16,
+                     pcts: Seq[Int] = Seq(500, 900, 990)): DataFrame = {
+    import spark.implicits._
+    // null text ⇒ null words: coalesce to 0 — Spark sorts nulls first,
+    // DuckDB last, so a null v would silently skew the rank math
+    val d = prepared(spark, dir).select(
+      col("doc_id"), col("source"),
+      coalesce(size(col("words")).cast("long"), lit(0L)).as("v"),
+      Exprs.hex60(concat(lit("qs:"), col("doc_id"))).as("h"))
+    val pdf = pcts.toDF("p")
+    val nn = d.groupBy("source").agg(count(lit(1)).as("nn"))
+    val wv = Window.partitionBy(col("source")).orderBy(col("v"), col("doc_id"))
+    val ex = d.withColumn("rk", row_number().over(wv))
+      .join(broadcast(nn), "source")
+      .crossJoin(broadcast(pdf))
+      .filter(col("rk") === expr("((nn - 1) * p) div 1000 + 1"))
+      .select(col("source"), col("p"), col("nn").as("n"), col("v").as("exact"))
+    val wh = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    val samp = d.withColumn("hrk", row_number().over(wh)).filter(col("hrk") <= k)
+    val mm = samp.groupBy("source").agg(count(lit(1)).as("mm"))
+    val est = samp.withColumn("srk", row_number().over(wv))
+      .join(broadcast(mm), "source")
+      .crossJoin(broadcast(pdf))
+      .filter(col("srk") === expr("((mm - 1) * p) div 1000 + 1"))
+      .select(col("source"), col("p"), col("v").as("est"))
+    ex.join(est, Seq("source", "p"))
+      .withColumn("err_pm",
+        expr("abs(est - exact) * 1000 div greatest(exact, 1)"))
+      .orderBy("source", "p")
+  }
+
+  def quantileSketchSql(k: Int = 16, pcts: Seq[Int] = Seq(500, 900, 990)): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, COALESCE(len(words), 0) AS v,
+       |         ${Exprs.hex60Sql("'qs:' || doc_id::VARCHAR")} AS h
+       |  FROM ($preparedSql)),
+       |pcts AS (SELECT unnest([${pcts.mkString(", ")}]) AS p),
+       |nn AS (SELECT source, count(*) AS nn FROM d GROUP BY source),
+       |ex AS (
+       |  SELECT r.source, p.p, nn.nn AS n, r.v AS exact
+       |  FROM (SELECT source, v,
+       |          ROW_NUMBER() OVER (PARTITION BY source ORDER BY v, doc_id) AS rk
+       |        FROM d) r
+       |  JOIN nn USING (source) CROSS JOIN pcts p
+       |  WHERE r.rk = ((nn.nn - 1) * p.p) // 1000 + 1),
+       |samp AS (
+       |  SELECT source, doc_id, v FROM (
+       |    SELECT source, doc_id, v,
+       |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS hrk
+       |    FROM d)
+       |  WHERE hrk <= $k),
+       |mm AS (SELECT source, count(*) AS mm FROM samp GROUP BY source),
+       |est AS (
+       |  SELECT r.source, p.p, r.v AS est
+       |  FROM (SELECT source, v,
+       |          ROW_NUMBER() OVER (PARTITION BY source ORDER BY v, doc_id) AS srk
+       |        FROM samp) r
+       |  JOIN mm USING (source) CROSS JOIN pcts p
+       |  WHERE r.srk = ((mm.mm - 1) * p.p) // 1000 + 1)
+       |SELECT e.source, e.p, e.n, e.exact, s.est,
+       |  abs(s.est - e.exact) * 1000 // greatest(e.exact, 1) AS err_pm
+       |FROM ex e JOIN est s ON e.source = s.source AND e.p = s.p
+       |ORDER BY e.source, e.p""".stripMargin
+
+  /** Quantile-threshold action — what a deployment does with
+    * [[quantileSketch]]'s p990 estimate: use it as the per-source
+    * length-truncation threshold (the "cut the longest tail" curate rule
+    * every corpus build runs) WITHOUT the full per-source sort the exact
+    * threshold needs, and price the substitution: `cut_pm_*` is the
+    * permille of docs each threshold would cut, `delta_pm` the mis-cut
+    * rate the k-bounded state costs. The sketch relation is |sources|×1
+    * rows — broadcast to the doc scan, so the action adds ONE pass over
+    * the data with no extra shuffle.
+    */
+  def lenCap(spark: SparkSession, dir: String, k: Int = 16,
+             p: Int = 990): DataFrame = {
+    val q = quantileSketch(spark, dir, k, Seq(p))
+      .select(col("source"), col("n"), col("exact"), col("est"))
+    val d = prepared(spark, dir)
+      .select(col("source"), coalesce(size(col("words")), lit(0)).as("v"))
+    d.join(broadcast(q), "source")
+      .groupBy(col("source"), col("n"), col("exact"), col("est"))
+      .agg(sum(when(col("v") > col("est"), 1L).otherwise(0L)).as("cut_sketch"),
+        sum(when(col("v") > col("exact"), 1L).otherwise(0L)).as("cut_exact"))
+      .select(col("source"), col("n"),
+        col("est").as("thr_sketch"), col("exact").as("thr_exact"),
+        expr("cut_sketch * 1000 div n").as("cut_pm_sketch"),
+        expr("cut_exact * 1000 div n").as("cut_pm_exact"),
+        expr("cut_sketch * 1000 div n - cut_exact * 1000 div n").as("delta_pm"))
+      .orderBy("source")
+  }
+
+  def lenCapSql(k: Int = 16, p: Int = 990): String =
+    s"""WITH q AS (
+       |  SELECT source, n, exact, est FROM (${quantileSketchSql(k, Seq(p))})),
+       |d AS (SELECT source, COALESCE(len(words), 0) AS v FROM ($preparedSql))
+       |SELECT d.source, q.n,
+       |  q.est AS thr_sketch, q.exact AS thr_exact,
+       |  CAST(sum(CASE WHEN d.v > q.est THEN 1 ELSE 0 END) * 1000 // q.n
+       |    AS BIGINT) AS cut_pm_sketch,
+       |  CAST(sum(CASE WHEN d.v > q.exact THEN 1 ELSE 0 END) * 1000 // q.n
+       |    AS BIGINT) AS cut_pm_exact,
+       |  CAST(sum(CASE WHEN d.v > q.est THEN 1 ELSE 0 END) * 1000 // q.n
+       |    - sum(CASE WHEN d.v > q.exact THEN 1 ELSE 0 END) * 1000 // q.n
+       |    AS BIGINT) AS delta_pm
+       |FROM d JOIN q USING (source)
+       |GROUP BY d.source, q.n, q.exact, q.est
+       |ORDER BY d.source""".stripMargin
+
+  // ---- LSH banding S-curve sweep ----
+
+  /** The (bands × rows) tuning sweep a dedup deployment runs before
+    * committing to a banding: from the SAME 8-hash signature matrix
+    * ([[bandedSignatures]] — built once, session-shared), generate the
+    * candidate sets of 1×8 (strictest), 2×4 (deployed by
+    * [[minhashPairs]]) and 4×2 (loosest) bandings and price each against
+    * the exact Jaccard-≥-threshold pairs: recall_pm (true pairs
+    * surfaced) vs precision_pm (candidates that are true) — the two ends
+    * of the classic S-curve trade, as integer permille both engines
+    * compute identically.
+    *
+    * The three candidate sets are NESTED by construction — an r-row band
+    * match implies both its (r/2)-row halves match, so 1×8 ⊆ 2×4 ⊆ 4×2
+    * and n_cand / recall_pm are monotone in the band count (the spec
+    * pins this containment; it is what makes the sweep a CURVE rather
+    * than three unrelated points). Each config dedups pairs with the
+    * first-agreeing-band guard (band i joins carry "bands < i differ"),
+    * the [[minhashPairs]] idiom — no global DISTINCT shuffle; the join
+    * keys are band values, so every join is a bounded hash-bucket join,
+    * and the true-pair probe is a small broadcast. At 100 TB the sweep
+    * runs on a sampled corpus slab; the relative S-curve shape, not the
+    * absolute counts, is the decision input.
+    */
+  def lshSweep(spark: SparkSession, dir: String, threshold: Double = 0.9,
+               mat: Materialize = Materialize.Local): DataFrame = {
+    val sig = bandedSignatures(spark, dir, mat)
+    val groupsOf = Map(
+      1 -> Seq(0 until 8),
+      2 -> Seq(0 until 4, 4 until 8),
+      4 -> Seq(0 until 2, 2 until 4, 4 until 6, 6 until 8))
+    val exact = jaccardPairs(spark, dir, threshold, mat = mat)
+      .select(col("doc_a"), col("doc_b"))
+    val nTrue = exact.agg(count(lit(1)).as("n_true"))
+    val perConfig = groupsOf.toSeq.sortBy(_._1).map { case (nb, groups) =>
+      val bnd = sig.select(col("doc_id") +:
+        groups.zipWithIndex.map { case (g, i) =>
+          concat_ws(",", g.map(j => col(s"m$j")): _*).as(s"bb$i")
+        }: _*)
+      val cand = groups.indices.map { i =>
+        val guard = (0 until i)
+          .map(j => col(s"a.bb$j") =!= col(s"b.bb$j"))
+          .foldLeft(col("a.doc_id") < col("b.doc_id"))(_ && _)
+        bnd.as("a").join(bnd.as("b"),
+            col(s"a.bb$i") === col(s"b.bb$i") && guard)
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      }.reduce(_ union _)
+      cand.join(exact.withColumn("istrue", lit(1L)), Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_cand"),
+          // sum over an empty (zero-candidate) config is null, not 0
+          coalesce(sum(coalesce(col("istrue"), lit(0L))), lit(0L)).as("n_hit"))
+        .select(lit(nb).as("bands"), lit(8 / nb).as("rows_per_band"),
+          col("n_cand"), col("n_hit"))
+    }.reduce(_ unionByName _)
+    perConfig.crossJoin(broadcast(nTrue))
+      .select(col("bands"), col("rows_per_band"), col("n_cand"),
+        col("n_true"), col("n_hit"),
+        expr("n_hit * 1000 div greatest(n_true, 1)").as("recall_pm"),
+        expr("n_hit * 1000 div greatest(n_cand, 1)").as("precision_pm"))
+      .orderBy("bands")
+  }
+
+  def lshSweepSql(threshold: Double = 0.9): String = {
+    val bandExpr = Map(
+      "b8" -> (0 until 8), "h0" -> (0 until 4), "h1" -> (4 until 8),
+      "q0" -> (0 until 2), "q1" -> (2 until 4), "q2" -> (4 until 6),
+      "q3" -> (6 until 8))
+      .map { case (n, g) =>
+        s"${g.map(i => s"m$i::VARCHAR").mkString(" || ',' || ")} AS $n" }
+      .mkString(",\n    ")
+    s"""WITH sig AS ($minhashSigSqlInner),
+       |sb AS (SELECT doc_id,
+       |    $bandExpr
+       |  FROM sig),
+       |c1 AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sb a JOIN sb b ON a.b8 = b.b8 AND a.doc_id < b.doc_id),
+       |c2 AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sb a JOIN sb b ON a.h0 = b.h0 AND a.doc_id < b.doc_id
+       |  UNION ALL
+       |  SELECT a.doc_id, b.doc_id
+       |  FROM sb a JOIN sb b ON a.h1 = b.h1 AND a.h0 <> b.h0
+       |                     AND a.doc_id < b.doc_id),
+       |c4 AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sb a JOIN sb b ON a.q0 = b.q0 AND a.doc_id < b.doc_id
+       |  UNION ALL
+       |  SELECT a.doc_id, b.doc_id
+       |  FROM sb a JOIN sb b ON a.q1 = b.q1 AND a.q0 <> b.q0
+       |                     AND a.doc_id < b.doc_id
+       |  UNION ALL
+       |  SELECT a.doc_id, b.doc_id
+       |  FROM sb a JOIN sb b ON a.q2 = b.q2 AND a.q0 <> b.q0 AND a.q1 <> b.q1
+       |                     AND a.doc_id < b.doc_id
+       |  UNION ALL
+       |  SELECT a.doc_id, b.doc_id
+       |  FROM sb a JOIN sb b ON a.q3 = b.q3 AND a.q0 <> b.q0 AND a.q1 <> b.q1
+       |                     AND a.q2 <> b.q2 AND a.doc_id < b.doc_id),
+       |ex AS (SELECT doc_a, doc_b, 1 AS istrue
+       |       FROM (${jaccardPairsSql(threshold)})),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM ex),
+       |stats AS (
+       |  SELECT 1 AS bands, 8 AS rows_per_band,
+       |    CAST(count(*) AS BIGINT) AS n_cand,
+       |    CAST(COALESCE(sum(COALESCE(istrue, 0)), 0) AS BIGINT) AS n_hit
+       |  FROM c1 LEFT JOIN ex USING (doc_a, doc_b)
+       |  UNION ALL
+       |  SELECT 2, 4, CAST(count(*) AS BIGINT),
+       |    CAST(COALESCE(sum(COALESCE(istrue, 0)), 0) AS BIGINT)
+       |  FROM c2 LEFT JOIN ex USING (doc_a, doc_b)
+       |  UNION ALL
+       |  SELECT 4, 2, CAST(count(*) AS BIGINT),
+       |    CAST(COALESCE(sum(COALESCE(istrue, 0)), 0) AS BIGINT)
+       |  FROM c4 LEFT JOIN ex USING (doc_a, doc_b))
+       |SELECT bands, rows_per_band, n_cand, nt.n_true, n_hit,
+       |  n_hit * 1000 // greatest(nt.n_true, 1) AS recall_pm,
+       |  n_hit * 1000 // greatest(n_cand, 1) AS precision_pm
+       |FROM stats CROSS JOIN nt
+       |ORDER BY bands""".stripMargin
+  }
 }

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twin of [[graft.functions.TextOps.quantileSketch]]: a running
+  * per-source length-percentile monitor whose keyed state is the sketch
+  * itself — the `k` (hash, value) pairs with the smallest salted
+  * [[graft.Exprs.hex60]] doc-id hashes, NEVER the full per-source value
+  * multiset the exact quantile needs (the point of the sketch at ingest
+  * scale: the batch tier's exact column sorts every doc per source, which
+  * a stream cannot hold).
+  *
+  * The arrival side reuses the batch tier's exact expressions (normalize +
+  * split token count, the same `qs:`-salted doc-id hash), and the
+  * bottom-k-by-hash merge is a semilattice over the arrival SET — the
+  * `(h, v)` pairs are deduped by hash, so the state is order-, batching-
+  * AND replay-insensitive (the spec asserts 2-batch ≡ 1-batch). Unlike
+  * the KMV estimate the quantile estimate is NOT monotone as the sample
+  * composition shifts, so each emission carries a per-source `ver`
+  * counter and the LAST emission (max ver) is the convergent one; it
+  * equals the batch operator's `est` over the same corpus — the batch
+  * tie-break `(v, doc_id)` is irrelevant to the emitted VALUE because
+  * rank ties share the value being ranked.
+  */
+object QuantileStream {
+
+  final case class DocArrival(source: String, h: Long, v: Long)
+  final case class QState(pairs: List[(Long, Long)], ver: Long)
+  final case class Estimate(source: String, ver: Long, m: Int,
+                            est500: Long, est990: Long)
+
+  val K = 16
+
+  def estimates(docs: DataFrame)(implicit spark: SparkSession): Dataset[Estimate] = {
+    import spark.implicits._
+    val arrivals = docs
+      .withColumn("norm", graft.Exprs.normText(col("text")))
+      .select(col("source"),
+        graft.Exprs.hex60(concat(lit("qs:"), col("doc_id"))).as("h"),
+        coalesce(size(split(col("norm"), " ")).cast("long"), lit(0L)).as("v"))
+      .as[DocArrival]
+    arrivals.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (source: String, rows: Iterator[DocArrival], state: GroupState[QState]) => {
+          val prev = state.getOption.map(_.pairs).getOrElse(Nil)
+          val ver = state.getOption.map(_.ver).getOrElse(0L) + 1
+          val merged = (prev ++ rows.map(r => (r.h, r.v)))
+            .distinct.sortBy(_._1).take(K)
+          state.update(QState(merged, ver))
+          val vs = merged.map(_._2).sorted.toIndexedSeq
+          val m = vs.size
+          def q(p: Int): Long = vs(((m - 1) * p) / 1000)
+          Iterator.single(Estimate(source, ver, m, q(500), q(990)))
+        })
+  }
+}

@@ -206,6 +206,23 @@ class EdgeCaseSpec extends SparkSuite {
       s"degenerate KMV row wrong: ${row.toSeq}")
   }
 
+  test("quantileSketch/lenCap: null text counts as 0 tokens on both engines, sub-k exact, no mis-cut") {
+    val r = TextOps.quantileSketch(spark, tmp).collect()
+    assert(r.length == 3, s"one row per percentile expected: ${r.toSeq}")
+    // v multiset: null text → 0, ""/whitespace/1-word docs → 1 each.
+    // sorted [0,1,1,1]: p500 rank 2 → 1, p900 rank 3 → 1, p990 rank 3 → 1;
+    // 4 docs < k=16 so the sample IS the relation: est == exact, err 0
+    r.foreach { row =>
+      assert(row.getLong(2) == 4 && row.getLong(3) == 1 &&
+        row.getLong(4) == 1 && row.getLong(5) == 0,
+        s"degenerate quantile row wrong: ${row.toSeq}")
+    }
+    val cap = TextOps.lenCap(spark, tmp).collect()
+    assert(cap.length == 1 && cap.head.getLong(4) == 0 &&
+      cap.head.getLong(5) == 0 && cap.head.getLong(6) == 0,
+      s"sub-k degenerate lenCap must cut nothing: ${cap.head.toSeq}")
+  }
+
   test("marginPairs: an empty side mines nothing, never crashes") {
     // all labels even -> B side empty -> no candidate pairs
     val vecs = Seq(

@@ -1088,6 +1088,73 @@ class OperatorsSpec extends SparkSuite {
       s"KMV estimate diverges from scala replica: ${got("srcBig")} vs ($hK, $est, $errPm)")
   }
 
+  test("quantileSketch: sub-k source is exact; over-k source matches the scala bottom-k replica; lenCap prices the thresholds") {
+    def hex60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val bigIds = (100L until 130L)
+    val vOf = (id: Long) => (id % 13) + 3 // word counts 3..15, over k=16 docs
+    val smallV = Map(1L -> 5L, 2L -> 9L, 3L -> 2L)
+    val docs = (bigIds.map(id => (id, Seq.fill(vOf(id).toInt)("w").mkString(" "), "en", "srcBig", 1L)) ++
+      smallV.toSeq.map { case (id, v) => (id, Seq.fill(v.toInt)("w").mkString(" "), "en", "srcSmall", 1L) })
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("qsk").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def pick(vs: Seq[Long], p: Int): Long = {
+      val s = vs.sorted; s((s.size - 1) * p / 1000)
+    }
+    val sampBig = bigIds.toSeq.sortBy(id => hex60(s"qs:$id")).take(16).map(vOf)
+    val allBig = bigIds.toSeq.map(vOf)
+    val got = TextOps.quantileSketch(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    for (p <- Seq(500, 900, 990)) {
+      val (ex, es) = (pick(allBig, p), pick(sampBig, p))
+      assert(got(("srcBig", p)) ==
+        ((30L, ex, es, math.abs(es - ex) * 1000 / math.max(ex, 1L))),
+        s"srcBig p=$p diverges: ${got(("srcBig", p))}")
+      // sub-k: the sample IS the relation, so est == exact and err_pm == 0
+      val exS = pick(smallV.values.toSeq, p)
+      assert(got(("srcSmall", p)) == ((3L, exS, exS, 0L)),
+        s"srcSmall p=$p must be exact: ${got(("srcSmall", p))}")
+    }
+    val cap = TextOps.lenCap(spark, tmp).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val (thrS, thrE) = (pick(sampBig, 990), pick(allBig, 990))
+    val cutS = allBig.count(_ > thrS).toLong * 1000 / 30
+    val cutE = allBig.count(_ > thrE).toLong * 1000 / 30
+    assert(cap("srcBig") == ((30L, thrS, thrE, cutS, cutE, cutS - cutE)),
+      s"lenCap srcBig diverges: ${cap("srcBig")}")
+    assert(cap("srcSmall")._5 == cap("srcSmall")._4 && cap("srcSmall")._6 == 0L,
+      s"sub-k lenCap must have zero mis-cut: ${cap("srcSmall")}")
+  }
+
+  test("lshSweep: banding configs are nested (1x8 in 2x4 in 4x2), recall monotone, 2x4 row cross-foots minhashPairs") {
+    val sfDir = sf("sf0.01")
+    val rows = TextOps.lshSweep(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))).toMap
+    assert(rows.keySet == Set(1, 2, 4), s"one row per banding expected: $rows")
+    val (c1, c2, c4) = (rows(1), rows(2), rows(4))
+    // an r-row band match implies both (r/2)-row halves match -> nesting
+    assert(c1._1 <= c2._1 && c2._1 <= c4._1,
+      s"candidate sets must be nested: $rows")
+    assert(c1._3 <= c2._3 && c2._3 <= c4._3,
+      s"hits must be monotone in band count: $rows")
+    assert(c1._4 <= c2._4 && c2._4 <= c4._4,
+      s"recall must be monotone in band count: $rows")
+    assert(c1._2 == c2._2 && c2._2 == c4._2, s"n_true must not vary: $rows")
+    // the deployed 2x4 config IS minhashPairs — candidate counts must agree
+    val deployed = TextOps.minhashPairs(spark, sfDir).count()
+    assert(c2._1 == deployed,
+      s"2x4 candidates ${c2._1} != minhashPairs $deployed")
+    assert(rows.values.forall(v => v._4 <= 1000 && v._5 <= 1000),
+      s"permille columns out of range: $rows")
+  }
+
   test("heavyHitters: CMS report matches a full scala replica; min-of-rows only over-counts") {
     def hex60(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")

@@ -637,4 +637,32 @@ class PlanAuditSpec extends SparkSuite {
       s"KMV rank must partition by source:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("d_quantiles: ranks partition by source; percentile probe is the broadcast literal, never a shuffle") {
+    val plan = executedPlan("d_quantiles")
+    assert(plan.contains("windowspecdefinition(source"),
+      s"rank windows must partition by source:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the only cross join allowed is the broadcast 3-row pcts literal:\n$plan")
+    // est x exact stitch and counts stay keyed on source
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      s"source-keyed joins expected:\n$plan")
+  }
+
+  test("d_lsh_sweep: every candidate join keyed on a band value; the only loop join is the 1-row n_true broadcast") {
+    val plan = executedPlan("d_lsh_sweep")
+    assert(!plan.contains("CartesianProduct"),
+      s"band joins must never degenerate to a cartesian:\n$plan")
+    // 7 band-keyed self-joins (1+2+4 configs) + true-pair probes stay hashed
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      s"band-keyed equi-joins expected:\n$plan")
+  }
+
+  test("d_len_cap: sketch thresholds broadcast to the doc scan; one pass, no cartesian") {
+    val plan = executedPlan("d_len_cap")
+    assert(!plan.contains("CartesianProduct"),
+      s"threshold application must stay keyed:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the |sources|-row threshold relation must broadcast:\n$plan")
+  }
 }

@@ -511,6 +511,46 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("quantileSketch equals a full scala replica on random corpora") {
+    import graft.functions.TextOps
+    def hex60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    // sources span sub-k (exact path) and over-k (sketch path) sizes
+    val lenGen = Gen.choose(1, 25)
+    val corpusGen = Gen.choose(3, 40).flatMap(m => Gen.listOfN(m, lenGen))
+    samples(corpusGen, 4).zipWithIndex.foreach { case (lens, ci) =>
+      val srcOf = (id: Long) => if (id % 2 == 0) "sA" else "sB"
+      val docs = lens.zipWithIndex
+        .map { case (len, id) =>
+          (id.toLong, Seq.fill(len)("w").mkString(" "), "en", srcOf(id.toLong), 1L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val dir = java.nio.file.Files.createTempDirectory(s"prop_qs$ci").toString
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      def pick(vs: Seq[Long], p: Int): Long = {
+        val s = vs.sorted; s((s.size - 1) * p / 1000)
+      }
+      val bySrc = lens.zipWithIndex
+        .map { case (len, id) => (srcOf(id.toLong), id.toLong, len.toLong) }
+        .groupBy(_._1)
+      val expect = bySrc.flatMap { case (src, rows) =>
+        val all = rows.map(_._3)
+        val samp = rows.sortBy(r => (hex60(s"qs:${r._2}"), r._2)).take(16).map(_._3)
+        Seq(500, 900, 990).map { p =>
+          val (ex, es) = (pick(all, p), pick(samp, p))
+          (src, p) -> ((all.size.toLong, ex, es,
+            math.abs(es - ex) * 1000 / math.max(ex, 1L)))
+        }
+      }
+      val got = TextOps.quantileSketch(spark, dir).collect()
+        .map(r => (r.getString(0), r.getInt(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      assert(got == expect, s"case $ci quantile sketch diverges:\n got=$got\n exp=$expect")
+    }
+  }
+
   test("heavyHitters equals a full scala CMS replica on random corpora") {
     import graft.functions.TextOps
     def hex60(s: String): Long = {

@@ -987,6 +987,49 @@ class StreamingSpec extends SparkSuite {
         (batch.toSet diff twoBatch.toSet).take(3)}")
   }
 
+  test("quantile stream: k-bounded sample state converges to the batch sketch; 2-batch feed equals 1-batch") {
+    import graft.streaming.QuantileStream
+    import graft.functions.TextOps
+    val sfDir = sf()
+    val batch = TextOps.quantileSketch(spark, sfDir, QuantileStream.K, Seq(500, 990))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(4)).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)].collect().toSeq
+    def run(batches: Seq[Seq[(Long, String, String)]], name: String)
+      : Map[String, (Int, Long, Long)] = {
+      val in = MemoryStream[(Long, String, String)]
+      val out = QuantileStream.estimates(in.toDF().toDF("doc_id", "text", "source"))
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => in.addData(b); q.processAllAvailable() }
+        // the estimate is NOT monotone as the sample shifts — the row with
+        // the max per-source ver counter is the convergent final state
+        val rows = spark.table(name)
+          .as[(String, Long, Int, Long, Long)].collect()
+        rows.groupBy(_._1).map { case (src, rs) =>
+          val last = rs.maxBy(_._2)
+          src -> ((last._3, last._4, last._5))
+        }
+      } finally q.stop()
+    }
+    val (a, b) = docs.splitAt(docs.size / 2)
+    val twoBatch = run(Seq(a, b), "q_stream_2b")
+    val oneBatch = run(Seq(docs), "q_stream_1b")
+    assert(twoBatch == oneBatch,
+      s"bottom-k-by-hash merge must be batching-insensitive: ${
+        (twoBatch.toSet diff oneBatch.toSet).take(3)}")
+    val fromStream = twoBatch.flatMap { case (src, (_, e500, e990)) =>
+      Seq((src, 500) -> e500, (src, 990) -> e990)
+    }
+    assert(fromStream == batch,
+      s"stream sketch must converge to the batch estimate: stream-only=${
+        (fromStream.toSet diff batch.toSet).take(3)} batch-only=${
+        (batch.toSet diff fromStream.toSet).take(3)}")
+  }
+
   test("cms stream: width-bounded counter state converges to the batch sketch; 2-batch feed equals 1-batch") {
     import graft.streaming.CmsStream
     val sfDir = sf()
