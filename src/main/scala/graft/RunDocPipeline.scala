@@ -355,8 +355,12 @@ object RunDocPipeline {
     // across the top-20 terms — the fidelity number that says whether the
     // depth×width serving state is sized right for this corpus (0 = the
     // sketch is currently exact on every headline term)
-    val (requotaMoved, vocabEst, hhWorstOverPm) =
-      guarded("retune_monitors", (0L, 0L, 0L)) {
+    // len_cap_worst_delta_pm: the quantile sketch's worst per-source
+    // mis-cut permille when its p990 serves as the truncation threshold
+    // (0 = the k-pairs-per-source state currently cuts exactly what the
+    // full-sort exact threshold would)
+    val (requotaMoved, vocabEst, hhWorstOverPm, lenCapWorstDeltaPm) =
+      guarded("retune_monitors", (0L, 0L, 0L, 0L)) {
         val rq = TextOps.qualityRequota(spark, sfDir)
         val moved = rq.filter(col("tau").isNotNull &&
           abs(col("keep_pm_delta") - col("keep_pm_base")) > 100).count()
@@ -364,7 +368,9 @@ object RunDocPipeline {
           .agg(max("est")).collect()(0).getLong(0)
         val hh = TextOps.heavyHitters(spark, sfDir)
           .agg(max("over_pm")).collect()(0).getLong(0)
-        (moved, est, hh)
+        val lc = TextOps.lenCap(spark, sfDir)
+          .agg(max(abs(col("delta_pm")))).collect()(0).getLong(0)
+        (moved, est, hh, lc)
       }
 
     // the curriculum schedule over the same corpus: the quality-phase
@@ -380,7 +386,7 @@ object RunDocPipeline {
     val maxPhase = cur.agg(max("phase")).collect()(0).getInt(0)
     val annealDocs = cur.filter(col("phase") === maxPhase).count()
 
-    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"temp_shards":$tempShards,"temp_docs":$tempDocs,"temp_tokens":$tempTokens,"curriculum_shards":$curShards,"anneal_docs":$annealDocs,"worst_quality_drift_pm":$worstQDrift,"degraded_sources":$degradedSources,"worst_bpe_drift_pm":$worstBpeDrift,"requota_moved_sources":$requotaMoved,"vocab_est":$vocabEst,"hh_worst_over_pm":$hhWorstOverPm,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept,"caption_mismatch_media":$captionMismatchMedia,"videos_admitted":$videosAdmitted,"vectors_admitted":$vectorsAdmitted,"pairs_mined":$pairsMined,"contaminated":$contaminated,"span_tokens_cut":$spanTokensCut,"nb_scored":$nbScored,"nb_top_bucket":"$nbTopBucket","nb_top_count":$nbTopCount}""")
+    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"temp_shards":$tempShards,"temp_docs":$tempDocs,"temp_tokens":$tempTokens,"curriculum_shards":$curShards,"anneal_docs":$annealDocs,"worst_quality_drift_pm":$worstQDrift,"degraded_sources":$degradedSources,"worst_bpe_drift_pm":$worstBpeDrift,"requota_moved_sources":$requotaMoved,"vocab_est":$vocabEst,"hh_worst_over_pm":$hhWorstOverPm,"len_cap_worst_delta_pm":$lenCapWorstDeltaPm,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept,"caption_mismatch_media":$captionMismatchMedia,"videos_admitted":$videosAdmitted,"vectors_admitted":$vectorsAdmitted,"pairs_mined":$pairsMined,"contaminated":$contaminated,"span_tokens_cut":$spanTokensCut,"nb_scored":$nbScored,"nb_top_bucket":"$nbTopBucket","nb_top_count":$nbTopCount}""")
     spark.stop()
   }
 }
