@@ -276,6 +276,7 @@ object SparkEntry {
     "d_epoch_upsample" -> ((s, dir) => MixOps.epochUpsample(s, dir)),
     "d_cap_per_source" -> ((s, dir) => MixOps.capPerSource(s, dir)),
     "d_semantic_dedup" -> ((s, dir) => MixOps.semanticDedup(s, dir)),
+    "d_dedup_agreement" -> ((s, dir) => MixOps.dedupAgreement(s, dir)),
     "d_shard_manifest" -> ((s, dir) => MixOps.shardManifest(s, dir)),
     "d_manifest_incr" -> ((s, dir) => MixOps.manifestIncr(s, dir)),
     // the production daily-increment path: the base freeze is a per-session
@@ -788,6 +789,7 @@ object SparkEntry {
       "d_epoch_upsample" -> MixOps.epochUpsampleSql(),
       "d_cap_per_source" -> MixOps.capPerSourceSql(),
       "d_semantic_dedup" -> MixOps.semanticDedupSql(),
+      "d_dedup_agreement" -> MixOps.dedupAgreementSql(),
       "d_shard_manifest" -> MixOps.shardManifestSql(),
       "d_manifest_incr" -> MixOps.manifestIncrSql(),
       "d_manifest_delta" -> MixOps.manifestIncrSql(),

@@ -1370,4 +1370,76 @@ object MixOps {
        |  coalesce(logw_q, 0) > 0 AS keep
        |FROM d LEFT JOIN per_doc USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  // ---- lexical vs semantic dedup verdict agreement ----
+
+  /** Cross-tier dedup agreement audit — which near-dup verdicts the
+    * deployed LEXICAL tier ([[TextOps.jaccardPairs]], exact df-capped
+    * Jaccard ≥ 0.9) and the deployed SEMANTIC tier
+    * ([[VectorOps.nearDupLsh]], sign-LSH-bucketed cosine ≥ 0.4 over
+    * `doc_id = vec_id`, the [[semanticDedup]] contract) each catch:
+    * `n_both` / `lex_only` / `sem_only` plus the two coverage permilles
+    * (`lex_covered_pm` = of the lexical pairs, how many the semantic
+    * tier also surfaces, and vice versa). The answer drives tier layout
+    * at 100 TB — a high-overlap corpus runs the cheap lexical pass
+    * first and spends embeddings only on the remainder; a low-overlap
+    * corpus needs both.
+    *
+    * Pure composition: both pair relations are session-shared and
+    * independently oracle-checked; this query adds one full-outer join
+    * on the pair key and a single global fold — no new scan of either
+    * corpus. Both inputs orient pairs as (smaller id, larger id), so
+    * the join key is exact.
+    */
+  def dedupAgreement(spark: SparkSession, dir: String,
+                     jThreshold: Double = 0.9,
+                     cosThreshold: Double = 0.4): DataFrame = {
+    val lex = TextOps.jaccardPairs(spark, dir, jThreshold)
+      .select(col("doc_a"), col("doc_b")).withColumn("lex", lit(1L))
+    val sem = VectorOps.nearDupLsh(spark, dir, cosThreshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .withColumn("sem", lit(1L))
+    lex.join(sem, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        coalesce(sum(col("lex")), lit(0L)).as("n_lex"),
+        coalesce(sum(col("sem")), lit(0L)).as("n_sem"),
+        coalesce(sum(when(col("lex").isNotNull && col("sem").isNotNull, 1L)),
+          lit(0L)).as("n_both"))
+      .select(col("n_lex"), col("n_sem"), col("n_both"),
+        (col("n_lex") - col("n_both")).as("lex_only"),
+        (col("n_sem") - col("n_both")).as("sem_only"),
+        expr("n_both * 1000 div greatest(n_lex, 1)").as("lex_covered_pm"),
+        expr("n_both * 1000 div greatest(n_sem, 1)").as("sem_covered_pm"))
+  }
+
+  def dedupAgreementSql(jThreshold: Double = 0.9,
+                        cosThreshold: Double = 0.4): String =
+    s"""WITH lex AS (
+       |  SELECT doc_a, doc_b, 1 AS lex
+       |  FROM (${TextOps.jaccardPairsSql(jThreshold)})),
+       |sem AS (
+       |  SELECT id_a AS doc_a, id_b AS doc_b, 1 AS sem
+       |  FROM (${VectorOps.nearDupLshSql(cosThreshold)})),
+       |j AS (
+       |  SELECT l.lex, s.sem
+       |  FROM lex l FULL OUTER JOIN sem s
+       |    ON l.doc_a = s.doc_a AND l.doc_b = s.doc_b)
+       |SELECT
+       |  CAST(COALESCE(sum(lex), 0) AS BIGINT) AS n_lex,
+       |  CAST(COALESCE(sum(sem), 0) AS BIGINT) AS n_sem,
+       |  CAST(COALESCE(sum(CASE WHEN lex IS NOT NULL AND sem IS NOT NULL
+       |                         THEN 1 END), 0) AS BIGINT) AS n_both,
+       |  CAST(COALESCE(sum(lex), 0)
+       |    - COALESCE(sum(CASE WHEN lex IS NOT NULL AND sem IS NOT NULL
+       |                        THEN 1 END), 0) AS BIGINT) AS lex_only,
+       |  CAST(COALESCE(sum(sem), 0)
+       |    - COALESCE(sum(CASE WHEN lex IS NOT NULL AND sem IS NOT NULL
+       |                        THEN 1 END), 0) AS BIGINT) AS sem_only,
+       |  CAST(COALESCE(sum(CASE WHEN lex IS NOT NULL AND sem IS NOT NULL
+       |                         THEN 1 END), 0) * 1000
+       |    // greatest(COALESCE(sum(lex), 0), 1) AS BIGINT) AS lex_covered_pm,
+       |  CAST(COALESCE(sum(CASE WHEN lex IS NOT NULL AND sem IS NOT NULL
+       |                         THEN 1 END), 0) * 1000
+       |    // greatest(COALESCE(sum(sem), 0), 1) AS BIGINT) AS sem_covered_pm
+       |FROM j""".stripMargin
 }

@@ -1132,6 +1132,25 @@ class OperatorsSpec extends SparkSuite {
       s"sub-k lenCap must have zero mis-cut: ${cap("srcSmall")}")
   }
 
+  test("dedupAgreement: counts cross-foot both pair relations; overlap bounded by either side") {
+    val sfDir = sf("sf0.01")
+    val r = graft.functions.MixOps.dedupAgreement(spark, sfDir).collect()
+    assert(r.length == 1)
+    val v = (0 until 7).map(r.head.getLong)
+    val (nLex, nSem, nBoth, lexOnly, semOnly, lexPm, semPm) =
+      (v(0), v(1), v(2), v(3), v(4), v(5), v(6))
+    assert(nLex == TextOps.jaccardPairs(spark, sfDir).count(),
+      s"n_lex must equal the lexical pair relation: $nLex")
+    assert(nSem == VectorOps.nearDupLsh(spark, sfDir).count(),
+      s"n_sem must equal the semantic pair relation: $nSem")
+    assert(nBoth <= math.min(nLex, nSem) && nBoth >= 0,
+      s"overlap out of bounds: $nBoth")
+    assert(lexOnly == nLex - nBoth && semOnly == nSem - nBoth,
+      s"partition must sum: ${r.head.toSeq}")
+    assert(lexPm <= 1000 && semPm <= 1000,
+      s"coverage permille out of range: ${r.head.toSeq}")
+  }
+
   test("lshSweep: banding configs are nested (1x8 in 2x4 in 4x2), recall monotone, 2x4 row cross-foots minhashPairs") {
     val sfDir = sf("sf0.01")
     val rows = TextOps.lshSweep(spark, sfDir).collect()

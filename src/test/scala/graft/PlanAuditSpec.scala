@@ -658,6 +658,15 @@ class PlanAuditSpec extends SparkSuite {
       s"band-keyed equi-joins expected:\n$plan")
   }
 
+  test("d_dedup_agreement: pair-keyed full outer join; no cartesian") {
+    val plan = executedPlan("d_dedup_agreement")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"verdict stitch must stay keyed on the pair:\n$plan")
+    assert(plan.contains("FullOuter"),
+      s"both tiers' exclusive verdicts must survive the join:\n$plan")
+  }
+
   test("d_len_cap: sketch thresholds broadcast to the doc scan; one pass, no cartesian") {
     val plan = executedPlan("d_len_cap")
     assert(!plan.contains("CartesianProduct"),
