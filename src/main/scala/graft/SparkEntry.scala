@@ -241,6 +241,9 @@ object SparkEntry {
     "d_hh_widen" -> ((s, dir) => TextOps.hhWiden(s, dir)),
     "d_source_budget" -> ((s, dir) => TextOps.sourceBudget(s, dir)),
     "d_quantiles" -> ((s, dir) => TextOps.quantileSketch(s, dir)),
+    "d_bloom_shingles" -> ((s, dir) => TextOps.bloomShingles(s, dir)),
+    "d_bloom_prefilter" -> ((s, dir) => TextOps.bloomPrefilter(s, dir)),
+    "d_bloom_stats" -> ((s, dir) => TextOps.bloomStats(s, dir)),
     "d_len_cap" -> ((s, dir) => TextOps.lenCap(s, dir)),
     "d_lsh_sweep" -> ((s, dir) => TextOps.lshSweep(s, dir)),
     "d_segment_dedup" -> ((s, dir) => TextOps.segmentDedup(s, dir)),
@@ -754,6 +757,9 @@ object SparkEntry {
       "d_hh_widen" -> TextOps.hhWidenSql(),
       "d_source_budget" -> TextOps.sourceBudgetSql(),
       "d_quantiles" -> TextOps.quantileSketchSql(),
+      "d_bloom_shingles" -> TextOps.bloomShinglesSql(),
+      "d_bloom_prefilter" -> TextOps.bloomPrefilterSql(),
+      "d_bloom_stats" -> TextOps.bloomStatsSql(),
       "d_len_cap" -> TextOps.lenCapSql(),
       "d_lsh_sweep" -> TextOps.lshSweepSql(),
       "d_segment_dedup" -> TextOps.segmentDedupSql(),

@@ -928,6 +928,25 @@ object MixOps {
       spark: SparkSession, dir: String, buckets: Int, budget: Long,
       deltaMod: Int, keepLang: String, probeMax: Long, contamMin: Long,
       sampleMod: Int, sampleKeep: Int, mixMod: Int,
+      mat: graft.Materialize): FrozenBase = mat match {
+    // "Yesterday's build" is one deterministic relation with two in-session
+    // consumers (the freeze scaffold and the single-query d_manifest_incr
+    // proof) — unmemoized, each re-ran the full base gate chain (measured
+    // ~4 s twice at sf0.1). Only Local memoizes, mirroring SharedRel.apply:
+    // Table/Passthrough are caller-owned materialization choices.
+    case graft.Materialize.Local => graft.SharedRel.once(spark,
+      s"incrbase|$dir|$buckets|$budget|$deltaMod|$keepLang|$probeMax|" +
+        s"$contamMin|$sampleMod|$sampleKeep|$mixMod")(
+      incrBaseStateBuild(spark, dir, buckets, budget, deltaMod, keepLang,
+        probeMax, contamMin, sampleMod, sampleKeep, mixMod, mat))
+    case _ => incrBaseStateBuild(spark, dir, buckets, budget, deltaMod,
+      keepLang, probeMax, contamMin, sampleMod, sampleKeep, mixMod, mat)
+  }
+
+  private def incrBaseStateBuild(
+      spark: SparkSession, dir: String, buckets: Int, budget: Long,
+      deltaMod: Int, keepLang: String, probeMax: Long, contamMin: Long,
+      sampleMod: Int, sampleKeep: Int, mixMod: Int,
       mat: graft.Materialize): FrozenBase = {
     val cont = contRel(spark, dir, probeMax)
     val clean = cleanRel(spark, dir, probeMax)
@@ -1054,14 +1073,18 @@ object MixOps {
     val frozen = incrBaseState(spark, dir, buckets, budget, deltaMod,
       keepLang = "en", probeMax = 10, contamMin = 5, sampleMod = 10,
       sampleKeep = 8, mixMod = 1000, mat = graft.Materialize.Local)
+    // Writes are coalesced: every frozen relation except the assignments is
+    // a handful of rows (stats/cuts/manifest) or one narrow hash column —
+    // 32 task-files apiece is pure commit-protocol overhead at any scale;
+    // the wide assignments keep a few files for parallel re-read.
     val walkB = frozen.walkB.select(IncrCols.map(col): _*)
-    walkB.write.mode("overwrite").parquet(s"$stateDir/assignments")
-    frozen.baseHashes.write.mode("overwrite").parquet(s"$stateDir/hashes")
-    frozen.statsB.write.mode("overwrite").parquet(s"$stateDir/mix_stats")
-    frozen.totB.write.mode("overwrite").parquet(s"$stateDir/mix_totals")
-    frozen.cuts.write.mode("overwrite").parquet(s"$stateDir/tier_cuts")
-    frozen.baseTok.write.mode("overwrite").parquet(s"$stateDir/high_water")
-    manifestAgg(walkB).write.mode("overwrite").parquet(s"$stateDir/manifest")
+    walkB.coalesce(4).write.mode("overwrite").parquet(s"$stateDir/assignments")
+    frozen.baseHashes.coalesce(4).write.mode("overwrite").parquet(s"$stateDir/hashes")
+    frozen.statsB.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/mix_stats")
+    frozen.totB.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/mix_totals")
+    frozen.cuts.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/tier_cuts")
+    frozen.baseTok.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/high_water")
+    manifestAgg(walkB).coalesce(1).write.mode("overwrite").parquet(s"$stateDir/manifest")
   }
 
   /** The production daily increment: run ONLY the delta chain against the

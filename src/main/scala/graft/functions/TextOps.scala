@@ -775,6 +775,246 @@ object TextOps {
        |ORDER BY n_exact DESC, term""".stripMargin
   }
 
+  // ---- Bloom membership sketch (bounded-state set membership) ----
+
+  /** The membership boundary the Bloom tier screens: "base" is
+    * yesterday's corpus (the same hex60("inc:"||doc_id) % deltaMod split
+    * convention as the incremental-build chain), probes are the DISTINCT
+    * 3-shingles of today's arrivals ([[shingles3]] is the one shingle
+    * relation the whole contamination family shares). Session-shared:
+    * the member report, the prefilter action and both stats-sweep sizes
+    * all start from these two relations.
+    */
+  private def bloomSplit(spark: SparkSession, dir: String,
+                         deltaMod: Int): (DataFrame, DataFrame) =
+    graft.SharedRel.once(spark, s"bloomsplit|$dir|$deltaMod") {
+      val sh = shingles3(spark, dir).withColumn("is_delta",
+        pmod(Exprs.hex60(concat(lit("inc:"), col("doc_id").cast("string"))),
+          lit(deltaMod.toLong)) === 0)
+      val base = Materialize.Local(
+        sh.filter(!col("is_delta")).select(col("sh").as("shingle")).distinct())
+      val probes = Materialize.Local(
+        sh.filter(col("is_delta")).select(col("sh").as("shingle")).distinct())
+      (base, probes)
+    }
+
+  private def bloomPosE(i: Int, s: Column, m: Int): Column =
+    Exprs.hex60(concat(lit(s"bf$i:"), s)) % lit(m.toLong)
+
+  /** The filter itself: the distinct set positions of the base shingles
+    * under `k` salted [[graft.Exprs.hex60]] hashes into `m` buckets —
+    * ≤ m rows standing in for the m-BIT bitmap a serving deployment
+    * broadcasts (the relation form is what a SQL oracle can see; the
+    * semantics are identical). Session-shared per (m, k).
+    */
+  private def bloomBits(spark: SparkSession, dir: String, m: Int, k: Int,
+                        deltaMod: Int): DataFrame =
+    graft.SharedRel(spark, s"bloombits|$dir|$deltaMod|$m|$k", Materialize.Local) {
+      val (base, _) = bloomSplit(spark, dir, deltaMod)
+      base.select(explode(array((0 until k).map(i =>
+          bloomPosE(i, col("shingle"), m)): _*)).as("pos"))
+        .distinct()
+    }
+
+  /** Per-probe verdict relation: a probe shingle is `bloom_seen` iff ALL
+    * `k` of its positions are set; `exact_seen` is the ground-truth base
+    * join. A Bloom filter has NO false negatives — `fn` is constructible
+    * in the verdict CASE but unreachable (PropertySpec asserts it never
+    * fires on random corpora), so `bloom_seen=false` is a PROOF of
+    * novelty and the serving side may skip the exact index for those
+    * rows ([[bloomPrefilter]] is that action).
+    */
+  private def bloomProbe(spark: SparkSession, dir: String, m: Int, k: Int,
+                         deltaMod: Int): DataFrame =
+    graft.SharedRel(spark, s"bloomprobe|$dir|$deltaMod|$m|$k", Materialize.Local)(
+      bloomProbeBuild(spark, dir, m, k, deltaMod))
+
+  /** The unmemoized build — PlanAuditSpec audits THIS plan (the memoized
+    * handle is a checkpoint scan with no joins left to audit).
+    */
+  private[graft] def bloomProbeBuild(spark: SparkSession, dir: String, m: Int,
+                                     k: Int, deltaMod: Int): DataFrame = {
+      val (base, probes) = bloomSplit(spark, dir, deltaMod)
+      val bits = bloomBits(spark, dir, m, k, deltaMod)
+      val pp = probes.select(col("shingle"),
+        explode(array((0 until k).map(i =>
+          bloomPosE(i, col("shingle"), m)): _*)).as("pos"))
+      // the bitmap side broadcasts (≤ m narrow rows — the 8 KB serving
+      // artifact); counting non-null matches of exactly k rows per probe
+      // is the ALL-positions-set test (duplicate positions from intra-item
+      // hash collisions match or miss identically on every arm)
+      val bloomSeen = pp
+        .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("pos"), "left")
+        .groupBy("shingle")
+        .agg((count(col("hit")) === k).as("bloom_seen"))
+      val exact = base.withColumn("exact_seen", lit(true))
+      probes.join(bloomSeen, "shingle")
+        .join(exact, Seq("shingle"), "left")
+        .withColumn("exact_seen", coalesce(col("exact_seen"), lit(false)))
+        .withColumn("verdict",
+          when(col("bloom_seen") && col("exact_seen"), "tp")
+            .when(col("bloom_seen") && !col("exact_seen"), "fp")
+            .when(!col("bloom_seen") && !col("exact_seen"), "tn")
+            .otherwise("fn"))
+  }
+
+  /** Bounded-memory set membership — the Bloom filter, fourth member of
+    * the sketch family ([[distinctKmv]] distinct / [[heavyHitters]]
+    * frequency / [[quantileSketch]] rank) with the same cross-engine
+    * contract: both engines hash with the same salted md5 prefixes and
+    * compute the identical verdict per probe shingle, so the sketch is
+    * approximate w.r.t. the truth, never w.r.t. the oracle.
+    *
+    * Scale shape: the serving state is `m` BITS regardless of corpus
+    * size — the 100 TB answer to keeping the full base shingle set hot
+    * for ingest screening; the filter build is one distinct-position agg
+    * over the base, the probe is a broadcast join against the bitmap
+    * stand-in plus one |probes|-key fold, and the exact column is the
+    * verification harness the sketch is priced against.
+    */
+  def bloomShingles(spark: SparkSession, dir: String, m: Int = 65536,
+                    k: Int = 3, deltaMod: Int = 10): DataFrame =
+    bloomProbe(spark, dir, m, k, deltaMod)
+      .select(col("shingle"), col("bloom_seen"), col("exact_seen"),
+        col("verdict"))
+      .orderBy("shingle")
+
+  private def bloomArmsSql(src: String, m: Int, k: Int): String =
+    (0 until k).map { i =>
+      s"SELECT shingle, ${Exprs.hex60Sql(s"'bf$i:' || shingle")} % $m AS pos FROM $src"
+    }.mkString("\n  UNION ALL ")
+
+  private def bloomCoreSql(m: Int, k: Int, deltaMod: Int): String =
+    s"""spl AS (
+       |  SELECT sh AS shingle,
+       |    ${Exprs.hex60Sql("'inc:' || doc_id::VARCHAR")} % $deltaMod = 0 AS is_delta
+       |  FROM ($shingles3Sql)),
+       |base AS (SELECT DISTINCT shingle FROM spl WHERE NOT is_delta),
+       |probes AS (SELECT DISTINCT shingle FROM spl WHERE is_delta),
+       |bits AS (SELECT DISTINCT pos FROM (
+       |  ${bloomArmsSql("base", m, k)})),
+       |pp AS (
+       |  ${bloomArmsSql("probes", m, k)}),
+       |bl AS (
+       |  SELECT pp.shingle, count(bits.pos) = $k AS bloom_seen
+       |  FROM pp LEFT JOIN bits ON pp.pos = bits.pos GROUP BY pp.shingle),
+       |pv AS (
+       |  SELECT p.shingle, bl.bloom_seen, base.shingle IS NOT NULL AS exact_seen,
+       |    CASE WHEN bl.bloom_seen AND base.shingle IS NOT NULL THEN 'tp'
+       |         WHEN bl.bloom_seen THEN 'fp'
+       |         WHEN base.shingle IS NULL THEN 'tn'
+       |         ELSE 'fn' END AS verdict
+       |  FROM probes p JOIN bl ON p.shingle = bl.shingle
+       |  LEFT JOIN base ON p.shingle = base.shingle)""".stripMargin
+
+  def bloomShinglesSql(m: Int = 65536, k: Int = 3, deltaMod: Int = 10): String =
+    s"""WITH ${bloomCoreSql(m, k, deltaMod)}
+       |SELECT shingle, bloom_seen, exact_seen, verdict FROM pv
+       |ORDER BY shingle""".stripMargin
+
+  /** The membership monitor's ACTION — serve the ingest overlap check
+    * with the Bloom prefilter: probes the filter proves novel
+    * (`bloom_seen = false`) skip the exact base-index join entirely;
+    * only the maybe subset pays it. `seen` is row-identical to
+    * [[bloomShingles]]' `exact_seen` (the no-false-negative guarantee —
+    * spec-asserted differentially), while the expensive equi-join's
+    * probe side shrinks by the `saved_pm` share [[bloomStats]] prices.
+    * At 100 TB the base index is a disk-resident table and the filter
+    * is an 8 KB broadcast bitmap: this is the canonical workload cut.
+    */
+  def bloomPrefilter(spark: SparkSession, dir: String, m: Int = 65536,
+                     k: Int = 3, deltaMod: Int = 10): DataFrame = {
+    val (base, _) = bloomSplit(spark, dir, deltaMod)
+    val pv = bloomProbe(spark, dir, m, k, deltaMod)
+    // ONLY the maybe subset reaches the exact join — the plan the action
+    // is about (PlanAuditSpec pins the filter under the join)
+    val confirmed = pv.filter(col("bloom_seen")).select("shingle")
+      .join(base, Seq("shingle"), "left_semi")
+      .withColumn("seen", lit(true))
+    pv.select(col("shingle"), col("bloom_seen").as("probed"))
+      .join(confirmed, Seq("shingle"), "left")
+      .withColumn("seen", coalesce(col("seen"), lit(false)))
+      .orderBy("shingle")
+  }
+
+  def bloomPrefilterSql(m: Int = 65536, k: Int = 3, deltaMod: Int = 10): String =
+    s"""WITH ${bloomCoreSql(m, k, deltaMod)},
+       |confirmed AS (
+       |  SELECT shingle FROM pv JOIN base USING (shingle)
+       |  WHERE bloom_seen)
+       |SELECT pv.shingle, pv.bloom_seen AS probed,
+       |  confirmed.shingle IS NOT NULL AS seen
+       |FROM pv LEFT JOIN confirmed ON pv.shingle = confirmed.shingle
+       |ORDER BY pv.shingle""".stripMargin
+
+  /** The sizing-sweep report a deployment reads before choosing `m`:
+    * one row per candidate (m, k) with the filter's fill, false-positive
+    * permille among true novelties, and the share of the exact-join
+    * workload the prefilter saves. All-integer permille math; divisions
+    * guarded so a degenerate corpus yields -1 sentinels on both engines
+    * (the bm25IndexStats empty-corpus lesson).
+    */
+  def bloomStats(spark: SparkSession, dir: String,
+                 sizes: Seq[(Int, Int)] = Seq((65536, 3), (262144, 4)),
+                 deltaMod: Int = 10): DataFrame = {
+    val (base, probes) = bloomSplit(spark, dir, deltaMod)
+    val nBase = base.agg(count(lit(1)).as("n_base"))
+    val nProbes = probes.agg(count(lit(1)).as("n_probes"))
+    sizes.map { case (m, k) =>
+      val bitsSet = bloomBits(spark, dir, m, k, deltaMod)
+        .agg(count(lit(1)).as("bits_set"))
+      val pv = bloomProbe(spark, dir, m, k, deltaMod).agg(
+        sum(when(col("bloom_seen"), 1L).otherwise(0L)).as("n_maybe"),
+        sum(when(col("exact_seen"), 1L).otherwise(0L)).as("n_seen"))
+      nBase.crossJoin(broadcast(nProbes)).crossJoin(broadcast(bitsSet))
+        .crossJoin(broadcast(pv))
+        .select(lit(m).cast("long").as("m"), lit(k).cast("long").as("k"),
+          col("n_base"), col("bits_set"),
+          expr(s"bits_set * 1000L div ${m}L").as("fill_pm"),
+          col("n_probes"),
+          coalesce(col("n_maybe"), lit(0L)).as("n_maybe"),
+          coalesce(col("n_seen"), lit(0L)).as("n_seen"))
+        .withColumn("n_fp", col("n_maybe") - col("n_seen"))
+        .withColumn("fp_pm", expr(
+          "CASE WHEN n_probes > n_seen THEN n_fp * 1000L div (n_probes - n_seen) ELSE -1L END"))
+        .withColumn("saved_pm", expr(
+          "CASE WHEN n_probes > 0 THEN (n_probes - n_maybe) * 1000L div n_probes ELSE -1L END"))
+    }.reduce(_.unionByName(_)).orderBy("m")
+  }
+
+  def bloomStatsSql(sizes: Seq[(Int, Int)] = Seq((65536, 3), (262144, 4)),
+                    deltaMod: Int = 10): String = {
+    val arms = sizes.map { case (m, k) =>
+      s"""SELECT ${m}::BIGINT AS m, ${k}::BIGINT AS k,
+         |  (SELECT count(*) FROM base)::BIGINT AS n_base,
+         |  (SELECT count(*) FROM (SELECT DISTINCT pos FROM (
+         |     ${bloomArmsSql("base", m, k)})))::BIGINT AS bits_set,
+         |  (SELECT count(*) FROM probes)::BIGINT AS n_probes,
+         |  (SELECT count(*) FROM (
+         |     SELECT pp.shingle FROM (${bloomArmsSql("probes", m, k)}) pp
+         |     LEFT JOIN (SELECT DISTINCT pos FROM (
+         |       ${bloomArmsSql("base", m, k)})) bits ON pp.pos = bits.pos
+         |     GROUP BY pp.shingle HAVING count(bits.pos) = $k))::BIGINT AS n_maybe,
+         |  (SELECT count(*) FROM probes JOIN base USING (shingle))::BIGINT AS n_seen""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH spl AS (
+       |  SELECT sh AS shingle,
+       |    ${Exprs.hex60Sql("'inc:' || doc_id::VARCHAR")} % $deltaMod = 0 AS is_delta
+       |  FROM (${shingles3Sql})),
+       |base AS (SELECT DISTINCT shingle FROM spl WHERE NOT is_delta),
+       |probes AS (SELECT DISTINCT shingle FROM spl WHERE is_delta),
+       |raw AS (
+       |$arms)
+       |SELECT m, k, n_base, bits_set, bits_set * 1000 // m AS fill_pm,
+       |  n_probes, n_maybe, n_seen, n_maybe - n_seen AS n_fp,
+       |  CASE WHEN n_probes > n_seen
+       |       THEN (n_maybe - n_seen) * 1000 // (n_probes - n_seen)
+       |       ELSE -1 END AS fp_pm,
+       |  CASE WHEN n_probes > 0 THEN (n_probes - n_maybe) * 1000 // n_probes
+       |       ELSE -1 END AS saved_pm
+       |FROM raw ORDER BY m""".stripMargin
+  }
+
   def contamination(spark: SparkSession, dir: String, probeMax: Long = 10): DataFrame =
     // session-shared: the contamination index is consumed by d_contamination,
     // curate (d_curate + both corpus builds) and the incremental delta pass —

@@ -206,6 +206,33 @@ class EdgeCaseSpec extends SparkSuite {
       s"degenerate KMV row wrong: ${row.toSeq}")
   }
 
+  test("bloom membership: degenerate docs (null/empty norm shingles) never crash or produce false negatives") {
+    def hex60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    // the fixture's shingle universe: null (doc 1, dropped by the inner
+    // join on a null key in BOTH engines), "" (docs 2-3), "x" (doc 4) —
+    // split by the same inc: residue the operator uses
+    val isDelta = (id: Long) => hex60(s"inc:$id") % 10 == 0
+    val shingleOf = Map(2L -> "", 3L -> "", 4L -> "x")
+    val probes = shingleOf.collect { case (id, s) if isDelta(id) => s }.toSet
+    val r = TextOps.bloomShingles(spark, tmp).collect()
+    assert(r.map(_.getString(0)).toSet == probes,
+      s"probe set wrong: ${r.map(_.toSeq).toSeq}")
+    assert(!r.exists(_.getString(3) == "fn"),
+      s"bloom false negative on degenerate corpus: ${r.map(_.toSeq).toSeq}")
+    val st = TextOps.bloomStats(spark, tmp).collect()
+    assert(st.length == 2)
+    st.foreach { row =>
+      val (fpPm, savedPm) = (row.getLong(9), row.getLong(10))
+      assert(fpPm == -1L || (fpPm >= 0L && fpPm <= 1000L), s"fp_pm out of range: ${row.toSeq}")
+      assert(savedPm == -1L || (savedPm >= 0L && savedPm <= 1000L),
+        s"saved_pm out of range: ${row.toSeq}")
+    }
+  }
+
   test("quantileSketch/lenCap: null text counts as 0 tokens on both engines, sub-k exact, no mis-cut") {
     val r = TextOps.quantileSketch(spark, tmp).collect()
     assert(r.length == 3, s"one row per percentile expected: ${r.toSeq}")

@@ -631,6 +631,28 @@ class PlanAuditSpec extends SparkSuite {
       s"candidate and counter sides must broadcast:\n$plan")
   }
 
+  test("bloom probe build: bitmap side broadcasts; no cartesian") {
+    // d_bloom_shingles consumes the SESSION-SHARED probe-verdict relation;
+    // the joins to audit live in its build plan
+    val plan = graft.functions.TextOps
+      .bloomProbeBuild(spark, sf("sf0.001"), 65536, 3, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the m-bit bitmap stand-in must broadcast into the probe join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"bloom probe joins must stay keyed:\n$plan")
+  }
+
+  test("d_bloom_prefilter: only the bloom-maybe subset reaches the exact join") {
+    val plan = executedPlan("d_bloom_prefilter")
+    assert(plan.contains("LeftSemi"),
+      s"exact confirmation must be a semi join:\n$plan")
+    assert(plan.contains("bloom_seen"),
+      s"the semi join's probe side must be pre-filtered on bloom_seen:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("d_distinct_kmv: top-k window partitions by source over distinct hashes") {
     val plan = executedPlan("d_distinct_kmv")
     assert(plan.contains("windowspecdefinition(source"),

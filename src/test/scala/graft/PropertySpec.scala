@@ -587,6 +587,70 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("bloom membership equals a full scala replica on random corpora; no false negatives") {
+    import graft.functions.TextOps
+    def hex60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def shinglesOf(ws: Seq[String]): Set[String] =
+      if (ws.size >= 3) ws.sliding(3).map(_.mkString(" ")).toSet
+      else Set(ws.mkString(" "))
+    // small vocab -> heavy base/probe shingle overlap (tp path); the
+    // (m=64, k=2) size is deliberately undersized so false positives are
+    // near-certain and the fp arm of the verdict CASE is exercised
+    val wordGen = Gen.choose(0, 14).map(i => s"w$i")
+    val docGen = Gen.choose(1, 20).flatMap(len => Gen.listOfN(len, wordGen))
+    val corpusGen = Gen.choose(4, 12).flatMap(m => Gen.listOfN(m, docGen))
+    val sizes = Seq((64, 2), (65536, 3))
+    samples(corpusGen, 4).zipWithIndex.foreach { case (corpus, ci) =>
+      val docs = corpus.zipWithIndex
+        .map { case (ws, id) => (id.toLong, ws.mkString(" "), "en", "s0", 1L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val dir = java.nio.file.Files.createTempDirectory(s"prop_bloom$ci").toString
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val isDelta = (id: Long) => hex60(s"inc:$id") % 10 == 0
+      val base = corpus.zipWithIndex.filter { case (_, id) => !isDelta(id.toLong) }
+        .flatMap { case (ws, _) => shinglesOf(ws) }.toSet
+      val probes = corpus.zipWithIndex.filter { case (_, id) => isDelta(id.toLong) }
+        .flatMap { case (ws, _) => shinglesOf(ws) }.toSet
+      sizes.foreach { case (m, k) =>
+        val bits = base.flatMap(s => (0 until k).map(i => hex60(s"bf$i:$s") % m))
+        val expect = probes.toSeq.sorted.map { s =>
+          val seen = (0 until k).forall(i => bits(hex60(s"bf$i:$s") % m))
+          val exact = base(s)
+          assert(!(exact && !seen), s"replica itself would be a false negative: $s")
+          (s, seen, exact,
+            if (seen && exact) "tp" else if (seen) "fp" else "tn")
+        }
+        val got = TextOps.bloomShingles(spark, dir, m, k).collect()
+          .map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2), r.getString(3)))
+        assert(got.toSeq == expect,
+          s"case $ci (m=$m,k=$k) bloom diverges:\n got=${got.toSeq}\n exp=$expect")
+        // the action is exactly the member report minus the fn-free proof:
+        // probed == bloom_seen, seen == exact_seen, row-identical keys
+        val pre = TextOps.bloomPrefilter(spark, dir, m, k).collect()
+          .map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2)))
+        assert(pre.toSeq == expect.map { case (s, b, e, _) => (s, b, e) },
+          s"case $ci (m=$m,k=$k) prefilter diverges from exact verdicts")
+      }
+      // stats cross-foot against the same replica, both sweep sizes
+      val st = TextOps.bloomStats(spark, dir, sizes).collect()
+        .map(r => r.getLong(0) -> r).toMap
+      sizes.foreach { case (m, k) =>
+        val bits = base.flatMap(s => (0 until k).map(i => hex60(s"bf$i:$s") % m))
+        val nMaybe = probes.count(s => (0 until k).forall(i => bits(hex60(s"bf$i:$s") % m)))
+        val nSeen = probes.count(base)
+        val r = st(m.toLong)
+        assert((r.getLong(2), r.getLong(3), r.getLong(5), r.getLong(6), r.getLong(7)) ==
+          ((base.size.toLong, bits.size.toLong, probes.size.toLong,
+            nMaybe.toLong, nSeen.toLong)),
+          s"case $ci stats row m=$m cross-foot fails: ${r.toSeq}")
+      }
+    }
+  }
+
   test("large-star/small-star equals min-label propagation on random graphs") {
     import graft.functions.VectorOps
     // random sparse graphs under the min-label cap: the two component
