@@ -359,8 +359,14 @@ object RunDocPipeline {
     // mis-cut permille when its p990 serves as the truncation threshold
     // (0 = the k-pairs-per-source state currently cuts exactly what the
     // full-sort exact threshold would)
-    val (requotaMoved, vocabEst, hhWorstOverPm, lenCapWorstDeltaPm) =
-      guarded("retune_monitors", (0L, 0L, 0L, 0L)) {
+    // bloom_fp_pm / bloom_saved_pm: the membership sketch's false-positive
+    // permille among genuinely-novel probe shingles and the share of the
+    // exact base-index join the prefilter skips, at the default (m, k) —
+    // together the go/no-go on serving the ingest overlap screen from an
+    // m-bit broadcast bitmap instead of the full shingle index
+    val (requotaMoved, vocabEst, hhWorstOverPm, lenCapWorstDeltaPm,
+         bloomFpPm, bloomSavedPm) =
+      guarded("retune_monitors", (0L, 0L, 0L, 0L, 0L, 0L)) {
         val rq = TextOps.qualityRequota(spark, sfDir)
         val moved = rq.filter(col("tau").isNotNull &&
           abs(col("keep_pm_delta") - col("keep_pm_base")) > 100).count()
@@ -370,7 +376,8 @@ object RunDocPipeline {
           .agg(max("over_pm")).collect()(0).getLong(0)
         val lc = TextOps.lenCap(spark, sfDir)
           .agg(max(abs(col("delta_pm")))).collect()(0).getLong(0)
-        (moved, est, hh, lc)
+        val bl = TextOps.bloomStats(spark, sfDir).orderBy("m").collect()(0)
+        (moved, est, hh, lc, bl.getAs[Long]("fp_pm"), bl.getAs[Long]("saved_pm"))
       }
 
     // the curriculum schedule over the same corpus: the quality-phase
@@ -386,7 +393,7 @@ object RunDocPipeline {
     val maxPhase = cur.agg(max("phase")).collect()(0).getInt(0)
     val annealDocs = cur.filter(col("phase") === maxPhase).count()
 
-    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"temp_shards":$tempShards,"temp_docs":$tempDocs,"temp_tokens":$tempTokens,"curriculum_shards":$curShards,"anneal_docs":$annealDocs,"worst_quality_drift_pm":$worstQDrift,"degraded_sources":$degradedSources,"worst_bpe_drift_pm":$worstBpeDrift,"requota_moved_sources":$requotaMoved,"vocab_est":$vocabEst,"hh_worst_over_pm":$hhWorstOverPm,"len_cap_worst_delta_pm":$lenCapWorstDeltaPm,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept,"caption_mismatch_media":$captionMismatchMedia,"videos_admitted":$videosAdmitted,"vectors_admitted":$vectorsAdmitted,"pairs_mined":$pairsMined,"contaminated":$contaminated,"span_tokens_cut":$spanTokensCut,"nb_scored":$nbScored,"nb_top_bucket":"$nbTopBucket","nb_top_count":$nbTopCount}""")
+    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"temp_shards":$tempShards,"temp_docs":$tempDocs,"temp_tokens":$tempTokens,"curriculum_shards":$curShards,"anneal_docs":$annealDocs,"worst_quality_drift_pm":$worstQDrift,"degraded_sources":$degradedSources,"worst_bpe_drift_pm":$worstBpeDrift,"requota_moved_sources":$requotaMoved,"vocab_est":$vocabEst,"hh_worst_over_pm":$hhWorstOverPm,"len_cap_worst_delta_pm":$lenCapWorstDeltaPm,"bloom_fp_pm":$bloomFpPm,"bloom_saved_pm":$bloomSavedPm,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept,"caption_mismatch_media":$captionMismatchMedia,"videos_admitted":$videosAdmitted,"vectors_admitted":$vectorsAdmitted,"pairs_mined":$pairsMined,"contaminated":$contaminated,"span_tokens_cut":$spanTokensCut,"nb_scored":$nbScored,"nb_top_bucket":"$nbTopBucket","nb_top_count":$nbTopCount}""")
     spark.stop()
   }
 }
