@@ -807,8 +807,8 @@ object TextOps {
     * broadcasts (the relation form is what a SQL oracle can see; the
     * semantics are identical). Session-shared per (m, k).
     */
-  private def bloomBits(spark: SparkSession, dir: String, m: Int, k: Int,
-                        deltaMod: Int): DataFrame =
+  private[graft] def bloomBits(spark: SparkSession, dir: String, m: Int, k: Int,
+                               deltaMod: Int): DataFrame =
     graft.SharedRel(spark, s"bloombits|$dir|$deltaMod|$m|$k", Materialize.Local) {
       val (base, _) = bloomSplit(spark, dir, deltaMod)
       base.select(explode(array((0 until k).map(i =>

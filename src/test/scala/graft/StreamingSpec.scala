@@ -987,6 +987,69 @@ class StreamingSpec extends SparkSuite {
         (batch.toSet diff twoBatch.toSet).take(3)}")
   }
 
+  test("bloom stream: frozen-bitmap novelty matches a scala replica; base replays are fn-free; 2-batch feed equals 1-batch") {
+    import graft.streaming.BloomStream
+    val sfDir = sf()
+    def hex60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val isDelta = (id: Long) => hex60(s"inc:$id") % 10 == 0
+    def norm(t: String) = t.toLowerCase.replaceAll("\\s+", " ").trim
+    def shinglesOf(t: String): Set[String] = {
+      val ws = norm(t).split(" ", -1).toSeq
+      if (ws.size >= 3) ws.sliding(3).map(_.mkString(" ")).toSet else Set(norm(t))
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)].collect().toSeq
+    val baseSh = docs.filter(d => !isDelta(d._1))
+      .flatMap(d => Option(d._2).map(shinglesOf).getOrElse(Set.empty[String])).toSet
+    val bits = baseSh.flatMap(s => (0 until BloomStream.KHash)
+      .map(i => hex60(s"bf$i:$s") % BloomStream.M))
+    val expect = docs.map { case (id, text, _) =>
+      val sh = Option(text).map(shinglesOf).getOrElse(Set.empty[String])
+      val nSeen = sh.count(s => (0 until BloomStream.KHash)
+        .forall(i => bits(hex60(s"bf$i:$s") % BloomStream.M)))
+      val novelPm = if (sh.nonEmpty) (sh.size - nSeen) * 1000L / sh.size else -1L
+      id -> ((sh.size.toLong, nSeen.toLong, novelPm))
+    }.toMap
+    val words = BloomStream.bitmapWords(spark, sfDir)
+    def run(batches: Seq[Seq[(Long, String, String)]], name: String)
+      : Map[Long, (Long, Long, Long)] = {
+      val in = MemoryStream[(Long, String, String)]
+      val out = BloomStream.novelty(
+        in.toDF().toDF("doc_id", "text", "source"), words)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => in.addData(b); q.processAllAvailable() }
+        spark.table(name)
+          .select(col("doc_id"), col("n_shingles").cast("long"),
+            col("n_seen").cast("long"), col("novel_pm"))
+          .as[(Long, Long, Long, Long)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      } finally q.stop()
+    }
+    val (a, b) = docs.splitAt(docs.size / 2)
+    val twoBatch = run(Seq(a, b), "bloom_stream_2b")
+    assert(twoBatch == expect,
+      s"stream novelty diverges from the replica: stream-only=${
+        (twoBatch.toSet diff expect.toSet).take(3)} replica-only=${
+        (expect.toSet diff twoBatch.toSet).take(3)}")
+    // no false negatives: a base doc's shingles are ALL in the filter, so
+    // its replay reads novel_pm 0 (or the -1 empty sentinel)
+    docs.filter(d => !isDelta(d._1)).foreach { case (id, _, _) =>
+      val pm = twoBatch(id)._3
+      assert(pm == 0L || pm == -1L, s"base doc $id reads novel_pm $pm != 0")
+    }
+    // the probe is stateless (the filter is a plan literal): feeding the
+    // same rows in one batch must be row-identical
+    assert(run(Seq(docs), "bloom_stream_1b") == twoBatch,
+      "stateless probe must be batching-insensitive")
+  }
+
   test("quantile stream: k-bounded sample state converges to the batch sketch; 2-batch feed equals 1-batch") {
     import graft.streaming.QuantileStream
     import graft.functions.TextOps
