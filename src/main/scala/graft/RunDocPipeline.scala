@@ -245,6 +245,29 @@ object RunDocPipeline {
         .filter(col("contaminated")).count()
     }
 
+    // novelty screen of the same ingest, zero-state form: the base
+    // corpus's Bloom bitmap rides the arrival plan as an 8 KB literal and
+    // every DELTA arrival gets a row-local shingle-novelty verdict (no
+    // join, no shuffle, no keyed state); readout is the count of
+    // mostly-novel arrivals (novel_pm >= 500) — the "is this crawl batch
+    // fresh" answer before anything pays the exact base index
+    val novelDocs = guarded("bloom_gate", 0L) {
+      import graft.streaming.BloomStream
+      val words = BloomStream.bitmapWords(spark, sfDir)
+      val q11 = BloomStream.novelty(
+          docs.filter(graft.functions.TextOps.docSplitE(10) === 0)
+            .select("doc_id", "text", "source"), words)
+        .writeStream.format("parquet")
+        .option("path", s"$workDir/bloom_novelty")
+        .option("checkpointLocation", s"$workDir/ckpt11")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q11.awaitTermination(300000)
+      spark.read.parquet(s"$workDir/bloom_novelty")
+        .filter(col("novel_pm") >= 500).count()
+    }
+
     // memorization-risk tier of the same ingest: every raw arrival has
     // its n-token runs already present in the frozen base substring index
     // cut out in-flight (stream-static join, epoch-partitioned output);
@@ -393,7 +416,7 @@ object RunDocPipeline {
     val maxPhase = cur.agg(max("phase")).collect()(0).getInt(0)
     val annealDocs = cur.filter(col("phase") === maxPhase).count()
 
-    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"temp_shards":$tempShards,"temp_docs":$tempDocs,"temp_tokens":$tempTokens,"curriculum_shards":$curShards,"anneal_docs":$annealDocs,"worst_quality_drift_pm":$worstQDrift,"degraded_sources":$degradedSources,"worst_bpe_drift_pm":$worstBpeDrift,"requota_moved_sources":$requotaMoved,"vocab_est":$vocabEst,"hh_worst_over_pm":$hhWorstOverPm,"len_cap_worst_delta_pm":$lenCapWorstDeltaPm,"bloom_fp_pm":$bloomFpPm,"bloom_saved_pm":$bloomSavedPm,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept,"caption_mismatch_media":$captionMismatchMedia,"videos_admitted":$videosAdmitted,"vectors_admitted":$vectorsAdmitted,"pairs_mined":$pairsMined,"contaminated":$contaminated,"span_tokens_cut":$spanTokensCut,"nb_scored":$nbScored,"nb_top_bucket":"$nbTopBucket","nb_top_count":$nbTopCount}""")
+    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"temp_shards":$tempShards,"temp_docs":$tempDocs,"temp_tokens":$tempTokens,"curriculum_shards":$curShards,"anneal_docs":$annealDocs,"worst_quality_drift_pm":$worstQDrift,"degraded_sources":$degradedSources,"worst_bpe_drift_pm":$worstBpeDrift,"requota_moved_sources":$requotaMoved,"vocab_est":$vocabEst,"hh_worst_over_pm":$hhWorstOverPm,"len_cap_worst_delta_pm":$lenCapWorstDeltaPm,"bloom_fp_pm":$bloomFpPm,"bloom_saved_pm":$bloomSavedPm,"novel_docs":$novelDocs,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept,"caption_mismatch_media":$captionMismatchMedia,"videos_admitted":$videosAdmitted,"vectors_admitted":$vectorsAdmitted,"pairs_mined":$pairsMined,"contaminated":$contaminated,"span_tokens_cut":$spanTokensCut,"nb_scored":$nbScored,"nb_top_bucket":"$nbTopBucket","nb_top_count":$nbTopCount}""")
     spark.stop()
   }
 }
