@@ -788,14 +788,18 @@ object TextOps {
   private def bloomSplit(spark: SparkSession, dir: String,
                          deltaMod: Int): (DataFrame, DataFrame) =
     graft.SharedRel.once(spark, s"bloomsplit|$dir|$deltaMod") {
-      val sh = shingles3(spark, dir).withColumn("is_delta",
-        pmod(Exprs.hex60(concat(lit("inc:"), col("doc_id").cast("string"))),
-          lit(deltaMod.toLong)) === 0)
-      val base = Materialize.Local(
-        sh.filter(!col("is_delta")).select(col("sh").as("shingle")).distinct())
-      val probes = Materialize.Local(
-        sh.filter(col("is_delta")).select(col("sh").as("shingle")).distinct())
-      (base, probes)
+      // ONE distinct over (shingle, side) — base and probes are then
+      // projections of the same checkpointed relation (two separate
+      // explode+distinct passes measured 6.5 s vs 4.1 s at sf0.1; a
+      // shingle living on both sides keeps one row per side, which is
+      // exactly the two DISTINCT sets)
+      val sides = Materialize.Local(
+        shingles3(spark, dir).select(col("sh").as("shingle"),
+            (pmod(Exprs.hex60(concat(lit("inc:"), col("doc_id").cast("string"))),
+              lit(deltaMod.toLong)) === 0).as("is_delta"))
+          .distinct())
+      (sides.filter(!col("is_delta")).select("shingle"),
+       sides.filter(col("is_delta")).select("shingle"))
     }
 
   private def bloomPosE(i: Int, s: Column, m: Int): Column =
