@@ -244,6 +244,7 @@ object SparkEntry {
     "d_bloom_shingles" -> ((s, dir) => TextOps.bloomShingles(s, dir)),
     "d_bloom_prefilter" -> ((s, dir) => TextOps.bloomPrefilter(s, dir)),
     "d_bloom_stats" -> ((s, dir) => TextOps.bloomStats(s, dir)),
+    "d_bloom_grow" -> ((s, dir) => TextOps.bloomGrow(s, dir)),
     "d_len_cap" -> ((s, dir) => TextOps.lenCap(s, dir)),
     "d_lsh_sweep" -> ((s, dir) => TextOps.lshSweep(s, dir)),
     "d_segment_dedup" -> ((s, dir) => TextOps.segmentDedup(s, dir)),
@@ -280,6 +281,7 @@ object SparkEntry {
     "d_cap_per_source" -> ((s, dir) => MixOps.capPerSource(s, dir)),
     "d_semantic_dedup" -> ((s, dir) => MixOps.semanticDedup(s, dir)),
     "d_dedup_agreement" -> ((s, dir) => MixOps.dedupAgreement(s, dir)),
+    "d_paraphrase_mine" -> ((s, dir) => MixOps.paraphraseMine(s, dir)),
     "d_shard_manifest" -> ((s, dir) => MixOps.shardManifest(s, dir)),
     "d_manifest_incr" -> ((s, dir) => MixOps.manifestIncr(s, dir)),
     // the production daily-increment path: the base freeze is a per-session
@@ -760,6 +762,7 @@ object SparkEntry {
       "d_bloom_shingles" -> TextOps.bloomShinglesSql(),
       "d_bloom_prefilter" -> TextOps.bloomPrefilterSql(),
       "d_bloom_stats" -> TextOps.bloomStatsSql(),
+      "d_bloom_grow" -> TextOps.bloomGrowSql(),
       "d_len_cap" -> TextOps.lenCapSql(),
       "d_lsh_sweep" -> TextOps.lshSweepSql(),
       "d_segment_dedup" -> TextOps.segmentDedupSql(),
@@ -796,6 +799,7 @@ object SparkEntry {
       "d_cap_per_source" -> MixOps.capPerSourceSql(),
       "d_semantic_dedup" -> MixOps.semanticDedupSql(),
       "d_dedup_agreement" -> MixOps.dedupAgreementSql(),
+      "d_paraphrase_mine" -> MixOps.paraphraseMineSql(),
       "d_shard_manifest" -> MixOps.shardManifestSql(),
       "d_manifest_incr" -> MixOps.manifestIncrSql(),
       "d_manifest_delta" -> MixOps.manifestIncrSql(),

@@ -1435,6 +1435,61 @@ object MixOps {
         expr("n_both * 1000 div greatest(n_sem, 1)").as("sem_covered_pm"))
   }
 
+  /** [[dedupAgreement]]'s ACTION — the cross-tab's `sem_only` cell mined
+    * as data, not just counted: pairs the EMBEDDING tier calls duplicates
+    * (cos ≥ `cosThreshold`) whose SURFACES genuinely diverge (exact
+    * word-set jaccard ≤ `jCap`, computed directly on the mined pairs
+    * rather than inherited from the lexical tier's df-capped candidate
+    * generation) are paraphrase candidates — same meaning, different
+    * words: the alignment/augmentation training pairs a semantic-dedup
+    * pass would otherwise silently discard as "duplicates".
+    *
+    * Scale shape: rides the session-shared near-dup pair index; the
+    * jaccard enrichment is two |pairs|-bounded payload joins by doc_id
+    * (the [[graft.functions.TextOps.jaccardPairs]] verify idiom) — no new
+    * candidate generation, no self-join.
+    */
+  def paraphraseMine(spark: SparkSession, dir: String,
+                     cosThreshold: Double = 0.4,
+                     jCap: Double = 0.5): DataFrame = {
+    val sem = VectorOps.nearDupLsh(spark, dir, cosThreshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("cos_sim"))
+    val d = TextOps.prepared(spark, dir)
+      .select(col("doc_id"), array_distinct(col("words")).as("ws"))
+    sem
+      .join(d.select(col("doc_id").as("doc_a"), col("ws").as("ws_a")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("ws").as("ws_b")), "doc_b")
+      .withColumn("n_shared", size(array_intersect(col("ws_a"), col("ws_b"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("ws_a")) + size(col("ws_b"))).cast("long") - col("n_shared"))
+      .filter(col("n_shared") / col("n_union").cast("double") <= jCap)
+      .select(col("doc_a"), col("doc_b"), col("cos_sim"),
+        round(col("n_shared") / col("n_union").cast("double"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def paraphraseMineSql(cosThreshold: Double = 0.4,
+                        jCap: Double = 0.5): String =
+    s"""WITH sem AS (
+       |  SELECT id_a AS doc_a, id_b AS doc_b, cos_sim
+       |  FROM (${VectorOps.nearDupLshSql(cosThreshold)})),
+       |d AS (
+       |  SELECT doc_id, list_distinct(words) AS ws
+       |  FROM (${TextOps.preparedSql})),
+       |j AS (
+       |  SELECT sem.doc_a, sem.doc_b, sem.cos_sim,
+       |    CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS n_shared,
+       |    CAST(len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))
+       |      AS BIGINT) AS n_union
+       |  FROM sem
+       |  JOIN d a ON sem.doc_a = a.doc_id
+       |  JOIN d b ON sem.doc_b = b.doc_id)
+       |SELECT doc_a, doc_b, cos_sim,
+       |  round(n_shared / CAST(n_union AS DOUBLE), 4) AS jaccard
+       |FROM j
+       |WHERE n_shared / CAST(n_union AS DOUBLE) <= $jCap
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   def dedupAgreementSql(jThreshold: Double = 0.9,
                         cosThreshold: Double = 0.4): String =
     s"""WITH lex AS (

@@ -1019,6 +1019,80 @@ object TextOps {
        |FROM raw ORDER BY m""".stripMargin
   }
 
+  /** The membership sketch's MAINTENANCE op — the lifecycle step after
+    * [[bloomShingles]] (monitor) and [[bloomPrefilter]] (serve): fold the
+    * day's genuinely-novel shingles into the frozen bitmap (a Bloom
+    * filter is append-only — OR-ing positions is the entire merge, no
+    * rebuild), price the fill creep, and make the RESIZE call: when the
+    * grown fill crosses `resizePm` the report also prices the rebuild at
+    * 2m over base ∪ arrivals — the m-doubling decision a serving
+    * deployment actually takes (the [[heavyHitters]]→[[hhWiden]] shape,
+    * applied to the filter's own capacity planning).
+    *
+    * Scale shape: the merge is one ≤(m + k·|novel|)-row distinct union —
+    * O(delta) against the frozen ≤m-row state, never a base re-scan; the
+    * 2m rebuild arm is the only base-wide pass and is exactly what the
+    * resize pays in production. All counts fold to one row of integers.
+    */
+  def bloomGrow(spark: SparkSession, dir: String, m: Int = 65536,
+                k: Int = 3, deltaMod: Int = 10,
+                resizePm: Long = 500L): DataFrame = {
+    val (base, probes) = bloomSplit(spark, dir, deltaMod)
+    val bits = bloomBits(spark, dir, m, k, deltaMod)
+    val novel = bloomProbe(spark, dir, m, k, deltaMod)
+      .filter(!col("exact_seen")).select("shingle")
+    val grown = bits.select("pos").union(
+      novel.select(explode(array((0 until k).map(i =>
+        bloomPosE(i, col("shingle"), m)): _*)).as("pos"))).distinct()
+    val m2 = m * 2
+    // the resize alternative: rebuild at 2m over the merged shingle set
+    // (base ∪ probes ≡ base ∪ novel — seen probes are already members)
+    val rebuilt = base.union(probes).distinct()
+      .select(explode(array((0 until k).map(i =>
+        bloomPosE(i, col("shingle"), m2)): _*)).as("pos")).distinct()
+    val counts = Seq(
+      novel.agg(count(lit(1)).as("n_novel")),
+      bits.agg(count(lit(1)).as("bits_before")),
+      grown.agg(count(lit(1)).as("bits_after")),
+      rebuilt.agg(count(lit(1)).as("bits_next")))
+    counts.reduce((a, b) => a.crossJoin(broadcast(b)))
+      .select(lit(m).cast("long").as("m"), lit(k).cast("long").as("k"),
+        col("n_novel"), col("bits_before"), col("bits_after"),
+        expr(s"bits_before * 1000L div ${m}L").as("fill_before_pm"),
+        expr(s"bits_after * 1000L div ${m}L").as("fill_after_pm"),
+        expr(s"bits_after * 1000L div ${m}L >= ${resizePm}L").as("resize"),
+        lit(m2).cast("long").as("m_next"), col("bits_next"),
+        expr(s"bits_next * 1000L div ${m2}L").as("fill_next_pm"))
+  }
+
+  def bloomGrowSql(m: Int = 65536, k: Int = 3, deltaMod: Int = 10,
+                   resizePm: Long = 500L): String = {
+    val m2 = m * 2
+    s"""WITH ${bloomCoreSql(m, k, deltaMod)},
+       |novel AS (SELECT shingle FROM pv WHERE NOT exact_seen),
+       |grown AS (
+       |  SELECT DISTINCT pos FROM (
+       |    SELECT pos FROM bits
+       |    UNION ALL
+       |    SELECT pos FROM (${bloomArmsSql("novel", m, k)}))),
+       |merged AS (SELECT shingle FROM base UNION SELECT shingle FROM probes),
+       |rebuilt AS (SELECT DISTINCT pos FROM (
+       |  ${bloomArmsSql("merged", m2, k)})),
+       |c AS (
+       |  SELECT (SELECT count(*) FROM novel)::BIGINT AS n_novel,
+       |         (SELECT count(*) FROM bits)::BIGINT AS bits_before,
+       |         (SELECT count(*) FROM grown)::BIGINT AS bits_after,
+       |         (SELECT count(*) FROM rebuilt)::BIGINT AS bits_next)
+       |SELECT ${m}::BIGINT AS m, ${k}::BIGINT AS k, n_novel,
+       |  bits_before, bits_after,
+       |  bits_before * 1000 // $m AS fill_before_pm,
+       |  bits_after * 1000 // $m AS fill_after_pm,
+       |  bits_after * 1000 // $m >= $resizePm AS resize,
+       |  ${m2}::BIGINT AS m_next, bits_next,
+       |  bits_next * 1000 // $m2 AS fill_next_pm
+       |FROM c""".stripMargin
+  }
+
   def contamination(spark: SparkSession, dir: String, probeMax: Long = 10): DataFrame =
     // session-shared: the contamination index is consumed by d_contamination,
     // curate (d_curate + both corpus builds) and the incremental delta pass —

@@ -1060,6 +1060,28 @@ class OperatorsSpec extends SparkSuite {
     assert(rr > raw, "re-rank must improve on raw projection ranking")
   }
 
+  test("paraphraseMine: semantic pairs survive only when surfaces diverge; high-jaccard twins drop") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over dog", "en", "s", 34L),
+      (1L, "a speedy russet vulpine leaps above canine", "en", "s", 42L),
+      (2L, "the quick brown fox jumps over dog today", "en", "s", 40L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // identical embeddings: every pair is a semantic duplicate (cos 1,
+    // one shared LSH bucket); the SURFACE gate must keep the disjoint
+    // word sets (jaccard 0) and drop the 7/8-overlap near-twin (0,2)
+    val v = Seq(1.0f, 2.0f, 3.0f, 4.0f)
+    val vecs = Seq((0L, v, 0), (1L, v, 0), (2L, v, 0))
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("paraphrase").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    vecs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.functions.MixOps.paraphraseMine(spark, dir)
+      .select("doc_a", "doc_b", "cos_sim", "jaccard")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((0L, 1L, 1.0, 0.0), (1L, 2L, 1.0, 0.0)),
+      s"mined pairs wrong: $got")
+  }
+
   test("distinctKmv: sub-k source is exact, over-k source matches the scala KMV estimator") {
     def hex60(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")

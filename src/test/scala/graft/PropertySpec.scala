@@ -648,6 +648,24 @@ class PropertySpec extends SparkSuite {
             nMaybe.toLong, nSeen.toLong)),
           s"case $ci stats row m=$m cross-foot fails: ${r.toSeq}")
       }
+      // grow cross-foot at the (64, 2) size: the merge is positions(bits ∪
+      // novel) and the rebuild arm hashes base ∪ probes at 2m — the
+      // undersized filter makes novel-shingle position collisions real
+      val (gm, gk) = (64, 2)
+      val gBits = base.flatMap(s => (0 until gk).map(i => hex60(s"bf$i:$s") % gm))
+      val novel = probes.diff(base)
+      val gAfter = gBits ++ novel.flatMap(s => (0 until gk).map(i => hex60(s"bf$i:$s") % gm))
+      val gNext = (base ++ probes).flatMap(s =>
+        (0 until gk).map(i => hex60(s"bf$i:$s") % (2 * gm)))
+      val g = TextOps.bloomGrow(spark, dir, gm, gk).collect()
+      assert(g.length == 1)
+      val gr = g.head
+      assert((gr.getLong(2), gr.getLong(3), gr.getLong(4), gr.getLong(9)) ==
+        ((novel.size.toLong, gBits.size.toLong, gAfter.size.toLong, gNext.size.toLong)),
+        s"case $ci grow cross-foot fails: ${gr.toSeq}\n " +
+          s"exp novel=${novel.size} before=${gBits.size} after=${gAfter.size} next=${gNext.size}")
+      assert(gr.getBoolean(7) == (gr.getLong(6) >= 500L),
+        s"case $ci resize flag inconsistent with fill_after_pm: ${gr.toSeq}")
     }
   }
 
