@@ -231,6 +231,16 @@ class EdgeCaseSpec extends SparkSuite {
       assert(savedPm == -1L || (savedPm >= 0L && savedPm <= 1000L),
         s"saved_pm out of range: ${row.toSeq}")
     }
+    // the maintenance op on the same degenerate corpus: the merge can only
+    // add bits, the rebuild arm hashes the merged set at 2m, and the fill
+    // columns stay within [0, 1000] on both engines' integer math
+    val g = TextOps.bloomGrow(spark, tmp).collect()
+    assert(g.length == 1)
+    val gr = g.head
+    assert(gr.getLong(4) >= gr.getLong(3),
+      s"append-only merge lost bits: ${gr.toSeq}")
+    assert(gr.getLong(6) >= gr.getLong(5) && gr.getLong(6) <= 1000L,
+      s"fill creep out of range: ${gr.toSeq}")
   }
 
   test("quantileSketch/lenCap: null text counts as 0 tokens on both engines, sub-k exact, no mis-cut") {

@@ -653,6 +653,20 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("d_bloom_grow: O(delta) merge and rebuild arm stay keyed; no cartesian") {
+    val plan = executedPlan("d_bloom_grow")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"),
+      s"grow is unions + distincts + 1-row broadcast folds only:\n$plan")
+  }
+
+  test("d_paraphrase_mine: payload joins keyed by doc id; no cartesian") {
+    val plan = executedPlan("d_paraphrase_mine")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the pair enrichment must join by doc_id, never pair-product:\n$plan")
+  }
+
   test("d_distinct_kmv: top-k window partitions by source over distinct hashes") {
     val plan = executedPlan("d_distinct_kmv")
     assert(plan.contains("windowspecdefinition(source"),
