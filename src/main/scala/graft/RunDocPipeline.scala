@@ -263,7 +263,13 @@ object RunDocPipeline {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
-      q11.awaitTermination(300000)
+      // check the timeout result and always stop (the q8 pairs_mined
+      // pattern): a silent timeout would count a partial novelty dir
+      // while the query keeps writing
+      try {
+        if (!q11.awaitTermination(300000))
+          sys.error("bloom_gate stream did not drain within 300 s")
+      } finally q11.stop()
       spark.read.parquet(s"$workDir/bloom_novelty")
         .filter(col("novel_pm") >= 500).count()
     }

@@ -52,6 +52,27 @@ object Retrieval {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** The inverted index every BM25 entry point serves from, built ONCE:
+    * the per-doc tokenized length base `withLen` (doc_id, ws, len) and the
+    * session-shared (doc_id, len, w, tf) posting relation under the single
+    * SharedRel key `bm25idx|dir`. Extracted so the key and the builder
+    * cannot drift apart across consumers ([[bm25Scored]],
+    * [[bm25IncrScored]], [[bm25IndexStats]], [[bm25Pruned]]) — four
+    * previously-inlined copies forked the index silently if one changed.
+    */
+  private[graft] def bm25Index(spark: SparkSession, dir: String,
+                               mat: Materialize): (DataFrame, DataFrame) = {
+    val withLen = TextOps.prepared(spark, dir).select(
+      col("doc_id"),
+      filter(col("words"), w => w =!= "").as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("len"))
+    val tf = graft.SharedRel(spark, s"bm25idx|$dir", mat)(
+      withLen.select(col("doc_id"), col("len"), explode(col("ws")).as("w"))
+        .groupBy(col("doc_id"), col("len"), col("w"))
+        .agg(count(lit(1)).as("tf")))
+    (withLen, tf)
+  }
+
   /** The pre-top-k (q_id, doc_id, s_int) score relation of [[bm25]] —
     * candidates from the session-shared inverted index with query terms
     * over `maxDfFrac`·N dropped. Because every contribution comes from a
@@ -62,20 +83,13 @@ object Retrieval {
   private def bm25Scored(spark: SparkSession, dir: String, probeMax: Long,
                          k1: Double, b: Double, maxDfFrac: Double,
                          mat: Materialize): DataFrame = {
-    val withLen = TextOps.prepared(spark, dir).select(
-      col("doc_id"),
-      filter(col("words"), w => w =!= "").as("ws"))
-      .select(col("doc_id"), col("ws"), size(col("ws")).as("len"))
     // the inverted index: session-shared (SharedRel) because it is a
     // derived index relation with MULTIPLE query consumers (d_bm25,
     // d_bm25_pruned and d_hybrid_rrf) and four in-plan consumers (df,
     // query terms, the candidate join, stats' len base) — unshared, each
     // consumer re-ran the explode + count over the corpus (measured
     // 5.8 s → ~2.6 s marginal at sf0.1)
-    val tf = graft.SharedRel(spark, s"bm25idx|$dir", mat)(
-      withLen.select(col("doc_id"), col("len"), explode(col("ws")).as("w"))
-        .groupBy(col("doc_id"), col("len"), col("w"))
-        .agg(count(lit(1)).as("tf")))
+    val (withLen, tf) = bm25Index(spark, dir, mat)
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val stats = withLen.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
     // query side: distinct probe terms, df-capped; carries df for the idf
@@ -177,14 +191,7 @@ object Retrieval {
                                     maxDfFrac: Double, deltaMod: Int,
                                     mat: Materialize,
                                     freshStats: Boolean = false): DataFrame = {
-    val withLen = TextOps.prepared(spark, dir).select(
-      col("doc_id"),
-      filter(col("words"), w => w =!= "").as("ws"))
-      .select(col("doc_id"), col("ws"), size(col("ws")).as("len"))
-    val tf = graft.SharedRel(spark, s"bm25idx|$dir", mat)(
-      withLen.select(col("doc_id"), col("len"), explode(col("ws")).as("w"))
-        .groupBy(col("doc_id"), col("len"), col("w"))
-        .agg(count(lit(1)).as("tf")))
+    val (withLen, tf) = bm25Index(spark, dir, mat)
     val isBase = TextOps.docSplitE(deltaMod) =!= 0
     // FROZEN statistics: df / N / Σlen over the base split only —
     // unless `freshStats`, which scores the same delta candidates under
@@ -296,14 +303,7 @@ object Retrieval {
   def bm25IndexStats(spark: SparkSession, dir: String,
                      maxDfFrac: Double = 0.9,
                      mat: Materialize = Materialize.Local): DataFrame = {
-    val withLen = TextOps.prepared(spark, dir).select(
-      col("doc_id"),
-      filter(col("words"), w => w =!= "").as("ws"))
-      .select(col("doc_id"), size(col("ws")).as("len"), col("ws"))
-    val tf = graft.SharedRel(spark, s"bm25idx|$dir", mat)(
-      withLen.select(col("doc_id"), col("len"), explode(col("ws")).as("w"))
-        .groupBy(col("doc_id"), col("len"), col("w"))
-        .agg(count(lit(1)).as("tf")))
+    val (withLen, tf) = bm25Index(spark, dir, mat)
     val stats = withLen.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
     val df = tf.groupBy(col("w"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("postings"))
@@ -514,14 +514,7 @@ object Retrieval {
                  mat: Materialize = Materialize.Local): DataFrame = {
     val full = bm25Scored(spark, dir, probeMax, k1, b, 1.0, mat)
     val pruned = bm25Scored(spark, dir, probeMax, k1, b, pruneFrac, mat)
-    val withLen = TextOps.prepared(spark, dir).select(
-      col("doc_id"),
-      filter(col("words"), w => w =!= "").as("ws"))
-      .select(col("doc_id"), size(col("ws")).as("len"), col("ws"))
-    val tf = graft.SharedRel(spark, s"bm25idx|$dir", mat)(
-      withLen.select(col("doc_id"), col("len"), explode(col("ws")).as("w"))
-        .groupBy(col("doc_id"), col("len"), col("w"))
-        .agg(count(lit(1)).as("tf")))
+    val (withLen, tf) = bm25Index(spark, dir, mat)
     val nDocs = withLen.agg(count(lit(1)).as("n_docs"))
     val mass = tf.groupBy(col("w"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("postings"))

@@ -626,7 +626,7 @@ object TextOps {
        |FROM (
        |  SELECT e.source, n_exact, h_k,
        |    CASE WHEN n_k < $k THEN n_exact
-       |         ELSE CAST(floor((${k - 1}.0 * 1152921504606846976.0) / h_k) AS BIGINT)
+       |         ELSE CAST(floor((CAST(${k - 1}.0 AS DOUBLE) * CAST(1152921504606846976.0 AS DOUBLE)) / h_k) AS BIGINT)
        |         END AS est
        |  FROM exact e JOIN topk USING (source))
        |ORDER BY source""".stripMargin

@@ -14,9 +14,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * The arrival side reuses the batch tier's exact expressions (normalize +
   * split token count, the same `qs:`-salted doc-id hash), and the
-  * bottom-k-by-hash merge is a semilattice over the arrival SET — the
-  * `(h, v)` pairs are deduped by hash, so the state is order-, batching-
-  * AND replay-insensitive (the spec asserts 2-batch ≡ 1-batch). Unlike
+  * bottom-k-by-hash merge is a semilattice over the arrival SET — pairs
+  * are deduped by HASH (one value survives per doc, matching the batch
+  * sample's one-(hash,value)-per-doc shape; a re-fed doc with a CHANGED
+  * token count resolves to the min value, a deterministic order-free
+  * choice), so the state is order-, batching- AND replay-insensitive
+  * (the spec asserts 2-batch ≡ 1-batch). Unlike
   * the KMV estimate the quantile estimate is NOT monotone as the sample
   * composition shifts, so each emission carries a per-source `ver`
   * counter and the LAST emission (max ver) is the convergent one; it
@@ -46,8 +49,13 @@ object QuantileStream {
         (source: String, rows: Iterator[DocArrival], state: GroupState[QState]) => {
           val prev = state.getOption.map(_.pairs).getOrElse(Nil)
           val ver = state.getOption.map(_.ver).getOrElse(0L) + 1
+          // dedup by HASH, not by (h, v) pair: the batch sketch keeps one
+          // (hash, value) per doc_id, so a re-fed doc with an updated
+          // token count must not leave two pairs in state (min v wins —
+          // deterministic under any arrival order)
           val merged = (prev ++ rows.map(r => (r.h, r.v)))
-            .distinct.sortBy(_._1).take(K)
+            .groupBy(_._1).map { case (h, hv) => (h, hv.map(_._2).min) }
+            .toList.sortBy(_._1).take(K)
           state.update(QState(merged, ver))
           val vs = merged.map(_._2).sorted.toIndexedSeq
           val m = vs.size

@@ -1093,6 +1093,30 @@ class StreamingSpec extends SparkSuite {
         (batch.toSet diff fromStream.toSet).take(3)}")
   }
 
+  test("quantile stream: a re-fed doc with a changed token count keeps ONE pair per hash (min value), not two") {
+    import graft.streaming.QuantileStream
+    // three docs; doc 2 is re-fed in batch 2 with a LONGER text — the
+    // state must dedup by hash (min v wins), so the sample size stays 3
+    // and the estimates come from the ORIGINAL 2-token value, not 6
+    val b1 = Seq((1L, "a b c", "s"), (2L, "x y", "s"), (3L, "p q r t", "s"))
+    val b2 = Seq((2L, "x y now much longer text", "s"))
+    val in = MemoryStream[(Long, String, String)]
+    val out = QuantileStream.estimates(in.toDF().toDF("doc_id", "text", "source"))
+    val q = out.writeStream.format("memory").queryName("q_stream_refed")
+      .outputMode("append").start()
+    try {
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      val last = spark.table("q_stream_refed")
+        .as[(String, Long, Int, Long, Long)].collect().maxBy(_._2)
+      assert(last._3 == 3, s"re-fed doc must not grow the sample: m=${last._3}")
+      // values in state are {3, 2, 4} (min of 2 and 6 for doc 2): both
+      // p500 and p990 index ((m-1)*p)/1000 = 1 into sorted {2,3,4} = 3
+      assert((last._4, last._5) == ((3L, 3L)),
+        s"estimates must come from the min-v dedup: (${last._4}, ${last._5})")
+    } finally q.stop()
+  }
+
   test("cms stream: width-bounded counter state converges to the batch sketch; 2-batch feed equals 1-batch") {
     import graft.streaming.CmsStream
     val sfDir = sf()
