@@ -274,6 +274,32 @@ object RunDocPipeline {
         .filter(col("novel_pm") >= 500).count()
     }
 
+    // length-admission tier of the same ingest: the batch quantile
+    // sketch's p990 per source is frozen into a broadcast (source, thr)
+    // relation and every raw arrival gets a row-local over-cap verdict
+    // (zero keyed state — the d_len_cap cut applied in-stream); readout
+    // is the count of over-length arrivals the gate would truncate
+    val lenGated = guarded("len_gate", 0L) {
+      import graft.streaming.QuantileStream
+      val thr = graft.functions.TextOps
+        .quantileSketch(spark, sfDir, QuantileStream.K, Seq(990))
+        .select(col("source"), col("est").as("thr"))
+      val q12 = QuantileStream.lenGate(
+          docs.select("doc_id", "text", "source"), thr)
+        .writeStream.format("parquet")
+        .option("path", s"$workDir/len_gate")
+        .option("checkpointLocation", s"$workDir/ckpt12")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        if (!q12.awaitTermination(300000))
+          sys.error("len_gate stream did not drain within 300 s")
+      } finally q12.stop()
+      spark.read.parquet(s"$workDir/len_gate")
+        .filter(col("over_cap")).count()
+    }
+
     // memorization-risk tier of the same ingest: every raw arrival has
     // its n-token runs already present in the frozen base substring index
     // cut out in-flight (stream-static join, epoch-partitioned output);
@@ -405,7 +431,10 @@ object RunDocPipeline {
           .agg(max("over_pm")).collect()(0).getLong(0)
         val lc = TextOps.lenCap(spark, sfDir)
           .agg(max(abs(col("delta_pm")))).collect()(0).getLong(0)
-        val bl = TextOps.bloomStats(spark, sfDir).orderBy("m").collect()(0)
+        // the DEPLOYED (m, k) row — the sweep's first row is now the
+        // deliberately undersized fp-exercise config, not the default
+        val bl = TextOps.bloomStats(spark, sfDir)
+          .filter(col("m") === 65536).collect()(0)
         (moved, est, hh, lc, bl.getAs[Long]("fp_pm"), bl.getAs[Long]("saved_pm"))
       }
 
@@ -422,7 +451,7 @@ object RunDocPipeline {
     val maxPhase = cur.agg(max("phase")).collect()(0).getInt(0)
     val annealDocs = cur.filter(col("phase") === maxPhase).count()
 
-    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"temp_shards":$tempShards,"temp_docs":$tempDocs,"temp_tokens":$tempTokens,"curriculum_shards":$curShards,"anneal_docs":$annealDocs,"worst_quality_drift_pm":$worstQDrift,"degraded_sources":$degradedSources,"worst_bpe_drift_pm":$worstBpeDrift,"requota_moved_sources":$requotaMoved,"vocab_est":$vocabEst,"hh_worst_over_pm":$hhWorstOverPm,"len_cap_worst_delta_pm":$lenCapWorstDeltaPm,"bloom_fp_pm":$bloomFpPm,"bloom_saved_pm":$bloomSavedPm,"novel_docs":$novelDocs,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept,"caption_mismatch_media":$captionMismatchMedia,"videos_admitted":$videosAdmitted,"vectors_admitted":$vectorsAdmitted,"pairs_mined":$pairsMined,"contaminated":$contaminated,"span_tokens_cut":$spanTokensCut,"nb_scored":$nbScored,"nb_top_bucket":"$nbTopBucket","nb_top_count":$nbTopCount}""")
+    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"temp_shards":$tempShards,"temp_docs":$tempDocs,"temp_tokens":$tempTokens,"curriculum_shards":$curShards,"anneal_docs":$annealDocs,"worst_quality_drift_pm":$worstQDrift,"degraded_sources":$degradedSources,"worst_bpe_drift_pm":$worstBpeDrift,"requota_moved_sources":$requotaMoved,"vocab_est":$vocabEst,"hh_worst_over_pm":$hhWorstOverPm,"len_cap_worst_delta_pm":$lenCapWorstDeltaPm,"bloom_fp_pm":$bloomFpPm,"bloom_saved_pm":$bloomSavedPm,"novel_docs":$novelDocs,"len_gated":$lenGated,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept,"caption_mismatch_media":$captionMismatchMedia,"videos_admitted":$videosAdmitted,"vectors_admitted":$vectorsAdmitted,"pairs_mined":$pairsMined,"contaminated":$contaminated,"span_tokens_cut":$spanTokensCut,"nb_scored":$nbScored,"nb_top_bucket":"$nbTopBucket","nb_top_count":$nbTopCount}""")
     spark.stop()
   }
 }

@@ -247,6 +247,8 @@ object SparkEntry {
     "d_bloom_grow" -> ((s, dir) => TextOps.bloomGrow(s, dir)),
     "d_len_cap" -> ((s, dir) => TextOps.lenCap(s, dir)),
     "d_lsh_sweep" -> ((s, dir) => TextOps.lshSweep(s, dir)),
+    "d_lsh_retune" -> ((s, dir) => TextOps.lshRetune(s, dir)),
+    "d_sketch_merge" -> ((s, dir) => TextOps.sketchMerge(s, dir)),
     "d_segment_dedup" -> ((s, dir) => TextOps.segmentDedup(s, dir)),
     "d_lm_bits" -> ((s, dir) => TextOps.lmBits(s, dir)),
     "d_lm2_bits" -> ((s, dir) => TextOps.lm2Bits(s, dir)),
@@ -765,6 +767,8 @@ object SparkEntry {
       "d_bloom_grow" -> TextOps.bloomGrowSql(),
       "d_len_cap" -> TextOps.lenCapSql(),
       "d_lsh_sweep" -> TextOps.lshSweepSql(),
+      "d_lsh_retune" -> TextOps.lshRetuneSql(),
+      "d_sketch_merge" -> TextOps.sketchMergeSql(),
       "d_segment_dedup" -> TextOps.segmentDedupSql(),
       "d_lm_bits" -> TextOps.lmBitsSql,
       "d_lm2_bits" -> TextOps.lm2BitsSql,

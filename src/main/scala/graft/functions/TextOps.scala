@@ -956,10 +956,16 @@ object TextOps {
     * permille among true novelties, and the share of the exact-join
     * workload the prefilter saves. All-integer permille math; divisions
     * guarded so a degenerate corpus yields -1 sentinels on both engines
-    * (the bm25IndexStats empty-corpus lesson).
+    * (the bm25IndexStats empty-corpus lesson). The sweep deliberately
+    * includes an UNDERSIZED row — (32768, 2) runs at high fill on
+    * testdata — so the false-positive path and the prefilter's
+    * exact-join rescue are exercised at query level, not merely
+    * constructible (the fp branch was dead at the two right-sized
+    * configs).
     */
   def bloomStats(spark: SparkSession, dir: String,
-                 sizes: Seq[(Int, Int)] = Seq((65536, 3), (262144, 4)),
+                 sizes: Seq[(Int, Int)] =
+                   Seq((32768, 2), (65536, 3), (262144, 4)),
                  deltaMod: Int = 10): DataFrame = {
     val (base, probes) = bloomSplit(spark, dir, deltaMod)
     val nBase = base.agg(count(lit(1)).as("n_base"))
@@ -986,7 +992,8 @@ object TextOps {
     }.reduce(_.unionByName(_)).orderBy("m")
   }
 
-  def bloomStatsSql(sizes: Seq[(Int, Int)] = Seq((65536, 3), (262144, 4)),
+  def bloomStatsSql(sizes: Seq[(Int, Int)] =
+                      Seq((32768, 2), (65536, 3), (262144, 4)),
                     deltaMod: Int = 10): String = {
     val arms = sizes.map { case (m, k) =>
       s"""SELECT ${m}::BIGINT AS m, ${k}::BIGINT AS k,
@@ -1091,6 +1098,203 @@ object TextOps {
        |  ${m2}::BIGINT AS m_next, bits_next,
        |  bits_next * 1000 // $m2 AS fill_next_pm
        |FROM c""".stripMargin
+  }
+
+  /** Shard-merge contract of the sketch tier — the query-level PROOF that
+    * the KMV / Count-Min / Bloom sketches support the map-reduce
+    * deployment a 100 TB build actually runs: build one sketch PER SHARD
+    * over salted doc_id shards (embarrassingly parallel — the per-shard
+    * build touches only its shard's rows, no cross-shard traffic), merge
+    * the shard states (KMV: union of the k-min sets re-cut to bottom-k;
+    * CMS: element-wise counter sum; Bloom: bitmap OR = position-set
+    * union), and show the merged state is CELL-IDENTICAL to the
+    * single-pass sketch over the whole corpus. The streaming twins
+    * ([[graft.streaming.KmvStream]] / [[graft.streaming.CmsStream]] /
+    * [[graft.streaming.BloomStream]]) prove the same semilattice algebra
+    * batch-by-batch; this is the across-executor form, oracle-checked
+    * (same [[graft.Exprs.hex60]] contract, no RNG — a shard is a pure
+    * hash residue both engines compute).
+    *
+    * One row per (sketch, key): `merged`/`single` are the headline
+    * statistic read from each state (the KMV estimate per source / total
+    * CMS counter mass / Bloom set-bit count) and `diff_cells` the
+    * symmetric-difference size of the two STATES — 0 everywhere is the
+    * contract. KMV correctness argument: a hash in the global bottom-k
+    * has global rank ≤ k, hence rank ≤ k within its own shard, so it
+    * survives the per-shard cut — the shard union can never lose a
+    * global-bottom-k member.
+    */
+  def sketchMerge(spark: SparkSession, dir: String, nShards: Int = 4,
+                  kKmv: Int = 16, depth: Int = 3, width: Int = 64,
+                  mBloom: Int = 65536, kBloom: Int = 3): DataFrame = {
+    val shardE = pmod(
+      Exprs.hex60(concat(lit("shard:"), col("doc_id").cast("string"))),
+      lit(nShards.toLong))
+    // ---- KMV: per-source bottom-k of distinct word hashes ----
+    val dw = prepared(spark, dir)
+      .select(col("source"), shardE.as("shard"), explode(col("words")).as("w"))
+      .select(col("source"), col("shard"),
+        Exprs.hex60(concat(lit("kmv:"), col("w"))).as("h"))
+      .distinct()
+    val wSh = Window.partitionBy(col("source"), col("shard")).orderBy(col("h"))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("h"))
+    val shardState = dw.withColumn("rk", row_number().over(wSh))
+      .filter(col("rk") <= kKmv).select("source", "h")
+    // same hash can reach the pool from two shards (a word is not
+    // sharded — docs are): the merge dedups by hash, exactly the
+    // streaming twin's set semantics
+    val mergedK = shardState.distinct()
+      .withColumn("rk", row_number().over(wSrc)).filter(col("rk") <= kKmv)
+      .select("source", "h")
+    val singleK = dw.select("source", "h").distinct()
+      .withColumn("rk", row_number().over(wSrc)).filter(col("rk") <= kKmv)
+      .select("source", "h")
+    def kmvEst(state: DataFrame): DataFrame = state.groupBy("source")
+      .agg(max(col("h")).as("h_k"), count(lit(1)).as("n_k"))
+      .select(col("source"),
+        when(col("n_k") < kKmv, col("n_k"))
+          .otherwise(expr(s"CAST(floor((${kKmv - 1}.0d * 1152921504606846976.0d) / h_k) AS BIGINT)"))
+          .as("est"))
+    val kmvDiff = mergedK.withColumn("inm", lit(1))
+      .join(singleK.withColumn("ins", lit(1)), Seq("source", "h"), "full_outer")
+      .groupBy("source")
+      .agg(sum(when(col("inm").isNull || col("ins").isNull, 1L).otherwise(0L))
+        .as("diff_cells"))
+    val kmvRows = kmvEst(mergedK).withColumnRenamed("est", "merged")
+      .join(kmvEst(singleK).withColumnRenamed("est", "single"), "source")
+      .join(kmvDiff, "source")
+      .select(lit("kmv").as("sketch"), col("source").as("key"),
+        lit(nShards.toLong).as("n_shards"),
+        col("merged"), col("single"), col("diff_cells"))
+    // ---- CMS: depth x width counters over word occurrences ----
+    val ws = prepared(spark, dir)
+      .select(shardE.as("shard"), explode(col("words")).as("w"))
+    val bucketed = (0 until depth).map { r =>
+      ws.select(col("shard"), lit(r).as("r"),
+        (Exprs.hex60(concat(lit(s"cms$r:"), col("w"))) % lit(width.toLong)).as("bkt"))
+    }.reduce(_.unionByName(_))
+    val shardCounters = bucketed.groupBy("shard", "r", "bkt")
+      .agg(count(lit(1)).as("c"))
+    val mergedC = shardCounters.groupBy("r", "bkt").agg(sum(col("c")).as("c"))
+    val singleC = bucketed.groupBy("r", "bkt").agg(count(lit(1)).as("c"))
+    val cmsDiff = mergedC.withColumnRenamed("c", "cm")
+      .join(singleC.withColumnRenamed("c", "cs"), Seq("r", "bkt"), "full_outer")
+      .agg(coalesce(sum(when(
+        coalesce(col("cm"), lit(-1L)) =!= coalesce(col("cs"), lit(-2L)), 1L)
+        .otherwise(0L)), lit(0L)).as("diff_cells"))
+    val cmsRows = mergedC.agg(sum(col("c")).as("merged"))
+      .crossJoin(broadcast(singleC.agg(sum(col("c")).as("single"))))
+      .crossJoin(broadcast(cmsDiff))
+      .select(lit("cms").as("sketch"), lit("all").as("key"),
+        lit(nShards.toLong).as("n_shards"),
+        col("merged"), col("single"), col("diff_cells"))
+    // ---- Bloom: set positions of the corpus 3-shingles ----
+    val sh = shingles3(spark, dir)
+      .select(shardE.as("shard"), col("sh").as("shingle")).distinct()
+    def posArms(src: DataFrame): DataFrame = src.select(
+      explode(array((0 until kBloom).map(i =>
+        bloomPosE(i, col("shingle"), mBloom)): _*)).as("pos"))
+    // per-shard bitmaps OR'd = one distinct over the per-(shard, shingle)
+    // rows' positions; the single-pass side hashes the deduped shingle set
+    val mergedB = posArms(sh).distinct()
+    val singleB = posArms(sh.select("shingle").distinct()).distinct()
+    val bloomDiff = mergedB.withColumn("inm", lit(1))
+      .join(singleB.withColumn("ins", lit(1)), Seq("pos"), "full_outer")
+      .agg(coalesce(sum(when(col("inm").isNull || col("ins").isNull, 1L)
+        .otherwise(0L)), lit(0L)).as("diff_cells"))
+    val bloomRows = mergedB.agg(count(lit(1)).as("merged"))
+      .crossJoin(broadcast(singleB.agg(count(lit(1)).as("single"))))
+      .crossJoin(broadcast(bloomDiff))
+      .select(lit("bloom").as("sketch"), lit("all").as("key"),
+        lit(nShards.toLong).as("n_shards"),
+        col("merged"), col("single"), col("diff_cells"))
+    kmvRows.unionByName(cmsRows).unionByName(bloomRows)
+      .orderBy("sketch", "key")
+  }
+
+  def sketchMergeSql(nShards: Int = 4, kKmv: Int = 16, depth: Int = 3,
+                     width: Int = 64, mBloom: Int = 65536,
+                     kBloom: Int = 3): String = {
+    val shardSql = s"${Exprs.hex60Sql("'shard:' || doc_id::VARCHAR")} % $nShards"
+    val cmsArms = (0 until depth).map { r =>
+      s"SELECT shard, $r AS r, ${Exprs.hex60Sql(s"'cms$r:' || w")} % $width AS bkt FROM wsh"
+    }.mkString("\n  UNION ALL ")
+    def bloomArms(src: String) = (0 until kBloom).map { i =>
+      s"SELECT ${Exprs.hex60Sql(s"'bf$i:' || shingle")} % $mBloom AS pos FROM $src"
+    }.mkString("\n  UNION ALL ")
+    val estExpr = s"""CASE WHEN count(*) < $kKmv THEN count(*)
+       |      ELSE CAST(floor((CAST(${kKmv - 1}.0 AS DOUBLE) * CAST(1152921504606846976.0 AS DOUBLE)) / max(h)) AS BIGINT) END""".stripMargin
+    s"""WITH p AS ($preparedSql),
+       |sdw AS (
+       |  SELECT DISTINCT source, $shardSql AS shard,
+       |    ${Exprs.hex60Sql("'kmv:' || w")} AS h
+       |  FROM (SELECT doc_id, source, unnest(words) AS w FROM p)),
+       |kshard AS (
+       |  SELECT source, h FROM (
+       |    SELECT source, h, ROW_NUMBER() OVER (
+       |      PARTITION BY source, shard ORDER BY h) AS rk FROM sdw)
+       |  WHERE rk <= $kKmv),
+       |kmerged AS (
+       |  SELECT source, h FROM (
+       |    SELECT source, h, ROW_NUMBER() OVER (
+       |      PARTITION BY source ORDER BY h) AS rk
+       |    FROM (SELECT DISTINCT source, h FROM kshard))
+       |  WHERE rk <= $kKmv),
+       |ksingle AS (
+       |  SELECT source, h FROM (
+       |    SELECT source, h, ROW_NUMBER() OVER (
+       |      PARTITION BY source ORDER BY h) AS rk
+       |    FROM (SELECT DISTINCT source, h FROM sdw))
+       |  WHERE rk <= $kKmv),
+       |kme AS (SELECT source, CAST($estExpr AS BIGINT) AS est
+       |        FROM kmerged GROUP BY source),
+       |kse AS (SELECT source, CAST($estExpr AS BIGINT) AS est
+       |        FROM ksingle GROUP BY source),
+       |kdiff AS (
+       |  SELECT source, CAST(sum(CASE WHEN inm IS NULL OR ins IS NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS diff_cells
+       |  FROM (SELECT source, h, 1 AS inm FROM kmerged) m
+       |  FULL OUTER JOIN (SELECT source, h, 1 AS ins FROM ksingle) s
+       |  USING (source, h) GROUP BY source),
+       |wsh AS (
+       |  SELECT $shardSql AS shard, w
+       |  FROM (SELECT doc_id, unnest(words) AS w FROM p)),
+       |cb AS (
+       |  $cmsArms),
+       |csh AS (SELECT shard, r, bkt, count(*) AS c FROM cb GROUP BY 1, 2, 3),
+       |cm AS (SELECT r, bkt, CAST(sum(c) AS BIGINT) AS c FROM csh GROUP BY 1, 2),
+       |cs AS (SELECT r, bkt, CAST(count(*) AS BIGINT) AS c FROM cb GROUP BY 1, 2),
+       |cdiff AS (
+       |  SELECT CAST(COALESCE(sum(CASE WHEN COALESCE(m.c, -1) <> COALESCE(s.c, -2)
+       |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS diff_cells
+       |  FROM cm m FULL OUTER JOIN cs s USING (r, bkt)),
+       |bsh AS (
+       |  SELECT DISTINCT $shardSql AS shard, sh AS shingle
+       |  FROM ($shingles3Sql)),
+       |bm AS (SELECT DISTINCT pos FROM (
+       |  ${bloomArms("bsh")})),
+       |bs AS (SELECT DISTINCT pos FROM (
+       |  ${bloomArms("(SELECT DISTINCT shingle FROM bsh)")})),
+       |bdiff AS (
+       |  SELECT CAST(COALESCE(sum(CASE WHEN inm IS NULL OR ins IS NULL
+       |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS diff_cells
+       |  FROM (SELECT pos, 1 AS inm FROM bm) m
+       |  FULL OUTER JOIN (SELECT pos, 1 AS ins FROM bs) s USING (pos))
+       |SELECT * FROM (
+       |  SELECT 'kmv' AS sketch, kme.source AS key, ${nShards}::BIGINT AS n_shards,
+       |    kme.est AS merged, kse.est AS single, kdiff.diff_cells
+       |  FROM kme JOIN kse USING (source) JOIN kdiff USING (source)
+       |  UNION ALL
+       |  SELECT 'cms', 'all', ${nShards}::BIGINT,
+       |    (SELECT CAST(sum(c) AS BIGINT) FROM cm),
+       |    (SELECT CAST(sum(c) AS BIGINT) FROM cs),
+       |    (SELECT diff_cells FROM cdiff)
+       |  UNION ALL
+       |  SELECT 'bloom', 'all', ${nShards}::BIGINT,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM bm),
+       |    (SELECT CAST(count(*) AS BIGINT) FROM bs),
+       |    (SELECT diff_cells FROM bdiff))
+       |ORDER BY sketch, key""".stripMargin
   }
 
   def contamination(spark: SparkSession, dir: String, probeMax: Long = 10): DataFrame =
@@ -4012,29 +4216,41 @@ object TextOps {
     * runs on a sampled corpus slab; the relative S-curve shape, not the
     * absolute counts, is the decision input.
     */
+  /** The (bands → minhash index groups) table of the sweep: 1×8 / 2×4 /
+    * 4×2 over the shared 8-hash signature matrix.
+    */
+  private val lshGroupsOf: Map[Int, Seq[Range]] = Map(
+    1 -> Seq(0 until 8),
+    2 -> Seq(0 until 4, 4 until 8),
+    4 -> Seq(0 until 2, 2 until 4, 4 until 6, 6 until 8))
+
+  /** Candidate pairs at one banding, the first-agreeing-band dedup idiom
+    * of [[minhashPairs]] generalized to any group split — shared by the
+    * sweep and the retune action so the two cannot drift.
+    */
+  private def lshCandidates(sig: DataFrame, groups: Seq[Range]): DataFrame = {
+    val bnd = sig.select(col("doc_id") +:
+      groups.zipWithIndex.map { case (g, i) =>
+        concat_ws(",", g.map(j => col(s"m$j")): _*).as(s"bb$i")
+      }: _*)
+    groups.indices.map { i =>
+      val guard = (0 until i)
+        .map(j => col(s"a.bb$j") =!= col(s"b.bb$j"))
+        .foldLeft(col("a.doc_id") < col("b.doc_id"))(_ && _)
+      bnd.as("a").join(bnd.as("b"),
+          col(s"a.bb$i") === col(s"b.bb$i") && guard)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    }.reduce(_ union _)
+  }
+
   def lshSweep(spark: SparkSession, dir: String, threshold: Double = 0.9,
                mat: Materialize = Materialize.Local): DataFrame = {
     val sig = bandedSignatures(spark, dir, mat)
-    val groupsOf = Map(
-      1 -> Seq(0 until 8),
-      2 -> Seq(0 until 4, 4 until 8),
-      4 -> Seq(0 until 2, 2 until 4, 4 until 6, 6 until 8))
     val exact = jaccardPairs(spark, dir, threshold, mat = mat)
       .select(col("doc_a"), col("doc_b"))
     val nTrue = exact.agg(count(lit(1)).as("n_true"))
-    val perConfig = groupsOf.toSeq.sortBy(_._1).map { case (nb, groups) =>
-      val bnd = sig.select(col("doc_id") +:
-        groups.zipWithIndex.map { case (g, i) =>
-          concat_ws(",", g.map(j => col(s"m$j")): _*).as(s"bb$i")
-        }: _*)
-      val cand = groups.indices.map { i =>
-        val guard = (0 until i)
-          .map(j => col(s"a.bb$j") =!= col(s"b.bb$j"))
-          .foldLeft(col("a.doc_id") < col("b.doc_id"))(_ && _)
-        bnd.as("a").join(bnd.as("b"),
-            col(s"a.bb$i") === col(s"b.bb$i") && guard)
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      }.reduce(_ union _)
+    val perConfig = lshGroupsOf.toSeq.sortBy(_._1).map { case (nb, groups) =>
+      val cand = lshCandidates(sig, groups)
       cand.join(exact.withColumn("istrue", lit(1L)), Seq("doc_a", "doc_b"), "left")
         .agg(count(lit(1)).as("n_cand"),
           // sum over an empty (zero-candidate) config is null, not 0
@@ -4050,7 +4266,11 @@ object TextOps {
       .orderBy("bands")
   }
 
-  def lshSweepSql(threshold: Double = 0.9): String = {
+  /** The sweep's CTE chain (sig → banded → candidate sets → exact pairs →
+    * per-config stats), shared between [[lshSweepSql]] and
+    * [[lshRetuneSql]] so the action's oracle serves from the same sweep.
+    */
+  private def lshSweepCtes(threshold: Double): String = {
     val bandExpr = Map(
       "b8" -> (0 until 8), "h0" -> (0 until 4), "h1" -> (4 until 8),
       "q0" -> (0 until 2), "q1" -> (2 until 4), "q2" -> (4 until 6),
@@ -4058,7 +4278,7 @@ object TextOps {
       .map { case (n, g) =>
         s"${g.map(i => s"m$i::VARCHAR").mkString(" || ',' || ")} AS $n" }
       .mkString(",\n    ")
-    s"""WITH sig AS ($minhashSigSqlInner),
+    s"""sig AS ($minhashSigSqlInner),
        |sb AS (SELECT doc_id,
        |    $bandExpr
        |  FROM sig),
@@ -4102,11 +4322,110 @@ object TextOps {
        |  UNION ALL
        |  SELECT 4, 2, CAST(count(*) AS BIGINT),
        |    CAST(COALESCE(sum(COALESCE(istrue, 0)), 0) AS BIGINT)
-       |  FROM c4 LEFT JOIN ex USING (doc_a, doc_b))
-       |SELECT bands, rows_per_band, n_cand, nt.n_true, n_hit,
-       |  n_hit * 1000 // greatest(nt.n_true, 1) AS recall_pm,
-       |  n_hit * 1000 // greatest(n_cand, 1) AS precision_pm
-       |FROM stats CROSS JOIN nt
-       |ORDER BY bands""".stripMargin
+       |  FROM c4 LEFT JOIN ex USING (doc_a, doc_b))""".stripMargin
   }
+
+  /** The sweep's final per-config projection, shared with the retune. */
+  private val lshSweepSelect: String =
+    """SELECT bands, rows_per_band, n_cand, nt.n_true, n_hit,
+      |  n_hit * 1000 // greatest(nt.n_true, 1) AS recall_pm,
+      |  n_hit * 1000 // greatest(n_cand, 1) AS precision_pm
+      |FROM stats CROSS JOIN nt""".stripMargin
+
+  def lshSweepSql(threshold: Double = 0.9): String =
+    s"""WITH ${lshSweepCtes(threshold)}
+       |$lshSweepSelect
+       |ORDER BY bands""".stripMargin
+
+  /** The sweep's ACTION — close the LSH tuning loop (r17 VERDICT
+    * prescription #4): pick the CHEAPEST banding meeting the recall floor
+    * from [[lshSweep]]'s S-curve (fewest candidates with
+    * `recall_pm >= floorPm`; when none meets the floor, fall back to the
+    * highest-recall config), then price SERVING the pair relation at the
+    * chosen banding against the deployed 2×4 default
+    * ([[minhashPairs]]): candidate-set drift in both directions plus the
+    * integer cost ratio. The three candidate sets are nested
+    * (1×8 ⊆ 2×4 ⊆ 4×2), so one drift column is always 0 — its side says
+    * whether the retune TIGHTENS (saves candidate cost) or LOOSENS (buys
+    * recall).
+    *
+    * The pick itself is a deterministic sort of the integer 3-row sweep
+    * — both engines order by (meets-floor DESC, n_cand-if-meeting else
+    * −recall, bands) and take row 1, so the chosen config is
+    * cross-engine exact. The Spark side reads the pick from the
+    * materialized 3-row sweep (a bounded 1-row readout, the [[Bpe]]
+    * argmax precedent) to build ONLY the chosen candidate set — a
+    * deployment reads the tuning report and configures serving; it does
+    * not build all three serving indexes.
+    *
+    * Scale shape: one extra banded candidate join beyond the sweep (two
+    * when the pick differs from the default), both bounded hash-bucket
+    * joins over the session-shared signature matrix; the drift compare is
+    * a full-outer join of two |pairs|-bounded relations.
+    */
+  def lshRetune(spark: SparkSession, dir: String, threshold: Double = 0.9,
+                floorPm: Long = 950,
+                mat: Materialize = Materialize.Local): DataFrame = {
+    val sweep = mat(lshSweep(spark, dir, threshold, mat))
+    val pickOrder = Seq(
+      (col("recall_pm") >= floorPm).desc,
+      when(col("recall_pm") >= floorPm, col("n_cand"))
+        .otherwise(-col("recall_pm")).asc,
+      col("bands").asc)
+    val chosen = sweep.orderBy(pickOrder: _*).limit(1)
+    val nb = chosen.select("bands").collect()(0).getInt(0)
+    val sig = bandedSignatures(spark, dir, mat)
+    val chosenCands = lshCandidates(sig, lshGroupsOf(nb))
+    val defaultCands = lshCandidates(sig, lshGroupsOf(2))
+    val cmp = chosenCands.withColumn("inc", lit(1))
+      .join(defaultCands.withColumn("ind", lit(1)),
+        Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("ind").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("only_chosen"),
+        coalesce(sum(when(col("inc").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("only_default"))
+    val defStats = sweep.filter(col("bands") === 2)
+      .select(col("n_cand").as("n_cand_default"))
+    chosen.crossJoin(broadcast(defStats)).crossJoin(broadcast(cmp))
+      .select(col("bands"), col("rows_per_band"), col("n_cand"),
+        col("n_true"), col("n_hit"), col("recall_pm"), col("precision_pm"),
+        lit(floorPm).as("floor_pm"), col("n_cand_default"),
+        expr("n_cand * 1000 div greatest(n_cand_default, 1)")
+          .as("cost_ratio_pm"),
+        col("only_chosen"), col("only_default"))
+  }
+
+  def lshRetuneSql(threshold: Double = 0.9, floorPm: Long = 950): String =
+    s"""WITH ${lshSweepCtes(threshold)},
+       |sweep AS (
+       |  $lshSweepSelect),
+       |chosen AS (
+       |  SELECT * FROM sweep
+       |  ORDER BY (recall_pm >= $floorPm) DESC,
+       |    CASE WHEN recall_pm >= $floorPm THEN n_cand ELSE -recall_pm END,
+       |    bands
+       |  LIMIT 1),
+       |allc AS (
+       |  SELECT 1 AS bands, doc_a, doc_b FROM c1
+       |  UNION ALL SELECT 2, doc_a, doc_b FROM c2
+       |  UNION ALL SELECT 4, doc_a, doc_b FROM c4),
+       |cc AS (SELECT doc_a, doc_b, 1 AS inc
+       |       FROM allc JOIN chosen USING (bands)),
+       |dc AS (SELECT doc_a, doc_b, 1 AS ind FROM allc WHERE bands = 2),
+       |cmp AS (
+       |  SELECT
+       |    CAST(COALESCE(sum(CASE WHEN ind IS NULL THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS only_chosen,
+       |    CAST(COALESCE(sum(CASE WHEN inc IS NULL THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS only_default
+       |  FROM cc FULL OUTER JOIN dc USING (doc_a, doc_b)),
+       |ds AS (SELECT n_cand AS n_cand_default FROM sweep WHERE bands = 2)
+       |SELECT chosen.bands, chosen.rows_per_band, chosen.n_cand,
+       |  chosen.n_true, chosen.n_hit, chosen.recall_pm, chosen.precision_pm,
+       |  ${floorPm}::BIGINT AS floor_pm, ds.n_cand_default,
+       |  chosen.n_cand * 1000 // greatest(ds.n_cand_default, 1)
+       |    AS cost_ratio_pm,
+       |  cmp.only_chosen, cmp.only_default
+       |FROM chosen, ds, cmp""".stripMargin
 }

@@ -36,6 +36,28 @@ object QuantileStream {
 
   val K = 16
 
+  /** The sketch's ADMISSION action, in-stream — the streaming twin of
+    * [[graft.functions.TextOps.lenCap]] and the quantile member of the
+    * frozen-artifact gate family ([[Bm25Stream]] frozen stats,
+    * [[NbStream]] frozen model, [[BloomStream]] frozen bitmap): the batch
+    * sketch's p990 estimate per source is FROZEN into a static
+    * (source, thr) relation and broadcast into the arrival stream, so
+    * every arrival gets a row-local over-cap verdict with ZERO keyed
+    * state and zero shuffle. Verdicts are the batch action's
+    * `v > thr_sketch` rule verbatim (same normalize + token count), so
+    * stream ≡ batch per doc — the StreamingSpec case pins it on a
+    * 2-batch feed. A source absent from the frozen sketch passes
+    * ungated (no threshold yet — the conservative admission default).
+    */
+  def lenGate(docs: DataFrame, thresholds: DataFrame): DataFrame =
+    docs
+      .withColumn("norm", graft.Exprs.normText(col("text")))
+      .withColumn("v",
+        coalesce(size(split(col("norm"), " ")).cast("long"), lit(0L)))
+      .join(broadcast(thresholds), Seq("source"), "left")
+      .select(col("doc_id"), col("source"), col("v"),
+        (col("v") > coalesce(col("thr"), lit(Long.MaxValue))).as("over_cap"))
+
   def estimates(docs: DataFrame)(implicit spark: SparkSession): Dataset[Estimate] = {
     import spark.implicits._
     val arrivals = docs

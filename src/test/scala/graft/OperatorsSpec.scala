@@ -1196,6 +1196,77 @@ class OperatorsSpec extends SparkSuite {
       s"permille columns out of range: $rows")
   }
 
+  test("lshRetune: the pick follows the floor (cheapest meeting, else max recall); drift respects nesting") {
+    val sfDir = sf("sf0.01")
+    val sweep = TextOps.lshSweep(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(5)))).toMap // bands -> (n_cand, recall_pm)
+    def retune(floor: Long) = {
+      val r = TextOps.lshRetune(spark, sfDir, floorPm = floor).collect()(0)
+      (r.getInt(0), r.getLong(2), r.getLong(8), r.getLong(9),
+        r.getLong(10), r.getLong(11)) // (bands, n_cand, n_cand_default, ratio, only_chosen, only_default)
+    }
+    // a floor nothing can miss: the cheapest candidate set wins (1x8 —
+    // nesting makes it minimal); as a subset of the default its drift is
+    // one-sided
+    val lo = retune(if (sweep(1)._2 > 0) 1L else 0L)
+    assert(lo._1 == 1, s"lowest floor must pick the cheapest banding: $lo")
+    assert(lo._5 == 0 && lo._6 == sweep(2)._1 - sweep(1)._1,
+      s"1x8 is nested in the 2x4 default — drift must be one-sided: $lo sweep=$sweep")
+    // an unreachable floor: fall back to the max-recall config (4x2)
+    val hi = retune(1001L)
+    assert(hi._1 == 4, s"unmeetable floor must fall back to max recall: $hi")
+    assert(hi._6 == 0 && hi._5 == sweep(4)._1 - sweep(2)._1,
+      s"4x2 contains the default — drift must be one-sided: $hi sweep=$sweep")
+    // the ratio is pure integer arithmetic over the sweep's counts
+    assert(hi._4 == hi._2 * 1000 / hi._3, s"cost_ratio_pm wrong: $hi")
+    // the deployed floor on testdata confirms the 2x4 default (its recall
+    // is the lowest one >= 950), so the action reports zero drift
+    val dep = retune(950L)
+    assert(dep._1 == 2 && dep._5 == 0 && dep._6 == 0 && dep._4 == 1000,
+      s"deployed floor must confirm the default on testdata: $dep")
+  }
+
+  test("bloomPrefilter at the undersized sweep config: fp rescue fires and verdicts stay exact") {
+    val sfDir = sf("sf0.01")
+    // (32768, 2) is the deliberately undersized d_bloom_stats row — the
+    // filter saturates enough that some novel probes read bloom_seen and
+    // must be RESCUED by the exact base join
+    val pf = TextOps.bloomPrefilter(spark, sfDir, m = 32768, k = 2).collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    val rescued = pf.values.count { case (probed, seen) => probed && !seen }
+    assert(rescued > 0,
+      s"undersized config must force the exact-join rescue (fp path): $rescued")
+    // no false negatives: every !probed is also !seen, and the final
+    // verdict equals the ground-truth membership from the monitor
+    val truth = TextOps.bloomShingles(spark, sfDir, m = 32768, k = 2).collect()
+      .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    pf.foreach { case (sh, (probed, seen)) =>
+      assert(seen == truth(sh), s"prefilter verdict diverges on $sh")
+      if (!probed) assert(!seen, s"false negative on $sh")
+    }
+  }
+
+  test("sketchMerge: shard-merged state is cell-identical to single-pass at any shard count") {
+    val sfDir = sf("sf0.001")
+    Seq(1, 3, 8).foreach { n =>
+      val rows = TextOps.sketchMerge(spark, sfDir, nShards = n).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getLong(5) == 0L,
+          s"nShards=$n ${r.getString(0)}/${r.getString(1)}: states differ (${r.getLong(5)} cells)")
+        assert(r.getLong(3) == r.getLong(4),
+          s"nShards=$n ${r.getString(0)}/${r.getString(1)}: merged stat ${r.getLong(3)} != single ${r.getLong(4)}")
+      }
+      // the statistic is also invariant to HOW the corpus was sharded
+      val kmvEsts = rows.filter(_.getString(0) == "kmv")
+        .map(r => r.getString(1) -> r.getLong(3)).toMap
+      val direct = TextOps.distinctKmv(spark, sfDir).collect()
+        .map(r => r.getString(0) -> r.getLong(3)).toMap
+      assert(kmvEsts == direct,
+        s"nShards=$n merged KMV estimate diverges from the deployed query")
+    }
+  }
+
   test("heavyHitters: CMS report matches a full scala replica; min-of-rows only over-counts") {
     def hex60(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")

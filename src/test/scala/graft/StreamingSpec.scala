@@ -1093,6 +1093,44 @@ class StreamingSpec extends SparkSuite {
         (batch.toSet diff fromStream.toSet).take(3)}")
   }
 
+  test("quantile len gate: frozen p990 threshold gates arrivals in-stream, verdicts equal the batch lenCap rule on a 2-batch feed") {
+    import graft.streaming.QuantileStream
+    import graft.functions.TextOps
+    val sfDir = sf()
+    // the frozen artifact: the batch sketch's p990 estimate per source —
+    // exactly what d_len_cap serves as thr_sketch
+    val thr = TextOps.quantileSketch(spark, sfDir, QuantileStream.K, Seq(990))
+      .select(col("source"), col("est").as("thr"))
+    // batch verdicts: v > thr_sketch per doc (the d_len_cap cut rule)
+    val expect = TextOps.prepared(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        coalesce(size(col("words")).cast("long"), lit(0L)).as("v"))
+      .join(thr, "source")
+      .select(col("doc_id"), (col("v") > col("thr")).as("over"))
+      .as[(Long, Boolean)].collect().toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)].collect().toSeq
+    val in = MemoryStream[(Long, String, String)]
+    val out = QuantileStream.lenGate(
+      in.toDF().toDF("doc_id", "text", "source"), thr)
+    val q = out.writeStream.format("memory").queryName("len_gate")
+      .outputMode("append").start()
+    try {
+      val (a, b) = docs.splitAt(docs.size / 2)
+      Seq(a, b).foreach { batch => in.addData(batch); q.processAllAvailable() }
+      val got = spark.table("len_gate")
+        .select(col("doc_id"), col("over_cap"))
+        .as[(Long, Boolean)].collect().toMap
+      assert(got == expect,
+        s"stream gate diverges from batch lenCap verdicts: stream-only=${
+          (got.toSet diff expect.toSet).take(3)} batch-only=${
+          (expect.toSet diff got.toSet).take(3)}")
+      assert(got.values.exists(identity),
+        "fixture must exercise the over-cap branch (p990 cuts the tail)")
+    } finally q.stop()
+  }
+
   test("quantile stream: a re-fed doc with a changed token count keeps ONE pair per hash (min value), not two") {
     import graft.streaming.QuantileStream
     // three docs; doc 2 is re-fed in batch 2 with a LONGER text — the
