@@ -378,6 +378,7 @@ object SparkEntry {
     "mm_pixels_jpeg" -> ((s, dir) => Multimodal.pixelStatsJpeg(s, dir)),
     "mm_audio" -> ((s, dir) => Multimodal.audioStats(s, dir)),
     "mm_mp3_meta" -> ((s, dir) => Multimodal.mp3Meta(s, dir)),
+    "mm_mp3_sideinfo" -> ((s, dir) => Multimodal.mp3SideInfo(s, dir)),
     "mm_phash" -> ((s, dir) => Multimodal.perceptualHash(s, dir).orderBy(col("media_id"))),
     "mm_neardup" -> ((s, dir) => Multimodal.imageNearDup(s, dir)),
     "mm_caption_dup" -> ((s, dir) => Multimodal.captionDup(s, dir)),
@@ -882,6 +883,7 @@ object SparkEntry {
       "mm_pixels_jpeg" -> Multimodal.pixelStatsJpegSql(),
       "mm_audio" -> Multimodal.audioStatsSql(),
       "mm_mp3_meta" -> Multimodal.mp3MetaSql,
+      "mm_mp3_sideinfo" -> Multimodal.mp3SideInfoSql,
       "mm_phash" -> Multimodal.perceptualHashSql,
       "mm_neardup" -> Multimodal.imageNearDupSql(),
       "mm_caption_dup" -> Multimodal.captionDupSql(),

@@ -466,6 +466,38 @@ class OperatorsSpec extends SparkSuite {
     assert(Mp3.parse(drift).isEmpty, "mid-stream samplerate change must refuse")
   }
 
+  test("mp3 side info: bit walk recovers the encoded fields; loud refusals") {
+    import graft.multimodal.Mp3
+    // stereo VBR stream with an ID3 prefix — 4 granule-channels per frame
+    val bytes = Mp3.encode(srIdx = 1, chMode = 0,
+      bitrateIdx = f => 1 + (f * 5) % 14, padding = f => f % 2,
+      nFrames = 7, id3Payload = 300)
+    val si = Mp3.parseSideInfo(bytes).getOrElse(fail("refused own output"))
+    assert(si.nGc == 7 * 4, s"granule-channel count: ${si.nGc}")
+    // the replica folds the SAME generator formula the encoder wrote
+    val gcs = for (f <- 0 until 7; g <- 0 until 2; c <- 0 until 2)
+      yield Mp3.gcFields(1 + (f * 5) % 14, f, g, c)
+    assert(si.sumPart23 == gcs.map(_._1.toLong).sum, "part2_3 sum drifted")
+    assert(si.sumBigValues == gcs.map(_._2.toLong).sum, "big_values sum drifted")
+    assert(si.minGain == gcs.map(_._3).min && si.maxGain == gcs.map(_._3).max,
+      "gain envelope drifted")
+    assert(si.maxMainDataBegin == 0, "encoder writes reservoir-free frames")
+    // mono stream has half the granule-channels and a 17-byte block
+    val mono = Mp3.encode(0, 3, _ => 9, _ => 0, 3, 0)
+    assert(Mp3.parseSideInfo(mono).exists(_.nGc == 3 * 2))
+    // loud refusals: big_values over the spec ceiling (bit 9+3+12 bits
+    // into the block spans bytes 7-8 after the header — force all-ones),
+    // nonzero main_data_begin on the FIRST frame, truncated tail
+    val badBv = mono.clone()
+    badBv(4 + 3) = 0xff.toByte; badBv(4 + 4) = 0xff.toByte
+    assert(Mp3.parseSideInfo(badBv).isEmpty, "big_values > 288 must refuse")
+    val badMdb = mono.clone(); badMdb(4) = 0xff.toByte
+    assert(Mp3.parseSideInfo(badMdb).isEmpty,
+      "first-frame reservoir pointer must refuse")
+    assert(Mp3.parseSideInfo(mono.take(mono.length - 1)).isEmpty,
+      "truncated must refuse")
+  }
+
   test("mm_audio: byte path matches the formula recomputation") {
     val rows = Multimodal.audioStats(spark, sf()).collect()
     assert(rows.nonEmpty)
