@@ -1115,12 +1115,18 @@ object TextOps {
     * (same [[graft.Exprs.hex60]] contract, no RNG — a shard is a pure
     * hash residue both engines compute).
     *
+    * All FOUR sketch families are covered — the quantile sample merges
+    * the same way (per-shard bottom-k (hash, doc, value) rows unioned and
+    * re-cut), closing the quartet: KMV / CMS / Bloom / quantile each
+    * carry the shard-parallel build a 100 TB corpus needs.
+    *
     * One row per (sketch, key): `merged`/`single` are the headline
     * statistic read from each state (the KMV estimate per source / total
-    * CMS counter mass / Bloom set-bit count) and `diff_cells` the
-    * symmetric-difference size of the two STATES — 0 everywhere is the
-    * contract. KMV correctness argument: a hash in the global bottom-k
-    * has global rank ≤ k, hence rank ≤ k within its own shard, so it
+    * CMS counter mass / Bloom set-bit count / the quantile p990 estimate
+    * per source) and `diff_cells` the symmetric-difference size of the
+    * two STATES — 0 everywhere is the contract. Bottom-k correctness
+    * argument (KMV and quantile alike): a row in the global bottom-k has
+    * global rank ≤ k, hence rank ≤ k within its own shard, so it
     * survives the per-shard cut — the shard union can never lose a
     * global-bottom-k member.
     */
@@ -1208,7 +1214,44 @@ object TextOps {
       .select(lit("bloom").as("sketch"), lit("all").as("key"),
         lit(nShards.toLong).as("n_shards"),
         col("merged"), col("single"), col("diff_cells"))
-    kmvRows.unionByName(cmsRows).unionByName(bloomRows)
+    // ---- quantile: per-source bottom-k (hash, doc, value) sample ----
+    val qd = prepared(spark, dir).select(
+      col("source"), shardE.as("shard"), col("doc_id"),
+      Exprs.hex60(concat(lit("qs:"), col("doc_id"))).as("h"),
+      coalesce(size(col("words")).cast("long"), lit(0L)).as("v"))
+    val wQSh = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    val wQSrc = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    val qShard = qd.withColumn("rk", row_number().over(wQSh))
+      .filter(col("rk") <= kKmv).select("source", "doc_id", "h", "v")
+    val qMerged = qShard
+      .withColumn("rk", row_number().over(wQSrc)).filter(col("rk") <= kKmv)
+      .select("source", "doc_id", "h", "v")
+    val qSingle = qd.select("source", "doc_id", "h", "v")
+      .withColumn("rk", row_number().over(wQSrc)).filter(col("rk") <= kKmv)
+      .select("source", "doc_id", "h", "v")
+    // p990 of the sample — the quantileSketch rank rule verbatim
+    def qEst(state: DataFrame): DataFrame = {
+      val wv = Window.partitionBy(col("source")).orderBy(col("v"), col("doc_id"))
+      val mm = state.groupBy("source").agg(count(lit(1)).as("mm"))
+      state.withColumn("srk", row_number().over(wv))
+        .join(broadcast(mm), "source")
+        .filter(col("srk") === expr("((mm - 1) * 990) div 1000 + 1"))
+        .select(col("source"), col("v").as("est"))
+    }
+    val qDiff = qMerged.select("source", "h").withColumn("inm", lit(1))
+      .join(qSingle.select("source", "h").withColumn("ins", lit(1)),
+        Seq("source", "h"), "full_outer")
+      .groupBy("source")
+      .agg(sum(when(col("inm").isNull || col("ins").isNull, 1L).otherwise(0L))
+        .as("diff_cells"))
+    val qntRows = qEst(qMerged).withColumnRenamed("est", "merged")
+      .join(qEst(qSingle).withColumnRenamed("est", "single"), "source")
+      .join(qDiff, "source")
+      .select(lit("qnt").as("sketch"), col("source").as("key"),
+        lit(nShards.toLong).as("n_shards"),
+        col("merged"), col("single"), col("diff_cells"))
+    kmvRows.unionByName(cmsRows).unionByName(bloomRows).unionByName(qntRows)
       .orderBy("sketch", "key")
   }
 
@@ -1279,7 +1322,47 @@ object TextOps {
        |  SELECT CAST(COALESCE(sum(CASE WHEN inm IS NULL OR ins IS NULL
        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS diff_cells
        |  FROM (SELECT pos, 1 AS inm FROM bm) m
-       |  FULL OUTER JOIN (SELECT pos, 1 AS ins FROM bs) s USING (pos))
+       |  FULL OUTER JOIN (SELECT pos, 1 AS ins FROM bs) s USING (pos)),
+       |qd AS (
+       |  SELECT source, $shardSql AS shard, doc_id,
+       |    ${Exprs.hex60Sql("'qs:' || doc_id::VARCHAR")} AS h,
+       |    COALESCE(len(words), 0) AS v
+       |  FROM p),
+       |qshard AS (
+       |  SELECT source, doc_id, h, v FROM (
+       |    SELECT source, doc_id, h, v, ROW_NUMBER() OVER (
+       |      PARTITION BY source, shard ORDER BY h, doc_id) AS rk FROM qd)
+       |  WHERE rk <= $kKmv),
+       |qmerged AS (
+       |  SELECT source, doc_id, h, v FROM (
+       |    SELECT source, doc_id, h, v, ROW_NUMBER() OVER (
+       |      PARTITION BY source ORDER BY h, doc_id) AS rk FROM qshard)
+       |  WHERE rk <= $kKmv),
+       |qsingle AS (
+       |  SELECT source, doc_id, h, v FROM (
+       |    SELECT source, doc_id, h, v, ROW_NUMBER() OVER (
+       |      PARTITION BY source ORDER BY h, doc_id) AS rk FROM qd)
+       |  WHERE rk <= $kKmv),
+       |qme AS (
+       |  SELECT source, CAST(v AS BIGINT) AS est FROM (
+       |    SELECT source, v, ROW_NUMBER() OVER (
+       |      PARTITION BY source ORDER BY v, doc_id) AS srk,
+       |      count(*) OVER (PARTITION BY source) AS mm
+       |    FROM qmerged)
+       |  WHERE srk = ((mm - 1) * 990) // 1000 + 1),
+       |qse AS (
+       |  SELECT source, CAST(v AS BIGINT) AS est FROM (
+       |    SELECT source, v, ROW_NUMBER() OVER (
+       |      PARTITION BY source ORDER BY v, doc_id) AS srk,
+       |      count(*) OVER (PARTITION BY source) AS mm
+       |    FROM qsingle)
+       |  WHERE srk = ((mm - 1) * 990) // 1000 + 1),
+       |qdiff AS (
+       |  SELECT source, CAST(sum(CASE WHEN inm IS NULL OR ins IS NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS diff_cells
+       |  FROM (SELECT source, h, 1 AS inm FROM qmerged) m
+       |  FULL OUTER JOIN (SELECT source, h, 1 AS ins FROM qsingle) s
+       |  USING (source, h) GROUP BY source)
        |SELECT * FROM (
        |  SELECT 'kmv' AS sketch, kme.source AS key, ${nShards}::BIGINT AS n_shards,
        |    kme.est AS merged, kse.est AS single, kdiff.diff_cells
@@ -1293,7 +1376,11 @@ object TextOps {
        |  SELECT 'bloom', 'all', ${nShards}::BIGINT,
        |    (SELECT CAST(count(*) AS BIGINT) FROM bm),
        |    (SELECT CAST(count(*) AS BIGINT) FROM bs),
-       |    (SELECT diff_cells FROM bdiff))
+       |    (SELECT diff_cells FROM bdiff)
+       |  UNION ALL
+       |  SELECT 'qnt', qme.source, ${nShards}::BIGINT,
+       |    qme.est, qse.est, qdiff.diff_cells
+       |  FROM qme JOIN qse USING (source) JOIN qdiff USING (source))
        |ORDER BY sketch, key""".stripMargin
   }
 
