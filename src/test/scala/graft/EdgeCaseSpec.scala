@@ -224,7 +224,7 @@ class EdgeCaseSpec extends SparkSuite {
     assert(!r.exists(_.getString(3) == "fn"),
       s"bloom false negative on degenerate corpus: ${r.map(_.toSeq).toSeq}")
     val st = TextOps.bloomStats(spark, tmp).collect()
-    assert(st.length == 2)
+    assert(st.length == 3) // incl. the undersized fp-exercise config
     st.foreach { row =>
       val (fpPm, savedPm) = (row.getLong(9), row.getLong(10))
       assert(fpPm == -1L || (fpPm >= 0L && fpPm <= 1000L), s"fp_pm out of range: ${row.toSeq}")
