@@ -249,6 +249,8 @@ object SparkEntry {
     "d_lsh_sweep" -> ((s, dir) => TextOps.lshSweep(s, dir)),
     "d_lsh_retune" -> ((s, dir) => TextOps.lshRetune(s, dir)),
     "d_sketch_merge" -> ((s, dir) => TextOps.sketchMerge(s, dir)),
+    "v_anisotropy" -> ((s, dir) => VectorOps.anisotropy(s, dir)),
+    "v_abtt" -> ((s, dir) => VectorOps.abttPairs(s, dir)),
     "d_segment_dedup" -> ((s, dir) => TextOps.segmentDedup(s, dir)),
     "d_lm_bits" -> ((s, dir) => TextOps.lmBits(s, dir)),
     "d_lm2_bits" -> ((s, dir) => TextOps.lm2Bits(s, dir)),
@@ -770,6 +772,8 @@ object SparkEntry {
       "d_lsh_sweep" -> TextOps.lshSweepSql(),
       "d_lsh_retune" -> TextOps.lshRetuneSql(),
       "d_sketch_merge" -> TextOps.sketchMergeSql(),
+      "v_anisotropy" -> VectorOps.anisotropySql(),
+      "v_abtt" -> VectorOps.abttPairsSql(),
       "d_segment_dedup" -> TextOps.segmentDedupSql(),
       "d_lm_bits" -> TextOps.lmBitsSql,
       "d_lm2_bits" -> TextOps.lm2BitsSql,

@@ -200,6 +200,196 @@ object VectorOps {
        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Power-iteration top principal direction of the UNIT-normalized
+    * embedding cloud — the [[kmeansTrainRounded]] bounded-driver-state
+    * contract applied to the covariance spectrum: each round is ONE
+    * broadcast of the current dim-vector literal, one map-side-combined
+    * per-dimension agg (`round(avg(u_d · (u·x)), 4)` — the kmeans
+    * rounding trick re-anchors both engines every round), and one 1-row
+    * norm agg; the driver only ferries the rounded 64 doubles to the
+    * next round's literal, never the corpus. The SQL oracle unrolls the
+    * identical rounds as CTEs ([[kmeansTrainRoundedCtes]] precedent).
+    * Seed x₀ = the smallest-id unit vector, rounded.
+    */
+  private[graft] def powerIterTop(spark: SparkSession, dir: String,
+                                  iters: Int = 3): Seq[Double] = {
+    import spark.implicits._
+    val e = prepared(spark, dir)
+    var x: Seq[Double] = e.orderBy("vec_id").limit(1)
+      .select(col("nrm"), posexplode(col("v")).as(Seq("dim", "comp")))
+      .select(col("dim"), round(col("comp") / col("nrm"), 4).as("x"))
+      .orderBy("dim").as[(Int, Double)].collect().map(_._2).toSeq
+    for (_ <- 1 to iters) {
+      val xl = typedlit(x)
+      val y = e.withColumn("dp", dot(col("v"), xl) / col("nrm"))
+        .select(col("nrm"), col("dp"), posexplode(col("v")).as(Seq("dim", "comp")))
+        .groupBy("dim")
+        .agg(round(avg(col("comp") / col("nrm") * col("dp")), 4).as("y"))
+      val nY = y.agg(greatest(sqrt(sum(col("y") * col("y"))), lit(1e-12)).as("n"))
+      x = y.crossJoin(broadcast(nY))
+        .select(col("dim"), round(col("y") / col("n"), 4).as("x"))
+        .orderBy("dim").as[(Int, Double)].collect().map(_._2).toSeq
+    }
+    x
+  }
+
+  /** The power rounds unrolled as DuckDB CTEs, ending in `xl$iters`
+    * (a 1-row relation holding the final direction as a list) — shared
+    * by [[anisotropySql]] and [[abttPairsSql]].
+    */
+  private def powerIterCtes(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = s"xl${i - 1}"
+      s"""y$i AS (
+         |  SELECT i AS dim, round(avg(v[i] / nrm
+         |      * (list_dot_product(v, xl) / nrm)), 4) AS y
+         |  FROM e0, $prev, unnest(range(1, len(v) + 1)) AS t(i)
+         |  GROUP BY i),
+         |n$i AS (SELECT greatest(sqrt(list_dot_product(
+         |  list(y ORDER BY dim), list(y ORDER BY dim))), 1e-12) AS n FROM y$i),
+         |xl$i AS (
+         |  SELECT list(round(y / n, 4) ORDER BY dim) AS xl
+         |  FROM y$i, n$i)""".stripMargin
+    }.mkString(",\n")
+    s"""x0 AS (
+       |  SELECT i AS dim, round(v[i] / nrm, 4) AS x
+       |  FROM (SELECT v, nrm FROM e0 ORDER BY vec_id LIMIT 1),
+       |       unnest(range(1, len(v) + 1)) AS t(i)),
+       |xl0 AS (SELECT list(x ORDER BY dim) AS xl FROM x0),
+       |$rounds""".stripMargin
+  }
+
+  /** Embedding-space anisotropy monitor — the common-direction report a
+    * curation pipeline reads before trusting cosine dedup (Mu &
+    * Viswanath, ICLR 2018 "All-but-the-Top": contextual embedding clouds
+    * share a large common component that inflates all cosines): the
+    * power-iteration top direction's Rayleigh share of the unit-sphere
+    * spectrum (`eig_share` — the trace of the normalized covariance is
+    * exactly 1, so this IS the top eigenvalue's fraction), the mean
+    * vector's norm (the classic non-centered measure), and the cosine
+    * between the two (≈1 says the top direction IS the common mean).
+    * One row; everything after the final rounded direction is one pass.
+    */
+  def anisotropy(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val e = prepared(spark, dir)
+    val top = powerIterTop(spark, dir, iters)
+    val xl = typedlit(top)
+    val xRel = broadcast(
+      top.zipWithIndex.map { case (v, i) => (i + 1, v) }.toDF("dim", "x"))
+    val head = e.agg(count(lit(1)).as("n"),
+      round(avg(pow(dot(col("v"), xl) / col("nrm"), 2)), 4).as("eig_share"))
+    val mean = e.select(col("nrm"), posexplode(col("v")).as(Seq("dim0", "comp")))
+      .withColumn("dim", col("dim0") + 1)
+      .groupBy("dim").agg(round(avg(col("comp") / col("nrm")), 4).as("m"))
+    val meanStats = mean.join(xRel, "dim")
+      .agg(sqrt(sum(col("m") * col("m"))).as("mn"),
+        abs(sum(col("m") * col("x"))).as("mx"))
+      .select(round(col("mn"), 4).as("mean_norm"),
+        round(col("mx") / greatest(col("mn"), lit(1e-12)), 4).as("cos_mean_top"))
+    head.crossJoin(broadcast(meanStats))
+      .select(col("n"), col("eig_share"), col("mean_norm"), col("cos_mean_top"))
+  }
+
+  def anisotropySql(iters: Int = 3): String =
+    s"""WITH e0 AS ($preparedSql),
+       |${powerIterCtes(iters)},
+       |head AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    round(avg(pow(list_dot_product(v, xl) / nrm, 2)), 4) AS eig_share
+       |  FROM e0, xl$iters),
+       |mean AS (
+       |  SELECT i AS dim, round(avg(v[i] / nrm), 4) AS m
+       |  FROM e0, unnest(range(1, len(v) + 1)) AS t(i) GROUP BY i),
+       |ms AS (
+       |  SELECT round(sqrt(sum(m * m)), 4) AS mean_norm,
+       |    round(abs(sum(m * xl[dim])) / greatest(sqrt(sum(m * m)), 1e-12), 4)
+       |      AS cos_mean_top
+       |  FROM mean, xl$iters)
+       |SELECT n, eig_share, mean_norm, cos_mean_top FROM head, ms""".stripMargin
+
+  /** The anisotropy monitor's ACTION — all-but-the-top (Mu & Viswanath
+    * 2018): project the common direction OUT of every unit vector
+    * (u' = u − (u·x)x, renormalized) and re-run the SAME sign-LSH
+    * bucketed near-dup join at the SAME threshold, reporting how the
+    * duplicate-pair verdict set moves — the query a deployment runs to
+    * decide whether its cosine dedup was flagging shared-boilerplate
+    * direction rather than content. Pairs present only BEFORE are
+    * common-direction inflation; pairs only AFTER were masked by it.
+    *
+    * Scale shape: the projection is a row-local zip_with (identical
+    * IEEE op order on both engines — no rounding needed before the
+    * bucket), and both pair relations are the bounded sign-bucket join
+    * ([[nearDupLsh]]'s shape); the before side is the session-shared
+    * pair index, not a rebuild.
+    */
+  def abttPairs(spark: SparkSession, dir: String, threshold: Double = 0.4,
+                bits: Int = 4, iters: Int = 3): DataFrame = {
+    val xl = typedlit(powerIterTop(spark, dir, iters))
+    val proj = prepared(spark, dir)
+      .withColumn("dp", dot(col("v"), xl) / col("nrm"))
+      .withColumn("v2", zip_with(col("v"), xl,
+        (a, b) => a / col("nrm") - col("dp") * b))
+      .withColumn("nrm2", sqrt(dot(col("v2"), col("v2"))))
+      .filter(col("nrm2") > 0)
+      .select(col("vec_id"), col("v2").as("v"), col("nrm2").as("nrm"))
+    val after = lshPairsOn(proj, threshold, bits)
+      .select(col("id_a"), col("id_b")).withColumn("ina", lit(1))
+    val before = nearDupLsh(spark, dir, threshold, bits)
+      .select(col("id_a"), col("id_b")).withColumn("inb", lit(1))
+    before.join(after, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("inb").isNotNull, 1L).otherwise(0L)), lit(0L))
+          .as("pairs_before"),
+        coalesce(sum(when(col("ina").isNotNull, 1L).otherwise(0L)), lit(0L))
+          .as("pairs_after"),
+        coalesce(sum(when(col("inb").isNotNull && col("ina").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("common"),
+        coalesce(sum(when(col("ina").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("only_before"),
+        coalesce(sum(when(col("inb").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("only_after"))
+  }
+
+  def abttPairsSql(threshold: Double = 0.4, bits: Int = 4,
+                   iters: Int = 3): String = {
+    val bkt2 = (0 until bits).map(i =>
+      s"CASE WHEN v2[${i + 1}] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH e0 AS ($preparedSql),
+       |${powerIterCtes(iters)},
+       |proj AS (
+       |  SELECT vec_id, v2, sqrt(list_dot_product(v2, v2)) AS nrm2 FROM (
+       |    SELECT vec_id,
+       |      list_transform(range(1, len(v) + 1),
+       |        i -> v[i] / nrm - (list_dot_product(v, xl) / nrm) * xl[i]) AS v2
+       |    FROM e0, xl$iters)
+       |  WHERE list_dot_product(v2, v2) > 0),
+       |pa AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, 1 AS ina
+       |  FROM (SELECT *, $bkt2 AS bkt FROM proj) a
+       |  JOIN (SELECT *, $bkt2 AS bkt FROM proj) b
+       |    ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+       |  WHERE list_dot_product(a.v2, b.v2) / (a.nrm2 * b.nrm2) >= $threshold),
+       |pb AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, 1 AS inb
+       |  FROM (SELECT *, ${bucketSql(bits)} AS bkt FROM e0) a
+       |  JOIN (SELECT *, ${bucketSql(bits)} AS bkt FROM e0) b
+       |    ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+       |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $threshold)
+       |SELECT
+       |  CAST(COALESCE(sum(CASE WHEN inb IS NOT NULL THEN 1 ELSE 0 END), 0)
+       |    AS BIGINT) AS pairs_before,
+       |  CAST(COALESCE(sum(CASE WHEN ina IS NOT NULL THEN 1 ELSE 0 END), 0)
+       |    AS BIGINT) AS pairs_after,
+       |  CAST(COALESCE(sum(CASE WHEN inb IS NOT NULL AND ina IS NOT NULL
+       |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS common,
+       |  CAST(COALESCE(sum(CASE WHEN ina IS NULL THEN 1 ELSE 0 END), 0)
+       |    AS BIGINT) AS only_before,
+       |  CAST(COALESCE(sum(CASE WHEN inb IS NULL THEN 1 ELSE 0 END), 0)
+       |    AS BIGINT) AS only_after
+       |FROM pb FULL OUTER JOIN pa USING (id_a, id_b)""".stripMargin
+  }
+
   /** Incremental semantic dedup — the embedding twin of the image tier's
     * [[graft.multimodal.Multimodal.imageDedupIncr]] and the daily-arrival
     * form of [[graft.functions.MixOps.semanticDedup]]: classify each DELTA

@@ -1299,6 +1299,39 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("anisotropy/abtt: a dominant common direction is found and projecting it out deflates the inflated pairs") {
+    // 10 vectors = 10·e0 + e_{i+1}: pairwise cosine 100/101 — every pair
+    // is a "near-dup" by cosine, but ALL similarity is the shared common
+    // component, none is content (the Mu & Viswanath pathology)
+    val dim = 64
+    val rows = (0 until 10).map { i =>
+      val v = Array.fill(dim)(0.0f)
+      v(0) = 10.0f; v(i + 1) = 1.0f
+      (i.toLong, v.toSeq, i)
+    }
+    val docs = spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("abtt").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val a = VectorOps.anisotropy(spark, tmp).collect()(0)
+    assert(a.getLong(0) == 10)
+    // power iteration locks onto e0: its Rayleigh share is ~0.99 and the
+    // top direction is the mean direction
+    assert(a.getDouble(1) > 0.9, s"eig_share must expose the common direction: $a")
+    assert(a.getDouble(3) > 0.99, s"top direction must align with the mean: $a")
+    val p = VectorOps.abttPairs(spark, tmp).collect()(0)
+    assert(p.getLong(0) == 45, s"all 45 pairs inflated before: $p")
+    assert(p.getLong(1) == 0 && p.getLong(3) == 45,
+      s"projection must deflate every common-direction pair: $p")
+    // sanity on the real table: shares/cosines are bounded and the pair
+    // drift columns cross-foot
+    val r = VectorOps.anisotropy(spark, sf()).collect()(0)
+    assert(r.getDouble(1) > 0 && r.getDouble(1) <= 1.0)
+    assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1.0)
+    val d = VectorOps.abttPairs(spark, sf()).collect()(0)
+    assert(d.getLong(0) == d.getLong(2) + d.getLong(3) &&
+      d.getLong(1) == d.getLong(2) + d.getLong(4), s"drift cross-foot: $d")
+  }
+
   test("heavyHitters: CMS report matches a full scala replica; min-of-rows only over-counts") {
     def hex60(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
