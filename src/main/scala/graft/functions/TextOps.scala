@@ -4330,14 +4330,34 @@ object TextOps {
     }.reduce(_ union _)
   }
 
+  /** The candidate relation at one banding, session-shared — consumed by
+    * the sweep (all three bandings), the retune action (chosen + default)
+    * and anything else pricing a banding; a production dedup persists
+    * these pair scaffolds, it does not regenerate them per report.
+    */
+  private def lshCandidatesShared(spark: SparkSession, dir: String, nb: Int,
+                                  mat: Materialize): DataFrame =
+    graft.SharedRel(spark, s"lshcands|$dir|$nb", mat)(
+      lshCandidates(bandedSignatures(spark, dir, mat), lshGroupsOf(nb)))
+
   def lshSweep(spark: SparkSession, dir: String, threshold: Double = 0.9,
-               mat: Materialize = Materialize.Local): DataFrame = {
-    val sig = bandedSignatures(spark, dir, mat)
+               mat: Materialize = Materialize.Local): DataFrame = mat match {
+    // session-shared under the default materialization: the 3-row S-curve
+    // feeds its own query AND the retune action's pick
+    case Materialize.Local =>
+      graft.SharedRel(spark, s"lshsweep|$dir|$threshold", Materialize.Local)(
+        lshSweepBuild(spark, dir, threshold, Materialize.Local))
+    case m => lshSweepBuild(spark, dir, threshold, m)
+  }
+
+  private[graft] def lshSweepBuild(spark: SparkSession, dir: String,
+                                   threshold: Double,
+                                   mat: Materialize): DataFrame = {
     val exact = jaccardPairs(spark, dir, threshold, mat = mat)
       .select(col("doc_a"), col("doc_b"))
     val nTrue = exact.agg(count(lit(1)).as("n_true"))
-    val perConfig = lshGroupsOf.toSeq.sortBy(_._1).map { case (nb, groups) =>
-      val cand = lshCandidates(sig, groups)
+    val perConfig = lshGroupsOf.keys.toSeq.sorted.map { nb =>
+      val cand = lshCandidatesShared(spark, dir, nb, mat)
       cand.join(exact.withColumn("istrue", lit(1L)), Seq("doc_a", "doc_b"), "left")
         .agg(count(lit(1)).as("n_cand"),
           // sum over an empty (zero-candidate) config is null, not 0
@@ -4453,7 +4473,7 @@ object TextOps {
   def lshRetune(spark: SparkSession, dir: String, threshold: Double = 0.9,
                 floorPm: Long = 950,
                 mat: Materialize = Materialize.Local): DataFrame = {
-    val sweep = mat(lshSweep(spark, dir, threshold, mat))
+    val sweep = lshSweep(spark, dir, threshold, mat)
     val pickOrder = Seq(
       (col("recall_pm") >= floorPm).desc,
       when(col("recall_pm") >= floorPm, col("n_cand"))
@@ -4461,9 +4481,10 @@ object TextOps {
       col("bands").asc)
     val chosen = sweep.orderBy(pickOrder: _*).limit(1)
     val nb = chosen.select("bands").collect()(0).getInt(0)
-    val sig = bandedSignatures(spark, dir, mat)
-    val chosenCands = lshCandidates(sig, lshGroupsOf(nb))
-    val defaultCands = lshCandidates(sig, lshGroupsOf(2))
+    // both pair sets are the session-shared candidate relations the sweep
+    // already built — the retune pays only the drift compare
+    val chosenCands = lshCandidatesShared(spark, dir, nb, mat)
+    val defaultCands = lshCandidatesShared(spark, dir, 2, mat)
     val cmp = chosenCands.withColumn("inc", lit(1))
       .join(defaultCands.withColumn("ind", lit(1)),
         Seq("doc_a", "doc_b"), "full_outer")

@@ -212,7 +212,16 @@ object VectorOps {
     * Seed x₀ = the smallest-id unit vector, rounded.
     */
   private[graft] def powerIterTop(spark: SparkSession, dir: String,
-                                  iters: Int = 3): Seq[Double] = {
+                                  iters: Int = 3): Seq[Double] =
+    // session-shared (SharedRel.once): the direction feeds BOTH the
+    // monitor (v_anisotropy) and its action (v_abtt) — the deployment
+    // computes it once per corpus snapshot
+    graft.SharedRel.once(spark, s"powertop|$dir|$iters") {
+      powerIterTopBuild(spark, dir, iters)
+    }
+
+  private def powerIterTopBuild(spark: SparkSession, dir: String,
+                                iters: Int): Seq[Double] = {
     import spark.implicits._
     val e = prepared(spark, dir)
     var x: Seq[Double] = e.orderBy("vec_id").limit(1)

@@ -686,10 +686,15 @@ class PlanAuditSpec extends SparkSuite {
   }
 
   test("d_lsh_sweep: every candidate join keyed on a band value; the only loop join is the 1-row n_true broadcast") {
-    val plan = executedPlan("d_lsh_sweep")
+    // audit the BUILD plan directly: the public surface is session-shared
+    // (the 3-row S-curve feeds both the sweep query and d_lsh_retune's
+    // pick), so the query's own explain is just the materialized scan
+    val plan = graft.functions.TextOps
+      .lshSweepBuild(spark, sf("sf0.001"), 0.9, graft.Materialize.Local)
+      .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
       s"band joins must never degenerate to a cartesian:\n$plan")
-    // 7 band-keyed self-joins (1+2+4 configs) + true-pair probes stay hashed
+    // true-pair probe joins over the shared candidate relations stay hashed
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
       s"band-keyed equi-joins expected:\n$plan")
   }
@@ -709,5 +714,43 @@ class PlanAuditSpec extends SparkSuite {
       s"threshold application must stay keyed:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"the |sources|-row threshold relation must broadcast:\n$plan")
+  }
+
+  test("d_sketch_merge: every state compare keyed; per-shard builds never cartesian") {
+    val plan = executedPlan("d_sketch_merge")
+    // the only loop joins are the 1-row headline-stat broadcasts; the
+    // state symmetric-diffs are (source, h)/(r, bkt)/(pos) equi-joins
+    assert(!plan.contains("CartesianProduct"),
+      s"shard-merge compares must stay keyed:\n$plan")
+    assert(plan.contains("FullOuter"),
+      s"state diffs must be full-outer keyed joins:\n$plan")
+  }
+
+  test("d_lsh_retune: chosen and default candidate joins stay band-keyed") {
+    val plan = executedPlan("d_lsh_retune")
+    assert(!plan.contains("CartesianProduct"),
+      s"retune candidate joins must never degenerate to a cartesian:\n$plan")
+    assert(plan.contains("FullOuter"),
+      s"the drift compare must be a pair-keyed full outer join:\n$plan")
+  }
+
+  test("v_anisotropy: power-round aggs map-side; direction join-back broadcasts") {
+    val plan = executedPlan("v_anisotropy")
+    assert(!plan.contains("CartesianProduct"),
+      s"anisotropy must not plan a cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the dim-row direction relation must broadcast into the mean agg:\n$plan")
+  }
+
+  test("v_abtt: projected pair join stays sign-bucketed; before side reads the shared pair index") {
+    val plan = executedPlan("v_abtt")
+    assert(!plan.contains("CartesianProduct"),
+      s"abtt pair joins must stay bucketed:\n$plan")
+    assert(plan.contains("FullOuter"),
+      s"verdict drift must be a pair-keyed full outer join:\n$plan")
+    // the before side is the session-shared nearDupLsh relation — a
+    // materialized scan, not a third candidate generation
+    assert(plan.contains("ExistingRDD"),
+      s"before side must read the shared pair index:\n$plan")
   }
 }
