@@ -249,6 +249,7 @@ object SparkEntry {
     "d_lsh_sweep" -> ((s, dir) => TextOps.lshSweep(s, dir)),
     "d_lsh_retune" -> ((s, dir) => TextOps.lshRetune(s, dir)),
     "d_sketch_merge" -> ((s, dir) => TextOps.sketchMerge(s, dir)),
+    "d_min_k_prob" -> ((s, dir) => TextOps.minKProb(s, dir)),
     "v_anisotropy" -> ((s, dir) => VectorOps.anisotropy(s, dir)),
     "v_abtt" -> ((s, dir) => VectorOps.abttPairs(s, dir)),
     "d_segment_dedup" -> ((s, dir) => TextOps.segmentDedup(s, dir)),
@@ -772,6 +773,7 @@ object SparkEntry {
       "d_lsh_sweep" -> TextOps.lshSweepSql(),
       "d_lsh_retune" -> TextOps.lshRetuneSql(),
       "d_sketch_merge" -> TextOps.sketchMergeSql(),
+      "d_min_k_prob" -> TextOps.minKProbSql(),
       "v_anisotropy" -> VectorOps.anisotropySql(),
       "v_abtt" -> VectorOps.abttPairsSql(),
       "d_segment_dedup" -> TextOps.segmentDedupSql(),

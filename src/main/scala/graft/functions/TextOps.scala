@@ -3622,6 +3622,128 @@ object TextOps {
        |  CAST(sum(bits) AS BIGINT) / CAST(count(*) AS DOUBLE) AS bits_per_token
        |FROM costs GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Min-K% Prob membership audit — the memorization-detection statistic
+    * of Shi et al., ICLR 2024 "Detecting Pretraining Data from Large
+    * Language Models" (public), over the repo's exact-integer bigram LM:
+    * score every document under a model trained ONLY on the frozen base
+    * split (the [[lm2Bits]] costs with LEFT joins + add-one floors for
+    * unseen words/bigrams/contexts), then per document average the bits
+    * of its `kPm`‰ MOST-expensive tokens (ties broken by position). A
+    * member's worst tokens were all seen in training so its tail stays
+    * cheap; a non-member's tail carries its unseen bigrams — the
+    * separation lives exactly in the min-k tail, which is why the
+    * statistic beats the full-document mean the plain perplexity filter
+    * uses. `is_member` (the base-split flag) makes the relation its own
+    * labeled evaluation set.
+    *
+    * Scale shape: the frozen model is the base-split count relations
+    * (vocabulary-bounded, joined on token/bigram keys with map-side
+    * combine); the only window is per-document (bits desc, pos) — never
+    * corpus-wide. All costs are `length(bin(x))` integers; the one
+    * division is integer permille.
+    */
+  def minKProb(spark: SparkSession, dir: String, kPm: Int = 200,
+               deltaMod: Int = 5): DataFrame = {
+    val d = prepared(spark, dir)
+      .select(col("doc_id"), col("words"),
+        (docSplitE(deltaMod) =!= 0).as("is_member"))
+    val toks = d.select(col("doc_id"), col("is_member"),
+      posexplode(col("words")).as(Seq("pos", "w")))
+    val ow = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = toks.withColumn("nw", lead(col("w"), 1).over(ow))
+      .filter(col("nw").isNotNull)
+      .select(col("doc_id"), col("pos"), col("w").as("w1"), col("nw").as("w2"))
+    // FROZEN model: counts over the base split only
+    val toksB = toks.filter(col("is_member"))
+    val biB = bi.join(d.filter(col("is_member")).select("doc_id"), "doc_id")
+    val uniB = toksB.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val bicB = biB.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val ctxB = biB.groupBy(col("w1")).agg(count(lit(1)).as("ctx"))
+    val statsB = uniB.agg(sum(col("cnt")).as("n_total"),
+      count(lit(1)).as("v_size"))
+    // per-token costs for EVERY doc, unseen events at the add-one floor
+    val firstBits = toks.filter(col("pos") === 0)
+      .join(uniB, Seq("w"), "left").crossJoin(broadcast(statsB))
+      .select(col("doc_id"), col("pos").as("cpos"),
+        (length(bin(col("n_total") + col("v_size"))) -
+          length(bin(coalesce(col("cnt"), lit(0L)) + 1))).cast("long").as("bits"))
+    val nextBits = bi
+      .join(bicB, Seq("w1", "w2"), "left").join(ctxB, Seq("w1"), "left")
+      .crossJoin(broadcast(statsB))
+      .select(col("doc_id"), (col("pos") + 1).as("cpos"),
+        (length(bin(coalesce(col("ctx"), lit(0L)) + col("v_size"))) -
+          length(bin(coalesce(col("c2"), lit(0L)) + 1))).cast("long").as("bits"))
+    val costs = firstBits.unionAll(nextBits)
+    val wk = Window.partitionBy(col("doc_id"))
+      .orderBy(col("bits").desc, col("cpos"))
+    val wn = Window.partitionBy(col("doc_id"))
+    costs.withColumn("rk", row_number().over(wk))
+      .withColumn("n_tokens", count(lit(1)).over(wn))
+      .withColumn("k_tokens",
+        greatest(expr(s"n_tokens * $kPm div 1000"), lit(1L)))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        first(col("k_tokens")).as("k_tokens"),
+        sum(col("bits")).as("sum_bits"),
+        sum(when(col("rk") <= col("k_tokens"), col("bits")).otherwise(lit(0L)))
+          .as("mink_sum_bits"))
+      .join(d.select(col("doc_id"), col("is_member")), "doc_id")
+      .select(col("doc_id"), col("is_member"), col("n_tokens"),
+        col("k_tokens"), col("sum_bits"), col("mink_sum_bits"),
+        expr("mink_sum_bits * 1000 div k_tokens").as("mink_bits_pt_pm"))
+      .orderBy(col("doc_id"))
+  }
+
+  def minKProbSql(kPm: Int = 200, deltaMod: Int = 5): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, words, (${docSplitSql(deltaMod)}) <> 0 AS is_member
+       |  FROM ($preparedSql)),
+       |toks AS (
+       |  SELECT doc_id, is_member, i - 1 AS pos, words[i] AS w
+       |  FROM d, unnest(range(1, len(words) + 1)) AS t(i)),
+       |bi AS (
+       |  SELECT doc_id, is_member, i - 1 AS pos,
+       |    words[i] AS w1, words[i + 1] AS w2
+       |  FROM d, unnest(range(1, len(words))) AS t(i)),
+       |uni AS (SELECT w, count(*) AS cnt FROM toks WHERE is_member GROUP BY w),
+       |bic AS (SELECT w1, w2, count(*) AS c2 FROM bi WHERE is_member
+       |        GROUP BY w1, w2),
+       |ctx AS (SELECT w1, count(*) AS ctx FROM bi WHERE is_member GROUP BY w1),
+       |stats AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+       |         CAST(count(*) AS BIGINT) AS v_size FROM uni),
+       |costs AS (
+       |  SELECT doc_id, pos AS cpos,
+       |    length(bin(n_total + v_size))
+       |      - length(bin(COALESCE(cnt, 0) + 1)) AS bits
+       |  FROM (SELECT * FROM toks WHERE pos = 0) f
+       |  LEFT JOIN uni USING (w) CROSS JOIN stats
+       |  UNION ALL
+       |  SELECT bi.doc_id, pos + 1,
+       |    length(bin(COALESCE(ctx, 0) + v_size))
+       |      - length(bin(COALESCE(c2, 0) + 1))
+       |  FROM bi LEFT JOIN bic USING (w1, w2) LEFT JOIN ctx USING (w1)
+       |       CROSS JOIN stats),
+       |ranked AS (
+       |  SELECT doc_id, bits,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY bits DESC, cpos) AS rk,
+       |    count(*) OVER (PARTITION BY doc_id) AS n_tokens
+       |  FROM costs),
+       |agg AS (
+       |  SELECT doc_id,
+       |    CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(greatest(max(n_tokens) * $kPm // 1000, 1) AS BIGINT) AS k_tokens,
+       |    CAST(sum(bits) AS BIGINT) AS sum_bits,
+       |    CAST(sum(CASE WHEN rk <= greatest(n_tokens * $kPm // 1000, 1)
+       |      THEN bits ELSE 0 END) AS BIGINT) AS mink_sum_bits
+       |  FROM ranked GROUP BY doc_id)
+       |SELECT agg.doc_id, d.is_member, n_tokens, k_tokens, sum_bits,
+       |  mink_sum_bits,
+       |  CAST(mink_sum_bits * 1000 // k_tokens AS BIGINT) AS mink_bits_pt_pm
+       |FROM agg JOIN d ON agg.doc_id = d.doc_id
+       |ORDER BY agg.doc_id""".stripMargin
+
   /** Quality-ensemble gate — the "no single filter ships alone" pattern
     * every production curation stack converges on: three INDEPENDENT
     * quality signals vote and a document drops only on agreement

@@ -228,6 +228,9 @@ object VectorOps {
       .select(col("nrm"), posexplode(col("v")).as(Seq("dim", "comp")))
       .select(col("dim"), round(col("comp") / col("nrm"), 4).as("x"))
       .orderBy("dim").as[(Int, Double)].collect().map(_._2).toSeq
+    // loud refusal, not an IndexOutOfBounds: the monitor is undefined on
+    // an empty cloud (and a 0-row oracle could not be compared anyway)
+    require(x.nonEmpty, s"anisotropy needs a non-empty embedding relation: $dir")
     for (_ <- 1 to iters) {
       val xl = typedlit(x)
       val y = e.withColumn("dp", dot(col("v"), xl) / col("nrm"))

@@ -1299,6 +1299,30 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("minKProb: tail statistic separates members from non-members more than the full mean; k-cut cross-foots") {
+    val sfDir = sf("sf0.01")
+    val rows = TextOps.minKProb(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (n, k, sum, mink) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(k == math.max(n * 200 / 1000, 1), s"k-cut wrong: ${r.toSeq}")
+      assert(mink <= sum && mink >= 0, s"tail sum out of range: ${r.toSeq}")
+      // the top-k-by-bits mean is >= the full mean by construction
+      assert(mink * n >= sum * k, s"tail mean below full mean: ${r.toSeq}")
+    }
+    def mean(f: org.apache.spark.sql.Row => Long, member: Boolean) = {
+      val g = rows.filter(_.getBoolean(1) == member)
+      g.map(f).sum.toDouble / g.length
+    }
+    val minkGap = mean(_.getLong(6), member = false) - mean(_.getLong(6), member = true)
+    // non-members' worst tokens carry their unseen bigrams — the add-one
+    // floor makes them strictly more expensive on average
+    assert(minkGap > 0, s"min-k must separate non-members upward: $minkGap")
+    val fullPm = (r: org.apache.spark.sql.Row) => r.getLong(4) * 1000 / r.getLong(2)
+    val fullGap = mean(fullPm, member = false) - mean(fullPm, member = true)
+    assert(minkGap > fullGap,
+      s"the tail statistic must amplify the separation: mink=$minkGap full=$fullGap")
+  }
+
   test("anisotropy/abtt: a dominant common direction is found and projecting it out deflates the inflated pairs") {
     // 10 vectors = 10·e0 + e_{i+1}: pairwise cosine 100/101 — every pair
     // is a "near-dup" by cosine, but ALL similarity is the shared common
