@@ -338,10 +338,17 @@ object VectorOps {
   def abttPairs(spark: SparkSession, dir: String, threshold: Double = 0.4,
                 bits: Int = 4, iters: Int = 3): DataFrame = {
     val xl = typedlit(powerIterTop(spark, dir, iters))
+    // checkpoint BARRIER before the projection: prepared's nrm > 0 filter
+    // must not be reordered across the projection's divisions — Catalyst
+    // collapses the nrm2 > 0 filter into the scan predicate and is free
+    // to evaluate its zip_with division on a zero-norm row first, which
+    // under ANSI semantics is an error, not an Infinity (found by the
+    // degenerate-corpus probe: a zero vector in embeddings)
+    val base = Materialize.Local(prepared(spark, dir))
     // materialize the projected relation: the pair join consumes it as
     // BOTH sides, and unmaterialized the whole projection subtree (dot +
     // zip_with per row) would execute twice (measured 5.3 s → ~2.6 s)
-    val proj = Materialize.Local(prepared(spark, dir)
+    val proj = Materialize.Local(base
       .withColumn("dp", dot(col("v"), xl) / col("nrm"))
       .withColumn("v2", zip_with(col("v"), xl,
         (a, b) => a / col("nrm") - col("dp") * b))

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.{Bpe, TextOps}
+import graft.functions.{Bpe, TextOps, VectorOps}
 
 /** Degenerate-document hardening: real web corpora carry null, empty and
   * whitespace-only texts. Every expected value here was derived by running
@@ -414,5 +414,28 @@ class EdgeCaseSpec extends SparkSuite {
     assert(funnel.map(_._1).toSeq == (1 to 7), "stages present and ordered")
     assert(funnel.map(_._2).sum == 4, "partition covers the degenerate docs")
     assert(funnel.last._3 == 0L)
+  }
+
+  test("abtt: a zero-norm embedding never reaches the projection's divisions (ANSI)") {
+    // the r18 lesson: prepared's nrm > 0 filter and abtt's nrm2 > 0
+    // filter collapse into one scan predicate, and Catalyst may evaluate
+    // the projected divisions on the zero-norm row FIRST — under ANSI
+    // that is DIVIDE_BY_ZERO, not Infinity. The checkpoint barrier in
+    // abttPairs exists for this row.
+    val vecs = Seq(
+      (0L, Seq(1.0f) ++ Seq.fill(15)(0.0f), 1),
+      (1L, Seq.fill(16)(0.0f), 2),           // the zero vector
+      (2L, Seq.fill(16)(1.0f), 3),
+      (3L, Seq(-1.0f) ++ Seq.fill(15)(0.0f), 1),
+      (4L, Seq.fill(8)(0.5f) ++ Seq.fill(8)(0.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("edgevec").toString
+    vecs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = VectorOps.abttPairs(spark, dir).collect()(0)
+    // cross-foot: the drift columns still partition both pair sets
+    assert(r.getLong(0) == r.getLong(2) + r.getLong(3) &&
+      r.getLong(1) == r.getLong(2) + r.getLong(4), s"drift cross-foot: $r")
+    val a = VectorOps.anisotropy(spark, dir).collect()(0)
+    assert(a.getLong(0) == 4, "zero vector excluded from the cloud")
   }
 }
