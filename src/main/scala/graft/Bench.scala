@@ -118,25 +118,36 @@ object Bench {
       }
     overBudget.foreach(k => System.err.println(
       s"[bench] BUDGET: $k exceeds ${budgetSec}s at sf0.1 with no PLANS.md justification row"))
-    // transparency: where the shared_build lump went, largest first
-    // (stderr only — the one-line JSON driver contract is unchanged)
-    SharedRel.buildBreakdown(spark).foreach { case (k, s) =>
+    // transparency: where the shared_build lump went, largest first —
+    // on stderr AND as a `shared_build_detail` object in the JSON line
+    // (the driver contract tolerates extra fields; r18 VERDICT #2: the
+    // largest bench row must be auditable from the committed artifact,
+    // not from a log stream the driver tail truncates). PLANS.md
+    // "shared_build contract" holds every key to >= 2 consuming queries.
+    val breakdown = SharedRel.buildBreakdown(spark)
+    breakdown.foreach { case (k, s) =>
       System.err.println(f"[bench] shared_build detail: $k%-40s ${s}%.2f s")
     }
+    // keys are SharedRel-internal strings ("lshcands|/root/testdata/..."),
+    // escape like sfDir so a path char cannot break the one-line contract
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val detailJson = breakdown
+      .map { case (k, s) => "\"" + esc(k) + "\":" + math.round(s * 1000) / 1000.0 }
+      .mkString("{", ",", "}")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     // sfDir comes from the environment — escape it so a quote/backslash
     // can't break the driver's parse of the one-line JSON contract
-    val sfJson = sfDir.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+    val sfJson = esc(sfDir)
     val budgetJson = overBudget.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"budget_violations":$budgetJson,"sf":"$sfJson"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"budget_violations":$budgetJson,"shared_build_detail":$detailJson,"sf":"$sfJson"}"""
     println(line)
     // The driver's log tail truncates the head of the line, hiding most
     // per-query timings from round-over-round comparison — so a FULL run

@@ -31,6 +31,20 @@ object RunDocPipeline {
         sentinel
     }
 
+  /** Drain an AvailableNow query with a CHECKED timeout and a guaranteed
+    * stop: a bare `awaitTermination(ms)` returning false means the query
+    * is STILL WRITING while the stage reads its output dir — the readout
+    * would count a partial directory as a real result (the r18 q11/q12
+    * fix, applied to every gate; a timeout raises into [[guarded]]'s
+    * loud sentinel path instead).
+    */
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery,
+                    stage: String, ms: Long = 300000L): Unit =
+    try {
+      if (!q.awaitTermination(ms))
+        sys.error(s"$stage stream did not drain within ${ms / 1000} s")
+    } finally q.stop()
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val workDir = args.lift(1).getOrElse(
@@ -65,7 +79,7 @@ object RunDocPipeline {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(300000)
+    guarded("curate_stream", ())(drain(q, "curate_stream"))
 
     // second hop (the reference chains jobs through topics the same way):
     // curated stream → per-source token-quota admission → decision log.
@@ -87,7 +101,7 @@ object RunDocPipeline {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q2.awaitTermination(300000)
+    guarded("quota_stream", ())(drain(q2, "quota_stream"))
 
     // streaming tail: admitted docs walk into token-budgeted shards via
     // the epoch-fold append (ShardStream) — the streaming counterpart of
@@ -137,7 +151,7 @@ object RunDocPipeline {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
-      q4.awaitTermination(300000)
+      drain(q4, "image_dedup")
       spark.read.parquet(s"$workDir/media_kept").count()
     }
 
@@ -196,7 +210,7 @@ object RunDocPipeline {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
-      q5.awaitTermination(300000)
+      drain(q5, "vector_dedup")
       spark.read.parquet(s"$workDir/vec_admitted").count()
     }
 
@@ -226,6 +240,31 @@ object RunDocPipeline {
         .select("a_id", "b_id").distinct().count()
     }
 
+    // anisotropy tier of the same ingest: the batch power-iteration top
+    // direction (the v_anisotropy monitor's frozen artifact) rides the
+    // arrival plan as a broadcast literal and every vector gets a
+    // row-local boilerplate-direction score — zero state, zero shuffle
+    // (the len_gate pattern for vectors); readout is the count of
+    // arrivals flagged as mostly-common-direction at the deployed 0.99
+    // threshold
+    val dirGated = guarded("dir_gate", 0L) {
+      import graft.streaming.DirGateStream
+      val u = DirGateStream.frozenDirection(spark, sfDir)
+      val vecStream = spark.readStream
+        .schema("vec_id BIGINT, v ARRAY<DOUBLE>, ingest_ts TIMESTAMP")
+        .parquet(s"$workDir/vec_in")
+      val q13 = DirGateStream(vecStream, u)
+        .writeStream.format("parquet")
+        .option("path", s"$workDir/dir_gate")
+        .option("checkpointLocation", s"$workDir/ckpt13")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      drain(q13, "dir_gate")
+      spark.read.parquet(s"$workDir/dir_gate")
+        .filter(col("boilerplate")).count()
+    }
+
     // decontamination tier of the same ingest: every raw arrival tagged
     // against the frozen benchmark probe set (row-local literal-compiled
     // gate — zero state); readout is the quarantine count, which doubles
@@ -240,7 +279,7 @@ object RunDocPipeline {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
-      q9.awaitTermination(300000)
+      drain(q9, "contam_gate")
       spark.read.parquet(s"$workDir/contam_tags")
         .filter(col("contaminated")).count()
     }
@@ -266,10 +305,7 @@ object RunDocPipeline {
       // check the timeout result and always stop (the q8 pairs_mined
       // pattern): a silent timeout would count a partial novelty dir
       // while the query keeps writing
-      try {
-        if (!q11.awaitTermination(300000))
-          sys.error("bloom_gate stream did not drain within 300 s")
-      } finally q11.stop()
+      drain(q11, "bloom_gate")
       spark.read.parquet(s"$workDir/bloom_novelty")
         .filter(col("novel_pm") >= 500).count()
     }
@@ -292,10 +328,7 @@ object RunDocPipeline {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
-      try {
-        if (!q12.awaitTermination(300000))
-          sys.error("len_gate stream did not drain within 300 s")
-      } finally q12.stop()
+      drain(q12, "len_gate")
       spark.read.parquet(s"$workDir/len_gate")
         .filter(col("over_cap")).count()
     }
@@ -332,7 +365,7 @@ object RunDocPipeline {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
-      q6.awaitTermination(300000)
+      drain(q6, "nb_scoring")
       val scored = spark.read.parquet(s"$workDir/nb_scored")
       val hist = scored.groupBy("pred_bucket").count()
         .orderBy(col("count").desc, col("pred_bucket")).collect()
@@ -463,7 +496,7 @@ object RunDocPipeline {
     val maxPhase = cur.agg(max("phase")).collect()(0).getInt(0)
     val annealDocs = cur.filter(col("phase") === maxPhase).count()
 
-    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"temp_shards":$tempShards,"temp_docs":$tempDocs,"temp_tokens":$tempTokens,"curriculum_shards":$curShards,"anneal_docs":$annealDocs,"worst_quality_drift_pm":$worstQDrift,"degraded_sources":$degradedSources,"worst_bpe_drift_pm":$worstBpeDrift,"requota_moved_sources":$requotaMoved,"vocab_est":$vocabEst,"hh_worst_over_pm":$hhWorstOverPm,"len_cap_worst_delta_pm":$lenCapWorstDeltaPm,"mink_gap_pm":$minkGapPm,"bloom_fp_pm":$bloomFpPm,"bloom_saved_pm":$bloomSavedPm,"novel_docs":$novelDocs,"len_gated":$lenGated,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept,"caption_mismatch_media":$captionMismatchMedia,"videos_admitted":$videosAdmitted,"vectors_admitted":$vectorsAdmitted,"pairs_mined":$pairsMined,"contaminated":$contaminated,"span_tokens_cut":$spanTokensCut,"nb_scored":$nbScored,"nb_top_bucket":"$nbTopBucket","nb_top_count":$nbTopCount}""")
+    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"temp_shards":$tempShards,"temp_docs":$tempDocs,"temp_tokens":$tempTokens,"curriculum_shards":$curShards,"anneal_docs":$annealDocs,"worst_quality_drift_pm":$worstQDrift,"degraded_sources":$degradedSources,"worst_bpe_drift_pm":$worstBpeDrift,"requota_moved_sources":$requotaMoved,"vocab_est":$vocabEst,"hh_worst_over_pm":$hhWorstOverPm,"len_cap_worst_delta_pm":$lenCapWorstDeltaPm,"mink_gap_pm":$minkGapPm,"bloom_fp_pm":$bloomFpPm,"bloom_saved_pm":$bloomSavedPm,"novel_docs":$novelDocs,"len_gated":$lenGated,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept,"caption_mismatch_media":$captionMismatchMedia,"videos_admitted":$videosAdmitted,"vectors_admitted":$vectorsAdmitted,"pairs_mined":$pairsMined,"dir_gated":$dirGated,"contaminated":$contaminated,"span_tokens_cut":$spanTokensCut,"nb_scored":$nbScored,"nb_top_bucket":"$nbTopBucket","nb_top_count":$nbTopCount}""")
     spark.stop()
   }
 }

@@ -252,6 +252,7 @@ object SparkEntry {
     "d_min_k_prob" -> ((s, dir) => TextOps.minKProb(s, dir)),
     "v_anisotropy" -> ((s, dir) => VectorOps.anisotropy(s, dir)),
     "v_abtt" -> ((s, dir) => VectorOps.abttPairs(s, dir)),
+    "v_dir_gate" -> ((s, dir) => VectorOps.dirGate(s, dir)),
     "d_segment_dedup" -> ((s, dir) => TextOps.segmentDedup(s, dir)),
     "d_lm_bits" -> ((s, dir) => TextOps.lmBits(s, dir)),
     "d_lm2_bits" -> ((s, dir) => TextOps.lm2Bits(s, dir)),
@@ -776,6 +777,7 @@ object SparkEntry {
       "d_min_k_prob" -> TextOps.minKProbSql(),
       "v_anisotropy" -> VectorOps.anisotropySql(),
       "v_abtt" -> VectorOps.abttPairsSql(),
+      "v_dir_gate" -> VectorOps.dirGateSql(),
       "d_segment_dedup" -> TextOps.segmentDedupSql(),
       "d_lm_bits" -> TextOps.lmBitsSql,
       "d_lm2_bits" -> TextOps.lm2BitsSql,

@@ -320,6 +320,36 @@ object VectorOps {
        |  FROM mean, xl$iters)
        |SELECT n, eig_share, mean_norm, cos_mean_top FROM head, ms""".stripMargin
 
+  /** The anisotropy monitor's ADMISSION form — the batch anchor of
+    * [[graft.streaming.DirGateStream]] (the in-stream gate scores
+    * arrivals with the identical expression over the identical frozen
+    * direction): every vector's boilerplate-direction score
+    * `dp = (v·u)/|v|` against the power-iteration top direction, plus
+    * the over-threshold verdict on |dp| — a vector that IS mostly the
+    * common direction carries shared boilerplate, not content. One
+    * broadcast 64-double literal + a row-local codegen'd fold; the
+    * direction build is session-shared with `v_anisotropy`/`v_abtt`.
+    * `dp` is rounded to 4 before the verdict so both engines gate on
+    * the same value (the [[nearDupLsh]] cos_sim precedent).
+    */
+  def dirGate(spark: SparkSession, dir: String, thr: Double = 0.99,
+              iters: Int = 3): DataFrame = {
+    val xl = typedlit(powerIterTop(spark, dir, iters))
+    prepared(spark, dir)
+      .withColumn("dp", round(dot(col("v"), xl) / col("nrm"), 4))
+      .select(col("vec_id"), col("dp"),
+        (abs(col("dp")) >= thr).as("boilerplate"))
+      .orderBy("vec_id")
+  }
+
+  def dirGateSql(thr: Double = 0.99, iters: Int = 3): String =
+    s"""WITH e0 AS ($preparedSql),
+       |${powerIterCtes(iters)}
+       |SELECT vec_id,
+       |  round(list_dot_product(v, xl) / nrm, 4) AS dp,
+       |  abs(round(list_dot_product(v, xl) / nrm, 4)) >= $thr AS boilerplate
+       |FROM e0, xl$iters ORDER BY vec_id""".stripMargin
+
   /** The anisotropy monitor's ACTION — all-but-the-top (Mu & Viswanath
     * 2018): project the common direction OUT of every unit vector
     * (u' = u − (u·x)x, renormalized) and re-run the SAME sign-LSH

@@ -52,15 +52,30 @@ object Mp3 {
     */
   def sideInfoBytes(chMode: Int): Int = if (chMode == 3) 17 else 32
 
+  /** Worst-case per-granule-channel main-data budget at bitrate index
+    * `bi`: the smallest legal frame is sr = 48000 (`len = 3·kbps` bytes,
+    * no padding) and the largest overhead is stereo (4-byte header +
+    * 32-byte side info, FOUR granule-channels), so
+    * `(3·kbps − 36)·8 / 4 = (3·kbps − 36)·2` bits per granule-channel.
+    * Capping part2_3_length here keeps `Σ part2_3 ≤ the frame's
+    * main-data bits` for EVERY (srIdx, chMode, padding) shape the
+    * encoder can emit.
+    */
+  def p23CapBits(bi: Int): Int = (3 * BitrateKbps(bi) - 36) * 2
+
   /** The deterministic side-info field generator [[encode]] writes and
     * the SQL oracle mirrors: (part2_3_length, big_values, global_gain,
     * scalefac_compress) per (bitrate index, frame, granule, channel).
-    * Bounds are the spec's: big_values ≤ 288, part2_3_length small
-    * enough that four granule-channels always fit the frame's main-data
-    * bits at the smallest legal frame.
+    * Bounds are the spec's: big_values ≤ 288, and part2_3_length capped
+    * at [[p23CapBits]] so that with main_data_begin = 0 every frame's
+    * declared Huffman+scalefactor payload physically fits its own
+    * main-data region — the emitted streams are reservoir-CONSISTENT,
+    * not just side-info-true (uncapped, a 96-byte bi=1 stereo frame's
+    * four granule-channels could declare ~870+ bits against 480
+    * physical — spec-invalid MPEG-1 a real validator rejects).
     */
   def gcFields(bi: Int, f: Int, g: Int, c: Int): (Int, Int, Int, Int) = (
-    64 + (bi * 29 + f * 11 + g * 5 + c * 2) % 320,
+    math.min(64 + (bi * 29 + f * 11 + g * 5 + c * 2) % 320, p23CapBits(bi)),
     (bi * 17 + f * 5 + g + c) % 289,
     32 + (bi * 13 + f * 7 + g * 3 + c) % 200,
     (f + g) % 16)

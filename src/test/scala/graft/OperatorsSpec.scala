@@ -1256,6 +1256,19 @@ class OperatorsSpec extends SparkSuite {
     val dep = retune(950L)
     assert(dep._1 == 2 && dep._5 == 0 && dep._6 == 0 && dep._4 == 1000,
       s"deployed floor must confirm the default on testdata: $dep")
+    // the r18 full-outer-join verification, kept HERE instead of in the
+    // query (r19: the query derives drift from nesting — this assertion
+    // is what licenses that): the ACTUAL candidate-set differences equal
+    // the n_cand subtractions the query now reports
+    val cands = Seq(1, 2, 4).map(nb => nb ->
+      TextOps.lshCandidatesShared(spark, sfDir, nb, graft.Materialize.Local)
+        .as[(Long, Long)].collect().toSet).toMap
+    assert(cands(1).subsetOf(cands(2)) && cands(2).subsetOf(cands(4)),
+      "candidate sets must be nested as the drift arithmetic assumes")
+    assert((cands(2) diff cands(1)).size.toLong == sweep(2)._1 - sweep(1)._1 &&
+      (cands(4) diff cands(2)).size.toLong == sweep(4)._1 - sweep(2)._1,
+      s"set differences must equal the n_cand subtractions: ${
+        cands.view.mapValues(_.size).toMap} sweep=$sweep")
   }
 
   test("bloomPrefilter at the undersized sweep config: fp rescue fires and verdicts stay exact") {
@@ -1321,6 +1334,68 @@ class OperatorsSpec extends SparkSuite {
     val fullGap = mean(fullPm, member = false) - mean(fullPm, member = true)
     assert(minkGap > fullGap,
       s"the tail statistic must amplify the separation: mink=$minkGap full=$fullGap")
+  }
+
+  test("minKProb: planted verbatim base copies land in the member band; genuinely-novel docs sit strictly above") {
+    // the Shi et al. 2024 DETECTION scenario the audit exists for (r18
+    // VERDICT #5): score docs the auditor believes are non-members — the
+    // ones carrying verbatim base-split text must be indistinguishable
+    // from members (their min-k tail is all seen bigrams), while truly
+    // novel docs separate strictly upward on their unseen-bigram tails.
+    // Split membership is the salted doc_id hash, so first recover which
+    // ids land on each side, then assign texts by role.
+    val splits = spark.range(0, 400).select(col("id").as("doc_id"))
+      .withColumn("s", TextOps.docSplitE(5))
+      .as[(Long, Long)].collect()
+    val memberIds = splits.filter(_._2 != 0).map(_._1).take(40)
+    val nonMemberIds = splits.filter(_._2 == 0).map(_._1).take(20)
+    assert(memberIds.length == 40 && nonMemberIds.length == 20,
+      "fixture needs 40 members and 20 non-members in the id range")
+    val vocab = Seq("lorem", "ipsum", "dolor", "sit", "amet",
+      "consectetur", "adipiscing", "elit", "sed", "tempor")
+    // members: cyclic walks over a shared vocabulary — every bigram the
+    // base LM will know
+    def memberText(j: Int): String =
+      (0 until 30 + j % 7).map(i => vocab((j + i) % vocab.size)).mkString(" ")
+    val members = memberIds.zipWithIndex.map { case (id, j) =>
+      (id, memberText(j), "en", "s", 100L)
+    }
+    // first 10 non-members: VERBATIM copies of member texts (the planted
+    // contamination); last 10: fully novel vocabulary, every token and
+    // bigram unseen by the frozen base LM
+    val (contamIds, novelIds) = nonMemberIds.splitAt(10)
+    val contaminated = contamIds.zipWithIndex.map { case (id, j) =>
+      (id, memberText(j), "en", "s", 100L)
+    }
+    val novel = novelIds.zipWithIndex.map { case (id, j) =>
+      (id, (0 until 20).map(i => s"zx${j}w$i").mkString(" "), "en", "s", 100L)
+    }
+    val docs = (members ++ contaminated ++ novel).toSeq
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("mink").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextOps.minKProb(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(6)))).toMap
+    val memberBandMax = memberIds.map(id => rows(id)._2).max
+    contamIds.zipWithIndex.foreach { case (id, j) =>
+      assert(!rows(id)._1, s"fixture bug: $id must be a non-member")
+      // a verbatim copy's per-token costs are a pure function of its
+      // words — it scores EXACTLY like its member twin
+      assert(rows(id)._2 == rows(memberIds(j))._2,
+        s"verbatim copy $id must score exactly like member ${memberIds(j)}: ${
+          rows(id)._2} vs ${rows(memberIds(j))._2}")
+      assert(rows(id)._2 <= memberBandMax,
+        s"planted copy $id must land in the member band (<= $memberBandMax): ${rows(id)._2}")
+    }
+    novelIds.foreach { id =>
+      assert(rows(id)._2 > memberBandMax,
+        s"novel doc $id must sit strictly above the member band ($memberBandMax): ${rows(id)._2}")
+    }
+    // the detection margin is wide, not marginal: the novel floor clears
+    // the member ceiling by >2x (thresholds recorded in PLANS.md)
+    val novelMin = novelIds.map(id => rows(id)._2).min
+    assert(novelMin > 2 * memberBandMax,
+      s"novel floor $novelMin must clear 2x the member ceiling $memberBandMax")
   }
 
   test("anisotropy/abtt: a dominant common direction is found and projecting it out deflates the inflated pairs") {

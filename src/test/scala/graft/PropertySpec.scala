@@ -312,6 +312,57 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("mp3 side-info walk never throws on mutated or truncated bytes; survivors stay field-consistent") {
+    import graft.multimodal.Mp3
+    // the refusal contract on ATTACKER-SHAPED input (r18 VERDICT #4): for
+    // ANY byte mutation or truncation of a valid stream, parseSideInfo
+    // returns None or a SideInfo whose fields respect the format's own
+    // bounds — never a throw, never an impossible readout
+    def consistent(si: Mp3.SideInfo): Unit = {
+      assert(si.nGc > 0 && si.nGc % 2 == 0, s"granule-channels pair up: $si")
+      assert(si.sumPart23 >= 0 && si.sumPart23 <= si.nGc * 4095L,
+        s"part2_3 is a 12-bit field: $si") // 2^12 - 1 per gc
+      assert(si.sumBigValues >= 0 && si.sumBigValues <= si.nGc * 288L,
+        s"big_values past the walk's own ceiling: $si")
+      assert(si.minGain >= 0 && si.minGain <= si.maxGain && si.maxGain <= 255,
+        s"global_gain is an 8-bit field: $si")
+      assert(si.maxMainDataBegin >= 0 && si.maxMainDataBegin <= 511,
+        s"main_data_begin is a 9-bit field: $si")
+    }
+    val caseGen = for {
+      sr <- Gen.choose(0, 2); mode <- Gen.choose(0, 3)
+      nf <- Gen.choose(1, 12); id3 <- Gen.choose(0, 60)
+      a <- Gen.choose(1L, 997L); b <- Gen.choose(0L, 13L)
+    } yield (sr, mode, nf, id3, a, b)
+    samples(caseGen, 25).foreach { case (sr, mode, nf, id3, a, b) =>
+      val bytes = Mp3.encode(sr, mode,
+        f => 1 + ((a * f + b) % 14).toInt, f => ((a + f) % 2).toInt, nf, id3)
+      consistent(Mp3.parseSideInfo(bytes)
+        .getOrElse(fail(s"refused own output ($sr,$mode,$nf,$id3)")))
+      val rnd = new scala.util.Random(a * 131 + b)
+      // single- and multi-byte mutations anywhere (ID3 header, frame
+      // header, side-info block, payload)
+      for (_ <- 0 until 40) {
+        val m = bytes.clone()
+        for (_ <- 0 to rnd.nextInt(3))
+          m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        Mp3.parseSideInfo(m).foreach(consistent)
+      }
+      // truncation at every boundary class: inside the ID3 tag, inside a
+      // header, inside a side-info block, inside a payload
+      for (_ <- 0 until 15) {
+        val cut = rnd.nextInt(bytes.length)
+        Mp3.parseSideInfo(bytes.take(cut)).foreach(consistent)
+      }
+      // truncation mid-side-info specifically (the r18 verdict's named
+      // case): cut inside the first frame's side-info block must refuse
+      val siCut = (if (id3 > 0) 10 + id3 else 0) + 4 +
+        rnd.nextInt(Mp3.sideInfoBytes(mode))
+      assert(Mp3.parseSideInfo(bytes.take(siCut)).isEmpty,
+        "a frame cut inside its side info must refuse, not misparse")
+    }
+  }
+
   test("dupSpans equals a brute-force positional cut on random corpora") {
     import graft.functions.TextOps
     val n = 5

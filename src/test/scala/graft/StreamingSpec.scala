@@ -1101,16 +1101,25 @@ class StreamingSpec extends SparkSuite {
     // exactly what d_len_cap serves as thr_sketch
     val thr = TextOps.quantileSketch(spark, sfDir, QuantileStream.K, Seq(990))
       .select(col("source"), col("est").as("thr"))
-    // batch verdicts: v > thr_sketch per doc (the d_len_cap cut rule)
+    // batch verdicts: v > thr_sketch per doc (the d_len_cap cut rule) —
+    // LEFT join + coalesce to the ungated MaxValue, mirroring the gate's
+    // own unseen-source branch (an inner join here would silently drop a
+    // source lacking a p990 row from the expectation instead of testing
+    // the pass-ungated contract)
     val expect = TextOps.prepared(spark, sfDir)
       .select(col("doc_id"), col("source"),
         coalesce(size(col("words")).cast("long"), lit(0L)).as("v"))
-      .join(thr, "source")
-      .select(col("doc_id"), (col("v") > col("thr")).as("over"))
+      .join(thr, Seq("source"), "left")
+      .select(col("doc_id"),
+        (col("v") > coalesce(col("thr"), lit(Long.MaxValue))).as("over"))
       .as[(Long, Boolean)].collect().toMap
+    // plus a source ABSENT from the frozen sketch: however long, it must
+    // pass ungated (the conservative admission default)
+    val unseenId = expect.keys.max + 1
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"), col("source"))
-      .as[(Long, String, String)].collect().toSeq
+      .as[(Long, String, String)].collect().toSeq :+
+      ((unseenId, Seq.fill(100000)("w").mkString(" "), "src_unseen_by_sketch"))
     val in = MemoryStream[(Long, String, String)]
     val out = QuantileStream.lenGate(
       in.toDF().toDF("doc_id", "text", "source"), thr)
@@ -1122,12 +1131,59 @@ class StreamingSpec extends SparkSuite {
       val got = spark.table("len_gate")
         .select(col("doc_id"), col("over_cap"))
         .as[(Long, Boolean)].collect().toMap
-      assert(got == expect,
+      assert(got.get(unseenId).contains(false),
+        s"a 100k-token doc from a sketch-unseen source must pass ungated: ${
+          got.get(unseenId)}")
+      assert(got - unseenId == expect,
         s"stream gate diverges from batch lenCap verdicts: stream-only=${
-          (got.toSet diff expect.toSet).take(3)} batch-only=${
-          (expect.toSet diff got.toSet).take(3)}")
+          ((got - unseenId).toSet diff expect.toSet).take(3)} batch-only=${
+          (expect.toSet diff (got - unseenId).toSet).take(3)}")
       assert(got.values.exists(identity),
         "fixture must exercise the over-cap branch (p990 cuts the tail)")
+    } finally q.stop()
+  }
+
+  test("dir gate: frozen power-iteration direction scores arrivals in-stream, score equals the batch abtt dp on a 2-batch feed") {
+    import graft.streaming.DirGateStream
+    import graft.functions.VectorOps
+    val sfDir = sf()
+    // the frozen artifact: the same rounded direction v_anisotropy/v_abtt
+    // read (session-shared, so this freeze is the monitor's own build)
+    val u = DirGateStream.frozenDirection(spark, sfDir)
+    val xl = typedlit(u)
+    // batch scores: the abtt projection's dp column verbatim
+    val batch = VectorOps.prepared(spark, sfDir)
+      .select(col("vec_id"),
+        (VectorOps.dot(col("v"), xl) / col("nrm")).as("dp"))
+      .as[(Long, Double)].collect().toMap
+    // a threshold the fixture exercises on BOTH sides: the 90th-percentile
+    // |dp| of the batch scores
+    val thr = batch.values.map(math.abs).toSeq.sorted
+      .apply((batch.size * 9) / 10)
+    val vecs = VectorOps.prepared(spark, sfDir)
+      .select(col("vec_id"), col("v"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val in = MemoryStream[(Long, Seq[Double])]
+    val out = DirGateStream(in.toDF().toDF("vec_id", "v"), u, thr)
+    val q = out.writeStream.format("memory").queryName("dir_gate")
+      .outputMode("append").start()
+    try {
+      val (a, b) = vecs.splitAt(vecs.size / 2)
+      Seq(a, b).foreach { batchFeed => in.addData(batchFeed); q.processAllAvailable() }
+      val got = spark.table("dir_gate")
+        .select(col("vec_id"), col("dp"), col("boilerplate"))
+        .as[(Long, Double, Boolean)].collect()
+      val gotDp = got.map(r => r._1 -> r._2).toMap
+      // same codegen'd dot, same literal, same IEEE order → exact equality
+      assert(gotDp == batch,
+        s"stream score diverges from the batch abtt dp: stream-only=${
+          (gotDp.toSet diff batch.toSet).take(3)} batch-only=${
+          (batch.toSet diff gotDp.toSet).take(3)}")
+      got.foreach { case (id, dp, boiler) =>
+        assert(boiler == (math.abs(dp) >= thr), s"verdict rule drifted: $id")
+      }
+      assert(got.exists(_._3) && got.exists(!_._3),
+        "fixture must exercise both gate branches")
     } finally q.stop()
   }
 
