@@ -128,7 +128,7 @@ object Bench {
     breakdown.foreach { case (k, s) =>
       System.err.println(f"[bench] shared_build detail: $k%-40s ${s}%.2f s")
     }
-    // keys are SharedRel-internal strings ("lshcands|/root/testdata/..."),
+    // keys are SharedRel-internal strings ("prepared|/root/testdata/..."),
     // escape like sfDir so a path char cannot break the one-line contract
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""

@@ -4434,8 +4434,10 @@ object TextOps {
     4 -> Seq(0 until 2, 2 until 4, 4 until 6, 6 until 8))
 
   /** Candidate pairs at one banding, the first-agreeing-band dedup idiom
-    * of [[minhashPairs]] generalized to any group split — shared by the
-    * sweep and the retune action so the two cannot drift.
+    * of [[minhashPairs]] generalized to any group split — the guard also
+    * makes each banding's pair set DISTINCT, which is what licenses the
+    * retune's drift-by-subtraction (OperatorsSpec verifies the set
+    * differences against the sweep's counts).
     */
   private def lshCandidates(sig: DataFrame, groups: Seq[Range]): DataFrame = {
     val bnd = sig.select(col("doc_id") +:
@@ -4452,16 +4454,19 @@ object TextOps {
     }.reduce(_ union _)
   }
 
-  /** The candidate relation at one banding, session-shared — consumed by
-    * the sweep (all three bandings), the retune action (chosen + default)
-    * and anything else pricing a banding; a production dedup persists
-    * these pair scaffolds, it does not regenerate them per report.
+  /** The candidate relation at one banding. NOT a SharedRel key (r19):
+    * its only production consumer is [[lshSweepBuild]] — itself memoized
+    * under `lshsweep` — so a key here would violate the shared_build
+    * contract's ≥2-consumers rule (PLANS.md) and merely relabel the same
+    * one-time cost. (It WAS shared in r18, when the retune consumed the
+    * chosen + default candidate sets; the retune's drift is arithmetic
+    * on the sweep now.) The spec's set-difference verification calls it
+    * live.
     */
   private[graft] def lshCandidatesShared(spark: SparkSession, dir: String,
                                          nb: Int,
                                          mat: Materialize): DataFrame =
-    graft.SharedRel(spark, s"lshcands|$dir|$nb", mat)(
-      lshCandidates(bandedSignatures(spark, dir, mat), lshGroupsOf(nb)))
+    lshCandidates(bandedSignatures(spark, dir, mat), lshGroupsOf(nb))
 
   def lshSweep(spark: SparkSession, dir: String, threshold: Double = 0.9,
                mat: Materialize = Materialize.Local): DataFrame = mat match {

@@ -726,12 +726,20 @@ class PlanAuditSpec extends SparkSuite {
       s"state diffs must be full-outer keyed joins:\n$plan")
   }
 
-  test("d_lsh_retune: chosen and default candidate joins stay band-keyed") {
+  test("d_lsh_retune: drift is arithmetic on the 3-row sweep — no pair relation in the plan") {
     val plan = executedPlan("d_lsh_retune")
+    // r19: the r18 full-outer pair-drift join is gone (the candidate sets
+    // are nested, so drift is an n_cand subtraction) — nothing in this
+    // plan may touch a |pairs|-sized relation; the only joins are 1-row
+    // broadcasts of the sweep's own rows
+    assert(!plan.contains("FullOuter"),
+      s"drift must be n_cand arithmetic, not a pair join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing pair-sized may shuffle in the retune:\n$plan")
     assert(!plan.contains("CartesianProduct"),
-      s"retune candidate joins must never degenerate to a cartesian:\n$plan")
-    assert(plan.contains("FullOuter"),
-      s"the drift compare must be a pair-keyed full outer join:\n$plan")
+      s"only broadcast 1-row joins allowed:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"the pick must read the materialized session-shared sweep:\n$plan")
   }
 
   test("v_anisotropy: power-round aggs map-side; direction join-back broadcasts") {
