@@ -21,6 +21,16 @@ object RunDocPipeline {
     * distinguishable from an empty corpus (the `Tables.scala` timestamp-
     * probe rule: make the fallback visible).
     */
+  /** Stages that reported a sentinel this run — surfaced as the JSON
+    * line's `degraded_stages` field so a consumer of the artifact knows
+    * which readouts are placeholders WITHOUT scraping stderr (a curate
+    * timeout would otherwise leave plausible-looking downstream counts
+    * beside one log line). Synchronized: stages run sequentially today,
+    * but guarded is also called from specs.
+    */
+  private val degradedStages =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+
   private[graft] def guarded[T](stage: String, sentinel: => T)(body: => T): T =
     try body catch {
       case scala.util.control.NonFatal(e) =>
@@ -28,8 +38,14 @@ object RunDocPipeline {
         // not print a plausible-looking JSON line after a fatal condition
         Console.err.println(s"[docpipeline] stage '$stage' failed " +
           s"(${e.getClass.getName}: ${e.getMessage}); reporting sentinel")
+        degradedStages.add(stage)
         sentinel
     }
+
+  private[graft] def degradedJson: String = {
+    import scala.jdk.CollectionConverters._
+    degradedStages.asScala.map("\"" + _ + "\"").mkString("[", ",", "]")
+  }
 
   /** Drain an AvailableNow query with a CHECKED timeout and a guaranteed
     * stop: a bare `awaitTermination(ms)` returning false means the query
@@ -496,7 +512,7 @@ object RunDocPipeline {
     val maxPhase = cur.agg(max("phase")).collect()(0).getInt(0)
     val annealDocs = cur.filter(col("phase") === maxPhase).count()
 
-    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"temp_shards":$tempShards,"temp_docs":$tempDocs,"temp_tokens":$tempTokens,"curriculum_shards":$curShards,"anneal_docs":$annealDocs,"worst_quality_drift_pm":$worstQDrift,"degraded_sources":$degradedSources,"worst_bpe_drift_pm":$worstBpeDrift,"requota_moved_sources":$requotaMoved,"vocab_est":$vocabEst,"hh_worst_over_pm":$hhWorstOverPm,"len_cap_worst_delta_pm":$lenCapWorstDeltaPm,"mink_gap_pm":$minkGapPm,"bloom_fp_pm":$bloomFpPm,"bloom_saved_pm":$bloomSavedPm,"novel_docs":$novelDocs,"len_gated":$lenGated,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept,"caption_mismatch_media":$captionMismatchMedia,"videos_admitted":$videosAdmitted,"vectors_admitted":$vectorsAdmitted,"pairs_mined":$pairsMined,"dir_gated":$dirGated,"contaminated":$contaminated,"span_tokens_cut":$spanTokensCut,"nb_scored":$nbScored,"nb_top_bucket":"$nbTopBucket","nb_top_count":$nbTopCount}""")
+    println(s"""{"pipeline":"documents","sf":"$sfDir","input":$total,"kept":$kept,"admitted":$admitted,"quota_rejected":$rejected,"shards":$nShards,"shard_docs":$shardDocs,"shard_tokens":$shardTokens,"temp_shards":$tempShards,"temp_docs":$tempDocs,"temp_tokens":$tempTokens,"curriculum_shards":$curShards,"anneal_docs":$annealDocs,"worst_quality_drift_pm":$worstQDrift,"degraded_sources":$degradedSources,"worst_bpe_drift_pm":$worstBpeDrift,"requota_moved_sources":$requotaMoved,"vocab_est":$vocabEst,"hh_worst_over_pm":$hhWorstOverPm,"len_cap_worst_delta_pm":$lenCapWorstDeltaPm,"mink_gap_pm":$minkGapPm,"bloom_fp_pm":$bloomFpPm,"bloom_saved_pm":$bloomSavedPm,"novel_docs":$novelDocs,"len_gated":$lenGated,"stream_shards":$sShards,"stream_shard_tokens":$sTokens,"images_kept":$imagesKept,"caption_mismatch_media":$captionMismatchMedia,"videos_admitted":$videosAdmitted,"vectors_admitted":$vectorsAdmitted,"pairs_mined":$pairsMined,"dir_gated":$dirGated,"contaminated":$contaminated,"span_tokens_cut":$spanTokensCut,"nb_scored":$nbScored,"nb_top_bucket":"$nbTopBucket","nb_top_count":$nbTopCount,"degraded_stages":$degradedJson}""")
     spark.stop()
   }
 }

@@ -4463,7 +4463,7 @@ object TextOps {
     * on the sweep now.) The spec's set-difference verification calls it
     * live.
     */
-  private[graft] def lshCandidatesShared(spark: SparkSession, dir: String,
+  private[graft] def lshCandidatesAt(spark: SparkSession, dir: String,
                                          nb: Int,
                                          mat: Materialize): DataFrame =
     lshCandidates(bandedSignatures(spark, dir, mat), lshGroupsOf(nb))
@@ -4485,7 +4485,7 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"))
     val nTrue = exact.agg(count(lit(1)).as("n_true"))
     val perConfig = lshGroupsOf.keys.toSeq.sorted.map { nb =>
-      val cand = lshCandidatesShared(spark, dir, nb, mat)
+      val cand = lshCandidatesAt(spark, dir, nb, mat)
       cand.join(exact.withColumn("istrue", lit(1L)), Seq("doc_a", "doc_b"), "left")
         .agg(count(lit(1)).as("n_cand"),
           // sum over an empty (zero-candidate) config is null, not 0

@@ -337,7 +337,7 @@ object VectorOps {
     val xl = typedlit(powerIterTop(spark, dir, iters))
     prepared(spark, dir)
       .withColumn("dp", round(dot(col("v"), xl) / col("nrm"), 4))
-      .select(col("vec_id"), col("dp"),
+      .select(col("vec_id"), col("dp"), lit(thr).as("thr"),
         (abs(col("dp")) >= thr).as("boilerplate"))
       .orderBy("vec_id")
   }
@@ -347,6 +347,7 @@ object VectorOps {
        |${powerIterCtes(iters)}
        |SELECT vec_id,
        |  round(list_dot_product(v, xl) / nrm, 4) AS dp,
+       |  CAST($thr AS DOUBLE) AS thr,
        |  abs(round(list_dot_product(v, xl) / nrm, 4)) >= $thr AS boilerplate
        |FROM e0, xl$iters ORDER BY vec_id""".stripMargin
 

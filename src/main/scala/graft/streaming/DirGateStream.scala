@@ -35,8 +35,11 @@ object DirGateStream {
                       iters: Int = 3): Seq[Double] =
     VectorOps.powerIterTop(spark, dir, iters)
 
-  /** `vecs`: a streaming relation with `vec_id BIGINT, v ARRAY<DOUBLE>`
-    * (extra columns pass through untouched ahead of the final select).
+  /** `vecs`: a streaming relation with `vec_id BIGINT, v ARRAY<DOUBLE>`.
+    * The decision log carries `thr` beside each verdict — a long-lived
+    * log whose epochs ran different thresholds (the LSH retune story)
+    * stays disambiguable after the fact; one constant column, free at
+    * ingest.
     */
   def apply(vecs: DataFrame, direction: Seq[Double],
             thr: Double = 0.99): DataFrame = {
@@ -45,7 +48,7 @@ object DirGateStream {
       .withColumn("nrm", sqrt(VectorOps.dot(col("v"), col("v"))))
       .filter(col("nrm") > 0)
       .withColumn("dp", VectorOps.dot(col("v"), xl) / col("nrm"))
-      .select(col("vec_id"), col("dp"),
+      .select(col("vec_id"), col("dp"), lit(thr).as("thr"),
         (abs(col("dp")) >= thr).as("boilerplate"))
   }
 }

@@ -395,6 +395,10 @@ class EdgeCaseSpec extends SparkSuite {
     assert(msg.contains("forced_stage") && msg.contains("IllegalStateException")
       && msg.contains("boom"),
       s"failure must be loud with stage name + exception, got: $msg")
+    // and the sentinel is machine-visible in the JSON line's
+    // degraded_stages field, not only on stderr
+    assert(RunDocPipeline.degradedJson.contains("\"forced_stage\""),
+      s"sentinel stage must register as degraded: ${RunDocPipeline.degradedJson}")
     // and the happy path is silent + transparent
     val err2 = new java.io.ByteArrayOutputStream()
     val ok = Console.withErr(new java.io.PrintStream(err2, true, "UTF-8")) {

@@ -98,6 +98,43 @@ class MaterializeSpec extends SparkSuite {
     assert(new java.io.File(s"$dir/km").listFiles().exists(_.getName.startsWith("mat-")))
   }
 
+  test("SharedRel key inventory matches the PLANS shared_build contract") {
+    // the shared_build contract (PLANS.md, r19): every SharedRel key must
+    // have >= 2 consuming queries or be demoted inline. The rule itself is
+    // reviewed per key; THIS pin makes key ADDITION/REMOVAL a deliberate
+    // act — a new key fails here until the PLANS key table names its
+    // consumers and this set is updated in the same commit.
+    import scala.jdk.CollectionConverters._
+    val srcDir = java.nio.file.Paths.get("src/main/scala/graft")
+    assume(java.nio.file.Files.isDirectory(srcDir), "runs from the repo root")
+    val call = """(?s)SharedRel(?:\.once)?\(.{0,200}?s"([a-z0-9-]+)\|""".r
+    val walk = java.nio.file.Files.walk(srcDir)
+    val keys =
+      try walk.iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .flatMap { p =>
+          val text = new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8)
+          call.findAllMatchIn(text).map(_.group(1))
+        }.toSet
+      finally walk.close()
+    val expected = Set(
+      // derived-relation keys (SharedRel.apply)
+      "prepared", "minhash-banded", "shingle-pairs", "dupcc", "dupspans",
+      "lshsweep", "bm25idx", "contam", "decontam", "curate", "curatebase",
+      "dsir", "lm2", "nbpred", "bloombits", "bloomprobe", "ivf", "ivfsim",
+      "kmtrained", "pq", "knng", "semcc", "marginexact", "staleedges",
+      "stalehits", "neardup", "anngraph", "anngraphf", "phash", "afp",
+      "vframes",
+      // once-scaffold keys (SharedRel.once)
+      "bloomsplit", "powertop", "topics", "incrstate", "incrbase")
+    assert(keys == expected,
+      s"SharedRel key inventory drifted — update the PLANS 'shared_build " +
+        s"contract' key table (naming >= 2 consumers for any new key) and " +
+        s"this pin together: extra=${(keys -- expected).toSeq.sorted} " +
+        s"missing=${(expected -- keys).toSeq.sorted}")
+  }
+
   test("external-relation ANN operators refuse a mismatched codebook loudly") {
     import spark.implicits._
     // codebook trained with blocks=2 fed to a blocks=4 query must throw,

@@ -1261,7 +1261,7 @@ class OperatorsSpec extends SparkSuite {
     // is what licenses that): the ACTUAL candidate-set differences equal
     // the n_cand subtractions the query now reports
     val cands = Seq(1, 2, 4).map(nb => nb ->
-      TextOps.lshCandidatesShared(spark, sfDir, nb, graft.Materialize.Local)
+      TextOps.lshCandidatesAt(spark, sfDir, nb, graft.Materialize.Local)
         .as[(Long, Long)].collect().toSet).toMap
     assert(cands(1).subsetOf(cands(2)) && cands(2).subsetOf(cands(4)),
       "candidate sets must be nested as the drift arithmetic assumes")
@@ -1421,6 +1421,13 @@ class OperatorsSpec extends SparkSuite {
     assert(p.getLong(0) == 45, s"all 45 pairs inflated before: $p")
     assert(p.getLong(1) == 0 && p.getLong(3) == 45,
       s"projection must deflate every common-direction pair: $p")
+    // the ADMISSION gate at the deployed 0.99 threshold fires on every
+    // vector of this pathological cloud (each is ~0.995 common direction)
+    // — the true branch of v_dir_gate's verdict, which healthy testdata
+    // never reaches (max |dp| ~0.85)
+    val g = VectorOps.dirGate(spark, tmp).collect()
+    assert(g.length == 10 && g.forall(_.getBoolean(3)),
+      s"dirGate must flag a pure common-direction cloud: ${g.map(_.toSeq).toSeq}")
     // sanity on the real table: shares/cosines are bounded and the pair
     // drift columns cross-foot
     val r = VectorOps.anisotropy(spark, sf()).collect()(0)
