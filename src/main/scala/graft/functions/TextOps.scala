@@ -649,11 +649,23 @@ object TextOps {
     * exact column is the verification harness the sketch is priced
     * against, same posture as the KMV tier.
     */
+  /** Corpus-wide exact word counts — the verification side both CMS
+    * reports price against. SharedRel key `wordcounts` (consumers:
+    * [[heavyHitters]], [[hhWiden]]): each report's plan reads the count
+    * relation many times (three hash-row branches plus the counter and
+    * probe sides), so an unmaterialized build re-ran the explode+agg up
+    * to 9× per query — the r19 sorted-order `d_hh_widen` adjacency spike.
+    * Vocabulary-bounded rows, one explode+agg pass to build.
+    */
+  private def wordCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.SharedRel(spark, s"wordcounts|$dir", Materialize.Local)(
+      prepared(spark, dir)
+        .select(explode(col("words")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n_exact")))
+
   def heavyHitters(spark: SparkSession, dir: String, depth: Int = 3,
                    width: Int = 64, k: Int = 20): DataFrame = {
-    val cnt = prepared(spark, dir)
-      .select(explode(col("words")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("n_exact"))
+    val cnt = wordCounts(spark, dir)
     val buckets = (0 until depth).map { r =>
       cnt.select(lit(r).as("r"),
         (Exprs.hex60(concat(lit(s"cms$r:"), col("w"))) % lit(width.toLong)).as("bkt"),
@@ -715,9 +727,7 @@ object TextOps {
   def hhWiden(spark: SparkSession, dir: String, depth: Int = 3,
               width: Int = 64, k: Int = 20): DataFrame = {
     val wide = width * 2
-    val cnt = prepared(spark, dir)
-      .select(explode(col("words")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("n_exact"))
+    val cnt = wordCounts(spark, dir)
     val buckets = (0 until depth).map { r =>
       cnt.select(lit(r).as("r"), col("w"), col("n_exact"),
         (Exprs.hex60(concat(lit(s"cms$r:"), col("w"))) % lit(wide.toLong)).as("bw"))

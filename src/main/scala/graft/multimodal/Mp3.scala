@@ -66,16 +66,24 @@ object Mp3 {
   /** The deterministic side-info field generator [[encode]] writes and
     * the SQL oracle mirrors: (part2_3_length, big_values, global_gain,
     * scalefac_compress) per (bitrate index, frame, granule, channel).
-    * Bounds are the spec's: big_values ≤ 288, and part2_3_length capped
-    * at [[p23CapBits]] so that with main_data_begin = 0 every frame's
+    * Bounds are the spec's: big_values ≤ 288, and part2_3_length bounded
+    * below [[p23CapBits]] so that with main_data_begin = 0 every frame's
     * declared Huffman+scalefactor payload physically fits its own
     * main-data region — the emitted streams are reservoir-CONSISTENT,
-    * not just side-info-true (uncapped, a 96-byte bi=1 stereo frame's
+    * not just side-info-true (unbounded, a 96-byte bi=1 stereo frame's
     * four granule-channels could declare ~870+ bits against 480
-    * physical — spec-invalid MPEG-1 a real validator rejects).
+    * physical — spec-invalid MPEG-1 a real validator rejects). The
+    * bound is a MODULUS, not a clamp (ADVICE r19): a clamp made every
+    * over-cap granule-channel emit the SAME capped value exactly where
+    * frames are smallest, so the differential oracle's sum_part23 lost
+    * per-gc variance there and a bit-offset defect corrupting capped
+    * values could in principle cancel in the sum; the modulus keeps the
+    * same bound with full variance. Where the cap never binds
+    * (`p23CapBits − 64 ≥ 320`, bi ≥ 5) the emitted values are unchanged.
     */
   def gcFields(bi: Int, f: Int, g: Int, c: Int): (Int, Int, Int, Int) = (
-    math.min(64 + (bi * 29 + f * 11 + g * 5 + c * 2) % 320, p23CapBits(bi)),
+    64 + (bi * 29 + f * 11 + g * 5 + c * 2) %
+      math.min(320, p23CapBits(bi) - 64),
     (bi * 17 + f * 5 + g + c) % 289,
     32 + (bi * 13 + f * 7 + g * 3 + c) % 200,
     (f + g) % 16)

@@ -752,9 +752,10 @@ object Multimodal {
        |  WHERE c < CASE WHEN ch_mode = 3 THEN 1 ELSE 2 END),
        |fields AS (
        |  SELECT media_id,
-       |    least(64 + (bi * 29 + f * 11 + g * 5 + c * 2) % 320,
-       |      (3 * ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[bi]
-       |       - 36) * 2) AS p23,
+       |    64 + (bi * 29 + f * 11 + g * 5 + c * 2) %
+       |      least(320,
+       |        (3 * ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[bi]
+       |         - 36) * 2 - 64) AS p23,
        |    (bi * 17 + f * 5 + g + c) % 289 AS bigv,
        |    32 + (bi * 13 + f * 7 + g * 3 + c) % 200 AS gain
        |  FROM gc)

@@ -122,6 +122,7 @@ class MaterializeSpec extends SparkSuite {
       // derived-relation keys (SharedRel.apply)
       "prepared", "minhash-banded", "shingle-pairs", "dupcc", "dupspans",
       "lshsweep", "bm25idx", "contam", "decontam", "curate", "curatebase",
+      "wordcounts",
       "dsir", "lm2", "nbpred", "bloombits", "bloomprobe", "ivf", "ivfsim",
       "kmtrained", "pq", "knng", "semcc", "marginexact", "staleedges",
       "stalehits", "neardup", "anngraph", "anngraphf", "phash", "afp",
