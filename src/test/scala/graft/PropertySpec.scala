@@ -363,6 +363,34 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("mp3 encoder reservoir consistency: every frame's declared payload fits its own main-data bits") {
+    import graft.multimodal.Mp3
+    // the encoder GUARANTEE PLANS documents (parseSideInfo deliberately
+    // does not check it — the bit reservoir makes a per-frame check wrong
+    // on real streams): with main_data_begin = 0, the sum of a frame's
+    // granule-channel part2_3_length values fits the frame's physical
+    // main-data region for EVERY (bitrate, samplerate, channel mode,
+    // padding) shape the encoder can emit — exhaustive over the format's
+    // own parameter space, not sampled
+    for (bi <- 1 to 14; srIdx <- 0 to 2; chMode <- 0 to 3; pad <- 0 to 1) {
+      val kbps = Mp3.BitrateKbps(bi)
+      val frameBytes = 144 * kbps * 1000 / Mp3.SampleRate(srIdx) + pad
+      val mainDataBits =
+        (frameBytes - 4 - Mp3.sideInfoBytes(chMode)) * 8L
+      val nCh = if (chMode == 3) 1 else 2
+      // scan enough frame indices to cycle the generator's f-dependence
+      for (f <- 0 until 40) {
+        val p23s = for (g <- 0 until 2; c <- 0 until nCh)
+          yield Mp3.gcFields(bi, f, g, c)._1
+        assert(p23s.forall(p => p >= 64 && p < Mp3.p23CapBits(bi)),
+          s"per-gc bound broken at bi=$bi f=$f: $p23s vs cap ${Mp3.p23CapBits(bi)}")
+        assert(p23s.map(_.toLong).sum <= mainDataBits,
+          s"frame overcommitted at bi=$bi srIdx=$srIdx chMode=$chMode " +
+            s"pad=$pad f=$f: ${p23s.sum} declared vs $mainDataBits physical")
+      }
+    }
+  }
+
   test("dupSpans equals a brute-force positional cut on random corpora") {
     import graft.functions.TextOps
     val n = 5
