@@ -442,4 +442,54 @@ class EdgeCaseSpec extends SparkSuite {
     val a = VectorOps.anisotropy(spark, dir).collect()(0)
     assert(a.getLong(0) == 4, "zero vector excluded from the cloud")
   }
+
+  test("CMS family: degenerate docs count exactly; the sketch only over-estimates; widening only recovers") {
+    // vocabulary of the degenerate fixture is {"", "x"}: "" twice (empty
+    // + whitespace-only docs), "x" once; the null-text doc drops out
+    val hh = TextOps.heavyHitters(spark, tmp).collect()
+    assert(hh.map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("" -> 2L, "x" -> 1L), s"exact counts: ${hh.map(_.toSeq).toSeq}")
+    hh.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1) && r.getLong(3) >= 0,
+        s"CMS must only over-estimate: ${r.toSeq}")
+    }
+    val hw = TextOps.hhWiden(spark, tmp).collect()
+    assert(hw.length == 2)
+    hw.foreach { r =>
+      // (term, n_exact, est_w64, est_w128, over64, over128, recovered)
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(6) >= 0,
+        s"widening must refine, never inflate: ${r.toSeq}")
+    }
+  }
+
+  test("lshSweep and lshRetune degrade to a 0-candidate report on an empty corpus, never throw") {
+    // pins the drift-by-nesting docstring's claim: the r18 form died on
+    // collect()(0) here; the r19 form is a broadcast 1-row join and must
+    // return a full report with every count at 0
+    val dir = java.nio.file.Files.createTempDirectory("edge-empty").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sweep = TextOps.lshSweep(spark, dir).collect()
+    assert(sweep.map(_.getInt(0)).toSeq == Seq(1, 2, 4) &&
+      sweep.forall(r => r.getLong(2) == 0 && r.getLong(3) == 0),
+      s"empty corpus sweep must be 3 all-zero configs: ${sweep.map(_.toSeq).toSeq}")
+    val rt = TextOps.lshRetune(spark, dir).collect()
+    assert(rt.length == 1, "retune must still report on an empty corpus")
+    val r = rt(0)
+    assert(r.getLong(2) == 0 && r.getLong(10) == 0 && r.getLong(11) == 0,
+      s"empty corpus retune must report zero candidates and zero drift: ${r.toSeq}")
+  }
+
+  test("dirGate refuses an empty embedding relation loudly") {
+    // the powerIterTop require: a direction over nothing is undefined —
+    // the gate must fail the build, not broadcast a garbage literal
+    val dir = java.nio.file.Files.createTempDirectory("edge-novec").toString
+    Seq.empty[(Long, String, Seq[Float])]
+      .toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    intercept[IllegalArgumentException] {
+      VectorOps.dirGate(spark, dir).collect()
+    }
+  }
 }
