@@ -391,6 +391,80 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("lsh banding candidate sets are nested on random corpora; the sweep's counts equal the true set sizes") {
+    import graft.functions.TextOps
+    // the retune's drift-by-subtraction license (r19): 1×8 ⊆ 2×4 ⊆ 4×2
+    // under the first-agreeing-band guard, with each set DISTINCT — here
+    // proven over RANDOM corpora, not just the shipped fixture. Small
+    // vocabulary + planted duplicates force genuine band matches.
+    val wordGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val docGen = Gen.choose(8, 16).flatMap(len => Gen.listOfN(len, wordGen))
+    val corpusGen = Gen.choose(4, 8).flatMap(m => Gen.listOfN(m, docGen))
+    samples(corpusGen, 4).zipWithIndex.foreach { case (corpus0, ci) =>
+      // plant one exact duplicate and one 1-word edit of doc 0: at least
+      // one banding must produce candidates
+      val corpus = corpus0 :+ corpus0.head :+ (corpus0.head.init :+ "zz")
+      val docs = corpus.zipWithIndex
+        .map { case (ws, id) => (id.toLong, ws.mkString(" "), "en", "s", 1L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val dir = java.nio.file.Files.createTempDirectory(s"prop_lsh$ci").toString
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val cands = Seq(1, 2, 4).map(nb => nb ->
+        TextOps.lshCandidatesAt(spark, dir, nb, Materialize.Local)
+          .as[(Long, Long)].collect()).toMap
+      cands.foreach { case (nb, arr) =>
+        assert(arr.length == arr.toSet.size,
+          s"banding $nb emitted a duplicate pair (corpus $ci)")
+      }
+      val sets = cands.view.mapValues(_.toSet).toMap
+      assert(sets(1).subsetOf(sets(2)) && sets(2).subsetOf(sets(4)),
+        s"nestedness broken on corpus $ci: ${sets.view.mapValues(_.size).toMap}")
+      assert(sets(4).nonEmpty, s"fixture must force candidates (corpus $ci)")
+      val nCand = TextOps.lshSweep(spark, dir)
+        .select(col("bands"), col("n_cand"))
+        .as[(Int, Long)].collect().toMap
+      Seq(1, 2, 4).foreach { nb =>
+        assert(nCand(nb) == sets(nb).size,
+          s"sweep n_cand($nb) != |candidate set| on corpus $ci: " +
+            s"${nCand(nb)} vs ${sets(nb).size}")
+      }
+    }
+  }
+
+  test("CMS widening refines monotonically on random high-collision corpora; both reports agree at width 64") {
+    import graft.functions.TextOps
+    // 200-term vocabulary over 64 buckets guarantees real collisions, so
+    // the monotone-refinement invariant (shared hash ⇒ the wide counter
+    // can only shrink) is exercised where it matters, not vacuously
+    val wordGen = Gen.choose(0, 199).map(i => s"w$i")
+    val docGen = Gen.choose(20, 40).flatMap(len => Gen.listOfN(len, wordGen))
+    val corpusGen = Gen.choose(6, 10).flatMap(m => Gen.listOfN(m, docGen))
+    samples(corpusGen, 4).zipWithIndex.foreach { case (corpus, ci) =>
+      val docs = corpus.zipWithIndex
+        .map { case (ws, id) => (id.toLong, ws.mkString(" "), "en", "s", 1L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val dir = java.nio.file.Files.createTempDirectory(s"prop_cms$ci").toString
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val hh = TextOps.heavyHitters(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      val hw = TextOps.hhWiden(spark, dir).collect()
+      assert(hw.nonEmpty)
+      hw.foreach { r =>
+        val (term, nExact, e64, e128) =
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        assert(e64 >= nExact && e128 >= nExact,
+          s"CMS must only over-estimate (corpus $ci): ${r.toSeq}")
+        assert(e128 <= e64 && r.getLong(6) >= 0,
+          s"wide sketch must refine the narrow (corpus $ci): ${r.toSeq}")
+        // same hash family, same fold: the widen report's narrow column
+        // IS the heavy-hitters report's estimate
+        assert(hh(term) == e64,
+          s"width-64 estimates disagree across reports (corpus $ci): " +
+            s"$term ${hh(term)} vs $e64")
+      }
+    }
+  }
+
   test("dupSpans equals a brute-force positional cut on random corpora") {
     import graft.functions.TextOps
     val n = 5
