@@ -79,14 +79,23 @@ object Mp3 {
     * per-gc variance there and a bit-offset defect corrupting capped
     * values could in principle cancel in the sum; the modulus keeps the
     * same bound with full variance. Where the cap never binds
-    * (`p23CapBits − 64 ≥ 320`, bi ≥ 5) the emitted values are unchanged.
+    * (`p23CapBits − 64 ≥ 320`, bi ≥ 6 — at bi = 5 the cap is 312 − 64 =
+    * 248 < 320, so the modulus still binds there) the emitted values are
+    * unchanged. Domain is the format's own bitrate indices, bi ∈ 1..14
+    * (0 = free format, 15 = reserved — at bi = 0 the cap arithmetic would
+    * go negative and the modulus would stop bounding p23); [[encode]]
+    * already refuses out-of-range indices, and the require here keeps the
+    * public entry honest too.
     */
-  def gcFields(bi: Int, f: Int, g: Int, c: Int): (Int, Int, Int, Int) = (
+  def gcFields(bi: Int, f: Int, g: Int, c: Int): (Int, Int, Int, Int) = {
+    require(bi >= 1 && bi <= 14, s"bitrate index out of MPEG-1 domain: $bi")
+    (
     64 + (bi * 29 + f * 11 + g * 5 + c * 2) %
       math.min(320, p23CapBits(bi) - 64),
     (bi * 17 + f * 5 + g + c) % 289,
     32 + (bi * 13 + f * 7 + g * 3 + c) % 200,
     (f + g) % 16)
+  }
 
   private final class BitWriter(b: Array[Byte], startByte: Int) {
     private var pos = startByte * 8

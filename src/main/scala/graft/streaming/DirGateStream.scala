@@ -11,8 +11,12 @@ import graft.functions.VectorOps
   * ([[graft.functions.VectorOps.powerIterTop]], the `v_anisotropy`
   * monitor's direction) is FROZEN into a broadcast literal and every
   * arriving vector gets a row-local boilerplate-direction score —
-  * `dp = (v·u)/|v|`, exactly the batch abtt projection's `dp` column
-  * (`v_abtt`) — plus an over-threshold verdict on |dp|: a vector that IS
+  * `dp = round((v·u)/|v|, 4)`, exactly the registered batch anchor's
+  * `dp` column ([[graft.functions.VectorOps.dirGate]], `v_dir_gate`;
+  * the rounding is the nearDupLsh cos_sim precedent, so the stream and
+  * the anchor gate on the SAME value — r19 VERDICT: an unrounded stream
+  * dp passed vectors in |dp| ∈ [0.98995, 0.99) that the anchor flagged)
+  * — plus an over-threshold verdict on |dp|: a vector that IS
   * mostly the common direction carries shared boilerplate, not content
   * (Mu & Viswanath, ICLR 2018 "All-but-the-Top"), and admitting it
   * un-projected inflates every cosine it later joins.
@@ -47,7 +51,7 @@ object DirGateStream {
     vecs
       .withColumn("nrm", sqrt(VectorOps.dot(col("v"), col("v"))))
       .filter(col("nrm") > 0)
-      .withColumn("dp", VectorOps.dot(col("v"), xl) / col("nrm"))
+      .withColumn("dp", round(VectorOps.dot(col("v"), xl) / col("nrm"), 4))
       .select(col("vec_id"), col("dp"), lit(thr).as("thr"),
         (abs(col("dp")) >= thr).as("boilerplate"))
   }

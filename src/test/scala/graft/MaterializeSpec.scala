@@ -98,7 +98,7 @@ class MaterializeSpec extends SparkSuite {
     assert(new java.io.File(s"$dir/km").listFiles().exists(_.getName.startsWith("mat-")))
   }
 
-  test("SharedRel key inventory matches the PLANS shared_build contract") {
+  test("SharedRel key inventory matches the PLANS shared_build contract, and every call site's key is extractable") {
     // the shared_build contract (PLANS.md, r19): every SharedRel key must
     // have >= 2 consuming queries or be demoted inline. The rule itself is
     // reviewed per key; THIS pin makes key ADDITION/REMOVAL a deliberate
@@ -108,6 +108,9 @@ class MaterializeSpec extends SparkSuite {
     val srcDir = java.nio.file.Paths.get("src/main/scala/graft")
     assume(java.nio.file.Files.isDirectory(srcDir), "runs from the repo root")
     val call = """(?s)SharedRel(?:\.once)?\(.{0,200}?s"([a-z0-9-]+)\|""".r
+    // every call site, whether or not its key literal is extractable —
+    // `SharedRel.buildSeconds(` etc. don't match (no `(` after the name)
+    val callSite = """SharedRel(?:\.once)?\(""".r
     val walk = java.nio.file.Files.walk(srcDir)
     val keys =
       try walk.iterator().asScala
@@ -115,25 +118,52 @@ class MaterializeSpec extends SparkSuite {
         .flatMap { p =>
           val text = new String(java.nio.file.Files.readAllBytes(p),
             java.nio.charset.StandardCharsets.UTF_8)
-          call.findAllMatchIn(text).map(_.group(1))
+          val sites = callSite.findAllMatchIn(text).size
+          val extracted = call.findAllMatchIn(text).map(_.group(1)).toSeq
+          // FAIL-CLOSED (r19 ADVICE → r20 prescription 3): a call whose key
+          // the extractor can't see (helper-assembled, >200 chars away, not
+          // an s"key|..." literal) would otherwise escape the inventory pin
+          // SILENTLY. Convention: every SharedRel call writes its key as an
+          // inline s"name|..." literal at the call site.
+          assert(sites == extracted.size,
+            s"$p has $sites SharedRel call sites but only ${extracted.size} " +
+              s"extractable s\"key|...\" literals — every call must inline " +
+              s"its key so the inventory pin can see it")
+          extracted
         }.toSet
       finally walk.close()
-    val expected = Set(
-      // derived-relation keys (SharedRel.apply)
-      "prepared", "minhash-banded", "shingle-pairs", "dupcc", "dupspans",
-      "lshsweep", "bm25idx", "contam", "decontam", "curate", "curatebase",
-      "wordcounts",
-      "dsir", "lm2", "nbpred", "bloombits", "bloomprobe", "ivf", "ivfsim",
-      "kmtrained", "pq", "knng", "semcc", "marginexact", "staleedges",
-      "stalehits", "neardup", "anngraph", "anngraphf", "phash", "afp",
-      "vframes",
-      // once-scaffold keys (SharedRel.once)
-      "bloomsplit", "powertop", "topics", "incrstate", "incrbase")
-    assert(keys == expected,
+    assert(keys == MaterializeSpec.pinnedSharedRelKeys,
       s"SharedRel key inventory drifted — update the PLANS 'shared_build " +
         s"contract' key table (naming >= 2 consumers for any new key) and " +
-        s"this pin together: extra=${(keys -- expected).toSeq.sorted} " +
-        s"missing=${(expected -- keys).toSeq.sorted}")
+        s"this pin together: extra=${(keys -- MaterializeSpec.pinnedSharedRelKeys).toSeq.sorted} " +
+        s"missing=${(MaterializeSpec.pinnedSharedRelKeys -- keys).toSeq.sorted}")
+  }
+
+  test("committed bench artifacts' shared_build_detail keys all parse to pinned inventory names") {
+    // r20 prescription 5: the contract has three legs (bench artifact,
+    // PLANS key table, the source-grep pin above) but nothing asserted
+    // they AGREE — a key present in a committed BENCH_LOCAL*.json must
+    // strip (at the first '|') to a name in the pinned inventory, or the
+    // artifact is recording shared work the contract doesn't govern.
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val artifacts = Seq("BENCH_LOCAL.json", "BENCH_LOCAL_PERMUTED.json",
+      "BENCH_LOCAL_MIN.json")
+      .map(java.nio.file.Paths.get(_))
+      .filter(java.nio.file.Files.exists(_))
+    assume(artifacts.nonEmpty, "runs from a repo root with committed bench artifacts")
+    artifacts.foreach { p =>
+      val root = mapper.readTree(java.nio.file.Files.readAllBytes(p))
+      val detail = root.get("shared_build_detail")
+      if (detail != null) {
+        import scala.jdk.CollectionConverters._
+        val prefixes = detail.fieldNames().asScala.map(_.split('|').head).toSet
+        val rogue = prefixes -- MaterializeSpec.pinnedSharedRelKeys
+        assert(rogue.isEmpty,
+          s"$p records shared_build keys outside the pinned inventory: " +
+            s"${rogue.toSeq.sorted} — either the key was renamed without " +
+            s"updating the pin or the artifact is stale")
+      }
+    }
   }
 
   test("external-relation ANN operators refuse a mismatched codebook loudly") {
@@ -151,4 +181,22 @@ class MaterializeSpec extends SparkSuite {
       VectorOps.annIvfMultiWith(e, badCents, nQueries = 2, kNn = 2, nProbe = 1)
     }
   }
+}
+
+object MaterializeSpec {
+  /** The shared_build contract's key inventory (PLANS.md "shared_build
+    * contract (round 19)") — ONE copy, consumed by both the source-grep
+    * inventory pin and the committed-artifact cross-check above.
+    */
+  val pinnedSharedRelKeys: Set[String] = Set(
+    // derived-relation keys (SharedRel.apply)
+    "prepared", "minhash-banded", "shingle-pairs", "dupcc", "dupspans",
+    "lshsweep", "bm25idx", "contam", "decontam", "curate", "curatebase",
+    "wordcounts",
+    "dsir", "lm2", "nbpred", "bloombits", "bloomprobe", "ivf", "ivfsim",
+    "kmtrained", "pq", "knng", "semcc", "marginexact", "staleedges",
+    "stalehits", "neardup", "anngraph", "anngraphf", "phash", "afp",
+    "vframes",
+    // once-scaffold keys (SharedRel.once)
+    "bloomsplit", "powertop", "topics", "incrstate", "incrbase")
 }

@@ -498,6 +498,45 @@ class OperatorsSpec extends SparkSuite {
       "truncated must refuse")
   }
 
+  test("mp3SideInfoSql's hand-inlined p23 modulus equals Mp3.p23CapBits at EVERY bitrate index, not just testdata's") {
+    import graft.multimodal.Mp3
+    // r19 VERDICT #5 follow-up (prescription 4): the DuckDB mirror inlines
+    // the cap arithmetic as a literal bitrate-array expression, and the
+    // differential oracle only exercises the bi values testdata happens to
+    // generate — a drift at an unused bi would sleep. This pin recomputes
+    // the COMMITTED SQL text's own array arithmetic in Scala and compares
+    // it against the encoder's formula for all bi ∈ 1..14, so the SQL
+    // literal cannot drift without failing here.
+    val sql = Multimodal.mp3SideInfoSql
+    val arr = """\[([0-9]+(?:\s*,\s*[0-9]+)+)\]""".r.findAllMatchIn(sql)
+      .map(_.group(1).split(",").map(_.trim.toInt).toSeq)
+      .find(_.length == 14)
+      .getOrElse(fail("mp3SideInfoSql no longer inlines the 14-entry bitrate array"))
+    assert(arr == Mp3.BitrateKbps.drop(1).toSeq,
+      s"the SQL bitrate literal drifted from Mp3.BitrateKbps: $arr")
+    for (bi <- 1 to 14) {
+      // the SQL expression: least(320, (3*arr[bi] - 36)*2 - 64), 1-indexed
+      val sqlMod = math.min(320, (3 * arr(bi - 1) - 36) * 2 - 64)
+      val scalaMod = math.min(320, Mp3.p23CapBits(bi) - 64)
+      assert(sqlMod == scalaMod,
+        s"p23 modulus drifted at bi=$bi: sql=$sqlMod scala=$scalaMod")
+      assert(sqlMod > 0,
+        s"modulus must bound (positive) at bi=$bi: $sqlMod")
+      // and the full p23 field: DuckDB % and Scala % agree on the
+      // non-negative dividends the generator produces, so the recomputed
+      // SQL expression must equal the encoder's emitted value everywhere
+      for (f <- 0 until 50; g <- 0 until 2; c <- 0 until 2) {
+        val sqlP23 = 64 + (bi * 29 + f * 11 + g * 5 + c * 2) % sqlMod
+        assert(sqlP23 == Mp3.gcFields(bi, f, g, c)._1,
+          s"oracle p23 drifted from the encoder at bi=$bi f=$f g=$g c=$c")
+      }
+    }
+    // out-of-domain indices refuse loudly instead of emitting an unbounded
+    // p23 (ADVICE r19: at bi=0 the cap arithmetic goes negative)
+    intercept[IllegalArgumentException](Mp3.gcFields(0, 0, 0, 0))
+    intercept[IllegalArgumentException](Mp3.gcFields(15, 0, 0, 0))
+  }
+
   test("mm_audio: byte path matches the formula recomputation") {
     val rows = Multimodal.audioStats(spark, sf()).collect()
     assert(rows.nonEmpty)

@@ -1143,28 +1143,55 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
-  test("dir gate: frozen power-iteration direction scores arrivals in-stream, score equals the batch abtt dp on a 2-batch feed") {
+  test("dir gate: stream verdicts equal the registered v_dir_gate anchor's at the deployed 0.99, including the rounding boundary band") {
     import graft.streaming.DirGateStream
     import graft.functions.VectorOps
-    val sfDir = sf()
-    // the frozen artifact: the same rounded direction v_anisotropy/v_abtt
-    // read (session-shared, so this freeze is the monitor's own build)
-    val u = DirGateStream.frozenDirection(spark, sfDir)
-    val xl = typedlit(u)
-    // batch scores: the abtt projection's dp column verbatim
-    val batch = VectorOps.prepared(spark, sfDir)
-      .select(col("vec_id"),
-        (VectorOps.dot(col("v"), xl) / col("nrm")).as("dp"))
-      .as[(Long, Double)].collect().toMap
-    // a threshold the fixture exercises on BOTH sides: the 90th-percentile
-    // |dp| of the batch scores
-    val thr = batch.values.map(math.abs).toSeq.sorted
-      .apply((batch.size * 9) / 10)
-    val vecs = VectorOps.prepared(spark, sfDir)
+    // r19 VERDICT seam: the stream gated on UNROUNDED dp while the batch
+    // anchor rounds to 4 decimals first, so a vector with raw |dp| in
+    // [0.98995, 0.99) was flagged by v_dir_gate but passed by the stream.
+    // This pin compares the stream against the REGISTERED anchor's output
+    // at the deployed thr = 0.99, on a cloud that EXERCISES that band:
+    //   - 800 exact copies of e1 (dp = 1 — the true branch, and they pin
+    //     the power-iteration direction to e1 exactly: every off-axis avg
+    //     contribution is < the 4-decimal rounding quantum, so the frozen
+    //     direction is (1, 0, ..., 0) and the fixture's dp is by design)
+    //   - one BOUNDARY vector at t = 0.98997 along e1, orthogonal rest
+    //     spread over dims 2..64: raw dp ∈ [0.98995, 0.99) → rounds to
+    //     0.9900 → the anchor flags it; an unrounded stream would not
+    //   - three pure e2/e3/e4 vectors (dp = 0 — the false branch)
+    val dim = 64
+    val t = 0.98997
+    val s = math.sqrt(1.0 - t * t)
+    def axis(d: Int): Seq[Float] =
+      Seq.tabulate(dim)(i => if (i == d) 1.0f else 0.0f)
+    val boundary: Seq[Float] =
+      (t.toFloat +: Seq.fill(dim - 1)((s / math.sqrt((dim - 1).toDouble)).toFloat))
+    val rows =
+      (0 until 800).map(i => (i.toLong, axis(0), 0)) ++
+        Seq((800L, boundary, 1)) ++
+        (1 to 3).map(k => (800L + k, axis(k), 2))
+    val tmp = java.nio.file.Files.createTempDirectory("dirgate").toString
+    spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val u = DirGateStream.frozenDirection(spark, tmp)
+    // fixture-design guards: the frozen direction must be e1 exactly, and
+    // the boundary vector's RAW score must land inside the seam band
+    assert(u.head == 1.0 && u.tail.forall(_ == 0.0),
+      s"cloud must pin the power-iteration direction to e1: ${u.take(4)}")
+    val bd = boundary.map(_.toDouble)
+    val rawDp = bd.head / math.sqrt(bd.map(x => x * x).sum)
+    assert(rawDp >= 0.98995 && rawDp < 0.99,
+      s"boundary fixture must sit in [0.98995, 0.99): $rawDp")
+    // the registered anchor's rows at the deployed threshold
+    val anchor = VectorOps.dirGate(spark, tmp)
+      .select(col("vec_id"), col("dp"), col("boilerplate"))
+      .as[(Long, Double, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val vecs = VectorOps.prepared(spark, tmp)
       .select(col("vec_id"), col("v"))
       .as[(Long, Seq[Double])].collect().toSeq
     val in = MemoryStream[(Long, Seq[Double])]
-    val out = DirGateStream(in.toDF().toDF("vec_id", "v"), u, thr)
+    val out = DirGateStream(in.toDF().toDF("vec_id", "v"), u)
     val q = out.writeStream.format("memory").queryName("dir_gate")
       .outputMode("append").start()
     try {
@@ -1173,18 +1200,45 @@ class StreamingSpec extends SparkSuite {
       val got = spark.table("dir_gate")
         .select(col("vec_id"), col("dp"), col("boilerplate"))
         .as[(Long, Double, Boolean)].collect()
-      val gotDp = got.map(r => r._1 -> r._2).toMap
-      // same codegen'd dot, same literal, same IEEE order → exact equality
-      assert(gotDp == batch,
-        s"stream score diverges from the batch abtt dp: stream-only=${
-          (gotDp.toSet diff batch.toSet).take(3)} batch-only=${
-          (batch.toSet diff gotDp.toSet).take(3)}")
-      got.foreach { case (id, dp, boiler) =>
-        assert(boiler == (math.abs(dp) >= thr), s"verdict rule drifted: $id")
-      }
-      assert(got.exists(_._3) && got.exists(!_._3),
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      // stream (dp, verdict) == the anchor's, per vec_id — the contract
+      // the gate family makes ("stream ≡ frozen batch artifact")
+      assert(got == anchor,
+        s"stream diverges from the v_dir_gate anchor: stream-only=${
+          (got.toSet diff anchor.toSet).take(3)} anchor-only=${
+          (anchor.toSet diff got.toSet).take(3)}")
+      // the seam case specifically: the boundary vector is flagged by BOTH
+      assert(got(800L) == ((0.99, true)),
+        s"boundary-band vector must be flagged at the deployed 0.99: ${got(800L)}")
+      assert(got.values.exists(_._2) && got.values.exists(!_._2),
         "fixture must exercise both gate branches")
     } finally q.stop()
+
+    // and on the real table: the stream still equals the registered anchor
+    // (healthy testdata sits far from the boundary — max |dp| ~0.85)
+    val sfDir = sf()
+    val uR = DirGateStream.frozenDirection(spark, sfDir)
+    val anchorR = VectorOps.dirGate(spark, sfDir)
+      .select(col("vec_id"), col("dp"), col("boilerplate"))
+      .as[(Long, Double, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val vecsR = VectorOps.prepared(spark, sfDir)
+      .select(col("vec_id"), col("v"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val inR = MemoryStream[(Long, Seq[Double])]
+    val outR = DirGateStream(inR.toDF().toDF("vec_id", "v"), uR)
+    val qR = outR.writeStream.format("memory").queryName("dir_gate_real")
+      .outputMode("append").start()
+    try {
+      inR.addData(vecsR); qR.processAllAvailable()
+      val gotR = spark.table("dir_gate_real")
+        .select(col("vec_id"), col("dp"), col("boilerplate"))
+        .as[(Long, Double, Boolean)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(gotR == anchorR,
+        s"stream diverges from the anchor on the real table: ${
+          (gotR.toSet diff anchorR.toSet).take(3)}")
+    } finally qR.stop()
   }
 
   test("quantile stream: a re-fed doc with a changed token count keeps ONE pair per hash (min value), not two") {
