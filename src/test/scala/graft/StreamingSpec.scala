@@ -1241,6 +1241,69 @@ class StreamingSpec extends SparkSuite {
     } finally qR.stop()
   }
 
+  test("dir gate: stream (dp, verdict) equals the registered anchor's on seeded random clouds") {
+    import graft.streaming.DirGateStream
+    import graft.functions.VectorOps
+    // Regression canary beside the crafted-cloud pin above: the crafted
+    // fixture exercises the rounding boundary band with a known geometry;
+    // THIS pin holds stream ≡ anchor on arbitrary (seeded) data, so a
+    // future edit to either side — the anchor's expression, the stream's
+    // literal fold, the frozen-direction build — that breaks the identity
+    // fails even if it happens to preserve the crafted fixture's answers.
+    // Cloud shape per seed: a dominant planted direction (many exact
+    // copies → the gate's true branch after power iteration converges to
+    // it), gaussian noise (false branch), one zero vector (both engines
+    // must EXCLUDE it — the `prepared`/`nrm > 0` contract), at a dim far
+    // from the testdata's 64 so nothing can silently assume that width.
+    for (seed <- Seq(7L, 23L)) {
+      val rnd = new scala.util.Random(seed)
+      val dim = 16
+      val planted = {
+        val raw = Array.fill(dim)(rnd.nextGaussian())
+        val n = math.sqrt(raw.map(x => x * x).sum)
+        raw.map(x => (x / n).toFloat).toSeq
+      }
+      val rows =
+        (0 until 300).map(i => (i.toLong, planted, 0)) ++
+          (0 until 60).map(i => (300L + i,
+            Seq.fill(dim)((rnd.nextGaussian() * 0.5).toFloat), 1)) :+
+          ((360L, Seq.fill(dim)(0.0f), 2))
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"dirgate_rnd$seed").toString
+      spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      val u = DirGateStream.frozenDirection(spark, tmp)
+      val anchor = VectorOps.dirGate(spark, tmp)
+        .select(col("vec_id"), col("dp"), col("boilerplate"))
+        .as[(Long, Double, Boolean)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      // the planted copies must trip the gate (direction converged onto
+      // them) and the zero vector must be absent on the batch side too —
+      // fixture-design guards so the equality below can't pass vacuously
+      assert(anchor(0L)._2, s"seed $seed: planted copies must be flagged")
+      assert(anchor.values.exists(!_._2), s"seed $seed: noise must pass")
+      assert(!anchor.contains(360L), s"seed $seed: zero vector must be excluded")
+      val vecs = rows.filter(_._3 != 2)
+        .map { case (id, v, _) => (id, v.map(_.toDouble)) }
+      val in = MemoryStream[(Long, Seq[Double])]
+      val out = DirGateStream(in.toDF().toDF("vec_id", "v"), u)
+      val q = out.writeStream.format("memory")
+        .queryName(s"dir_gate_rnd$seed").outputMode("append").start()
+      try {
+        in.addData(vecs :+ (360L, Seq.fill(dim)(0.0)))
+        q.processAllAvailable()
+        val got = spark.table(s"dir_gate_rnd$seed")
+          .select(col("vec_id"), col("dp"), col("boilerplate"))
+          .as[(Long, Double, Boolean)].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap
+        assert(got == anchor,
+          s"seed $seed: stream diverges from the anchor: stream-only=${
+            (got.toSet diff anchor.toSet).take(3)} anchor-only=${
+            (anchor.toSet diff got.toSet).take(3)}")
+      } finally q.stop()
+    }
+  }
+
   test("quantile stream: a re-fed doc with a changed token count keeps ONE pair per hash (min value), not two") {
     import graft.streaming.QuantileStream
     // three docs; doc 2 is re-fed in batch 2 with a LONGER text — the
