@@ -328,14 +328,15 @@ object RunDocPipeline {
 
     // length-admission tier of the same ingest: the batch quantile
     // sketch's p990 per source is frozen into a broadcast (source, thr)
-    // relation and every raw arrival gets a row-local over-cap verdict
-    // (zero keyed state — the d_len_cap cut applied in-stream); readout
-    // is the count of over-length arrivals the gate would truncate
+    // relation — COLLECTED once (frozenThresholds), so the micro-batch
+    // plan broadcasts a LocalTableScan instead of re-running the sketch
+    // build chain per batch — and every raw arrival gets a row-local
+    // over-cap verdict (zero keyed state — the d_len_cap cut applied
+    // in-stream); readout is the count of over-length arrivals the gate
+    // would truncate
     val lenGated = guarded("len_gate", 0L) {
       import graft.streaming.QuantileStream
-      val thr = graft.functions.TextOps
-        .quantileSketch(spark, sfDir, QuantileStream.K, Seq(990))
-        .select(col("source"), col("est").as("thr"))
+      val thr = QuantileStream.frozenThresholds(spark, sfDir)
       val q12 = QuantileStream.lenGate(
           docs.select("doc_id", "text", "source"), thr)
         .writeStream.format("parquet")

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Physical-plan pins for the frozen-artifact streaming gate family —
+  * the PlanAuditSpec discipline applied to the micro-batch plans. The
+  * family's 100 TB posture claim is "zero keyed state, zero shuffle: the
+  * frozen artifact is a plan literal (or one broadcast local relation)
+  * and the verdict is a row-local expression" — prose until now. These
+  * pins read each gate's actual executed micro-batch plan and assert the
+  * claim, so a regression that quietly reintroduces a shuffle, keyed
+  * state, or a per-micro-batch re-execution of the artifact's BUILD
+  * chain (the lenGate defect these pins were written against: a lazy
+  * sketch DataFrame passed as the "frozen" threshold relation re-ran the
+  * whole per-source window+shuffle chain inside every micro-batch) fails
+  * loudly instead of surviving as a silent 100 TB cost.
+  */
+class GatePlanSpec extends SparkSuite {
+  import spark.implicits._
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  /** Run one micro-batch and return (executed-plan string, #state ops). */
+  private def lastPlan(q: StreamingQuery): (String, Int) = {
+    val se = q.asInstanceOf[
+      org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery
+    (se.lastExecution.executedPlan.toString,
+      q.lastProgress.stateOperators.length)
+  }
+
+  private def assertStateless(plan: String, nState: Int, gate: String): Unit = {
+    assert(nState == 0, s"$gate must run with ZERO state operators: $nState")
+    assert(!plan.contains("StateStore"),
+      s"$gate plan must not touch a state store:\n$plan")
+  }
+
+  test("dir gate: literal direction, zero state, zero exchange, one codegen span") {
+    import graft.streaming.DirGateStream
+    val u = DirGateStream.frozenDirection(spark, sf())
+    val in = MemoryStream[(Long, Seq[Double])]
+    in.addData(Seq((1L, Seq.fill(64)(0.1)), (2L, Seq.fill(64)(0.0))))
+    val out = DirGateStream(in.toDF().toDF("vec_id", "v"), u)
+    val q = out.writeStream.format("memory").queryName("gp_dir")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val (plan, nState) = lastPlan(q)
+      assertStateless(plan, nState, "dir gate")
+      assert(!plan.contains("Exchange"), s"dir gate must be exchange-free:\n$plan")
+      // the verdict chain fuses into ONE whole-stage span over the scan
+      // (the compact tree renders codegen membership as `*(stageId)`)
+      val stages = """\*\((\d+)\)""".r.findAllMatchIn(plan).map(_.group(1)).toSet
+      assert(stages == Set("1"),
+        s"dir gate must fuse into a single codegen span, saw stages $stages:\n$plan")
+    } finally q.stop()
+  }
+
+  test("bloom gate: plan-literal bitmap, zero state, zero exchange") {
+    import graft.streaming.BloomStream
+    val words = BloomStream.bitmapWords(spark, sf())
+    val in = MemoryStream[(Long, String, String)]
+    in.addData(Seq((1L, "a b c d e", "s1")))
+    val out = BloomStream.novelty(in.toDF().toDF("doc_id", "text", "source"), words)
+    val q = out.writeStream.format("memory").queryName("gp_bloom")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val (plan, nState) = lastPlan(q)
+      assertStateless(plan, nState, "bloom gate")
+      assert(!plan.contains("Exchange"), s"bloom gate must be exchange-free:\n$plan")
+    } finally q.stop()
+  }
+
+  test("nb scorer: literal model, zero state, zero exchange") {
+    import graft.streaming.NbStream
+    import graft.functions.TextOps
+    val model = TextOps.nbFrozenModel(spark, sf(), topK = 64)
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    in.addData(Seq((1L, "a b c", java.sql.Timestamp.valueOf("2026-01-01 10:00:00"))))
+    val out = NbStream(in.toDF().toDF("doc_id", "text", "ingest_ts"), model)
+    val q = out.writeStream.format("memory").queryName("gp_nb")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val (plan, nState) = lastPlan(q)
+      assertStateless(plan, nState, "nb scorer")
+      assert(!plan.contains("Exchange"), s"nb scorer must be exchange-free:\n$plan")
+    } finally q.stop()
+  }
+
+  test("contam gate: literal probes, zero state, zero exchange") {
+    import graft.streaming.ContamStream
+    val probes = ContamStream.frozenProbes(spark, sf())
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    in.addData(Seq((1L, "a b c d e", java.sql.Timestamp.valueOf("2026-01-01 10:00:00"))))
+    val out = ContamStream(in.toDF().toDF("doc_id", "text", "ingest_ts"), probes)
+    val q = out.writeStream.format("memory").queryName("gp_contam")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val (plan, nState) = lastPlan(q)
+      assertStateless(plan, nState, "contam gate")
+      assert(!plan.contains("Exchange"), s"contam gate must be exchange-free:\n$plan")
+    } finally q.stop()
+  }
+
+  test("bm25 scorer: literal standing queries, zero state, zero exchange") {
+    import graft.streaming.Bm25Stream
+    import graft.functions.Retrieval
+    val frozen = Retrieval.frozenQueries(spark, sf("sf0.01"))
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    in.addData(Seq((100L, "a b c", java.sql.Timestamp.valueOf("2026-01-01 10:00:00"))))
+    val out = Bm25Stream(in.toDF().toDF("doc_id", "text", "ingest_ts"), frozen)
+    val q = out.writeStream.format("memory").queryName("gp_bm25")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val (plan, nState) = lastPlan(q)
+      assertStateless(plan, nState, "bm25 scorer")
+      assert(!plan.contains("Exchange"), s"bm25 scorer must be exchange-free:\n$plan")
+    } finally q.stop()
+  }
+
+  test("len gate: frozen thresholds broadcast as a local relation — no shuffle, no sketch re-build in the micro-batch") {
+    import graft.streaming.QuantileStream
+    val thr = QuantileStream.frozenThresholds(spark, sf())
+    val in = MemoryStream[(Long, String, String)]
+    in.addData(Seq((1L, "a b c", "s1")))
+    val out = QuantileStream.lenGate(in.toDF().toDF("doc_id", "text", "source"), thr)
+    val q = out.writeStream.format("memory").queryName("gp_len")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val (plan, nState) = lastPlan(q)
+      assertStateless(plan, nState, "len gate")
+      // one broadcast of the |sources|-row local relation is the whole
+      // static side — no shuffle anywhere in the micro-batch
+      assert(!plan.contains("ShuffleQueryStage") &&
+        !plan.contains("Exchange hashpartitioning") &&
+        !plan.contains("ShuffleExchange"),
+        s"len gate must not shuffle:\n$plan")
+      assert(plan.contains("LocalTableScan"),
+        s"the frozen threshold side must plan as a LocalTableScan:\n$plan")
+      // markers of the defect this pin was written against: a lazy
+      // threshold DataFrame re-executes the sketch build (per-source
+      // row_number windows over the corpus scan) inside the micro-batch
+      assert(!plan.contains("row_number") && !plan.contains("Window"),
+        s"the sketch build chain must NOT run inside the micro-batch:\n$plan")
+    } finally q.stop()
+  }
+}

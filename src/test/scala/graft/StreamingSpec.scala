@@ -1098,9 +1098,11 @@ class StreamingSpec extends SparkSuite {
     import graft.functions.TextOps
     val sfDir = sf()
     // the frozen artifact: the batch sketch's p990 estimate per source —
-    // exactly what d_len_cap serves as thr_sketch
-    val thr = TextOps.quantileSketch(spark, sfDir, QuantileStream.K, Seq(990))
-      .select(col("source"), col("est").as("thr"))
+    // exactly what d_len_cap serves as thr_sketch, via the PRODUCTION
+    // freeze (collected |sources|-row local relation; passing the lazy
+    // sketch DataFrame instead would re-run the sketch build inside
+    // every micro-batch — GatePlanSpec pins the frozen plan)
+    val thr = QuantileStream.frozenThresholds(spark, sfDir)
     // batch verdicts: v > thr_sketch per doc (the d_len_cap cut rule) —
     // LEFT join + coalesce to the ungated MaxValue, mirroring the gate's
     // own unseen-source branch (an inner join here would silently drop a
