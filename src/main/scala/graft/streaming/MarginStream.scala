@@ -41,8 +41,12 @@ object MarginStream {
   /** The frozen mining target: B-parity vectors in their assigned IVF
     * cells + the centroid relation arrivals probe against. Built once per
     * deployment from the same deterministic assignment as the batch
-    * miners, so the tiers cannot disagree about cell geometry.
-    * Returns (centroids, targetSide).
+    * miners, so the tiers cannot disagree about cell geometry — and
+    * MATERIALIZED once (eager checkpoint, the
+    * [[DupSpanStream.frozenShingles]] convention): returned lazily, the
+    * target-side prepared⋈ivfAssign join would re-execute inside every
+    * micro-batch, which is a corpus join per batch at ingest scale, not
+    * a frozen snapshot read. Returns (centroids, targetSide).
     */
   def frozenTarget(spark: SparkSession, dir: String,
                    kCentroids: Int = 16): (DataFrame, DataFrame) = {
@@ -50,11 +54,13 @@ object MarginStream {
     val cents = e.filter(col("vec_id") < kCentroids)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"),
         col("nrm").as("cn"))
+      .localCheckpoint(eager = true)
     val b = e.join(VectorOps.ivfAssign(spark, dir, kCentroids)
           .select(col("vec_id"), col("centroid_id")), "vec_id")
       .filter(pmod(col("label"), lit(2)) === 1)
       .select(col("centroid_id"), col("vec_id").as("b_id"),
         col("v").as("vb"), col("nrm").as("nb"))
+      .localCheckpoint(eager = true)
     (cents, b)
   }
 
