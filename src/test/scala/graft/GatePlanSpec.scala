@@ -123,6 +123,39 @@ class GatePlanSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("frozen static sides are materialized at the freeze point — no build chain left in their plans") {
+    // The convention the round-20 fixes restored: a gate's "frozen"
+    // relation must be a snapshot READ (LocalTableScan, checkpointed
+    // blocks, or a bare source scan + row-local projection), never a
+    // lazy plan that re-executes its BUILD chain (joins, windows,
+    // aggregates, shuffles) inside every micro-batch. Pinned on the
+    // relation's own executed plan, where a regression is visible
+    // before any stream even starts.
+    def assertSnapshot(df: org.apache.spark.sql.DataFrame, name: String,
+                       allowScan: Boolean = false): Unit = {
+      val plan = df.queryExecution.executedPlan.toString
+      for (marker <- Seq("Join", "Window", "HashAggregate", "Exchange"))
+        assert(!plan.contains(marker),
+          s"$name must be frozen, found $marker in its plan:\n$plan")
+      if (!allowScan)
+        assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan"),
+          s"$name must read materialized state:\n$plan")
+    }
+    import graft.streaming.{DupSpanStream, MarginStream, NearDupStream,
+      QuantileStream, VectorDedupStream}
+    assertSnapshot(DupSpanStream.frozenShingles(spark, sf()), "frozenShingles")
+    val (cents, target) = MarginStream.frozenTarget(spark, sf())
+    assertSnapshot(cents, "frozenTarget centroids")
+    assertSnapshot(target, "frozenTarget side")
+    assertSnapshot(NearDupStream.frozenBase(spark, sf()), "NearDup frozenBase")
+    assertSnapshot(QuantileStream.frozenThresholds(spark, sf()), "frozenThresholds")
+    // VectorDedupStream's base is scan + row-local projection BY DESIGN
+    // (the snapshot-read posture without a copy) — still must hold no
+    // join/window/agg/exchange
+    assertSnapshot(VectorDedupStream.frozenBase(spark, sf()),
+      "VectorDedup frozenBase", allowScan = true)
+  }
+
   test("len gate: frozen thresholds broadcast as a local relation — no shuffle, no sketch re-build in the micro-batch") {
     import graft.streaming.QuantileStream
     val thr = QuantileStream.frozenThresholds(spark, sf())
