@@ -1147,6 +1147,10 @@ object TextOps {
       Exprs.hex60(concat(lit("shard:"), col("doc_id").cast("string"))),
       lit(nShards.toLong))
     // ---- KMV: per-source bottom-k of distinct word hashes ----
+    // (r21 note: eagerly checkpointing dw/bucketed/sh for their two
+    // consumers each was MEASURED SLOWER at sf0.1 — 7.5 → 10.0 s — the
+    // three serialized materialization jobs cost more than recomputing the
+    // cheap subtrees off the already-checkpointed `prepared`; kept lazy)
     val dw = prepared(spark, dir)
       .select(col("source"), shardE.as("shard"), explode(col("words")).as("w"))
       .select(col("source"), col("shard"),
@@ -1185,10 +1189,13 @@ object TextOps {
     // ---- CMS: depth x width counters over word occurrences ----
     val ws = prepared(spark, dir)
       .select(shardE.as("shard"), explode(col("words")).as("w"))
-    val bucketed = (0 until depth).map { r =>
-      ws.select(col("shard"), lit(r).as("r"),
-        (Exprs.hex60(concat(lit(s"cms$r:"), col("w"))) % lit(width.toLong)).as("bkt"))
-    }.reduce(_.unionByName(_))
+    // one pass (r21): the depth rows explode from an inline array instead of
+    // a depth-way unionByName that re-scanned the exploded words per row
+    val bucketed = ws.select(col("shard"),
+      explode(array((0 until depth).map(r => struct(lit(r).as("r"),
+        (Exprs.hex60(concat(lit(s"cms$r:"), col("w"))) % lit(width.toLong)).as("bkt"))): _*))
+        .as("rb"))
+      .select(col("shard"), col("rb.r").as("r"), col("rb.bkt").as("bkt"))
     val shardCounters = bucketed.groupBy("shard", "r", "bkt")
       .agg(count(lit(1)).as("c"))
     val mergedC = shardCounters.groupBy("r", "bkt").agg(sum(col("c")).as("c"))
@@ -1479,31 +1486,12 @@ object TextOps {
     val sh = pw.select(col("doc_id"), posexplode(expr(
       "transform(sequence(0, size(words)-3), i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))"))
       .as(Seq("i", "sh")))
-    // materialized too: the (small) contaminated-position set feeds both
-    // the span merge and the re-assembly anti-join
-    val hits = mat(sh.join(broadcast(probe), "sh")
+    // same one-exchange span fold as the substring-dedup family
+    // ([[spanFold]]): the contaminated positions collect into a sorted
+    // per-doc array and the span stats + re-assembly are row-local
+    val hits = sh.join(broadcast(probe), "sh")
       .select(col("doc_id"), explode(expr("sequence(i, i + 2)")).as("p"))
-      .distinct())
-    val w = Window.partitionBy("doc_id").orderBy("p")
-    val spans = hits.withColumn("prev", lag("p", 1).over(w))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_contam"),
-        sum(when(col("prev").isNull || col("p") - col("prev") =!= 1, 1L)
-          .otherwise(0L)).as("n_spans"))
-    val wp = pw.select(col("doc_id"), posexplode(col("words")).as(Seq("p", "word")))
-    val clean = wp.join(hits, Seq("doc_id", "p"), "left_anti")
-      .groupBy("doc_id")
-      .agg(array_join(
-        expr("transform(array_sort(collect_list(struct(p, word))), x -> x.word)"),
-        " ").as("text_clean"))
-    pw.select(col("doc_id"), size(col("words")).cast("long").as("n_words"))
-      .join(spans, Seq("doc_id"), "left")
-      .join(clean, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_words"),
-        coalesce(col("n_contam"), lit(0L)).as("n_contam"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"))
-      .orderBy(col("doc_id"))
+    spanFold(pw, hits).withColumnRenamed("n_dup", "n_contam")
   }
 
   def decontamSpansSql(probeMax: Long = 10): String =
@@ -1593,38 +1581,53 @@ object TextOps {
         count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
       .select(col("sh"), col("k.doc_id").as("k_doc"), col("k.i").as("k_i"))
-    val hits = mat(sh.join(keep, "sh")
+    // no DISTINCT and no checkpoint: spanFold's collect_set dedups map-side
+    // and the single consumer reads the fold once
+    val hits = sh.join(keep, "sh")
       .filter(!(col("doc_id") === col("k_doc") && col("i") === col("k_i")))
       .select(col("doc_id"), explode(expr(s"sequence(i, i + ${n - 1})")).as("p"))
-      .distinct())
     spanFold(pw, hits)
   }
 
   /** The span-merge + re-assembly tail shared by the substring-dedup
-    * family: given (doc_id, words) docs and the distinct cut positions
-    * (doc_id, p), merge contiguous cuts into spans and rebuild the
-    * surviving text — every per-doc step bounded by that doc's length.
+    * family: given (doc_id, words) docs and the cut positions (doc_id, p)
+    * (duplicates tolerated — the fold dedups), merge contiguous cuts into
+    * spans and rebuild the surviving text.
+    *
+    * r21 shape: ONE doc-keyed exchange — the positions fold into a sorted
+    * per-doc array (`collect_set` dedups map-side, replacing the upstream
+    * DISTINCT shuffle), and every span statistic plus the text
+    * re-assembly is then a row-local linear fold over that array via
+    * [[spanFoldArr]]. The previous form paid a doc-keyed `lag` window, a
+    * `posexplode` of the full token mass, a (doc,p) anti-join and a
+    * `collect_list` re-sort — three extra exchanges, two of them carrying
+    * every token of every doc. Per-doc work stays O(len): `array_except`
+    * is hash-set based, `element_at` by index is O(1).
     */
-  private[graft] def spanFold(pw: DataFrame, hits: DataFrame): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("p")
-    val spans = hits.withColumn("prev", lag("p", 1).over(w))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_dup"),
-        sum(when(col("prev").isNull || col("p") - col("prev") =!= 1, 1L)
-          .otherwise(0L)).as("n_spans"))
-    val wp = pw.select(col("doc_id"), posexplode(col("words")).as(Seq("p", "word")))
-    val clean = wp.join(hits, Seq("doc_id", "p"), "left_anti")
-      .groupBy("doc_id")
-      .agg(array_join(
-        expr("transform(array_sort(collect_list(struct(p, word))), x -> x.word)"),
-        " ").as("text_clean"))
-    pw.select(col("doc_id"), size(col("words")).cast("long").as("n_words"))
-      .join(spans, Seq("doc_id"), "left")
-      .join(clean, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_words"),
-        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  private[graft] def spanFold(pw: DataFrame, hits: DataFrame): DataFrame =
+    spanFoldArr(pw,
+      hits.groupBy("doc_id").agg(array_sort(collect_set(col("p"))).as("cuts")))
+
+  /** Row-local tail of [[spanFold]]: `cuts` holds one sorted, distinct,
+    * NON-EMPTY position array per cut doc (empty arrays must be filtered
+    * out by the caller — `sequence(0, -1)` would descend under ANSI).
+    */
+  private[graft] def spanFoldArr(pw: DataFrame, cuts: DataFrame): DataFrame = {
+    val c = col("cuts")
+    // island starts within the sorted array = span count, linear scan
+    val nSpans = size(filter(sequence(lit(0), size(c) - 1),
+      i => (i === 0) || (element_at(c, i + 1) =!= element_at(c, i) + 1)))
+    // surviving words = positions not cut, original order (array_except
+    // preserves left-operand order), re-joined in one pass
+    val keptText = array_join(
+      transform(array_except(sequence(lit(0), size(col("words")) - 1), c),
+        i => element_at(col("words"), i + 1)), " ")
+    pw.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("words")).cast("long").as("n_words"),
+        coalesce(size(c), lit(0)).cast("long").as("n_dup"),
+        coalesce(nSpans, lit(0)).cast("long").as("n_spans"),
+        when(c.isNull, array_join(col("words"), " "))
+          .otherwise(keptText).as("text_clean"))
       .orderBy(col("doc_id"))
   }
 
@@ -1671,9 +1674,8 @@ object TextOps {
     val inDelta = shD.join(keepD, "sh")
       .filter(!(col("doc_id") === col("k_doc") && col("i") === col("k_i")))
       .select(col("doc_id"), col("i"))
-    val hits = mat(ofBase.unionAll(inDelta)
+    val hits = ofBase.unionAll(inDelta)
       .select(col("doc_id"), explode(expr(s"sequence(i, i + ${n - 1})")).as("p"))
-      .distinct())
     spanFold(pw, hits)
   }
 
@@ -1797,22 +1799,34 @@ object TextOps {
     val hits0 = sh.join(keep, "sh")
       .filter(!(col("doc_id") === col("k_doc") && col("i") === col("k_i")))
       .select(col("doc_id"), explode(expr(s"sequence(i, i + ${n - 1})")).as("p"))
-      .distinct()
-    spanFold(pw, mat(minRunFilter(hits0, minRun)))
+    spanFoldArr(pw, minRunCuts(hits0, minRun))
   }
 
-  /** Keep only cut positions lying on a maximal contiguous run of at
-    * least `minRun` positions — the gaps-and-islands filter shared by
-    * [[dupRuns]] and [[dupRunsIncr]]. Two doc-keyed windows over the
-    * duplicated-position subset, nothing corpus-bounded.
+  /** Fold the cut positions into sorted per-doc arrays and keep only
+    * positions lying on a maximal contiguous run of at least `minRun`
+    * positions — the gaps-and-islands filter shared by [[dupRuns]] and
+    * [[dupRunsIncr]], as a row-local linear fold over each doc's sorted
+    * array (island starts/ends zipped, sub-`minRun` islands dropped).
+    * The r20 form was a doc-keyed `row_number` + `count` window pair over
+    * the position rows — one more exchange and two window sorts; one
+    * doc-keyed aggregation (map-side deduped) now feeds [[spanFoldArr]]
+    * directly. Docs whose every island is below the floor fold to an
+    * empty array and are dropped (spanFoldArr's non-empty contract).
     */
-  private def minRunFilter(hits0: DataFrame, minRun: Int): DataFrame = {
-    val wd = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-    hits0.withColumn("grp", col("p") - row_number().over(wd))
-      .withColumn("span_len",
-        count(lit(1)).over(Window.partitionBy(col("doc_id"), col("grp"))))
-      .filter(col("span_len") >= minRun)
-      .select(col("doc_id"), col("p"))
+  private def minRunCuts(hits0: DataFrame, minRun: Int): DataFrame = {
+    val c = col("all_cuts")
+    val idx = sequence(lit(0), size(c) - 1)
+    val starts = filter(idx,
+      i => (i === 0) || (element_at(c, i + 1) =!= element_at(c, i) + 1))
+    val ends = filter(idx,
+      i => (i === size(c) - 1) || (element_at(c, i + 2) =!= element_at(c, i + 1) + 1))
+    val kept = flatten(zip_with(starts, ends, (s, e) =>
+      when(e - s + 1 >= minRun, slice(c, s + 1, e - s + 1))
+        .otherwise(slice(c, lit(1), lit(0)))))
+    hits0.groupBy("doc_id")
+      .agg(array_sort(collect_set(col("p"))).as("all_cuts"))
+      .select(col("doc_id"), kept.as("cuts"))
+      .filter(size(col("cuts")) > 0)
   }
 
   /** O(delta) incremental form of [[dupRuns]] — [[dupSpansIncr]]'s cut
@@ -1841,8 +1855,7 @@ object TextOps {
       .select(col("doc_id"), col("i"))
     val hits0 = ofBase.unionAll(inDelta)
       .select(col("doc_id"), explode(expr(s"sequence(i, i + ${n - 1})")).as("p"))
-      .distinct()
-    spanFold(pw, mat(minRunFilter(hits0, minRun)))
+    spanFoldArr(pw, minRunCuts(hits0, minRun))
   }
 
   def dupRunsIncrSql(n: Int = 5, minRun: Int = 8, deltaMod: Int = 5): String =
@@ -2036,21 +2049,34 @@ object TextOps {
     val grams = when(size(col("words")) >= 2,
       expr("transform(sequence(0, size(words)-2), i -> concat(words[i], ' ', words[i+1]))"))
       .otherwise(array(col("norm")))
-    // NOTE: the per-doc expressions sit in the same select as explode(), so
-    // they are evaluated after the Generate (once per gram row). Hoisting
-    // them into a pre-Generate projection looks cheaper but measured 2×
-    // SLOWER at sf0.1 (11–12 s vs 5.5–6.4 s solo): materializing the grams
-    // array as a named column costs more than re-running the cheap
-    // size/array_distinct expressions inside the fused codegen stage.
+    // r21 shape: fully ROW-LOCAL — every output is a per-doc statistic of
+    // the doc's own gram multiset, so the former explode → two-level hash
+    // agg (which shuffled the whole gram mass by (doc, gram) and again by
+    // doc) is replaced by a map-only fold: sort the doc's grams once, count
+    // distincts with the hash-set `array_distinct`, and take the longest
+    // equal-adjacent run with one linear `aggregate` scan. Zero exchanges
+    // at any scale; per-doc cost O(g log g) in that doc's own gram count.
+    // (An earlier variant that kept the aggs but hoisted the gram array
+    // into a named pre-Generate column measured 2× SLOWER — the win here
+    // comes from deleting the shuffles, not from hoisting.)
     prepared(spark, dir)
       .select(col("doc_id"), size(col("words")).as("n_words"),
         size(array_distinct(col("words"))).as("n_distinct_words"),
-        explode(grams).as("g"))
-      .groupBy(col("doc_id"), col("n_words"), col("n_distinct_words"), col("g"))
-      .agg(count(lit(1)).as("n"))
-      .groupBy(col("doc_id"), col("n_words"), col("n_distinct_words"))
-      .agg(sum(col("n")).as("n_2grams"), count(lit(1)).as("n_distinct_2grams"),
-        max(col("n")).as("top_2gram_n"))
+        array_sort(grams).as("gs"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        size(col("gs")).as("n_2grams"),
+        size(array_distinct(col("gs"))).as("n_distinct_2grams"),
+        // longest run of equal adjacent grams in the sorted array = the top
+        // gram's multiplicity; the filtered index list is empty for a
+        // single-gram doc (sequence(0,0) then drop i=0), folding to 1
+        expr("""aggregate(
+            filter(sequence(0, size(gs) - 1), i -> i >= 1),
+            named_struct('run', 1, 'best', 1),
+            (acc, i) -> named_struct(
+              'run', IF(element_at(gs, i + 1) = element_at(gs, i), acc.run + 1, 1),
+              'best', greatest(acc.best,
+                IF(element_at(gs, i + 1) = element_at(gs, i), acc.run + 1, 1))),
+            acc -> acc.best)""").as("top_2gram_n"))
       .select(col("doc_id"), col("n_words"),
         (lit(1.0) - col("n_distinct_words") / col("n_words").cast("double"))
           .as("dup_word_frac"),
@@ -2199,9 +2225,27 @@ object TextOps {
     * so any rare word in either doc generates the candidate. The oracle SQL
     * mirrors the cap, so both tiers compute the same relation.
     */
+  /** Exact df-capped Jaccard ≥ threshold pairs — session-shared
+    * ([[graft.SharedRel]], key `jacpairs`): the relation is the exact-pair
+    * oracle THREE consumers run in full — its own `d_jaccard_pairs`
+    * query, the [[lshSweepBuild]] S-curve (which prices every banding
+    * against it), and the [[lshRecall]] harness. Each previously re-ran
+    * candidate generation + verify from scratch (~2 s/pass at sf0.1 in
+    * the r20 min artifact, 3× per session). A production dedup stores the
+    * verified pair relation once and serves every audit from it.
+    */
   def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.9,
                    dfCap: Int = 100,
-                   mat: Materialize = Materialize.Local): DataFrame = {
+                   mat: Materialize = Materialize.Local): DataFrame = mat match {
+    case Materialize.Local =>
+      graft.SharedRel(spark, s"jacpairs|$dir|$threshold|$dfCap", Materialize.Local)(
+        jaccardPairsBuild(spark, dir, threshold, dfCap, Materialize.Local))
+    case m => jaccardPairsBuild(spark, dir, threshold, dfCap, m)
+  }
+
+  private[graft] def jaccardPairsBuild(spark: SparkSession, dir: String,
+                                       threshold: Double, dfCap: Int,
+                                       mat: Materialize): DataFrame = {
     // materialized once: normText + split + array_distinct feed three
     // consumers (candidate explode + both exact-verify sides) and dominate
     // the per-doc cost
@@ -2408,8 +2452,23 @@ object TextOps {
         .withColumn("band1", concat_ws(",", col("m0"), col("m1"), col("m2"), col("m3")))
         .withColumn("band2", concat_ws(",", col("m4"), col("m5"), col("m6"), col("m7"))))
 
+  /** The deployed 2×4 banded candidate pair relation — session-shared
+    * ([[graft.SharedRel]], key `minhashpairs`): consumed in full by its
+    * own `d_minhash_pairs` query AND the [[lshRecall]] harness's
+    * candidate side; both previously re-ran the two band self-joins over
+    * the shared signature table (~2 s/pass at sf0.1). The serving-path
+    * analog of storing the candidate index a dedup pipeline probes.
+    */
   def minhashPairs(spark: SparkSession, dir: String,
-                   mat: Materialize = Materialize.Local): DataFrame = {
+                   mat: Materialize = Materialize.Local): DataFrame = mat match {
+    case Materialize.Local =>
+      graft.SharedRel(spark, s"minhashpairs|$dir", Materialize.Local)(
+        minhashPairsBuild(spark, dir, Materialize.Local))
+    case m => minhashPairsBuild(spark, dir, m)
+  }
+
+  private[graft] def minhashPairsBuild(spark: SparkSession, dir: String,
+                                       mat: Materialize): DataFrame = {
     val sig = bandedSignatures(spark, dir, mat)
     // A pair can only appear in both joins when BOTH bands match, so the
     // band2 join emits only pairs whose band1 differs — exact dedup with a

@@ -190,7 +190,8 @@ object MaterializeSpec {
     */
   val pinnedSharedRelKeys: Set[String] = Set(
     // derived-relation keys (SharedRel.apply)
-    "prepared", "minhash-banded", "shingle-pairs", "dupcc", "dupspans",
+    "prepared", "readings", "minhash-banded", "minhashpairs", "jacpairs",
+    "shingle-pairs", "dupcc", "dupspans",
     "lshsweep", "bm25idx", "contam", "decontam", "curate", "curatebase",
     "wordcounts",
     "dsir", "lm2", "nbpred", "bloombits", "bloomprobe", "ivf", "ivfsim",
