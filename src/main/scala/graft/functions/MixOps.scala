@@ -1298,12 +1298,15 @@ object MixOps {
                                       mat: graft.Materialize = graft.Materialize.Local): DataFrame = {
     val d = TextOps.prepared(spark, dir).select(
       col("doc_id"), filter(col("words"), w => w =!= "").as("ws"))
-    val uni = d.select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
-    val ow = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bi = uni.withColumn("nw", lead(col("w"), 1).over(ow))
-      .filter(col("nw").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("w"), col("nw")).as("f"))
-    val feats = mat(uni.select(col("doc_id"), col("w").as("f")).unionAll(bi)
+    // r21: unigram + bigram features explode from ONE row-local array —
+    // the former posexplode + doc-keyed lead window paired adjacent words
+    // through a full shuffle+sort of the token mass, then unioned a second
+    // explode pass for the unigrams; adjacency is a property of the row's
+    // own array (slice-guarded index list, safe for 0/1-word docs)
+    val feats = mat(d.select(col("doc_id"), explode(concat(col("ws"), expr(
+        """transform(slice(sequence(0, greatest(size(ws) - 1, 0)),
+          |          1, greatest(size(ws) - 1, 0)),
+          |  i -> concat(ws[i], ' ', ws[i + 1]))""".stripMargin))).as("f"))
       .withColumn("cell", pmod(Exprs.hex60(col("f")), lit(buckets.toLong))))
     val tCnt = feats.filter(col("doc_id") < probeMax)
       .groupBy(col("cell")).agg(count(lit(1)).as("tc"))

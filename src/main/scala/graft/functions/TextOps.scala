@@ -248,6 +248,15 @@ object TextOps {
   def winnow(spark: SparkSession, dir: String, w: Int = 4): DataFrame = {
     val HB = 1099511627776L // 2^40
     val PB = 1048576L // 2^20
+    // (r21 negative result, kept for the record: a fully row-local form —
+    // keys via one array transform, window mins via per-element slice
+    // scans, dedup via array_distinct — MEASURED 45 s vs 0.7 s at sf0.1.
+    // The md5 keying inside interpreted higher-order-function lambdas
+    // loses whole-stage codegen and pays interpreted-expression overhead
+    // per shingle; the explode keeps the hashing inside a codegen'd
+    // projection and the per-doc window is the cheap part. Contrast
+    // d_repetition, where the row-local fold's lambdas are cheap compares
+    // and the deleted shuffles dominated.)
     val keyed = prepared(spark, dir).filter(size(col("words")) >= 3)
       .select(col("doc_id"), posexplode(
         expr("transform(sequence(0, size(words)-3), i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))")))
@@ -3632,19 +3641,26 @@ object TextOps {
       lm2BitsBuild(spark, dir))
 
   private[graft] def lm2BitsBuild(spark: SparkSession, dir: String): DataFrame = {
-    val toks = prepared(spark, dir)
-      .select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "w")))
-    val ow = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bi = toks.withColumn("nw", lead(col("w"), 1).over(ow))
-      .filter(col("nw").isNotNull)
-      .select(col("doc_id"), col("w").as("w1"), col("nw").as("w2"))
+    val d = prepared(spark, dir).select(col("doc_id"), col("words"))
+    val toks = d.select(col("doc_id"), explode(col("words")).as("w"))
+    // r21: adjacent-word pairs are a row-local array transform (the former
+    // posexplode + doc-keyed lead window shuffled and sorted the whole
+    // token mass just to look one element ahead); slice-guarded index list
+    // is safe for 0/1-word docs
+    val bi = d.select(col("doc_id"), explode(expr(
+        """transform(slice(sequence(0, greatest(size(words) - 1, 0)),
+          |          1, greatest(size(words) - 1, 0)),
+          |  i -> named_struct('w1', words[i], 'w2', words[i + 1]))""".stripMargin))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val uniCnt = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
     val biCnt = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val ctxCnt = bi.groupBy(col("w1")).agg(count(lit(1)).as("ctx"))
     val stats = uniCnt.agg(sum(col("cnt")).as("n_total"),
       count(lit(1)).as("v_size"))
-    val firstBits = toks.filter(col("pos") === 0)
+    // the first token is just words[0] — no positional explode needed
+    val firstBits = d.filter(size(col("words")) > 0)
+      .select(col("doc_id"), col("words").getItem(0).as("w"))
       .join(uniCnt, "w").crossJoin(broadcast(stats))
       .select(col("doc_id"),
         (length(bin(col("n_total") + col("v_size"))) -
@@ -3716,22 +3732,30 @@ object TextOps {
     val d = prepared(spark, dir)
       .select(col("doc_id"), col("words"),
         (docSplitE(deltaMod) =!= 0).as("is_member"))
+    // r21: bigrams are a row-local positional array transform (the former
+    // posexplode + doc-keyed lead window shuffled and sorted the whole
+    // token mass); is_member rides the row, so the frozen-model filter is
+    // a projection instead of a join back to the doc relation
     val toks = d.select(col("doc_id"), col("is_member"),
-      posexplode(col("words")).as(Seq("pos", "w")))
-    val ow = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bi = toks.withColumn("nw", lead(col("w"), 1).over(ow))
-      .filter(col("nw").isNotNull)
-      .select(col("doc_id"), col("pos"), col("w").as("w1"), col("nw").as("w2"))
+      explode(col("words")).as("w"))
+    val bi = d.select(col("doc_id"), col("is_member"), explode(expr(
+        """transform(slice(sequence(0, greatest(size(words) - 1, 0)),
+          |          1, greatest(size(words) - 1, 0)),
+          |  i -> named_struct('pos', i, 'w1', words[i], 'w2', words[i + 1]))""".stripMargin))
+        .as("b"))
+      .select(col("doc_id"), col("is_member"), col("b.pos").as("pos"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
     // FROZEN model: counts over the base split only
     val toksB = toks.filter(col("is_member"))
-    val biB = bi.join(d.filter(col("is_member")).select("doc_id"), "doc_id")
+    val biB = bi.filter(col("is_member"))
     val uniB = toksB.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
     val bicB = biB.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val ctxB = biB.groupBy(col("w1")).agg(count(lit(1)).as("ctx"))
     val statsB = uniB.agg(sum(col("cnt")).as("n_total"),
       count(lit(1)).as("v_size"))
     // per-token costs for EVERY doc, unseen events at the add-one floor
-    val firstBits = toks.filter(col("pos") === 0)
+    val firstBits = d.filter(size(col("words")) > 0)
+      .select(col("doc_id"), lit(0).as("pos"), col("words").getItem(0).as("w"))
       .join(uniB, Seq("w"), "left").crossJoin(broadcast(statsB))
       .select(col("doc_id"), col("pos").as("cpos"),
         (length(bin(col("n_total") + col("v_size"))) -

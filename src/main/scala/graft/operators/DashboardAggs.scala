@@ -74,6 +74,13 @@ object DashboardAggs {
     require(baseDeg > 0 && (java.lang.Double.doubleToRawLongBits(baseDeg) &
       0x000fffffffffffffL) == 0, s"baseDeg $baseDeg must be a power of two")
     require(maxZoom >= 0 && maxZoom <= 20, s"maxZoom $maxZoom outside [0, 20]")
+    // (r21 audit, kept as-is: a finest-level-aggregate-then-rollup pyramid
+    // was prototyped and REJECTED — with partial aggregation the explode's
+    // shuffle is already cell-bounded (the map side combines per
+    // (zoom, cell) before the exchange), so the rollup only trades the 5×
+    // map-side-agg CPU for four extra per-level exchanges; it measured at
+    // parity locally (1.24 vs 1.20 s median-of-5) and breaks the
+    // PlanAuditSpec one-exchange pin that encodes exactly this reasoning.)
     valid
       .select(col("lat"), col("lon"), col("cpm"),
         explode(array((0 to maxZoom).map(lit): _*)).as("zoom"))
