@@ -197,7 +197,7 @@ object MaterializeSpec {
     "dsir", "lm2", "nbpred", "bloombits", "bloomprobe", "ivf", "ivfsim",
     "kmtrained", "pq", "knng", "semcc", "marginexact", "staleedges",
     "stalehits", "neardup", "anngraph", "anngraphf", "phash", "afp",
-    "vframes",
+    "vframes", "annhits", "knnexact", "margpairs",
     // once-scaffold keys (SharedRel.once)
     "bloomsplit", "powertop", "topics", "incrstate", "incrbase")
 }

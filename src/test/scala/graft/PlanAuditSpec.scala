@@ -88,13 +88,20 @@ class PlanAuditSpec extends SparkSuite {
   }
 
   test("v_ann_sq: query side broadcast, code scan never shuffled pre-rank") {
-    val plan = executedPlan("v_ann_sq")
+    // the search result is session-shared (SharedRel `annhits` — the
+    // v_recall_sq harness grades the same run), so the pin audits the
+    // BUILD plan (the d_dsir rule)
+    val plan = graft.functions.VectorOps.annSqBuild(spark, sf("sf0.001"),
+      nQueries = 20, k = 5).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"query set must broadcast:\n$plan")
   }
 
   test("v_ann_ivfsq: probe lists broadcast onto the code scan") {
-    val plan = executedPlan("v_ann_ivfsq")
+    // session-shared surface (`annhits`) — audit the build plan
+    val plan = graft.functions.VectorOps.annIvfSqBuild(spark, sf("sf0.001"),
+      nQueries = 20, kNn = 5, kCentroids = 16, nProbe = 2,
+      mat = graft.Materialize.Local).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"probe lists must broadcast:\n$plan")
   }
@@ -370,13 +377,19 @@ class PlanAuditSpec extends SparkSuite {
   }
 
   test("v_ann_filtered: probes broadcast into the cell join — filter adds no exchange") {
-    val plan = executedPlan("v_ann_filtered")
+    // both search surfaces are session-shared (`annhits`) — audit the
+    // BUILD plans (the d_dsir rule)
+    val plan = graft.functions.VectorOps.annIvfFilteredBuild(spark, sf("sf0.001"),
+      nQueries = 20, kNn = 5, kCentroids = 16, nProbe = 2,
+      mat = graft.Materialize.Local).queryExecution.executedPlan.toString
     // the label predicate rides the existing (centroid_id, label) probe
     // join condition: same BroadcastHashJoin as the unfiltered search, and
     // no extra hash exchange beyond the per-query top-k window
     assert(plan.contains("BroadcastHashJoin"),
       s"probe list must broadcast:\n$plan")
-    val unfiltered = executedPlan("v_ann_ivf2")
+    val unfiltered = graft.functions.VectorOps.annIvfMultiBuild(spark, sf("sf0.001"),
+      nQueries = 20, kNn = 5, kCentroids = 16, nProbe = 2,
+      mat = graft.Materialize.Local).queryExecution.executedPlan.toString
     assert(dataExchanges(plan) <= dataExchanges(unfiltered),
       s"filtering must not add exchanges (filtered ${dataExchanges(plan)} vs " +
         s"unfiltered ${dataExchanges(unfiltered)}):\n$plan")
@@ -429,7 +442,15 @@ class PlanAuditSpec extends SparkSuite {
   }
 
   test("v_margin_pairs: candidates stay cell-bounded — no cross-side cartesian") {
-    val plan = executedPlan("v_margin_pairs")
+    // the miner's pair relation is session-shared (`margpairs` — the
+    // v_recall_margin harness grades the same run), so audit the BUILD
+    // plan (the d_dsir rule)
+    val plan = graft.functions.VectorOps.marginCore(spark, sf("sf0.001"),
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("label"),
+        org.apache.spark.sql.functions.lit(2)) === 0,
+      k = 4, kCentroids = 16, minMargin = 1.0, nProbe = 4,
+      mat = graft.Materialize.Local).queryExecution.executedPlan.toString
     // the A×B candidate join must be keyed on centroid_id; an all-pairs
     // plan here is the n_A×n_B blow-up the IVF cells exist to prevent
     assert(!plan.contains("CartesianProduct") &&
@@ -597,7 +618,10 @@ class PlanAuditSpec extends SparkSuite {
     // against a broadcast literal is the intended full-scan shape, as in
     // v_ann_sq); the exact re-rank must then join candidates by key, and
     // nothing may plan a partition-wise cartesian
-    val plan = executedPlan("v_ann_rp_rr")
+    // session-shared surface (`annhits`) — audit the build plan
+    val plan = graft.functions.VectorOps.annRpRrBuild(spark, sf("sf0.001"),
+      nQueries = 20, k = 5, kDim = 32, cand = 100, d = 64)
+      .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
       s"rp re-rank must never plan a partition-wise cartesian:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
