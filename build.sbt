@@ -29,4 +29,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 32 concurrent local tasks × sort/agg buffers: 8g shows multi-second GC
   // stalls on individual bench queries; 16g keeps full-GC out of the path
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)
+// trim + drop empties: a set-but-empty var (or leading whitespace) would
+// otherwise pass an empty javaOption that the forked JVM parses as the
+// main-class name and fails to launch (r21 ADVICE)
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+  .flatMap(_.trim.split("\\s+").toSeq).filter(_.nonEmpty)

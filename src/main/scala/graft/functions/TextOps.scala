@@ -1617,12 +1617,17 @@ object TextOps {
     spanFoldArr(pw,
       hits.groupBy("doc_id").agg(array_sort(collect_set(col("p"))).as("cuts")))
 
-  /** Row-local tail of [[spanFold]]: `cuts` holds one sorted, distinct,
-    * NON-EMPTY position array per cut doc (empty arrays must be filtered
-    * out by the caller — `sequence(0, -1)` would descend under ANSI).
+  /** Row-local tail of [[spanFold]]: `cuts` holds one sorted, distinct
+    * position array per cut doc. An empty or null array is treated as
+    * "no cuts" inside the fold itself (r21 VERDICT #8 / ADVICE: the
+    * non-empty contract was caller-enforced convention only — an empty
+    * array would make nSpans' filter lambda probe `element_at(c, 1)` and
+    * `sequence(0, -1)` descend; the guard makes the contract enforced
+    * rather than documented).
     */
   private[graft] def spanFoldArr(pw: DataFrame, cuts: DataFrame): DataFrame = {
     val c = col("cuts")
+    val noCuts = c.isNull || size(c) === 0
     // island starts within the sorted array = span count, linear scan
     val nSpans = size(filter(sequence(lit(0), size(c) - 1),
       i => (i === 0) || (element_at(c, i + 1) =!= element_at(c, i) + 1)))
@@ -1634,8 +1639,8 @@ object TextOps {
     pw.join(cuts, Seq("doc_id"), "left")
       .select(col("doc_id"), size(col("words")).cast("long").as("n_words"),
         coalesce(size(c), lit(0)).cast("long").as("n_dup"),
-        coalesce(nSpans, lit(0)).cast("long").as("n_spans"),
-        when(c.isNull, array_join(col("words"), " "))
+        when(noCuts, lit(0)).otherwise(nSpans).cast("long").as("n_spans"),
+        when(noCuts, array_join(col("words"), " "))
           .otherwise(keptText).as("text_clean"))
       .orderBy(col("doc_id"))
   }
@@ -2233,15 +2238,15 @@ object TextOps {
     * ≥0.9 near-dup threshold such pairs share nearly all their vocabulary,
     * so any rare word in either doc generates the candidate. The oracle SQL
     * mirrors the cap, so both tiers compute the same relation.
-    */
-  /** Exact df-capped Jaccard ≥ threshold pairs — session-shared
-    * ([[graft.SharedRel]], key `jacpairs`): the relation is the exact-pair
-    * oracle THREE consumers run in full — its own `d_jaccard_pairs`
-    * query, the [[lshSweepBuild]] S-curve (which prices every banding
-    * against it), and the [[lshRecall]] harness. Each previously re-ran
-    * candidate generation + verify from scratch (~2 s/pass at sf0.1 in
-    * the r20 min artifact, 3× per session). A production dedup stores the
-    * verified pair relation once and serves every audit from it.
+    *
+    * Session-shared ([[graft.SharedRel]], key `jacpairs`): the relation is
+    * the exact-pair oracle THREE consumers run in full — its own
+    * `d_jaccard_pairs` query, the [[lshSweepBuild]] S-curve (which prices
+    * every banding against it), and the [[lshRecall]] harness. Each
+    * previously re-ran candidate generation + verify from scratch
+    * (~2 s/pass at sf0.1 in the r20 min artifact, 3× per session). A
+    * production dedup stores the verified pair relation once and serves
+    * every audit from it.
     */
   def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.9,
                    dfCap: Int = 100,

@@ -988,6 +988,29 @@ class OperatorsSpec extends SparkSuite {
       (23L, 12L, 2L, "f g")))
   }
 
+  test("spanFoldArr treats an empty cuts array as no-cuts (guard, r21 VERDICT #8)") {
+    // all current callers guarantee non-empty arrays (collect_set over
+    // >= 1 row; minRunCuts filters size > 0) — the guard makes the
+    // contract enforced in-function: an empty-island doc must fold like
+    // an uncut doc, not descend sequence(0, -1) under ANSI
+    val pw = Seq(
+      (1L, Seq("a", "b", "c")),         // empty cuts array
+      (2L, Seq("d", "e")),              // no cuts row at all (null branch)
+      (3L, Seq("f", "g", "h", "i"))     // real cuts
+    ).toDF("doc_id", "words")
+    val cuts = Seq(
+      (1L, Seq.empty[Int]),
+      (3L, Seq(1, 2))
+    ).toDF("doc_id", "cuts")
+    val out = TextOps.spanFoldArr(pw, cuts)
+      .select("doc_id", "n_words", "n_dup", "n_spans", "text_clean")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (1L, 3L, 0L, 0L, "a b c"),
+      (2L, 2L, 0L, 0L, "d e"),
+      (3L, 4L, 2L, 1L, "f i")))
+  }
+
   test("dupRuns spares sub-minRun islands and cuts long runs whole") {
     val docs = Seq(
       (20L, "a b c d e x y z w v", "en", "s", 1L),
