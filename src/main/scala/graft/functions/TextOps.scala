@@ -1167,17 +1167,26 @@ object TextOps {
       .distinct()
     val wSh = Window.partitionBy(col("source"), col("shard")).orderBy(col("h"))
     val wSrc = Window.partitionBy(col("source")).orderBy(col("h"))
-    val shardState = dw.withColumn("rk", row_number().over(wSh))
-      .filter(col("rk") <= kKmv).select("source", "h")
+    // one source-keyed exchange serves BOTH cuts (r22, the marginJoinScore
+    // window-ordering rule): the (source)-window ranks first, so the
+    // (source, shard) window above it needs only a re-sort —
+    // hashpartitioning(source) already satisfies its clustering. The
+    // single-pass bottom-k uses dense_rank, which on ranking-by-h-alone
+    // equals the previous distinct-then-row_number (duplicate h values
+    // from two shards share one dense rank); the tiny residual distinct
+    // collapses those duplicates after the filter.
+    val ranked = dw
+      .withColumn("rk_src", dense_rank().over(wSrc))
+      .withColumn("rk_sh", row_number().over(wSh))
+    val shardState = ranked.filter(col("rk_sh") <= kKmv).select("source", "h")
     // same hash can reach the pool from two shards (a word is not
     // sharded — docs are): the merge dedups by hash, exactly the
     // streaming twin's set semantics
     val mergedK = shardState.distinct()
       .withColumn("rk", row_number().over(wSrc)).filter(col("rk") <= kKmv)
       .select("source", "h")
-    val singleK = dw.select("source", "h").distinct()
-      .withColumn("rk", row_number().over(wSrc)).filter(col("rk") <= kKmv)
-      .select("source", "h")
+    val singleK = ranked.filter(col("rk_src") <= kKmv)
+      .select("source", "h").distinct()
     def kmvEst(state: DataFrame): DataFrame = state.groupBy("source")
       .agg(max(col("h")).as("h_k"), count(lit(1)).as("n_k"))
       .select(col("source"),
@@ -1248,13 +1257,18 @@ object TextOps {
     val wQSh = Window.partitionBy(col("source"), col("shard"))
       .orderBy(col("h"), col("doc_id"))
     val wQSrc = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
-    val qShard = qd.withColumn("rk", row_number().over(wQSh))
-      .filter(col("rk") <= kKmv).select("source", "doc_id", "h", "v")
+    // same one-exchange window ordering as the KMV arm; plain row_number
+    // on both cuts here — qd is per-doc, so (source, h, doc_id) rows are
+    // unique and no cross-shard dedup exists to fold
+    val qRanked = qd
+      .withColumn("rk_src", row_number().over(wQSrc))
+      .withColumn("rk_sh", row_number().over(wQSh))
+    val qShard = qRanked.filter(col("rk_sh") <= kKmv)
+      .select("source", "doc_id", "h", "v")
     val qMerged = qShard
       .withColumn("rk", row_number().over(wQSrc)).filter(col("rk") <= kKmv)
       .select("source", "doc_id", "h", "v")
-    val qSingle = qd.select("source", "doc_id", "h", "v")
-      .withColumn("rk", row_number().over(wQSrc)).filter(col("rk") <= kKmv)
+    val qSingle = qRanked.filter(col("rk_src") <= kKmv)
       .select("source", "doc_id", "h", "v")
     // p990 of the sample — the quantileSketch rank rule verbatim
     def qEst(state: DataFrame): DataFrame = {

@@ -1105,15 +1105,24 @@ object Multimodal {
     * [[imageNearDup]] (self, `<`), [[imageDupClusters]] (distinct-hash
     * self, `<`) and [[imageDedupIncr]] (delta × base, unrestricted).
     */
+  /** `dedup = false` skips the candidate-level distinct: a pair agreeing
+    * on several bands then surfaces once per band (the popcount re-runs
+    * per copy — one xor, cheap), which is correct whenever the CONSUMER
+    * dedups at its own (coarser) key anyway — the video containment fold
+    * dedups at (video, frame, video) — and saves a full shuffle of the
+    * candidate multiset (guide §2.4). Pair-level outputs (imageNearDup
+    * and friends) keep the dedup: their contract is one row per pair.
+    */
   private def hammingJoin(a: DataFrame, b: DataFrame, maxDist: Int,
-                          idPred: (Column, Column) => Column): DataFrame = {
+                          idPred: (Column, Column) => Column,
+                          dedup: Boolean = true): DataFrame = {
     require(maxDist < 8, s"maxDist $maxDist >= 8 bands breaks pigeonhole-losslessness")
-    val cand = bandsOf(a).as("a").join(bandsOf(b).as("b"),
+    val cand0 = bandsOf(a).as("a").join(bandsOf(b).as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           idPred(col("a.id"), col("b.id")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.dhash").as("ha"), col("b.dhash").as("hb"))
-      .distinct()
+    val cand = if (dedup) cand0.distinct() else cand0
     cand.withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
@@ -1527,8 +1536,11 @@ object Multimodal {
     // banded join, a<b ordering applied at the video level)
     val rel = frames.select(
       (col("video_id") * 16 + col("frame")).as("id"), col("dhash"))
+    // dedup = false: the oriented fold below dedups at (video, frame,
+    // video), so the banded join's pair-level distinct would be a
+    // redundant shuffle of the full frame-candidate multiset
     val matches = hammingJoin(rel, rel, maxDist,
-        (a, b) => floor(a / 16) =!= floor(b / 16))
+        (a, b) => floor(a / 16) =!= floor(b / 16), dedup = false)
       .select(floor(col("id_a") / 16).cast("long").as("va"),
         pmod(col("id_a"), lit(16)).as("fa"),
         floor(col("id_b") / 16).cast("long").as("vb"))
@@ -1764,7 +1776,9 @@ object Multimodal {
       pred: (Column, Column) => Column = (_, _) => lit(true)): DataFrame = {
     def rel(df: DataFrame) = df.select(
       (col("video_id") * 16 + col("frame")).as("id"), col("dhash"))
-    hammingJoin(rel(queryFrames), rel(otherFrames), maxDist, pred)
+    // dedup = false: the (vd, fd, vo) distinct below subsumes the banded
+    // join's pair-level dedup (same rationale as videoContainment)
+    hammingJoin(rel(queryFrames), rel(otherFrames), maxDist, pred, dedup = false)
       .select(floor(col("id_a") / 16).cast("long").as("vd"),
         pmod(col("id_a"), lit(16)).as("fd"),
         floor(col("id_b") / 16).cast("long").as("vo"))
