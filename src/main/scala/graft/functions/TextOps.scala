@@ -1596,21 +1596,54 @@ object TextOps {
                                    mat: Materialize): DataFrame = {
     val pw = mat(prepared(spark, dir).filter(size(col("words")) >= n)
       .select(col("doc_id"), col("words")))
+    val cuts = mat match {
+      case Materialize.Local => sortedCutArrays(spark, dir, n)
+      case _ => cutArraysOf(firstOccCutHits(pw, n))
+    }
+    spanFoldArr(pw, cuts.withColumnRenamed("all_cuts", "cuts"))
+  }
+
+  /** Cut positions (doc_id, p): every position covered by a duplicated
+    * n-window occurrence except the globally FIRST (min (doc_id, i)) per
+    * shingle. The relation the span merge ([[dupSpans]]) and the
+    * maximal-run floor ([[dupRuns]]) both aggregate. keeper = globally
+    * first (doc_id, i) per shingle key; only shingles seen twice survive
+    * into the cut join. No DISTINCT and no checkpoint: the downstream
+    * collect_set dedups map-side.
+    */
+  private def firstOccCutHits(pw: DataFrame, n: Int): DataFrame = {
     val sh = posShingles(pw, n)
-    // keeper = globally first (doc_id, i) per shingle key; only shingles
-    // seen twice survive into the cut join
     val keep = sh.groupBy(col("sh"))
       .agg(min(struct(col("doc_id"), col("i"))).as("k"),
         count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
       .select(col("sh"), col("k.doc_id").as("k_doc"), col("k.i").as("k_i"))
-    // no DISTINCT and no checkpoint: spanFold's collect_set dedups map-side
-    // and the single consumer reads the fold once
-    val hits = sh.join(keep, "sh")
+    sh.join(keep, "sh")
       .filter(!(col("doc_id") === col("k_doc") && col("i") === col("k_i")))
       .select(col("doc_id"), explode(expr(s"sequence(i, i + ${n - 1})")).as("p"))
-    spanFold(pw, hits)
   }
+
+  /** One sorted, distinct cut-position array per cut doc — the single
+    * doc-keyed exchange of the span family (`collect_set` dedups
+    * map-side).
+    */
+  private def cutArraysOf(hits: DataFrame): DataFrame =
+    hits.groupBy("doc_id").agg(array_sort(collect_set(col("p"))).as("all_cuts"))
+
+  /** The corpus-wide sorted cut arrays, session-shared (key `spancuts`,
+    * r22): `d_dup_spans` (via the dupspans build), `d_dup_runs` and
+    * `d_dup_runs_strict` all aggregate the IDENTICAL
+    * explode → first-occurrence agg → cut-join chain — only the
+    * row-local minRun floor differs between them, yet each re-ran the
+    * full shingle pipeline per query. The `inc` segment is the
+    * incremental twin ([[dupSpansIncr]] / [[dupRunsIncr]], whose frozen
+    * base-set + in-increment-keeper chain is likewise identical pairwise).
+    */
+  private def sortedCutArrays(spark: SparkSession, dir: String, n: Int): DataFrame =
+    graft.SharedRel(spark, s"spancuts|$dir|$n", Materialize.Local)(
+      cutArraysOf(firstOccCutHits(
+        prepared(spark, dir).filter(size(col("words")) >= n)
+          .select(col("doc_id"), col("words")), n)))
 
   /** The span-merge + re-assembly tail shared by the substring-dedup
     * family: given (doc_id, words) docs and the cut positions (doc_id, p)
@@ -1687,10 +1720,29 @@ object TextOps {
   def dupSpansIncr(spark: SparkSession, dir: String, n: Int = 5,
                    deltaMod: Int = 5,
                    mat: Materialize = Materialize.Local): DataFrame = {
-    val pwAll = prepared(spark, dir).filter(size(col("words")) >= n)
+    val pw = mat(incrPw(spark, dir, n, deltaMod).filter(col("is_delta"))
+      .select("doc_id", "words"))
+    val cuts = mat match {
+      case Materialize.Local => sortedCutArraysIncr(spark, dir, n, deltaMod)
+      case _ => cutArraysOf(incrCutHits(spark, dir, n, deltaMod, pw))
+    }
+    spanFoldArr(pw, cuts.withColumnRenamed("all_cuts", "cuts"))
+  }
+
+  private def incrPw(spark: SparkSession, dir: String, n: Int,
+                     deltaMod: Int): DataFrame =
+    prepared(spark, dir).filter(size(col("words")) >= n)
       .select(col("doc_id"), col("words"), (docSplitE(deltaMod) === 0).as("is_delta"))
-    val pw = mat(pwAll.filter(col("is_delta")).select("doc_id", "words"))
-    val shD = posShingles(pw, n)
+
+  /** The incremental cut positions: a delta doc's window is cut when it
+    * hits the FROZEN base shingle set (base owns every first occurrence
+    * by contract) or an earlier occurrence WITHIN the increment (the
+    * batch keeper rule restricted to delta rows).
+    */
+  private def incrCutHits(spark: SparkSession, dir: String, n: Int,
+                          deltaMod: Int, pwD: DataFrame): DataFrame = {
+    val pwAll = incrPw(spark, dir, n, deltaMod)
+    val shD = posShingles(pwD, n)
     val baseSet = posShingles(pwAll.filter(!col("is_delta"))
       .select("doc_id", "words"), n).select("sh").distinct()
     val ofBase = shD.join(baseSet, "sh").select(col("doc_id"), col("i"))
@@ -1702,10 +1754,20 @@ object TextOps {
     val inDelta = shD.join(keepD, "sh")
       .filter(!(col("doc_id") === col("k_doc") && col("i") === col("k_i")))
       .select(col("doc_id"), col("i"))
-    val hits = ofBase.unionAll(inDelta)
+    ofBase.unionAll(inDelta)
       .select(col("doc_id"), explode(expr(s"sequence(i, i + ${n - 1})")).as("p"))
-    spanFold(pw, hits)
   }
+
+  /** Incremental twin of [[sortedCutArrays]] (`spancuts|inc|…`):
+    * [[dupSpansIncr]] and [[dupRunsIncr]] previously each re-ran the
+    * identical delta-shingle chain.
+    */
+  private def sortedCutArraysIncr(spark: SparkSession, dir: String, n: Int,
+                                  deltaMod: Int): DataFrame =
+    graft.SharedRel(spark, s"spancuts|inc|$dir|$n|$deltaMod", Materialize.Local)(
+      cutArraysOf(incrCutHits(spark, dir, n, deltaMod,
+        Materialize.Local(incrPw(spark, dir, n, deltaMod)
+          .filter(col("is_delta")).select("doc_id", "words")))))
 
   def dupSpansIncrSql(n: Int = 5, deltaMod: Int = 5): String =
     s"""WITH pwa AS (
@@ -1818,16 +1880,13 @@ object TextOps {
               mat: Materialize = Materialize.Local): DataFrame = {
     val pw = mat(prepared(spark, dir).filter(size(col("words")) >= n)
       .select(col("doc_id"), col("words")))
-    val sh = posShingles(pw, n)
-    val keep = sh.groupBy(col("sh"))
-      .agg(min(struct(col("doc_id"), col("i"))).as("k"),
-        count(lit(1)).as("n_occ"))
-      .filter(col("n_occ") >= 2)
-      .select(col("sh"), col("k.doc_id").as("k_doc"), col("k.i").as("k_i"))
-    val hits0 = sh.join(keep, "sh")
-      .filter(!(col("doc_id") === col("k_doc") && col("i") === col("k_i")))
-      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${n - 1})")).as("p"))
-    spanFoldArr(pw, minRunCuts(hits0, minRun))
+    // the cut chain is the session-shared spancuts relation — only the
+    // row-local minRun floor differs between dupSpans/dupRuns variants
+    val cutArrays = mat match {
+      case Materialize.Local => sortedCutArrays(spark, dir, n)
+      case _ => cutArraysOf(firstOccCutHits(pw, n))
+    }
+    spanFoldArr(pw, minRunFloor(cutArrays, minRun))
   }
 
   /** Fold the cut positions into sorted per-doc arrays and keep only
@@ -1841,7 +1900,7 @@ object TextOps {
     * directly. Docs whose every island is below the floor fold to an
     * empty array and are dropped (spanFoldArr's non-empty contract).
     */
-  private def minRunCuts(hits0: DataFrame, minRun: Int): DataFrame = {
+  private def minRunFloor(cutArrays: DataFrame, minRun: Int): DataFrame = {
     val c = col("all_cuts")
     val idx = sequence(lit(0), size(c) - 1)
     val starts = filter(idx,
@@ -1851,8 +1910,7 @@ object TextOps {
     val kept = flatten(zip_with(starts, ends, (s, e) =>
       when(e - s + 1 >= minRun, slice(c, s + 1, e - s + 1))
         .otherwise(slice(c, lit(1), lit(0)))))
-    hits0.groupBy("doc_id")
-      .agg(array_sort(collect_set(col("p"))).as("all_cuts"))
+    cutArrays
       .select(col("doc_id"), kept.as("cuts"))
       .filter(size(col("cuts")) > 0)
   }
@@ -1866,24 +1924,13 @@ object TextOps {
   def dupRunsIncr(spark: SparkSession, dir: String, n: Int = 5,
                   minRun: Int = 8, deltaMod: Int = 5,
                   mat: Materialize = Materialize.Local): DataFrame = {
-    val pwAll = prepared(spark, dir).filter(size(col("words")) >= n)
-      .select(col("doc_id"), col("words"), (docSplitE(deltaMod) === 0).as("is_delta"))
-    val pw = mat(pwAll.filter(col("is_delta")).select("doc_id", "words"))
-    val shD = posShingles(pw, n)
-    val baseSet = posShingles(pwAll.filter(!col("is_delta"))
-      .select("doc_id", "words"), n).select("sh").distinct()
-    val ofBase = shD.join(baseSet, "sh").select(col("doc_id"), col("i"))
-    val keepD = shD.groupBy(col("sh"))
-      .agg(min(struct(col("doc_id"), col("i"))).as("k"),
-        count(lit(1)).as("n_occ"))
-      .filter(col("n_occ") >= 2)
-      .select(col("sh"), col("k.doc_id").as("k_doc"), col("k.i").as("k_i"))
-    val inDelta = shD.join(keepD, "sh")
-      .filter(!(col("doc_id") === col("k_doc") && col("i") === col("k_i")))
-      .select(col("doc_id"), col("i"))
-    val hits0 = ofBase.unionAll(inDelta)
-      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${n - 1})")).as("p"))
-    spanFoldArr(pw, minRunCuts(hits0, minRun))
+    val pw = mat(incrPw(spark, dir, n, deltaMod).filter(col("is_delta"))
+      .select("doc_id", "words"))
+    val cutArrays = mat match {
+      case Materialize.Local => sortedCutArraysIncr(spark, dir, n, deltaMod)
+      case _ => cutArraysOf(incrCutHits(spark, dir, n, deltaMod, pw))
+    }
+    spanFoldArr(pw, minRunFloor(cutArrays, minRun))
   }
 
   def dupRunsIncrSql(n: Int = 5, minRun: Int = 8, deltaMod: Int = 5): String =

@@ -191,7 +191,7 @@ object MaterializeSpec {
   val pinnedSharedRelKeys: Set[String] = Set(
     // derived-relation keys (SharedRel.apply)
     "prepared", "readings", "minhash-banded", "minhashpairs", "jacpairs",
-    "shingle-pairs", "dupcc", "dupspans",
+    "shingle-pairs", "dupcc", "dupspans", "spancuts",
     "lshsweep", "bm25idx", "contam", "decontam", "curate", "curatebase",
     "wordcounts",
     "dsir", "lm2", "nbpred", "bloombits", "bloomprobe", "ivf", "ivfsim",

@@ -276,9 +276,11 @@ class PlanAuditSpec extends SparkSuite {
   }
 
   test("dup-spans build: shingle-keyed equi-join, never cartesian") {
-    // the memoized d_dup_spans handle is a checkpoint scan; audit the build
+    // the memoized d_dup_spans handle is a checkpoint scan, and under
+    // Local the cut chain itself is the shared spancuts relation — audit
+    // the fully-live Passthrough build
     val plan = graft.functions.TextOps
-      .dupSpansBuild(spark, sf("sf0.001"), 5, graft.Materialize.Local)
+      .dupSpansBuild(spark, sf("sf0.001"), 5, graft.Materialize.Passthrough)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
