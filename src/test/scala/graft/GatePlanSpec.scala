@@ -154,6 +154,40 @@ class GatePlanSpec extends SparkSuite {
     // join/window/agg/exchange
     assertSnapshot(VectorDedupStream.frozenBase(spark, sf()),
       "VectorDedup frozenBase", allowScan = true)
+    // VideoDedupStream's base is the session-shared frame checkpoint +
+    // a row-local split filter (added r22 with the fail-closed pin below)
+    assertSnapshot(graft.streaming.VideoDedupStream.frozenBaseFrames(spark, sf()),
+      "VideoDedup frozenBaseFrames")
+  }
+
+  test("freeze-convention pin is fail-closed: every streaming frozen* def is classified") {
+    // r20 VERDICT #3 (deferred r20/r21, implemented r22): the snapshot
+    // test above audits an ENUMERATED list — a new gate family's frozen
+    // def previously escaped it silently. This pin greps the streaming
+    // sources for `def frozen*` and fails until the new def is either
+    // added to the snapshot audit (DataFrame-valued) or classified as a
+    // driver-side literal (Seq-valued — a snapshot by construction).
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get("src/main/scala/graft/streaming")
+    assume(java.nio.file.Files.isDirectory(dir), "runs from the repo root")
+    val defPat = """def (frozen\w*)""".r
+    val walk = java.nio.file.Files.walk(dir)
+    val found =
+      try walk.iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .flatMap { p =>
+          val text = new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val base = p.getFileName.toString.stripSuffix(".scala")
+          defPat.findAllMatchIn(text).map(m => s"$base.${m.group(1)}")
+        }.toSet
+      finally walk.close()
+    val classified = GatePlanSpec.snapshotAuditedFrozen ++ GatePlanSpec.literalFrozen
+    assert(found == classified,
+      s"streaming frozen* inventory drifted — extend the snapshot audit (or " +
+        s"the literal list) and this pin together: " +
+        s"extra=${(found -- classified).toSeq.sorted} " +
+        s"missing=${(classified -- found).toSeq.sorted}")
   }
 
   test("len gate: frozen thresholds broadcast as a local relation — no shuffle, no sketch re-build in the micro-batch") {
@@ -183,4 +217,17 @@ class GatePlanSpec extends SparkSuite {
         s"the sketch build chain must NOT run inside the micro-batch:\n$plan")
     } finally q.stop()
   }
+}
+
+object GatePlanSpec {
+  /** Freeze-convention inventory (one copy, consumed by the fail-closed
+    * pin): DataFrame-valued frozen defs audited by the snapshot test,
+    * and Seq-valued defs that are driver-side literals by construction.
+    */
+  val snapshotAuditedFrozen: Set[String] = Set(
+    "DupSpanStream.frozenShingles", "MarginStream.frozenTarget",
+    "NearDupStream.frozenBase", "QuantileStream.frozenThresholds",
+    "VectorDedupStream.frozenBase", "VideoDedupStream.frozenBaseFrames")
+  val literalFrozen: Set[String] = Set(
+    "ContamStream.frozenProbes", "DirGateStream.frozenDirection")
 }
