@@ -1641,9 +1641,13 @@ object TextOps {
     */
   private def sortedCutArrays(spark: SparkSession, dir: String, n: Int): DataFrame =
     graft.SharedRel(spark, s"spancuts|$dir|$n", Materialize.Local)(
-      cutArraysOf(firstOccCutHits(
-        prepared(spark, dir).filter(size(col("words")) >= n)
-          .select(col("doc_id"), col("words")), n)))
+      sortedCutArraysBuild(spark, dir, n))
+
+  private[graft] def sortedCutArraysBuild(spark: SparkSession, dir: String,
+                                          n: Int): DataFrame =
+    cutArraysOf(firstOccCutHits(
+      prepared(spark, dir).filter(size(col("words")) >= n)
+        .select(col("doc_id"), col("words")), n))
 
   /** The span-merge + re-assembly tail shared by the substring-dedup
     * family: given (doc_id, words) docs and the cut positions (doc_id, p)

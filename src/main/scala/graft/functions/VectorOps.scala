@@ -2542,7 +2542,6 @@ object VectorOps {
   private[graft] def marginCore(spark: SparkSession, dir: String, aFilter: Column,
                          k: Int, kCentroids: Int, minMargin: Double,
                          nProbe: Int, mat: Materialize): DataFrame = {
-    val assigned = sharedIvfAssign(spark, dir, kCentroids, mat)
     val e = prepared(spark, dir)
     // A-side vectors probe their nProbe nearest cells (every A vector is a
     // query here — the multi-probe that recovers cross-cell partners the
@@ -2552,17 +2551,33 @@ object VectorOps {
     // fan-out is exactly nProbe×.
     val cents = broadcast(e.filter(col("vec_id") < kCentroids)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn")))
-    val pw = Window.partitionBy(col("vec_id"))
-      .orderBy((dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).desc, col("centroid_id"))
-    val a = e.filter(aFilter)
-      .join(cents)
-      .withColumn("__rn", row_number().over(pw)).filter(col("__rn") <= nProbe)
-      .select(col("centroid_id"), col("vec_id").as("a_id"),
-        col("v").as("va"), col("nrm").as("na"))
-    val b = e.join(assigned, "vec_id").filter(pmod(col("label"), lit(2)) === 1)
-      .select(col("centroid_id"), col("vec_id").as("b_id"),
-        col("v").as("vb"), col("nrm").as("nb"))
-    marginJoinScore(a, b, k, minMargin)
+    if (kCentroids == 1) {
+      // degenerate single cell (the exact-miner harness arm, r22): the
+      // argmax assignment and the probe ranking are identities over the
+      // one candidate (row_number ≡ 1 ≤ nProbe), so both vec_id-keyed
+      // window exchanges of the vector payload — and the shared ivf|…|1
+      // assignment build — are skipped outright; values are unchanged.
+      val a = e.filter(aFilter).join(cents)
+        .select(col("centroid_id"), col("vec_id").as("a_id"),
+          col("v").as("va"), col("nrm").as("na"))
+      val b = e.filter(pmod(col("label"), lit(2)) === 1).join(cents)
+        .select(col("centroid_id"), col("vec_id").as("b_id"),
+          col("v").as("vb"), col("nrm").as("nb"))
+      marginJoinScore(a, b, k, minMargin)
+    } else {
+      val assigned = sharedIvfAssign(spark, dir, kCentroids, mat)
+      val pw = Window.partitionBy(col("vec_id"))
+        .orderBy((dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).desc, col("centroid_id"))
+      val a = e.filter(aFilter)
+        .join(cents)
+        .withColumn("__rn", row_number().over(pw)).filter(col("__rn") <= nProbe)
+        .select(col("centroid_id"), col("vec_id").as("a_id"),
+          col("v").as("va"), col("nrm").as("na"))
+      val b = e.join(assigned, "vec_id").filter(pmod(col("label"), lit(2)) === 1)
+        .select(col("centroid_id"), col("vec_id").as("b_id"),
+          col("v").as("vb"), col("nrm").as("nb"))
+      marginJoinScore(a, b, k, minMargin)
+    }
   }
 
   /** The cell-join + mutual-top-1 + margin scoring shared by the batch
@@ -3789,7 +3804,14 @@ object VectorOps {
                             mat: Materialize): DataFrame =
     graft.SharedRel(spark,
       s"stalehits|$dir|$nQueries|$k|$beam|$hops|$kNn|$kCentroids|$mod|$nProbe",
-      mat) {
+      mat)(staleBeamHitsBuild(spark, dir, nQueries, k, beam, hops, kNn,
+      kCentroids, mod, nProbe, mat))
+
+  private[graft] def staleBeamHitsBuild(spark: SparkSession, dir: String,
+                                        nQueries: Int, k: Int, beam: Int,
+                                        hops: Int, kNn: Int, kCentroids: Int,
+                                        mod: Int, nProbe: Int,
+                                        mat: Materialize): DataFrame = {
       val e = prepared(spark, dir)
       val queries = broadcast(e.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), col("label").as("q_label"),
@@ -3802,7 +3824,7 @@ object VectorOps {
       graphBeamWith(e, queries, staleEdges, staleSeeds,
         k, beam, hops, nProbe, mat, filtered = false)
         .select(col("q_id"), col("neighbor_id"))
-    }
+  }
 
   def graphCompact(spark: SparkSession, dir: String, nQueries: Int = 20,
                    k: Int = 5, beam: Int = 8, hops: Int = 3, kNn: Int = 5,
